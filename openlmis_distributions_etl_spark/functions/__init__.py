@@ -1,0 +1,77 @@
+"""Shared Column expression helpers.
+
+The central design rule: every aggregate the oracle gate checks must be
+**order-independent**, because Spark sums partitions in nondeterministic
+order while DuckDB sums sequentially. Double-precision sums are order
+dependent in the last ulps, so all money/measure sums run in exact
+decimal arithmetic (cast at the scan, summed exactly, cast back to
+double for a stable presentation value). This also matches warehouse
+semantics at 100 TB: decimal sums don't drift with partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,4)"   # prices / measures (2-dec data, headroom)
+RATE = "decimal(8,4)"     # discounts / tax rates in [0,1]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dec(c: Column | str, typ: str = MONEY) -> Column:
+    """Exact-decimal view of a double measure column."""
+    return _col(c).cast(typ)
+
+
+def dsum_of(expr: Column) -> Column:
+    """Order-independent sum of a decimal expression, presented as
+    double.
+
+    The intermediate cast to decimal(38,6) matters: the source data has
+    ≤6 real decimals (so the cast is exact), and it keeps the scaled
+    integer below 2^53 — DuckDB's decimal→double cast converts the raw
+    int128 through double and is lossy above that, while Spark's
+    BigDecimal cast is correctly rounded. At scale 6 both engines
+    produce the same correctly-rounded double.
+    """
+    return F.sum(expr).cast("decimal(38,6)").cast("double")
+
+
+def dsum(c: Column | str, typ: str = MONEY) -> Column:
+    """Order-independent sum of a double measure, presented as double."""
+    return dsum_of(dec(c, typ))
+
+
+def davg(c: Column | str, typ: str = MONEY) -> Column:
+    """avg = exact decimal sum cast to double, divided by count (IEEE
+    division on identical operands → bit-identical across engines)."""
+    return dsum(c, typ) / F.count(F.lit(1))
+
+
+def disc_price(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
+    """extendedprice * (1 - discount), exact decimal.
+
+    decimal(18,4) × decimal(8,4) stays within precision 38 in both
+    Spark and DuckDB, so no precision-loss rounding on either side.
+    """
+    return dec(price) * (F.lit(1).cast(RATE) - dec(discount, RATE))
+
+
+def charge(price: str = "l_extendedprice", discount: str = "l_discount",
+           tax: str = "l_tax") -> Column:
+    return disc_price(price, discount) * (F.lit(1).cast(RATE) + dec(tax, RATE))
+
+
+def ts_us(c: Column | str) -> Column:
+    """Timestamps cross the oracle boundary as epoch microseconds
+    (bigint) — immune to timezone/format differences between engines."""
+    return F.unix_micros(_col(c))
+
+
+def month_key(c: Column | str) -> Column:
+    """Calendar-month bucket as a portable 'yyyy-MM' string."""
+    return F.date_format(_col(c), "yyyy-MM")

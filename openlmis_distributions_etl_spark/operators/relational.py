@@ -1,0 +1,212 @@
+"""Relational / reporting core (SURVEY.md §2.A).
+
+Each operator is a pure ``dict[str, DataFrame] -> DataFrame`` function
+over the canonical tables. Plans are fully declarative DataFrame code:
+Catalyst pushes the filters into the parquet scans, prunes columns, and
+AQE picks broadcast sides at runtime; explicit ``broadcast()`` hints
+mark the dimension sides that stay small at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import charge, davg, dec, disc_price, dsum, dsum_of
+
+
+def q1_pricing_summary(t: dict[str, DataFrame],
+                       cutoff: str = "2001-09-01") -> DataFrame:
+    """Flagship: grouped pricing summary over the lineitem fact.
+
+    One map-side-combinable hash aggregate over a single scan — at
+    100 TB this is scan-bound; no join, one shuffle on the tiny
+    (returnflag, linestatus) key space.
+    """
+    li = t["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_of(disc_price()).alias("sum_disc_price"),
+            dsum_of(charge()).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", "decimal(8,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(t: dict[str, DataFrame], segment: str = "BUILDING",
+                         date: str = "1998-06-01", k: int = 10) -> DataFrame:
+    """Top-k unshipped orders by revenue: two joins, fact-side filters
+    pushed to scans, customer dim broadcast."""
+    cust = t["customer"].where(F.col("c_mktsegment") == segment)
+    orders = t["orders"].where(F.col("o_orderdate") < date)
+    li = t["lineitem"].where(F.col("l_shipdate") > date)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(dsum_of(disc_price()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def q4_order_priority(t: dict[str, DataFrame], start: str = "1997-01-01",
+                      end: str = "1997-04-01", late_days: int = 90) -> DataFrame:
+    """Orders (one quarter) with ≥1 line shipped > late_days after
+    order date, counted per priority. LEFT SEMI join keeps the probe
+    side de-duplicated without a distinct shuffle."""
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q5_regional_volume(t: dict[str, DataFrame], region: str = "ASIA",
+                       start: str = "1996-01-01", end: str = "1997-01-01") -> DataFrame:
+    """Revenue per nation for intra-nation supplier/customer trade in a
+    region+year: classic 6-way star join. All dims broadcast; the only
+    big shuffle is lineitem⋈orders on orderkey."""
+    region_df = t["region"].where(F.col("r_name") == region)
+    nation = t["nation"].join(broadcast(region_df),
+                              F.col("n_regionkey") == F.col("r_regionkey"))
+    cust = t["customer"].join(broadcast(nation),
+                              F.col("c_nationkey") == F.col("n_nationkey"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+    supp = t["supplier"]
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(dsum_of(disc_price()).alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(t: dict[str, DataFrame], start: str = "1997-01-01",
+                        end: str = "1998-01-01", d_lo: float = 0.03,
+                        d_hi: float = 0.07, qty: float = 25.0) -> DataFrame:
+    """Selective scan + global agg; every predicate reaches the parquet
+    scan (PushedFilters), projection is 2 columns."""
+    li = t["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+            & (F.col("l_discount") >= d_lo) & (F.col("l_discount") <= d_hi)
+            & (F.col("l_quantity") < qty))
+        .agg(dsum_of(dec("l_extendedprice")
+                     * dec("l_discount", "decimal(8,4)")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q10_returned_items(t: dict[str, DataFrame], start: str = "1997-01-01",
+                       end: str = "1997-04-01", k: int = 20) -> DataFrame:
+    """Customers ranked by revenue lost to returns in a quarter."""
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    nation = t["nation"]
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_of(disc_price()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def anti_join_inactive_customers(t: dict[str, DataFrame],
+                                 since: str = "2000-01-01") -> DataFrame:
+    """Customers with no orders since a date — LEFT ANTI join (no
+    distinct/shuffle on the fact side beyond the join itself)."""
+    recent = t["orders"].where(F.col("o_orderdate") >= since)
+    return (
+        t["customer"].join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                           "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def grouped_having_big_orders(t: dict[str, DataFrame], min_lines: int = 5,
+                              min_value: float = 100000.0) -> DataFrame:
+    """Aggregate + HAVING over the fact: orders with many lines and
+    large gross value."""
+    li = t["lineitem"]
+    agg = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                dsum("l_extendedprice").alias("gross_value")))
+    return agg.where((F.col("n_lines") >= min_lines)
+                     & (F.col("gross_value") > min_value))
+
+
+def rollup_priority_status(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP grouping-set aggregate with sentinel-coalesced keys (so
+    the subtotal rows hash identically across engines)."""
+    orders = t["orders"]
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("total_value"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders", "total_value")
+    )
+
+
+def pivot_event_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot event_type → one count column per type, per user."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t["events"].groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def percentile_order_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact (interpolated) order-value percentiles per priority.
+
+    Rounded to 6 decimals on both engines: Spark's `percentile` and
+    DuckDB's `quantile_cont` use algebraically equivalent but not
+    bit-identical interpolation.
+    """
+    orders = t["orders"]
+    p = lambda q: F.round(F.expr(f"percentile(o_totalprice, {q})"), 6)
+    return (orders.groupBy("o_orderpriority")
+            .agg(p(0.25).alias("p25"), p(0.5).alias("p50"),
+                 p(0.75).alias("p75"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def json_extract_props(t: dict[str, DataFrame]) -> DataFrame:
+    """JSON field extraction from the events payload, aggregated per
+    event type (get_json_object stays JVM-side/codegen)."""
+    ev = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.count(k).alias("n_with_k"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,122 @@
+"""Window / ordered analytics (SURVEY.md §2.C).
+
+All window specs partition by a key (user/nation) so at scale the work
+distributes across executors with one shuffle on the partition key; no
+global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec, ts_us
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def topk_customers_per_nation(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """dense_rank top-k customers by account balance per nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.dense_rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rnk")
+    )
+
+
+def latest_event_per_user(t: dict[str, DataFrame]) -> DataFrame:
+    """Latest-record-per-key via row_number (the change-capture
+    'current state' pattern; one shuffle on user_id)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", ts_us("ts").alias("ts_us"),
+                "event_type", "value")
+    )
+
+
+def running_total_per_user(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative per-user spend over time (exact decimal running sum —
+    order-independent parity even though the scan order isn't)."""
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        t["events"]
+        .select("event_id", "user_id", ts_us("ts").alias("ts_us"),
+                F.sum(dec("value")).over(w).cast("decimal(38,6)").cast("double").alias("cum_value"))
+    )
+
+
+def sessionize_events(t: dict[str, DataFrame],
+                      gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: new session when the inter-event gap
+    exceeds ``gap_us``. lag + running count of session starts — two
+    window passes over one user_id shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].withColumn("ts_us", ts_us("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0))
+    return (flagged
+            .withColumn("session_id", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select("event_id", "user_id", "ts_us", "session_id"))
+
+
+def session_stats(t: dict[str, DataFrame],
+                  gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Per-session aggregates on top of sessionize_events (reuses the
+    same user_id partitioning — no extra wide shuffle)."""
+    sessions = sessionize_events(t, gap_us)
+    values = t["events"].select("event_id", "value")
+    return (
+        sessions.join(values, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts_us").alias("start_us"),
+             F.max("ts_us").alias("end_us"),
+             (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+             F.sum(dec("value")).cast("decimal(38,6)").cast("double").alias("sum_value"))
+    )
+
+
+def funnel_signup_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered funnel: first signup, then first purchase after it.
+    Conditional aggregation — single shuffle, no self-join."""
+    ev = t["events"].withColumn("ts_us", ts_us("ts"))
+    first_signup = F.min(F.when(F.col("event_type") == "signup",
+                                F.col("ts_us")))
+    agg = (ev.groupBy("user_id")
+           .agg(first_signup.alias("first_signup_us"),
+                F.collect_list(F.when(F.col("event_type") == "purchase",
+                                      F.col("ts_us"))).alias("purchases")))
+    first_purchase_after = F.array_min(F.filter(
+        "purchases", lambda x: x > F.col("first_signup_us")))
+    return (agg.select(
+        "user_id", "first_signup_us",
+        first_purchase_after.alias("first_purchase_after_us"))
+        .withColumn("converted",
+                    (F.col("first_signup_us").isNotNull()
+                     & F.col("first_purchase_after_us").isNotNull()).cast("int")))
+
+
+def windowed_event_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 1-hour window counts — batch twin of the streaming job
+    in streaming/jobs.py (same logical plan, bounded input)."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).cast("decimal(38,6)").cast("double").alias("sum_value"))
+    )

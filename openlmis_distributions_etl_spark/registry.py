@@ -1,0 +1,62 @@
+"""Query registry: name → callable(spark, sf_dir) -> DataFrame.
+
+The single source of truth for SURVEY.md §2 coverage; __spark_entry__
+re-exports it for the driver, tests replay it against the DuckDB
+oracles in oracles.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational, windows
+from .plans import star
+from .sources import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_OPERATORS = {
+    # §2.A relational core
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q4_order_priority": relational.q4_order_priority,
+    "q5_regional_volume": relational.q5_regional_volume,
+    "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q10_returned_items": relational.q10_returned_items,
+    "anti_join_inactive_customers": relational.anti_join_inactive_customers,
+    "grouped_having_big_orders": relational.grouped_having_big_orders,
+    "rollup_priority_status": relational.rollup_priority_status,
+    "pivot_event_counts": relational.pivot_event_counts,
+    "percentile_order_value": relational.percentile_order_value,
+    "json_extract_props": relational.json_extract_props,
+    # §2.B ETL plans
+    "star_denormalize": star.star_denormalize,
+    "monthly_sales_rollup": star.monthly_sales_rollup,
+    # §2.C windows
+    "topk_customers_per_nation": windows.topk_customers_per_nation,
+    "latest_event_per_user": windows.latest_event_per_user,
+    "running_total_per_user": windows.running_total_per_user,
+    "sessionize_events": windows.sessionize_events,
+    "session_stats": windows.session_stats,
+    "funnel_signup_purchase": windows.funnel_signup_purchase,
+    # §2.D streaming batch twin
+    "windowed_event_counts": windows.windowed_event_counts,
+}
+
+
+def _wrap(fn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_tables(spark, sf_dir))
+    run.__name__ = fn.__name__
+    return run
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: _wrap(fn) for name, fn in _OPERATORS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    from .oracles import ORACLES
+    return dict(ORACLES)

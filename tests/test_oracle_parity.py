@@ -1,0 +1,45 @@
+"""Replay the driver's correctness gate: every queries() entry vs its
+DuckDB oracle, exact-match, at sf0.001 and sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF0001, SF001
+from tests.oracle import compare, duck_connection
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_query_has_an_oracle_or_is_declared():
+    missing = set(QUERIES) - set(ORACLES)
+    # rows-only entries (non-SQL-expressible) must be explicitly listed
+    allowed_rows_only: set[str] = set()
+    assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+    dangling = set(ORACLES) - set(QUERIES)
+    assert not dangling, f"oracles without query: {dangling}"
+
+
+@pytest.fixture(scope="module")
+def cons():
+    c1, c2 = duck_connection(SF0001), duck_connection(SF001)
+    yield {SF0001: c1, SF001: c2}
+    c1.close()
+    c2.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("sf_dir", [SF0001, SF001])
+def test_oracle_parity(spark, cons, name, sf_dir):
+    if name not in ORACLES:
+        pytest.skip("rows-only query")
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, cons[sf_dir], ORACLES[name], name=f"{name}@{sf_dir}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
