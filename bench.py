@@ -29,6 +29,13 @@ HEADLINE = [
     "sessionize_events",
     "latest_event_per_user",
     "windowed_event_counts",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "doc_quality_score",
+    "knn_bruteforce",
+    "embedding_near_dup_pairs",
+    "multimodal_features",
 ]
 
 

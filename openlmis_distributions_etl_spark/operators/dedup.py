@@ -1,0 +1,169 @@
+"""Deduplication suite over the documents table (SURVEY.md §2.E).
+
+Scale design: every technique avoids the O(n²) all-pairs comparison —
+exact dedup is one hash aggregate; MinHash/LSH compares only within
+band buckets (shuffle keyed on (band, signature-slice), bounded
+fan-out); n-gram Jaccard joins only pairs sharing ≥1 shingle. All
+hashing is md5 (JVM codegen, engine-portable lowercase hex) so the
+DuckDB oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+N_HASHES = 16          # minhash permutations
+BANDS = 4              # LSH bands × 4 rows each
+SHINGLE = 3            # token shingle width
+
+
+def _text_hash() -> Column:
+    return F.md5(F.col("text").cast("binary"))
+
+
+def exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact duplicate clusters: md5(text) → canonical (min) doc_id.
+    One hash aggregate; at 100 TB this shuffles only (hash, id)."""
+    return (
+        t["documents"]
+        .select(_text_hash().alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Duplicate-cluster size histogram (n_copies → how many clusters)."""
+    return (exact_dedup(t)
+            .groupBy("n_copies")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+def _shingles(toks: Column) -> Column:
+    """Overlapping token 3-gram shingles (0-based Spark array
+    indexing); docs shorter than the shingle width yield none."""
+    return F.when(
+        F.size(toks) >= SHINGLE,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _with_shingles(t: dict[str, DataFrame]) -> DataFrame:
+    return (t["documents"]
+            .select("doc_id", tokens().alias("toks"))
+            .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+            .where(F.size("shingles") > 0))
+
+
+def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
+    """k=16 MinHash signature per doc: h_j = min(md5('j|' ‖ shingle)).
+
+    Seeded-md5 min over the shingle set is engine-portable (lowercase
+    hex, lexicographic min) and needs no stateful hash registry.
+    """
+    d = _with_shingles(t)
+
+    def sig(j: int):
+        seed = f"{j}|"
+        # single-arg lambda: a 2-arg lambda would be (element, index)
+        return F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary")),
+        )).alias(f"h{j}")
+
+    return d.select("doc_id", *[sig(j) for j in range(N_HASHES)])
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    """Explode the 16-hash signature into 4 banded bucket keys."""
+    parts = []
+    rows = N_HASHES // BANDS
+    for b in range(BANDS):
+        val = F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        parts.append(sig.select(
+            "doc_id", F.lit(b).alias("band_id"), val.alias("band_val")))
+    return reduce(DataFrame.unionAll, parts)
+
+
+def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """LSH candidate pairs: docs sharing any full band. The self-join
+    shuffles on (band_id, band_val) — bucket-local comparison, never
+    all-pairs."""
+    bands = _bands(minhash_signatures(t))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(t: dict[str, DataFrame],
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingle sets, computed only
+    for candidate pairs sharing ≥1 shingle (inverted-index join)."""
+    d = (_with_shingles(t)
+         .select("doc_id",
+                 F.array_distinct("shingles").alias("sh"))
+         .select("doc_id", "sh", F.size("sh").alias("n_sh")))
+    ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("n_a"),
+                 F.col("b.n_sh").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (common.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash64(t: dict[str, DataFrame]) -> DataFrame:
+    """60-bit SimHash from token md5 nibbles (60 not 64 so the value
+    fits a signed bigint identically in both engines).
+
+    Token multiset weights via a pre-aggregation (doc_id, token,
+    count) so the bit explosion is 60 × distinct-tokens, not 60 ×
+    tokens — at 100 TB that's the difference between 60× vocab and
+    60× corpus."""
+    tok_counts = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"), "cnt")
+    )
+    bits = (
+        tok_counts
+        .select("doc_id", "h", "cnt",
+                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
+        .withColumn(
+            "nibble",
+            F.expr("instr('0123456789abcdef', "
+                   "substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("bit", F.expr("shiftright(nibble, 3 - (j % 4)) & 1"))
+        .withColumn("contrib", (F.col("bit") * 2 - 1) * F.col("cnt"))
+    )
+    per_bit = (bits.groupBy("doc_id", "j")
+               .agg(F.sum("contrib").alias("s")))
+    return (per_bit
+            .withColumn("bitval",
+                        F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr("shiftleft(bitval, j)")).alias("simhash")))

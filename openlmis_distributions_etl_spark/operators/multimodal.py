@@ -1,0 +1,69 @@
+"""Multimodal column plumbing (SURVEY.md §2.H).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signature, partitioning — is real and tested; the actual media decode
+is STUBBED (no image/audio libs in this container): ``decode_image``
+raises NotImplementedError, and the feature extractor derives
+deterministic fake features from the bytes so the pipeline is
+end-to-end testable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = ("doc_id long, byte_len long, first_byte int, "
+                  "content_md5 string, fake_width int, fake_height int")
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real deployments plug Pillow/libvips here."""
+    raise NotImplementedError(
+        "media decode is stubbed in this environment; "
+        "use extract_features' deterministic fake path")
+
+
+def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-Arrow-batch feature extraction (vectorized pandas; the shape
+    a real decoder would use — bytes in, fixed-width features out)."""
+    import hashlib
+
+    payloads = batch["payload"]
+    byte_len = payloads.map(len)
+    first_byte = payloads.map(lambda b: b[0] if len(b) else -1)
+    md5 = payloads.map(lambda b: hashlib.md5(b).hexdigest())
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "byte_len": byte_len.astype("int64"),
+        "first_byte": first_byte.astype("int32"),
+        "content_md5": md5,
+        # deterministic fake of a decoded width/height
+        "fake_width": (first_byte % 64 + 1).astype("int32"),
+        "fake_height": (byte_len % 64 + 1).astype("int32"),
+    })
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas over (doc_id, payload:binary) — Arrow-batched, no
+    per-row Python. Partitioning is preserved (narrow op), so at scale
+    this runs wherever the binary shards already live."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _extract_batch(batch)
+
+    return binary_df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Documents' text re-encoded as a binary payload column, run
+    through the Arrow feature-extraction path. The oracle recomputes
+    the same features in SQL (octet_length / ascii / md5)."""
+    payloads = t["documents"].select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(payloads)

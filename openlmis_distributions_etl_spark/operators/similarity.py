@@ -1,0 +1,160 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.F).
+
+Vector math is pure higher-order-function DataFrame code (zip_with +
+aggregate fold) — JVM-side, no Python. Floats are cast to double
+element-wise *before* multiplication and accumulated left-to-right, the
+same order DuckDB's list_sum uses, so cosine scores match bit-for-bit
+(no tolerance needed in the oracle gate).
+
+Scale: brute-force kNN is one broadcast (the query vector) + a map-side
+score + a top-k; IVF prunes to the probed clusters — the 100 TB path
+where each cluster is a parquet partition and probes touch 1/K of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+DIM = 64
+QUERY_VEC_ID = 0
+N_CENTROIDS = 8
+NPROBE = 2
+TOP_K = 10
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product over double-cast elements (accumulation
+    order matches DuckDB list_sum for exact parity)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
+    """L2-norm audit of the embedding store."""
+    e = t["embeddings"]
+    norm = l2_norm(F.col("embedding"))
+    return e.select(
+        "vec_id", "label",
+        norm.alias("l2_norm"),
+        (F.abs(norm - 1.0) < 0.01).cast("int").alias("is_normalized"))
+
+
+def _query_vector(t: dict[str, DataFrame]) -> DataFrame:
+    return (t["embeddings"]
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .select(F.col("embedding").alias("q")))
+
+
+def knn_bruteforce(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors of the query vector: broadcast the
+    single query row, score map-side, global top-k (Spark's sort+limit
+    = distributed partial top-k, no full sort materialized)."""
+    e = t["embeddings"]
+    return (
+        e.crossJoin(broadcast(_query_vector(t)))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label",
+                cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _centroids(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic seed centroids: the first N_CENTROIDS vectors (a
+    stand-in for k-means||; the assignment/probe plumbing is what the
+    operator exercises)."""
+    return (t["embeddings"]
+            .where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("cvec")))
+
+
+def ivf_assign(t: dict[str, DataFrame]) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine,
+    centroid_id tie-break): broadcast-join + per-vector argmax."""
+    e = t["embeddings"]
+    scored = (
+        e.crossJoin(broadcast(_centroids(t)))
+        .select("vec_id", "label", "embedding", "centroid_id",
+                cosine(F.col("embedding"), F.col("cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "label", "embedding", "centroid_id"))
+
+
+def knn_ivf(t: dict[str, DataFrame], k: int = TOP_K,
+            nprobe: int = NPROBE) -> DataFrame:
+    """IVF search: rank centroids for the query, scan only the nprobe
+    nearest clusters, top-k within them. Same output shape as
+    knn_bruteforce (approximate: may miss neighbors outside probed
+    clusters)."""
+    q = _query_vector(t)
+    probe = (
+        _centroids(t).crossJoin(broadcast(q))
+        .select("centroid_id", cosine(F.col("cvec"), F.col("q")).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    assigned = ivf_assign(t)
+    return (
+        assigned.join(broadcast(probe), "centroid_id")
+        .crossJoin(broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label",
+                cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(t: dict[str, DataFrame],
+                             threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
+    cosine ≥ threshold).
+
+    Normalization happens once per vector before the pair join, so
+    each candidate pair costs a single dot product instead of
+    recomputing both norms — at n vectors that's O(n) norms + O(pairs)
+    dots, the only formulation that survives scale. All-pairs at test
+    scale; the 100 TB path puts LSH/IVF bucketing (see knn_ivf) in
+    front of the same pair scorer."""
+    # norm as a materialized column so the per-element division lambda
+    # references an attribute, not a re-evaluated aggregate expression
+    norm = (
+        t["embeddings"]
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        .select("vec_id",
+                F.transform(_dbl(F.col("embedding")),
+                            lambda x: x / F.col("nrm")).alias("nv"))
+    )
+    a = norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("na"))
+    b = norm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("nb"))
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", dot_ab.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

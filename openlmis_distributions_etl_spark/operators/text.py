@@ -1,0 +1,101 @@
+"""Text analysis operators over the documents table (SURVEY.md §2.G).
+
+Everything stays JVM-side (split / higher-order array functions / md5
+— all whole-stage-codegen built-ins); no Python UDFs. Tokenization is
+single-space split with empty-token filtering, mirrored exactly by the
+DuckDB oracles (string_split + list_filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
+# marker-token profiles for the stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Non-empty single-space tokens (codegen'd, no UDF)."""
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in a word set (multiset count, like SQL
+    list_filter + IN)."""
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def doc_token_count(t: dict[str, DataFrame]) -> DataFrame:
+    toks = tokens()
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def doc_quality_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic quality score: token-uniqueness, stopword ratio, and
+    a length factor. All-double IEEE arithmetic with the expression
+    tree mirrored in the oracle, so results match bit-for-bit."""
+    toks = tokens()
+    d = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _count_in(toks, STOPWORDS_EN).alias("n_stop"),
+    )
+    uniq_ratio = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    len_factor = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    return d.select(
+        "doc_id", "n_tokens",
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (uniq_ratio * 0.4 + (1.0 - stop_ratio) * 0.4 + len_factor * 0.2)
+        .alias("quality_score"),
+    )
+
+
+def doc_langid(t: dict[str, DataFrame]) -> DataFrame:
+    """Stopword-profile language ID: count marker tokens per language,
+    predict the best-scoring language (ties → lexicographic first),
+    'unk' when nothing matches."""
+    toks = tokens()
+    d = t["documents"].select("doc_id", "lang", toks.alias("toks"))
+    scored = d.select(
+        "doc_id", "lang",
+        *[_count_in(F.col("toks"), m).alias(f"score_{lang}")
+          for lang, m in sorted(LANG_MARKERS.items())],
+    )
+    # argmax over the score columns, deterministic tie-break on lang name
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("unk")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Content fingerprint: md5 of the full text plus a 2-hex-char
+    shard bucket (the partition key a 100 TB dedup store would shard
+    on) and a 60-bit integer prefix for compact joins."""
+    fp = F.md5(F.col("text").cast("binary"))
+    return t["documents"].select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard_bucket"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

@@ -268,3 +268,225 @@ ORACLES: dict[str, str] = {
         GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'), event_type
     """,
 }
+
+
+# -- text / dedup / similarity / multimodal fragments ------------------
+
+TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+SHINGLES = ("CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+            "ELSE [] END")
+
+
+def _sig_cols() -> str:
+    return ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS h{j}"
+        for j in range(16))
+
+
+SIG_CTE = f"""
+d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM d),
+sig AS (
+  SELECT doc_id,
+               {_sig_cols()}
+  FROM sh WHERE len(shingles) > 0
+)"""
+
+_BAND_SELECTS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(f"h{b*4+r}" for r in range(4))
+    + " AS band_val FROM sig"
+    for b in range(4))
+
+DOT_Q = ("list_sum(list_transform(range(1, 65), "
+         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({DOT_Q.format(a=a, b=b)} / "
+            f"(sqrt({DOT_Q.format(a=a, b=a)}) * sqrt({DOT_Q.format(a=b, b=b)})))")
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("\u7684", "\u662f", "\u4e86", "\u5728"),
+}
+
+
+def _score(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS INTEGER)"
+
+
+ORACLES.update({
+    "doc_token_count": f"""
+        SELECT doc_id,
+               CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct({TOKS})) AS INTEGER) AS n_distinct_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_calc
+        FROM documents
+    """,
+    "doc_quality_score": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                 CAST(len(list_distinct({TOKS})) AS INTEGER) AS n_distinct,
+                 CAST(len(list_filter({TOKS},
+                      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INTEGER) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               n_distinct / n_tokens AS uniq_ratio,
+               n_stop / n_tokens AS stop_ratio,
+               (n_distinct / n_tokens) * 0.4
+                 + (1.0 - n_stop / n_tokens) * 0.4
+                 + least(n_tokens / 100.0, 1.0) * 0.2 AS quality_score
+        FROM d
+    """,
+    "doc_langid": f"""
+        WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_score(lang)} AS score_{lang}" for lang in _LANGS)}
+          FROM t),
+        b AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best FROM s)
+        SELECT doc_id, lang,
+               CASE {" ".join(f"WHEN best > 0 AND score_{lang} = best THEN '{lang}'" for lang in _LANGS)}
+                    ELSE 'unk' END AS pred_lang,
+               score_de, score_en, score_es, score_fr, score_zh
+        FROM b
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS fingerprint,
+               substr(md5(text), 1, 2) AS shard_bucket,
+               CAST(list_sum(list_transform(range(1, 16),
+                 i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+                      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS fp60
+        FROM documents
+    """,
+    "exact_dedup": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "exact_dedup_stats": """
+        SELECT n_copies, COUNT(*) AS n_clusters FROM (
+          SELECT md5(text) AS text_hash, COUNT(*) AS n_copies
+          FROM documents GROUP BY md5(text))
+        GROUP BY n_copies
+    """,
+    "minhash_signatures": f"""
+        WITH {SIG_CTE}
+        SELECT * FROM sig
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS sh FROM d),
+        dd AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        ex AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM dd),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               n_common / (n_a + n_b - n_common) AS jaccard
+        FROM common
+        WHERE n_common / (n_a + n_b - n_common) >= 0.5
+    """,
+    "simhash64": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        th AS (SELECT doc_id, md5(tok) AS h, cnt FROM tc),
+        bits AS (
+          SELECT doc_id, j,
+                 ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   >> CAST(3 - (j % 4) AS INT)) & 1 AS bit,
+                 cnt
+          FROM th, (SELECT unnest(range(60)) AS j)),
+        agg AS (SELECT doc_id, j, SUM((2 * bit - 1) * cnt) AS s FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM agg GROUP BY doc_id
+    """,
+    "embedding_norms": f"""
+        SELECT vec_id, label,
+               sqrt({DOT_Q.format(a='embedding', b='embedding')}) AS l2_norm,
+               CAST(abs(sqrt({DOT_Q.format(a='embedding', b='embedding')}) - 1.0) < 0.01 AS INT) AS is_normalized
+        FROM embeddings
+    """,
+    "knn_bruteforce": f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, {_cos('embedding', 'q')} AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "knn_ivf": f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+        probe AS (
+          SELECT centroid_id FROM cent, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 2),
+        assigned AS (
+          SELECT vec_id, label, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1)
+        SELECT a.vec_id, a.label, {_cos('a.embedding', 'q.q')} AS cos_sim
+        FROM assigned a
+        JOIN probe USING (centroid_id)
+        CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 10
+    """,
+    "embedding_near_dup_pairs": f"""
+        WITH norm AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt({DOT_Q.format(a='embedding', b='embedding')})) AS nv
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(range(1, 65),
+                 i -> a.nv[i] * b.nv[i])) AS cos_sim
+        FROM norm a
+        JOIN norm b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+                 i -> a.nv[i] * b.nv[i])) >= 0.3
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(ascii(text) AS INT) AS first_byte,
+               md5(text) AS content_md5,
+               CAST(ascii(text) % 64 + 1 AS INT) AS fake_width,
+               CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS fake_height
+        FROM documents
+    """,
+})

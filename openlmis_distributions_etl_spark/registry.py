@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import relational, windows
+from .operators import dedup, multimodal, relational, similarity, text, windows
 from .plans import star
 from .sources import load_tables
 
@@ -43,6 +43,25 @@ _OPERATORS = {
     "funnel_signup_purchase": windows.funnel_signup_purchase,
     # §2.D streaming batch twin
     "windowed_event_counts": windows.windowed_event_counts,
+    # §2.E dedup suite
+    "exact_dedup": dedup.exact_dedup,
+    "exact_dedup_stats": dedup.exact_dedup_stats,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "simhash64": dedup.simhash64,
+    "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+    # §2.F similarity search
+    "knn_bruteforce": similarity.knn_bruteforce,
+    "knn_ivf": similarity.knn_ivf,
+    "embedding_norms": similarity.embedding_norms,
+    # §2.G text analysis
+    "doc_token_count": text.doc_token_count,
+    "doc_quality_score": text.doc_quality_score,
+    "doc_langid": text.doc_langid,
+    "doc_fingerprint": text.doc_fingerprint,
+    # §2.H multimodal plumbing
+    "multimodal_features": multimodal.multimodal_features,
 }
 
 
