@@ -28,5 +28,7 @@ def get_spark(app_name: str = "openlmis-distributions-etl-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
     )
     return builder.getOrCreate()

@@ -1,0 +1,38 @@
+"""CSV / JSON readers with explicit schemas (SURVEY.md §2.B).
+
+Explicit schemas are mandatory at scale: schema inference is a full
+extra pass over the data. permissive/columnNameOfCorruptRecord capture
+bad rows instead of failing the whole 100 TB job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StringType, StructType
+
+
+def _with_corrupt_column(schema: StructType) -> StructType:
+    if "_corrupt_record" in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields)
+                      + [StructField("_corrupt_record", StringType())])
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    return (spark.read
+            .schema(_with_corrupt_column(schema))
+            .option("header", header)
+            .option("delimiter", delimiter)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path))
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: StructType) -> DataFrame:
+    return (spark.read
+            .schema(_with_corrupt_column(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))

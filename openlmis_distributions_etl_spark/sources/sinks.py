@@ -1,0 +1,76 @@
+"""Load-side connectors (SURVEY.md §2.B): partitioned/bucketed Parquet
+and JDBC.
+
+Scale notes: partition columns choose the directory fan-out (date /
+region — low cardinality, prune-friendly); bucketing pre-shuffles on
+the join key once at write time so downstream joins between tables
+bucketed on the same key skip their shuffle entirely. maxRecordsPerFile
+caps file sizes so a skewed partition can't produce one giant file.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: Sequence[str] = (),
+                              mode: str = "overwrite",
+                              max_records_per_file: int = 5_000_000) -> None:
+    writer = (df.write.mode(mode)
+              .option("maxRecordsPerFile", max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                         n_buckets: int = 32, mode: str = "overwrite") -> None:
+    """Bucketed managed table: co-locates rows by key so equi-joins /
+    aggregations on bucket_cols run shuffle-free."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", batchsize: int = 10_000,
+               num_partitions: int | None = None,
+               properties: dict[str, str] | None = None) -> None:
+    """JDBC sink (warehouse load). No JDBC driver jar ships in this
+    container, so calls fail with the driver-not-found error from the
+    JVM; the plumbing (batched writes, bounded parallelism so the
+    database isn't hammered by 1000 executors at once) is what's
+    tested."""
+    writer = df
+    if num_partitions is not None:
+        writer = df.coalesce(num_partitions)
+    (writer.write.mode(mode)
+     .option("batchsize", batchsize)
+     .jdbc(url, table, properties=properties or {}))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 8,
+              properties: dict[str, str] | None = None) -> DataFrame:
+    """JDBC source with range-partitioned parallel reads (the only way
+    a JDBC extract scales: N concurrent range queries, not one
+    cursor)."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader
+                  .option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions)))
+    return reader.load()

@@ -1,0 +1,122 @@
+"""Structured Streaming jobs (SURVEY.md §2.D).
+
+The batch twins live in operators/windows.py with identical logical
+plans — bounded vs unbounded input is the only difference, which is
+exactly how Spark unifies the two. Watermarks bound state for late
+data; sessionization keeps per-user state in applyInPandasWithState.
+
+At scale: the windowed aggregate shuffles on (window, event_type) with
+partial aggregation upstream of the shuffle; session state partitions
+by user_id across executors, with the watermark evicting state for
+users idle past the lateness bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from ..functions import dec
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# events.parquet carries TIMESTAMP(NANOS): the streaming reader needs an
+# explicit schema, so declare ts as raw nanos and convert (same
+# truncation as the batch source layer).
+EVENTS_NANOS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema(EVENTS_NANOS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts_stream(events: DataFrame,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.windows.windowed_event_counts:
+    tumbling 1h windows with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).cast("decimal(38,6)").cast("double")
+             .alias("sum_value"))
+        .select(F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00")
+                .alias("hour"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+SESSION_OUT_SCHEMA = ("event_id long, user_id long, ts_us long, "
+                      "session_id long")
+SESSION_STATE_SCHEMA = "last_ts_us long, next_session long"
+
+
+def _sessionize_group(key: tuple[Any, ...],
+                      pdfs: Iterator[pd.DataFrame],
+                      state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionization: state carries (last event
+    time, next session number) across micro-batches."""
+    if state.exists:
+        last_ts, next_sid = state.get
+    else:
+        last_ts, next_sid = None, 1
+
+    user_id = key[0]
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        sids = []
+        for ts in pdf["ts_us"]:
+            if last_ts is None or ts - last_ts > SESSION_GAP_US:
+                sid = next_sid
+                next_sid += 1
+            else:
+                sid = next_sid - 1
+            last_ts = ts
+            sids.append(sid)
+        yield pd.DataFrame({
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": user_id,
+            "ts_us": pdf["ts_us"].to_numpy(),
+            "session_id": pd.Series(sids, dtype="int64"),
+        })
+
+    state.update((int(last_ts) if last_ts is not None else -1, int(next_sid)))
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming gap-based sessionization (batch twin:
+    operators.windows.sessionize_events). State partitions by user_id;
+    each micro-batch extends or opens sessions per user."""
+    with_us = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    return (
+        with_us.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,107 @@
+"""Plan-shape assertions (SURVEY.md §5.3): the physical plans the
+engine would need at 100 TB — pushdown into the scan, pruned read
+schemas, broadcast dimension joins, no Python in relational paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from openlmis_distributions_etl_spark import registry
+from openlmis_distributions_etl_spark.functions.skew import salted_agg, with_salt
+from openlmis_distributions_etl_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF0001)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(_q(spark, "q6_forecast_revenue"))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = _plan(_q(spark, "q6_forecast_revenue"))
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    assert "l_returnflag" not in schema and "l_partkey" not in schema
+
+
+def test_star_joins_broadcast_dims(spark):
+    plan = _plan(_q(spark, "star_denormalize"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the one allowed shuffle join: lineitem ⋈ orders on orderkey
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q5_single_wide_shuffle_join(spark):
+    plan = _plan(_q(spark, "q5_regional_volume"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_relational_plans_have_no_python(spark):
+    for name in ("q1_pricing_summary", "q3_shipping_priority",
+                 "star_denormalize", "sessionize_events",
+                 "exact_dedup", "minhash_lsh_pairs", "knn_bruteforce"):
+        plan = _plan(_q(spark, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} fell back to Python"
+
+
+def test_q1_whole_stage_codegen(spark):
+    # AQE wraps the plan pre-execution; disable it to see codegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q(spark, "q1_pricing_summary"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # "*(n)" prefixes mark whole-stage-codegen spans in plan toString
+    assert "*(" in plan, f"no codegen spans:\n{plan[:500]}"
+    # and the aggregate is map-side combined before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_multimodal_is_arrow_not_row_python(spark):
+    plan = _plan(_q(spark, "multimodal_features"))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF0001, "events")
+    plain = (ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("value").alias("mn"), F.max("value").alias("mx"))
+             .collect())
+    salted = salted_agg(
+        ev, ["event_type"],
+        {"n": F.count(F.lit(1)), "mn": F.min("value"), "mx": F.max("value")},
+        n_salts=8).collect()
+    key = lambda rows: sorted((r["event_type"], r["n"], r["mn"], r["mx"])
+                              for r in rows)
+    assert key(plain) == key(salted)
+
+
+def test_with_salt_is_deterministic(spark):
+    ev = load_table(spark, SF0001, "events")
+    a = with_salt(ev, 16).select("event_id", "_salt").collect()
+    b = with_salt(ev, 16).select("event_id", "_salt").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r["_salt"] < 16 for r in a)
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    ev = load_table(spark, SF0001, "events")
+    with pytest.raises(ValueError):
+        salted_agg(ev, ["event_type"], {"a": F.avg("value")}).collect()

@@ -1,0 +1,85 @@
+"""File sources + sinks: roundtrips, partition pruning, bucketed join
+shuffle elimination, corrupt-record capture, JDBC gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from openlmis_distributions_etl_spark.sources import load_table, load_tables
+from openlmis_distributions_etl_spark.sources.files import read_csv, read_json
+from openlmis_distributions_etl_spark.sources.sinks import (
+    write_bucketed_table, write_jdbc, write_partitioned_parquet)
+
+SF0001 = "/root/testdata/sf0.001"
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("name", StringType()),
+    StructField("qty", IntegerType()),
+])
+
+
+def test_csv_roundtrip_and_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,qty\n1,widget,10\n2,gadget,oops\n3,doohickey,7\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 10
+    assert rows[2]["qty"] is None  # bad int captured, row not dropped
+    assert rows[2]["_corrupt_record"] is not None
+    assert rows[3]["name"] == "doohickey"
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text('{"id": 1, "name": "w", "qty": 2}\n'
+                 '{"id": 2, "name": "g", "qty": "bad"}\n')
+    df = read_json(spark, str(p), SCHEMA)
+    rows = {r["id"]: r for r in df.collect() if r["id"] is not None}
+    assert rows[1]["qty"] == 2
+    assert 2 not in rows or rows[2]["qty"] is None
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF0001, "orders").withColumn(
+        "status", F.col("o_orderstatus"))
+    out = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, out, partition_by=["status"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    pruned = back.where(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "status" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.sql("DROP TABLE IF EXISTS l_b")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("o_b", "l_b"):  # dropped tables can leave orphan dirs
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    t = load_tables(spark, SF0001, "orders", "lineitem")
+    write_bucketed_table(t["orders"], "o_b", ["o_orderkey"], n_buckets=4)
+    write_bucketed_table(t["lineitem"], "l_b", ["l_orderkey"], n_buckets=4)
+    joined = (spark.table("l_b").hint("merge")
+              .join(spark.table("o_b"),
+                    F.col("l_orderkey") == F.col("o_orderkey")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert joined.count() == t["lineitem"].count()
+
+
+def test_jdbc_gated_without_driver(spark):
+    df = load_table(spark, SF0001, "region")
+    with pytest.raises(Exception) as ei:
+        write_jdbc(df, "jdbc:postgresql://localhost:5432/nope", "t",
+                   properties={"driver": "org.postgresql.Driver"})
+    assert "postgresql" in str(ei.value).lower() or "driver" in str(
+        ei.value).lower()

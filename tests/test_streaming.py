@@ -1,0 +1,46 @@
+"""Streaming jobs vs their batch twins (availableNow over the events
+parquet → memory sink → exact comparison)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF0001
+
+from openlmis_distributions_etl_spark.operators import windows
+from openlmis_distributions_etl_spark.sources import load_tables
+from openlmis_distributions_etl_spark.streaming import jobs
+
+
+def _run_available_now(df, name: str, spark, output_mode: str):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    events = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.windowed_event_counts_stream(events), "win_counts", spark,
+        "complete")
+    want = windows.windowed_event_counts(
+        load_tables(spark, SF0001, "events")).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_sessionize_stream_matches_batch(spark):
+    events = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.sessionize_stream(events), "sess_stream", spark, "append")
+    want = windows.sessionize_events(
+        load_tables(spark, SF0001, "events")).toPandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False)
