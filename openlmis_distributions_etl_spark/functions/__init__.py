@@ -66,6 +66,21 @@ def charge(price: str = "l_extendedprice", discount: str = "l_discount",
     return disc_price(price, discount) * (F.lit(1).cast(RATE) + dec(tax, RATE))
 
 
+def spread(df, min_parts: int | None = None):
+    """Repartition a DataFrame up to the cluster's parallelism if its
+    scan produced fewer partitions — CPU-heavy per-row operators
+    (hashing, vector math) otherwise serialize on however many row
+    groups the file happened to have. No-op when the source already
+    has enough partitions (the 100 TB case), so the extra exchange
+    only ever appears when it pays for itself.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ts_us(c: Column | str) -> Column:
     """Timestamps cross the oracle boundary as epoch microseconds
     (bigint) — immune to timezone/format differences between engines."""

@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import spread
 from .text import tokens
 
 N_HASHES = 16          # minhash permutations
@@ -47,20 +48,21 @@ def exact_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
 
 def _shingles(toks: Column) -> Column:
     """Overlapping token 3-gram shingles (0-based Spark array
-    indexing); docs shorter than the shingle width yield none."""
-    return F.when(
-        F.size(toks) >= SHINGLE,
-        F.expr(
-            "transform(sequence(0, size(toks) - 3), "
-            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"),
-    ).otherwise(F.array().cast("array<string>"))
+    indexing); caller must pre-filter to size ≥ SHINGLE."""
+    return F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")
 
 
 def _with_shingles(t: dict[str, DataFrame]) -> DataFrame:
-    return (t["documents"]
+    # Filter on token count BEFORE building shingles: a post-hoc
+    # size(shingles) > 0 filter gets pushed beneath the projections and
+    # re-inlines the whole tokenize pipeline into every per-element
+    # lambda reference (O(tokens²) splits per doc).
+    return (spread(t["documents"])
             .select("doc_id", tokens().alias("toks"))
-            .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
-            .where(F.size("shingles") > 0))
+            .where(F.size("toks") >= SHINGLE)
+            .select("doc_id", _shingles(F.col("toks")).alias("shingles")))
 
 
 def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
@@ -97,7 +99,9 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band. The self-join
     shuffles on (band_id, band_val) — bucket-local comparison, never
     all-pairs."""
-    bands = _bands(minhash_signatures(t))
+    # persist: the self-join would otherwise recompute the 16-seed md5
+    # signature pipeline for both sides (2× the dominant cost)
+    bands = _bands(minhash_signatures(t)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -143,7 +147,7 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     tokens — at 100 TB that's the difference between 60× vocab and
     60× corpus."""
     tok_counts = (
-        t["documents"]
+        spread(t["documents"])
         .select("doc_id", F.explode(tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions import spread
+
 DIM = 64
 QUERY_VEC_ID = 0
 N_CENTROIDS = 8
@@ -65,7 +67,7 @@ def knn_bruteforce(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     """Exact top-k cosine neighbors of the query vector: broadcast the
     single query row, score map-side, global top-k (Spark's sort+limit
     = distributed partial top-k, no full sort materialized)."""
-    e = t["embeddings"]
+    e = spread(t["embeddings"])
     return (
         e.crossJoin(broadcast(_query_vector(t)))
         .where(F.col("vec_id") != QUERY_VEC_ID)
@@ -91,7 +93,7 @@ def ivf_assign(t: dict[str, DataFrame]) -> DataFrame:
     centroid_id tie-break): broadcast-join + per-vector argmax."""
     e = t["embeddings"]
     scored = (
-        e.crossJoin(broadcast(_centroids(t)))
+        spread(e).crossJoin(broadcast(_centroids(t)))
         .select("vec_id", "label", "embedding", "centroid_id",
                 cosine(F.col("embedding"), F.col("cvec")).alias("cos_sim"))
     )
@@ -142,7 +144,7 @@ def embedding_near_dup_pairs(t: dict[str, DataFrame],
     # norm as a materialized column so the per-element division lambda
     # references an attribute, not a re-evaluated aggregate expression
     norm = (
-        t["embeddings"]
+        spread(t["embeddings"])
         .select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
         .select("vec_id",
                 F.transform(_dbl(F.col("embedding")),
