@@ -1,0 +1,154 @@
+"""Second-wave relational coverage (SURVEY.md §2.A continued):
+set operations, correlated subqueries through the SQL front-end,
+CUBE grouping, RANGE window frames, SCD2 interval builds, distinct
+counts, string/date function batteries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dsum, ts_us
+
+
+def distinct_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — expands to a two-phase
+    distinct-then-count under AQE; partial distinct runs map-side."""
+    return (t["lineitem"]
+            .groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_suppkey").alias("n_suppliers"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def set_ops_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over yearly active-customer sets."""
+    o = t["orders"]
+
+    def active(year: int) -> DataFrame:
+        return (o.where((F.col("o_orderdate") >= f"{year}-01-01")
+                        & (F.col("o_orderdate") < f"{year + 1}-01-01"))
+                .select("o_custkey").distinct())
+
+    y96, y97 = active(1996), active(1997)
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n_both"))
+    only96 = y96.exceptAll(y97).agg(F.count(F.lit(1)).alias("n_only_1996"))
+    union = y96.union(y97).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    return both.crossJoin(only96).crossJoin(union)
+
+
+def correlated_subquery_max_order(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated scalar subquery through the SQL front-end — the same
+    Catalyst planner decorrelates it into an aggregate + join."""
+    spark = t["orders"].sparkSession
+    t["customer"].createOrReplaceTempView("v_customer")
+    t["orders"].createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM v_orders
+                WHERE o_custkey = c_custkey) AS max_order_value
+        FROM v_customer
+        WHERE EXISTS (SELECT 1 FROM v_orders WHERE o_custkey = c_custkey)
+    """)
+
+
+def cube_status_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations), sentinel-coalesced."""
+    return (t["orders"]
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total_value"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n_orders", "total_value"))
+
+
+def window_range_frame(t: dict[str, DataFrame]) -> DataFrame:
+    """Trailing 30-day RANGE frame per customer: order count and value
+    sum over a value-based (not row-based) window."""
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.unix_date(F.to_date("o_orderdate")).alias("epoch_day"))
+    w = (Window.partitionBy("o_custkey").orderBy("epoch_day")
+         .rangeBetween(-30, 0))
+    return o.select(
+        "o_orderkey", "o_custkey", "epoch_day",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("decimal(38,6)").cast("double").alias("value_30d"))
+
+
+def first_last_order_value(t: dict[str, DataFrame]) -> DataFrame:
+    """First and most recent order value per customer (full-frame
+    first_value/last_value with deterministic tie-breaks)."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    o = t["orders"].select(
+        "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("first_value_"),
+        F.last_value("o_totalprice").over(w).alias("last_value_"))
+    return (o.groupBy("o_custkey")
+            .agg(F.max("first_value_").alias("first_order_value"),
+                 F.max("last_value_").alias("last_order_value"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def scd2_user_state(t: dict[str, DataFrame]) -> DataFrame:
+    """SCD2 validity intervals from the event stream: each event opens
+    a state valid until the user's next event (NULL = current). The
+    dimension-history build every warehouse load needs."""
+    ev = t["events"].select("user_id", "event_id", "event_type",
+                            ts_us("ts").alias("valid_from_us"))
+    return ev.withColumn(
+        "valid_to_us",
+        F.lead("valid_from_us").over(
+            Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")))
+
+
+def conditional_agg_returns(t: dict[str, DataFrame]) -> DataFrame:
+    """Return-rate per nation: conditional counts + IEEE division."""
+    li = t["lineitem"].select("l_orderkey", "l_returnflag")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    joined = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")))
+    returned = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    total = F.count(F.lit(1))
+    return (joined.groupBy("n_name")
+            .agg(returned.alias("n_returned"), total.alias("n_lines"))
+            .withColumn("return_rate",
+                        F.col("n_returned") / F.col("n_lines")))
+
+
+def string_functions_report(t: dict[str, DataFrame]) -> DataFrame:
+    """String-function battery over customer names (the conform step of
+    any dimension load): case, pad, substring, replace, regex
+    extraction."""
+    return t["customer"].select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust"))
+        .alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.length("c_name").alias("name_len"))
+
+
+def date_arithmetic_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Date/time battery over orders: parts, offsets, deltas."""
+    o = t["orders"]
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.weekday(d).alias("order_weekday"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"))

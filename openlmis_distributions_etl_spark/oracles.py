@@ -490,3 +490,106 @@ ORACLES.update({
         FROM documents
     """,
 })
+
+
+# -- second-wave relational oracles ------------------------------------
+
+_Y96 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+_Y97 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+
+ORACLES.update({
+    "distinct_counts": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "set_ops_customers": f"""
+        SELECT
+          (SELECT COUNT(*) FROM (({_Y96}) INTERSECT ({_Y97}))) AS n_both,
+          (SELECT COUNT(*) FROM (({_Y96}) EXCEPT ({_Y97}))) AS n_only_1996,
+          (SELECT COUNT(*) FROM (({_Y96}) UNION ({_Y97}))) AS n_union
+    """,
+    "correlated_subquery_max_order": """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order_value
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "cube_status_priority": f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS total_value
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,
+               COUNT(*) OVER w AS n_orders_30d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(38,6)) AS DOUBLE) AS value_30d
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    "first_last_order_value": """
+        SELECT o_custkey,
+               MAX(fv) AS first_order_value,
+               MAX(lv) AS last_order_value,
+               COUNT(*) AS n_orders
+        FROM (
+          SELECT o_custkey,
+                 FIRST_VALUE(o_totalprice) OVER w AS fv,
+                 LAST_VALUE(o_totalprice) OVER w AS lv
+          FROM orders
+          WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        GROUP BY o_custkey
+    """,
+    "scd2_user_state": """
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        FROM events
+    """,
+    "conditional_agg_returns": """
+        SELECT n_name,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+               COUNT(*) AS n_lines,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) / COUNT(*) AS return_rate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "string_functions_report": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substr(c_name, 1, 8) AS name_prefix,
+               regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+               replace(c_name, 'Customer', 'Cust') AS name_short,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+               CAST(length(c_name) AS INTEGER) AS name_len
+        FROM customer
+    """,
+    "date_arithmetic_report": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS order_weekday,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start
+        FROM orders
+    """,
+})

@@ -11,7 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, multimodal, relational, similarity, text, windows
+from .operators import (analytics, dedup, multimodal, relational,
+                        similarity, text, windows)
 from .plans import star
 from .sources import load_tables
 
@@ -31,6 +32,17 @@ _OPERATORS = {
     "pivot_event_counts": relational.pivot_event_counts,
     "percentile_order_value": relational.percentile_order_value,
     "json_extract_props": relational.json_extract_props,
+    # §2.A second wave
+    "distinct_counts": analytics.distinct_counts,
+    "set_ops_customers": analytics.set_ops_customers,
+    "correlated_subquery_max_order": analytics.correlated_subquery_max_order,
+    "cube_status_priority": analytics.cube_status_priority,
+    "window_range_frame": analytics.window_range_frame,
+    "first_last_order_value": analytics.first_last_order_value,
+    "scd2_user_state": analytics.scd2_user_state,
+    "conditional_agg_returns": analytics.conditional_agg_returns,
+    "string_functions_report": analytics.string_functions_report,
+    "date_arithmetic_report": analytics.date_arithmetic_report,
     # §2.B ETL plans
     "star_denormalize": star.star_denormalize,
     "monthly_sales_rollup": star.monthly_sales_rollup,
