@@ -1,0 +1,153 @@
+"""Operator unit tests on hand-built frames (SURVEY.md §5.2):
+empty inputs, single groups, ties, nulls, boundary gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openlmis_distributions_etl_spark.operators import (dedup, similarity,
+                                                        text, windows)
+
+TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_sessionize_empty_input(spark):
+    t = {"events": _events(spark, [])}
+    assert windows.sessionize_events(t).count() == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    gap = windows.SESSION_GAP_US
+    rows = [
+        (1, TS, 7, "view", 1.0, "{}"),
+        # exactly at the gap → same session (strictly greater splits)
+        (2, TS + dt.timedelta(microseconds=gap), 7, "view", 1.0, "{}"),
+        # one microsecond past the gap → new session
+        (3, TS + dt.timedelta(microseconds=2 * gap + 1), 7, "view", 1.0, "{}"),
+    ]
+    out = {r["event_id"]: r["session_id"]
+           for r in windows.sessionize_events(
+               {"events": _events(spark, rows)}).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 2
+
+
+def test_sessionize_single_event_user(spark):
+    rows = [(1, TS, 1, "view", 1.0, "{}"), (2, TS, 2, "view", 1.0, "{}")]
+    out = windows.sessionize_events({"events": _events(spark, rows)}).collect()
+    assert all(r["session_id"] == 1 for r in out)
+
+
+def test_latest_event_tie_breaks_on_event_id(spark):
+    rows = [(1, TS, 5, "a", 1.0, "{}"), (2, TS, 5, "b", 2.0, "{}")]
+    out = windows.latest_event_per_user(
+        {"events": _events(spark, rows)}).collect()
+    assert len(out) == 1 and out[0]["event_id"] == 2
+
+
+def test_funnel_purchase_before_signup_not_converted(spark):
+    rows = [(1, TS, 9, "purchase", 5.0, "{}"),
+            (2, TS + dt.timedelta(hours=1), 9, "signup", 0.0, "{}")]
+    out = windows.funnel_signup_purchase(
+        {"events": _events(spark, rows)}).collect()[0]
+    assert out["converted"] == 0
+    assert out["first_purchase_after_us"] is None
+
+
+def test_funnel_no_signup_user(spark):
+    rows = [(1, TS, 3, "purchase", 5.0, "{}")]
+    out = windows.funnel_signup_purchase(
+        {"events": _events(spark, rows)}).collect()[0]
+    assert out["first_signup_us"] is None and out["converted"] == 0
+
+
+def test_exact_dedup_finds_clusters(spark):
+    rows = [(1, "same text here", "en", "s", 14),
+            (2, "same text here", "en", "s", 14),
+            (3, "different text", "en", "s", 14)]
+    out = {r["canonical_doc_id"]: r["n_copies"]
+           for r in dedup.exact_dedup({"documents": _docs(spark, rows)}).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_excluded(spark):
+    rows = [(1, "two words", "en", "s", 9),
+            (2, "now three tokens here", "en", "s", 21)]
+    sigs = dedup.minhash_signatures(
+        {"documents": _docs(spark, rows)}).collect()
+    assert [r["doc_id"] for r in sigs] == [2]
+
+
+def test_identical_docs_are_lsh_candidates(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, body, "en", "s", 1), (2, body, "en", "s", 1),
+            (3, "completely unrelated content with many extra words inside",
+             "en", "s", 1)]
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(
+                 {"documents": _docs(spark, rows)}).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_identical_is_one(spark):
+    body = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, body, "en", "s", 1), (2, body, "en", "s", 1)]
+    out = dedup.ngram_jaccard_pairs(
+        {"documents": _docs(spark, rows)}).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    body = "one two three four five six seven"
+    rows = [(1, body, "en", "s", 1), (2, body, "en", "s", 1),
+            (3, "other words entirely disjoint vocabulary set", "en", "s", 1)]
+    out = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash64({"documents": _docs(spark, rows)}).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(0 <= v < (1 << 60) for v in out.values())
+
+
+def test_knn_self_similarity(spark):
+    e = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i == j) for j in range(4)], label=i)
+         for i in range(4)] + [Row(vec_id=4, embedding=[1.0, 0.0, 0.0, 0.0],
+                                   label=4)])
+    out = similarity.knn_bruteforce({"embeddings": e}, k=1).collect()
+    # vec 4 duplicates vec 0 (the query) → cosine exactly 1.0
+    assert out[0]["vec_id"] == 4 and out[0]["cos_sim"] == 1.0
+
+
+def test_langid_marker_tokens(spark):
+    rows = [(1, "der und das something", "de", "s", 1),
+            (2, "xyzzy plugh nothing", "zz", "s", 1),
+            (3, "the cat and the hat", "en", "s", 1)]
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in text.doc_langid({"documents": _docs(spark, rows)}).collect()}
+    assert out == {1: "de", 2: "unk", 3: "en"}
+
+
+def test_quality_score_bounds(spark):
+    rows = [(1, "a a a a a a a a", "en", "s", 1),
+            (2, "all unique tokens right here now", "en", "s", 1)]
+    out = {r["doc_id"]: r for r in text.doc_quality_score(
+        {"documents": _docs(spark, rows)}).collect()}
+    assert out[1]["uniq_ratio"] == 1 / 8
+    assert out[1]["stop_ratio"] == 1.0
+    assert out[2]["stop_ratio"] == 0.0
+    assert 0.0 <= out[2]["quality_score"] <= 1.0
