@@ -152,3 +152,15 @@ def date_arithmetic_report(t: dict[str, DataFrame]) -> DataFrame:
         F.weekday(d).alias("order_weekday"),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
         F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch_start"))
+
+
+def approx_distinct_events(t: dict[str, DataFrame]) -> DataFrame:
+    """HyperLogLog++ distinct-user estimates per event type — the scale
+    path when exact COUNT(DISTINCT) over billions of keys is too
+    expensive. Sketch-based, engine-specific → rows-only check (no
+    DuckDB oracle; its HLL differs)."""
+    return (t["events"]
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -153,21 +153,22 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"), "cnt")
     )
-    bits = (
-        tok_counts
-        .select("doc_id", "h", "cnt",
-                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
-        .withColumn(
-            "nibble",
-            F.expr("instr('0123456789abcdef', "
-                   "substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1"))
-        .withColumn("bit", F.expr("shiftright(nibble, 3 - (j % 4)) & 1"))
-        .withColumn("contrib", (F.col("bit") * 2 - 1) * F.col("cnt"))
-    )
-    per_bit = (bits.groupBy("doc_id", "j")
-               .agg(F.sum("contrib").alias("s")))
-    return (per_bit
-            .withColumn("bitval",
-                        F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
-            .groupBy("doc_id")
-            .agg(F.sum(F.expr("shiftleft(bitval, j)")).alias("simhash")))
+    # one weight column per bit instead of a 60× row explosion: the
+    # whole bit extraction stays in one codegen'd projection and the
+    # aggregation is a single groupBy(doc_id) shuffle
+    def contrib(j: int):
+        nibble = (f"(instr('0123456789abcdef', "
+                  f"substring(h, {j // 4 + 1}, 1)) - 1)")
+        bit = f"(shiftright({nibble}, {3 - (j % 4)}) & 1)"
+        return F.expr(f"({bit} * 2 - 1) * cnt").alias(f"c{j}")
+
+    weighted = tok_counts.select(
+        "doc_id", *[contrib(j) for j in range(60)])
+    summed = weighted.groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(60)])
+    simhash = None
+    for j in range(60):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return summed.select("doc_id", simhash.alias("simhash"))

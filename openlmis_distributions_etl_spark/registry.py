@@ -43,6 +43,7 @@ _OPERATORS = {
     "conditional_agg_returns": analytics.conditional_agg_returns,
     "string_functions_report": analytics.string_functions_report,
     "date_arithmetic_report": analytics.date_arithmetic_report,
+    "approx_distinct_events": analytics.approx_distinct_events,  # rows-only
     # §2.B ETL plans
     "star_denormalize": star.star_denormalize,
     "monthly_sales_rollup": star.monthly_sales_rollup,

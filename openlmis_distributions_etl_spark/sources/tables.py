@@ -47,6 +47,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class LazyTables(dict):
+    """Mapping table-name → DataFrame that defers the parquet footer
+    read until a table is actually used — operators receive the full
+    catalog but only touch their inputs (a query over one table costs
+    one footer read, not ten)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 names: tuple[str, ...]):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._names = names
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in self._names:
+            raise KeyError(name)
+        df = load_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
-    return {n: load_table(spark, sf_dir, n) for n in use}
+    return LazyTables(spark, sf_dir, use)

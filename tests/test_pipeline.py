@@ -1,0 +1,26 @@
+"""End-to-end ETL pipeline: extract → conform → load → read back."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openlmis_distributions_etl_spark.plans.pipeline import run_etl
+from openlmis_distributions_etl_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_run_etl_builds_readable_marts(spark, tmp_path):
+    marts = run_etl(spark, SF0001, str(tmp_path))
+    flat = spark.read.parquet(marts["fact_lineitem_flat"])
+    li = load_table(spark, SF0001, "lineitem")
+    assert flat.count() == li.count()
+    # partition pruning on the year key reaches the scan
+    plan = (flat.where(F.col("order_year") == "1996")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+
+    monthly = spark.read.parquet(marts["mart_monthly_sales"])
+    assert monthly.count() > 0
+    assert set(monthly.columns) == {"month", "c_mktsegment", "n_orders",
+                                    "total_value"}
