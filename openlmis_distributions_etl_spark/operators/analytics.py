@@ -164,3 +164,25 @@ def approx_distinct_events(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.approx_count_distinct("user_id", rsd=0.02)
                  .alias("approx_users"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+def unpivot_priority_metrics(t: dict[str, DataFrame]) -> DataFrame:
+    """Wide→long unpivot (melt) of per-priority metrics."""
+    wide = (t["orders"].groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                 dsum("o_totalprice").alias("total_value")))
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_value"],
+        variableColumnName="metric",
+        valueColumnName="value")
+
+
+def token_positions(t: dict[str, DataFrame], max_doc: int = 100) -> DataFrame:
+    """posexplode: token stream with ordinal positions (the shape a
+    sequence-labeling / n-gram pipeline consumes)."""
+    from .text import tokens
+    d = (t["documents"].where(F.col("doc_id") < max_doc)
+         .select("doc_id", tokens().alias("toks")))
+    return d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token"))

@@ -67,3 +67,32 @@ def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
     payloads = t["documents"].select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads)
+
+
+HIST_SCHEMA = ("user_id long, b0 long, b1 long, b2 long, b3 long, "
+               "b4 long, n long")
+_BINS = (0.0, 50.0, 100.0, 150.0, 200.0)
+
+
+def _histogram_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fixed-bin value histogram per user — integer outputs, so the
+    grouped-map Python path is exactly oracle-checkable."""
+    v = pdf["value"]
+    counts = [int(((v >= lo) & (v < hi)).sum())
+              for lo, hi in zip(_BINS, _BINS[1:])]
+    counts.append(int((v >= _BINS[-1]).sum()))
+    return pd.DataFrame([{
+        "user_id": pdf["user_id"].iloc[0],
+        **{f"b{i}": c for i, c in enumerate(counts)},
+        "n": len(pdf),
+    }])
+
+
+def user_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """applyInPandas grouped-map: per-user spend histogram. The custom-
+    operator escape hatch — one Arrow batch per user group, partitioned
+    by the groupBy key (single user_id shuffle at any scale)."""
+    return (t["events"]
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(_histogram_group, schema=HIST_SCHEMA))

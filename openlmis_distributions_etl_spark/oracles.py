@@ -593,3 +593,37 @@ ORACLES.update({
         FROM orders
     """,
 })
+
+
+ORACLES.update({
+    "unpivot_priority_metrics": f'''
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 {DSUM('o_totalprice')} AS total_value
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'total_value' AS metric, total_value AS value FROM wide
+    ''',
+    "token_positions": '''
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+               unnest(toks) AS token
+        FROM d
+    ''',
+    "user_value_histogram": '''
+        SELECT user_id,
+               COUNT(CASE WHEN value >= 0 AND value < 50 THEN 1 END) AS b0,
+               COUNT(CASE WHEN value >= 50 AND value < 100 THEN 1 END) AS b1,
+               COUNT(CASE WHEN value >= 100 AND value < 150 THEN 1 END) AS b2,
+               COUNT(CASE WHEN value >= 150 AND value < 200 THEN 1 END) AS b3,
+               COUNT(CASE WHEN value >= 200 THEN 1 END) AS b4,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+    ''',
+})

@@ -44,6 +44,9 @@ _OPERATORS = {
     "string_functions_report": analytics.string_functions_report,
     "date_arithmetic_report": analytics.date_arithmetic_report,
     "approx_distinct_events": analytics.approx_distinct_events,  # rows-only
+    "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
+    "token_positions": analytics.token_positions,
+    "user_value_histogram": multimodal.user_value_histogram,
     # §2.B ETL plans
     "star_denormalize": star.star_denormalize,
     "monthly_sales_rollup": star.monthly_sales_rollup,
