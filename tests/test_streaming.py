@@ -44,3 +44,28 @@ def test_sessionize_stream_matches_batch(spark):
         load_tables(spark, SF0001, "events")).toPandas()
     pd.testing.assert_frame_equal(
         _sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    events = jobs.read_events_stream(spark, SF0001)
+    # complete-mode aggregates can't feed the append-only file sink;
+    # write the raw enriched stream instead
+    q = jobs.stream_to_parquet(
+        events.selectExpr("event_id", "user_id", "event_type"),
+        str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 1000
+
+
+def test_stream_upsert_latest_matches_batch(spark, tmp_path):
+    events = jobs.read_events_stream(spark, SF0001)
+    q = jobs.stream_upsert_latest(events, str(tmp_path / "snap"),
+                                  str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "snap")) \
+        .select("user_id", "event_id").toPandas()
+    want = windows.latest_event_per_user(
+        load_tables(spark, SF0001, "events")) \
+        .select("user_id", "event_id").toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
