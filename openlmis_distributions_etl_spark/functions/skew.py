@@ -20,8 +20,14 @@ def with_salt(df: DataFrame, n_salts: int = 16,
               col_name: str = "_salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts) — hash-based, not
     rand(), so retries/speculative tasks produce identical rows."""
+    # mix in the partition id: identical rows (the duplicate-heavy hot
+    # keys salting targets) would otherwise hash to one salt bucket.
+    # spark_partition_id is stable under task retry (same partition →
+    # same id), so speculative re-execution still produces equal rows.
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+        col_name,
+        F.pmod(F.xxhash64(*df.columns) + F.spark_partition_id(),
+               F.lit(n_salts)))
 
 
 def salted_agg(df: DataFrame, keys: Sequence[str],
@@ -38,8 +44,14 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
 
     def combiner(name: str, c: Column) -> Column:
         # sum and count both combine by sum; min/max by themselves
-        fn = c._jc.toString().split("(", 1)[0].lower()
+        node = c._jc.node()
+        fn = node.functionName().lower()
         src = F.col(f"__p_{name}")
+        if node.isDistinct():
+            # per-salt distincts overlap across salts; summing them
+            # overcounts — distinct aggregates are not salt-algebraic
+            raise ValueError(
+                f"distinct aggregate is not salt-combinable: {fn}(DISTINCT)")
         if fn.startswith("count") or fn.startswith("sum"):
             return F.sum(src).alias(name)
         if fn.startswith("min"):

@@ -100,7 +100,9 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     shuffles on (band_id, band_val) — bucket-local comparison, never
     all-pairs."""
     # persist: the self-join would otherwise recompute the 16-seed md5
-    # signature pipeline for both sides (2× the dominant cost)
+    # signature pipeline for both sides (2× the dominant cost). The
+    # cached table is 4 short rows per doc and lives for the session —
+    # a bounded, deliberate trade
     bands = _bands(minhash_signatures(t)).persist()
     a = bands.alias("a")
     b = bands.alias("b")

@@ -68,6 +68,10 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (Spark cannot infer JDBC ranges)")
         reader = (reader
                   .option("partitionColumn", partition_column)
                   .option("lowerBound", str(lower_bound))

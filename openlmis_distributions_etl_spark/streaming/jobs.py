@@ -83,23 +83,25 @@ def _sessionize_group(key: tuple[Any, ...],
         last_ts, next_sid = None, 1
 
     user_id = key[0]
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        sids = []
-        for ts in pdf["ts_us"]:
-            if last_ts is None or ts - last_ts > SESSION_GAP_US:
-                sid = next_sid
-                next_sid += 1
-            else:
-                sid = next_sid - 1
-            last_ts = ts
-            sids.append(sid)
-        yield pd.DataFrame({
-            "event_id": pdf["event_id"].to_numpy(),
-            "user_id": user_id,
-            "ts_us": pdf["ts_us"].to_numpy(),
-            "session_id": pd.Series(sids, dtype="int64"),
-        })
+    # a group arrives as multiple Arrow chunks in shuffle order, not
+    # time order — buffer and sort globally before assigning sessions
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    sids = []
+    for ts in pdf["ts_us"]:
+        if last_ts is None or ts - last_ts > SESSION_GAP_US:
+            sid = next_sid
+            next_sid += 1
+        else:
+            sid = next_sid - 1
+        last_ts = ts
+        sids.append(sid)
+    yield pd.DataFrame({
+        "event_id": pdf["event_id"].to_numpy(),
+        "user_id": user_id,
+        "ts_us": pdf["ts_us"].to_numpy(),
+        "session_id": pd.Series(sids, dtype="int64"),
+    })
 
     state.update((int(last_ts) if last_ts is not None else -1, int(next_sid)))
 
@@ -135,13 +137,25 @@ def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
     return w.start()
 
 
+def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the current snapshot written by stream_upsert_latest."""
+    with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+        version = f.read().strip()
+    return spark.read.parquet(f"{out_dir}/{version}")
+
+
 def stream_upsert_latest(events: DataFrame, out_dir: str,
                          checkpoint_dir: str):
     """foreachBatch incremental upsert: each micro-batch folds its
-    latest-event-per-user view into the stored snapshot (read-modify-
-    write per batch — the pattern a Delta/Iceberg MERGE replaces at
-    scale, expressed with plain parquet swaps here)."""
+    latest-event-per-user view into a new versioned snapshot directory
+    and atomically repoints a _CURRENT pointer file (os.replace) — the
+    MERGE-into-snapshot pattern a Delta/Iceberg table replaces at
+    scale. Readers go through read_latest_snapshot and never observe a
+    partial write."""
+    import os
+
     from pyspark.sql import Window
+    from pyspark.errors import AnalysisException
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -151,19 +165,28 @@ def stream_upsert_latest(events: DataFrame, out_dir: str,
                   .where(F.col("rn") == 1)
                   .select("user_id", "event_id",
                           F.unix_micros("ts").alias("ts_us"), "event_type"))
+        pointer = f"{out_dir}/_CURRENT"
         try:
-            current = spark.read.parquet(out_dir)
+            current = read_latest_snapshot(spark, out_dir)
             merged = (current.unionByName(latest)
                       .withColumn("rn", F.row_number().over(
                           Window.partitionBy("user_id")
                           .orderBy(F.desc("ts_us"), F.desc("event_id"))))
                       .where(F.col("rn") == 1).drop("rn"))
-        except Exception:
-            merged = latest
-        # stage-and-swap so readers never see a partial snapshot
-        tmp = f"{out_dir}__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+        except FileNotFoundError:
+            merged = latest  # genuinely the first batch: no pointer yet
+        except AnalysisException as e:
+            # pointer exists but snapshot unreadable → data loss if we
+            # reset; fail the batch so the checkpoint retries it
+            raise RuntimeError(
+                f"snapshot under {out_dir} unreadable; refusing to "
+                f"reset upsert history") from e
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, pointer)  # atomic pointer swap
 
     return (events.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", checkpoint_dir)

@@ -105,3 +105,25 @@ def test_salted_agg_rejects_non_algebraic(spark):
     ev = load_table(spark, SF0001, "events")
     with pytest.raises(ValueError):
         salted_agg(ev, ["event_type"], {"a": F.avg("value")}).collect()
+
+
+def test_approx_distinct_events_rows_only(spark):
+    out = {r["event_type"]: r for r in
+           _q(spark, "approx_distinct_events").collect()}
+    ev = load_table(spark, SF0001, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(out) == set(exact)
+    for etype, row in out.items():
+        # rsd=0.02 → generous 10% envelope for the smoke check
+        assert abs(row["approx_users"] - exact[etype]) <= max(
+            2, 0.1 * exact[etype])
+        assert row["n_events"] > 0
+
+
+def test_salted_agg_rejects_distinct(spark):
+    ev = load_table(spark, SF0001, "events")
+    with pytest.raises(ValueError, match="salt-combinable"):
+        salted_agg(ev, ["event_type"],
+                   {"n": F.count_distinct("user_id")}).collect()

@@ -17,7 +17,7 @@ def _run_available_now(df, name: str, spark, output_mode: str):
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     return spark.table(name).toPandas()
 
 
@@ -53,7 +53,7 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     q = jobs.stream_to_parquet(
         events.selectExpr("event_id", "user_id", "event_type"),
         str(tmp_path / "out"), str(tmp_path / "ck"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 1000
 
@@ -62,8 +62,8 @@ def test_stream_upsert_latest_matches_batch(spark, tmp_path):
     events = jobs.read_events_stream(spark, SF0001)
     q = jobs.stream_upsert_latest(events, str(tmp_path / "snap"),
                                   str(tmp_path / "ck"))
-    q.awaitTermination(120)
-    got = spark.read.parquet(str(tmp_path / "snap")) \
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = jobs.read_latest_snapshot(spark, str(tmp_path / "snap")) \
         .select("user_id", "event_id").toPandas()
     want = windows.latest_event_per_user(
         load_tables(spark, SF0001, "events")) \
