@@ -174,3 +174,51 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
                 .otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return summed.select("doc_id", simhash.alias("simhash"))
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS.
+
+    Each round every node adopts the smallest label among itself and
+    its neighbors; converges in O(diameter) rounds (components from
+    near-dup similarity graphs are shallow). The driver only checks a
+    convergence count per round — labels never leave the cluster.
+
+    ``edges``: (src, dst) undirected; ``nodes``: (node) all vertices.
+    Returns (node, component) with component = min node id reachable.
+    """
+    sym = (edges.selectExpr("src", "dst")
+           .union(edges.selectExpr("dst AS src", "src AS dst"))
+           .distinct())
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("nbr_min")))
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least("component", F.coalesce("nbr_min", "component"))
+                    .alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup cluster assignment: LSH candidate pairs → connected
+    components → (doc_id, component). Docs with no near-dups are their
+    own singleton component."""
+    pairs = minhash_lsh_pairs(t)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    nodes = t["documents"].select(F.col("doc_id").alias("node")).distinct()
+    cc = connected_components(edges, nodes)
+    return cc.select(F.col("node").alias("doc_id"), "component")

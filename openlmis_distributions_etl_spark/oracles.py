@@ -627,3 +627,33 @@ ORACLES.update({
         GROUP BY user_id
     ''',
 })
+
+
+ORACLES.update({
+    "dedup_components": f'''
+        WITH RECURSIVE {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+    ''',
+})

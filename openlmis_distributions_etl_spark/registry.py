@@ -66,6 +66,7 @@ _OPERATORS = {
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "simhash64": dedup.simhash64,
+    "dedup_components": dedup.dedup_components,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     # §2.F similarity search
     "knn_bruteforce": similarity.knn_bruteforce,

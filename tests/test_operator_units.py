@@ -151,3 +151,29 @@ def test_quality_score_bounds(spark):
     assert out[1]["stop_ratio"] == 1.0
     assert out[2]["stop_ratio"] == 0.0
     assert 0.0 <= out[2]["quality_score"] <= 1.0
+
+
+def test_connected_components_clusters_transitively(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6]], "node long")
+    out = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges, nodes).collect()}
+    # 1-2-3 chain folds to min label 1 (transitive, not just direct)
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4          # isolated node is its own component
+    assert out[5] == out[6] == 5
+
+
+def test_dedup_components_groups_identical_docs(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, body, "en", "s", 1), (2, body, "en", "s", 1),
+            (3, body, "en", "s", 1),
+            (4, "entirely different content with other words in here too",
+             "en", "s", 1)]
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.dedup_components(
+               {"documents": _docs(spark, rows)}).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
