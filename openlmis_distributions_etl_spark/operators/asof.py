@@ -1,0 +1,67 @@
+"""As-of (temporal) join — an operator Spark lacks natively
+(SURVEY.md §2.C extension; DuckDB's ASOF JOIN is the oracle).
+
+Implementation is the scalable union-sort pattern rather than a
+per-key lookup join: tag both sides, union them, and carry the right
+side's latest value forward with last(ignorenulls) over a
+(key, time, tag)-ordered window. One shuffle on the join key, no
+row-by-row probing, no broadcast requirement on either side — exactly
+how a 100 TB backfill wants it. Strictness: at equal timestamps the
+right row sorts AFTER the left probe (tag ordering), so matches are
+strictly earlier (right_ts < left_ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ts_us
+
+
+def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str, right_ts: str,
+                       value_cols: list[str]) -> DataFrame:
+    """For each left row, attach the right row's values as of the
+    latest right_ts strictly before left_ts (NULL when none). Output:
+    left columns + ``asof_<value_col>`` columns."""
+    lt = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ts"), F.lit(0).alias("_tag"))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"), F.lit(1).alias("_tag"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols])
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    # left probes sort before right rows at equal _ts (tag 0 < 1) and
+    # the frame ends at the previous row, so a probe only sees right
+    # rows with strictly smaller _ts
+    w = (Window.partitionBy(key)
+         .orderBy("_ts", "_tag")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carried = unioned.select(
+        *unioned.columns,
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in value_cols])
+    return (carried.where(F.col("_tag") == 0)
+            .drop("_ts", "_tag", *[f"_v_{c}" for c in value_cols]))
+
+
+def asof_purchase_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Attribute each purchase to the user's most recent strictly-prior
+    click (classic last-touch attribution as an as-of join)."""
+    ev = t["events"].select("event_id", "user_id", "event_type",
+                            ts_us("ts").alias("ts_us"))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts_us")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts_us", F.col("ts_us").alias("click_ts_us"))
+    joined = asof_join_backward(
+        purchases, clicks, key="user_id",
+        left_ts="ts_us", right_ts="ts_us",
+        value_cols=["click_ts_us"])
+    return joined.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_click_ts_us").alias("last_click_ts_us"),
+        (F.col("ts_us") - F.col("asof_click_ts_us")).alias("gap_us"))

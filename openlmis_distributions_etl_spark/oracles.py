@@ -657,3 +657,21 @@ ORACLES.update({
         LEFT JOIN comp c ON d.doc_id = c.node
     ''',
 })
+
+
+ORACLES.update({
+    "asof_purchase_attribution": '''
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        p AS (SELECT event_id, user_id, ts_us FROM ev
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts_us AS click_ts_us FROM ev
+              WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts_us,
+               c.click_ts_us AS last_click_ts_us,
+               p.ts_us - c.click_ts_us AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us
+    ''',
+})

@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import (analytics, dedup, multimodal, relational,
+from .operators import (analytics, asof, dedup, multimodal, relational,
                         similarity, text, windows)
 from .plans import star
 from .sources import load_tables
@@ -57,6 +57,7 @@ _OPERATORS = {
     "sessionize_events": windows.sessionize_events,
     "session_stats": windows.session_stats,
     "funnel_signup_purchase": windows.funnel_signup_purchase,
+    "asof_purchase_attribution": asof.asof_purchase_attribution,
     # §2.D streaming batch twin
     "windowed_event_counts": windows.windowed_event_counts,
     # §2.E dedup suite

@@ -177,3 +177,19 @@ def test_dedup_components_groups_identical_docs(spark):
                {"documents": _docs(spark, rows)}).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 4
+
+
+def test_asof_join_is_strictly_backward(spark):
+    from openlmis_distributions_etl_spark.operators import asof
+    rows = [
+        (1, TS, 7, "click", 0.0, "{}"),
+        (2, TS, 7, "purchase", 1.0, "{}"),                            # same ts as click → no match
+        (3, TS + dt.timedelta(minutes=1), 7, "purchase", 1.0, "{}"),  # strictly after click → match
+        (4, TS, 8, "purchase", 1.0, "{}"),                            # user with no clicks at all
+    ]
+    out = {r["event_id"]: r for r in asof.asof_purchase_attribution(
+        {"events": _events(spark, rows)}).collect()}
+    assert out[2]["last_click_ts_us"] is None
+    assert out[3]["last_click_ts_us"] is not None
+    assert out[3]["gap_us"] == 60_000_000
+    assert out[4]["last_click_ts_us"] is None
