@@ -152,6 +152,9 @@ def embedding_near_dup_pairs(t: dict[str, DataFrame],
     )
     a = norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("na"))
     b = norm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("nb"))
+    # zip_with+aggregate measured faster than an explicit 64-term
+    # GetArrayItem sum here (the unrolled expression defeats codegen
+    # with per-element null checks: 9.3s vs ~4s at sf0.1)
     dot_ab = F.aggregate(
         F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
