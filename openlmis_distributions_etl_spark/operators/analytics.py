@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, ts_us
+from ..functions import dec, dsum, ts_us
 
 
 def distinct_counts(t: dict[str, DataFrame]) -> DataFrame:
@@ -186,3 +186,34 @@ def token_positions(t: dict[str, DataFrame], max_doc: int = 100) -> DataFrame:
          .select("doc_id", tokens().alias("toks")))
     return d.select(
         "doc_id", F.posexplode("toks").alias("pos", "token"))
+
+
+def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
+    """Pearson correlation per event type between value and the JSON
+    payload field k — computed from exact decimal moment sums (sx, sy,
+    sxy, sxx, syy) so both engines derive the identical double from
+    identical exact moments. The scale-safe way to do distributed
+    statistics: one map-side-combinable aggregate, no second pass."""
+    ev = t["events"].select(
+        "event_type",
+        dec("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+    ev = ev.where(F.col("k").isNotNull()).withColumn(
+        "y", F.col("k").cast("decimal(18,4)"))
+    m = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").cast("decimal(38,6)").cast("double").alias("sx"),
+              F.sum("y").cast("decimal(38,6)").cast("double").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("decimal(38,8)")
+              .cast("double").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("decimal(38,8)")
+              .cast("double").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("decimal(38,8)")
+              .cast("double").alias("syy")))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return m.select(
+        "event_type", "n",
+        (cov / F.sqrt(vx * vy)).alias("corr_value_k"))

@@ -675,3 +675,29 @@ ORACLES.update({
           ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us
     ''',
 })
+
+
+ORACLES.update({
+    "stats_correlation": '''
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(value AS DECIMAL(18,4)) AS x,
+                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      AS DECIMAL(18,4)) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(x * y) AS DECIMAL(38,8)) AS DOUBLE) AS sxy,
+                 CAST(CAST(SUM(x * x) AS DECIMAL(38,8)) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(y * y) AS DECIMAL(38,8)) AS DOUBLE) AS syy
+          FROM ev GROUP BY event_type)
+        SELECT event_type, n,
+               (sxy - sx * sy / CAST(n AS DOUBLE))
+                 / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                        * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_value_k
+        FROM m
+    ''',
+})

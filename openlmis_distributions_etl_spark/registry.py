@@ -43,6 +43,7 @@ _OPERATORS = {
     "conditional_agg_returns": analytics.conditional_agg_returns,
     "string_functions_report": analytics.string_functions_report,
     "date_arithmetic_report": analytics.date_arithmetic_report,
+    "stats_correlation": analytics.stats_correlation,
     "approx_distinct_events": analytics.approx_distinct_events,  # rows-only
     "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
     "token_positions": analytics.token_positions,
