@@ -153,19 +153,27 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
         .select("doc_id", F.explode(tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"), "cnt")
     )
-    # one weight column per bit instead of a 60× row explosion: the
-    # whole bit extraction stays in one codegen'd projection and the
-    # aggregation is a single groupBy(doc_id) shuffle
-    def contrib(j: int):
+    # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
+    # (vocab ≪ corpus) and broadcast-join them onto the counts — the
+    # per-(doc,token) row carries only a multiply, not hash+bit math
+    def bit(j: int):
         nibble = (f"(instr('0123456789abcdef', "
                   f"substring(h, {j // 4 + 1}, 1)) - 1)")
-        bit = f"(shiftright({nibble}, {3 - (j % 4)}) & 1)"
-        return F.expr(f"({bit} * 2 - 1) * cnt").alias(f"c{j}")
+        return F.expr(f"(shiftright({nibble}, {3 - (j % 4)}) & 1)") \
+            .alias(f"b{j}")
 
-    weighted = tok_counts.select(
-        "doc_id", *[contrib(j) for j in range(60)])
+    token_bits = (
+        tok_counts.select("tok").distinct()
+        .select("tok", F.md5(F.col("tok").cast("binary")).alias("h"))
+        .select("tok", *[bit(j) for j in range(60)])
+    )
+    weighted = (
+        tok_counts.join(F.broadcast(token_bits), "tok")
+        .select("doc_id",
+                *[((F.col(f"b{j}") * 2 - 1) * F.col("cnt")).alias(f"c{j}")
+                  for j in range(60)])
+    )
     summed = weighted.groupBy("doc_id").agg(
         *[F.sum(f"c{j}").alias(f"s{j}") for j in range(60)])
     simhash = None
