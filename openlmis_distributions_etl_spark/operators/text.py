@@ -99,3 +99,36 @@ def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
         F.substring(fp, 1, 2).alias("shard_bucket"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
+                ("spark", "query", "join"), k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """BM25 relevance of each document for a fixed term set.
+
+    Distributed shape: doc-term frequencies (one groupBy), corpus
+    document frequencies for the query terms (tiny broadcast), one
+    join, one per-doc sum. *Rows-only* oracle check: ln() is not
+    bit-identical across engines, so no SQL twin.
+    """
+    toks = tokens()
+    docs = t["documents"].select("doc_id", toks.alias("toks"),
+                                 F.size(toks).alias("dl"))
+    n_docs_avgdl = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    tf = (docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*query_terms))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (tf.groupBy("term")
+           .agg(F.count_distinct("doc_id").alias("df")))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_docs_avgdl)))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (scored.select("doc_id", (idf * tf_norm).alias("term_score"))
+            .groupBy("doc_id")
+            .agg(F.sum("term_score").alias("bm25")))

@@ -79,6 +79,7 @@ _OPERATORS = {
     "doc_quality_score": text.doc_quality_score,
     "doc_langid": text.doc_langid,
     "doc_fingerprint": text.doc_fingerprint,
+    "bm25_scores": text.bm25_scores,  # rows-only
     # §2.H multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
 }

@@ -193,3 +193,14 @@ def test_asof_join_is_strictly_backward(spark):
     assert out[3]["last_click_ts_us"] is not None
     assert out[3]["gap_us"] == 60_000_000
     assert out[4]["last_click_ts_us"] is None
+
+
+def test_bm25_ranks_term_frequency(spark):
+    rows = [(1, "spark spark spark query join extra words here", "en", "s", 1),
+            (2, "spark appears once in this much longer document with many "
+                "many extra filler words diluting it", "en", "s", 1),
+            (3, "no relevant terms at all in here", "en", "s", 1)]
+    out = {r["doc_id"]: r["bm25"] for r in text.bm25_scores(
+        {"documents": _docs(spark, rows)}).collect()}
+    assert 3 not in out            # no query terms → no score row
+    assert out[1] > out[2] > 0     # tf and length normalization order
