@@ -204,11 +204,16 @@ def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("x").cast("decimal(38,6)").cast("double").alias("sx"),
               F.sum("y").cast("decimal(38,6)").cast("double").alias("sy"),
-              F.sum(F.col("x") * F.col("y")).cast("decimal(38,8)")
+              # scale 6 (not the products' natural 8): keeps the
+              # scaled integer under 2^53 with 100x headroom so both
+              # engines' decimal->double casts stay correctly rounded
+              # (see functions.dsum_of); both engines round the exact
+              # scale-8 sum to scale 6 identically for positives
+              F.sum(F.col("x") * F.col("y")).cast("decimal(38,6)")
               .cast("double").alias("sxy"),
-              F.sum(F.col("x") * F.col("x")).cast("decimal(38,8)")
+              F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)")
               .cast("double").alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).cast("decimal(38,8)")
+              F.sum(F.col("y") * F.col("y")).cast("decimal(38,6)")
               .cast("double").alias("syy")))
     n = F.col("n").cast("double")
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / n

@@ -25,6 +25,12 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     """For each left row, attach the right row's values as of the
     latest right_ts strictly before left_ts (NULL when none). Output:
     left columns + ``asof_<value_col>`` columns."""
+    reserved = {"_ts", "_tag"} | {f"_v_{c}" for c in value_cols} \
+        | {f"asof_{c}" for c in value_cols}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join_backward: left columns collide "
+                         f"with internal names: {sorted(clash)}")
     lt = left.select(
         *left.columns,
         F.col(left_ts).alias("_ts"), F.lit(0).alias("_tag"))

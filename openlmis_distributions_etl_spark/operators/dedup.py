@@ -148,11 +148,15 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     count) so the bit explosion is 60 × distinct-tokens, not 60 ×
     tokens — at 100 TB that's the difference between 60× vocab and
     60× corpus."""
+    # persisted: both the vocabulary dictionary and the weighted join
+    # probe read this, and tokenize+explode+groupBy is the dominant
+    # cost — without the cache it would execute twice
     tok_counts = (
         spread(t["documents"])
         .select("doc_id", F.explode(tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
     # (vocab ≪ corpus) and broadcast-join them onto the counts — the
@@ -168,8 +172,11 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
         .select("tok", F.md5(F.col("tok").cast("binary")).alias("h"))
         .select("tok", *[bit(j) for j in range(60)])
     )
+    # no explicit broadcast hint: AQE broadcasts the dictionary while
+    # the vocabulary is small and falls back to a shuffle join when a
+    # web-scale vocabulary (URLs, ids, typos) would not fit
     weighted = (
-        tok_counts.join(F.broadcast(token_bits), "tok")
+        tok_counts.join(token_bits, "tok")
         .select("doc_id",
                 *[((F.col(f"b{j}") * 2 - 1) * F.col("cnt")).alias(f"c{j}")
                   for j in range(60)])
@@ -201,6 +208,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
            .union(edges.selectExpr("dst AS src", "src AS dst"))
            .distinct())
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -210,15 +218,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least("component", F.coalesce("nbr_min", "component"))
-                    .alias("component")))
+                    .alias("component"))
+            .persist())  # persist BEFORE the count action so the
+                         # convergence check fills the cache the
+                         # returned plan reuses
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
-        labels = new_labels.persist()
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = new_labels, new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter exceeds max_iter); raise max_iter")
 
 
 def dedup_components(t: dict[str, DataFrame]) -> DataFrame:

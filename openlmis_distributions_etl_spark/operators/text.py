@@ -112,8 +112,10 @@ def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
     bit-identical across engines, so no SQL twin.
     """
     toks = tokens()
+    # persisted: corpus stats and term frequencies both scan this and
+    # tokenization is the dominant per-row cost
     docs = t["documents"].select("doc_id", toks.alias("toks"),
-                                 F.size(toks).alias("dl"))
+                                 F.size(toks).alias("dl")).persist()
     n_docs_avgdl = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"))

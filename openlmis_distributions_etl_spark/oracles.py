@@ -682,17 +682,18 @@ ORACLES.update({
         WITH ev AS (
           SELECT event_type,
                  CAST(value AS DECIMAL(18,4)) AS x,
-                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                       AS DECIMAL(18,4)) AS y
           FROM events
-          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                IS NOT NULL),
         m AS (
           SELECT event_type, COUNT(*) AS n,
                  CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
                  CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
-                 CAST(CAST(SUM(x * y) AS DECIMAL(38,8)) AS DOUBLE) AS sxy,
-                 CAST(CAST(SUM(x * x) AS DECIMAL(38,8)) AS DOUBLE) AS sxx,
-                 CAST(CAST(SUM(y * y) AS DECIMAL(38,8)) AS DOUBLE) AS syy
+                 CAST(CAST(SUM(x * y) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+                 CAST(CAST(SUM(x * x) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(y * y) AS DECIMAL(38,6)) AS DOUBLE) AS syy
           FROM ev GROUP BY event_type)
         SELECT event_type, n,
                (sxy - sx * sy / CAST(n AS DOUBLE))
