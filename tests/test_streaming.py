@@ -69,3 +69,23 @@ def test_stream_upsert_latest_matches_batch(spark, tmp_path):
         load_tables(spark, SF0001, "events")) \
         .select("user_id", "event_id").toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_dedup_events_stream_removes_duplicates(spark, tmp_path):
+    # duplicate the source file so every event arrives twice
+    import shutil
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{SF0001}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{SF0001}/events.parquet", src / "events_copy.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(jobs.EVENTS_NANOS_SCHEMA)
+           .parquet(str(src)))
+    events = raw.withColumn("ts", __import__("pyspark.sql.functions",
+                                             fromlist=["expr"])
+                            .expr("timestamp_micros(ts div 1000)"))
+    deduped = jobs.dedup_events_stream(events)
+    q = (deduped.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    assert spark.table("dedup_stream").count() == 1000  # not 2000
