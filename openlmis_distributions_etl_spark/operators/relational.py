@@ -210,3 +210,96 @@ def json_extract_props(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.sum(k).alias("sum_k"),
                  F.count(k).alias("n_with_k"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+def q7_nation_trade_volume(t: dict[str, DataFrame],
+                           nation_a: str = "CHINA",
+                           nation_b: str = "GERMANY") -> DataFrame:
+    """Bilateral trade volume between two nations by year (q7 shape):
+    supplier nation × customer nation × year revenue."""
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .where(((F.col("supp_nation") == nation_a)
+                 & (F.col("cust_nation") == nation_b))
+                | ((F.col("supp_nation") == nation_b)
+                   & (F.col("cust_nation") == nation_a))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("ship_year"))
+            .agg(dsum_of(disc_price()).alias("revenue")))
+
+
+def q8_market_share(t: dict[str, DataFrame], region: str = "AMERICA",
+                    nation: str = "BRAZIL") -> DataFrame:
+    """One nation's share of a region's import revenue per year (q8
+    shape): conditional decimal sums, share as IEEE division of
+    identically-derived doubles."""
+    geo = (t["customer"]
+           .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+           .where(F.col("r_name") == region)
+           .select("c_custkey"))
+    supp_n = (t["supplier"]
+              .join(broadcast(t["nation"].select(
+                  F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("sn_key"))
+              .select("s_suppkey", "supp_nation"))
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(broadcast(geo), F.col("o_custkey") == F.col("c_custkey"))
+         .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey")))
+    vol = dsum_of(disc_price())
+    nation_vol = F.sum(F.when(F.col("supp_nation") == nation,
+                              disc_price()))         .cast("decimal(38,6)").cast("double")
+    return (j.groupBy(F.year("o_orderdate").alias("order_year"))
+            .agg(vol.alias("total_revenue"),
+                 F.coalesce(nation_vol, F.lit(0.0)).alias("nation_revenue"))
+            .withColumn("market_share",
+                        F.col("nation_revenue") / F.col("total_revenue")))
+
+
+def q9_profit_by_nation_year(t: dict[str, DataFrame],
+                             cost_rate: float = 0.6) -> DataFrame:
+    """Synthetic product-profit per supplier nation and year (q9 shape
+    without ps_supplycost): revenue and cost summed separately in exact
+    decimal, profit as double subtraction of the two."""
+    supp_n = (t["supplier"]
+              .join(broadcast(t["nation"].select(
+                  F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("sn_key"))
+              .select("s_suppkey", "supp_nation"))
+    cost = (dec("l_quantity", "decimal(8,4)") * dec("p_retailprice")
+            * F.lit(cost_rate).cast("decimal(8,4)"))
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")))
+    return (j.groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+            .agg(dsum_of(disc_price()).alias("revenue"),
+                 F.sum(cost).cast("decimal(38,6)").cast("double")
+                 .alias("cost"))
+            .withColumn("profit", F.col("revenue") - F.col("cost")))
+
+
+def q14_promo_revenue_share(t: dict[str, DataFrame], start: str = "1997-09-01",
+                            end: str = "1997-10-01") -> DataFrame:
+    """Share of one month's revenue from PROMO parts (q14 shape)."""
+    li = t["lineitem"].where((F.col("l_shipdate") >= start)
+                             & (F.col("l_shipdate") < end))
+    j = li.join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price()))         .cast("decimal(38,6)").cast("double")
+    total = dsum_of(disc_price())
+    return j.agg(
+        F.coalesce(promo, F.lit(0.0)).alias("promo_revenue"),
+        total.alias("total_revenue")).withColumn(
+        "promo_share",
+        100.0 * F.col("promo_revenue") / F.col("total_revenue"))

@@ -702,3 +702,80 @@ ORACLES.update({
         FROM m
     ''',
 })
+
+
+_SUPPN = "SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+
+ORACLES.update({
+    "q7_nation_trade_volume": f'''
+        SELECT sn.supp_nation, cn.cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN (SELECT n_nationkey, n_name AS supp_nation FROM nation) sn
+          ON s_nationkey = sn.n_nationkey
+        JOIN (SELECT n_nationkey AS cnk, n_name AS cust_nation FROM nation) cn
+          ON c_nationkey = cn.cnk
+        WHERE (sn.supp_nation = 'CHINA' AND cn.cust_nation = 'GERMANY')
+           OR (sn.supp_nation = 'GERMANY' AND cn.cust_nation = 'CHINA')
+        GROUP BY 1, 2, 3
+    ''',
+    "q8_market_share": f'''
+        WITH j AS (
+          SELECT o_orderdate, s.supp_nation,
+                 {DISC_PRICE} AS dp
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN (SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA') geo
+            ON o_custkey = geo.c_custkey
+          JOIN ({_SUPPN}) s ON l_suppkey = s.s_suppkey)
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN dp END)
+                      AS DECIMAL(38,6)) AS DOUBLE), 0.0) AS nation_revenue,
+               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN dp END)
+                      AS DECIMAL(38,6)) AS DOUBLE), 0.0)
+                 / CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS market_share
+        FROM j GROUP BY 1
+    ''',
+    "q9_profit_by_nation_year": f'''
+        SELECT s.supp_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+                             * CAST(p_retailprice AS DECIMAL(18,4))
+                             * CAST(0.6 AS DECIMAL(8,4)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS cost,
+               CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE)
+                 - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+                                 * CAST(p_retailprice AS DECIMAL(18,4))
+                                 * CAST(0.6 AS DECIMAL(8,4)))
+                        AS DECIMAL(38,6)) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN ({_SUPPN}) s ON l_suppkey = s.s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ''',
+    "q14_promo_revenue_share": f'''
+        WITH j AS (
+          SELECT p_type, {DISC_PRICE} AS dp
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l_shipdate < TIMESTAMP '1997-10-01')
+        SELECT COALESCE(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp END)
+                 AS DECIMAL(38,6)) AS DOUBLE), 0.0) AS promo_revenue,
+               CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+               100.0 * COALESCE(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp END)
+                 AS DECIMAL(38,6)) AS DOUBLE), 0.0)
+                 / CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS promo_share
+        FROM j
+    ''',
+})

@@ -25,7 +25,11 @@ _OPERATORS = {
     "q4_order_priority": relational.q4_order_priority,
     "q5_regional_volume": relational.q5_regional_volume,
     "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q7_nation_trade_volume": relational.q7_nation_trade_volume,
+    "q8_market_share": relational.q8_market_share,
+    "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
     "q10_returned_items": relational.q10_returned_items,
+    "q14_promo_revenue_share": relational.q14_promo_revenue_share,
     "anti_join_inactive_customers": relational.anti_join_inactive_customers,
     "grouped_having_big_orders": relational.grouped_having_big_orders,
     "rollup_priority_status": relational.rollup_priority_status,
