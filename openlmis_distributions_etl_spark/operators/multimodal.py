@@ -64,7 +64,8 @@ def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
     """Documents' text re-encoded as a binary payload column, run
     through the Arrow feature-extraction path. The oracle recomputes
     the same features in SQL (octet_length / ascii / md5)."""
-    payloads = t["documents"].select(
+    from ..functions import spread
+    payloads = spread(t["documents"]).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads)
 
@@ -92,7 +93,8 @@ def user_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     """applyInPandas grouped-map: per-user spend histogram. The custom-
     operator escape hatch — one Arrow batch per user group, partitioned
     by the groupBy key (single user_id shuffle at any scale)."""
-    return (t["events"]
+    from ..functions import spread
+    return (spread(t["events"])
             .select("user_id", "value")
             .groupBy("user_id")
             .applyInPandas(_histogram_group, schema=HIST_SCHEMA))
