@@ -47,8 +47,12 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM + parquet footers once so timings measure the plans
+    # warm the JVM + parquet footers + python workers once so timings
+    # measure the plans, not interpreter/daemon startup
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if "multimodal_features" in qs:
+        qs["multimodal_features"](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

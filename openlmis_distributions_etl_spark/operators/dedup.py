@@ -148,14 +148,13 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     count) so the bit explosion is 60 × distinct-tokens, not 60 ×
     tokens — at 100 TB that's the difference between 60× vocab and
     60× corpus."""
-    # persisted: both the vocabulary dictionary and the weighted join
-    # probe read this, and tokenize+explode+groupBy is the dominant
-    # cost — without the cache it would execute twice
-    tok_counts = (
+    # token occurrences, not (doc,token) counts: summing ±1 per
+    # occurrence equals the cnt-weighted sum, and skipping the
+    # pre-aggregation removes a whole shuffle; the dictionary reuses
+    # the same exploded stream (persisted once)
+    tok_occurrences = (
         spread(t["documents"])
         .select("doc_id", F.explode(tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
     # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
@@ -168,7 +167,7 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
             .alias(f"b{j}")
 
     token_bits = (
-        tok_counts.select("tok").distinct()
+        tok_occurrences.select("tok").distinct()
         .select("tok", F.md5(F.col("tok").cast("binary")).alias("h"))
         .select("tok", *[bit(j) for j in range(60)])
     )
@@ -176,9 +175,9 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     # the vocabulary is small and falls back to a shuffle join when a
     # web-scale vocabulary (URLs, ids, typos) would not fit
     weighted = (
-        tok_counts.join(token_bits, "tok")
+        tok_occurrences.join(token_bits, "tok")
         .select("doc_id",
-                *[((F.col(f"b{j}") * 2 - 1) * F.col("cnt")).alias(f"c{j}")
+                *[(F.col(f"b{j}") * 2 - 1).cast("long").alias(f"c{j}")
                   for j in range(60)])
     )
     summed = weighted.groupBy("doc_id").agg(
