@@ -144,10 +144,12 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     """60-bit SimHash from token md5 nibbles (60 not 64 so the value
     fits a signed bigint identically in both engines).
 
-    Token multiset weights via a pre-aggregation (doc_id, token,
-    count) so the bit explosion is 60 × distinct-tokens, not 60 ×
-    tokens — at 100 TB that's the difference between 60× vocab and
-    60× corpus."""
+    Dictionary design: each distinct token's 60 bits derive once
+    (vocab-sized table, AQE-broadcast while it fits) and join onto the
+    token-occurrence stream, whose per-row work is then just 60 ±1
+    projections feeding a map-side-combined per-doc sum. One wide
+    shuffle (doc_id); the occurrence stream is persisted because the
+    dictionary build and the weighted join both read it."""
     # token occurrences, not (doc,token) counts: summing ±1 per
     # occurrence equals the cnt-weighted sum, and skipping the
     # pre-aggregation removes a whole shuffle; the dictionary reuses

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import spread
+
 FEATURE_SCHEMA = ("doc_id long, byte_len long, first_byte int, "
                   "content_md5 string, fake_width int, fake_height int")
 
@@ -64,7 +66,6 @@ def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
     """Documents' text re-encoded as a binary payload column, run
     through the Arrow feature-extraction path. The oracle recomputes
     the same features in SQL (octet_length / ascii / md5)."""
-    from ..functions import spread
     payloads = spread(t["documents"]).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads)
@@ -93,7 +94,6 @@ def user_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     """applyInPandas grouped-map: per-user spend histogram. The custom-
     operator escape hatch — one Arrow batch per user group, partitioned
     by the groupBy key (single user_id shuffle at any scale)."""
-    from ..functions import spread
     return (spread(t["events"])
             .select("user_id", "value")
             .groupBy("user_id")

@@ -213,8 +213,8 @@ def json_extract_props(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def q7_nation_trade_volume(t: dict[str, DataFrame],
-                           nation_a: str = "CHINA",
-                           nation_b: str = "GERMANY") -> DataFrame:
+                           nation_a: str = "NATION_9",
+                           nation_b: str = "NATION_6") -> DataFrame:
     """Bilateral trade volume between two nations by year (q7 shape):
     supplier nation × customer nation × year revenue."""
     n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
@@ -237,7 +237,7 @@ def q7_nation_trade_volume(t: dict[str, DataFrame],
 
 
 def q8_market_share(t: dict[str, DataFrame], region: str = "AMERICA",
-                    nation: str = "BRAZIL") -> DataFrame:
+                    nation: str = "NATION_9") -> DataFrame:
     """One nation's share of a region's import revenue per year (q8
     shape): conditional decimal sums, share as IEEE division of
     identically-derived doubles."""

@@ -719,8 +719,8 @@ ORACLES.update({
           ON s_nationkey = sn.n_nationkey
         JOIN (SELECT n_nationkey AS cnk, n_name AS cust_nation FROM nation) cn
           ON c_nationkey = cn.cnk
-        WHERE (sn.supp_nation = 'CHINA' AND cn.cust_nation = 'GERMANY')
-           OR (sn.supp_nation = 'GERMANY' AND cn.cust_nation = 'CHINA')
+        WHERE (sn.supp_nation = 'NATION_9' AND cn.cust_nation = 'NATION_6')
+           OR (sn.supp_nation = 'NATION_6' AND cn.cust_nation = 'NATION_9')
         GROUP BY 1, 2, 3
     ''',
     "q8_market_share": f'''
@@ -737,9 +737,9 @@ ORACLES.update({
           JOIN ({_SUPPN}) s ON l_suppkey = s.s_suppkey)
         SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
-               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN dp END)
+               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN dp END)
                       AS DECIMAL(38,6)) AS DOUBLE), 0.0) AS nation_revenue,
-               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN dp END)
+               COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN dp END)
                       AS DECIMAL(38,6)) AS DOUBLE), 0.0)
                  / CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS market_share
         FROM j GROUP BY 1

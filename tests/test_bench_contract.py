@@ -1,0 +1,31 @@
+"""bench.py driver contract: exactly one JSON line on stdout with the
+required keys (run at the smallest scale factor to keep it fast)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be exactly one line: {lines}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert isinstance(payload["value"], (int, float))
+    assert payload["queries"] and all(
+        isinstance(v, (int, float)) for v in payload["queries"].values())
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.1

@@ -4,6 +4,7 @@ parquet → memory sink → exact comparison)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tests.conftest import SF0001
 
@@ -81,9 +82,7 @@ def test_dedup_events_stream_removes_duplicates(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (spark.readStream.schema(jobs.EVENTS_NANOS_SCHEMA)
            .parquet(str(src)))
-    events = raw.withColumn("ts", __import__("pyspark.sql.functions",
-                                             fromlist=["expr"])
-                            .expr("timestamp_micros(ts div 1000)"))
+    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     deduped = jobs.dedup_events_stream(events)
     q = (deduped.writeStream.format("memory").queryName("dedup_stream")
          .outputMode("append").trigger(availableNow=True).start())
