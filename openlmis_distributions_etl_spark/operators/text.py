@@ -134,3 +134,35 @@ def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
     return (scored.select("doc_id", (idf * tf_norm).alias("term_score"))
             .groupBy("doc_id")
             .agg(F.sum("term_score").alias("bm25")))
+
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def doc_bpe_token_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Regex ('BPE-ish') tokenization counts: letter runs, digit runs,
+    and single symbols as separate tokens — the pre-tokenizer shape
+    subword tokenizers consume. Pattern uses only literal char classes
+    so Java and RE2 regex semantics coincide."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"))
+
+
+def doc_rolling_hash(t: dict[str, DataFrame],
+                     base: int = 256, mod: int = 1_000_000_007) -> DataFrame:
+    """Karp–Rabin polynomial rolling hash of the full text (exact
+    bigint fold, engine-portable: fold-from-zero equals DuckDB's
+    list_reduce fold-from-first for base-polynomial hashing). The
+    content-defined-chunking primitive for shift-tolerant dedup."""
+    codes = F.transform(F.split(F.col("text"), ""),
+                        lambda c: F.ascii(c).cast("long"))
+    rhash = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod)
+    return (t["documents"]
+            .where(F.length("text") > 0)
+            .select("doc_id", rhash.alias("rolling_hash"),
+                    F.length("text").alias("n_chars_hashed")))

@@ -779,3 +779,21 @@ ORACLES.update({
         FROM j
     ''',
 })
+
+
+ORACLES.update({
+    "doc_bpe_token_count": '''
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER) AS n_distinct_bpe
+        FROM documents
+    ''',
+    "doc_rolling_hash": '''
+        SELECT doc_id,
+               list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                           (acc, x) -> (acc * 256 + x) % 1000000007) AS rolling_hash,
+               CAST(length(text) AS INTEGER) AS n_chars_hashed
+        FROM documents
+        WHERE length(text) > 0
+    ''',
+})

@@ -83,6 +83,8 @@ _OPERATORS = {
     "doc_quality_score": text.doc_quality_score,
     "doc_langid": text.doc_langid,
     "doc_fingerprint": text.doc_fingerprint,
+    "doc_bpe_token_count": text.doc_bpe_token_count,
+    "doc_rolling_hash": text.doc_rolling_hash,
     "bm25_scores": text.bm25_scores,  # rows-only
     # §2.H multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
