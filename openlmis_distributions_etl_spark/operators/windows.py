@@ -120,3 +120,24 @@ def windowed_event_counts(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(dec("value")).cast("decimal(38,6)").cast("double").alias("sum_value"))
     )
+
+
+def session_window_stats(t: dict[str, DataFrame],
+                         gap: str = "30 minutes") -> DataFrame:
+    """Native Spark session_window aggregation (the built-in
+    counterpart of sessionize_events; also valid under readStream).
+    Note the boundary difference vs the hand-rolled version: an event
+    at exactly prev_ts + gap starts a NEW session here (extension
+    requires ts < session_end), vs same-session in sessionize_events.
+    """
+    ev = t["events"]
+    return (ev.groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(dec("value")).cast("decimal(38,6)").cast("double")
+                 .alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("start_us"),
+                    F.unix_micros(F.col("session_window.end"))
+                    .alias("end_us"),
+                    "n_events", "sum_value"))

@@ -797,3 +797,35 @@ ORACLES.update({
         WHERE length(text) > 0
     ''',
 })
+
+
+ORACLES.update({
+    # session_window semantics: new session when gap >= 30min (native
+    # operator extends only while ts < session_end), window end =
+    # last_ts + gap
+    "session_window_stats": '''
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events),
+        lagd AS (
+          SELECT *,
+            CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1
+                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                 ELSE 0 END AS new_session
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        sess AS (
+          SELECT *, CAST(SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM lagd)
+        SELECT user_id,
+               MIN(ts_us) AS start_us,
+               MAX(ts_us) + 1800000000 AS end_us,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+        FROM sess
+        GROUP BY user_id, sid
+    ''',
+})

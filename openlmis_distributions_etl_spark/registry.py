@@ -61,6 +61,7 @@ _OPERATORS = {
     "running_total_per_user": windows.running_total_per_user,
     "sessionize_events": windows.sessionize_events,
     "session_stats": windows.session_stats,
+    "session_window_stats": windows.session_window_stats,
     "funnel_signup_purchase": windows.funnel_signup_purchase,
     "asof_purchase_attribution": asof.asof_purchase_attribution,
     # §2.D streaming batch twin
