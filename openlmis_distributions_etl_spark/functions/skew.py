@@ -30,35 +30,42 @@ def with_salt(df: DataFrame, n_salts: int = 16,
                F.lit(n_salts)))
 
 
+# partial aggregate per spec name → (build partial, combine partials)
+_COMBINERS = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(df: DataFrame, keys: Sequence[str],
-               aggs: dict[str, Column], n_salts: int = 16) -> DataFrame:
-    """Two-phase skew-safe aggregation for algebraic aggregates
-    (sum/count/min/max): partial on (keys, salt), final on keys.
+               aggs: dict[str, tuple[str, Column | str]],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation for algebraic aggregates:
+    partial on (keys, salt), final on keys.
 
-    ``aggs`` maps output column name → aggregate over the input; the
-    final phase re-aggregates partials with the matching combiner.
+    ``aggs`` maps output column name → ``(op, column)`` where ``op``
+    is one of ``sum``/``count``/``min``/``max``. The spec is explicit
+    (no Catalyst reflection) so it works identically under classic
+    Spark and Spark Connect. Distinct aggregates are rejected:
+    per-salt distincts overlap across salts, so summing partials
+    overcounts — they are not salt-algebraic.
     """
-    salted = with_salt(df, n_salts)
-    partial = (salted.groupBy(*keys, "_salt")
-               .agg(*[c.alias(f"__p_{name}") for name, c in aggs.items()]))
-
-    def combiner(name: str, c: Column) -> Column:
-        # sum and count both combine by sum; min/max by themselves
-        node = c._jc.node()
-        fn = node.functionName().lower()
-        src = F.col(f"__p_{name}")
-        if node.isDistinct():
-            # per-salt distincts overlap across salts; summing them
-            # overcounts — distinct aggregates are not salt-algebraic
+    def spec(name: str, entry: tuple[str, Column | str]):
+        op, col = entry
+        op = op.lower()
+        if "distinct" in op:
             raise ValueError(
-                f"distinct aggregate is not salt-combinable: {fn}(DISTINCT)")
-        if fn.startswith("count") or fn.startswith("sum"):
-            return F.sum(src).alias(name)
-        if fn.startswith("min"):
-            return F.min(src).alias(name)
-        if fn.startswith("max"):
-            return F.max(src).alias(name)
-        raise ValueError(f"non-algebraic aggregate for salted_agg: {fn}")
+                f"distinct aggregate is not salt-combinable: {op}")
+        if op not in _COMBINERS:
+            raise ValueError(f"non-algebraic aggregate for salted_agg: {op}")
+        return _COMBINERS[op], col
 
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[spec(name, entry)[0][0](entry[1]).alias(f"__p_{name}")
+          for name, entry in aggs.items()])
     return partial.groupBy(*keys).agg(
-        *[combiner(name, c) for name, c in aggs.items()])
+        *[spec(name, entry)[0][1](F.col(f"__p_{name}")).alias(name)
+          for name, entry in aggs.items()])

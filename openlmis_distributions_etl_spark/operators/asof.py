@@ -21,10 +21,22 @@ from ..functions import ts_us
 
 def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
                        left_ts: str, right_ts: str,
-                       value_cols: list[str]) -> DataFrame:
+                       value_cols: list[str],
+                       tiebreak: list[str] | None = None) -> DataFrame:
     """For each left row, attach the right row's values as of the
     latest right_ts strictly before left_ts (NULL when none). Output:
-    left columns + ``asof_<value_col>`` columns."""
+    left columns + ``asof_<value_col>`` columns.
+
+    When multiple right rows share (key, right_ts), the winner is the
+    one greatest under ``tiebreak`` (right-side column names, must be a
+    subset of ``value_cols``; defaults to ``value_cols``) — so the
+    result is deterministic, never "whichever task finished last".
+    """
+    tiebreak = list(tiebreak) if tiebreak is not None else list(value_cols)
+    missing = set(tiebreak) - set(value_cols)
+    if missing:
+        raise ValueError(f"asof_join_backward: tiebreak columns must be "
+                         f"in value_cols: {sorted(missing)}")
     reserved = {"_ts", "_tag"} | {f"_v_{c}" for c in value_cols} \
         | {f"asof_{c}" for c in value_cols}
     clash = reserved & set(left.columns)
@@ -42,9 +54,11 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
 
     # left probes sort before right rows at equal _ts (tag 0 < 1) and
     # the frame ends at the previous row, so a probe only sees right
-    # rows with strictly smaller _ts
+    # rows with strictly smaller _ts; tied right rows are ordered by
+    # the tiebreak columns so last() picks a deterministic winner
+    # (left rows carry NULLs there, which sort first and stay put)
     w = (Window.partitionBy(key)
-         .orderBy("_ts", "_tag")
+         .orderBy("_ts", "_tag", *[f"_v_{c}" for c in tiebreak])
          .rowsBetween(Window.unboundedPreceding, -1))
     carried = unioned.select(
         *unioned.columns,

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import spread
+from ..functions.cache import register, retain
 from .text import tokens
 
 N_HASHES = 16          # minhash permutations
@@ -99,11 +100,10 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band. The self-join
     shuffles on (band_id, band_val) — bucket-local comparison, never
     all-pairs."""
-    # persist: the self-join would otherwise recompute the 16-seed md5
-    # signature pipeline for both sides (2× the dominant cost). The
-    # cached table is 4 short rows per doc and lives for the session —
-    # a bounded, deliberate trade
-    bands = _bands(minhash_signatures(t)).persist()
+    # retained cache: the self-join would otherwise recompute the
+    # 16-seed md5 signature pipeline for both sides (2× the dominant
+    # cost); released when the next query starts building
+    bands = retain(_bands(minhash_signatures(t)))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -154,10 +154,9 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     # occurrence equals the cnt-weighted sum, and skipping the
     # pre-aggregation removes a whole shuffle; the dictionary reuses
     # the same exploded stream (persisted once)
-    tok_occurrences = (
+    tok_occurrences = retain(
         spread(t["documents"])
         .select("doc_id", F.explode(tokens()).alias("tok"))
-        .persist()
     )
     # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
     # (vocab ≪ corpus) and broadcast-join them onto the counts — the
@@ -231,7 +230,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             prev.unpersist()
         prev, labels = new_labels, new_labels
         if changed == 0:
-            return labels
+            # the returned plan reuses the final round's cache; register
+            # it so the next query's build releases it
+            return register(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(component diameter exceeds max_iter); raise max_iter")

@@ -38,7 +38,8 @@ def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
     payloads = batch["payload"]
     byte_len = payloads.map(len)
-    first_byte = payloads.map(lambda b: b[0] if len(b) else -1)
+    # empty payload → 0, matching the oracle's ascii('') = 0
+    first_byte = payloads.map(lambda b: b[0] if len(b) else 0)
     md5 = payloads.map(lambda b: hashlib.md5(b).hexdigest())
     return pd.DataFrame({
         "doc_id": batch["doc_id"],

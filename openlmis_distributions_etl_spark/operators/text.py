@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cache import retain
+
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
 # marker-token profiles for the stopword language-ID heuristic
 LANG_MARKERS = {
@@ -112,10 +114,11 @@ def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
     bit-identical across engines, so no SQL twin.
     """
     toks = tokens()
-    # persisted: corpus stats and term frequencies both scan this and
-    # tokenization is the dominant per-row cost
-    docs = t["documents"].select("doc_id", toks.alias("toks"),
-                                 F.size(toks).alias("dl")).persist()
+    # retained cache: corpus stats and term frequencies both scan this
+    # and tokenization is the dominant per-row cost; released when the
+    # next query starts building
+    docs = retain(t["documents"].select("doc_id", toks.alias("toks"),
+                                        F.size(toks).alias("dl")))
     n_docs_avgdl = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"))

@@ -173,8 +173,10 @@ ORACLES: dict[str, str] = {
     """,
     "json_extract_props": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+               CAST(SUM(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(TRY_CAST(json_extract_string(props, '$.k')
+                              AS BIGINT)) AS n_with_k,
                COUNT(*) AS n_events
         FROM events
         GROUP BY event_type

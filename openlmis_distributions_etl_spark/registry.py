@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.cache import release_retained
 from .operators import (analytics, asof, dedup, multimodal, relational,
                         similarity, text, windows)
 from .plans import star
@@ -94,6 +95,11 @@ _OPERATORS = {
 
 def _wrap(fn) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # queries run sequentially: by the time this query is being
+        # built, the previous query's action is done and its retained
+        # caches are dead — release them so they don't accumulate
+        # across the driver's full replay
+        release_retained()
         return fn(load_tables(spark, sf_dir))
     run.__name__ = fn.__name__
     return run

@@ -27,6 +27,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize numeric width (int32→int64, float32→float64) the way
+    # the driver's hash does, but keep int-vs-float distinct: that gap
+    # is a real engine divergence (r01's HUGEINT→float64 widening)
+    for col in df.columns:
+        kind = df[col].dtype.kind
+        if kind == "i":
+            df[col] = df[col].astype("int64")
+        elif kind == "u":
+            df[col] = df[col].astype("uint64")
+        elif kind == "f":
+            df[col] = df[col].astype("float64")
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="last")
@@ -55,6 +66,12 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    # dtype-sensitive like the driver's value hash: int64 5 vs float64
+    # 5.0 must FAIL (caught r01's DuckDB HUGEINT→float64 widening)
+    for col in got.columns:
+        gd, wd = str(got[col].dtype), str(want[col].dtype)
+        assert gd == wd, (
+            f"{name}: column {col}: dtype {gd} (spark) != {wd} (oracle)")
     for col in got.columns:
         gv, wv = got[col].tolist(), want[col].tolist()
         bad = [(i, g, w) for i, (g, w) in enumerate(zip(gv, wv))

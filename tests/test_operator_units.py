@@ -5,8 +5,11 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
 
 from openlmis_distributions_etl_spark.operators import (dedup, similarity,
                                                         text, windows)
@@ -204,3 +207,39 @@ def test_bm25_ranks_term_frequency(spark):
         {"documents": _docs(spark, rows)}).collect()}
     assert 3 not in out            # no query terms → no score row
     assert out[1] > out[2] > 0     # tf and length normalization order
+
+
+def test_asof_join_tie_on_right_ts_is_deterministic(spark):
+    from openlmis_distributions_etl_spark.operators.asof import (
+        asof_join_backward)
+    left = spark.createDataFrame([(7, 100)], "k long, lt long")
+    # two right rows share (key, right_ts): winner must be the greatest
+    # value under the tiebreak ordering, every run
+    right = spark.createDataFrame(
+        [(7, 50, "a"), (7, 50, "b")], "k long, rt long, v string")
+    for _ in range(3):
+        out = asof_join_backward(left, right, key="k",
+                                 left_ts="lt", right_ts="rt",
+                                 value_cols=["v"]).collect()
+        assert len(out) == 1 and out[0]["asof_v"] == "b"
+
+
+def test_asof_join_rejects_bad_tiebreak(spark):
+    from openlmis_distributions_etl_spark.operators.asof import (
+        asof_join_backward)
+    left = spark.createDataFrame([(7, 100)], "k long, lt long")
+    right = spark.createDataFrame([(7, 50, "a")], "k long, rt long, v string")
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join_backward(left, right, key="k", left_ts="lt",
+                           right_ts="rt", value_cols=["v"],
+                           tiebreak=["nope"])
+
+
+def test_retained_caches_released_between_queries(spark):
+    from openlmis_distributions_etl_spark.functions import cache
+    from openlmis_distributions_etl_spark.registry import queries
+    qs = queries()
+    qs["minhash_lsh_pairs"](spark, SF0001).collect()
+    assert len(cache._RETAINED) > 0          # bands cache retained
+    qs["exact_dedup"](spark, SF0001).collect()
+    assert len(cache._RETAINED) == 0         # released at next build

@@ -86,7 +86,8 @@ def test_salted_agg_matches_plain(spark):
              .collect())
     salted = salted_agg(
         ev, ["event_type"],
-        {"n": F.count(F.lit(1)), "mn": F.min("value"), "mx": F.max("value")},
+        {"n": ("count", F.lit(1)), "mn": ("min", "value"),
+         "mx": ("max", "value")},
         n_salts=8).collect()
     key = lambda rows: sorted((r["event_type"], r["n"], r["mn"], r["mx"])
                               for r in rows)
@@ -104,7 +105,7 @@ def test_with_salt_is_deterministic(spark):
 def test_salted_agg_rejects_non_algebraic(spark):
     ev = load_table(spark, SF0001, "events")
     with pytest.raises(ValueError):
-        salted_agg(ev, ["event_type"], {"a": F.avg("value")}).collect()
+        salted_agg(ev, ["event_type"], {"a": ("avg", "value")}).collect()
 
 
 def test_approx_distinct_events_rows_only(spark):
@@ -126,4 +127,4 @@ def test_salted_agg_rejects_distinct(spark):
     ev = load_table(spark, SF0001, "events")
     with pytest.raises(ValueError, match="salt-combinable"):
         salted_agg(ev, ["event_type"],
-                   {"n": F.count_distinct("user_id")}).collect()
+                   {"n": ("count_distinct", "user_id")}).collect()
