@@ -159,33 +159,33 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
         .select("doc_id", F.explode(tokens()).alias("tok"))
     )
     # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
-    # (vocab ≪ corpus) and broadcast-join them onto the counts — the
-    # per-(doc,token) row carries only a multiply, not hash+bit math
-    def bit(j: int):
-        nibble = (f"(instr('0123456789abcdef', "
-                  f"substring(h, {j // 4 + 1}, 1)) - 1)")
-        return F.expr(f"(shiftright({nibble}, {3 - (j % 4)}) & 1)") \
-            .alias(f"b{j}")
-
+    # (vocab ≪ corpus), packed into a single 60-bit long so the join
+    # output stays narrow — conv(first 15 hex chars) puts nibble i at
+    # mask bits [4*(14-i), 4*(14-i)+3], so simhash bit j (= bit 3-j%4
+    # of nibble j//4) is mask bit 4*(14 - j//4) + (3 - j%4)
     token_bits = (
         tok_occurrences.select("tok").distinct()
         .select("tok", F.md5(F.col("tok").cast("binary")).alias("h"))
-        .select("tok", *[bit(j) for j in range(60)])
+        .select("tok", F.conv(F.substring("h", 1, 15), 16, 10)
+                .cast("long").alias("mask"))
     )
     # no explicit broadcast hint: AQE broadcasts the dictionary while
     # the vocabulary is small and falls back to a shuffle join when a
     # web-scale vocabulary (URLs, ids, typos) would not fit
-    weighted = (
-        tok_occurrences.join(token_bits, "tok")
-        .select("doc_id",
-                *[(F.col(f"b{j}") * 2 - 1).cast("long").alias(f"c{j}")
-                  for j in range(60)])
-    )
-    summed = weighted.groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(60)])
+    occ = tok_occurrences.join(token_bits, "tok").select("doc_id", "mask")
+
+    # s_j = sum(±1) > 0  ⟺  2 * ones_j > n_occurrences
+    def ones(j: int):
+        shift = 4 * (14 - j // 4) + (3 - j % 4)
+        return F.sum(F.shiftright(F.col("mask"), shift)
+                     .bitwiseAND(F.lit(1))).alias(f"o{j}")
+
+    summed = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *[ones(j) for j in range(60)])
     simhash = None
     for j in range(60):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
+        term = F.when(2 * F.col(f"o{j}") > F.col("n"),
+                      F.lit(1 << j).cast("long")) \
                 .otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return summed.select("doc_id", simhash.alias("simhash"))
