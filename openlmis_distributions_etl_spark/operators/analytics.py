@@ -222,3 +222,25 @@ def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
     return m.select(
         "event_type", "n",
         (cov / F.sqrt(vx * vy)).alias("corr_value_k"))
+
+
+# static value-range dimension for the range join: (bucket, lo, hi)
+VALUE_BUCKETS = [("small", 0.0, 50.0), ("mid", 50.0, 100.0),
+                 ("large", 100.0, 200.0), ("xlarge", 200.0, 500.0)]
+
+
+def range_join_value_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-equi range join: events land in [lo, hi) value buckets.
+    The bucket dim is tiny and broadcast, so the 'join' is a map-side
+    interval probe — no shuffle of the fact at any scale (the classic
+    banding pattern; an interval tree is overkill for O(10) bands)."""
+    spark = t["events"].sparkSession
+    buckets = spark.createDataFrame(
+        VALUE_BUCKETS, "bucket string, lo double, hi double")
+    ev = t["events"].select("value")
+    return (ev.join(F.broadcast(buckets),
+                    (F.col("value") >= F.col("lo"))
+                    & (F.col("value") < F.col("hi")))
+            .groupBy("bucket", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")))

@@ -303,3 +303,115 @@ def q14_promo_revenue_share(t: dict[str, DataFrame], start: str = "1997-09-01",
         total.alias("total_revenue")).withColumn(
         "promo_share",
         100.0 * F.col("promo_revenue") / F.col("total_revenue"))
+
+
+def q13_customer_order_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer order-count distribution (q13 shape): left join keeps
+    zero-order customers, double aggregate. Both aggregates shuffle on
+    small keys; the first one partial-aggregates on c_custkey."""
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(t["orders"].select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def q15_top_supplier(t: dict[str, DataFrame], start: str = "1997-01-01",
+                     end: str = "1997-04-01") -> DataFrame:
+    """Top revenue supplier(s) for a quarter (q15 shape): the revenue
+    CTE is computed once and reused for both the max and the final
+    join; the single-row max side is broadcast."""
+    rev = (t["lineitem"]
+           .where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+           .groupBy("l_suppkey")
+           .agg(dsum_of(disc_price()).alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.join(broadcast(mx), F.col("total_revenue") == F.col("mx"))
+            .join(broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame],
+                               brand: str = "Brand#3") -> DataFrame:
+    """Average yearly revenue lost by only shipping small orders of one
+    brand's parts (q17 shape). The per-part average-quantity threshold
+    is an exact decimal sum / count, so the correlated comparison is
+    bit-stable; the brand dim filter prunes before the big join."""
+    pa = t["part"].where(F.col("p_brand") == brand).select("p_partkey")
+    li = (t["lineitem"]
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(pa), F.col("l_partkey") == F.col("p_partkey")))
+    thresh = (li.groupBy("l_partkey")
+              .agg((F.lit(0.2) * (dsum("l_quantity") / F.count(F.lit(1))))
+                   .alias("qty_limit")))
+    return (li.join(broadcast(thresh), "l_partkey")
+            .where(F.col("l_quantity") < F.col("qty_limit"))
+            .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q18_large_volume_customers(t: dict[str, DataFrame],
+                               min_qty: float = 250.0) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with their
+    customers (q18 shape): the HAVING aggregate runs on lineitem alone
+    (orderkey shuffle with map-side combine), then the small surviving
+    set joins orders/customer."""
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(dsum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > min_qty))
+    return (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    "o_totalprice", "total_qty"))
+
+
+def q19_disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Disjunctive brand/size/quantity predicates (q19 shape): one
+    join, the OR-of-ANDs evaluated post-join; Catalyst extracts the
+    common p_size/l_quantity bounds for scan-level pruning."""
+    j = (t["lineitem"]
+         .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")))
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    return (j.where(cond)
+            .agg(dsum_of(disc_price()).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q22_dormant_high_balance(t: dict[str, DataFrame],
+                             since: str = "2000-01-01") -> DataFrame:
+    """Customers above the global positive-balance average with no
+    orders since a cutoff (q22 shape, nation in place of phone prefix;
+    recency-based dormancy because every customer in this data has at
+    least one lifetime order): scalar threshold broadcast, anti join
+    against recent orders, per-nation rollup."""
+    cust = t["customer"]
+    thresh = (cust.where(F.col("c_acctbal") > 0.0)
+              .agg((dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")))
+    recent = t["orders"].where(F.col("o_orderdate") >= since) \
+        .select("o_custkey")
+    dormant = (cust.join(broadcast(thresh))
+               .where(F.col("c_acctbal") > F.col("avg_bal"))
+               .join(recent,
+                     F.col("c_custkey") == F.col("o_custkey"), "left_anti"))
+    return (dormant
+            .join(broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 dsum("c_acctbal").alias("total_balance")))

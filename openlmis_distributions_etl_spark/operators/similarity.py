@@ -163,3 +163,47 @@ def embedding_near_dup_pairs(t: dict[str, DataFrame],
         .select("vec_a", "vec_b", dot_ab.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label centroid, long format (label, dim, centroid, n).
+
+    Exactness design: a plain double SUM over group members is
+    partition-order dependent, so instead each (label, dim) group
+    collects its values sorted by vec_id and left-folds — the same
+    canonical order the DuckDB oracle uses (list(x ORDER BY vec_id)),
+    making the mean bit-identical. At scale the collect_list per
+    (label, dim) cell is bounded by the label's membership; for
+    unbounded groups you'd switch to a tree-reduce with fixed block
+    boundaries (same determinism argument, bounded memory)."""
+    e = (spread(t["embeddings"])
+         .select("label", "vec_id",
+                 F.posexplode(F.col("embedding")).alias("dim", "x")))
+    g = (e.groupBy("label", "dim")
+         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+              .alias("vs"),
+              F.count(F.lit(1)).alias("n")))
+    folded = F.aggregate(F.col("vs"), F.lit(0.0),
+                         lambda acc, s: acc + s["x"].cast("double"))
+    return g.select("label", "dim",
+                    (folded / F.col("n")).alias("centroid"), "n")
+
+
+def knn_batch(t: dict[str, DataFrame], n_queries: int = 5,
+              k: int = 3) -> DataFrame:
+    """Batch top-k neighbors for a query set (vec_id < n_queries):
+    broadcast the queries, score map-side, per-query window top-k.
+    The per-query row_number shuffles once on qid — the batch-serving
+    shape where queries ≪ corpus."""
+    q = (t["embeddings"].where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    scored = (spread(t["embeddings"]).crossJoin(broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", "label",
+                      cosine(F.col("embedding"), F.col("qv"))
+                      .alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", "label", "cos_sim", "rnk"))

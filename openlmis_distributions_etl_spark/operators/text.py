@@ -8,7 +8,7 @@ DuckDB oracles (string_split + list_filter).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import retain
@@ -169,3 +169,79 @@ def doc_rolling_hash(t: dict[str, DataFrame],
             .where(F.length("text") > 0)
             .select("doc_id", rhash.alias("rolling_hash"),
                     F.length("text").alias("n_chars_hashed")))
+
+
+def token_freq_topk(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Corpus top-k token frequencies (the word-count classic): one
+    explode, one count aggregate with map-side combine, distributed
+    partial top-k via sort+limit."""
+    return (t["documents"]
+            .select(F.explode(tokens()).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(k))
+
+
+def doc_tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (linear idf = N/df, no log, so
+    scores are exact rationals evaluated identically in both engines).
+    Shuffles: (doc, term) count, term df, then the per-doc window."""
+    tf = (t["documents"]
+          .select("doc_id", F.explode(tokens()).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (tf.join(F.broadcast(df_), "term")
+            .join(F.broadcast(n_docs))
+            .select("doc_id", "term", "tf", "df",
+                    (F.col("tf") * (F.col("n_docs") / F.col("df")))
+                    .alias("score"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("doc_id", "term", "tf", "df", "score", "rnk"))
+
+
+def deterministic_sample(t: dict[str, DataFrame], pct: int = 10,
+                         salt: str = "split|") -> DataFrame:
+    """Reproducible pct% sample of documents via md5 bucketing — the
+    training-split primitive: stable across runs, cluster sizes, and
+    engines (no rand()), and stratified-uniform in doc_id."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    return (t["documents"]
+            .select("doc_id", "lang", "source", bucket.alias("bucket"))
+            .where(F.col("bucket") < pct))
+
+
+def doc_quality_filters(t: dict[str, DataFrame]) -> DataFrame:
+    """C4-style quality filter battery: every flag is integer/rational
+    arithmetic (exact in both engines); `keep` is the conjunction.
+    Pure per-row projection — no shuffle at any scale."""
+    toks = tokens()
+    d = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _count_in(toks, STOPWORDS_EN).alias("n_stop"),
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, x: acc + F.length(x)).alias("sum_tok_len"),
+    )
+    has_min_tokens = (F.col("n_tokens") >= 30).cast("int")
+    mean_len_ok = (F.col("sum_tok_len") <= 8 * F.col("n_tokens")).cast("int")
+    has_stopword = (F.col("n_stop") > 0).cast("int")
+    uniq_ok = (10 * F.col("n_distinct") >= F.col("n_tokens")).cast("int")
+    return d.select(
+        "doc_id", "n_tokens",
+        has_min_tokens.alias("has_min_tokens"),
+        mean_len_ok.alias("mean_len_ok"),
+        has_stopword.alias("has_stopword"),
+        uniq_ok.alias("uniq_ok"),
+        (has_min_tokens.cast("boolean") & mean_len_ok.cast("boolean")
+         & has_stopword.cast("boolean") & uniq_ok.cast("boolean"))
+        .cast("int").alias("keep"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec, ts_us
+from ..functions import dec, dsum, ts_us
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -141,3 +141,43 @@ def session_window_stats(t: dict[str, DataFrame],
                     F.unix_micros(F.col("session_window.end"))
                     .alias("end_us"),
                     "n_events", "sum_value"))
+
+
+def cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day,
+    counted on every day they return (day granularity because the
+    testdata spans one month). Two shuffles (user_id, then the small
+    day-pair key); the distinct pair set partial-aggregates map-side
+    before either shuffle."""
+    ev = t["events"].select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("active_day"))
+    cohort = (ev.groupBy("user_id")
+              .agg(F.min("active_day").alias("cohort_day")))
+    active = ev.distinct()
+    return (active.join(cohort, "user_id")
+            .groupBy("cohort_day", "active_day")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def event_transitions(t: dict[str, DataFrame]) -> DataFrame:
+    """First-order event-type transition counts (Markov bigrams) per
+    user stream: lag over (ts, event_id) — deterministic because the
+    ordering key is unique — then one count aggregate on the tiny
+    (prev, next) key space."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (t["events"]
+            .select("user_id", "ts", "event_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+            .where(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+def daily_active_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily activity rollup: exact distinct users + event count +
+    exact-decimal value sum per calendar day."""
+    return (t["events"]
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count_distinct("user_id").alias("dau"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value")))

@@ -831,3 +831,224 @@ ORACLES.update({
         GROUP BY user_id, sid
     ''',
 })
+
+
+# -- round-2 additions: TPC-H q13/15/17/18/19/22 shapes ----------------
+
+ORACLES.update({
+    "q13_customer_order_counts": """
+        SELECT n_orders, COUNT(*) AS n_customers FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY n_orders
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "q17_small_quantity_revenue": f"""
+        WITH li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'),
+        thresh AS (
+          SELECT l_partkey,
+                 0.2 * ({DSUM('l_quantity')} / COUNT(*)) AS qty_limit
+          FROM li GROUP BY l_partkey)
+        SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM li JOIN thresh USING (l_partkey)
+        WHERE l_quantity < qty_limit
+    """,
+    "q18_large_volume_customers": f"""
+        WITH big AS (
+          SELECT l_orderkey, {DSUM('l_quantity')} AS total_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING {DSUM('l_quantity')} > 250.0)
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_dormant_high_balance": f"""
+        WITH thresh AS (
+          SELECT {DSUM('c_acctbal')} / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT n_name, COUNT(*) AS n_customers,
+               {DSUM('c_acctbal')} AS total_balance
+        FROM customer, thresh
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
+    """,
+})
+
+# -- round-2 additions: event analytics --------------------------------
+
+ORACLES.update({
+    "cohort_retention": """
+        WITH ev AS (
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS active_day
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(active_day) AS cohort_day
+          FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, active_day FROM ev)
+        SELECT cohort_day, active_day, COUNT(*) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY cohort_day, active_day
+    """,
+    "event_transitions": """
+        WITH lagd AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type,
+               COUNT(*) AS n_transitions
+        FROM lagd WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    "daily_active_users": f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS dau,
+               COUNT(*) AS n_events,
+               {DSUM('value')} AS total_value
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    "range_join_value_buckets": f"""
+        WITH buckets(bucket, lo, hi) AS (VALUES
+          ('small', 0.0, 50.0), ('mid', 50.0, 100.0),
+          ('large', 100.0, 200.0), ('xlarge', 200.0, 500.0))
+        SELECT bucket, lo, hi, COUNT(*) AS n_events,
+               {DSUM('value')} AS total_value
+        FROM events JOIN buckets ON value >= lo AND value < hi
+        GROUP BY bucket, lo, hi
+    """,
+})
+
+# -- round-2 additions: text / sampling --------------------------------
+
+def _HEX8_TO_INT(expr: str) -> str:
+    """First 8 md5 hex chars as a bigint (mirrors Spark's conv)."""
+    return ("CAST(list_sum(list_transform(range(1, 9), "
+            f"i -> (strpos('0123456789abcdef', substr(md5({expr}), "
+            "CAST(i AS INT), 1)) - 1) "
+            "* (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)")
+
+
+ORACLES.update({
+    "token_freq_topk": f"""
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 20
+    """,
+    "doc_tfidf_top_terms": f"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 tf * (CAST(n_docs AS DOUBLE) / df) AS score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC,
+                            term ASC) AS INT) AS rnk
+          FROM tf JOIN df USING (term), n)
+        SELECT doc_id, term, tf, df, score, rnk
+        FROM scored WHERE rnk <= 3
+    """,
+    "deterministic_sample": f"""
+        SELECT doc_id, lang, source,
+               CAST({_HEX8_TO_INT("'split|' || CAST(doc_id AS VARCHAR)")}
+                    % 100 AS INT) AS bucket
+        FROM documents
+        WHERE CAST({_HEX8_TO_INT("'split|' || CAST(doc_id AS VARCHAR)")}
+                   % 100 AS INT) < 10
+    """,
+    "doc_quality_filters": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                 CAST(len(list_distinct({TOKS})) AS INTEGER) AS n_distinct,
+                 CAST(len(list_filter({TOKS},
+                      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      AS INTEGER) AS n_stop,
+                 CAST(list_sum(list_transform({TOKS}, x -> length(x)))
+                      AS INTEGER) AS sum_tok_len
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens >= 30 AS INT) AS has_min_tokens,
+               CAST(sum_tok_len <= 8 * n_tokens AS INT) AS mean_len_ok,
+               CAST(n_stop > 0 AS INT) AS has_stopword,
+               CAST(10 * n_distinct >= n_tokens AS INT) AS uniq_ok,
+               CAST(n_tokens >= 30 AND sum_tok_len <= 8 * n_tokens
+                    AND n_stop > 0 AND 10 * n_distinct >= n_tokens
+                    AS INT) AS keep
+        FROM d
+    """,
+})
+
+# -- round-2 additions: similarity -------------------------------------
+
+ORACLES.update({
+    "label_centroids": """
+        WITH e AS (
+          SELECT label, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i))
+        SELECT label, CAST(dim AS INT) AS dim,
+               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS centroid,
+               COUNT(*) AS n
+        FROM e
+        GROUP BY label, dim
+    """,
+    "knn_batch": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, e.vec_id, e.label,
+                 {_cos('e.embedding', 'q.qv')} AS cos_sim,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY {_cos('e.embedding', 'q.qv')} DESC,
+                            e.vec_id ASC) AS INT) AS rnk
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> qid)
+        SELECT qid, vec_id, label, cos_sim, rnk
+        FROM scored WHERE rnk <= 3
+    """,
+})

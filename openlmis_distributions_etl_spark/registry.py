@@ -37,6 +37,12 @@ _OPERATORS = {
     "pivot_event_counts": relational.pivot_event_counts,
     "percentile_order_value": relational.percentile_order_value,
     "json_extract_props": relational.json_extract_props,
+    "q13_customer_order_counts": relational.q13_customer_order_counts,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_volume_customers": relational.q18_large_volume_customers,
+    "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+    "q22_dormant_high_balance": relational.q22_dormant_high_balance,
     # §2.A second wave
     "distinct_counts": analytics.distinct_counts,
     "set_ops_customers": analytics.set_ops_customers,
@@ -65,6 +71,10 @@ _OPERATORS = {
     "session_window_stats": windows.session_window_stats,
     "funnel_signup_purchase": windows.funnel_signup_purchase,
     "asof_purchase_attribution": asof.asof_purchase_attribution,
+    "cohort_retention": windows.cohort_retention,
+    "event_transitions": windows.event_transitions,
+    "daily_active_users": windows.daily_active_users,
+    "range_join_value_buckets": analytics.range_join_value_buckets,
     # §2.D streaming batch twin
     "windowed_event_counts": windows.windowed_event_counts,
     # §2.E dedup suite
@@ -79,7 +89,9 @@ _OPERATORS = {
     # §2.F similarity search
     "knn_bruteforce": similarity.knn_bruteforce,
     "knn_ivf": similarity.knn_ivf,
+    "knn_batch": similarity.knn_batch,
     "embedding_norms": similarity.embedding_norms,
+    "label_centroids": similarity.label_centroids,
     # §2.G text analysis
     "doc_token_count": text.doc_token_count,
     "doc_quality_score": text.doc_quality_score,
@@ -88,6 +100,10 @@ _OPERATORS = {
     "doc_bpe_token_count": text.doc_bpe_token_count,
     "doc_rolling_hash": text.doc_rolling_hash,
     "bm25_scores": text.bm25_scores,  # rows-only
+    "token_freq_topk": text.token_freq_topk,
+    "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
+    "deterministic_sample": text.deterministic_sample,
+    "doc_quality_filters": text.doc_quality_filters,
     # §2.H multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
 }
