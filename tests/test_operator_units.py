@@ -243,3 +243,61 @@ def test_retained_caches_released_between_queries(spark):
     assert len(cache._RETAINED) > 0          # bands cache retained
     qs["exact_dedup"](spark, SF0001).collect()
     assert len(cache._RETAINED) == 0         # released at next build
+
+
+def test_deterministic_sample_is_stable_and_bounded(spark):
+    from openlmis_distributions_etl_spark.operators.text import (
+        deterministic_sample)
+    docs = _docs(spark, [(i, f"doc {i}", "en", "s", 5) for i in range(200)])
+    a = sorted(r["doc_id"] for r in
+               deterministic_sample({"documents": docs}).collect())
+    b = sorted(r["doc_id"] for r in
+               deterministic_sample({"documents": docs}).collect())
+    assert a == b                      # reproducible
+    assert 0 < len(a) < 200            # a real subset
+    full = deterministic_sample({"documents": docs}, pct=100).collect()
+    assert len(full) == 200            # pct=100 keeps everything
+
+
+def test_doc_quality_filters_flags(spark):
+    from openlmis_distributions_etl_spark.operators.text import (
+        doc_quality_filters)
+    rows = [
+        (1, "the " + " ".join(f"w{i}" for i in range(40)),
+         "en", "s", 5),                                 # passes all
+        (2, "short text the", "en", "s", 5),            # too few tokens
+        (3, " ".join(["same"] * 40), "en", "s", 5),     # no stopword, low uniq
+    ]
+    out = {r["doc_id"]: r for r in
+           doc_quality_filters({"documents": _docs(spark, rows)}).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["has_min_tokens"] == 0 and out[2]["keep"] == 0
+    assert out[3]["has_stopword"] == 0 and out[3]["uniq_ok"] == 0
+
+
+def test_event_transitions_counts(spark):
+    from openlmis_distributions_etl_spark.operators.windows import (
+        event_transitions)
+    rows = [
+        (1, TS, 7, "signup", 0.0, "{}"),
+        (2, TS + dt.timedelta(minutes=1), 7, "click", 0.0, "{}"),
+        (3, TS + dt.timedelta(minutes=2), 7, "click", 0.0, "{}"),
+        (4, TS, 8, "click", 0.0, "{}"),   # single event → no transition
+    ]
+    out = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in event_transitions(
+               {"events": _events(spark, rows)}).collect()}
+    assert out == {("signup", "click"): 1, ("click", "click"): 1}
+
+
+def test_label_centroids_mean_of_known_vectors(spark):
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        label_centroids)
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64, 0), (2, [3.0] * 64, 0), (3, [5.0] * 64, 1)],
+        "vec_id long, embedding array<float>, label long")
+    out = label_centroids({"embeddings": emb}).collect()
+    assert len(out) == 128
+    for r in out:
+        assert r["centroid"] == (2.0 if r["label"] == 0 else 5.0)
+        assert r["n"] == (2 if r["label"] == 0 else 1)

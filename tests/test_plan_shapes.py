@@ -128,3 +128,34 @@ def test_salted_agg_rejects_distinct(spark):
     with pytest.raises(ValueError, match="salt-combinable"):
         salted_agg(ev, ["event_type"],
                    {"n": ("count_distinct", "user_id")}).collect()
+
+
+def test_q17_broadcasts_part_dim(spark):
+    plan = _plan(_q(spark, "q17_small_quantity_revenue"))
+    assert "BroadcastHashJoin" in plan
+    # lineitem never sort-merge-joins against the brand dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_probe(spark):
+    # the band dim must broadcast: the fact side is never shuffled
+    plan = _plan(_q(spark, "range_join_value_buckets"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_knn_batch_broadcasts_queries(spark):
+    plan = _plan(_q(spark, "knn_batch"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_new_relational_plans_have_no_python(spark):
+    for name in ("q13_customer_order_counts", "q15_top_supplier",
+                 "q18_large_volume_customers", "q19_disjunctive_revenue",
+                 "q22_dormant_high_balance", "cohort_retention",
+                 "event_transitions", "daily_active_users",
+                 "token_freq_topk", "doc_tfidf_top_terms",
+                 "deterministic_sample", "doc_quality_filters",
+                 "label_centroids"):
+        plan = _plan(_q(spark, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} fell back to Python"
