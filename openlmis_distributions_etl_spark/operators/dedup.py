@@ -247,3 +247,27 @@ def dedup_components(t: dict[str, DataFrame]) -> DataFrame:
     nodes = t["documents"].select(F.col("doc_id").alias("node")).distinct()
     cc = connected_components(edges, nodes)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_ngram_coverage(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document duplicate n-gram coverage: the fraction of a doc's
+    distinct 3-gram shingles that also appear in at least one other
+    document — the near-verbatim-memorization risk metric used when
+    curating training corpora (span-level dedup à la suffix-array
+    dedup, approximated at shingle granularity).
+
+    Shape: one explode, one shingle-frequency aggregate (map-side
+    combined), one join back keyed on the shingle, one per-doc
+    aggregate — never all-pairs."""
+    d = (_with_shingles(t)
+         .select("doc_id",
+                 F.explode(F.array_distinct("shingles")).alias("shingle")))
+    sdf = d.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    return (d.join(sdf, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("sdf") > 1, 1).otherwise(0))
+                 .alias("n_shared"))
+            .select("doc_id", "n_shingles", "n_shared",
+                    (F.col("n_shared") / F.col("n_shingles"))
+                    .alias("dup_coverage")))

@@ -99,3 +99,52 @@ def user_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
             .select("user_id", "value")
             .groupBy("user_id")
             .applyInPandas(_histogram_group, schema=HIST_SCHEMA))
+
+
+FRAME_SIZE = 256        # bytes per fake "frame"
+FRAME_STRIDE = 4        # sample every 4th frame
+
+FRAME_SCHEMA = ("doc_id long, frame_idx int, frame_len int, "
+                "frame_md5 string")
+
+
+def _frame_sample_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized-enough frame sampling: fixed-size byte windows stand
+    in for decoded video frames (a real decoder plugs in here); every
+    FRAME_STRIDE-th window is emitted with its md5."""
+    import hashlib
+
+    out_doc, out_idx, out_len, out_md5 = [], [], [], []
+    for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+        n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+        for idx in range(0, n_frames, FRAME_STRIDE):
+            chunk = payload[idx * FRAME_SIZE:(idx + 1) * FRAME_SIZE]
+            out_doc.append(doc_id)
+            out_idx.append(idx)
+            out_len.append(len(chunk))
+            out_md5.append(hashlib.md5(chunk).hexdigest())
+    return pd.DataFrame({"doc_id": out_doc,
+                         "frame_idx": pd.array(out_idx, dtype="int32"),
+                         "frame_len": pd.array(out_len, dtype="int32"),
+                         "frame_md5": out_md5})
+
+
+def frame_sample(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas frame sampler over (doc_id, payload:binary): narrow
+    (no shuffle), Arrow-batched, output fan-out = frames/stride per
+    row. At 100 TB the binary shards stay where they live and each
+    task emits its own sampled frames."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _frame_sample_batch(batch)
+
+    return binary_df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Documents' text re-encoded as a binary payload, run through the
+    frame sampler (video frame-sampling plumbing with a byte-window
+    stand-in for the decoder)."""
+    payloads = spread(t["documents"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return frame_sample(payloads)

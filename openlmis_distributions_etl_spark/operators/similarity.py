@@ -207,3 +207,26 @@ def knn_batch(t: dict[str, DataFrame], n_queries: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", "label", "cos_sim", "rnk"))
+
+
+def embedding_quantize_int8(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension int8 quantization of the embedding store — the
+    compression step before an ANN index ships to serving. Global
+    per-dim min/max (one tiny broadcast aggregate), then
+    floor-arithmetic codes: floor is exact in IEEE doubles, so codes
+    are bit-identical across engines (no round-half mode drift).
+    Output long format (vec_id, dim, code)."""
+    e = (spread(t["embeddings"])
+         .select("vec_id",
+                 F.posexplode(F.col("embedding")).alias("dim", "x"))
+         .select("vec_id", "dim", F.col("x").cast("double").alias("x")))
+    rng = (e.groupBy("dim")
+           .agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    code = F.when(
+        F.col("hi") == F.col("lo"), F.lit(0)
+    ).otherwise(
+        F.least(F.lit(255.0), F.floor(
+            (F.col("x") - F.col("lo")) * 255.0
+            / (F.col("hi") - F.col("lo")))) - 128)
+    return (e.join(F.broadcast(rng), "dim")
+            .select("vec_id", "dim", code.cast("int").alias("code")))

@@ -1052,3 +1052,51 @@ ORACLES.update({
         FROM scored WHERE rnk <= 3
     """,
 })
+
+
+# -- round-2 additions: span dedup / quantization / frame sampling -----
+
+ORACLES.update({
+    "dedup_ngram_coverage": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct({SHINGLES})) AS shingle
+          FROM d WHERE len(toks) >= 3),
+        sdf AS (SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY shingle)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               CAST(CAST(SUM(CASE WHEN sdf > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS DOUBLE) / COUNT(*) AS dup_coverage
+        FROM sh JOIN sdf USING (shingle)
+        GROUP BY doc_id
+    """,
+    "embedding_quantize_int8": """
+        WITH e AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
+        SELECT vec_id, CAST(dim AS INT) AS dim,
+               CAST(CASE WHEN hi = lo THEN 0
+                    ELSE least(255.0, floor((x - lo) * 255.0 / (hi - lo)))
+                         - 128 END AS INT) AS code
+        FROM e JOIN rng USING (dim)
+    """,
+    # character-based framing == the Python path's byte framing for this
+    # ASCII corpus (same published assumption as multimodal_features'
+    # ascii(text) first byte)
+    "multimodal_frame_sample": """
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, (length(text) + 255) // 256, 4))
+                   AS frame_idx
+          FROM documents)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT),
+                                  256)) AS INT) AS frame_len,
+               md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+                 AS frame_md5
+        FROM f
+    """,
+})

@@ -85,6 +85,7 @@ _OPERATORS = {
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "simhash64": dedup.simhash64,
     "dedup_components": dedup.dedup_components,
+    "dedup_ngram_coverage": dedup.dedup_ngram_coverage,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     # §2.F similarity search
     "knn_bruteforce": similarity.knn_bruteforce,
@@ -92,6 +93,7 @@ _OPERATORS = {
     "knn_batch": similarity.knn_batch,
     "embedding_norms": similarity.embedding_norms,
     "label_centroids": similarity.label_centroids,
+    "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # §2.G text analysis
     "doc_token_count": text.doc_token_count,
     "doc_quality_score": text.doc_quality_score,
@@ -106,6 +108,7 @@ _OPERATORS = {
     "doc_quality_filters": text.doc_quality_filters,
     # §2.H multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
+    "multimodal_frame_sample": multimodal.multimodal_frame_sample,
 }
 
 
