@@ -81,6 +81,26 @@ def spread(df, min_parts: int | None = None):
     return df.repartition(target)
 
 
+def pin(df, **cols: Column):
+    """Append expression columns that are guaranteed to evaluate
+    exactly ONCE per row, by routing them through a Generate node
+    (``inline(array(struct(...)))``).
+
+    Catalyst's CollapseProject / PushDownPredicates substitute a
+    projected expression into every downstream reference — including
+    per-element lambda bodies and join conditions. For an expensive
+    expression (a 64-step vector fold, a signature hash) that turns
+    "compute once, reuse" into "recompute per element / per join
+    probe". No optimizer rule substitutes through a Generate's output
+    attributes, so pinned columns are real row values: a filter on a
+    pinned score stays ABOVE the projection instead of being cloned
+    into a nested-loop join condition.
+    """
+    gen = F.inline(F.array(F.struct(
+        *[c.alias(n) for n, c in cols.items()])))
+    return df.select("*", gen)
+
+
 def ts_us(c: Column | str) -> Column:
     """Timestamps cross the oracle boundary as epoch microseconds
     (bigint) — immune to timezone/format differences between engines."""

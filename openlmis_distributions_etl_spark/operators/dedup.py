@@ -140,21 +140,34 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame],
             .where(F.col("jaccard") >= threshold))
 
 
+LANE_BITS = 16                     # counter width per simhash bit
+LANES_PER_LONG = 64 // LANE_BITS   # 4 bit-counters packed per long
+MAX_DOC_TOKENS = 1 << LANE_BITS    # lane-counter overflow bound
+
+
 def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     """60-bit SimHash from token md5 nibbles (60 not 64 so the value
     fits a signed bigint identically in both engines).
 
     Dictionary design: each distinct token's 60 bits derive once
     (vocab-sized table, AQE-broadcast while it fits) and join onto the
-    token-occurrence stream, whose per-row work is then just 60 ±1
-    projections feeding a map-side-combined per-doc sum. One wide
-    shuffle (doc_id); the occurrence stream is persisted because the
-    dictionary build and the weighted join both read it."""
+    token-occurrence stream. The occurrence stream is deliberately NOT
+    persisted: the dictionary build and the join each re-tokenize,
+    which is cheaper than materializing a corpus-sized exploded stream
+    (at 100 TB the persist would spill to disk and cost more than the
+    second split/explode pass; measured a wash even at sf0.1).
+
+    Per-doc bit counting is lane-packed: the 60 per-bit occurrence
+    counters ride in 15 longs of four 16-bit lanes each, so the hash
+    aggregate carries 16 sum buffers instead of 61 — smaller codegen,
+    smaller partial-agg rows across the one wide shuffle (doc_id).
+    Lanes bound per-doc token count at 2^16; a longer doc raises
+    (``raise_error`` guard) rather than silently corrupting adjacent
+    lanes — switch to LANE_BITS=32 (30 buffers) for such corpora."""
     # token occurrences, not (doc,token) counts: summing ±1 per
     # occurrence equals the cnt-weighted sum, and skipping the
-    # pre-aggregation removes a whole shuffle; the dictionary reuses
-    # the same exploded stream (persisted once)
-    tok_occurrences = retain(
+    # pre-aggregation removes a whole shuffle
+    tok_occurrences = (
         spread(t["documents"])
         .select("doc_id", F.explode(tokens()).alias("tok"))
     )
@@ -174,21 +187,40 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     # web-scale vocabulary (URLs, ids, typos) would not fit
     occ = tok_occurrences.join(token_bits, "tok").select("doc_id", "mask")
 
-    # s_j = sum(±1) > 0  ⟺  2 * ones_j > n_occurrences
-    def ones(j: int):
+    def mask_bit(j: int):
         shift = 4 * (14 - j // 4) + (3 - j % 4)
-        return F.sum(F.shiftright(F.col("mask"), shift)
-                     .bitwiseAND(F.lit(1))).alias(f"o{j}")
+        return F.shiftright(F.col("mask"), shift).bitwiseAND(F.lit(1))
 
+    def lane_sum(g: int):
+        packed = None
+        for k in range(LANES_PER_LONG):
+            term = F.shiftleft(mask_bit(LANES_PER_LONG * g + k),
+                               LANE_BITS * k)
+            packed = term if packed is None else packed + term
+        return F.sum(packed).alias(f"L{g}")
+
+    n_lanes = 60 // LANES_PER_LONG
     summed = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *[ones(j) for j in range(60)])
+        F.count(F.lit(1)).alias("n"),
+        *[lane_sum(g) for g in range(n_lanes)])
+
+    # s_j = sum(±1) > 0  ⟺  2 * ones_j > n_occurrences
     simhash = None
-    for j in range(60):
-        term = F.when(2 * F.col(f"o{j}") > F.col("n"),
-                      F.lit(1 << j).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return summed.select("doc_id", simhash.alias("simhash"))
+    for g in range(n_lanes):
+        for k in range(LANES_PER_LONG):
+            j = LANES_PER_LONG * g + k
+            cnt = F.shiftright(F.col(f"L{g}"), LANE_BITS * k) \
+                   .bitwiseAND(F.lit((1 << LANE_BITS) - 1))
+            term = F.when(2 * cnt > F.col("n"),
+                          F.lit(1 << j).cast("long")) \
+                    .otherwise(F.lit(0).cast("long"))
+            simhash = term if simhash is None else simhash + term
+    guarded = F.when(
+        F.col("n") < MAX_DOC_TOKENS, simhash,
+    ).otherwise(F.raise_error(F.lit(
+        f"simhash64: document exceeds {MAX_DOC_TOKENS - 1} tokens; "
+        f"lane counters would overflow — raise LANE_BITS")))
+    return summed.select("doc_id", guarded.alias("simhash"))
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import spread
+from ..functions import pin, spread
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -140,16 +140,20 @@ def embedding_near_dup_pairs(t: dict[str, DataFrame],
     recomputing both norms — at n vectors that's O(n) norms + O(pairs)
     dots, the only formulation that survives scale. All-pairs at test
     scale; the 100 TB path puts LSH/IVF bucketing (see knn_ivf) in
-    front of the same pair scorer."""
-    # norm as a materialized column so the per-element division lambda
-    # references an attribute, not a re-evaluated aggregate expression
-    norm = (
-        spread(t["embeddings"])
-        .select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-        .select("vec_id",
-                F.transform(_dbl(F.col("embedding")),
-                            lambda x: x / F.col("nrm")).alias("nv"))
-    )
+    front of the same pair scorer.
+
+    Both the per-vector norm and the per-pair score are ``pin``ned
+    behind Generate nodes: otherwise Catalyst inlines the norm fold
+    into the per-element division lambda (64× redundant) and clones
+    the pair fold into the nested-loop join condition (2× per probe,
+    evaluated even for pairs the cheap ``vec_a < vec_b`` key test
+    rejects)."""
+    norm = pin(
+        spread(t["embeddings"]).select("vec_id", "embedding"),
+        nrm=l2_norm(F.col("embedding")),
+    ).select("vec_id",
+             F.transform(_dbl(F.col("embedding")),
+                         lambda x: x / F.col("nrm")).alias("nv"))
     a = norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("na"))
     b = norm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("nb"))
     # zip_with+aggregate measured faster than an explicit 64-term
@@ -159,9 +163,9 @@ def embedding_near_dup_pairs(t: dict[str, DataFrame],
         F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", dot_ab.alias("cos_sim"))
+        pin(a.join(b, F.col("vec_a") < F.col("vec_b")), cos_sim=dot_ab)
         .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 
