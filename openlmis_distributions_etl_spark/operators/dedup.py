@@ -303,3 +303,82 @@ def dedup_ngram_coverage(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_id", "n_shingles", "n_shared",
                     (F.col("n_shared") / F.col("n_shingles"))
                     .alias("dup_coverage")))
+
+
+SIMHASH_BANDS = 4          # 15-bit bands over the 60-bit simhash
+SIMHASH_MAX_DIST = 3       # pigeonhole: d ≤ bands-1 ⇒ ≥1 band equal
+
+
+def simhash_hamming_pairs(t: dict[str, DataFrame],
+                          max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_dist``,
+    found with banded bucketing instead of all-pairs: the 60-bit hash
+    splits into 4 disjoint 15-bit bands, and any two hashes within
+    Hamming distance 3 must agree on at least one whole band
+    (pigeonhole), so the band-bucket self-join has perfect recall while
+    only comparing within buckets. The exact distance then filters the
+    candidates with one codegen'd ``bit_count(xor)``.
+
+    One simhash computation (persisted — both self-join sides read
+    it), a self-join shuffled on (band_id, band_val), no O(n²) stage.
+    """
+    sh = retain(simhash64(t))
+    band_width = 60 // SIMHASH_BANDS
+    parts = [
+        sh.select("doc_id", "simhash", F.lit(b).alias("band_id"),
+                  F.shiftright("simhash", band_width * b)
+                  .bitwiseAND(F.lit((1 << band_width) - 1))
+                  .alias("band_val"))
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = reduce(DataFrame.unionAll, parts)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_dist))
+
+
+def minhash_jaccard_estimate(t: dict[str, DataFrame]) -> DataFrame:
+    """Estimated Jaccard similarity for the LSH candidate pairs: the
+    fraction of the 16 MinHash slots on which the two docs agree — the
+    cheap similarity score used to rank/threshold candidates before
+    (or instead of) exact shingle-set verification.
+
+    The signature table is computed once (persisted) and feeds both
+    the band join and the two signature sides of the estimate; slot
+    agreement is a flat 16-term integer sum (codegen, no arrays)."""
+    sig = retain(minhash_signatures(t))
+    pairs = (
+        _bands(sig).alias("x")
+        .join(_bands(sig).alias("y"),
+              (F.col("x.band_id") == F.col("y.band_id"))
+              & (F.col("x.band_val") == F.col("y.band_val"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("a_id"),
+                   *[F.col(f"h{j}").alias(f"a_h{j}") for j in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("b_id"),
+                   *[F.col(f"h{j}").alias(f"b_h{j}") for j in range(N_HASHES)])
+    n_agree = None
+    for j in range(N_HASHES):
+        term = F.when(F.col(f"a_h{j}") == F.col(f"b_h{j}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    return (pairs
+            .join(a, F.col("doc_a") == F.col("a_id"))
+            .join(b, F.col("doc_b") == F.col("b_id"))
+            .select("doc_a", "doc_b",
+                    n_agree.cast("int").alias("n_agree"))
+            .withColumn("jaccard_est", F.col("n_agree") / F.lit(N_HASHES)))

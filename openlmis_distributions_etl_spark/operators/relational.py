@@ -415,3 +415,160 @@ def q22_dormant_high_balance(t: dict[str, DataFrame],
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  dsum("c_acctbal").alias("total_balance")))
+
+
+def q2_min_cost_supplier(t: dict[str, DataFrame],
+                         max_size: int = 10) -> DataFrame:
+    """Min-cost supplier per part (q2 shape, lineitem as the
+    part-supplier bridge since this schema carries no partsupp table):
+    for small parts, each (part, supplier) pair's average unit price,
+    keeping only pairs that hit the part's minimum.
+
+    The per-pair aggregate shuffles once on (partkey, suppkey); the
+    per-part minimum is a second tiny aggregate joined back broadcast
+    (q15's max-equality pattern). Unit price is an exact decimal sum
+    ratio, so the min-equality join is bit-stable."""
+    pa = (t["part"].where(F.col("p_size") <= max_size)
+          .select("p_partkey", "p_name", "p_size"))
+    li = (t["lineitem"]
+          .join(broadcast(pa), F.col("l_partkey") == F.col("p_partkey")))
+    pair_cost = (
+        li.groupBy("l_partkey", "l_suppkey", "p_name", "p_size")
+        .agg((dsum("l_extendedprice") / dsum("l_quantity"))
+             .alias("unit_cost")))
+    part_min = (pair_cost.groupBy(F.col("l_partkey").alias("m_partkey"))
+                .agg(F.min("unit_cost").alias("min_cost")))
+    return (
+        pair_cost
+        .join(part_min, (F.col("l_partkey") == F.col("m_partkey"))
+              & (F.col("unit_cost") == F.col("min_cost")))
+        .join(broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_partkey").alias("p_partkey"), "p_name", "p_size",
+                "s_suppkey", "s_name", "s_acctbal", "unit_cost"))
+
+
+def q11_important_parts(t: dict[str, DataFrame],
+                        mult: float = 1.3) -> DataFrame:
+    """Parts with an outsized share of total traded value (q11 shape):
+    per-part value aggregate HAVING-filtered against a scalar-subquery
+    threshold (``mult`` × the mean per-part value).
+
+    Both aggregates read one lineitem scan shape; the global
+    total/part-count is a one-row broadcast, so the HAVING comparison
+    is map-side. The mean is exact-decimal total ÷ exact distinct
+    count (a double mean of per-part doubles would be partition-order
+    dependent), so the threshold is bit-stable across engines."""
+    value = disc_price()
+    per_part = (t["lineitem"]
+                .groupBy("l_partkey")
+                .agg(dsum_of(value).alias("part_value")))
+    total = (t["lineitem"]
+             .agg((dsum_of(value) / F.countDistinct("l_partkey")
+                   * F.lit(mult)).alias("threshold")))
+    return (per_part.join(broadcast(total))
+            .where(F.col("part_value") > F.col("threshold"))
+            .select("l_partkey", "part_value"))
+
+
+def q12_late_shipment_priority(t: dict[str, DataFrame],
+                               year: int = 1997,
+                               late_days: int = 90) -> DataFrame:
+    """Priority mix of late vs on-time shipments (q12 shape; ship
+    latency class replaces shipmode, which this schema lacks): one
+    join, CASE-conditional counts per class — a single shuffle on a
+     2-row key."""
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .where(F.year("l_shipdate") == year))
+    is_late = (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(F.when(is_late, "LATE").otherwise("ONTIME")
+                      .alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_priority")))
+
+
+def q16_supplier_variety(t: dict[str, DataFrame]) -> DataFrame:
+    """Distinct supplier count per (brand, size-bucket), excluding
+    suppliers in the NOT-IN set (negative balance) — q16 shape.
+
+    The (part, supplier) bridge de-duplicates with one aggregate-free
+    distinct on the join output; the exclusion list is tiny and
+    broadcast as a left-anti join (NOT IN with guaranteed non-null
+    keys). COUNT(DISTINCT) then shuffles on the small report key."""
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey")))
+    bucket = (F.floor(F.col("p_size") / 10) * 10).cast("int")
+    return (pairs.groupBy("p_brand", bucket.alias("size_bucket"))
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q20_excess_supply_suppliers(t: dict[str, DataFrame],
+                                prefix: str = "small",
+                                year: int = 1997,
+                                share: float = 0.3) -> DataFrame:
+    """Suppliers that shipped an outsized share of a watched part's
+    volume in one year (q20 shape: nested semi-join chain). The
+    part-name filter prunes before any shuffle; per-(part, supplier)
+    and per-part aggregates reuse the same shuffled scan; the final
+    distinct supplier set joins the supplier/nation dims broadcast."""
+    pa = (t["part"].where(F.col("p_name").startswith(prefix))
+          .select("p_partkey"))
+    li = (t["lineitem"].where(F.year("l_shipdate") == year)
+          .join(broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    pair_qty = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(dsum("l_quantity").alias("pair_qty")))
+    part_qty = (li.groupBy(F.col("l_partkey").alias("q_partkey"))
+                .agg((dsum("l_quantity") * F.lit(share)).alias("qty_bar")))
+    heavy = (pair_qty
+             .join(part_qty, F.col("l_partkey") == F.col("q_partkey"))
+             .where(F.col("pair_qty") > F.col("qty_bar"))
+             .select("l_suppkey").distinct())
+    return (heavy
+            .join(broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+def q21_sole_late_supplier(t: dict[str, DataFrame],
+                           late_days: int = 90,
+                           k: int = 20) -> DataFrame:
+    """Suppliers that were the ONLY late shipper on multi-supplier
+    orders (q21 shape). The EXISTS / NOT-EXISTS pair collapses into
+    one per-order aggregate — distinct supplier count and distinct
+    late-supplier count — computed in a single shuffle on orderkey,
+    then rejoined to the late lines; at 100 TB that replaces two
+    correlated self-probes of the fact with one combinable aggregate."""
+    li = (t["lineitem"]
+          .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr(f"INTERVAL {late_days} DAYS")).alias("late")))
+    per_order = (li.groupBy(F.col("l_orderkey").alias("g_orderkey"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+                      F.countDistinct(F.when(F.col("late"),
+                                             F.col("l_suppkey")))
+                      .alias("n_late_supps")))
+    culprit = (li.where(F.col("late"))
+               .join(per_order, (F.col("l_orderkey") == F.col("g_orderkey"))
+                     & (F.col("n_supps") > 1)
+                     & (F.col("n_late_supps") == 1))
+               .select("l_orderkey", "l_suppkey").distinct())
+    return (culprit.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(k))

@@ -234,3 +234,45 @@ def embedding_quantize_int8(t: dict[str, DataFrame]) -> DataFrame:
             / (F.col("hi") - F.col("lo")))) - 128)
     return (e.join(F.broadcast(rng), "dim")
             .select("vec_id", "dim", code.cast("int").alias("code")))
+
+
+N_HYPERPLANES = 16
+
+
+def _hyperplane_signs(k: int, dim: int = DIM) -> list[float]:
+    """Deterministic ±1 hyperplane entries from md5('hp|k|i') — the
+    published random-hyperplane construction with a portable seed, so
+    any engine (or the SQL oracle) re-derives the identical planes."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"hp|{k}|{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+HYPERPLANES = [_hyperplane_signs(k) for k in range(N_HYPERPLANES)]
+
+
+def hyperplane_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per embedding: bit k of the
+    bucket id is the sign of ⟨v, h_k⟩ against 16 deterministic ±1
+    hyperplanes — the classic cosine-LSH prefilter that turns the
+    all-pairs near-dup join into a bucket-local one.
+
+    Pure per-row projection (broadcast-free: the planes are literals
+    compiled into the plan), so the operator is scan-bound at any
+    scale; the 16 fold products reuse one double-cast of the vector."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = pin(spread(t["embeddings"]).select("vec_id", "embedding"),
+            v=vec)
+    bucket = None
+    for k, signs in enumerate(HYPERPLANES):
+        plane = F.array(*[F.lit(s) for s in signs])
+        dot_k = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(dot_k >= 0.0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return d.select("vec_id", bucket.cast("int").alias("bucket"))

@@ -245,3 +245,114 @@ def doc_quality_filters(t: dict[str, DataFrame]) -> DataFrame:
         (has_min_tokens.cast("boolean") & mean_len_ok.cast("boolean")
          & has_stopword.cast("boolean") & uniq_ok.cast("boolean"))
         .cast("int").alias("keep"))
+
+
+def doc_repetition_ratio(t: dict[str, DataFrame]) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of word bigrams that are repeats of an earlier bigram in
+    the same doc. Pure per-row array arithmetic — size and
+    distinct-size of the bigram list — so there is no shuffle at any
+    scale; the ratio is an exact bigint division in IEEE doubles."""
+    toks = tokens()
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1]))")
+    d = (t["documents"]
+         .select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= 2)
+         .select("doc_id", bigrams.alias("bg")))
+    return d.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_distinct_bigrams"),
+        (F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg"))
+        .alias("repetition_ratio"))
+
+
+def bigram_lm_top_successor(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus bigram language model, most-likely successor per token:
+    c(w1,w2) / c(w1·) with the conditional probability as an exact
+    bigint ratio. Two map-side-combinable aggregates on the exploded
+    bigram stream (vocab-sized outputs), one broadcast join — the
+    100 TB cost is the explode scan, not the model table."""
+    toks = tokens()
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")
+    bg = (t["documents"]
+          .select(toks.alias("toks"))
+          .where(F.size("toks") >= 2)
+          .select(F.explode(bigrams).alias("b"))
+          .select("b.w1", "b.w2"))
+    pair_cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_cnt = (bg.groupBy(F.col("w1").alias("u_w1"))
+               .agg(F.count(F.lit(1)).alias("c1")))
+    w = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (pair_cnt
+            .join(uni_cnt, F.col("w1") == F.col("u_w1"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("w1", F.col("w2").alias("top_successor"),
+                    "c12", "c1",
+                    (F.col("c12") / F.col("c1")).alias("cond_prob")))
+
+
+def contamination_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Train/test contamination audit across corpus splits: for every
+    document, the fraction of its distinct 3-gram shingles that also
+    occur in ANY document of a different ``source`` — the overlap
+    check run before holding a source out as an eval set.
+
+    Shape mirrors span-dedup: explode distinct shingles once, build a
+    per-shingle source-count dictionary (shingle, n_sources,
+    one_source), join back, aggregate per doc. Never all-pairs; the
+    dictionary is vocabulary-sized and the two wide shuffles are both
+    keyed on the shingle."""
+    toks = tokens()
+    shingles = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")
+    d = (t["documents"]
+         .select("doc_id", "source", toks.alias("toks"))
+         .where(F.size("toks") >= 3)
+         .select("doc_id", "source",
+                 F.explode(F.array_distinct(shingles)).alias("shingle")))
+    # a shingle is "foreign-shared" for source s if it occurs in some
+    # other source: n_sources > 1, or the single source isn't s
+    sdict = (d.groupBy("shingle")
+             .agg(F.countDistinct("source").alias("n_sources"),
+                  F.min("source").alias("only_source")))
+    shared = (F.col("n_sources") > 1) | (F.col("only_source") != F.col("source"))
+    return (d.join(sdict, "shingle")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(shared, 1).otherwise(0))
+                 .alias("n_contaminated"))
+            .select("doc_id", "source", "n_shingles", "n_contaminated",
+                    (F.col("n_contaminated") / F.col("n_shingles"))
+                    .alias("contamination")))
+
+
+STRATA_RATES = {"en": 30, "de": 60, "es": 60, "fr": 60, "zh": 90}
+
+
+def stratified_sample(t: dict[str, DataFrame],
+                      salt: str = "strat|") -> DataFrame:
+    """Per-language stratified sampling with deterministic md5 buckets
+    — downsample the over-represented stratum (en) harder, keep rare
+    strata: the mixture-balancing step of corpus curation. The rate
+    table is a literal broadcast map; selection stays a pure per-row
+    projection (no shuffle, no rand()), so the same doc survives on
+    every engine, run, and cluster size."""
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lng, F.lit(r))
+          for lng, r in STRATA_RATES.items()],
+        F.lit(0))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    return (t["documents"]
+            .select("doc_id", "lang", bucket.alias("bucket"),
+                    rate.alias("keep_pct"))
+            .where(F.col("bucket") < F.col("keep_pct")))

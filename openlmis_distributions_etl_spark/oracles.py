@@ -1100,3 +1100,259 @@ ORACLES.update({
         FROM f
     """,
 })
+
+
+# -- round-2 additions: remaining TPC-H shapes ------------------------
+
+ORACLES.update({
+    "q2_min_cost_supplier": f"""
+        WITH pair_cost AS (
+          SELECT l_partkey, l_suppkey, p_name, p_size,
+                 {DSUM('l_extendedprice')} / {DSUM('l_quantity')}
+                   AS unit_cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size <= 10
+          GROUP BY l_partkey, l_suppkey, p_name, p_size),
+        part_min AS (
+          SELECT l_partkey AS m_partkey, MIN(unit_cost) AS min_cost
+          FROM pair_cost GROUP BY l_partkey)
+        SELECT l_partkey AS p_partkey, p_name, p_size,
+               s_suppkey, s_name, s_acctbal, unit_cost
+        FROM pair_cost
+        JOIN part_min ON l_partkey = m_partkey AND unit_cost = min_cost
+        JOIN supplier ON l_suppkey = s_suppkey
+    """,
+    "q11_important_parts": f"""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS part_value
+          FROM lineitem GROUP BY l_partkey),
+        total AS (
+          SELECT CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE)
+                 / COUNT(DISTINCT l_partkey)
+                 * CAST(1.3 AS DOUBLE) AS threshold
+          FROM lineitem)
+        SELECT l_partkey, part_value
+        FROM per_part, total
+        WHERE part_value > threshold
+    """,
+    "q12_late_shipment_priority": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = 1997
+        GROUP BY 1
+    """,
+    "q16_supplier_variety": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        SELECT p_brand,
+               CAST(FLOOR(p_size / 10) * 10 AS INT) AS size_bucket,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, size_bucket
+    """,
+    "q20_excess_supply_suppliers": f"""
+        WITH li AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) = 1997 AND p_name LIKE 'small%'),
+        pair_qty AS (
+          SELECT l_partkey, l_suppkey, {DSUM('l_quantity')} AS pair_qty
+          FROM li GROUP BY l_partkey, l_suppkey),
+        part_qty AS (
+          SELECT l_partkey AS q_partkey,
+                 {DSUM('l_quantity')} * CAST(0.3 AS DOUBLE) AS qty_bar
+          FROM li GROUP BY l_partkey),
+        heavy AS (
+          SELECT DISTINCT l_suppkey
+          FROM pair_qty JOIN part_qty ON l_partkey = q_partkey
+          WHERE pair_qty > qty_bar)
+        SELECT s_suppkey, s_name, n_name
+        FROM heavy
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "q21_sole_late_supplier": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        per_order AS (
+          SELECT l_orderkey AS g_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supps,
+                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                   AS n_late_supps
+          FROM li GROUP BY l_orderkey),
+        culprit AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM li JOIN per_order ON l_orderkey = g_orderkey
+          WHERE late AND n_supps > 1 AND n_late_supps = 1)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """,
+})
+
+
+# -- round-2 additions: training-data curation ops --------------------
+
+_BIGRAMS = ("CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END")
+
+_SIMHASH_CTE = f"""
+d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, md5(tok) AS h, cnt FROM tc),
+bits AS (
+  SELECT doc_id, j,
+         ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+           >> CAST(3 - (j % 4) AS INT)) & 1 AS bit,
+         cnt
+  FROM th, (SELECT unnest(range(60)) AS j)),
+agg AS (SELECT doc_id, j, SUM((2 * bit - 1) * cnt) AS s FROM bits GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM agg GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, b AS band_id,
+         (simhash >> CAST(15 * b AS INT)) & 32767 AS band_val
+  FROM sh, (SELECT unnest(range(4)) AS b))"""
+
+_AGREE_SUM = " + ".join(
+    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(16))
+
+ORACLES.update({
+    "doc_repetition_ratio": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        bg AS (SELECT doc_id, {_BIGRAMS} AS bg FROM d WHERE len(toks) >= 2)
+        SELECT doc_id,
+               CAST(len(bg) AS INTEGER) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                 AS repetition_ratio
+        FROM bg
+    """,
+    "bigram_lm_top_successor": f"""
+        WITH d AS (SELECT {TOKS} AS toks FROM documents),
+        bg AS (
+          SELECT unnest({_BIGRAMS}) AS b FROM d WHERE len(toks) >= 2),
+        split_bg AS (
+          SELECT string_split(b, ' ')[1] AS w1,
+                 string_split(b, ' ')[2] AS w2 FROM bg),
+        pair_cnt AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM split_bg GROUP BY w1, w2),
+        uni_cnt AS (
+          SELECT w1, COUNT(*) AS c1 FROM split_bg GROUP BY w1),
+        ranked AS (
+          SELECT p.w1, p.w2, p.c12, u.c1,
+                 ROW_NUMBER() OVER (PARTITION BY p.w1
+                                    ORDER BY p.c12 DESC, p.w2 ASC) AS rn
+          FROM pair_cnt p JOIN uni_cnt u ON p.w1 = u.w1)
+        SELECT w1, w2 AS top_successor,
+               CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+               CAST(c12 AS DOUBLE) / c1 AS cond_prob
+        FROM ranked WHERE rn = 1
+    """,
+    "contamination_overlap": f"""
+        WITH d AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, source, unnest(list_distinct({SHINGLES})) AS shingle
+          FROM d WHERE len(toks) >= 3),
+        sdict AS (
+          SELECT shingle, COUNT(DISTINCT source) AS n_sources,
+                 MIN(source) AS only_source
+          FROM sh GROUP BY shingle)
+        SELECT doc_id, source,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN n_sources > 1 OR only_source <> source
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN n_sources > 1 OR only_source <> source
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS contamination
+        FROM sh JOIN sdict USING (shingle)
+        GROUP BY doc_id, source
+    """,
+    "stratified_sample": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST({_HEX8_TO_INT("'strat|' || CAST(doc_id AS VARCHAR)")}
+                      % 100 AS INT) AS bucket,
+                 CAST(CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+                      WHEN 'es' THEN 60 WHEN 'fr' THEN 60
+                      WHEN 'zh' THEN 90 ELSE 0 END AS INT) AS keep_pct
+          FROM documents)
+        SELECT doc_id, lang, bucket, keep_pct
+        FROM d WHERE bucket < keep_pct
+    """,
+    "simhash_hamming_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM banded a
+          JOIN banded b ON a.band_id = b.band_id
+                       AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    "minhash_jaccard_estimate": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST({_AGREE_SUM} AS INT) AS n_agree,
+               CAST({_AGREE_SUM} AS DOUBLE) / 16 AS jaccard_est
+        FROM pairs
+        JOIN sig a ON pairs.doc_a = a.doc_id
+        JOIN sig b ON pairs.doc_b = b.doc_id
+    """,
+})
+
+
+def _hyperplane_sql_literals() -> str:
+    """VALUES rows (k, ±1 plane) matching similarity.HYPERPLANES."""
+    from .operators.similarity import HYPERPLANES
+
+    rows = ", ".join(
+        f"({k}, [{', '.join(str(s) for s in signs)}])"
+        for k, signs in enumerate(HYPERPLANES))
+    return rows
+
+
+ORACLES.update({
+    "hyperplane_lsh_buckets": f"""
+        WITH hp(k, signs) AS (VALUES {_hyperplane_sql_literals()}),
+        dots AS (
+          SELECT vec_id, k,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * signs[CAST(i AS INT)])) AS dot_k
+          FROM embeddings, hp)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot_k >= 0 THEN 1 << CAST(k AS INT)
+                             ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id
+    """,
+})

@@ -43,6 +43,20 @@ _OPERATORS = {
     "q18_large_volume_customers": relational.q18_large_volume_customers,
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_dormant_high_balance": relational.q22_dormant_high_balance,
+    "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+    "q11_important_parts": relational.q11_important_parts,
+    "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+    "q16_supplier_variety": relational.q16_supplier_variety,
+    "q20_excess_supply_suppliers": relational.q20_excess_supply_suppliers,
+    "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+    # §2.E/F/G round-2 wave: curation ops
+    "doc_repetition_ratio": text.doc_repetition_ratio,
+    "bigram_lm_top_successor": text.bigram_lm_top_successor,
+    "contamination_overlap": text.contamination_overlap,
+    "stratified_sample": text.stratified_sample,
+    "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
+    "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
+    "hyperplane_lsh_buckets": similarity.hyperplane_lsh_buckets,
     # §2.A second wave
     "distinct_counts": analytics.distinct_counts,
     "set_ops_customers": analytics.set_ops_customers,
