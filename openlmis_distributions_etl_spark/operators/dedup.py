@@ -142,7 +142,12 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame],
 
 LANE_BITS = 16                     # counter width per simhash bit
 LANES_PER_LONG = 64 // LANE_BITS   # 4 bit-counters packed per long
-MAX_DOC_TOKENS = 1 << LANE_BITS    # lane-counter overflow bound
+# Overflow bound: the top lane rides at bit 48, so a signed-long sum
+# stays exact only while count < 2^(63-48) = 2^15 — tighter than the
+# 2^16 lane width itself. Beyond it either ANSI mode aborts the sum
+# (long overflow) or the post-agg guard below raises; silent lane
+# bleed is impossible under the 2^15 bound.
+MAX_DOC_TOKENS = 1 << (63 - LANE_BITS * (LANES_PER_LONG - 1))
 
 
 def simhash64(t: dict[str, DataFrame]) -> DataFrame:
@@ -161,9 +166,10 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     counters ride in 15 longs of four 16-bit lanes each, so the hash
     aggregate carries 16 sum buffers instead of 61 — smaller codegen,
     smaller partial-agg rows across the one wide shuffle (doc_id).
-    Lanes bound per-doc token count at 2^16; a longer doc raises
-    (``raise_error`` guard) rather than silently corrupting adjacent
-    lanes — switch to LANE_BITS=32 (30 buffers) for such corpora."""
+    Lanes bound per-doc token count at 2^15 (see MAX_DOC_TOKENS); a
+    longer doc raises (ANSI overflow or the ``raise_error`` guard)
+    rather than silently corrupting adjacent lanes — switch to
+    LANE_BITS=32 (30 buffers) for such corpora."""
     # token occurrences, not (doc,token) counts: summing ±1 per
     # occurrence equals the cnt-weighted sum, and skipping the
     # pre-aggregation removes a whole shuffle

@@ -1,0 +1,277 @@
+"""Unit + plan-shape tests for the round-2 operators: TPC-H shapes
+q2/q11/q12/q16/q20/q21 and the curation ops (repetition, bigram LM,
+contamination, stratified sampling, simhash hamming, minhash
+agreement, hyperplane LSH)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+from openlmis_distributions_etl_spark import registry
+from openlmis_distributions_etl_spark.operators import (dedup, relational,
+                                                        similarity, text)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF0001)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- repetition ratio --------------------------------------------------
+
+def test_repetition_ratio_counts(spark):
+    t = {"documents": _docs(spark, [
+        (1, "a b a b", "en", "s", 7),      # bigrams: ab, ba, ab → 1/3 dup
+        (2, "x y z", "en", "s", 5),        # xy, yz → all distinct
+        (3, "solo", "en", "s", 4),         # <2 tokens → excluded
+    ])}
+    out = {r["doc_id"]: r for r in text.doc_repetition_ratio(t).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_distinct_bigrams"] == 2
+    assert out[1]["repetition_ratio"] == pytest.approx(1 / 3)
+    assert out[2]["repetition_ratio"] == 0.0
+
+
+# -- bigram LM ---------------------------------------------------------
+
+def test_bigram_lm_counts_and_tiebreak(spark):
+    t = {"documents": _docs(spark, [
+        (1, "a b a b a c", "en", "s", 11),
+        (2, "a c", "en", "s", 3),
+    ])}
+    out = {r["w1"]: r for r in text.bigram_lm_top_successor(t).collect()}
+    # bigrams: doc1 → ab, ba, ab, ba, ac; doc2 → ac
+    # c(a·)=4 (ab, ab, ac, ac), c(a,b)=2, c(a,c)=2 → tie broken b < c
+    assert out["a"]["top_successor"] == "b"
+    assert out["a"]["c12"] == 2 and out["a"]["c1"] == 4
+    assert out["a"]["cond_prob"] == pytest.approx(0.5)
+    assert out["b"]["top_successor"] == "a" and out["b"]["cond_prob"] == 1.0
+
+
+# -- contamination -----------------------------------------------------
+
+def test_contamination_cross_source_only(spark):
+    t = {"documents": _docs(spark, [
+        (1, "p q r", "en", "srcA", 5),     # shingle 'p q r' shared w/ srcB
+        (2, "p q r", "en", "srcB", 5),
+        (3, "u v w", "en", "srcA", 5),     # unique shingle
+        (4, "m n o", "en", "srcA", 5),     # duplicated within srcA only
+        (5, "m n o", "en", "srcA", 5),
+    ])}
+    out = {r["doc_id"]: r for r in text.contamination_overlap(t).collect()}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 1.0
+    assert out[3]["contamination"] == 0.0
+    # same-source duplication is NOT contamination
+    assert out[4]["contamination"] == 0.0 and out[5]["contamination"] == 0.0
+
+
+# -- stratified sampling ----------------------------------------------
+
+def test_stratified_sample_respects_rates(spark):
+    out = _q(spark, "stratified_sample").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["bucket"] < r["keep_pct"]
+        assert r["keep_pct"] == text.STRATA_RATES[r["lang"]]
+    # deterministic: a second run yields the identical sample
+    again = _q(spark, "stratified_sample").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# -- simhash hamming pairs --------------------------------------------
+
+def test_simhash_identical_docs_distance_zero(spark):
+    t = {"documents": _docs(spark, [
+        (1, "spark shuffles the big table", "en", "s", 28),
+        (2, "spark shuffles the big table", "en", "s", 28),
+        (3, "completely different words entirely", "en", "s", 35),
+    ])}
+    rows = dedup.simhash_hamming_pairs(t).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_banding_has_perfect_recall(spark):
+    """Banded candidates must equal brute-force all-pairs at d ≤ 3
+    (the pigeonhole guarantee the operator's docstring claims)."""
+    t = {"documents": registry.load_tables(spark, SF0001)["documents"]}
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in dedup.simhash_hamming_pairs(t).collect()}
+    sh = dedup.simhash64(t)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sim_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                .alias("hamming"))
+        .where(F.col("hamming") <= dedup.SIMHASH_MAX_DIST)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_lane_overflow_guard(spark):
+    # Either ANSI aborts the lane sum ("long overflow") or the post-agg
+    # guard fires ("lane counters would overflow") — never silent.
+    t = {"documents": _docs(spark, [
+        (1, "tok " * dedup.MAX_DOC_TOKENS, "en", "s", 4 * dedup.MAX_DOC_TOKENS),
+    ])}
+    with pytest.raises(Exception, match="overflow"):
+        dedup.simhash64(t).collect()
+
+
+# -- minhash agreement estimate ---------------------------------------
+
+def test_minhash_estimate_identical_docs(spark):
+    t = {"documents": _docs(spark, [
+        (1, "w x y z w x", "en", "s", 11),
+        (2, "w x y z w x", "en", "s", 11),
+    ])}
+    rows = dedup.minhash_jaccard_estimate(t).collect()
+    est = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert est[(1, 2)]["n_agree"] == 16
+    assert est[(1, 2)]["jaccard_est"] == 1.0
+
+
+# -- hyperplane LSH ----------------------------------------------------
+
+def test_hyperplane_bucket_range_and_determinism(spark):
+    out = _q(spark, "hyperplane_lsh_buckets").collect()
+    assert len(out) > 0
+    assert all(0 <= r["bucket"] < (1 << similarity.N_HYPERPLANES)
+               for r in out)
+    # identical vectors land in identical buckets (exact duplicate run)
+    again = {r["vec_id"]: r["bucket"]
+             for r in _q(spark, "hyperplane_lsh_buckets").collect()}
+    assert all(again[r["vec_id"]] == r["bucket"] for r in out)
+
+
+def test_hyperplanes_are_balanced_signs(spark):
+    # md5-seeded entries: both signs occur in every plane (sanity that
+    # the seed derivation isn't degenerate)
+    for signs in similarity.HYPERPLANES:
+        assert {1.0, -1.0} == set(signs) or len(set(signs)) == 2
+
+
+# -- TPC-H shapes ------------------------------------------------------
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate timestamp")
+
+
+def _supplier(spark, rows):
+    return spark.createDataFrame(
+        rows, "s_suppkey long, s_name string, s_nationkey int, "
+              "s_acctbal double")
+
+
+def test_q21_sole_late_logic(spark):
+    late = TS + dt.timedelta(days=120)
+    ontime = TS + dt.timedelta(days=10)
+    li = [
+        # order 1: supp 1 late, supp 2 on time → supp 1 is a culprit
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", late),
+        (1, 1, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", ontime),
+        # order 2: both supps late → nobody is the sole late supplier
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", late),
+        (2, 1, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", late),
+        # order 3: single-supplier order, late → excluded (n_supps == 1)
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", late),
+    ]
+    orders = [(k, 1, "O", 10.0, TS, "1-URGENT") for k in (1, 2, 3)]
+    t = {"lineitem": _lineitem(spark, li),
+         "orders": _orders(spark, orders),
+         "supplier": _supplier(spark, [(1, "S1", 0, 0.0),
+                                       (2, "S2", 0, 0.0)])}
+    out = {r["s_name"]: r["numwait"]
+           for r in relational.q21_sole_late_supplier(t).collect()}
+    assert out == {"S1": 1}
+
+
+def test_q2_min_cost_ties_keep_all(spark):
+    part = spark.createDataFrame(
+        [(1, "widget", "Brand#1", "STANDARD", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double")
+    li = [
+        # supp 1 and supp 2 tie at unit cost 10.0; supp 3 is higher
+        (1, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", TS),
+        (1, 1, 2, 2, 3.0, 30.0, 0.0, 0.0, "N", "O", TS),
+        (1, 1, 3, 3, 1.0, 50.0, 0.0, 0.0, "N", "O", TS),
+    ]
+    t = {"part": part, "lineitem": _lineitem(spark, li),
+         "supplier": _supplier(spark, [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0),
+                                       (3, "S3", 0, 0.0)])}
+    out = relational.q2_min_cost_supplier(t).collect()
+    assert sorted(r["s_name"] for r in out) == ["S1", "S2"]
+    assert all(r["unit_cost"] == 10.0 for r in out)
+
+
+# -- plan shapes -------------------------------------------------------
+
+def test_round2_plans_have_no_python(spark):
+    for name in ("q2_min_cost_supplier", "q11_important_parts",
+                 "q12_late_shipment_priority", "q16_supplier_variety",
+                 "q20_excess_supply_suppliers", "q21_sole_late_supplier",
+                 "doc_repetition_ratio", "bigram_lm_top_successor",
+                 "contamination_overlap", "stratified_sample",
+                 "simhash_hamming_pairs", "minhash_jaccard_estimate",
+                 "hyperplane_lsh_buckets"):
+        plan = _plan(_q(spark, name))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_simhash_pairs_join_is_bucketed_not_cartesian(spark):
+    plan = _plan(_q(spark, "simhash_hamming_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hyperplane_buckets_no_join_no_shuffle_but_spread(spark):
+    plan = _plan(_q(spark, "hyperplane_lsh_buckets"))
+    assert "Join" not in plan
+    # the only exchange is spread()'s round-robin re-fan of a tiny scan
+    assert plan.count("Exchange") <= 1
+
+
+def test_near_dup_join_condition_carries_no_fold(spark):
+    """The pin() barrier must keep the 64-step cosine fold OUT of the
+    join condition (it was being cloned into the nested-loop probe)."""
+    df = _q(spark, "embedding_near_dup_pairs")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if "Join" in ln]
+    assert join_lines and all("aggregate(" not in ln for ln in join_lines)
