@@ -1356,3 +1356,65 @@ ORACLES.update({
         FROM dots GROUP BY vec_id
     """,
 })
+
+
+def _hyperplane_sql_literals_n(n: int) -> str:
+    from .operators.similarity import HYPERPLANES
+
+    return ", ".join(
+        f"({k}, [{', '.join(str(s) for s in signs)}])"
+        for k, signs in enumerate(HYPERPLANES[:n]))
+
+
+_BUCKETS_CTE = f"""
+hp(k, signs) AS (VALUES {_hyperplane_sql_literals_n(8)}),
+dots AS (
+  SELECT vec_id, k,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                * signs[CAST(i AS INT)])) AS dot_k
+  FROM embeddings, hp),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot_k >= 0 THEN 1 << CAST(k AS INT)
+                       ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id))"""
+
+ORACLES.update({
+    "knn_lsh": f"""
+        WITH {_BUCKETS_CTE},
+        qrow AS (SELECT embedding AS q, bucket AS qb
+                 FROM assigned WHERE vec_id = 0),
+        probes AS (
+          SELECT DISTINCT CASE WHEN k = -1 THEN qb
+                          ELSE xor(qb, 1 << CAST(k AS INT)) END AS bucket
+          FROM qrow, (SELECT unnest(range(-1, 8)) AS k))
+        SELECT a.vec_id, a.label, {_cos('a.embedding', 'qrow.q')} AS cos_sim
+        FROM assigned a
+        JOIN probes USING (bucket)
+        CROSS JOIN qrow
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 10
+    """,
+    "ivf_cluster_stats": f"""
+        WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, label, centroid_id FROM (
+            SELECT e.vec_id, e.label, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1)
+        SELECT centroid_id, COUNT(*) AS n_vectors,
+               COUNT(DISTINCT label) AS n_labels
+        FROM assigned
+        GROUP BY centroid_id
+    """,
+})

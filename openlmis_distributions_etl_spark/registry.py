@@ -57,6 +57,8 @@ _OPERATORS = {
     "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
     "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
     "hyperplane_lsh_buckets": similarity.hyperplane_lsh_buckets,
+    "knn_lsh": similarity.knn_lsh,
+    "ivf_cluster_stats": similarity.ivf_cluster_stats,
     # §2.A second wave
     "distinct_counts": analytics.distinct_counts,
     "set_ops_customers": analytics.set_ops_customers,

@@ -36,3 +36,18 @@ def read_json(spark: SparkSession, path: str,
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (columnar twin of the parquet path: predicate
+    pushdown and column pruning work the same way through the ORC
+    datasource)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str,
+              whole: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text reader — the raw-corpus
+    ingestion path; one `value` column, splits parallelize per file
+    block like any file source."""
+    return spark.read.option("wholetext", whole).text(path)

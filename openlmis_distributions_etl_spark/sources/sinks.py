@@ -78,3 +78,15 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
                   .option("upperBound", str(upper_bound))
                   .option("numPartitions", str(num_partitions)))
     return reader.load()
+
+
+def write_partitioned_orc(df: DataFrame, path: str,
+                          partition_by: Sequence[str] = (),
+                          mode: str = "overwrite",
+                          max_records_per_file: int = 5_000_000) -> None:
+    """ORC sink, same partitioning contract as the parquet writer."""
+    writer = (df.write.mode(mode)
+              .option("maxRecordsPerFile", max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

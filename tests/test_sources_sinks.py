@@ -83,3 +83,35 @@ def test_jdbc_gated_without_driver(spark):
                    properties={"driver": "org.postgresql.Driver"})
     assert "postgresql" in str(ei.value).lower() or "driver" in str(
         ei.value).lower()
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.files import read_orc
+    from openlmis_distributions_etl_spark.sources.sinks import (
+        write_partitioned_orc)
+
+    orders = load_table(spark, SF0001, "orders").withColumn(
+        "status", F.col("o_orderstatus"))
+    out = str(tmp_path / "orders_orc")
+    write_partitioned_orc(orders, out, partition_by=["status"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: only the selected directory is scanned
+    pruned = back.where(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.where(F.col("o_orderstatus") == "F").count()
+    assert "PartitionFilters" in plan
+    # values identical through the ORC roundtrip
+    a = sorted(orders.select("o_orderkey", "o_totalprice").collect())
+    b = sorted(back.select("o_orderkey", "o_totalprice").collect())
+    assert a == b
+
+
+def test_text_reader_lines(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.files import read_text
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\n")
+    df = read_text(spark, str(p))
+    assert sorted(r["value"] for r in df.collect()) == [
+        "first line", "second line"]
