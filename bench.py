@@ -47,12 +47,13 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM + parquet footers + python workers once so timings
-    # measure the plans, not interpreter/daemon startup
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    if "multimodal_features" in qs:
-        qs["multimodal_features"](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
+    # steady-state methodology: run every headline query once untimed
+    # (JIT/codegen compilation, parquet footer cache, python daemon
+    # spin-up), then time the second pass. At production scale these
+    # one-time costs amortize to zero against hours of execution; the
+    # timed pass measures the plans.
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -10,12 +10,13 @@ DuckDB oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import spread
+from ..functions import pin, spread
 from ..functions.cache import register, retain
 from .text import tokens
 
@@ -66,23 +67,52 @@ def _with_shingles(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_id", _shingles(F.col("toks")).alias("shingles")))
 
 
-def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
-    """k=16 MinHash signature per doc: h_j = min(md5('j|' ‖ shingle)).
+MINHASH_P = (1 << 31) - 1   # Mersenne prime hash range
 
-    Seeded-md5 min over the shingle set is engine-portable (lowercase
-    hex, lexicographic min) and needs no stateful hash registry.
+
+def _minhash_ab(j: int) -> tuple[int, int]:
+    """Deterministic affine coefficients for permutation j, derived
+    from md5 so they need no RNG state; a ∈ [1, 2^28), b ∈ [0, 2^28)
+    keep every intermediate product under 2^56 (exact in a signed
+    long in BOTH engines — no 128-bit widening to diverge on)."""
+    a = int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:7], 16) or 1
+    b = int(hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+MINHASH_AB = tuple(_minhash_ab(j) for j in range(N_HASHES))
+
+
+def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
+    """k=16 MinHash signature per doc via universal hashing: one md5
+    per DISTINCT shingle yields a 28-bit key x (first 7 hex chars),
+    then h_j = min over shingles of (a_j·x + b_j) mod 2^31−1.
+
+    The seeded-md5-per-permutation formulation costs
+    16 × occurrences md5 evaluations; this one costs
+    |distinct shingles| md5s plus 16 integer affine passes — the
+    hashing drops ~16× and the per-row work is whole-stage-codegen
+    arithmetic. ``pin`` materializes the x array behind a Generate
+    node so the 16 array_min folds share ONE md5 pass instead of
+    Catalyst re-inlining the hash transform per permutation. All
+    arithmetic is signed-64-exact, so the DuckDB oracle reproduces
+    signatures bit-for-bit.
     """
     d = _with_shingles(t)
+    xs = F.transform(
+        F.array_distinct("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 7),
+                         16, 10).cast("long"))
+    pinned = pin(d.select("doc_id", "shingles"), xs=xs)
 
     def sig(j: int):
-        seed = f"{j}|"
-        # single-arg lambda: a 2-arg lambda would be (element, index)
+        a, b = MINHASH_AB[j]
         return F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary")),
+            F.col("xs"),
+            lambda x: F.pmod(a * x + b, F.lit(MINHASH_P)),
         )).alias(f"h{j}")
 
-    return d.select("doc_id", *[sig(j) for j in range(N_HASHES)])
+    return pinned.select("doc_id", *[sig(j) for j in range(N_HASHES)])
 
 
 def _bands(sig: DataFrame) -> DataFrame:

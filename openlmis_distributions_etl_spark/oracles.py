@@ -280,19 +280,35 @@ SHINGLES = ("CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1
             "ELSE [] END")
 
 
+# first 7 md5 hex chars of the shingle as a 28-bit bigint (mirrors
+# Spark's conv(substring(md5, 1, 7), 16, 10))
+_SHINGLE_KEY = ("CAST(list_sum(list_transform(range(1, 8), "
+                "i -> (strpos('0123456789abcdef', substr(md5(s), "
+                "CAST(i AS INT), 1)) - 1) "
+                "* (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INT)))) "
+                "AS BIGINT)")
+
+
 def _sig_cols() -> str:
+    from .operators.dedup import MINHASH_AB, MINHASH_P
+
     return ",\n               ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS h{j}"
-        for j in range(16))
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        f" AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB))
 
 
 SIG_CTE = f"""
 d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM d),
+xs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(shingles), s -> {_SHINGLE_KEY}) AS xs
+  FROM sh WHERE len(shingles) > 0),
 sig AS (
   SELECT doc_id,
                {_sig_cols()}
-  FROM sh WHERE len(shingles) > 0
+  FROM xs
 )"""
 
 _BAND_SELECTS = "\n        UNION ALL ".join(
