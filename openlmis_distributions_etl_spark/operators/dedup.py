@@ -99,20 +99,21 @@ def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
     signatures bit-for-bit.
     """
     d = _with_shingles(t)
-    xs = F.transform(
-        F.array_distinct("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 7),
-                         16, 10).cast("long"))
+    # SQL-text expressions (one JVM parse each) rather than Column-op
+    # trees: the 16 affine folds cost ~0.5 s of py4j round-trips per
+    # plan construction when built operator-by-operator
+    xs = F.expr(
+        "transform(array_distinct(shingles), "
+        "s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 7), "
+        "16, 10) AS BIGINT))")
     pinned = pin(d.select("doc_id", "shingles"), xs=xs)
 
-    def sig(j: int):
+    def sig(j: int) -> str:
         a, b = MINHASH_AB[j]
-        return F.array_min(F.transform(
-            F.col("xs"),
-            lambda x: F.pmod(a * x + b, F.lit(MINHASH_P)),
-        )).alias(f"h{j}")
+        return (f"array_min(transform(xs, "
+                f"x -> pmod({a} * x + {b}, {MINHASH_P}))) AS h{j}")
 
-    return pinned.select("doc_id", *[sig(j) for j in range(N_HASHES)])
+    return pinned.selectExpr("doc_id", *[sig(j) for j in range(N_HASHES)])
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -184,79 +185,73 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     """60-bit SimHash from token md5 nibbles (60 not 64 so the value
     fits a signed bigint identically in both engines).
 
-    Dictionary design: each distinct token's 60 bits derive once
-    (vocab-sized table, AQE-broadcast while it fits) and join onto the
-    token-occurrence stream. The occurrence stream is deliberately NOT
-    persisted: the dictionary build and the join each re-tokenize,
-    which is cheaper than materializing a corpus-sized exploded stream
-    (at 100 TB the persist would spill to disk and cost more than the
-    second split/explode pass; measured a wash even at sf0.1).
+    Zero-shuffle formulation: each doc's token masks stay as an array
+    in the row (no explode), and the 60 per-bit ±1 counters fall out
+    of 15 lane-packed HOF folds over that array — the whole operator
+    is one embarrassingly-parallel map over documents. The alternative
+    token-dictionary design (md5 once per DISTINCT token, join back on
+    an exploded occurrence stream) trades less hashing for a
+    corpus-wide distinct shuffle plus a join: measured 5× slower at
+    sf0.1, and worse at 100 TB where per-row md5 scales linearly with
+    the scan while any corpus-wide shuffle is the bottleneck.
+
+    The fold/reconstruction expressions are generated as SQL text and
+    parsed JVM-side in one ``expr`` call each: building the same trees
+    with Column operators costs ~1.4 s of py4j round-trips per plan
+    construction — driver-side latency that would stall a cluster of
+    any size. ``pin`` materializes the mask array behind a Generate
+    node so the 15 lane folds share ONE tokenize+md5 pass.
 
     Per-doc bit counting is lane-packed: the 60 per-bit occurrence
-    counters ride in 15 longs of four 16-bit lanes each, so the hash
-    aggregate carries 16 sum buffers instead of 61 — smaller codegen,
-    smaller partial-agg rows across the one wide shuffle (doc_id).
-    Lanes bound per-doc token count at 2^15 (see MAX_DOC_TOKENS); a
-    longer doc raises (ANSI overflow or the ``raise_error`` guard)
-    rather than silently corrupting adjacent lanes — switch to
-    LANE_BITS=32 (30 buffers) for such corpora."""
-    # token occurrences, not (doc,token) counts: summing ±1 per
-    # occurrence equals the cnt-weighted sum, and skipping the
-    # pre-aggregation removes a whole shuffle
-    tok_occurrences = (
-        spread(t["documents"])
-        .select("doc_id", F.explode(tokens()).alias("tok"))
-    )
-    # dictionary pattern: derive each distinct token's 60 md5 bits ONCE
-    # (vocab ≪ corpus), packed into a single 60-bit long so the join
-    # output stays narrow — conv(first 15 hex chars) puts nibble i at
-    # mask bits [4*(14-i), 4*(14-i)+3], so simhash bit j (= bit 3-j%4
-    # of nibble j//4) is mask bit 4*(14 - j//4) + (3 - j%4)
-    token_bits = (
-        tok_occurrences.select("tok").distinct()
-        .select("tok", F.md5(F.col("tok").cast("binary")).alias("h"))
-        .select("tok", F.conv(F.substring("h", 1, 15), 16, 10)
-                .cast("long").alias("mask"))
-    )
-    # no explicit broadcast hint: AQE broadcasts the dictionary while
-    # the vocabulary is small and falls back to a shuffle join when a
-    # web-scale vocabulary (URLs, ids, typos) would not fit
-    occ = tok_occurrences.join(token_bits, "tok").select("doc_id", "mask")
+    counters ride in 15 longs of four 16-bit lanes each. Lanes bound
+    per-doc token count at 2^15 (see MAX_DOC_TOKENS); a longer doc
+    raises (ANSI overflow or the ``raise_error`` guard) rather than
+    silently corrupting adjacent lanes — switch to LANE_BITS=32
+    (30 buffers) for such corpora."""
+    # conv(first 15 hex chars) puts md5 nibble i at mask bits
+    # [4*(14-i), 4*(14-i)+3], so simhash bit j (= bit 3-j%4 of nibble
+    # j//4) is mask bit 4*(14 - j//4) + (3 - j%4)
+    masks_sql = ("transform(filter(split(text, ' '), x -> x != ''), "
+                 "tok -> CAST(conv(substring(md5(CAST(tok AS BINARY)), "
+                 "1, 15), 16, 10) AS BIGINT))")
+    d = pin(spread(t["documents"]).select("doc_id", "text"),
+            masks=F.expr(masks_sql))
 
-    def mask_bit(j: int):
+    def mask_bit(j: int) -> str:
         shift = 4 * (14 - j // 4) + (3 - j % 4)
-        return F.shiftright(F.col("mask"), shift).bitwiseAND(F.lit(1))
+        return f"(shiftright(m, {shift}) & 1)"
 
-    def lane_sum(g: int):
-        packed = None
-        for k in range(LANES_PER_LONG):
-            term = F.shiftleft(mask_bit(LANES_PER_LONG * g + k),
-                               LANE_BITS * k)
-            packed = term if packed is None else packed + term
-        return F.sum(packed).alias(f"L{g}")
+    def lane_fold(g: int) -> str:
+        inc = " + ".join(
+            f"shiftleft({mask_bit(LANES_PER_LONG * g + k)}, {LANE_BITS * k})"
+            for k in range(LANES_PER_LONG))
+        return (f"aggregate(masks, CAST(0 AS BIGINT), "
+                f"(acc, m) -> acc + ({inc})) AS L{g}")
 
     n_lanes = 60 // LANES_PER_LONG
-    summed = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[lane_sum(g) for g in range(n_lanes)])
+    # docs with >=1 token only, matching the exploded formulation (and
+    # the oracle's unnest); the filter tests a pinned attribute, so it
+    # stays above the Generate instead of re-inlining the hash pass
+    summed = (d.where(F.size("masks") > 0)
+              .selectExpr("doc_id", "size(masks) AS n",
+                          *[lane_fold(g) for g in range(n_lanes)]))
 
     # s_j = sum(±1) > 0  ⟺  2 * ones_j > n_occurrences
-    simhash = None
+    terms = []
     for g in range(n_lanes):
         for k in range(LANES_PER_LONG):
             j = LANES_PER_LONG * g + k
-            cnt = F.shiftright(F.col(f"L{g}"), LANE_BITS * k) \
-                   .bitwiseAND(F.lit((1 << LANE_BITS) - 1))
-            term = F.when(2 * cnt > F.col("n"),
-                          F.lit(1 << j).cast("long")) \
-                    .otherwise(F.lit(0).cast("long"))
-            simhash = term if simhash is None else simhash + term
-    guarded = F.when(
-        F.col("n") < MAX_DOC_TOKENS, simhash,
-    ).otherwise(F.raise_error(F.lit(
-        f"simhash64: document exceeds {MAX_DOC_TOKENS - 1} tokens; "
-        f"lane counters would overflow — raise LANE_BITS")))
-    return summed.select("doc_id", guarded.alias("simhash"))
+            cnt = (f"(shiftright(L{g}, {LANE_BITS * k}) "
+                   f"& {(1 << LANE_BITS) - 1})")
+            terms.append(f"IF(2 * {cnt} > n, "
+                         f"CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))")
+    simhash = " + ".join(terms)
+    guard_msg = (f"simhash64: document exceeds {MAX_DOC_TOKENS - 1} "
+                 "tokens; lane counters would overflow — raise "
+                 "LANE_BITS")
+    guarded = (f"CASE WHEN n < {MAX_DOC_TOKENS} THEN ({simhash}) "
+               f"ELSE raise_error('{guard_msg}') END AS simhash")
+    return summed.selectExpr("doc_id", guarded)
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import disc_price, dsum, month_key
+from ..functions import disc_price, dsum, month_key, spread
 
 
 def star_denormalize(t: dict[str, DataFrame]) -> DataFrame:
@@ -26,8 +26,11 @@ def star_denormalize(t: dict[str, DataFrame]) -> DataFrame:
                 F.col("n_name").alias("cust_nation"),
                 F.col("r_name").alias("cust_region"))
     )
+    # spread: the wide-row projection + broadcast probes are CPU-bound;
+    # a single-row-group local file otherwise serializes them on the
+    # one scan task (no-op at scale where the scan has real splits)
     return (
-        t["lineitem"]
+        spread(t["lineitem"])
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(cust_geo), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))

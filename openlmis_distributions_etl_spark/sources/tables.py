@@ -38,12 +38,25 @@ NANOS_TS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoize the DataFrame handle per (session, path): a repeated
+    # load otherwise re-reads the parquet footer and rebuilds the scan
+    # relation over py4j on every query construction — pure
+    # driver-side latency. The cache lives on the session object, so
+    # it dies with the session and never leaks across restarts.
+    try:
+        cache = spark._openlmis_table_cache
+    except AttributeError:
+        cache = spark._openlmis_table_cache = {}
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name in NANOS_TS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    cache[key] = df
     return df
 
 
