@@ -413,3 +413,24 @@ def minhash_jaccard_estimate(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_a", "doc_b",
                     n_agree.cast("int").alias("n_agree"))
             .withColumn("jaccard_est", F.col("n_agree") / F.lit(N_HASHES)))
+
+
+def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """New-batch dedup against the existing corpus snapshot — the
+    shape every periodic ingest runs: hash the incoming batch, probe
+    the snapshot's hash set, keep only unseen content. Here the
+    snapshot is the deterministic 80% of doc_ids (pmod(doc_id,5)<>0)
+    standing in for yesterday's table; in production both sides are
+    real tables and the probe is ONE shuffle join on the 16-byte hash
+    (broadcast when the daily batch is small, never all-pairs)."""
+    hashed = t["documents"].select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    snapshot = (hashed.where(F.pmod("doc_id", F.lit(5)) != 0)
+                .select("text_hash").distinct())
+    batch = hashed.where(F.pmod("doc_id", F.lit(5)) == 0)
+    seen = (batch.join(snapshot, "text_hash", "left_semi")
+            .select("doc_id", F.lit(1).alias("is_dup")))
+    fresh = (batch.join(snapshot, "text_hash", "left_anti")
+             .select("doc_id", F.lit(0).alias("is_dup")))
+    return seen.unionAll(fresh).select(
+        "doc_id", F.col("is_dup").cast("int").alias("is_dup"))

@@ -343,3 +343,37 @@ def ivf_cluster_stats(t: dict[str, DataFrame]) -> DataFrame:
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.countDistinct("label").alias("n_labels")))
+
+
+def knn_lsh_recall(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Recall@k of the LSH multiprobe ANN against exact brute force —
+    the evaluation harness run before trusting an approximate index.
+    Both sides are tiny (k rows), so the intersection join is a
+    broadcast no-op; the cost is the two searches themselves."""
+    approx = knn_lsh(t, k).select("vec_id")
+    exact = knn_bruteforce(t, k).select("vec_id")
+    return (exact.join(approx, "vec_id")
+            .agg(F.lit(k).alias("k"),
+                 F.count(F.lit(1)).cast("int").alias("n_hits"),
+                 (F.count(F.lit(1)) / k).alias("recall_at_k")))
+
+
+def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension distribution audit (n, mean, min, max) — the
+    normalization / dead-dimension check run before index builds or
+    training. posexplode shuffles on the 64-value dim key; min/max of
+    identical floats are engine-exact, and the mean reuses the
+    order-canonical sorted fold (see label_centroids) so the double
+    sum is bit-identical to the oracle's."""
+    e = (spread(t["embeddings"])
+         .select("vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")))
+    g = (e.groupBy("dim")
+         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+              .alias("vs"),
+              F.count(F.lit(1)).alias("n"),
+              F.min(F.col("x").cast("double")).alias("min_val"),
+              F.max(F.col("x").cast("double")).alias("max_val")))
+    folded = F.aggregate(F.col("vs"), F.lit(0.0),
+                         lambda acc, s: acc + s["x"].cast("double"))
+    return g.select("dim", "n", (folded / F.col("n")).alias("mean_val"),
+                    "min_val", "max_val")

@@ -1434,3 +1434,53 @@ ORACLES.update({
         GROUP BY centroid_id
     """,
 })
+
+
+ORACLES.update({
+    "knn_lsh_recall": f"""
+        WITH {_BUCKETS_CTE},
+        qrow AS (SELECT embedding AS q, bucket AS qb
+                 FROM assigned WHERE vec_id = 0),
+        probes AS (
+          SELECT DISTINCT CASE WHEN k = -1 THEN qb
+                          ELSE xor(qb, 1 << CAST(k AS INT)) END AS bucket
+          FROM qrow, (SELECT unnest(range(-1, 8)) AS k)),
+        approx AS (
+          SELECT a.vec_id
+          FROM assigned a
+          JOIN probes USING (bucket)
+          CROSS JOIN qrow
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'qrow.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        q2 AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        exact AS (
+          SELECT vec_id FROM embeddings, q2
+          WHERE vec_id <> 0
+          ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC
+          LIMIT 10)
+        SELECT 10 AS k, CAST(COUNT(*) AS INT) AS n_hits,
+               COUNT(*) / 10 AS recall_at_k
+        FROM exact JOIN approx USING (vec_id)
+    """,
+    "embedding_dim_stats": """
+        WITH e AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i))
+        SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS mean_val,
+               MIN(x) AS min_val, MAX(x) AS max_val
+        FROM e
+        GROUP BY dim
+    """,
+    "incremental_dedup": """
+        WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        snapshot AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 5 <> 0),
+        batch AS (SELECT doc_id, h FROM hashed WHERE doc_id % 5 = 0)
+        SELECT doc_id,
+               CAST(CASE WHEN h IN (SELECT h FROM snapshot)
+                    THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM batch
+    """,
+})

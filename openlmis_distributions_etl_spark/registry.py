@@ -59,6 +59,9 @@ _OPERATORS = {
     "hyperplane_lsh_buckets": similarity.hyperplane_lsh_buckets,
     "knn_lsh": similarity.knn_lsh,
     "ivf_cluster_stats": similarity.ivf_cluster_stats,
+    "knn_lsh_recall": similarity.knn_lsh_recall,
+    "embedding_dim_stats": similarity.embedding_dim_stats,
+    "incremental_dedup": dedup.incremental_dedup,
     # §2.A second wave
     "distinct_counts": analytics.distinct_counts,
     "set_ops_customers": analytics.set_ops_customers,

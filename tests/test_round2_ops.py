@@ -275,3 +275,35 @@ def test_near_dup_join_condition_carries_no_fold(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     join_lines = [ln for ln in opt.splitlines() if "Join" in ln]
     assert join_lines and all("aggregate(" not in ln for ln in join_lines)
+
+
+# -- round-2 second wave: ANN eval, dim stats, incremental dedup -------
+
+def test_knn_lsh_recall_bounds(spark):
+    row = _q(spark, "knn_lsh_recall").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["k"] == 10
+    assert 0 <= r["n_hits"] <= 10
+    assert r["recall_at_k"] == r["n_hits"] / 10
+
+
+def test_embedding_dim_stats_shape(spark):
+    rows = _q(spark, "embedding_dim_stats").collect()
+    assert len(rows) == 64
+    n_vecs = {r["n"] for r in rows}
+    assert len(n_vecs) == 1          # every dim sees every vector
+    for r in rows:
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+
+
+def test_incremental_dedup_flags_snapshot_dups(spark):
+    t = {"documents": _docs(spark, [
+        (0, "same text", "en", "s", 9),     # batch (0 mod 5), dup of 1
+        (1, "same text", "en", "s", 9),     # snapshot
+        (5, "brand new content", "en", "s", 17),  # batch, fresh
+        (7, "other snapshot doc", "en", "s", 18),
+    ])}
+    out = {r["doc_id"]: r["is_dup"]
+           for r in dedup.incremental_dedup(t).collect()}
+    assert out == {0: 1, 5: 0}
