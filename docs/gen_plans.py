@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.md — formatted physical plans for the
+flagship queries at sf0.001 with AQE off (stable, shows codegen
+spans). Run from the repo root: python docs/gen_plans.py"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FLAGSHIPS = (
+    "q1_pricing_summary",
+    "q5_regional_volume",
+    "star_denormalize",
+    "sessionize_events",
+    "minhash_lsh_pairs",
+    "knn_ivf",
+    "simhash64",
+)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from openlmis_distributions_etl_spark import registry
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "false")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    out = ["# Physical plans (flagship queries, sf0.001, AQE off to "
+           "show codegen spans)", "",
+           "Regenerate with `python docs/gen_plans.py`; plan-shape",
+           "invariants are enforced by tests/test_plan_shapes.py.", ""]
+    for name in FLAGSHIPS:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, "/root/testdata/sf0.001").explain("formatted")
+        out += [f"## {name}", "", "```", buf.getvalue().rstrip(), "```", ""]
+    Path(__file__).with_name("PLANS.md").write_text("\n".join(out))
+    print(f"wrote {len(FLAGSHIPS)} plans")
+
+
+if __name__ == "__main__":
+    main()
