@@ -55,11 +55,17 @@ def main() -> None:
     for name in names:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # median of 3 timed runs per query: single-run numbers swing ±30%
+    # on the heavy HOF queries from GC/JIT noise alone
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
