@@ -434,3 +434,23 @@ def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
              .select("doc_id", F.lit(0).alias("is_dup")))
     return seen.unionAll(fresh).select(
         "doc_id", F.col("is_dup").cast("int").alias("is_dup"))
+
+
+def doc_dup_rate_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplicate rate — the curation-dashboard metric that
+    decides which ingestion feeds need upstream dedup. One shuffle on
+    the content hash (window min = canonical copy), then a tiny
+    per-source aggregate."""
+    from pyspark.sql import Window
+
+    hashed = t["documents"].select(
+        "doc_id", "source", _text_hash().alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    flagged = hashed.select(
+        "source",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int")
+        .alias("is_dup"))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("is_dup").alias("n_dups"),
+                 (F.sum("is_dup") / F.count(F.lit(1))).alias("dup_rate")))

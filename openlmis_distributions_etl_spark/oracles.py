@@ -1484,3 +1484,56 @@ ORACLES.update({
         FROM batch
     """,
 })
+
+
+ORACLES.update({
+    "curation_pipeline": f"""
+        WITH hashed AS (
+          SELECT doc_id, lang, source, text, md5(text) AS h
+          FROM documents),
+        canon AS (
+          SELECT doc_id, lang, source, text FROM hashed
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h)),
+        feats AS (
+          SELECT doc_id, lang, source,
+                 CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                 CAST(len(list_distinct({TOKS})) AS INTEGER) AS n_distinct,
+                 CAST(len(list_filter({TOKS},
+                      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      AS INTEGER) AS n_stop,
+                 CAST(list_sum(list_transform({TOKS}, x -> length(x)))
+                      AS INTEGER) AS sum_tok_len
+          FROM canon),
+        split_tag AS (
+          SELECT doc_id, lang, source, n_tokens, n_distinct, n_stop,
+                 sum_tok_len,
+                 CAST(list_sum(list_transform(range(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+                                 CAST(i AS INT), 1)) - 1)
+                        * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INT))))
+                      AS BIGINT) % 10 AS bucket
+          FROM feats)
+        SELECT doc_id, lang, source, n_tokens,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM split_tag
+        WHERE n_tokens >= 30 AND sum_tok_len <= 8 * n_tokens
+          AND n_stop > 0 AND 10 * n_distinct >= n_tokens
+    """,
+    "doc_dup_rate_by_source": """
+        WITH hashed AS (SELECT doc_id, source, md5(text) AS h
+                        FROM documents),
+        flagged AS (
+          SELECT source,
+                 CAST(doc_id > MIN(doc_id) OVER (PARTITION BY h) AS INT)
+                   AS is_dup
+          FROM hashed)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+               CAST(SUM(is_dup) AS BIGINT) / COUNT(*) AS dup_rate
+        FROM flagged
+        GROUP BY source
+    """,
+})

@@ -1,0 +1,54 @@
+"""Training-data curation pipeline (SURVEY.md §2.B × §2.E composite).
+
+The end-to-end shape every large-scale pretraining ingest runs:
+exact-dedup to canonical documents → quality-filter battery →
+deterministic train/val/test split. One shuffle total (the dedup
+window on the 16-byte content hash); every other step is per-row
+projection arithmetic, so the pipeline scales with the scan.
+
+The split is content-free and hash-deterministic (md5 of the doc id
+with a salt tag): stable under reruns, task retries, and cluster
+re-partitioning — no RNG state, no sampled() nondeterminism — and the
+8/1/1 bucket arithmetic is exact integer math in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import STOPWORDS_EN, _count_in, tokens
+
+
+def curation_pipeline(t: dict[str, DataFrame]) -> DataFrame:
+    """Curated corpus: canonical (first-seen) copy of each distinct
+    text, passing the C4-style filter battery, tagged with its
+    train/val/test split."""
+    hashed = t["documents"].select(
+        "doc_id", "lang", "source", "text",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    canon = (hashed
+             .withColumn("canonical_id", F.min("doc_id").over(w))
+             .where(F.col("doc_id") == F.col("canonical_id")))
+    toks = tokens()
+    feats = canon.select(
+        "doc_id", "lang", "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _count_in(toks, STOPWORDS_EN).alias("n_stop"),
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, x: acc + F.length(x)).alias("sum_tok_len"))
+    keep = ((F.col("n_tokens") >= 30)
+            & (F.col("sum_tok_len") <= 8 * F.col("n_tokens"))
+            & (F.col("n_stop") > 0)
+            & (10 * F.col("n_distinct") >= F.col("n_tokens")))
+    bucket = F.pmod(F.expr(
+        "CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), "
+        "'|split') AS BINARY)), 1, 7), 16, 10) AS BIGINT)"), F.lit(10))
+    split = (F.when(bucket < 8, "train")
+             .when(bucket == 8, "val")
+             .otherwise("test"))
+    return (feats.where(keep)
+            .select("doc_id", "lang", "source", "n_tokens",
+                    split.alias("split")))

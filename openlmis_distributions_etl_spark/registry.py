@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions.cache import release_retained
 from .operators import (analytics, asof, dedup, multimodal, relational,
                         similarity, text, windows)
-from .plans import star
+from .plans import curation, star
 from .sources import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -80,6 +80,8 @@ _OPERATORS = {
     "user_value_histogram": multimodal.user_value_histogram,
     # §2.B ETL plans
     "star_denormalize": star.star_denormalize,
+    "curation_pipeline": curation.curation_pipeline,
+    "doc_dup_rate_by_source": dedup.doc_dup_rate_by_source,
     "monthly_sales_rollup": star.monthly_sales_rollup,
     # §2.C windows
     "topk_customers_per_nation": windows.topk_customers_per_nation,

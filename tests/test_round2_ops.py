@@ -307,3 +307,32 @@ def test_incremental_dedup_flags_snapshot_dups(spark):
     out = {r["doc_id"]: r["is_dup"]
            for r in dedup.incremental_dedup(t).collect()}
     assert out == {0: 1, 5: 0}
+
+
+def test_curation_pipeline_splits_and_dedup(spark):
+    rows = _q(spark, "curation_pipeline").collect()
+    assert rows, "curation should keep a non-trivial corpus"
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"}
+    n = len(rows)
+    n_train = sum(r["split"] == "train" for r in rows)
+    assert 0.6 * n <= n_train <= 0.95 * n      # ~80% bucket arithmetic
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))           # canonical docs only
+    # deterministic: a second build yields the identical assignment
+    again = {(r["doc_id"], r["split"])
+             for r in _q(spark, "curation_pipeline").collect()}
+    assert {(r["doc_id"], r["split"]) for r in rows} == again
+
+
+def test_doc_dup_rate_by_source_counts(spark):
+    t = {"documents": _docs(spark, [
+        (1, "xx", "en", "srcA", 2),
+        (2, "xx", "en", "srcA", 2),    # dup within srcA
+        (3, "yy", "en", "srcB", 2),
+    ])}
+    out = {r["source"]: r for r in
+           dedup.doc_dup_rate_by_source(t).collect()}
+    assert out["srcA"]["n_docs"] == 2 and out["srcA"]["n_dups"] == 1
+    assert out["srcA"]["dup_rate"] == 0.5
+    assert out["srcB"]["n_dups"] == 0
