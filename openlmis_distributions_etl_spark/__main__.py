@@ -5,6 +5,8 @@
         --sf-dir /root/testdata/sf0.01 [--show 20]
     python -m openlmis_distributions_etl_spark etl \
         --sf-dir /root/testdata/sf0.001 --out /tmp/marts
+    python -m openlmis_distributions_etl_spark curate \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/corpus
 """
 
 from __future__ import annotations
@@ -31,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ep.add_argument("--out", required=True)
 
+    cp = sub.add_parser(
+        "curate", help="materialize the curated training corpus")
+    cp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     qs = registry.queries()
 
@@ -53,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.pipeline import run_etl
             marts = run_etl(spark, args.sf_dir, args.out)
             for name, path in marts.items():
+                print(f"{name}\t{path}")
+            return 0
+        if args.cmd == "curate":
+            from .plans.curation import run_curation
+            outs = run_curation(spark, args.sf_dir, args.out)
+            for name, path in outs.items():
                 print(f"{name}\t{path}")
             return 0
     finally:

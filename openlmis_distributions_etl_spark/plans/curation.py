@@ -52,3 +52,17 @@ def curation_pipeline(t: dict[str, DataFrame]) -> DataFrame:
     return (feats.where(keep)
             .select("doc_id", "lang", "source", "n_tokens",
                     split.alias("split")))
+
+
+def run_curation(spark, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Materialize the curated corpus, partitioned by (lang, split):
+    downstream trainers read one directory per language/split and the
+    scan prunes everything else. Returns output name → path."""
+    from ..sources import load_tables
+    from ..sources.sinks import write_partitioned_parquet
+
+    t = load_tables(spark, sf_dir)
+    out = f"{out_dir}/curated_documents"
+    curated = curation_pipeline(t)
+    write_partitioned_parquet(curated, out, partition_by=["lang", "split"])
+    return {"curated_documents": out}

@@ -24,3 +24,28 @@ def test_run_etl_builds_readable_marts(spark, tmp_path):
     assert monthly.count() > 0
     assert set(monthly.columns) == {"month", "c_mktsegment", "n_orders",
                                     "total_value"}
+
+
+def test_run_curation_writes_pruned_partitions(spark, tmp_path):
+    from openlmis_distributions_etl_spark.plans.curation import (
+        curation_pipeline, run_curation)
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    outs = run_curation(spark, SF0001, str(tmp_path))
+    back = spark.read.parquet(outs["curated_documents"])
+    expected = curation_pipeline(load_tables(spark, SF0001)).count()
+    assert back.count() == expected > 0
+    assert set(back.columns) == {"doc_id", "source", "n_tokens",
+                                 "lang", "split"}
+    # (lang, split) partition pruning reaches the scan
+    plan = (back.where((F.col("lang") == "en") & (F.col("split") == "train"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+
+
+def test_cli_curate_and_list(spark, tmp_path, capsys):
+    from openlmis_distributions_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "curation_pipeline" in names and len(names) >= 100

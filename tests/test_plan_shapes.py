@@ -159,3 +159,31 @@ def test_new_relational_plans_have_no_python(spark):
         plan = _plan(_q(spark, name))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
             f"{name} fell back to Python"
+
+
+def test_simhash_plan_is_shuffle_free(spark):
+    plan = _plan(_q(spark, "simhash64"))
+    # zero-shuffle formulation: only the spread() round-robin exchange
+    # may appear, never a hash-partitioned one (no join/groupBy)
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_knn_lsh_probe_sides_broadcast(spark):
+    plan = _plan(_q(spark, "knn_lsh"))
+    # probe list + query vector both ride broadcasts; the store is
+    # never shuffled for the search
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    plan = _plan(_q(spark, "curation_pipeline"))
+    # exactly one wide shuffle — the dedup window on the content hash
+    assert plan.count("hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_no_python_and_hash_join(spark):
+    plan = _plan(_q(spark, "incremental_dedup"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
