@@ -277,21 +277,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("nbr_min")))
-        new_labels = (
+        # carry the old label through the round so convergence is ONE
+        # filter on the cached result instead of a second join
+        upd = (
             labels.join(neighbor_min, "node", "left")
-            .select("node",
+            .select("node", F.col("component").alias("old_c"),
                     F.least("component", F.coalesce("nbr_min", "component"))
                     .alias("component"))
             .persist())  # persist BEFORE the count action so the
                          # convergence check fills the cache the
                          # returned plan reuses
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
+        changed = (upd.where(F.col("component") != F.col("old_c"))
                    .limit(1).count())
+        new_labels = upd.select("node", "component")
         if prev is not None:
             prev.unpersist()
-        prev, labels = new_labels, new_labels
+        prev, labels = upd, new_labels
         if changed == 0:
             # the returned plan reuses the final round's cache; register
             # it so the next query's build releases it

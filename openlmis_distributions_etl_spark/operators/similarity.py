@@ -255,6 +255,19 @@ def _hyperplane_signs(k: int, dim: int = DIM) -> list[float]:
 HYPERPLANES = [_hyperplane_signs(k) for k in range(N_HYPERPLANES)]
 
 
+def _bucket_sql(n_planes: int) -> str:
+    """SQL text for the n-plane sign-LSH bucket id over the pinned
+    double array `v` — one JVM parse instead of ~64×n_planes py4j
+    Column calls (~1 s of driver latency for the 16-plane code)."""
+    terms = []
+    for k, signs in enumerate(HYPERPLANES[:n_planes]):
+        plane = ", ".join(f"{s}D" for s in signs)
+        dot = (f"aggregate(zip_with(v, array({plane}), "
+               f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        terms.append(f"IF({dot} >= 0.0D, {1 << k}, 0)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def hyperplane_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket per embedding: bit k of the
     bucket id is the sign of ⟨v, h_k⟩ against 16 deterministic ±1
@@ -267,15 +280,8 @@ def hyperplane_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     d = pin(spread(t["embeddings"]).select("vec_id", "embedding"),
             v=vec)
-    bucket = None
-    for k, signs in enumerate(HYPERPLANES):
-        plane = F.array(*[F.lit(s) for s in signs])
-        dot_k = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        term = F.when(dot_k >= 0.0, F.lit(1 << k)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return d.select("vec_id", bucket.cast("int").alias("bucket"))
+    return d.selectExpr(
+        "vec_id", f"{_bucket_sql(N_HYPERPLANES)} AS bucket")
 
 
 N_SEARCH_PLANES = 8   # coarser code for search: 256 buckets, so each
@@ -289,16 +295,8 @@ def _with_buckets(t: dict[str, DataFrame],
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     d = pin(spread(t["embeddings"])
             .select("vec_id", "label", "embedding"), v=vec)
-    bucket = None
-    for k, signs in enumerate(HYPERPLANES[:n_planes]):
-        plane = F.array(*[F.lit(s) for s in signs])
-        dot_k = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        term = F.when(dot_k >= 0.0, F.lit(1 << k)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return d.select("vec_id", "label", "embedding",
-                    bucket.cast("int").alias("bucket"))
+    return d.selectExpr("vec_id", "label", "embedding",
+                        f"{_bucket_sql(n_planes)} AS bucket")
 
 
 def knn_lsh(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
