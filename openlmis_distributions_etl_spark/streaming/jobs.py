@@ -203,3 +203,42 @@ def dedup_events_stream(events: DataFrame,
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (the continuous
+    corpus-ingest shape)."""
+    return (spark.readStream
+            .schema(DOCS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def dedup_docs_against_snapshot(new_docs: DataFrame,
+                                snapshot: DataFrame) -> DataFrame:
+    """Streaming twin of operators.dedup.incremental_dedup: the
+    incoming doc stream probes the static snapshot's content-hash set
+    (stream-static left_anti join) and only unseen content passes.
+
+    Scale shape: the static side re-reads per micro-batch — a pruned
+    parquet scan of the 16-byte hash column, broadcast when the
+    snapshot index is small — and NO streaming state accumulates (the
+    within-stream variant with bounded state is
+    ``dedup_events_stream``'s dropDuplicatesWithinWatermark)."""
+    snap_hashes = (snapshot
+                   .select(F.md5(F.col("text").cast("binary"))
+                           .alias("text_hash"))
+                   .distinct())
+    return (new_docs
+            .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+            .join(snap_hashes, "text_hash", "left_anti")
+            .select("doc_id", "lang", "source"))

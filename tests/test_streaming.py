@@ -88,3 +88,18 @@ def test_dedup_events_stream_removes_duplicates(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     assert q.awaitTermination(120), "stream did not finish in time"
     assert spark.table("dedup_stream").count() == 1000  # not 2000
+
+
+def test_stream_static_snapshot_dedup_matches_batch(spark):
+    from openlmis_distributions_etl_spark.operators import dedup
+
+    t = load_tables(spark, SF0001, "documents")
+    snapshot = t["documents"].where(F.pmod("doc_id", F.lit(5)) != 0)
+    stream = (jobs.read_documents_stream(spark, SF0001)
+              .where(F.pmod("doc_id", F.lit(5)) == 0))
+    got = _run_available_now(
+        jobs.dedup_docs_against_snapshot(stream, snapshot),
+        "snap_dedup", spark, "append")
+    want = {r["doc_id"] for r in dedup.incremental_dedup(t).collect()
+            if r["is_dup"] == 0}
+    assert set(got["doc_id"]) == want and len(got) == len(want)
