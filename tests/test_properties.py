@@ -90,3 +90,39 @@ def test_simhash_is_content_deterministic(spark, texts):
         if body in seen:
             assert seen[body] == h
         seen[body] = h
+
+
+@PROP
+@given(texts_strategy)
+def test_minhash_bounds_and_duplicate_agreement(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sigs = dedup.minhash_signatures({"documents": docs}).collect()
+    by_id = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(dedup.N_HASHES))
+             for r in sigs}
+    for sig in by_id.values():
+        assert all(0 <= h < dedup.MINHASH_P for h in sig)
+    # identical text ⟹ identical signature (the property LSH needs)
+    by_text: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        if i in by_id:
+            by_text.setdefault(t, set()).add(by_id[i])
+    assert all(len(s) == 1 for s in by_text.values())
+
+
+@PROP
+@given(texts_strategy)
+def test_curation_split_is_total_and_content_free(spark, texts):
+    from openlmis_distributions_etl_spark.plans import curation
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = curation.curation_pipeline({"documents": docs}).collect()
+    # every surviving doc gets exactly one split tag, and the tag
+    # depends only on doc_id (re-run with different text ordering is
+    # covered by derandomized examples hitting the same ids)
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
