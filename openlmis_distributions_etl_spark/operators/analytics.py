@@ -244,3 +244,62 @@ def range_join_value_buckets(t: dict[str, DataFrame]) -> DataFrame:
             .groupBy("bucket", "lo", "hi")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value").alias("total_value")))
+
+
+def fk_integrity_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit — the load-gate every ETL runs
+    before publishing a mart: orphan counts across the star's foreign
+    keys. Each check is one left-anti join that shuffles only the key
+    column; a clean load reports zeros."""
+    def orphans(fk: str, child: DataFrame, ckey: str,
+                parent: DataFrame, pkey: str) -> DataFrame:
+        return (child.select(F.col(ckey).alias("k"))
+                .join(parent.select(F.col(pkey).alias("k")), "k",
+                      "left_anti")
+                .agg(F.lit(fk).alias("fk"),
+                     F.count(F.lit(1)).alias("n_orphans")))
+
+    checks = [
+        orphans("lineitem.orderkey->orders", t["lineitem"], "l_orderkey",
+                t["orders"], "o_orderkey"),
+        orphans("orders.custkey->customer", t["orders"], "o_custkey",
+                t["customer"], "c_custkey"),
+        orphans("lineitem.partkey->part", t["lineitem"], "l_partkey",
+                t["part"], "p_partkey"),
+        orphans("lineitem.suppkey->supplier", t["lineitem"], "l_suppkey",
+                t["supplier"], "s_suppkey"),
+        orphans("customer.nationkey->nation", t["customer"], "c_nationkey",
+                t["nation"], "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def numeric_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-measure profiling of the lineitem fact (n, nulls, min, max,
+    exact-decimal sum) — the column-statistics pass a load pipeline
+    publishes next to each mart. One scan, all measures aggregated
+    map-side; the long format comes from a tiny post-agg unpivot, not
+    from re-scanning per column."""
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    li = t["lineitem"]
+    wide = li.agg(*(
+        [F.count(F.lit(1)).alias("n")]
+        + [F.count(c).alias(f"nn_{c}") for c in cols]
+        + [F.min(c).alias(f"mn_{c}") for c in cols]
+        + [F.max(c).alias(f"mx_{c}") for c in cols]
+        + [dsum(c, "decimal(18,4)" if c in ("l_quantity", "l_extendedprice")
+                else "decimal(8,4)").alias(f"sm_{c}") for c in cols]))
+    parts = [
+        wide.select(F.lit(c).alias("column"), "n",
+                    (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+                    F.col(f"mn_{c}").alias("min_val"),
+                    F.col(f"mx_{c}").alias("max_val"),
+                    F.col(f"sm_{c}").alias("sum_val"))
+        for c in cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

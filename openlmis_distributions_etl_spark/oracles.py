@@ -1537,3 +1537,52 @@ ORACLES.update({
         GROUP BY source
     """,
 })
+
+
+ORACLES.update({
+    "fk_integrity_audit": """
+        SELECT 'lineitem.orderkey->orders' AS fk, COUNT(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders.custkey->customer', COUNT(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem.partkey->part', COUNT(*)
+        FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier', COUNT(*)
+        FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        UNION ALL
+        SELECT 'customer.nationkey->nation', COUNT(*)
+        FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    """,
+    "numeric_profile": """
+        WITH w AS (
+          SELECT COUNT(*) AS n,
+                 COUNT(l_quantity) AS nn_q, MIN(l_quantity) AS mn_q,
+                 MAX(l_quantity) AS mx_q,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS DOUBLE) AS sm_q,
+                 COUNT(l_extendedprice) AS nn_e, MIN(l_extendedprice) AS mn_e,
+                 MAX(l_extendedprice) AS mx_e,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS DOUBLE) AS sm_e,
+                 COUNT(l_discount) AS nn_d, MIN(l_discount) AS mn_d,
+                 MAX(l_discount) AS mx_d,
+                 CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)))
+                      AS DECIMAL(38,6)) AS DOUBLE) AS sm_d,
+                 COUNT(l_tax) AS nn_t, MIN(l_tax) AS mn_t,
+                 MAX(l_tax) AS mx_t,
+                 CAST(CAST(SUM(CAST(l_tax AS DECIMAL(8,4)))
+                      AS DECIMAL(38,6)) AS DOUBLE) AS sm_t
+          FROM lineitem)
+        SELECT 'l_quantity' AS "column", n, n - nn_q AS n_null,
+               mn_q AS min_val, mx_q AS max_val, sm_q AS sum_val FROM w
+        UNION ALL
+        SELECT 'l_extendedprice', n, n - nn_e, mn_e, mx_e, sm_e FROM w
+        UNION ALL
+        SELECT 'l_discount', n, n - nn_d, mn_d, mx_d, sm_d FROM w
+        UNION ALL
+        SELECT 'l_tax', n, n - nn_t, mn_t, mx_t, sm_t FROM w
+    """,
+})

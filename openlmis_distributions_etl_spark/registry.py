@@ -64,6 +64,8 @@ _OPERATORS = {
     "incremental_dedup": dedup.incremental_dedup,
     # §2.A second wave
     "distinct_counts": analytics.distinct_counts,
+    "fk_integrity_audit": analytics.fk_integrity_audit,
+    "numeric_profile": analytics.numeric_profile,
     "set_ops_customers": analytics.set_ops_customers,
     "correlated_subquery_max_order": analytics.correlated_subquery_max_order,
     "cube_status_priority": analytics.cube_status_priority,

@@ -336,3 +336,34 @@ def test_doc_dup_rate_by_source_counts(spark):
     assert out["srcA"]["n_docs"] == 2 and out["srcA"]["n_dups"] == 1
     assert out["srcA"]["dup_rate"] == 0.5
     assert out["srcB"]["n_dups"] == 0
+
+
+def test_fk_integrity_audit_detects_orphans(spark):
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 99)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 100, 200), (3, 100, 200)],
+        "l_orderkey long, l_partkey long, l_suppkey long")
+    t = {"orders": orders, "lineitem": lineitem,
+         "customer": spark.createDataFrame([(10, 5)],
+                                           "c_custkey long, c_nationkey long"),
+         "part": spark.createDataFrame([(100,)], "p_partkey long"),
+         "supplier": spark.createDataFrame([(200,)], "s_suppkey long"),
+         "nation": spark.createDataFrame([(5,)], "n_nationkey long")}
+    out = {r["fk"]: r["n_orphans"]
+           for r in analytics.fk_integrity_audit(t).collect()}
+    assert out["lineitem.orderkey->orders"] == 1     # orderkey 3
+    assert out["orders.custkey->customer"] == 1      # custkey 99
+    assert out["lineitem.partkey->part"] == 0
+    assert out["customer.nationkey->nation"] == 0
+
+
+def test_numeric_profile_shape(spark):
+    rows = _q(spark, "numeric_profile").collect()
+    assert {r["column"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for r in rows:
+        assert r["n"] > 0 and r["n_null"] == 0
+        assert r["min_val"] <= r["max_val"]
