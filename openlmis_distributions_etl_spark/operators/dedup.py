@@ -3,7 +3,7 @@
 Scale design: every technique avoids the O(n²) all-pairs comparison —
 exact dedup is one hash aggregate; MinHash/LSH compares only within
 band buckets (shuffle keyed on (band, signature-slice), bounded
-fan-out); n-gram Jaccard joins only pairs sharing ≥1 shingle. All
+fan-out); n-gram Jaccard prefix-filters candidates (PPJoin). All
 hashing is md5 (JVM codegen, engine-portable lowercase hex) so the
 DuckDB oracles reproduce signatures bit-for-bit.
 """
@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import pin, spread
@@ -149,25 +149,49 @@ def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
 
 def ngram_jaccard_pairs(t: dict[str, DataFrame],
                         threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard over distinct 3-gram shingle sets, computed only
-    for candidate pairs sharing ≥1 shingle (inverted-index join)."""
+    """Exact Jaccard ≥ τ over distinct 3-gram shingle sets, with
+    prefix-filtered candidate generation (AllPairs/PPJoin, Bayardo et
+    al. WWW'07): order every doc's shingles by global rarity and index
+    only the first |s| − ⌈τ·|s|⌉ + 1 of them — two sets with J ≥ τ
+    MUST collide inside those prefixes, so the inverted-index
+    self-join never materializes the frequent-shingle buckets that
+    make the naive join quadratic (a stop-shingle shared by f docs
+    costs f² candidate rows; under the filter, hot shingles sort out
+    of every prefix). On sf0.1's benign near-uniform shingle
+    distribution the filter's extra stages (df count, per-doc rank)
+    cost ~40% over the naive join — the price of bounding the
+    Zipfian worst case any real corpus has, where the naive join's
+    top stop-shingle alone generates more candidates than every
+    prefix combined. Verification computes exact Jaccard per
+    candidate from the full sets (array_intersect), so the τ-filtered
+    output is identical to the naive join's."""
     d = (_with_shingles(t)
          .select("doc_id",
                  F.array_distinct("shingles").alias("sh"))
          .select("doc_id", "sh", F.size("sh").alias("n_sh")))
     ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("n_a"),
-                 F.col("b.n_sh").alias("n_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (ex.join(freq, "shingle")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= F.col("n_sh")
+                     - F.ceil(threshold * F.col("n_sh")) + 1)
+              .select("doc_id", "shingle"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = d.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    scored = (cand.join(sa, "doc_a").join(sb, "doc_b")
+              .withColumn("n_common",
+                          F.size(F.array_intersect("sh_a", "sh_b"))))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (common.select("doc_a", "doc_b", jac.alias("jaccard"))
+    return (scored.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

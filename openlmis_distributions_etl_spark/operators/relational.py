@@ -545,25 +545,28 @@ def q21_sole_late_supplier(t: dict[str, DataFrame],
                            k: int = 20) -> DataFrame:
     """Suppliers that were the ONLY late shipper on multi-supplier
     orders (q21 shape). The EXISTS / NOT-EXISTS pair collapses into
-    one per-order aggregate — distinct supplier count and distinct
-    late-supplier count — computed in a single shuffle on orderkey,
-    then rejoined to the late lines; at 100 TB that replaces two
-    correlated self-probes of the fact with one combinable aggregate."""
+    per-order window collect_sets — distinct suppliers and distinct
+    late suppliers — computed alongside the rows in ONE pass over the
+    joined fact; at 100 TB that replaces two correlated self-probes
+    (which would re-shuffle the fact and re-join it onto itself) with
+    a single sort within the orderkey shuffle the join already did."""
+    from pyspark.sql import Window
+
     li = (t["lineitem"]
           .join(t["orders"].select("o_orderkey", "o_orderdate"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
           .select("l_orderkey", "l_suppkey",
                   (F.col("l_shipdate") > F.col("o_orderdate")
                    + F.expr(f"INTERVAL {late_days} DAYS")).alias("late")))
-    per_order = (li.groupBy(F.col("l_orderkey").alias("g_orderkey"))
-                 .agg(F.countDistinct("l_suppkey").alias("n_supps"),
-                      F.countDistinct(F.when(F.col("late"),
-                                             F.col("l_suppkey")))
-                      .alias("n_late_supps")))
-    culprit = (li.where(F.col("late"))
-               .join(per_order, (F.col("l_orderkey") == F.col("g_orderkey"))
-                     & (F.col("n_supps") > 1)
-                     & (F.col("n_late_supps") == 1))
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey", "l_suppkey", "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey")))
+               .over(w)).alias("n_late_supps"))
+    culprit = (flagged
+               .where(F.col("late") & (F.col("n_supps") > 1)
+                      & (F.col("n_late_supps") == 1))
                .select("l_orderkey", "l_suppkey").distinct())
     return (culprit.groupBy("l_suppkey")
             .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1586,3 +1586,6 @@ ORACLES.update({
         SELECT 'l_tax', n, n - nn_t, mn_t, mx_t, sm_t FROM w
     """,
 })
+
+
+ORACLES["user_value_histogram_pandas"] = ORACLES["user_value_histogram"]

@@ -80,6 +80,7 @@ _OPERATORS = {
     "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
     "token_positions": analytics.token_positions,
     "user_value_histogram": multimodal.user_value_histogram,
+    "user_value_histogram_pandas": multimodal.user_value_histogram_pandas,
     # §2.B ETL plans
     "star_denormalize": star.star_denormalize,
     "curation_pipeline": curation.curation_pipeline,

@@ -367,3 +367,25 @@ def test_numeric_profile_shape(spark):
     for r in rows:
         assert r["n"] > 0 and r["n_null"] == 0
         assert r["min_val"] <= r["max_val"]
+
+
+def test_histogram_pandas_twin_matches_builtin(spark):
+    a = sorted(map(tuple, _q(spark, "user_value_histogram").collect()))
+    b = sorted(map(tuple,
+                   _q(spark, "user_value_histogram_pandas").collect()))
+    assert a == b
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    # hand-checkable corpus: 1&2 share most shingles, 3 is disjoint,
+    # and a hot shingle ("common words here") appears in every doc
+    rows = [(1, "common words here alpha beta gamma delta", "en", "s", 1),
+            (2, "common words here alpha beta gamma epsilon", "en", "s", 1),
+            (3, "common words here zeta eta theta iota", "en", "s", 1)]
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               {"documents": _docs(spark, rows)}, threshold=0.3).collect()}
+    # docs 1,2: 5 shingles each, 4 common → J = 4/6 = 2/3
+    assert (1, 2) in out and abs(out[(1, 2)] - 2 / 3) < 1e-12
+    # doc 3 shares only the hot prefix shingle with 1 and 2 → J = 1/9
+    assert (1, 3) not in out and (2, 3) not in out
