@@ -575,3 +575,39 @@ def q21_sole_late_supplier(t: dict[str, DataFrame],
             .select("s_name", "numwait")
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(k))
+
+
+# One dialect-portable SQL text for the flagship summary: the SAME
+# string runs verbatim through spark.sql (over a temp view) and
+# through DuckDB as its oracle — one statement, two engines, exact
+# match. Demonstrates the engine's SQL surface next to the DataFrame
+# API; every construct here (decimal casts, timestamp literal,
+# grouped aggregates) is common dialect.
+PORTABLE_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4))))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM {table}
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """The spark.sql API surface: register the fact as a temp view and
+    run ``PORTABLE_Q1_SQL`` verbatim — Catalyst produces the same
+    scan→partial-agg→exchange→final-agg plan as the DataFrame-API
+    twin (q1_pricing_summary), proving the two surfaces are
+    interchangeable entry points to one engine."""
+    li = t["lineitem"]
+    li.createOrReplaceTempView("lineitem_v")
+    return li.sparkSession.sql(PORTABLE_Q1_SQL.format(table="lineitem_v"))

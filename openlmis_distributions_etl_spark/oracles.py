@@ -1589,3 +1589,12 @@ ORACLES.update({
 
 
 ORACLES["user_value_histogram_pandas"] = ORACLES["user_value_histogram"]
+
+
+def _portable_q1() -> str:
+    from .operators.relational import PORTABLE_Q1_SQL
+
+    return PORTABLE_Q1_SQL.format(table="lineitem")
+
+
+ORACLES["sql_pricing_summary"] = _portable_q1()

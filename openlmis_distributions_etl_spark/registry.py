@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _OPERATORS = {
     # §2.A relational core
     "q1_pricing_summary": relational.q1_pricing_summary,
+    "sql_pricing_summary": relational.sql_pricing_summary,
     "q3_shipping_priority": relational.q3_shipping_priority,
     "q4_order_priority": relational.q4_order_priority,
     "q5_regional_volume": relational.q5_regional_volume,
