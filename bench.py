@@ -32,6 +32,9 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash64",
+    "curation_pipeline",
+    "q21_sole_late_supplier",
+    "knn_lsh",
     "doc_quality_score",
     "knn_bruteforce",
     "embedding_near_dup_pairs",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions import pin, spread
+from ..functions.cache import retain
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -313,7 +314,10 @@ def knn_lsh(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     inside probed buckets — ~9/256 of the store for well-spread
     buckets, with recall controlled by the probe radius. Same output
     schema as knn_bruteforce; approximate by construction."""
-    assigned = _with_buckets(t, N_SEARCH_PLANES)
+    # retained cache: the assignment feeds the query row, the probe
+    # list AND the probe-side join — uncached it recomputes the
+    # 8-plane fold over the whole store three times
+    assigned = retain(_with_buckets(t, N_SEARCH_PLANES))
     qrow = assigned.where(F.col("vec_id") == QUERY_VEC_ID)
     probes = (qrow
               .select(F.explode(F.array(
