@@ -319,8 +319,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         prev, labels = upd, new_labels
         if changed == 0:
             # the returned plan reuses the final round's cache; register
-            # it so the next query's build releases it
-            return register(labels)
+            # the PERSISTED frame (upd) — unpersist() only releases a
+            # cache whose plan matches, so registering the projection
+            # would leak the final round's cache
+            register(upd)
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(component diameter exceeds max_iter); raise max_iter")

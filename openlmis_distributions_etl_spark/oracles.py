@@ -1101,10 +1101,20 @@ ORACLES.update({
     """,
     # character-based framing == the Python path's byte framing for this
     # ASCII corpus (same published assumption as multimodal_features'
-    # ascii(text) first byte)
+    # ascii(text) first byte). The assumption is ENFORCED: any
+    # non-ASCII document makes the oracle raise (error()) instead of
+    # silently producing a wrong parity baseline — DuckDB has no blob
+    # substring, so byte-exact framing can't be expressed directly.
     "multimodal_frame_sample": """
         WITH f AS (
-          SELECT doc_id, text,
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) = length(text)
+                      THEN text
+                      ELSE error('multimodal_frame_sample oracle: '
+                                 || 'non-ASCII document ' || doc_id
+                                 || '; char framing no longer matches '
+                                 || 'the byte framing Spark computes')
+                 END AS text,
                  unnest(range(0, (length(text) + 255) // 256, 4))
                    AS frame_idx
           FROM documents)

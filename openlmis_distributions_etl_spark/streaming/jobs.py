@@ -216,10 +216,22 @@ DOCS_SCHEMA = StructType([
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (the continuous
-    corpus-ingest shape)."""
-    return (spark.readStream
-            .schema(DOCS_SCHEMA)
-            .option("pathGlobFilter", "documents.parquet")
+    corpus-ingest shape).
+
+    Layout-robust: the production layout is a DIRECTORY of part files
+    (what this repo's own writers emit) and the stream points at it
+    directly; Spark's file stream source requires a directory basePath,
+    so only when the table is a single bare file (the driver's testdata
+    layout) does the reader fall back to a leaf-name glob on the parent
+    — never globbing when parts exist, so a split table can't silently
+    stream zero rows."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return (reader.option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))
 
 

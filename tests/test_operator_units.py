@@ -95,6 +95,28 @@ def test_shingles_short_doc_excluded(spark):
     assert [r["doc_id"] for r in sigs] == [2]
 
 
+def test_shingles_short_doc_excluded_oracle_agrees():
+    """Both engines must EXCLUDE sub-shingle docs — not emit a NULL
+    signature row on one side only (advisor round-2 concern). The
+    Spark side is pinned above; this pins the DuckDB twin on the same
+    corpus shape."""
+    import duckdb
+
+    from openlmis_distributions_etl_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)")
+    con.execute("INSERT INTO documents VALUES"
+                " (1, 'two words', 'en', 's', 9),"
+                " (2, 'now three tokens here', 'en', 's', 21),"
+                " (3, '', 'en', 's', 0)")
+    out = con.sql(ORACLES["minhash_signatures"]).fetchall()
+    assert [r[0] for r in out] == [2]
+    assert all(v is not None for v in out[0])
+
+
 def test_identical_docs_are_lsh_candidates(spark):
     body = "the quick brown fox jumps over the lazy dog again and again"
     rows = [(1, body, "en", "s", 1), (2, body, "en", "s", 1),

@@ -103,3 +103,18 @@ def test_stream_static_snapshot_dedup_matches_batch(spark):
     want = {r["doc_id"] for r in dedup.incremental_dedup(t).collect()
             if r["is_dup"] == 0}
     assert set(got["doc_id"]) == want and len(got) == len(want)
+
+
+def test_read_documents_stream_directory_layout(spark, tmp_path):
+    """The writer layout (documents.parquet as a DIRECTORY of part
+    files) must stream every row — the round-2 leaf-glob formulation
+    silently matched nothing on this layout."""
+    src = tmp_path / "corpus"
+    (spark.read.parquet(f"{SF0001}/documents.parquet")
+     .repartition(3)
+     .write.parquet(str(src / "documents.parquet")))
+    got = _run_available_now(
+        jobs.read_documents_stream(spark, str(src)).select("doc_id"),
+        "docs_dir_stream", spark, "append")
+    assert len(got) == spark.read.parquet(
+        f"{SF0001}/documents.parquet").count()
