@@ -89,20 +89,53 @@ def _centroids(t: dict[str, DataFrame]) -> DataFrame:
                     F.col("embedding").alias("cvec")))
 
 
+def _centroid_array(t: dict[str, DataFrame]) -> DataFrame:
+    """The whole centroid table as ONE row: an array of
+    (centroid_id, cvec) structs sorted by centroid_id — the broadcast
+    payload the per-row argmax folds over."""
+    return (_centroids(t)
+            .agg(F.array_sort(
+                F.collect_list(F.struct(
+                    "centroid_id", "cvec",
+                    l2_norm(F.col("cvec")).alias("cn"))))
+                .alias("cents")))
+
+
 def ivf_assign(t: dict[str, DataFrame]) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine,
-    centroid_id tie-break): broadcast-join + per-vector argmax."""
-    e = t["embeddings"]
-    scored = (
-        spread(e).crossJoin(broadcast(_centroids(t)))
-        .select("vec_id", "label", "embedding", "centroid_id",
-                cosine(F.col("embedding"), F.col("cvec")).alias("cos_sim"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_sim"), F.asc("centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "label", "embedding", "centroid_id"))
+    centroid_id tie-break) with ZERO shuffle: the K centroids broadcast
+    as one array row and each vector folds an argmax over it in place.
+
+    The round-2 formulation expanded every vector K× and hash-shuffled
+    the expansion through a row_number window just to pick a max of K —
+    at 100 TB that shuffle IS the job. Here the expansion never leaves
+    the row: `transform` scores the K centroids and `aggregate` keeps
+    the first strict maximum — centroids are scanned in centroid_id
+    order, so ties resolve to the smallest id exactly like the oracle's
+    ROW_NUMBER ... ORDER BY cos DESC, centroid_id ASC.
+
+    Score values stay bit-identical to the oracle's cosine: the dot is
+    the same left fold, and both norms are the same sqrt folds — just
+    computed ONCE each (the vector's via ``pin``, the centroid's
+    stored in the broadcast array) instead of once per (vector,
+    centroid) pair, which changes flop count, not values."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("embedding"), c["cvec"])
+             / (F.col("en") * c["cn"])).alias("s"),
+            c["centroid_id"].alias("cid")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-2.0).cast("double").alias("s"),
+                 F.lit(-1).cast("long").alias("cid")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
+    return (pin(spread(t["embeddings"])
+                .select("vec_id", "label", "embedding"),
+                en=l2_norm(F.col("embedding")))
+            .crossJoin(broadcast(_centroid_array(t)))
+            .select("vec_id", "label", "embedding",
+                    best["cid"].alias("centroid_id")))
 
 
 def knn_ivf(t: dict[str, DataFrame], k: int = TOP_K,

@@ -177,6 +177,27 @@ def test_knn_lsh_probe_sides_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    """The argmax-over-broadcast-centroids fold must never hash-shuffle
+    the vector stream (the round-2 row_number window shuffled an
+    8×-expanded copy of the store)."""
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        ivf_assign)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    plan = _plan(ivf_assign(load_tables(spark, SF0001)))
+    assert "hashpartitioning" not in plan   # big side never shuffles
+    assert "Window" not in plan             # no row_number argmax
+    # the centroid array rides one broadcast into a nested-loop cross
+    # with exactly one row on the build side
+    assert "BroadcastExchange" in plan
+
+
+def test_knn_ivf_probe_join_broadcast(spark):
+    plan = _plan(_q(spark, "knn_ivf"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_curation_pipeline_single_shuffle(spark):
     plan = _plan(_q(spark, "curation_pipeline"))
     # exactly one wide shuffle — the dedup window on the content hash
