@@ -484,20 +484,6 @@ ORACLES.update({
         ORDER BY cos_sim DESC, a.vec_id ASC
         LIMIT 10
     """,
-    "embedding_near_dup_pairs": f"""
-        WITH norm AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) / sqrt({DOT_Q.format(a='embedding', b='embedding')})) AS nv
-          FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_sum(list_transform(range(1, 65),
-                 i -> a.nv[i] * b.nv[i])) AS cos_sim
-        FROM norm a
-        JOIN norm b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(range(1, 65),
-                 i -> a.nv[i] * b.nv[i])) >= 0.3
-    """,
     "multimodal_features": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -1408,6 +1394,70 @@ buckets AS (
 assigned AS (
   SELECT e.vec_id, e.label, e.embedding, b.bucket
   FROM embeddings e JOIN buckets b USING (vec_id))"""
+
+# banded pair-candidate CTE over the FULL 16-plane code: 4 disjoint
+# 4-bit bands, candidates agree on >=1 whole band, then exact cosine
+# over unit-normalized vectors (mirrors operators/similarity.py
+# embedding_near_dup_pairs bit-for-bit)
+_PAIR_CTE = f"""
+hp16(k, signs) AS (VALUES {_hyperplane_sql_literals_n(16)}),
+dots16 AS (
+  SELECT vec_id, k,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                * signs[CAST(i AS INT)])) AS dot_k
+  FROM embeddings, hp16),
+buckets16 AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot_k >= 0 THEN 1 << CAST(k AS INT)
+                       ELSE 0 END) AS INT) AS bucket
+  FROM dots16 GROUP BY vec_id),
+bands16 AS (
+  SELECT vec_id, band_id,
+         (bucket >> CAST(4 * band_id AS INT)) & 15 AS band_val
+  FROM buckets16, (SELECT unnest(range(4)) AS band_id)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands16 a JOIN bands16 b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id),
+norm AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE)
+                / sqrt({DOT_Q.format(a='embedding', b='embedding')})) AS nv
+  FROM embeddings)"""
+
+_PAIR_DOT = ("list_sum(list_transform(range(1, 65), "
+             "i -> a.nv[i] * b.nv[i]))")
+
+ORACLES.update({
+    "embedding_near_dup_pairs": f"""
+        WITH {_PAIR_CTE}
+        SELECT vec_a, vec_b, {_PAIR_DOT} AS cos_sim
+        FROM cand
+        JOIN norm a ON vec_a = a.vec_id
+        JOIN norm b ON vec_b = b.vec_id
+        WHERE {_PAIR_DOT} >= 0.3
+    """,
+    "near_dup_recall": f"""
+        WITH {_PAIR_CTE},
+        truep AS (
+          SELECT COUNT(*) AS n_true
+          FROM norm a JOIN norm b ON a.vec_id < b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3),
+        foundp AS (
+          SELECT COUNT(*) AS n_found
+          FROM cand
+          JOIN norm a ON vec_a = a.vec_id
+          JOIN norm b ON vec_b = b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3)
+        SELECT CAST(n_true AS INT) AS n_true,
+               CAST(n_found AS INT) AS n_found,
+               CAST(n_found AS DOUBLE) / n_true AS recall
+        FROM truep, foundp
+    """,
+})
 
 ORACLES.update({
     "knn_lsh": f"""

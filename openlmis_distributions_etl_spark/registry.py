@@ -61,6 +61,7 @@ _OPERATORS = {
     "knn_lsh": similarity.knn_lsh,
     "ivf_cluster_stats": similarity.ivf_cluster_stats,
     "knn_lsh_recall": similarity.knn_lsh_recall,
+    "near_dup_recall": similarity.near_dup_recall,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "incremental_dedup": dedup.incremental_dedup,
     # §2.A second wave

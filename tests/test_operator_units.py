@@ -312,6 +312,33 @@ def test_event_transitions_counts(spark):
     assert out == {("signup", "click"): 1, ("click", "click"): 1}
 
 
+def test_near_dup_banded_lsh_finds_identical_vectors(spark):
+    """Identical vectors share every band (candidate with certainty)
+    and verify at cos=1.0; an orthogonal vector must not pair with
+    them at a high threshold."""
+    e1 = [1.0, 2.0] + [0.5] * 62
+    e3 = [-x for x in e1]                      # cos = -1 vs e1/e2
+    emb = spark.createDataFrame(
+        [(1, e1, 0), (2, list(e1), 0), (3, e3, 1)],
+        "vec_id long, embedding array<float>, label long")
+    out = similarity.embedding_near_dup_pairs(
+        {"embeddings": emb}, threshold=0.99).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_near_dup_recall_bounds(spark):
+    e1 = [1.0, 2.0] + [0.5] * 62
+    emb = spark.createDataFrame(
+        [(1, e1, 0), (2, list(e1), 0), (3, [-x for x in e1], 1)],
+        "vec_id long, embedding array<float>, label long")
+    out = similarity.near_dup_recall(
+        {"embeddings": emb}, threshold=0.99).collect()[0]
+    # the only true pair is the identical one, and banding finds it
+    assert out["n_true"] == 1 and out["n_found"] == 1
+    assert out["recall"] == 1.0
+
+
 def test_label_centroids_mean_of_known_vectors(spark):
     from openlmis_distributions_etl_spark.operators.similarity import (
         label_centroids)

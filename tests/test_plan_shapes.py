@@ -192,6 +192,17 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_near_dup_pairs_is_bucket_local(spark):
+    """The pair join must be keyed on LSH bands — never a nested-loop
+    enumeration of the full store (the round-2 all-pairs plan)."""
+    plan = _plan(_q(spark, "embedding_near_dup_pairs"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # candidate generation + verify are equi-joins on band/vec keys
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_knn_ivf_probe_join_broadcast(spark):
     plan = _plan(_q(spark, "knn_ivf"))
     assert "Window" not in plan
