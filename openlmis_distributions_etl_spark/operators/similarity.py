@@ -296,28 +296,56 @@ def near_dup_recall(t: dict[str, DataFrame],
                     (F.col("n_found") / F.col("n_true")).alias("recall")))
 
 
+MEAN_BLOCK = 256    # rows per level-1 fold block (vec_id DIV block);
+                    # 256 exercises the two-level path even on the
+                    # 500-vector gate corpus — at production n pick
+                    # B ≈ √n (e.g. 2^20 for 10^12 rows) so both fold
+                    # levels stay a few MB
+
+
+def _block_sums(e: DataFrame, keys: list[str]) -> DataFrame:
+    """Level-1 of the two-level order-canonical fold: per
+    (keys…, vec_id DIV MEAN_BLOCK) block, left-fold the values sorted
+    by vec_id into an exact partial sum. No collected array ever
+    exceeds MEAN_BLOCK entries."""
+    blk = (e.groupBy(*keys, F.expr(f"vec_id DIV {MEAN_BLOCK}")
+                     .alias("blk"))
+           .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+                .alias("vs"),
+                F.count(F.lit(1)).alias("nb")))
+    bsum = F.aggregate(F.col("vs"), F.lit(0.0),
+                       lambda acc, s: acc + s["x"].cast("double"))
+    return blk.select(*keys, "blk", bsum.alias("bsum"), "nb")
+
+
+def _fold_blocks(col: str = "bs") -> Column:
+    """Level-2 fold: block partial sums in block order."""
+    return F.aggregate(F.col(col), F.lit(0.0),
+                       lambda acc, s: acc + s["bsum"])
+
+
 def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     """Per-label centroid, long format (label, dim, centroid, n).
 
     Exactness design: a plain double SUM over group members is
-    partition-order dependent, so instead each (label, dim) group
-    collects its values sorted by vec_id and left-folds — the same
-    canonical order the DuckDB oracle uses (list(x ORDER BY vec_id)),
-    making the mean bit-identical. At scale the collect_list per
-    (label, dim) cell is bounded by the label's membership; for
-    unbounded groups you'd switch to a tree-reduce with fixed block
-    boundaries (same determinism argument, bounded memory)."""
+    partition-order dependent, so the mean is a deterministic
+    two-level fold instead — level 1 folds each fixed vec_id block
+    (≤ MEAN_BLOCK values, sorted by vec_id), level 2 folds the block
+    partial sums in block order. The grouping order is canonical at
+    both levels, so the result is bit-identical to the DuckDB oracle
+    running the same two-level plan — and unlike a whole-group
+    collect_list, state per aggregation node is bounded by the block
+    size, not the label's membership (the 100 TB requirement)."""
     e = (spread(t["embeddings"])
          .select("label", "vec_id",
                  F.posexplode(F.col("embedding")).alias("dim", "x")))
-    g = (e.groupBy("label", "dim")
-         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
-              .alias("vs"),
-              F.count(F.lit(1)).alias("n")))
-    folded = F.aggregate(F.col("vs"), F.lit(0.0),
-                         lambda acc, s: acc + s["x"].cast("double"))
+    lvl1 = _block_sums(e, ["label", "dim"])
+    g = (lvl1.groupBy("label", "dim")
+         .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+              .alias("bs"),
+              F.sum("nb").alias("n")))
     return g.select("label", "dim",
-                    (folded / F.col("n")).alias("centroid"), "n")
+                    (_fold_blocks() / F.col("n")).alias("centroid"), "n")
 
 
 def knn_batch(t: dict[str, DataFrame], n_queries: int = 5,
@@ -491,17 +519,27 @@ def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
     normalization / dead-dimension check run before index builds or
     training. posexplode shuffles on the 64-value dim key; min/max of
     identical floats are engine-exact, and the mean reuses the
-    order-canonical sorted fold (see label_centroids) so the double
-    sum is bit-identical to the oracle's."""
+    two-level block fold (see label_centroids) so the double sum is
+    bit-identical to the oracle's with per-node state bounded by the
+    block size, not the corpus."""
     e = (spread(t["embeddings"])
-         .select("vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")))
-    g = (e.groupBy("dim")
-         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
-              .alias("vs"),
-              F.count(F.lit(1)).alias("n"),
-              F.min(F.col("x").cast("double")).alias("min_val"),
-              F.max(F.col("x").cast("double")).alias("max_val")))
-    folded = F.aggregate(F.col("vs"), F.lit(0.0),
-                         lambda acc, s: acc + s["x"].cast("double"))
-    return g.select("dim", "n", (folded / F.col("n")).alias("mean_val"),
-                    "min_val", "max_val")
+         .select("vec_id",
+                 F.posexplode(F.col("embedding")).alias("dim", "x")))
+    blk = (e.groupBy("dim", F.expr(f"vec_id DIV {MEAN_BLOCK}")
+                     .alias("blk"))
+           .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+                .alias("vs"),
+                F.count(F.lit(1)).alias("nb"),
+                F.min(F.col("x").cast("double")).alias("mn"),
+                F.max(F.col("x").cast("double")).alias("mx")))
+    bsum = F.aggregate(F.col("vs"), F.lit(0.0),
+                       lambda acc, s: acc + s["x"].cast("double"))
+    lvl1 = blk.select("dim", "blk", bsum.alias("bsum"), "nb", "mn", "mx")
+    g = (lvl1.groupBy("dim")
+         .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+              .alias("bs"),
+              F.sum("nb").alias("n"),
+              F.min("mn").alias("min_val"),
+              F.max("mx").alias("max_val")))
+    return g.select("dim", "n", (_fold_blocks() / F.col("n"))
+                    .alias("mean_val"), "min_val", "max_val")

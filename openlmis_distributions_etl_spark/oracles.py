@@ -1027,15 +1027,23 @@ ORACLES.update({
 # -- round-2 additions: similarity -------------------------------------
 
 ORACLES.update({
+    # two-level block fold (vec_id // 256 blocks, then block order) —
+    # mirrors the bounded-state Spark plan exactly
     "label_centroids": """
         WITH e AS (
           SELECT label, vec_id, i - 1 AS dim,
                  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i))
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        blk AS (
+          SELECT label, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e GROUP BY label, dim, blk)
         SELECT label, CAST(dim AS INT) AS dim,
-               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS centroid,
-               COUNT(*) AS n
-        FROM e
+               list_sum(list(bsum ORDER BY blk))
+                 / CAST(SUM(nb) AS BIGINT) AS centroid,
+               CAST(SUM(nb) AS BIGINT) AS n
+        FROM blk
         GROUP BY label, dim
     """,
     "knn_batch": f"""
@@ -1523,15 +1531,23 @@ ORACLES.update({
                COUNT(*) / 10 AS recall_at_k
         FROM exact JOIN approx USING (vec_id)
     """,
+    # two-level block fold, see label_centroids
     "embedding_dim_stats": """
         WITH e AS (
           SELECT vec_id, i - 1 AS dim,
                  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS i))
-        SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
-               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS mean_val,
-               MIN(x) AS min_val, MAX(x) AS max_val
-        FROM e
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        blk AS (
+          SELECT dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb, MIN(x) AS mn, MAX(x) AS mx
+          FROM e GROUP BY dim, blk)
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(SUM(nb) AS BIGINT) AS n,
+               list_sum(list(bsum ORDER BY blk))
+                 / CAST(SUM(nb) AS BIGINT) AS mean_val,
+               MIN(mn) AS min_val, MAX(mx) AS max_val
+        FROM blk
         GROUP BY dim
     """,
     "incremental_dedup": """

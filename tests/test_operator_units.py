@@ -339,6 +339,18 @@ def test_near_dup_recall_bounds(spark):
     assert out["recall"] == 1.0
 
 
+def test_label_centroids_multi_block_fold(spark):
+    """600 vectors span 3 fold blocks (MEAN_BLOCK=256); the two-level
+    fold must still produce the exact mean."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)], 0) for i in range(600)],
+        "vec_id long, embedding array<float>, label long")
+    out = similarity.label_centroids({"embeddings": emb}).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 600
+    assert out[0]["centroid"] == sum(range(600)) / 600   # 299.5 exact
+
+
 def test_label_centroids_mean_of_known_vectors(spark):
     from openlmis_distributions_etl_spark.operators.similarity import (
         label_centroids)
