@@ -106,12 +106,18 @@ def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
 def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
                 ("spark", "query", "join"), k1: float = 1.2,
                 b: float = 0.75) -> DataFrame:
-    """BM25 relevance of each document for a fixed term set.
+    """BM25 relevance of each document for a fixed term set, with the
+    rational (ln-free) Robertson idf variant
+    idf = (N − df + 0.5)/(df + 0.5): every score is then a fixed
+    chain of IEEE double ops on exact integer inputs, evaluated
+    identically by DuckDB, so the oracle checks values bit-for-bit
+    (the ``doc_tfidf_top_terms`` linear-idf pattern — classic ln()
+    idf is not bit-portable across engines). The per-doc sum folds
+    term scores in sorted term order for the same reason.
 
     Distributed shape: doc-term frequencies (one groupBy), corpus
     document frequencies for the query terms (tiny broadcast), one
-    join, one per-doc sum. *Rows-only* oracle check: ln() is not
-    bit-identical across engines, so no SQL twin.
+    join, one per-doc fold.
     """
     toks = tokens()
     # retained cache: corpus stats and term frequencies both scan this
@@ -119,9 +125,9 @@ def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
     # next query starts building
     docs = retain(t["documents"].select("doc_id", toks.alias("toks"),
                                         F.size(toks).alias("dl")))
-    n_docs_avgdl = docs.agg(
+    corpus = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"))
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
     tf = (docs.select("doc_id", "dl", F.explode("toks").alias("term"))
           .where(F.col("term").isin(*query_terms))
           .groupBy("doc_id", "dl", "term")
@@ -129,14 +135,18 @@ def bm25_scores(t: dict[str, DataFrame], query_terms: tuple[str, ...] =
     df_ = (tf.groupBy("term")
            .agg(F.count_distinct("doc_id").alias("df")))
     scored = (tf.join(F.broadcast(df_), "term")
-              .crossJoin(F.broadcast(n_docs_avgdl)))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
+              .crossJoin(F.broadcast(corpus)))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    return (scored.select("doc_id", (idf * tf_norm).alias("term_score"))
-            .groupBy("doc_id")
-            .agg(F.sum("term_score").alias("bm25")))
+    per_term = scored.select("doc_id", "term",
+                             (idf * tf_norm).alias("term_score"))
+    g = (per_term.groupBy("doc_id")
+         .agg(F.array_sort(F.collect_list(F.struct("term", "term_score")))
+              .alias("ts")))
+    fold = F.aggregate(F.col("ts"), F.lit(0.0),
+                       lambda acc, s: acc + s["term_score"])
+    return g.select("doc_id", fold.alias("bm25"))
 
 
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"

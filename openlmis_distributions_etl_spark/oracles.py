@@ -993,6 +993,47 @@ ORACLES.update({
         SELECT doc_id, term, tf, df, score, rnk
         FROM scored WHERE rnk <= 3
     """,
+    # rational-idf BM25 (no ln) — fixed IEEE op chain on exact integer
+    # inputs, folded in sorted term order, mirrors operators/text.py
+    # bm25_scores bit-for-bit
+    "bm25_scores": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        docs AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        corpus AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM docs),
+        ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+        tf AS (
+          SELECT doc_id, dl, term, COUNT(*) AS tf
+          FROM ex WHERE term IN ('spark', 'query', 'join')
+          GROUP BY doc_id, dl, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+               FROM tf GROUP BY term),
+        scored AS (
+          -- e0 literals force DOUBLE (a bare 0.5 is DECIMAL in DuckDB,
+          -- which would thread decimal arithmetic through the
+          -- all-integer inputs and drift from Spark's IEEE chain)
+          SELECT doc_id, term,
+                 ((n_docs - df + 0.5e0) / (df + 0.5e0))
+                 * ((tf * 2.2e0)
+                    / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)))
+                   AS term_score
+          FROM tf JOIN df USING (term), corpus)
+        SELECT doc_id, list_sum(list(term_score ORDER BY term)) AS bm25
+        FROM scored GROUP BY doc_id
+    """,
+    # exact distinct checked bit-for-bit; each engine's own HLL sketch
+    # verified against the 5% envelope (2.5x the rsd), so the flag is
+    # deterministic and equal in both engines
+    "approx_distinct_events": """
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(abs(approx_count_distinct(user_id)
+                        - COUNT(DISTINCT user_id))
+                    <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS approx_ok
+        FROM events GROUP BY event_type
+    """,
     "deterministic_sample": f"""
         SELECT doc_id, lang, source,
                CAST({_HEX8_TO_INT("'split|' || CAST(doc_id AS VARCHAR)")}

@@ -78,7 +78,7 @@ _OPERATORS = {
     "string_functions_report": analytics.string_functions_report,
     "date_arithmetic_report": analytics.date_arithmetic_report,
     "stats_correlation": analytics.stats_correlation,
-    "approx_distinct_events": analytics.approx_distinct_events,  # rows-only
+    "approx_distinct_events": analytics.approx_distinct_events,
     "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
     "token_positions": analytics.token_positions,
     "user_value_histogram": multimodal.user_value_histogram,
@@ -127,7 +127,7 @@ _OPERATORS = {
     "doc_fingerprint": text.doc_fingerprint,
     "doc_bpe_token_count": text.doc_bpe_token_count,
     "doc_rolling_hash": text.doc_rolling_hash,
-    "bm25_scores": text.bm25_scores,  # rows-only
+    "bm25_scores": text.bm25_scores,
     "token_freq_topk": text.token_freq_topk,
     "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
     "deterministic_sample": text.deterministic_sample,

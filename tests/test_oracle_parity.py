@@ -16,8 +16,9 @@ ORACLES = entry_mod.oracle_sql()
 
 def test_every_query_has_an_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
-    # rows-only entries (non-SQL-expressible) must be explicitly listed
-    allowed_rows_only: set[str] = {"approx_distinct_events", "bm25_scores"}
+    # rows-only entries (non-SQL-expressible) must be explicitly listed;
+    # round 3 retired the last two (rational-idf BM25, exact+envelope HLL)
+    allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
     dangling = set(ORACLES) - set(QUERIES)
     assert not dangling, f"oracles without query: {dangling}"

@@ -108,7 +108,7 @@ def test_salted_agg_rejects_non_algebraic(spark):
         salted_agg(ev, ["event_type"], {"a": ("avg", "value")}).collect()
 
 
-def test_approx_distinct_events_rows_only(spark):
+def test_approx_distinct_events_envelope(spark):
     out = {r["event_type"]: r for r in
            _q(spark, "approx_distinct_events").collect()}
     ev = load_table(spark, SF0001, "events")
@@ -117,9 +117,9 @@ def test_approx_distinct_events_rows_only(spark):
              .agg(F.count_distinct("user_id").alias("n")).collect()}
     assert set(out) == set(exact)
     for etype, row in out.items():
-        # rsd=0.02 → generous 10% envelope for the smoke check
-        assert abs(row["approx_users"] - exact[etype]) <= max(
-            2, 0.1 * exact[etype])
+        assert row["exact_users"] == exact[etype]
+        # the HLL sketch must land inside its published envelope
+        assert row["approx_ok"] == 1
         assert row["n_events"] > 0
 
 
