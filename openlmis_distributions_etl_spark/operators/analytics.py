@@ -178,6 +178,31 @@ def approx_distinct_events(t: dict[str, DataFrame]) -> DataFrame:
                     ok.cast("int").alias("approx_ok"))
 
 
+def salted_event_type_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type rollup routed through the two-phase SALTED
+    aggregate (functions/skew.salted_agg) — the skew shape AQE cannot
+    split: 5 group keys over the whole events fact means every key is
+    a hot key, and a plain groupBy funnels 20% of the fact through one
+    reducer each. The salted plan partial-aggregates on
+    (event_type, _salt) first, dividing each hot key's shuffle traffic
+    by n_salts, then combines the 16 partials per key.
+
+    Results are identical to the plain aggregate (counts are
+    integers; the value sum is exact decimal, so combining partials
+    is order-independent) — which is exactly what the oracle checks
+    with a plain GROUP BY."""
+    from ..functions.skew import salted_agg
+
+    out = salted_agg(
+        t["events"], ["event_type"],
+        {"n_events": ("count", F.lit(1)),
+         "sum_value": ("sum", dec("value"))})
+    return out.select(
+        "event_type", "n_events",
+        F.col("sum_value").cast("decimal(38,6)").cast("double")
+        .alias("sum_value"))
+
+
 def unpivot_priority_metrics(t: dict[str, DataFrame]) -> DataFrame:
     """Wide→long unpivot (melt) of per-priority metrics."""
     wide = (t["orders"].groupBy("o_orderpriority")

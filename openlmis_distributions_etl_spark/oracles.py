@@ -1034,6 +1034,13 @@ ORACLES.update({
                     <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS approx_ok
         FROM events GROUP BY event_type
     """,
+    # plain GROUP BY: the salted two-phase plan must produce identical
+    # results (exact decimal sum is salt-order-independent)
+    "salted_event_type_stats": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {DSUM('value')} AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "deterministic_sample": f"""
         SELECT doc_id, lang, source,
                CAST({_HEX8_TO_INT("'split|' || CAST(doc_id AS VARCHAR)")}

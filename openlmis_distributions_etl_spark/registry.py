@@ -79,6 +79,7 @@ _OPERATORS = {
     "date_arithmetic_report": analytics.date_arithmetic_report,
     "stats_correlation": analytics.stats_correlation,
     "approx_distinct_events": analytics.approx_distinct_events,
+    "salted_event_type_stats": analytics.salted_event_type_stats,
     "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
     "token_positions": analytics.token_positions,
     "user_value_histogram": multimodal.user_value_histogram,

@@ -41,11 +41,11 @@ def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", batchsize: int = 10_000,
                num_partitions: int | None = None,
                properties: dict[str, str] | None = None) -> None:
-    """JDBC sink (warehouse load). No JDBC driver jar ships in this
-    container, so calls fail with the driver-not-found error from the
-    JVM; the plumbing (batched writes, bounded parallelism so the
-    database isn't hammered by 1000 executors at once) is what's
-    tested."""
+    """JDBC sink (warehouse load): batched writes, bounded parallelism
+    so the database isn't hammered by 1000 executors at once.
+    Round-trip-tested against embedded Derby (on Spark's classpath);
+    external-warehouse drivers (postgres, etc.) must be added to
+    spark.jars as usual."""
     writer = df
     if num_partitions is not None:
         writer = df.coalesce(num_partitions)

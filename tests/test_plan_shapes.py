@@ -108,6 +108,15 @@ def test_salted_agg_rejects_non_algebraic(spark):
         salted_agg(ev, ["event_type"], {"a": ("avg", "value")}).collect()
 
 
+def test_salted_event_type_stats_two_phase(spark):
+    """The registered skew query must actually run the salted
+    two-phase plan: a partial aggregate keyed on (event_type, _salt)
+    before the final aggregate on event_type."""
+    plan = _plan(_q(spark, "salted_event_type_stats"))
+    assert "_salt" in plan                       # salt key in the plan
+    assert plan.count("HashAggregate") >= 4      # 2 phases x partial+final
+
+
 def test_approx_distinct_events_envelope(spark):
     out = {r["event_type"]: r for r in
            _q(spark, "approx_distinct_events").collect()}

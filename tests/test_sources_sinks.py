@@ -85,6 +85,53 @@ def test_jdbc_gated_without_driver(spark):
         ei.value).lower()
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC extract/load end-to-end against embedded Derby (the
+    JDBC database that ships on Spark's classpath): batched write,
+    then a range-partitioned parallel read — N concurrent range
+    queries, the only JDBC read shape that scales."""
+    from openlmis_distributions_etl_spark.sources.sinks import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/warehouse_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load_table(spark, SF0001, "nation")
+    write_jdbc(src, url, "nation_mart", mode="overwrite",
+               properties=props)
+    back = read_jdbc(spark, url, "nation_mart",
+                     partition_column="n_nationkey",
+                     lower_bound=0, upper_bound=25,
+                     num_partitions=4, properties=props)
+    assert back.rdd.getNumPartitions() == 4          # parallel ranges
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+
+def test_multi_row_group_scan_restores_parallelism(spark, tmp_path):
+    """SURVEY §6's claim, proven instead of asserted: local testdata's
+    single-row-group files cap scan parallelism at 1 task, but a table
+    written with bounded file sizes (what this repo's writers do, and
+    what any 100 TB table has) scans with many tasks — and spread()
+    is then a NO-OP, so its exchange exists only for the degenerate
+    single-split case."""
+    from openlmis_distributions_etl_spark.functions import spread
+
+    li = load_table(spark, SF0001, "lineitem")
+    write_partitioned_parquet(li, str(tmp_path / "li"),
+                              max_records_per_file=500)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(512 * 1024))
+        reread = spark.read.parquet(str(tmp_path / "li"))
+        n_parts = reread.rdd.getNumPartitions()
+        assert n_parts >= 8, f"expected a split scan, got {n_parts}"
+        assert spread(reread) is reread              # no-op on splits
+        assert reread.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
     from openlmis_distributions_etl_spark.sources.files import read_orc
     from openlmis_distributions_etl_spark.sources.sinks import (
