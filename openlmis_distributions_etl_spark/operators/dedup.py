@@ -117,34 +117,65 @@ def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _bands(sig: DataFrame) -> DataFrame:
-    """Explode the 16-hash signature into 4 banded bucket keys."""
+    """Explode the 16-hash signature into 4 banded bucket keys; the
+    full signature rides along so pair consumers can dedupe by
+    first-matching-band and score slot agreement without join-backs."""
     parts = []
     rows = N_HASHES // BANDS
+    hs = [f"h{j}" for j in range(N_HASHES)]
     for b in range(BANDS):
         val = F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
         parts.append(sig.select(
-            "doc_id", F.lit(b).alias("band_id"), val.alias("band_val")))
+            "doc_id", *hs, F.lit(b).alias("band_id"), val.alias("band_val")))
     return reduce(DataFrame.unionAll, parts)
+
+
+def _first_matching_band() -> Column:
+    """Index of the first band on which the joined a/b signatures
+    agree — requiring band_id to equal it dedupes a multi-band match
+    WITHOUT shuffling the candidate stream through a distinct (the
+    near-dup-pairs trick, see similarity._banded_pairs)."""
+    rows = N_HASHES // BANDS
+
+    def band_match(j: int) -> Column:
+        m = None
+        for r in range(rows):
+            eq = F.col(f"a.h{j * rows + r}") == F.col(f"b.h{j * rows + r}")
+            m = eq if m is None else m & eq
+        return m
+
+    c = F.when(band_match(0), F.lit(0))
+    for j in range(1, BANDS - 1):
+        c = c.when(band_match(j), F.lit(j))
+    return c.otherwise(F.lit(BANDS - 1))
+
+
+def _lsh_candidate_join(bands: DataFrame) -> DataFrame:
+    """Self-join on (band_id, band_val), each pair emitted exactly
+    once (at its first matching band)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b, (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.band_id") == _first_matching_band()))
 
 
 def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band. The self-join
     shuffles on (band_id, band_val) — bucket-local comparison, never
-    all-pairs."""
+    all-pairs — and dedupes by first-matching-band instead of a
+    distinct over the candidate stream."""
     # retained cache: the self-join would otherwise recompute the
     # 16-seed md5 signature pipeline for both sides (2× the dominant
     # cost); released when the next query starts building
-    bands = retain(_bands(minhash_signatures(t)))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # retain the SIGNATURE table, not the banded union: the union's
+    # 4 branches then read one cached signature instead of the cache
+    # fill running the md5 pipeline once per branch
+    sig = retain(minhash_signatures(t))
+    return (_lsh_candidate_join(_bands(sig))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
 
 
 def ngram_jaccard_pairs(t: dict[str, DataFrame],
@@ -383,28 +414,36 @@ def simhash_hamming_pairs(t: dict[str, DataFrame],
     """
     sh = retain(simhash64(t))
     band_width = 60 // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
     parts = [
         sh.select("doc_id", "simhash", F.lit(b).alias("band_id"),
                   F.shiftright("simhash", band_width * b)
-                  .bitwiseAND(F.lit((1 << band_width) - 1))
+                  .bitwiseAND(F.lit(mask))
                   .alias("band_val"))
         for b in range(SIMHASH_BANDS)
     ]
     banded = reduce(DataFrame.unionAll, parts)
     a, b = banded.alias("a"), banded.alias("b")
+    # dedupe by first-matching-band on xor instead of a distinct over
+    # the candidate stream (see _first_matching_band)
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first = F.when(x.bitwiseAND(F.lit(mask)) == 0, F.lit(0))
+    for j in range(1, SIMHASH_BANDS - 1):
+        first = first.when(
+            F.shiftright(x, band_width * j).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(j))
+    first = first.otherwise(F.lit(SIMHASH_BANDS - 1))
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.band_id") == first))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sim_a"),
-                F.col("b.simhash").alias("sim_b"))
-        .distinct()
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
-            .where(F.col("hamming") <= max_dist))
+    return cand.where(F.col("hamming") <= max_dist)
 
 
 def minhash_jaccard_estimate(t: dict[str, DataFrame]) -> DataFrame:
@@ -413,32 +452,19 @@ def minhash_jaccard_estimate(t: dict[str, DataFrame]) -> DataFrame:
     cheap similarity score used to rank/threshold candidates before
     (or instead of) exact shingle-set verification.
 
-    The signature table is computed once (persisted) and feeds both
-    the band join and the two signature sides of the estimate; slot
-    agreement is a flat 16-term integer sum (codegen, no arrays)."""
-    sig = retain(minhash_signatures(t))
-    pairs = (
-        _bands(sig).alias("x")
-        .join(_bands(sig).alias("y"),
-              (F.col("x.band_id") == F.col("y.band_id"))
-              & (F.col("x.band_val") == F.col("y.band_val"))
-              & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a = sig.select(F.col("doc_id").alias("a_id"),
-                   *[F.col(f"h{j}").alias(f"a_h{j}") for j in range(N_HASHES)])
-    b = sig.select(F.col("doc_id").alias("b_id"),
-                   *[F.col(f"h{j}").alias(f"b_h{j}") for j in range(N_HASHES)])
+    The signature table is computed once (persisted) and the banded
+    self-join carries both signatures, so slot agreement — a flat
+    16-term integer sum (codegen, no arrays) — is computed inline on
+    the matched row: no distinct over the candidate stream, no
+    signature join-backs."""
+    bands = _bands(retain(minhash_signatures(t)))
     n_agree = None
     for j in range(N_HASHES):
-        term = F.when(F.col(f"a_h{j}") == F.col(f"b_h{j}"), 1).otherwise(0)
+        term = F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
         n_agree = term if n_agree is None else n_agree + term
-    return (pairs
-            .join(a, F.col("doc_a") == F.col("a_id"))
-            .join(b, F.col("doc_b") == F.col("b_id"))
-            .select("doc_a", "doc_b",
+    return (_lsh_candidate_join(bands)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
                     n_agree.cast("int").alias("n_agree"))
             .withColumn("jaccard_est", F.col("n_agree") / F.lit(N_HASHES)))
 
