@@ -228,3 +228,23 @@ def test_curation_pipeline_single_shuffle(spark):
 def test_incremental_dedup_no_python_and_hash_join(spark):
     plan = _plan(_q(spark, "incremental_dedup"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "minhash_lsh_pairs", "minhash_jaccard_estimate",
+    "simhash_hamming_pairs", "embedding_near_dup_pairs",
+])
+def test_lsh_pair_paths_are_distinct_free(spark, name):
+    """First-matching-band dedup: every banded pair query emits each
+    pair exactly once at the join, so the plan has EXACTLY one join
+    (keyed on the band bucket) and ZERO aggregates — no distinct pass
+    over the candidate stream, no join-backs to recover payloads."""
+    import re
+    plan = _plan(_q(spark, name))
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct", plan)
+    assert len(joins) == 1, f"{name}: expected 1 join, saw {joins}"
+    assert "NestedLoop" not in joins[0] and "Cartesian" not in joins[0]
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, \
+        f"{name}: candidate stream passed through an aggregate (distinct?)"
