@@ -366,3 +366,110 @@ def stratified_sample(t: dict[str, DataFrame],
             .select("doc_id", "lang", bucket.alias("bucket"),
                     rate.alias("keep_pct"))
             .where(F.col("bucket") < F.col("keep_pct")))
+
+
+# -- round-3 wave: redaction / vocab / packing / classifier ------------
+
+BLOCKLIST = ("spark", "dup")
+_BLOCK_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+# simple RFC-ish shapes shared verbatim by Java regex and RE2 (DuckDB):
+# no lookarounds, no backrefs, so both engines agree on every corpus
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
+    """PII / blocklist scrubbing pass: count email / IPv4 shapes and
+    blocklisted terms, emit the md5 of the term-redacted text so the
+    rewrite itself is value-verified (not just the counts). Pure
+    per-row regex projection in whole-stage codegen — zero shuffle at
+    any scale; the regex dialect is restricted to the Java∩RE2 subset
+    so the DuckDB oracle replays it verbatim."""
+    redacted = F.regexp_replace(F.col("text"), _BLOCK_RE, "[REDACTED]")
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).alias("n_blocked"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def doc_oov_rate(t: dict[str, DataFrame], vocab_k: int = 16) -> DataFrame:
+    """Out-of-vocabulary rate against a corpus-derived top-K vocabulary
+    (count desc, token asc — fully deterministic). The tokenizer-fit
+    step of corpus prep: one token-count aggregate builds the vocab
+    (tiny — K rows), which is collapsed to a single array row and
+    broadcast, so the per-doc OOV fold is a zero-shuffle projection.
+    At 100 TB the vocab agg is the only wide stage and its key space
+    is the token vocabulary, not the corpus."""
+    toks = tokens()
+    vocab = (t["documents"]
+             .select(F.explode(toks).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("token"))
+             .limit(vocab_k)
+             .agg(F.sort_array(F.collect_list("token")).alias("vocab")))
+    d = t["documents"].select("doc_id", toks.alias("toks"))
+    return (d.crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                F.size("toks").alias("n_tokens"),
+                F.size(F.filter(
+                    "toks",
+                    lambda x: ~F.array_contains(F.col("vocab"), x)))
+                .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.col("n_oov") / F.col("n_tokens")))
+
+
+def sequence_packing(t: dict[str, DataFrame],
+                     seq_len: int = 256) -> DataFrame:
+    """Concat-then-chunk sequence packing audit: within each language
+    stream (deterministic doc_id order), documents are concatenated
+    and cut into fixed ``seq_len``-token training sequences; a doc
+    lands in the pack where its first token falls. Output is per-pack
+    occupancy — the packing-efficiency report a training-data job
+    emits. One shuffle on lang (the window partition), reused by the
+    per-pack aggregate; packing never materializes token arrays."""
+    d = t["documents"].select(
+        "doc_id", "lang", F.size(tokens()).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = d.select(
+        "doc_id", "lang", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .alias("cum_before"))
+    return (packed
+            .groupBy("lang",
+                     (F.col("cum_before") / seq_len).cast("long")
+                     .alias("pack_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+def hashed_classifier_score(t: dict[str, DataFrame],
+                            buckets: int = 1024) -> DataFrame:
+    """Hash-trick linear classifier scoring (the fastText-style
+    quality-model inference pass): each token hashes to one of
+    ``buckets`` weight slots, the weight table is a deterministic
+    pseudo-random function of the slot (Knuth multiplicative hash), and
+    the doc score is the exact BIGINT sum of token weights (order-free,
+    so bit-identical in any engine) scaled once to double. Per-row
+    higher-order fold — zero shuffle, no weight table materialized."""
+    def w_int(x: Column) -> Column:
+        slot = (F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
+                .cast("long") % buckets)
+        return (slot * F.lit(2654435761)) % buckets - buckets // 2
+    toks = tokens()
+    d = t["documents"].select(
+        "doc_id", F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + w_int(x)).alias("w_sum"))
+    return d.select(
+        "doc_id", "n_tokens", "w_sum",
+        (F.col("w_sum") / F.lit(float(buckets // 4))).alias("score"),
+        (F.col("w_sum") > 0).cast("int").alias("pred_positive"))

@@ -181,3 +181,26 @@ def daily_active_users(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count_distinct("user_id").alias("dau"),
                  F.count(F.lit(1)).alias("n_events"),
                  dsum("value").alias("total_value")))
+
+
+def sliding_window_event_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window counts (10-minute window, 5-minute slide): every
+    event lands in exactly two overlapping windows. Batch twin of the
+    watermarked streaming job (streaming/jobs.py
+    sliding_window_counts_stream) — same logical plan under
+    readStream. One hash-agg shuffle on a (window, type) key space
+    bounded by time x cardinality, with map-side partial aggregation;
+    the built-in window() generator is a narrow projection."""
+    ev = t["events"]
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).cast("decimal(38,6)").cast("double")
+             .alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_end"),
+            "event_type", "n_events", "sum_value"))

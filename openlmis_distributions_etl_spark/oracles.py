@@ -1722,3 +1722,107 @@ def _portable_q1() -> str:
 
 
 ORACLES["sql_pricing_summary"] = _portable_q1()
+
+
+# -- round-3 wave: redaction / vocab / packing / classifier / sliding --
+
+_BLOCK_RE_SQL = r"\b(spark|dup)\b"
+_EMAIL_RE_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+ORACLES.update({
+    # regex subset is Java∩RE2 (no lookaround/backrefs): both engines
+    # see the same matches; md5 is over the UTF-8 bytes in both
+    "pii_redaction": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}'))
+                 AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_IPV4_RE_SQL}'))
+                 AS INTEGER) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{_BLOCK_RE_SQL}'))
+                 AS INTEGER) AS n_blocked,
+               md5(regexp_replace(text, '{_BLOCK_RE_SQL}',
+                                  '[REDACTED]', 'g')) AS redacted_md5,
+               CAST(length(regexp_replace(text, '{_BLOCK_RE_SQL}',
+                                          '[REDACTED]', 'g'))
+                 AS INTEGER) AS redacted_len
+        FROM documents
+    """,
+    "doc_oov_rate": f"""
+        WITH vocab AS (
+          SELECT token
+          FROM (SELECT unnest({TOKS}) AS token FROM documents)
+          GROUP BY token
+          ORDER BY COUNT(*) DESC, token ASC
+          LIMIT 16),
+        v AS (SELECT list_sort(list(token)) AS vocab FROM vocab),
+        d AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(toks,
+                 x -> NOT list_contains(vocab, x))) AS INTEGER) AS n_oov,
+               CAST(len(list_filter(toks,
+                 x -> NOT list_contains(vocab, x))) AS INTEGER)
+                 / CAST(len(toks) AS INTEGER) AS oov_rate
+        FROM d, v
+    """,
+    "sequence_packing": f"""
+        WITH d AS (
+          SELECT doc_id, lang, CAST(len({TOKS}) AS INTEGER) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+                 COALESCE(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+          FROM d)
+        SELECT lang,
+               CAST(FLOOR(cum_before / 256.0) AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed
+        GROUP BY lang, CAST(FLOOR(cum_before / 256.0) AS BIGINT)
+    """,
+    # slot/weight arithmetic is pure BIGINT (order-free sum), so the
+    # fold is bit-exact in any engine; mirror of operators/text.py
+    # hashed_classifier_score
+    "hashed_classifier_score": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(toks,
+                   x -> (({_HEX8_TO_INT('x')} % 1024) * 2654435761)
+                        % 1024 - 512)), 0) AS BIGINT) AS w_sum
+          FROM d)
+        SELECT doc_id, n_tokens, w_sum,
+               w_sum / 256.0 AS score,
+               CAST(w_sum > 0 AS INTEGER) AS pred_positive
+        FROM s
+    """,
+    # every event falls in exactly two (10 min, slide 5 min) windows:
+    # floor(ts/5m) and the one before — mirrors Spark's epoch-aligned
+    # window() generator
+    "sliding_window_event_counts": f"""
+        WITH ev AS (
+          SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        w AS (
+          SELECT (us // 300000000) * 300000000 AS s1, event_type, value
+          FROM ev),
+        x AS (
+          SELECT unnest([s1 - 300000000, s1]) AS ws, event_type, value
+          FROM w)
+        SELECT strftime(make_timestamp(ws),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(ws + 600000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {DSUM('value')} AS sum_value
+        FROM x
+        GROUP BY ws, event_type
+    """,
+})

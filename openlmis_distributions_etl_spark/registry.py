@@ -136,6 +136,12 @@ _OPERATORS = {
     # §2.H multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+    # §2.G/§2.C round-3 wave: curation + sliding windows
+    "pii_redaction": text.pii_redaction,
+    "doc_oov_rate": text.doc_oov_rate,
+    "sequence_packing": text.sequence_packing,
+    "hashed_classifier_score": text.hashed_classifier_score,
+    "sliding_window_event_counts": windows.sliding_window_event_counts,
 }
 
 

@@ -254,3 +254,54 @@ def dedup_docs_against_snapshot(new_docs: DataFrame,
             .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
             .join(snap_hashes, "text_hash", "left_anti")
             .select("doc_id", "lang", "source"))
+
+
+def sliding_window_counts_stream(events: DataFrame,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.windows.sliding_window_event_counts
+    (10-minute windows sliding every 5): each event updates exactly two
+    overlapping windows; the watermark closes a window once event time
+    passes end + lateness, bounding state to the overlap horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                 F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).cast("decimal(38,6)").cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def signup_purchase_join_stream(events: DataFrame,
+                                horizon_minutes: int = 30) -> DataFrame:
+    """Stream-stream interval join: purchases join the signup of the
+    same user that happened within the preceding ``horizon_minutes``.
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark evicts buffered rows once the
+    watermark passes the interval — state is O(horizon × rate), never
+    the full history. Batch twin checked in tests (plain join with the
+    same interval predicate)."""
+    signups = (events.where(F.col("event_type") == "signup")
+               .select(F.col("user_id").alias("s_user"),
+                       F.col("ts").alias("s_ts"),
+                       F.col("event_id").alias("s_event"))
+               .withWatermark("s_ts", "1 hour"))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_event"),
+                         F.col("value").alias("p_value"))
+                 .withWatermark("p_ts", "1 hour"))
+    cond = ((F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts")
+               + F.expr(f"INTERVAL {horizon_minutes} MINUTES")))
+    return (signups.join(purchases, cond)
+            .select(F.col("s_user").alias("user_id"), "s_event", "p_event",
+                    F.unix_micros("s_ts").alias("s_ts_us"),
+                    F.unix_micros("p_ts").alias("p_ts_us"), "p_value"))

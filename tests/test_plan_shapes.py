@@ -248,3 +248,37 @@ def test_lsh_pair_paths_are_distinct_free(spark, name):
     assert "NestedLoop" not in joins[0] and "Cartesian" not in joins[0]
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, \
         f"{name}: candidate stream passed through an aggregate (distinct?)"
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    # pure per-row regex projection: no exchange of any kind beyond
+    # the spread() round-robin, no joins, no Python
+    plan = _plan(_q(spark, "pii_redaction"))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_hashed_classifier_is_shuffle_free(spark):
+    # the hash-trick weight table is a function, not data: scoring is
+    # a per-row higher-order fold with zero shuffles and no join
+    plan = _plan(_q(spark, "hashed_classifier_score"))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_doc_oov_rate_vocab_broadcast(spark):
+    # the top-K vocab collapses to one array row and rides a broadcast
+    # into the per-doc fold; the corpus side never shuffles for it
+    plan = _plan(_q(spark, "doc_oov_rate"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_window_single_agg_shuffle(spark):
+    # one hash-agg exchange on the (window, type) key with map-side
+    # partial aggregation before it
+    plan = _plan(_q(spark, "sliding_window_event_counts"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()

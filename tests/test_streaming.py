@@ -118,3 +118,40 @@ def test_read_documents_stream_directory_layout(spark, tmp_path):
         "docs_dir_stream", spark, "append")
     assert len(got) == spark.read.parquet(
         f"{SF0001}/documents.parquet").count()
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    events = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.sliding_window_counts_stream(events), "slide_counts", spark,
+        "complete")
+    want = windows.sliding_window_event_counts(
+        load_tables(spark, SF0001, "events")).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_stream_join_matches_batch(spark):
+    events = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.signup_purchase_join_stream(events), "ss_join", spark,
+        "append")
+    ev = load_tables(spark, SF0001, "events")["events"]
+    s = (ev.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"),
+                 F.col("ts").alias("s_ts"),
+                 F.col("event_id").alias("s_event")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_event"),
+                 F.col("value").alias("p_value")))
+    want = (s.join(p, (F.col("s_user") == F.col("p_user"))
+                   & (F.col("p_ts") >= F.col("s_ts"))
+                   & (F.col("p_ts") <= F.col("s_ts")
+                      + F.expr("INTERVAL 30 MINUTES")))
+            .select(F.col("s_user").alias("user_id"), "s_event", "p_event",
+                    F.unix_micros("s_ts").alias("s_ts_us"),
+                    F.unix_micros("p_ts").alias("p_ts_us"), "p_value")
+            ).toPandas()
+    assert len(want) > 0, "batch twin matched no signup->purchase pairs"
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
