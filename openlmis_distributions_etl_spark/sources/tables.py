@@ -30,11 +30,44 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively: read as raw nanos (legacy conf) and floor-divide to micros —
-# the same truncation DuckDB applies when casting ns→TIMESTAMP, so the
-# two engines see identical values.
-NANOS_TS = {"events": ("ts",)}
+# Columns that must surface as session-tz TIMESTAMP regardless of the
+# physical parquet layout. A real lake mixes layouts — TIMESTAMP(NANOS)
+# (Spark reads as bigint under the legacy nanosAsLong conf),
+# TIMESTAMP(MICROS) without isAdjustedToUTC (Spark reads TIMESTAMP_NTZ),
+# and UTC-adjusted micros (plain TIMESTAMP) — so the loader normalizes
+# whatever it finds instead of hard-coding one historical layout.
+TS_COLS = {"events": ("ts",)}
+
+# Kept for backward import compatibility (streaming probes this map).
+NANOS_TS = TS_COLS
+
+
+def normalize_ts(df: DataFrame, column: str, *, table: str = "?") -> DataFrame:
+    """Coerce ``column`` to session-tz TIMESTAMP whatever physical type
+    the parquet carried.
+
+    - ``bigint``        → raw nanos (legacy ``nanosAsLong`` read);
+      floor-divide to micros — the same truncation DuckDB applies when
+      casting ns→TIMESTAMP, so both engines see identical values.
+    - ``timestamp_ntz`` → cast to TIMESTAMP. The session timezone is
+      pinned UTC (session.py), so the cast is value-preserving.
+    - ``timestamp``     → already normalized.
+
+    Anything else is a data contract violation and fails loudly with
+    the table/column/got-type named, instead of surfacing later as a
+    cryptic DATATYPE_MISMATCH inside some downstream operator.
+    """
+    dtype = dict(df.dtypes).get(column)
+    if dtype == "bigint":
+        return df.withColumn(column, F.expr(f"timestamp_micros({column} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    raise TypeError(
+        f"table {table!r} column {column!r}: expected a timestamp-like "
+        f"type (timestamp, timestamp_ntz, or bigint nanos), got {dtype!r}"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,12 +83,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     if key in cache:
         return cache[key]
-    if name in NANOS_TS:
+    if name in TS_COLS:
+        # lets a TIMESTAMP(NANOS) footer read as bigint instead of erroring;
+        # no effect on micros layouts
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in NANOS_TS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in TS_COLS.get(name, ()):
+        df = normalize_ts(df, c, table=name)
     cache[key] = df
     return df
 

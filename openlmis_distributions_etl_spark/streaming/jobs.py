@@ -28,27 +28,47 @@ from ..functions import dec
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-# events.parquet carries TIMESTAMP(NANOS): the streaming reader needs an
-# explicit schema, so declare ts as raw nanos and convert (same
-# truncation as the batch source layer).
-EVENTS_NANOS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _events_schema(ts_type) -> StructType:
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table."""
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       glob: str = "events.parquet") -> DataFrame:
+    """File-source stream over the events table.
+
+    A file stream needs an explicit schema, but the physical timestamp
+    layout of ``ts`` varies by provider (int64 nanos / micros-NTZ /
+    UTC micros), so probe the static footer first, declare ``ts`` as
+    its actual read type, and normalize to session-tz TIMESTAMP with
+    the same rules as the batch source layer (sources.tables.normalize_ts).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from ..sources.tables import normalize_ts
+
+    # footer-only probe; the conf lets a TIMESTAMP(NANOS) footer read
+    # as bigint instead of erroring (no effect on micros layouts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(probe.dtypes)["ts"]
+    ts_type = {"bigint": LongType(),
+               "timestamp_ntz": TimestampNTZType(),
+               "timestamp": TimestampType()}.get(ts_dtype)
+    if ts_type is None:
+        raise TypeError(
+            f"events.ts: expected a timestamp-like type, got {ts_dtype!r}")
     raw = (spark.readStream
-           .schema(EVENTS_NANOS_SCHEMA)
-           .option("pathGlobFilter", "events.parquet")
+           .schema(_events_schema(ts_type))
+           .option("pathGlobFilter", glob)
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_ts(raw, "ts", table="events")
 
 
 def windowed_event_counts_stream(events: DataFrame,

@@ -79,10 +79,7 @@ def test_dedup_events_stream_removes_duplicates(spark, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF0001}/events.parquet", src / "events.parquet")
     shutil.copy(f"{SF0001}/events.parquet", src / "events_copy.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(jobs.EVENTS_NANOS_SCHEMA)
-           .parquet(str(src)))
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = jobs.read_events_stream(spark, str(src), glob="*.parquet")
     deduped = jobs.dedup_events_stream(events)
     q = (deduped.writeStream.format("memory").queryName("dedup_stream")
          .outputMode("append").trigger(availableNow=True).start())
