@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import pin, spread
@@ -193,36 +193,54 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame],
     cost ~40% over the naive join — the price of bounding the
     Zipfian worst case any real corpus has, where the naive join's
     top stop-shingle alone generates more candidates than every
-    prefix combined. Verification computes exact Jaccard per
-    candidate from the full sets (array_intersect), so the τ-filtered
-    output is identical to the naive join's."""
+    prefix combined.
+
+    Distribution shape follows Vernica et al. (SIGMOD'10, "Efficient
+    Parallel Set-Similarity Joins Using MapReduce"): each prefix row
+    carries its doc's full shingle set through the prefix-token
+    self-join, Jaccard is verified INLINE, and a pair that collides on
+    several prefix shingles is emitted exactly once — at its
+    globally-rarest shared prefix shingle (the first-matching-band
+    trick, `_first_matching_band`) — so there is no `.distinct()`
+    over the candidate stream and no join-back of the shingle arrays
+    (the round-3 plan shuffled the candidate stream three more times:
+    a pair-key distinct plus two array-payload join-backs). The price
+    is the Vernica record-duplication trade: the join shuffle moves
+    ~prefix_len copies of each set, bounded by the prefix filter
+    itself. Output is identical to the naive join's."""
     d = (_with_shingles(t)
          .select("doc_id",
-                 F.array_distinct("shingles").alias("sh"))
-         .select("doc_id", "sh", F.size("sh").alias("n_sh")))
-    ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+                 F.array_distinct("shingles").alias("sh")))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (ex.join(freq, "shingle")
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= F.col("n_sh")
-                     - F.ceil(threshold * F.col("n_sh")) + 1)
-              .select("doc_id", "shingle"))
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # re-assemble each doc's set ordered by global rarity (df, then
+    # shingle — a total order, so both join sides agree on it), then
+    # keep the first n − ⌈τ·n⌉ + 1 as the indexed prefix
+    pre = retain(
+        ex.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(df, shingle))), "
+                    "p -> p.shingle)").alias("sh"))
+        .selectExpr(
+            "doc_id", "sh", "size(sh) AS n_sh",
+            f"slice(sh, 1, CAST(size(sh) - ceil({threshold} * size(sh)) + 1 "
+            f"AS INT)) AS pref"))
+    rows = pre.select("doc_id", "n_sh", "sh", "pref",
+                      F.explode("pref").alias("shingle"))
+    a, b = rows.alias("a"), rows.alias("b")
+    # array_intersect preserves the first array's order, and pref is
+    # sorted by the shared global rarity order → element 1 is the
+    # globally-rarest shared prefix shingle on both sides
+    first_shared = F.element_at(
+        F.array_intersect(F.col("a.pref"), F.col("b.pref")), 1)
+    n_common = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = n_common / (F.col("a.n_sh") + F.col("b.n_sh") - n_common)
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.shingle") == first_shared))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    sa = d.select(F.col("doc_id").alias("doc_a"),
-                  F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = d.select(F.col("doc_id").alias("doc_b"),
-                  F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    scored = (cand.join(sa, "doc_a").join(sb, "doc_b")
-              .withColumn("n_common",
-                          F.size(F.array_intersect("sh_a", "sh_b"))))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (scored.select("doc_a", "doc_b", jac.alias("jaccard"))
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

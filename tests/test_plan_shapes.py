@@ -282,3 +282,17 @@ def test_sliding_window_single_agg_shuffle(spark):
     plan = _plan(_q(spark, "sliding_window_event_counts"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()
+
+
+def test_ngram_jaccard_no_candidate_redistribution(spark):
+    """Pair dedup is the first-shared-prefix predicate inside the
+    self-join — the candidate stream must never be re-shuffled through
+    a pair-key distinct or array join-backs (the round-3 plan did all
+    three)."""
+    plan = _plan(_q(spark, "ngram_jaccard_pairs"))
+    assert "Exchange hashpartitioning(doc_a" not in plan
+    assert "Exchange hashpartitioning(doc_b" not in plan
+    for line in plan.splitlines():
+        if "Aggregate" in line:
+            assert "doc_a" not in line and "doc_b" not in line, \
+                f"candidate-stream aggregate survived: {line.strip()}"
