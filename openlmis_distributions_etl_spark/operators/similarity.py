@@ -89,14 +89,15 @@ def _centroids(t: dict[str, DataFrame]) -> DataFrame:
                     F.col("embedding").alias("cvec")))
 
 
-def _centroid_array(t: dict[str, DataFrame]) -> DataFrame:
-    """The whole centroid table as ONE row: an array of
-    (centroid_id, cvec) structs sorted by centroid_id — the broadcast
-    payload the per-row argmax folds over."""
-    return (_centroids(t)
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """A centroid table (centroid_id, cvec) as ONE row: an array of
+    (centroid_id, cvec, norm) structs sorted by centroid_id — the
+    broadcast payload the per-row argmax folds over."""
+    return (cent
             .agg(F.array_sort(
                 F.collect_list(F.struct(
-                    "centroid_id", "cvec",
+                    "centroid_id", F.col("cvec").cast("array<double>")
+                    .alias("cvec"),
                     l2_norm(F.col("cvec")).alias("cn"))))
                 .alias("cents")))
 
@@ -119,6 +120,17 @@ def ivf_assign(t: dict[str, DataFrame]) -> DataFrame:
     computed ONCE each (the vector's via ``pin``, the centroid's
     stored in the broadcast array) instead of once per (vector,
     centroid) pair, which changes flop count, not values."""
+    return _argmax_assign(
+        spread(t["embeddings"]).select("vec_id", "label", "embedding"),
+        _centroids(t))
+
+
+def _argmax_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """Zero-shuffle nearest-centroid assignment: broadcast the whole
+    centroid table as one array row; each vector folds an argmax over
+    it in place (see ivf_assign for the scale rationale). ``vectors``
+    must carry ``embedding``; all its columns pass through plus
+    ``centroid_id``."""
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
@@ -130,12 +142,10 @@ def ivf_assign(t: dict[str, DataFrame]) -> DataFrame:
         F.struct(F.lit(-2.0).cast("double").alias("s"),
                  F.lit(-1).cast("long").alias("cid")),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
-    return (pin(spread(t["embeddings"])
-                .select("vec_id", "label", "embedding"),
-                en=l2_norm(F.col("embedding")))
-            .crossJoin(broadcast(_centroid_array(t)))
-            .select("vec_id", "label", "embedding",
-                    best["cid"].alias("centroid_id")))
+    cols = vectors.columns
+    return (pin(vectors, en=l2_norm(F.col("embedding")))
+            .crossJoin(broadcast(_centroid_array(cent)))
+            .select(*cols, best["cid"].alias("centroid_id")))
 
 
 def knn_ivf(t: dict[str, DataFrame], k: int = TOP_K,
@@ -349,6 +359,52 @@ def label_centroids(t: dict[str, DataFrame]) -> DataFrame:
               F.sum("nb").alias("n")))
     return g.select("label", "dim",
                     (_fold_blocks() / F.col("n")).alias("centroid"), "n")
+
+
+def _assigned_means(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd step: assign every vector to its max-cosine centroid
+    (zero-shuffle broadcast argmax), then the per-(cluster, dim) mean
+    via the two-level order-canonical fold (bit-exact across engines,
+    bounded aggregation state — see label_centroids)."""
+    assigned = _argmax_assign(e, cent)
+    ex = assigned.select("centroid_id", "vec_id",
+                         F.posexplode(F.col("embedding")).alias("dim", "x"))
+    lvl1 = _block_sums(ex, ["centroid_id", "dim"])
+    g = (lvl1.groupBy("centroid_id", "dim")
+         .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+              .alias("bs"),
+              F.sum("nb").alias("n")))
+    return g.select("centroid_id", "dim",
+                    (_fold_blocks() / F.col("n")).alias("centroid"), "n")
+
+
+def kmeans_centroids(t: dict[str, DataFrame], iters: int = 2) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding store (replaces the
+    seed-centroid stand-in the IVF index trained from in rounds 1-3).
+
+    Per iteration: one embeddings scan + in-row broadcast argmax
+    assignment (NO shuffle — the round-2 expand-K×-and-window shape is
+    exactly what this avoids) + one bounded-state aggregation to the
+    k×dim means + a k-row collect into the next broadcast array. At
+    100 TB each iteration is a single scan-plus-tiny-agg job; driver
+    state is k centroids, never data.
+
+    Determinism: seeds are the first k vectors (centroid_id = vec_id),
+    assignment ties break to the smallest centroid_id, and means use
+    the two-level canonical fold — so a fixed iteration count unrolls
+    into plain SQL and the DuckDB oracle reproduces every centroid
+    bit-for-bit. A cluster that loses all members simply drops out
+    (both engines agree); output is the final Lloyd step's means in
+    long format (centroid_id, dim, centroid, n)."""
+    e = spread(t["embeddings"]).select("vec_id", "embedding")
+    cent = _centroids(t)
+    for _ in range(iters - 1):
+        m = _assigned_means(e, cent)
+        cent = (m.groupBy("centroid_id")
+                .agg(F.expr(
+                    "transform(array_sort(collect_list(struct(dim, centroid))), "
+                    "p -> p.centroid)").alias("cvec")))
+    return _assigned_means(e, cent)
 
 
 def knn_batch(t: dict[str, DataFrame], n_queries: int = 5,

@@ -1094,6 +1094,64 @@ ORACLES.update({
         FROM blk
         GROUP BY label, dim
     """,
+    # two fixed Lloyd iterations unrolled: assignment = max cosine with
+    # ROW_NUMBER tie-break to the smallest centroid_id (the Spark
+    # argmax fold's first-strict-maximum), means = the same two-level
+    # block fold as label_centroids
+    "kmeans_centroids": f"""
+        WITH cent0 AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent0 c)
+          WHERE rn = 1),
+        e1 AS (
+          SELECT centroid_id, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM a1, (SELECT unnest(range(1, 65)) AS i)),
+        b1 AS (
+          SELECT centroid_id, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e1 GROUP BY centroid_id, dim, blk),
+        m1 AS (
+          SELECT centroid_id, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid
+          FROM b1 GROUP BY centroid_id, dim),
+        cent1 AS (
+          SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
+          FROM m1 GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent1 c)
+          WHERE rn = 1),
+        e2 AS (
+          SELECT centroid_id, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM a2, (SELECT unnest(range(1, 65)) AS i)),
+        b2 AS (
+          SELECT centroid_id, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e2 GROUP BY centroid_id, dim, blk)
+        SELECT centroid_id, CAST(dim AS INT) AS dim,
+               list_sum(list(bsum ORDER BY blk))
+                 / CAST(SUM(nb) AS BIGINT) AS centroid,
+               CAST(SUM(nb) AS BIGINT) AS n
+        FROM b2 GROUP BY centroid_id, dim
+    """,
     "knn_batch": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv
                    FROM embeddings WHERE vec_id < 5),

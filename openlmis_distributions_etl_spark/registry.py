@@ -120,6 +120,7 @@ _OPERATORS = {
     "knn_batch": similarity.knn_batch,
     "embedding_norms": similarity.embedding_norms,
     "label_centroids": similarity.label_centroids,
+    "kmeans_centroids": similarity.kmeans_centroids,
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # §2.G text analysis
     "doc_token_count": text.doc_token_count,
