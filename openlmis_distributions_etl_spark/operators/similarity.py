@@ -602,3 +602,113 @@ def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
               F.max("mx").alias("max_val")))
     return g.select("dim", "n", (_fold_blocks() / F.col("n"))
                     .alias("mean_val"), "min_val", "max_val")
+
+
+PQ_M = 8            # subspaces (64 dims → 8 × 8)
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16           # codes per subspace codebook
+
+
+def _pq_codebook(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic PQ codebook as ONE broadcastable row: for each of
+    the PQ_M subspaces, PQ_K code vectors taken from the sub-vectors of
+    the first PQ_K embeddings (the same seeded-training stand-in as the
+    IVF seeds; kmeans_centroids is the trained path). Layout is a flat
+    array of (m, code, cv) structs sorted by (m, code), so consumers
+    address cell (m, code) at index m·PQ_K + code + 1 by arithmetic."""
+    cells = (t["embeddings"].where(F.col("vec_id") < PQ_K)
+             .select(F.col("vec_id").alias("code"),
+                     F.explode(F.expr(
+                         f"transform(sequence(0, {PQ_M - 1}), m -> struct("
+                         f"m AS m, transform(slice(embedding, "
+                         f"m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+                         f"x -> CAST(x AS DOUBLE)) AS cv))")).alias("cell")))
+    return (cells
+            .select(F.col("cell.m").alias("m"), "code",
+                    F.col("cell.cv").alias("cv"))
+            .agg(F.array_sort(F.collect_list(F.struct("m", "code", "cv")))
+                 .alias("book")))
+
+
+def _sub_d2(vec: Column, m: int, cv: Column) -> Column:
+    """Squared L2 between subspace ``m`` of ``vec`` and code vector
+    ``cv``: left fold over (x−y)², double-exact in both engines."""
+    sub = F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(_dbl(sub), cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_code_array() -> Column:
+    """Per-row PQ encoding: array of PQ_M best codes. Expects columns
+    ``embedding`` and the broadcast ``book``; each subspace runs an
+    argmin fold in place (first strict minimum in code order =
+    smallest-code tie-break, mirroring the oracle's ROW_NUMBER)."""
+    def best_code(m: int) -> Column:
+        scored = F.transform(
+            F.slice(F.col("book"), m * PQ_K + 1, PQ_K),
+            lambda c: F.struct(
+                _sub_d2(F.col("embedding"), m, c["cv"]).alias("d"),
+                c["code"].alias("code")))
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(-1).cast("long").alias("code")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc)
+        )["code"]
+
+    return F.array(*[best_code(m) for m in range(PQ_M)])
+
+
+def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI'11): each
+    64-float embedding compresses to PQ_M codes from a 16-entry
+    codebook per subspace — the 32× memory cut applied before an ANN
+    index ships to serving.
+
+    Zero shuffle: the codebook broadcasts as one row and every vector
+    encodes itself with in-row argmin folds. Output long format
+    (vec_id, m, code)."""
+    return (spread(t["embeddings"]).select("vec_id", "embedding")
+            .crossJoin(broadcast(_pq_codebook(t)))
+            .select("vec_id", F.posexplode(_pq_code_array())
+                    .alias("m", "code")))
+
+
+def knn_pq_adc(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Approximate kNN by asymmetric distance computation (ADC) over
+    PQ codes: the query precomputes its 8×16 lookup table of subspace
+    distances once (broadcast), and each vector's distance is 8 table
+    lookups summed in subspace order — the serving-path scan where
+    codes are hot and the full floats stay cold. Codes are produced in
+    the same pass here for self-containment; a production index stores
+    pq_codes' output and joins it instead."""
+    book = _pq_codebook(t)
+    q = (t["embeddings"].where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("qv")))
+    # per-cell d²(query subspace, code vector), flat-indexed like book
+    lut_col = F.transform(
+        F.col("book"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                _dbl(F.slice(F.col("qv"),
+                             c["m"] * PQ_SUBDIM + 1, PQ_SUBDIM)),
+                c["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    lut = (q.crossJoin(broadcast(book))
+           .select(lut_col.alias("lut")))
+    encoded = (spread(t["embeddings"])
+               .select("vec_id", "label", "embedding")
+               .crossJoin(broadcast(book))
+               .select("vec_id", "label", _pq_code_array().alias("codes")))
+    adc: Column | None = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"),
+            (F.lit(m * PQ_K) + F.col("codes")[m] + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (encoded.crossJoin(broadcast(lut))
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", "label", adc.alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+            .limit(k))

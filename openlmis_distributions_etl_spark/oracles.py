@@ -1074,6 +1074,33 @@ ORACLES.update({
 
 # -- round-2 additions: similarity -------------------------------------
 
+# product-quantization fragments: squared-L2 left fold over subspace m
+# (8 dims), codebook from the first 16 embeddings' sub-vectors, argmin
+# code per (vector, subspace) with ROW_NUMBER smallest-code tie-break
+_PQ_D2 = ("list_sum(list_transform(range(1, 9), i -> "
+          "(CAST({a}[CAST({m} * 8 + i AS INT)] AS DOUBLE) "
+          "- {cv}[CAST(i AS INT)]) "
+          "* (CAST({a}[CAST({m} * 8 + i AS INT)] AS DOUBLE) "
+          "- {cv}[CAST(i AS INT)])))")
+
+_PQ_BOOK = """book AS (
+          SELECT m, vec_id AS code,
+                 list_transform(
+                   embedding[CAST(m * 8 + 1 AS INT):CAST(m * 8 + 8 AS INT)],
+                   x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings, (SELECT unnest(range(0, 8)) AS m)
+          WHERE vec_id < 16)"""
+
+_PQ_CODES = f"""codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, b.m, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+                     ORDER BY {_PQ_D2.format(a='e.embedding', m='b.m',
+                                             cv='b.cv')} ASC,
+                              b.code ASC) AS rn
+            FROM embeddings e CROSS JOIN book b)
+          WHERE rn = 1)"""
+
 ORACLES.update({
     # two-level block fold (vec_id // 256 blocks, then block order) —
     # mirrors the bounded-state Spark plan exactly
@@ -1093,6 +1120,34 @@ ORACLES.update({
                CAST(SUM(nb) AS BIGINT) AS n
         FROM blk
         GROUP BY label, dim
+    """,
+    # PQ: 8 subspaces × 16 codes; codebook = sub-vectors of the first
+    # 16 embeddings; argmin ties to the smallest code (Spark fold's
+    # first strict minimum). _PQ_D2 is the same (x−y)² left fold both
+    # engines run.
+    "pq_codes": f"""
+        WITH {_PQ_BOOK},
+        {_PQ_CODES}
+        SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code
+        FROM codes
+    """,
+    "knn_pq_adc": f"""
+        WITH {_PQ_BOOK},
+        {_PQ_CODES},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (
+          SELECT b.m, b.code,
+                 {_PQ_D2.format(a='q.qv', m='b.m', cv='b.cv')} AS d
+          FROM book b CROSS JOIN q),
+        adc AS (
+          SELECT c.vec_id, list_sum(list(l.d ORDER BY l.m)) AS adc_dist
+          FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+          GROUP BY c.vec_id)
+        SELECT a.vec_id, e.label, a.adc_dist
+        FROM adc a JOIN embeddings e USING (vec_id)
+        WHERE a.vec_id <> 0
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT 10
     """,
     # two fixed Lloyd iterations unrolled: assignment = max cosine with
     # ROW_NUMBER tie-break to the smallest centroid_id (the Spark

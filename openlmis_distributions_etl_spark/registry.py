@@ -121,6 +121,8 @@ _OPERATORS = {
     "embedding_norms": similarity.embedding_norms,
     "label_centroids": similarity.label_centroids,
     "kmeans_centroids": similarity.kmeans_centroids,
+    "pq_codes": similarity.pq_codes,
+    "knn_pq_adc": similarity.knn_pq_adc,
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # §2.G text analysis
     "doc_token_count": text.doc_token_count,

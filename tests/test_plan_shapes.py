@@ -296,3 +296,11 @@ def test_ngram_jaccard_no_candidate_redistribution(spark):
         if "Aggregate" in line:
             assert "doc_a" not in line and "doc_b" not in line, \
                 f"candidate-stream aggregate survived: {line.strip()}"
+
+
+def test_pq_encoding_zero_shuffle(spark):
+    """PQ encoding must be scan + broadcast codebook + in-row argmin
+    folds — no hash exchange, no Python."""
+    plan = _plan(_q(spark, "pq_codes"))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
