@@ -473,3 +473,50 @@ def hashed_classifier_score(t: dict[str, DataFrame],
         "doc_id", "n_tokens", "w_sum",
         (F.col("w_sum") / F.lit(float(buckets // 4))).alias("score"),
         (F.col("w_sum") > 0).cast("int").alias("pred_positive"))
+
+
+WINNOW_K = 8       # character k-gram width
+WINNOW_W = 4       # winnowing window (k-grams per window)
+WINNOW_BASE = 256
+WINNOW_MOD = 1_000_000_007
+
+
+def winnowing_fingerprints(t: dict[str, DataFrame],
+                           k: int = WINNOW_K, w: int = WINNOW_W,
+                           base: int = WINNOW_BASE,
+                           mod: int = WINNOW_MOD) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03): Karp–Rabin hash every character k-gram, then from each
+    window of ``w`` consecutive k-gram hashes select the minimum
+    (rightmost on ties) and emit the per-doc distinct (position, hash)
+    selections. Guarantees any shared substring of length ≥ k + w − 1
+    produces a shared fingerprint — the shift-tolerant local-dedup /
+    plagiarism primitive that whole-text hashing can't provide.
+
+    Zero shuffle: codes → k-gram hashes → window minima are three
+    in-row HOF passes (each ``pin``-ed so Catalyst evaluates it once,
+    not once per downstream lambda reference); dedup of adjacent
+    windows choosing the same gram is an in-row array_distinct. All
+    arithmetic is exact bigint (acc·base + code mod p), so the DuckDB
+    oracle reproduces every fingerprint bit-for-bit."""
+    from ..functions import pin, spread
+
+    d = (spread(t["documents"])
+         .where(F.length("text") >= k + w - 1)
+         .select("doc_id", "text"))
+    d = pin(d, codes=F.expr(
+        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+    d = pin(d.select("doc_id", "codes"), kh=F.expr(
+        f"transform(sequence(0, size(codes) - {k}), i -> "
+        f"aggregate(slice(codes, i + 1, {k}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {base} + x) % {mod}))"))
+    sel = F.expr(
+        f"array_distinct(transform(sequence(0, size(kh) - {w}), j -> "
+        f"aggregate(sequence(j, j + {w} - 1), "
+        f"struct(CAST({mod} + 1 AS BIGINT) AS h, CAST(-1 AS INT) AS p), "
+        f"(acc, idx) -> CASE WHEN kh[idx] <= acc.h "
+        f"THEN struct(kh[idx] AS h, CAST(idx AS INT) AS p) "
+        f"ELSE acc END)))")
+    return (d.select("doc_id", F.explode(sel).alias("s"))
+            .select("doc_id", F.col("s.p").alias("pos"),
+                    F.col("s.h").alias("fp")))

@@ -800,6 +800,36 @@ ORACLES.update({
         FROM documents
         WHERE length(text) > 0
     ''',
+    # winnowing: per-doc char-8-gram Karp–Rabin hashes, min (rightmost
+    # tie) per 4-window, distinct (pos, hash) selections. The k-gram
+    # list_reduce init-from-first equals Spark's fold-from-zero (first
+    # step is 0·256 + c); the window fold's init is the first window
+    # element on both sides.
+    "winnowing_fingerprints": '''
+        WITH d AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT)) AS codes
+          FROM documents WHERE length(text) >= 11),
+        khs AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(codes) - 8 + 1), i ->
+                   list_reduce(codes[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                               (acc, x) -> (acc * 256 + x) % 1000000007)) AS kh
+          FROM d),
+        sels AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(kh) - 4 + 1), j ->
+                   list_reduce(
+                     list_transform(range(j, j + 4), idx ->
+                       struct_pack(h := kh[CAST(idx + 1 AS INT)],
+                                   p := CAST(idx AS INT))),
+                     (acc, x) -> CASE WHEN x.h <= acc.h THEN x
+                                      ELSE acc END)) AS sel
+          FROM khs)
+        SELECT DISTINCT doc_id, CAST(x.p AS INT) AS pos, x.h AS fp
+        FROM (SELECT doc_id, unnest(sel) AS x FROM sels)
+    ''',
 })
 
 

@@ -362,3 +362,27 @@ def test_label_centroids_mean_of_known_vectors(spark):
     for r in out:
         assert r["centroid"] == (2.0 if r["label"] == 0 else 5.0)
         assert r["n"] == (2 if r["label"] == 0 else 1)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's theorem: two docs sharing a substring of length
+    >= k + w - 1 (= 11 here) must share at least one fingerprint hash,
+    wherever that substring sits in each doc."""
+    shared = "abcdefghijklmno"          # 15 chars > 11
+    rows = [(1, "xxxx " + shared, "en", "s", 20),
+            (2, shared + " yyyy zz", "en", "s", 23),
+            (3, "completely different text here", "en", "s", 30)]
+    out = text.winnowing_fingerprints({"documents": _docs(spark, rows)})
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring produced no shared fingerprint"
+    assert not (fps[1] & fps[2]) & fps[3]
+
+
+def test_winnowing_short_doc_excluded(spark):
+    rows = [(1, "0123456789", "en", "s", 10),       # 10 < k + w - 1
+            (2, "0123456789a", "en", "s", 11)]      # exactly the bound
+    out = text.winnowing_fingerprints({"documents": _docs(spark, rows)})
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {2}
