@@ -229,13 +229,16 @@ def deterministic_sample(t: dict[str, DataFrame], pct: int = 10,
             .where(F.col("bucket") < pct))
 
 
-def doc_quality_filters(t: dict[str, DataFrame]) -> DataFrame:
+def doc_quality_filters(t: dict[str, DataFrame],
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
     """C4-style quality filter battery: every flag is integer/rational
     arithmetic (exact in both engines); `keep` is the conjunction.
-    Pure per-row projection — no shuffle at any scale."""
+    Pure per-row projection — no shuffle at any scale. ``passthrough``
+    columns ride along unchanged (the streaming quality gate keeps
+    lang/source without a same-source self-join)."""
     toks = tokens()
     d = t["documents"].select(
-        "doc_id",
+        "doc_id", *passthrough,
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         _count_in(toks, STOPWORDS_EN).alias("n_stop"),
@@ -247,7 +250,7 @@ def doc_quality_filters(t: dict[str, DataFrame]) -> DataFrame:
     has_stopword = (F.col("n_stop") > 0).cast("int")
     uniq_ok = (10 * F.col("n_distinct") >= F.col("n_tokens")).cast("int")
     return d.select(
-        "doc_id", "n_tokens",
+        "doc_id", *passthrough, "n_tokens",
         has_min_tokens.alias("has_min_tokens"),
         mean_len_ok.alias("mean_len_ok"),
         has_stopword.alias("has_stopword"),

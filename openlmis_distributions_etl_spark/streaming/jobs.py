@@ -255,6 +255,25 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir))
 
 
+def quality_filter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus-ingest quality gate: the EXACT per-row filter
+    battery of operators.text.doc_quality_filters applied to the
+    document stream, passing only `keep` docs — the shape where a
+    continuous crawl feeds curation and rejects never hit storage.
+
+    Stateless (pure projection + filter), so no watermark and no state
+    store: at 100 TB/day this is embarrassingly parallel map work.
+    Reusing the batch operator's plan verbatim is the
+    batch/stream-unification point — the test asserts output equality
+    against the batch twin."""
+    from ..operators.text import doc_quality_filters
+
+    flags = doc_quality_filters({"documents": docs},
+                                passthrough=("lang", "source"))
+    return (flags.where(F.col("keep") == 1)
+            .select("doc_id", "lang", "source", "n_tokens"))
+
+
 def dedup_docs_against_snapshot(new_docs: DataFrame,
                                 snapshot: DataFrame) -> DataFrame:
     """Streaming twin of operators.dedup.incremental_dedup: the

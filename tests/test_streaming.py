@@ -152,3 +152,17 @@ def test_stream_stream_join_matches_batch(spark):
             ).toPandas()
     assert len(want) > 0, "batch twin matched no signup->purchase pairs"
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_quality_filter_stream_matches_batch(spark):
+    from openlmis_distributions_etl_spark.operators import text
+
+    got = _run_available_now(
+        jobs.quality_filter_stream(jobs.read_documents_stream(spark, SF0001)),
+        "qual_stream", spark, "append")
+    t = load_tables(spark, SF0001, "documents")
+    want = (text.doc_quality_filters(t, passthrough=("lang", "source"))
+            .where(F.col("keep") == 1)
+            .select("doc_id", "lang", "source", "n_tokens")).toPandas()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
