@@ -523,3 +523,51 @@ def winnowing_fingerprints(t: dict[str, DataFrame],
     return (d.select("doc_id", F.explode(sel).alias("s"))
             .select("doc_id", F.col("s.p").alias("pos"),
                     F.col("s.h").alias("fp")))
+
+
+CM_ROWS = 4       # count-min hash rows
+CM_WIDTH = 64     # counters per row
+
+
+def token_countmin_topk(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg'05) over the
+    token stream, evaluated against exact counts: d=4 md5-seeded hash
+    rows × w=64 counters, merged across partitions by the count
+    aggregate itself (cell counts are additive — the property that
+    makes the sketch distributable). Output: the exact top-k tokens
+    with their exact count and the sketch estimate (always ≥ exact;
+    equality iff no cell collision).
+
+    Scale shape: one explode + a 256-key aggregate with map-side
+    combine builds the sketch — constant memory however large the
+    corpus; the estimate probe is a broadcast of the 256-cell array.
+    Deterministic seeds make the sketch itself engine-portable, so the
+    DuckDB oracle reproduces estimates exactly."""
+    tok = t["documents"].select(F.explode(tokens()).alias("tok"))
+    tok = retain(tok)
+
+    def cell(j: int, ref: str = "tok") -> Column:
+        return F.expr(
+            f"CAST(pmod(CAST(conv(substring(md5(CAST(concat('cm{j}|', {ref})"
+            f" AS BINARY)), 1, 8), 16, 10) AS BIGINT), {CM_WIDTH}) AS INT)")
+
+    cells = tok.select(F.explode(F.array(*[
+        (F.lit(j * CM_WIDTH) + cell(j)).alias(f"c{j}")
+        for j in range(CM_ROWS)])).alias("idx"))
+    sketch = (cells.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("idx", "cnt"))).alias("mp"))
+              .select(F.expr(
+                  f"transform(sequence(0, {CM_ROWS * CM_WIDTH - 1}), "
+                  f"i -> coalesce(mp[i], CAST(0 AS BIGINT)))").alias("cm")))
+    exact = (tok.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("n_exact"))
+             .orderBy(F.desc("n_exact"), F.asc("tok"))
+             .limit(k))
+    est = F.least(*[
+        F.element_at(F.col("cm"), F.lit(j * CM_WIDTH) + cell(j) + 1)
+        for j in range(CM_ROWS)])
+    from pyspark.sql.functions import broadcast
+    return (exact.crossJoin(broadcast(sketch))
+            .select(F.col("tok").alias("token"), "n_exact",
+                    est.alias("n_est")))

@@ -998,6 +998,35 @@ def _HEX8_TO_INT(expr: str) -> str:
 
 
 ORACLES.update({
+    # count-min sketch: d=4 md5-seeded rows × w=64 counters; cell
+    # counts are plain additive COUNTs, estimate = min over the 4
+    # cells a token hashes to
+    "token_countmin_topk": """
+        WITH d AS (SELECT {toks} AS toks FROM documents),
+        tok AS (SELECT unnest(toks) AS tok FROM d),
+        cells AS (
+          SELECT js.j * 64
+                   + ({key_j} % 64) AS idx,
+                 COUNT(*) AS cnt
+          FROM tok, (SELECT unnest(range(0, 4)) AS j) js
+          GROUP BY 1),
+        topk AS (
+          SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY tok
+          ORDER BY n_exact DESC, tok ASC LIMIT 20),
+        est AS (
+          SELECT t.tok, t.n_exact, MIN(c.cnt) AS n_est
+          FROM topk t
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+          JOIN cells c
+            ON c.idx = js.j * 64 + ({key_t} % 64)
+          GROUP BY t.tok, t.n_exact)
+        SELECT tok AS token, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_est AS BIGINT) AS n_est
+        FROM est
+    """.format(
+        toks=TOKS,
+        key_j=_HEX8_TO_INT("'cm' || js.j || '|' || tok"),
+        key_t=_HEX8_TO_INT("'cm' || js.j || '|' || t.tok")),
     "token_freq_topk": f"""
         SELECT token, COUNT(*) AS n_occurrences
         FROM (SELECT unnest({TOKS}) AS token FROM documents)

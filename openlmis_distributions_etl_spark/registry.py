@@ -132,6 +132,7 @@ _OPERATORS = {
     "doc_bpe_token_count": text.doc_bpe_token_count,
     "doc_rolling_hash": text.doc_rolling_hash,
     "winnowing_fingerprints": text.winnowing_fingerprints,
+    "token_countmin_topk": text.token_countmin_topk,
     "bm25_scores": text.bm25_scores,
     "token_freq_topk": text.token_freq_topk,
     "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
