@@ -90,3 +90,45 @@ def write_partitioned_orc(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: Sequence[str],
+                         num_files: int | None = None,
+                         mode: str = "overwrite") -> None:
+    """Globally-sorted export: repartitionByRange samples the sort key
+    to build balanced range boundaries (one pass), then sorts within
+    each range partition — file i's keys all precede file i+1's, the
+    total-order contract downstream consumers (merge readers, binary
+    searches, time-ordered training shards) rely on. A plain
+    orderBy-write would funnel through the same range exchange but
+    defaults to spark.sql.shuffle.partitions files; num_files sizes
+    the output explicitly."""
+    parts = df.repartitionByRange(num_files, *sort_cols) if num_files \
+        else df.repartitionByRange(*sort_cols)
+    (parts.sortWithinPartitions(*sort_cols)
+     .write.mode(mode).parquet(path))
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_mb: int = 512) -> int:
+    """Small-file compaction — the periodic maintenance job every
+    streaming/incremental sink needs (each micro-batch commit leaves
+    small files; scans over millions of them bottleneck on task
+    scheduling and footer reads, not IO). Rewrites the dataset into
+    ceil(bytes / target_mb) files and returns that file count.
+
+    Sizing reads the source byte size from the filesystem (driver-side
+    metadata only, no data pass); coalesce avoids a shuffle when
+    shrinking the file count — partition boundaries just concatenate."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    (spark.read.parquet(path)
+     .coalesce(n)
+     .write.mode("overwrite").parquet(out_path))
+    return n

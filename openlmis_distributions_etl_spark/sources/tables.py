@@ -41,6 +41,27 @@ TS_COLS = {"events": ("ts",)}
 # Kept for backward import compatibility (streaming probes this map).
 NANOS_TS = TS_COLS
 
+# Columns every provider layout must supply (names only — physical
+# types are normalized or validated separately; widths are allowed to
+# vary so a re-provision can't hard-fail the whole engine over an
+# int32/int64 difference the operators don't care about).
+REQUIRED_COLUMNS = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_type", "p_size"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
 
 def normalize_ts(df: DataFrame, column: str, *, table: str = "?") -> DataFrame:
     """Coerce ``column`` to session-tz TIMESTAMP whatever physical type
@@ -88,6 +109,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # no effect on micros layouts
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    missing = [c for c in REQUIRED_COLUMNS.get(name, ())
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table {name!r} at {sf_dir} is missing required column(s) "
+            f"{missing}; found {df.columns}")
     for c in TS_COLS.get(name, ()):
         df = normalize_ts(df, c, table=name)
     cache[key] = df

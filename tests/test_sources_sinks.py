@@ -162,3 +162,44 @@ def test_text_reader_lines(spark, tmp_path):
     df = read_text(spark, str(p))
     assert sorted(r["value"] for r in df.collect()) == [
         "first line", "second line"]
+
+
+def test_write_sorted_parquet_total_order(spark, tmp_path):
+    """Range-partitioned export: every file internally sorted AND file
+    ranges non-overlapping (global total order across files)."""
+    import pyarrow.parquet as pq
+    from openlmis_distributions_etl_spark.sources.sinks import (
+        write_sorted_parquet)
+
+    t = load_tables(spark, SF0001, "orders")
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(t["orders"].select("o_orderkey", "o_totalprice"),
+                         out, ["o_orderkey"], num_files=4)
+    files = sorted((tmp_path / "sorted").glob("part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"] \
+            .to_pylist()
+        assert keys == sorted(keys), "file not internally sorted"
+        ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "file key ranges overlap — not a total order"
+    back = spark.read.parquet(out)
+    assert back.count() == t["orders"].count()
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    t = load_tables(spark, SF0001, "events")
+    t["events"].select("event_id", "user_id").repartition(64) \
+        .write.parquet(src)
+    assert len(list((tmp_path / "fragmented").glob("part-*"))) == 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=512)
+    assert n == 1
+    assert len(list((tmp_path / "compacted").glob("part-*"))) == 1
+    assert spark.read.parquet(out).count() == 1000

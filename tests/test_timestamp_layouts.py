@@ -94,3 +94,16 @@ def test_unnormalizable_type_fails_loudly(spark):
     df = spark.range(3).select(F.col("id").cast("string").alias("ts"))
     with pytest.raises(TypeError, match=r"events.*'ts'.*got 'string'"):
         normalize_ts(df, "ts", table="events")
+
+
+def test_missing_required_column_fails_loudly(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    pq.write_table(pa.table({"event_id": pa.array([1], pa.int64()),
+                             "ts": pa.array([0], pa.timestamp("us"))}),
+                   str(d / "events.parquet"))
+    with pytest.raises(ValueError, match=r"'events'.*missing required.*user_id"):
+        load_table(spark, str(d), "events")
