@@ -526,3 +526,31 @@ def doc_dup_rate_by_source(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("is_dup").alias("n_dups"),
                  (F.sum("is_dup") / F.count(F.lit(1))).alias("dup_rate")))
+
+
+def semantic_dedup_pairs(t: dict[str, DataFrame],
+                         threshold: float = 0.3) -> DataFrame:
+    """Semantic (embedding-space) dedup: banded sign-LSH near-dup
+    candidate pairs (similarity.embedding_near_dup_pairs) joined back
+    to the documents' exact content hashes. Pairs with same_text = 0
+    are the ones ONLY embedding dedup can find — paraphrases and
+    re-renderings that exact/MinHash dedup misses — which is why a
+    curation pipeline runs semantic dedup as its last dedup stage.
+
+    Scale shape: the pair stream joins a (doc_id, 16-byte md5) lookup
+    per side — id-keyed joins with fixed-width payload, nothing like
+    the array join-backs this repo avoids elsewhere; the LSH stage
+    itself stays bucket-local (never all-pairs)."""
+    from .similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(t, threshold)
+    hashes = t["documents"].select("doc_id", _text_hash().alias("h"))
+    ha = hashes.select(F.col("doc_id").alias("vec_a"),
+                       F.col("h").alias("ha"))
+    hb = hashes.select(F.col("doc_id").alias("vec_b"),
+                       F.col("h").alias("hb"))
+    return (pairs.join(ha, "vec_a").join(hb, "vec_b")
+            .select(F.col("vec_a").alias("doc_a"),
+                    F.col("vec_b").alias("doc_b"), "cos_sim",
+                    (F.col("ha") == F.col("hb")).cast("int")
+                    .alias("same_text")))

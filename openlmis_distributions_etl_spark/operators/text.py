@@ -571,3 +571,36 @@ def token_countmin_topk(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
     return (exact.crossJoin(broadcast(sketch))
             .select(F.col("tok").alias("token"), "n_exact",
                     est.alias("n_est")))
+
+
+def language_mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-resampling mixture weights per language (the
+    multilingual data-mixing step: upsample the tail so the head
+    doesn't dominate training): weight_l ∝ p_l^α with α = 1/2, i.e.
+    sqrt — chosen because IEEE sqrt is correctly-rounded in BOTH
+    engines, unlike pow(x, 0.7), so the oracle checks values
+    bit-for-bit. Normalization folds the per-language terms in sorted
+    lang order for the same reason.
+
+    One 5-key aggregate + one single-row broadcast — nothing here
+    grows with corpus size."""
+    counts = (t["documents"].groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    totals = (counts.agg(
+        F.sum("n_docs").alias("total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_docs"].cast("double")))
+        .alias("norm_raw")))
+    # norm = Σ_l sqrt(n_l); weight_l = sqrt(n_l)/norm  (the 1/sqrt(N)
+    # factors of p^α cancel in the ratio, so N never enters the float
+    # math)
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("norm_raw")
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("lang", "n_docs",
+                    (F.col("n_docs").cast("double") / F.col("total"))
+                    .alias("p_raw"),
+                    w.alias("weight"),
+                    (w * F.col("total").cast("double"))
+                    .alias("expected_docs")))

@@ -800,6 +800,24 @@ ORACLES.update({
         FROM documents
         WHERE length(text) > 0
     ''',
+    # α=1/2 temperature mixture weights: sqrt is correctly-rounded in
+    # both engines (pow(x, 0.7) is not); normalization folds sqrt(n_l)
+    # in sorted lang order to mirror Spark's sorted-struct fold
+    "language_mixture_weights": '''
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        totals AS (
+          SELECT SUM(n_docs) AS total,
+                 list_sum(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang))
+                   AS norm_raw
+          FROM counts)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(total AS BIGINT) AS p_raw,
+               sqrt(CAST(n_docs AS DOUBLE)) / norm_raw AS weight,
+               sqrt(CAST(n_docs AS DOUBLE)) / norm_raw
+                 * CAST(total AS DOUBLE) AS expected_docs
+        FROM counts CROSS JOIN totals
+    ''',
     # winnowing: per-doc char-8-gram Karp–Rabin hashes, min (rightmost
     # tie) per 4-window, distinct (pos, hash) selections. The k-gram
     # list_reduce init-from-first equals Spark's fold-from-zero (first
@@ -1667,6 +1685,21 @@ ORACLES.update({
         JOIN norm a ON vec_a = a.vec_id
         JOIN norm b ON vec_b = b.vec_id
         WHERE {_PAIR_DOT} >= 0.3
+    """,
+    "semantic_dedup_pairs": f"""
+        WITH {_PAIR_CTE},
+        pairs AS (
+          SELECT vec_a, vec_b, {_PAIR_DOT} AS cos_sim
+          FROM cand
+          JOIN norm a ON vec_a = a.vec_id
+          JOIN norm b ON vec_b = b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3),
+        h AS (SELECT doc_id, md5(text) AS h FROM documents)
+        SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cos_sim,
+               CAST(da.h = db.h AS INT) AS same_text
+        FROM pairs p
+        JOIN h da ON p.vec_a = da.doc_id
+        JOIN h db ON p.vec_b = db.doc_id
     """,
     "near_dup_recall": f"""
         WITH {_PAIR_CTE},

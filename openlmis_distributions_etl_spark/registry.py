@@ -88,6 +88,7 @@ _OPERATORS = {
     "star_denormalize": star.star_denormalize,
     "curation_pipeline": curation.curation_pipeline,
     "doc_dup_rate_by_source": dedup.doc_dup_rate_by_source,
+    "semantic_dedup_pairs": dedup.semantic_dedup_pairs,
     "monthly_sales_rollup": star.monthly_sales_rollup,
     # §2.C windows
     "topk_customers_per_nation": windows.topk_customers_per_nation,
@@ -133,6 +134,7 @@ _OPERATORS = {
     "doc_rolling_hash": text.doc_rolling_hash,
     "winnowing_fingerprints": text.winnowing_fingerprints,
     "token_countmin_topk": text.token_countmin_topk,
+    "language_mixture_weights": text.language_mixture_weights,
     "bm25_scores": text.bm25_scores,
     "token_freq_topk": text.token_freq_topk,
     "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
