@@ -20,6 +20,9 @@ FLAGSHIPS = (
     "minhash_lsh_pairs",
     "knn_ivf",
     "simhash64",
+    "ngram_jaccard_pairs",
+    "kmeans_centroids",
+    "pq_codes",
 )
 
 
