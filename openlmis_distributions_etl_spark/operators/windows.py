@@ -204,3 +204,42 @@ def sliding_window_event_counts(t: dict[str, DataFrame]) -> DataFrame:
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
             .alias("window_end"),
             "event_type", "n_events", "sum_value"))
+
+
+FUNNEL_HORIZON_US = 24 * 3600 * 1_000_000   # per-stage conversion window
+
+
+def funnel_three_step(t: dict[str, DataFrame],
+                      horizon_us: int = FUNNEL_HORIZON_US) -> DataFrame:
+    """Three-stage ordered funnel (signup → first click within 24 h →
+    first purchase within 24 h of that click), collapsed to
+    corpus-level conversion counts. ONE data shuffle: per-user
+    conditional collects in a single aggregate, stage times via in-row
+    filtered argmins (the funnel_signup_purchase pattern extended a
+    stage), then a global count — no per-stage self-joins, which at
+    100 TB would each re-shuffle the events table."""
+    ev = t["events"].withColumn("ts_us", ts_us("ts"))
+    per = (ev.groupBy("user_id")
+           .agg(F.min(F.when(F.col("event_type") == "signup",
+                             F.col("ts_us"))).alias("s1"),
+                F.collect_list(F.when(F.col("event_type") == "click",
+                                      F.col("ts_us"))).alias("clicks"),
+                F.collect_list(F.when(F.col("event_type") == "purchase",
+                                      F.col("ts_us"))).alias("purch")))
+    st = per.select(
+        "user_id", "s1", "purch",
+        F.array_min(F.filter(
+            "clicks", lambda x: (x > F.col("s1"))
+            & (x <= F.col("s1") + horizon_us))).alias("s2"))
+    st2 = st.select(
+        "user_id", "s1", "s2",
+        F.array_min(F.filter(
+            "purch", lambda x: (x > F.col("s2"))
+            & (x <= F.col("s2") + horizon_us))).alias("s3"))
+    n1, n2, n3 = F.count("s1"), F.count("s2"), F.count("s3")
+    return st2.agg(
+        n1.alias("n_signup"),
+        n2.alias("n_click_after"),
+        n3.alias("n_purchase_after"),
+        (n2.cast("double") / n1).alias("click_rate"),
+        (n3.cast("double") / n1).alias("purchase_rate"))

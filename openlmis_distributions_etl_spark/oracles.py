@@ -261,6 +261,32 @@ ORACLES: dict[str, str] = {
                     AND p.first_purchase_after_us IS NOT NULL AS INT) AS converted
         FROM s LEFT JOIN p ON s.user_id = p.user_id
     """,
+    "funnel_three_step": """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        per AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1,
+                 list(ts_us) FILTER (event_type = 'click') AS clicks,
+                 list(ts_us) FILTER (event_type = 'purchase') AS purch
+          FROM ev GROUP BY user_id),
+        st AS (
+          SELECT user_id, s1, purch,
+                 list_min(list_filter(clicks,
+                   x -> x > s1 AND x <= s1 + 86400000000)) AS s2
+          FROM per),
+        st2 AS (
+          SELECT user_id, s1, s2,
+                 list_min(list_filter(purch,
+                   x -> x > s2 AND x <= s2 + 86400000000)) AS s3
+          FROM st)
+        SELECT COUNT(s1) AS n_signup,
+               COUNT(s2) AS n_click_after,
+               COUNT(s3) AS n_purchase_after,
+               CAST(COUNT(s2) AS DOUBLE) / COUNT(s1) AS click_rate,
+               CAST(COUNT(s3) AS DOUBLE) / COUNT(s1) AS purchase_rate
+        FROM st2
+    """,
     "windowed_event_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
                event_type,
