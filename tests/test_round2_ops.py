@@ -389,3 +389,56 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
     assert (1, 2) in out and abs(out[(1, 2)] - 2 / 3) < 1e-12
     # doc 3 shares only the hot prefix shingle with 1 and 2 → J = 1/9
     assert (1, 3) not in out and (2, 3) not in out
+
+
+# -- round-4 additions -------------------------------------------------
+
+
+def test_pq_codes_identical_vectors_same_codes(spark):
+    out = {(r["vec_id"], r["m"]): r["code"]
+           for r in _q(spark, "pq_codes").collect()}
+    # codebook vectors encode to themselves: vec_id < 16 is the seed,
+    # so subspace m of vec j has d²=0 against its own code j
+    for j in range(16):
+        for m in range(8):
+            assert out[(j, m)] == j, (j, m, out[(j, m)])
+    assert all(0 <= c < 16 for c in out.values())
+
+
+def test_countmin_never_underestimates(spark):
+    rows = _q(spark, "token_countmin_topk").collect()
+    assert len(rows) == 20
+    assert all(r["n_est"] >= r["n_exact"] for r in rows)
+
+
+def test_mixture_weights_sum_to_one(spark):
+    rows = _q(spark, "language_mixture_weights").collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["p_raw"] for r in rows) - 1.0) < 1e-12
+    # temperature flattening: every language's weight sits between its
+    # raw share and the uniform share (sqrt pulls toward uniform)
+    u = 1.0 / len(rows)
+    for r in rows:
+        lo, hi = sorted((r["p_raw"], u))
+        assert lo - 1e-12 <= r["weight"] <= hi + 1e-12
+
+
+def test_kmeans_improves_on_seed_assignment(spark):
+    """Lloyd must not lose members: every final cluster is non-empty
+    and membership sums to the corpus size."""
+    rows = _q(spark, "kmeans_centroids").collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["centroid_id"], set()).add(r["n"])
+    assert all(len(v) == 1 for v in by_c.values())  # consistent n per cluster
+    assert sum(v.pop() for v in by_c.values()) == 500
+
+
+def test_semantic_dedup_same_text_consistency(spark):
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    pairs = _q(spark, "semantic_dedup_pairs").collect()
+    t = load_tables(spark, SF0001, "documents")
+    texts = {r["doc_id"]: r["text"] for r in t["documents"].collect()}
+    for r in pairs:
+        assert r["same_text"] == int(texts[r["doc_a"]] == texts[r["doc_b"]])
