@@ -407,6 +407,41 @@ def kmeans_centroids(t: dict[str, DataFrame], iters: int = 2) -> DataFrame:
     return _assigned_means(e, cent)
 
 
+def knn_ivf_trained(t: dict[str, DataFrame], k: int = TOP_K,
+                    nprobe: int = NPROBE) -> DataFrame:
+    """IVF search over the Lloyd-TRAINED centroids (kmeans_centroids)
+    instead of the raw seeds knn_ivf probes — the full train-then-serve
+    path: 2 Lloyd iterations → rank trained centroids for the query →
+    scan only the nprobe nearest clusters → exact top-k within them.
+    Same plan skeleton as knn_ivf (broadcast centroid array, in-row
+    argmax assignment, probe-pruned scan); the training cost amortizes
+    over every query served from the index."""
+    m = kmeans_centroids(t)
+    cent = (m.groupBy("centroid_id")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid))), "
+                "p -> p.centroid)").alias("cvec")))
+    cent = retain(cent)
+    q = _query_vector(t)
+    probe = (
+        cent.crossJoin(broadcast(q))
+        .select("centroid_id",
+                cosine(F.col("cvec"), F.col("q")).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id"))
+    assigned = _argmax_assign(
+        spread(t["embeddings"]).select("vec_id", "label", "embedding"), cent)
+    return (
+        assigned.join(broadcast(probe), "centroid_id")
+        .crossJoin(broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label",
+                cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k))
+
+
 def knn_batch(t: dict[str, DataFrame], n_queries: int = 5,
               k: int = 3) -> DataFrame:
     """Batch top-k neighbors for a query set (vec_id < n_queries):

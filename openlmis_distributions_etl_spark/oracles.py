@@ -1175,6 +1175,57 @@ ORACLES.update({
     """,
 })
 
+# two unrolled Lloyd iterations (cent0 seeds -> a1/e1/b1/m1/cent1 ->
+# a2/e2/b2); shared by kmeans_centroids and knn_ivf_trained
+_KMEANS_CTES = f"""cent0 AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent0 c)
+          WHERE rn = 1),
+        e1 AS (
+          SELECT centroid_id, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM a1, (SELECT unnest(range(1, 65)) AS i)),
+        b1 AS (
+          SELECT centroid_id, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e1 GROUP BY centroid_id, dim, blk),
+        m1 AS (
+          SELECT centroid_id, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid
+          FROM b1 GROUP BY centroid_id, dim),
+        cent1 AS (
+          SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
+          FROM m1 GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent1 c)
+          WHERE rn = 1),
+        e2 AS (
+          SELECT centroid_id, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM a2, (SELECT unnest(range(1, 65)) AS i)),
+        b2 AS (
+          SELECT centroid_id, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e2 GROUP BY centroid_id, dim, blk)"""
+
+
 # -- round-2 additions: similarity -------------------------------------
 
 # product-quantization fragments: squared-L2 left fold over subspace m
@@ -1257,58 +1308,44 @@ ORACLES.update({
     # argmax fold's first-strict-maximum), means = the same two-level
     # block fold as label_centroids
     "kmeans_centroids": f"""
-        WITH cent0 AS (
-          SELECT vec_id AS centroid_id, embedding AS cvec
-          FROM embeddings WHERE vec_id < 8),
-        a1 AS (
-          SELECT vec_id, embedding, centroid_id FROM (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
-                              c.centroid_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cent0 c)
-          WHERE rn = 1),
-        e1 AS (
-          SELECT centroid_id, vec_id, i - 1 AS dim,
-                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-          FROM a1, (SELECT unnest(range(1, 65)) AS i)),
-        b1 AS (
-          SELECT centroid_id, dim, vec_id // 256 AS blk,
-                 list_sum(list(x ORDER BY vec_id)) AS bsum,
-                 COUNT(*) AS nb
-          FROM e1 GROUP BY centroid_id, dim, blk),
-        m1 AS (
-          SELECT centroid_id, dim,
-                 list_sum(list(bsum ORDER BY blk))
-                   / CAST(SUM(nb) AS BIGINT) AS centroid
-          FROM b1 GROUP BY centroid_id, dim),
-        cent1 AS (
-          SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
-          FROM m1 GROUP BY centroid_id),
-        a2 AS (
-          SELECT vec_id, embedding, centroid_id FROM (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
-                              c.centroid_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cent1 c)
-          WHERE rn = 1),
-        e2 AS (
-          SELECT centroid_id, vec_id, i - 1 AS dim,
-                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-          FROM a2, (SELECT unnest(range(1, 65)) AS i)),
-        b2 AS (
-          SELECT centroid_id, dim, vec_id // 256 AS blk,
-                 list_sum(list(x ORDER BY vec_id)) AS bsum,
-                 COUNT(*) AS nb
-          FROM e2 GROUP BY centroid_id, dim, blk)
+        WITH {_KMEANS_CTES}
         SELECT centroid_id, CAST(dim AS INT) AS dim,
                list_sum(list(bsum ORDER BY blk))
                  / CAST(SUM(nb) AS BIGINT) AS centroid,
                CAST(SUM(nb) AS BIGINT) AS n
         FROM b2 GROUP BY centroid_id, dim
+    """,
+    "knn_ivf_trained": f"""
+        WITH {_KMEANS_CTES},
+        m2 AS (
+          SELECT centroid_id, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid
+          FROM b2 GROUP BY centroid_id, dim),
+        cent2 AS (
+          SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
+          FROM m2 GROUP BY centroid_id),
+        q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT centroid_id FROM cent2, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 2),
+        assigned AS (
+          SELECT vec_id, label, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent2 c)
+          WHERE rn = 1)
+        SELECT a.vec_id, a.label, {_cos('a.embedding', 'q.q')} AS cos_sim
+        FROM assigned a
+        JOIN probe USING (centroid_id)
+        CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 10
     """,
     "knn_batch": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv

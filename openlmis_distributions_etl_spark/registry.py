@@ -125,6 +125,7 @@ _OPERATORS = {
     "kmeans_centroids": similarity.kmeans_centroids,
     "pq_codes": similarity.pq_codes,
     "knn_pq_adc": similarity.knn_pq_adc,
+    "knn_ivf_trained": similarity.knn_ivf_trained,
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # §2.G text analysis
     "doc_token_count": text.doc_token_count,
