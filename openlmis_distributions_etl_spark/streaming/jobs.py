@@ -255,6 +255,23 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir))
 
 
+def daily_active_users_stream(events: DataFrame,
+                              watermark: str = "1 day") -> DataFrame:
+    """Streaming DAU: watermark-bounded per-(day, user) dedup chained
+    into a 1-day tumbling-window count — the chained-stateful-operator
+    shape (dedup state + window state, both evicted as the watermark
+    passes, so state is O(active users per day), never history).
+    Batch twin: operators.windows.daily_active_users' dau column."""
+    return (events
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["day", "user_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("dau"))
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                    "dau"))
+
+
 def quality_filter_stream(docs: DataFrame) -> DataFrame:
     """Streaming corpus-ingest quality gate: the EXACT per-row filter
     battery of operators.text.doc_quality_filters applied to the

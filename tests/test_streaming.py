@@ -166,3 +166,12 @@ def test_quality_filter_stream_matches_batch(spark):
             .select("doc_id", "lang", "source", "n_tokens")).toPandas()
     assert len(want) > 0
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_daily_active_users_stream_matches_batch(spark):
+    got = _run_available_now(
+        jobs.daily_active_users_stream(jobs.read_events_stream(spark, SF0001)),
+        "dau_stream", spark, "complete")
+    want = (windows.daily_active_users(load_tables(spark, SF0001, "events"))
+            .select("day", "dau")).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
