@@ -208,9 +208,15 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame],
     is the Vernica record-duplication trade: the join shuffle moves
     ~prefix_len copies of each set, bounded by the prefix filter
     itself. Output is identical to the naive join's."""
-    d = (_with_shingles(t)
-         .select("doc_id",
-                 F.array_distinct("shingles").alias("sh")))
+    # pin the distinct-shingle array behind a Generate BEFORE exploding:
+    # otherwise Catalyst inlines the tokenize→shingle→distinct pipeline
+    # into the explode and re-evaluates it per OUTPUT ROW (measured
+    # 4.4 s vs 0.7 s for the explode alone at sf0.1)
+    # retained: the set table feeds BOTH the df-count aggregate and the
+    # rarity-ranked re-assembly — one tokenize pass, two cheap readers
+    d = retain(pin(_with_shingles(t),
+                   sh=F.array_distinct(F.col("shingles")))
+               .select("doc_id", "sh"))
     ex = d.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # re-assemble each doc's set ordered by global rarity (df, then
@@ -227,20 +233,34 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame],
             f"AS INT)) AS pref"))
     rows = pre.select("doc_id", "n_sh", "sh", "pref",
                       F.explode("pref").alias("shingle"))
+    # the exploded prefix rows carry the full set arrays — force the
+    # self-join to SHUFFLE on the shingle key instead of broadcasting
+    # a side whose array payload is ~prefix_len × the corpus (Catalyst
+    # undersizes the cached relation and would pick a broadcast that
+    # is pathological at sf0.1 and fatal at scale)
+    rows = rows.hint("shuffle_hash")
     a, b = rows.alias("a"), rows.alias("b")
     # array_intersect preserves the first array's order, and pref is
     # sorted by the shared global rarity order → element 1 is the
     # globally-rarest shared prefix shingle on both sides
     first_shared = F.element_at(
         F.array_intersect(F.col("a.pref"), F.col("b.pref")), 1)
-    n_common = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    jac = n_common / (F.col("a.n_sh") + F.col("b.n_sh") - n_common)
-    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
                    & (F.col("a.shingle") == first_shared))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    jac.alias("jaccard"))
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+                    F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b")))
+    # pin the full-set intersect BEHIND a Generate: without it Catalyst
+    # pushes the τ-filter (and its O(|A|·|B|) intersect) into the join
+    # condition, re-evaluating it per MATCHED ROW instead of once per
+    # deduped pair (measured 3× slower at sf0.1)
+    pinned = pin(cand, n_common=F.size(F.array_intersect("sh_a", "sh_b"))
+                 .cast("long"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common"))
+    return (pinned.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
