@@ -243,3 +243,26 @@ def funnel_three_step(t: dict[str, DataFrame],
         n3.alias("n_purchase_after"),
         (n2.cast("double") / n1).alias("click_rate"),
         (n3.cast("double") / n1).alias("purchase_rate"))
+
+
+def event_value_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type Tukey boxplot outliers (value outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]) — the monitoring query that feeds an
+    anomaly dashboard. Exact interpolated percentiles rounded to 6
+    decimals on both engines (the percentile_order_value convention:
+    Spark `percentile` and DuckDB `quantile_cont` interpolate
+    equivalently but not bit-identically); fences derive from the
+    rounded quantiles with the same expression tree, so flags are
+    engine-exact. One tiny per-type aggregate broadcast against the
+    events scan — no wide shuffle."""
+    ev = t["events"]
+    p = lambda q: F.round(F.expr(f"percentile(value, {q})"), 6)
+    fences = (ev.groupBy("event_type")
+              .agg(p(0.25).alias("q1"), p(0.75).alias("q3")))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (ev.join(F.broadcast(fences), "event_type")
+            .select("event_id", "event_type", "value",
+                    lo.alias("lo_fence"), hi.alias("hi_fence"))
+            .where((F.col("value") < F.col("lo_fence"))
+                   | (F.col("value") > F.col("hi_fence"))))

@@ -261,6 +261,19 @@ ORACLES: dict[str, str] = {
                     AND p.first_purchase_after_us IS NOT NULL AS INT) AS converted
         FROM s LEFT JOIN p ON s.user_id = p.user_id
     """,
+    "event_value_outliers": """
+        WITH fences AS (
+          SELECT event_type,
+                 ROUND(quantile_cont(value, 0.25), 6) AS q1,
+                 ROUND(quantile_cont(value, 0.75), 6) AS q3
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               q1 - 1.5 * (q3 - q1) AS lo_fence,
+               q3 + 1.5 * (q3 - q1) AS hi_fence
+        FROM events e JOIN fences f USING (event_type)
+        WHERE e.value < q1 - 1.5 * (q3 - q1)
+           OR e.value > q3 + 1.5 * (q3 - q1)
+    """,
     "funnel_three_step": """
         WITH ev AS (
           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

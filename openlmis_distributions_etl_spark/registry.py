@@ -99,6 +99,7 @@ _OPERATORS = {
     "session_window_stats": windows.session_window_stats,
     "funnel_signup_purchase": windows.funnel_signup_purchase,
     "funnel_three_step": windows.funnel_three_step,
+    "event_value_outliers": windows.event_value_outliers,
     "asof_purchase_attribution": asof.asof_purchase_attribution,
     "cohort_retention": windows.cohort_retention,
     "event_transitions": windows.event_transitions,
