@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Scale-up smoke: replicate the sf0.1 documents corpus N× (doc_id
+offset so rows stay distinct) into a temp dir and run the heavy
+curation/similarity operators against it. Exists to answer "would this
+plan survive a 10×/100× corpus" with a measurement instead of an
+argument — broadcast blowups, driver collects, and quadratic candidate
+streams all fail loudly here long before they'd fail a cluster.
+
+Usage: python tools/scale_smoke.py [N_COPIES] (default 10 → 50k docs)
+Not part of the pytest gate (minutes, not seconds).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from openlmis_distributions_etl_spark import registry
+from openlmis_distributions_etl_spark.session import get_spark
+
+OPS = (
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "winnowing_fingerprints",
+    "token_countmin_topk",
+    "dedup_components",
+    "curation_pipeline",
+    "doc_quality_filters",
+)
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-smoke", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_src = src.count()
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_")
+    big = None
+    for i in range(n_copies):
+        # offset ids and perturb text so replicas aren't pure exact
+        # duplicates (which would make LSH trivially collapse them)
+        part = src.select(
+            (F.col("doc_id") + i * n_src).alias("doc_id"),
+            F.when(F.lit(i) == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(f" variant{i}")))
+            .alias("text"),
+            "lang", "source", "n_chars")
+        big = part if big is None else big.unionByName(part)
+    big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    total = spark.read.parquet(f"{tmp}/documents.parquet").count()
+    print(f"corpus: {total} docs ({n_copies}x sf0.1) at {tmp}")
+
+    qs = registry.queries()
+    for name in OPS:
+        t0 = time.perf_counter()
+        out = qs[name](spark, tmp)
+        out.write.format("noop").mode("overwrite").save()
+        print(f"{time.perf_counter() - t0:8.2f}s  {name}")
+
+
+if __name__ == "__main__":
+    main()
