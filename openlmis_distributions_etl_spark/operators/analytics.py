@@ -340,3 +340,29 @@ def numeric_profile(t: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def approx_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantile-sketch audit per event type — completes the sketch
+    suite (HLL distinct, count-min frequency, and here rank/quantile):
+    at 100 TB an exact per-group percentile needs a full sort or
+    collect, while the mergeable quantile sketch is one pass.
+
+    Same value-verified formulation as approx_distinct_events: the raw
+    sketch value is engine-specific (Spark approx_percentile ≠ DuckDB
+    approx_quantile), so the output carries the EXACT interpolated
+    percentiles (rounded 6, bit-checked) plus ok flags — whether THIS
+    engine's sketch landed inside the exact [q−0.05, q+0.05] rank
+    envelope, a bound both sketches meet by contract — so the flags
+    agree deterministically."""
+    ev = t["events"]
+    p = lambda q: F.round(F.expr(f"percentile(value, {q})"), 6)
+    raw = lambda q: F.expr(f"percentile(value, {q})")
+    ap = lambda q: F.expr(f"approx_percentile(value, {q}, 1000)")
+    ok = lambda q: ((ap(q) >= raw(q - 0.05)) & (ap(q) <= raw(q + 0.05)))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 p(0.5).alias("p50_exact"),
+                 p(0.9).alias("p90_exact"),
+                 ok(0.5).cast("int").alias("ok50"),
+                 ok(0.9).cast("int").alias("ok90")))

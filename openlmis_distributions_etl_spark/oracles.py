@@ -1150,6 +1150,18 @@ ORACLES.update({
                     <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS approx_ok
         FROM events GROUP BY event_type
     """,
+    "approx_value_percentiles": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+               CAST(approx_quantile(value, 0.5)
+                      BETWEEN quantile_cont(value, 0.45)
+                          AND quantile_cont(value, 0.55) AS INT) AS ok50,
+               CAST(approx_quantile(value, 0.9)
+                      BETWEEN quantile_cont(value, 0.85)
+                          AND quantile_cont(value, 0.95) AS INT) AS ok90
+        FROM events GROUP BY event_type
+    """,
     # plain GROUP BY: the salted two-phase plan must produce identical
     # results (exact decimal sum is salt-order-independent)
     "salted_event_type_stats": f"""

@@ -80,6 +80,7 @@ _OPERATORS = {
     "stats_correlation": analytics.stats_correlation,
     "approx_distinct_events": analytics.approx_distinct_events,
     "salted_event_type_stats": analytics.salted_event_type_stats,
+    "approx_value_percentiles": analytics.approx_value_percentiles,
     "unpivot_priority_metrics": analytics.unpivot_priority_metrics,
     "token_positions": analytics.token_positions,
     "user_value_histogram": multimodal.user_value_histogram,
