@@ -174,6 +174,7 @@ def knn_ivf(t: dict[str, DataFrame], k: int = TOP_K,
     )
 
 
+EVAL_MAX_VECTORS = 100_000   # cap for the O(n²) recall harnesses
 N_PAIR_BANDS = 4
 PAIR_BAND_BITS = 4      # 16-plane code → 4 bands × 4 bits (16 buckets)
 
@@ -288,7 +289,17 @@ def near_dup_recall(t: dict[str, DataFrame],
     because those pairs sit at cos 0.3–0.5 (weak correlations, not
     near-dups, where sign-LSH has little signal); the same banding
     exceeds 0.95 recall at the cos ≥ 0.9 similarity real duplicate
-    pairs have."""
+    pairs have.
+
+    Guarded: the harness refuses corpora above EVAL_MAX_VECTORS so the
+    O(n²) side can never be scheduled on a production store by
+    accident — recall evaluation belongs on a sample."""
+    n = t["embeddings"].count()
+    if n > EVAL_MAX_VECTORS:
+        raise ValueError(
+            f"near_dup_recall is an O(n²) eval harness; corpus has {n} "
+            f"vectors > {EVAL_MAX_VECTORS}. Evaluate recall on a sample "
+            f"(e.g. embeddings.sample(...)) instead.")
     base = _normed_buckets(t)
     found = _banded_pairs(base, threshold)
     all_pairs = (

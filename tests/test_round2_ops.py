@@ -442,3 +442,15 @@ def test_semantic_dedup_same_text_consistency(spark):
     texts = {r["doc_id"]: r["text"] for r in t["documents"].collect()}
     for r in pairs:
         assert r["same_text"] == int(texts[r["doc_a"]] == texts[r["doc_b"]])
+
+
+def test_near_dup_recall_refuses_large_corpus(spark):
+    import pytest
+    from openlmis_distributions_etl_spark.operators import similarity as sim
+
+    big = spark.range(sim.EVAL_MAX_VECTORS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+        F.lit(0).alias("label"))
+    with pytest.raises(ValueError, match=r"O\(n²\) eval harness"):
+        sim.near_dup_recall({"embeddings": big})
