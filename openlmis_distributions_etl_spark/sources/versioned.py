@@ -1,0 +1,119 @@
+"""Minimal versioned table format (Delta/Iceberg-lite).
+
+A table directory holds immutable parquet data files plus a JSON
+manifest log; every commit writes its data under a fresh subdirectory
+and then publishes a manifest that lists the COMPLETE file set for the
+new version (snapshot isolation — readers of version N never see a
+partial commit or later files). The manifest is created with O_EXCL,
+so two concurrent writers racing to the same version number cannot
+both win: the loser gets a VersionConflictError and retries against
+the new latest (optimistic concurrency, the Delta commit protocol in
+miniature).
+
+What this deliberately does NOT do (and a production format adds):
+compaction of the manifest log, file-level column statistics for data
+skipping, and schema evolution rules. The foreachBatch snapshot upsert
+in streaming/jobs.py is the streaming producer of the same pattern.
+
+Layout:
+    <table>/_log/v00000042.json   # {"version", "files", "mode"}
+    <table>/data/v00000042-<uuid>/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+def _log_dir(path: str) -> Path:
+    return Path(path) / _LOG
+
+
+def versions(path: str) -> list[int]:
+    """Committed versions, ascending; [] for a nonexistent table."""
+    d = _log_dir(path)
+    if not d.is_dir():
+        return []
+    return sorted(int(p.stem[1:]) for p in d.glob("v*.json"))
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_log_dir(path) / f"v{version:08d}.json", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append",
+                    base_version: int | None = None) -> int:
+    """Commit ``df`` as a new version; returns the version number.
+
+    ``overwrite`` replaces the visible file set; ``append`` extends
+    it. Data files land under an uncommitted uuid directory first, so
+    a crash before the manifest publish leaves garbage, never a
+    half-visible version.
+
+    ``base_version`` pins the snapshot this commit was derived from
+    (the optimistic-concurrency protocol: a transactional writer reads
+    version N, transforms, and commits N+1). If another writer
+    published N+1 first, the O_EXCL manifest create loses and raises
+    VersionConflictError — re-read and retry. When omitted, the
+    current latest at call time is the base (last-writer-wins for
+    independent appends).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    existing = versions(path)
+    if base_version is None:
+        new_version = (existing[-1] + 1) if existing else 0
+    else:
+        if base_version not in existing:
+            raise ValueError(
+                f"base_version {base_version} not committed (have {existing})")
+        new_version = base_version + 1
+    commit_dir = f"{_DATA}/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(f"{path}/{commit_dir}")
+    new_files = sorted(
+        f"{commit_dir}/{p.name}"
+        for p in (Path(path) / commit_dir).glob("part-*.parquet"))
+    base = base_version if base_version is not None else \
+        (existing[-1] if existing else None)
+    files = new_files if mode == "overwrite" or base is None else \
+        _read_manifest(path, base)["files"] + new_files
+    _log_dir(path).mkdir(parents=True, exist_ok=True)
+    manifest = _log_dir(path) / f"v{new_version:08d}.json"
+    try:
+        # O_EXCL publish: exactly one writer can commit this version
+        with open(manifest, "x", encoding="utf-8") as f:
+            json.dump({"version": new_version, "mode": mode,
+                       "files": files}, f)
+    except FileExistsError as e:
+        raise VersionConflictError(
+            f"version {new_version} of {path} was committed concurrently; "
+            f"re-read the table and retry") from e
+    return new_version
+
+
+def read_versioned(spark: SparkSession, path: str,
+                   version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest) — time travel
+    is just resolving an older manifest's file list."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = vs[-1]
+    elif version not in vs:
+        raise ValueError(f"version {version} not in {vs}")
+    files = _read_manifest(path, version)["files"]
+    return spark.read.parquet(*[f"{path}/{f}" for f in files])

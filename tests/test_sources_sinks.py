@@ -203,3 +203,38 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert n == 1
     assert len(list((tmp_path / "compacted").glob("part-*"))) == 1
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, versions, write_versioned)
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id", "user_id")
+    tbl = str(tmp_path / "vtab")
+    v0 = write_versioned(base.where("event_id < 600"), tbl, mode="overwrite")
+    v1 = write_versioned(base.where("event_id >= 600"), tbl, mode="append")
+    assert (v0, v1) == (0, 1) and versions(tbl) == [0, 1]
+    assert read_versioned(spark, tbl).count() == 1000          # latest
+    assert read_versioned(spark, tbl, version=0).count() == 600  # time travel
+    v2 = write_versioned(base.limit(10), tbl, mode="overwrite")
+    assert read_versioned(spark, tbl).count() == 10
+    assert read_versioned(spark, tbl, version=1).count() == 1000
+    assert versions(tbl) == [0, 1, 2] and v2 == 2
+
+
+def test_versioned_table_commit_conflict(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        VersionConflictError, write_versioned)
+    import pytest
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id").limit(5)
+    tbl = str(tmp_path / "vtab2")
+    write_versioned(base, tbl, mode="overwrite")
+    # both writers derived from version 0; the other one publishes
+    # version 1 first — this writer's O_EXCL manifest create must lose
+    (tmp_path / "vtab2" / "_log" / "v00000001.json").write_text(
+        '{"version": 1, "mode": "append", "files": []}')
+    with pytest.raises(VersionConflictError):
+        write_versioned(base, tbl, mode="append", base_version=0)
