@@ -54,8 +54,16 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def committed_txns(path: str) -> set[str]:
+    """Transaction ids recorded across all manifests (the streaming
+    exactly-once ledger)."""
+    return {m["txn"] for v in versions(path)
+            if (m := _read_manifest(path, v)).get("txn")}
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "append",
-                    base_version: int | None = None) -> int:
+                    base_version: int | None = None,
+                    txn: str | None = None) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
     ``overwrite`` replaces the visible file set; ``append`` extends
@@ -70,10 +78,19 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
     VersionConflictError — re-read and retry. When omitted, the
     current latest at call time is the base (last-writer-wins for
     independent appends).
+
+    ``txn`` is an idempotence token: if any committed manifest already
+    records it, the write is a no-op returning that version — this is
+    how a replayed streaming micro-batch (checkpoint recovery re-runs
+    the last batch) avoids double-appending.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     existing = versions(path)
+    if txn is not None:
+        for v in existing:
+            if _read_manifest(path, v).get("txn") == txn:
+                return v
     if base_version is None:
         new_version = (existing[-1] + 1) if existing else 0
     else:
@@ -96,7 +113,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
         # O_EXCL publish: exactly one writer can commit this version
         with open(manifest, "x", encoding="utf-8") as f:
             json.dump({"version": new_version, "mode": mode,
-                       "files": files}, f)
+                       "files": files, "txn": txn}, f)
     except FileExistsError as e:
         raise VersionConflictError(
             f"version {new_version} of {path} was committed concurrently; "

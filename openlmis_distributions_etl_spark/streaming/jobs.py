@@ -214,6 +214,27 @@ def stream_upsert_latest(events: DataFrame, out_dir: str,
             .start())
 
 
+def stream_append_versioned(df: DataFrame, table_path: str,
+                            checkpoint_dir: str):
+    """Stream into the versioned table format with exactly-once
+    commits: each micro-batch appends one table version carrying a
+    (query-scoped) transaction id, so a checkpoint-recovery replay of
+    the last batch hits the txn ledger and becomes a no-op instead of
+    a double append — end-to-end exactly-once from the source offsets
+    (checkpoint) through the table log (txn dedup), the Delta-sink
+    contract rebuilt on sources.versioned."""
+    from ..sources.versioned import write_versioned
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        write_versioned(batch, table_path, mode="append",
+                        txn=f"stream-{batch_id}")
+
+    return (df.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def dedup_events_stream(events: DataFrame,
                         watermark: str = "1 hour") -> DataFrame:
     """Streaming exact deduplication on event_id with bounded state:

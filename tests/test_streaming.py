@@ -175,3 +175,27 @@ def test_daily_active_users_stream_matches_batch(spark):
     want = (windows.daily_active_users(load_tables(spark, SF0001, "events"))
             .select("day", "dau")).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_append_versioned_exactly_once(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, versions, write_versioned)
+
+    events = jobs.read_events_stream(spark, SF0001)
+    tbl = str(tmp_path / "vtab")
+    ck = str(tmp_path / "ck")
+    q = jobs.stream_append_versioned(
+        events.select("event_id", "user_id"), tbl, ck)
+    assert q.awaitTermination(120)
+    n_versions = len(versions(tbl))
+    assert read_versioned(spark, tbl).count() == 1000
+    # replaying the same batch id must be a no-op (checkpoint-recovery
+    # double delivery)
+    v = write_versioned(spark.range(5).toDF("event_id"), tbl,
+                        mode="append", txn="stream-0")
+    assert v in versions(tbl) and len(versions(tbl)) == n_versions
+    assert read_versioned(spark, tbl).count() == 1000
+    # a NEW txn does append
+    write_versioned(read_versioned(spark, tbl).limit(7), tbl,
+                    mode="append", txn="backfill-1")
+    assert read_versioned(spark, tbl).count() == 1007
