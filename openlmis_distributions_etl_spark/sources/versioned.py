@@ -134,3 +134,37 @@ def read_versioned(spark: SparkSession, path: str,
         raise ValueError(f"version {version} not in {vs}")
     files = _read_manifest(path, version)["files"]
     return spark.read.parquet(*[f"{path}/{f}" for f in files])
+
+
+def vacuum_versioned(path: str, keep_versions: int = 1) -> dict:
+    """Retention maintenance: keep the newest ``keep_versions``
+    manifests, delete older manifests and every data file no kept
+    version references. Time travel shortens to the retention window;
+    storage stops growing with history — the periodic job every
+    log-structured table needs (Delta VACUUM).
+
+    Pure driver-side filesystem metadata work: no Spark job, no data
+    read. Returns {"kept_versions", "removed_manifests",
+    "removed_files"}.
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = versions(path)
+    keep = vs[-keep_versions:]
+    drop = [v for v in vs if v not in keep]
+    referenced = {f for v in keep for f in _read_manifest(path, v)["files"]}
+    removed_files = 0
+    data_root = Path(path) / _DATA
+    if data_root.is_dir():
+        for p in sorted(data_root.rglob("*.parquet")):
+            rel = str(p.relative_to(Path(path)))
+            if rel not in referenced:
+                p.unlink()
+                removed_files += 1
+        for d in sorted(data_root.iterdir()):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+    for v in drop:
+        (_log_dir(path) / f"v{v:08d}.json").unlink()
+    return {"kept_versions": keep, "removed_manifests": len(drop),
+            "removed_files": removed_files}

@@ -238,3 +238,27 @@ def test_versioned_table_commit_conflict(spark, tmp_path):
         '{"version": 1, "mode": "append", "files": []}')
     with pytest.raises(VersionConflictError):
         write_versioned(base, tbl, mode="append", base_version=0)
+
+
+def test_versioned_table_vacuum(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, vacuum_versioned, versions, write_versioned)
+    import pytest
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id")
+    tbl = str(tmp_path / "vtab3")
+    write_versioned(base.where("event_id < 300"), tbl, mode="overwrite")
+    write_versioned(base.where("event_id >= 300"), tbl, mode="append")
+    write_versioned(base.limit(50), tbl, mode="overwrite")
+    n_before = len(list((tmp_path / "vtab3" / "data").rglob("*.parquet")))
+    stats = vacuum_versioned(tbl, keep_versions=1)
+    assert stats["kept_versions"] == [2]
+    assert stats["removed_manifests"] == 2
+    assert stats["removed_files"] > 0
+    assert versions(tbl) == [2]
+    assert read_versioned(spark, tbl).count() == 50  # survivor intact
+    with pytest.raises(ValueError):
+        read_versioned(spark, tbl, version=0)        # history gone
+    n_after = len(list((tmp_path / "vtab3" / "data").rglob("*.parquet")))
+    assert n_after < n_before
