@@ -168,3 +168,97 @@ def vacuum_versioned(path: str, keep_versions: int = 1) -> dict:
         (_log_dir(path) / f"v{v:08d}.json").unlink()
     return {"kept_versions": keep, "removed_manifests": len(drop),
             "removed_files": removed_files}
+
+
+def _file_stats(table_path: str, rel_file: str,
+                stat_cols: tuple[str, ...]) -> dict:
+    """Per-file min/max from the parquet footer (driver-side metadata
+    read — no data pages touched)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(Path(table_path) / rel_file)).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in stat_cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+def collect_stats(path: str, version: int | None = None,
+                  stat_cols: tuple[str, ...] = ()) -> None:
+    """Attach per-file min/max stats for ``stat_cols`` to a committed
+    manifest (rewrites the manifest in place — stats are derived
+    metadata, not part of the commit protocol). Run after write, or
+    periodically like vacuum."""
+    vs = versions(path)
+    version = vs[-1] if version is None else version
+    m = _read_manifest(path, version)
+    m["stats"] = {f: _file_stats(path, f, stat_cols) for f in m["files"]}
+    tmp = _log_dir(path) / f".v{version:08d}.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(m, f)
+    os.replace(tmp, _log_dir(path) / f"v{version:08d}.json")
+
+
+def read_versioned_pruned(spark: SparkSession, path: str, column: str,
+                          lo, hi, version: int | None = None) -> DataFrame:
+    """Manifest-level data skipping: read only the files whose
+    [min, max] range for ``column`` intersects [lo, hi] — pruning
+    happens BEFORE Spark lists or opens anything, the Iceberg/Delta
+    scan-planning step that makes a selective query on a 100 TB table
+    touch 100 GB. Files without stats are conservatively read.
+    Returns an empty-but-typed frame when every file prunes away."""
+    vs = versions(path)
+    version = vs[-1] if version is None else version
+    m = _read_manifest(path, version)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        rng = stats.get(f, {}).get(column)
+        if rng is None or (rng[0] <= hi and lo <= rng[1]):
+            keep.append(f)
+    if not keep:
+        return _empty_like(spark, path, m)
+    return spark.read.parquet(*[f"{path}/{f}" for f in keep])
+
+
+def _empty_like(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Zero-row frame with the table's schema (footer-only read)."""
+    return (spark.read.parquet(f"{path}/{manifest['files'][0]}")
+            .where("false"))
+
+
+def changed_files(path: str, since_version: int,
+                  to_version: int | None = None) -> list[str]:
+    """Change feed: data files ADDED after ``since_version`` up to
+    ``to_version`` (default latest) — the incremental-consumer
+    primitive (backfills, downstream syncs) that reads only the delta,
+    never the whole table. Overwrites start a new lineage, so their
+    files appear as additions."""
+    vs = versions(path)
+    to_version = vs[-1] if to_version is None else to_version
+    base = set(_read_manifest(path, since_version)["files"])
+    now = _read_manifest(path, to_version)["files"]
+    return [f for f in now if f not in base]
+
+
+def read_changes(spark: SparkSession, path: str, since_version: int,
+                 to_version: int | None = None) -> DataFrame:
+    """Read only the rows added after ``since_version`` (see
+    changed_files)."""
+    files = changed_files(path, since_version, to_version)
+    if not files:
+        m = _read_manifest(path, versions(path)[-1])
+        return _empty_like(spark, path, m)
+    return spark.read.parquet(*[f"{path}/{f}" for f in files])

@@ -262,3 +262,44 @@ def test_versioned_table_vacuum(spark, tmp_path):
         read_versioned(spark, tbl, version=0)        # history gone
     n_after = len(list((tmp_path / "vtab3" / "data").rglob("*.parquet")))
     assert n_after < n_before
+
+
+def test_versioned_data_skipping(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    t = load_tables(spark, SF0001, "orders")
+    base = t["orders"].select("o_orderkey", "o_totalprice")
+    tbl = str(tmp_path / "vskip")
+    # 4 files, each a disjoint orderkey range (repartitionByRange +
+    # one file per partition) so min/max stats are selective
+    ranged = base.repartitionByRange(4, "o_orderkey") \
+        .sortWithinPartitions("o_orderkey")
+    V.write_versioned(ranged, tbl, mode="overwrite")
+    V.collect_stats(tbl, stat_cols=("o_orderkey",))
+    m = V._read_manifest(tbl, 0)
+    assert len(m["files"]) == 4 and all(
+        "o_orderkey" in s for s in m["stats"].values())
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    pruned = V.read_versioned_pruned(spark, tbl, "o_orderkey", lo, lo + 5)
+    # only ONE of the four range files can contain the lowest keys
+    assert len(pruned.inputFiles()) == 1
+    want = base.where(F.col("o_orderkey").between(lo, lo + 5)).count()
+    assert pruned.where(F.col("o_orderkey").between(lo, lo + 5)).count() == want
+    # disjoint predicate prunes everything but stays schema-valid
+    none = V.read_versioned_pruned(spark, tbl, "o_orderkey", -50, -10)
+    assert none.count() == 0 and "o_totalprice" in none.columns
+
+
+def test_versioned_change_feed(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id")
+    tbl = str(tmp_path / "vcdc")
+    V.write_versioned(base.where("event_id < 400"), tbl, mode="overwrite")
+    V.write_versioned(base.where("event_id >= 400 AND event_id < 700"),
+                      tbl, mode="append")
+    V.write_versioned(base.where("event_id >= 700"), tbl, mode="append")
+    assert V.read_changes(spark, tbl, since_version=0).count() == 600
+    assert V.read_changes(spark, tbl, 0, to_version=1).count() == 300
+    assert V.read_changes(spark, tbl, since_version=2).count() == 0
