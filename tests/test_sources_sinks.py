@@ -303,3 +303,27 @@ def test_versioned_change_feed(spark, tmp_path):
     assert V.read_changes(spark, tbl, since_version=0).count() == 600
     assert V.read_changes(spark, tbl, 0, to_version=1).count() == 300
     assert V.read_changes(spark, tbl, since_version=2).count() == 0
+
+
+def test_versioned_merge_upsert(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+    import pytest
+
+    tbl = str(tmp_path / "vmerge")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double")
+    V.write_versioned(base, tbl, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)],
+        "id long, name string, val double")
+    v = V.merge_upsert_versioned(spark, tbl, updates, ["id"])
+    got = {r["id"]: (r["name"], r["val"])
+           for r in V.read_versioned(spark, tbl).collect()}
+    assert v == 1
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+    # lost-update protection: merging against a stale base conflicts
+    with pytest.raises(V.VersionConflictError):
+        V.merge_upsert_versioned(spark, tbl, updates, ["id"],
+                                 base_version=0)
