@@ -133,7 +133,11 @@ def read_versioned(spark: SparkSession, path: str,
     elif version not in vs:
         raise ValueError(f"version {version} not in {vs}")
     files = _read_manifest(path, version)["files"]
-    return spark.read.parquet(*[f"{path}/{f}" for f in files])
+    # mergeSchema: additive schema evolution — a version whose appends
+    # carry new columns reads as the union schema, with older files
+    # null-filling the new columns (footer-level merge, no data rewrite)
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{path}/{f}" for f in files]))
 
 
 def vacuum_versioned(path: str, keep_versions: int = 1) -> dict:

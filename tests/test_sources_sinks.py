@@ -327,3 +327,22 @@ def test_versioned_merge_upsert(spark, tmp_path):
     with pytest.raises(V.VersionConflictError):
         V.merge_upsert_versioned(spark, tbl, updates, ["id"],
                                  base_version=0)
+
+
+def test_versioned_schema_evolution(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    tbl = str(tmp_path / "vevolve")
+    V.write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, name string"),
+        tbl, mode="overwrite")
+    V.write_versioned(
+        spark.createDataFrame([(2, "b", 9.5)],
+                              "id long, name string, score double"),
+        tbl, mode="append")
+    latest = V.read_versioned(spark, tbl)
+    assert set(latest.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in latest.collect()}
+    assert rows == {1: None, 2: 9.5}        # old files null-fill
+    v0 = V.read_versioned(spark, tbl, version=0)
+    assert set(v0.columns) == {"id", "name"}  # time travel keeps old schema
