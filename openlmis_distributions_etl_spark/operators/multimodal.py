@@ -169,3 +169,37 @@ def multimodal_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
     payloads = spread(t["documents"]).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return frame_sample(payloads)
+
+
+SHARD_TARGET_BYTES = 4096   # tiny target so the gate corpus spans shards;
+                            # production uses ~1 GB tar shards
+
+
+def multimodal_shard_plan(t: dict[str, DataFrame],
+                          target_bytes: int = SHARD_TARGET_BYTES) -> DataFrame:
+    """Training-shard layout (the WebDataset/tar-sharding step): pack
+    each source's payloads, in doc_id order, into shards of
+    ~``target_bytes`` via a running byte total — shard_id is the
+    running total BEFORE this payload divided by the target, so a
+    shard closes once it crosses the budget (the standard greedy
+    binning; a shard may overrun by one payload, never undershoot).
+
+    Scale shape: one window partitioned by source (the shuffle key a
+    sharded export would partition by anyway) with an ordered running
+    sum — no global ordering, no driver state. Output is the plan
+    (doc_id → shard, start byte) a writer job consumes. All integer
+    arithmetic (DIV, not double division) — float→int casts round
+    differently across engines; floor-div on non-negative ints
+    doesn't."""
+    from pyspark.sql import Window
+
+    ev = t["documents"].select(
+        "doc_id", "source",
+        F.length(F.col("text").cast("binary")).alias("byte_len"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("byte_len").over(w)
+    return (ev.select("doc_id", "source", "byte_len",
+                      (cum - F.col("byte_len")).alias("start_byte"))
+            .selectExpr("doc_id", "source", "byte_len", "start_byte",
+                        f"start_byte DIV {target_bytes} AS shard_id"))

@@ -1425,6 +1425,24 @@ ORACLES.update({
     # non-ASCII document makes the oracle raise (error()) instead of
     # silently producing a wrong parity baseline — DuckDB has no blob
     # substring, so byte-exact framing can't be expressed directly.
+    # greedy byte-budget sharding: running byte total per source in
+    # doc_id order; integer floor-div only (no float→int casts)
+    "multimodal_shard_plan": """
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+          FROM documents),
+        runs AS (
+          SELECT doc_id, source, byte_len,
+                 CAST(SUM(byte_len) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - byte_len AS BIGINT)
+                   AS start_byte
+          FROM b)
+        SELECT doc_id, source, byte_len, start_byte,
+               start_byte // 4096 AS shard_id
+        FROM runs
+    """,
     "multimodal_frame_sample": """
         WITH f AS (
           SELECT doc_id,
