@@ -604,3 +604,41 @@ def language_mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
                     w.alias("weight"),
                     (w * F.col("total").cast("double"))
                     .alias("expected_docs")))
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion constant
+HYBRID_TOP_K = 10
+
+
+def hybrid_search_rrf(t: dict[str, DataFrame],
+                      k: int = HYBRID_TOP_K) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 and embedding-cosine rankings
+    fused with reciprocal rank fusion (Cormack et al., SIGIR'09):
+    score(d) = Σ_lists 1/(60 + rank_d). Ranks are integers with
+    deterministic tie-breaks and the fusion arithmetic is a fixed
+    chain of IEEE ops on them, so — unlike fusing raw scores — the
+    result is bit-portable across engines even though BM25 and cosine
+    live on incomparable scales (the reason RRF is the standard fusion
+    in production search).
+
+    Scale shape: each side is its own ranked top list (BM25: sparse
+    posting intersection; vector: ANN at scale, exact here); the
+    fusion joins two id→rank lists — outer join on doc_id, missing
+    ranks contribute 0."""
+    from .similarity_bridge import doc_cosine_ranks
+
+    bm = bm25_scores(t)
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_bm"))
+    vec_ranked = doc_cosine_ranks(t)
+    fused = (bm_ranked.join(vec_ranked, "doc_id", "full_outer")
+             .select("doc_id",
+                     (F.when(F.col("r_bm").isNotNull(),
+                             1.0 / (RRF_K + F.col("r_bm"))).otherwise(0.0)
+                      + F.when(F.col("r_vec").isNotNull(),
+                               1.0 / (RRF_K + F.col("r_vec"))).otherwise(0.0)
+                      ).alias("rrf_score"),
+                     "r_bm", "r_vec"))
+    return (fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(k))

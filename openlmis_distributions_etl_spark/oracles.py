@@ -2137,3 +2137,35 @@ ORACLES.update({
         GROUP BY ws, event_type
     """,
 })
+
+
+# hybrid retrieval: RRF over the BM25 oracle (reused as a subquery)
+# and a cosine ranking; integer ranks → bit-portable fusion scores
+ORACLES.update({
+    "hybrid_search_rrf": f"""
+        WITH bm_ranked AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                      AS INT) AS r_bm
+          FROM ({ORACLES['bm25_scores']})),
+        q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        vec_ranked AS (
+          SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC)
+                      AS INT) AS r_vec
+          FROM embeddings, q
+          WHERE vec_id <> 0)
+        SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+               (CASE WHEN b.r_bm IS NOT NULL
+                     THEN CAST(1.0 AS DOUBLE) / (60 + b.r_bm)
+                     ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN v.r_vec IS NOT NULL
+                       THEN CAST(1.0 AS DOUBLE) / (60 + v.r_vec)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score,
+               b.r_bm, v.r_vec
+        FROM bm_ranked b FULL OUTER JOIN vec_ranked v ON b.doc_id = v.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 10
+    """,
+})

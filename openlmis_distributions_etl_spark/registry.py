@@ -139,6 +139,7 @@ _OPERATORS = {
     "winnowing_fingerprints": text.winnowing_fingerprints,
     "token_countmin_topk": text.token_countmin_topk,
     "language_mixture_weights": text.language_mixture_weights,
+    "hybrid_search_rrf": text.hybrid_search_rrf,
     "bm25_scores": text.bm25_scores,
     "token_freq_topk": text.token_freq_topk,
     "doc_tfidf_top_terms": text.doc_tfidf_top_terms,
