@@ -126,3 +126,52 @@ def test_curation_split_is_total_and_content_free(spark, texts):
     assert all(r["split"] in ("train", "val", "test") for r in out)
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids))
+
+
+# -- versioned table format: model-based sequences ---------------------
+
+vop_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.integers(1, 20)),
+        st.tuples(st.just("append"), st.integers(1, 20)),
+        st.tuples(st.just("replay"), st.integers(0, 3)),   # re-commit txn i
+        st.tuples(st.just("vacuum"), st.integers(1, 2)),
+    ),
+    min_size=1, max_size=6)
+
+
+@PROP
+@given(ops=vop_strategy)
+def test_versioned_table_model(spark, tmp_path_factory, ops):
+    """Random append/overwrite/txn-replay/vacuum sequences agree with
+    a trivial Python model of visible row count — snapshot isolation,
+    idempotent replays, and vacuum never touching the live version."""
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    tbl = str(tmp_path_factory.mktemp("vmodel") / "t")
+    visible = None          # model: latest visible row count
+    applied_txns = set()
+    txn_i = 0
+    for op, arg in ops:
+        if op == "overwrite":
+            V.write_versioned(spark.range(arg), tbl, mode="overwrite",
+                              txn=f"t{txn_i}")
+            applied_txns.add(txn_i)
+            txn_i += 1
+            visible = arg
+        elif op == "append":
+            V.write_versioned(spark.range(arg), tbl, mode="append",
+                              txn=f"t{txn_i}")
+            applied_txns.add(txn_i)
+            txn_i += 1
+            visible = arg if visible is None else visible + arg
+        elif op == "replay":
+            if arg in applied_txns:
+                before = V.versions(tbl)
+                V.write_versioned(spark.range(99), tbl, mode="append",
+                                  txn=f"t{arg}")
+                assert V.versions(tbl) == before     # no-op
+        elif op == "vacuum" and V.versions(tbl):
+            V.vacuum_versioned(tbl, keep_versions=arg)
+        if visible is not None:
+            assert V.read_versioned(spark, tbl).count() == visible
