@@ -49,3 +49,23 @@ def test_cli_curate_and_list(spark, tmp_path, capsys):
     assert main(["list"]) == 0
     names = capsys.readouterr().out.split()
     assert "curation_pipeline" in names and len(names) >= 100
+
+
+def test_curation_pipeline_to_versioned_table(spark, tmp_path):
+    """End-to-end: the curation pipeline's output committed to the
+    versioned table format and read back — the corpus-release shape
+    (curate → publish version N → consumers time-travel / diff)."""
+    from openlmis_distributions_etl_spark import registry
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    curated = registry.queries()["curation_pipeline"](
+        spark, "/root/testdata/sf0.001")
+    tbl = str(tmp_path / "corpus_release")
+    v0 = V.write_versioned(curated, tbl, mode="overwrite")
+    n0 = V.read_versioned(spark, tbl).count()
+    assert v0 == 0 and n0 == curated.count() and n0 > 0
+    # next release: re-curate (same corpus here) and publish v1;
+    # consumers diff releases via the change feed
+    V.write_versioned(curated, tbl, mode="overwrite")
+    assert len(V.changed_files(tbl, since_version=0)) > 0
+    assert V.read_versioned(spark, tbl, version=0).count() == n0
