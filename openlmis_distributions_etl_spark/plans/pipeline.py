@@ -17,21 +17,32 @@ from ..sources.sinks import write_partitioned_parquet
 from . import star
 
 
-def run_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
-    """Build and load the distribution marts. Returns mart → path."""
+def run_etl(spark: SparkSession, sf_dir: str, out_dir: str,
+            metrics: dict[str, dict] | None = None) -> dict[str, str]:
+    """Build and load the distribution marts. Returns mart → path.
+
+    Pass ``metrics={}`` to collect per-mart load observability — row
+    counts measured IN the load job itself via ``Observation``
+    (df.observe rides the existing action; no second count() pass over
+    the data — the free-metrics contract an ETL scheduler alerts on)."""
+    from pyspark.sql import Observation
+
     t = load_tables(spark, sf_dir)
     marts: dict[str, str] = {}
 
+    def load(name: str, df, partition_by=()):
+        path = f"{out_dir}/{name}"
+        if metrics is not None:
+            obs = Observation(name)
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+        write_partitioned_parquet(df, path, partition_by=partition_by)
+        if metrics is not None:
+            metrics[name] = obs.get
+        marts[name] = path
+
     flat = star.star_denormalize(t).withColumn(
         "order_year", F.substring("orderdate", 1, 4))
-    path = f"{out_dir}/fact_lineitem_flat"
     # partition by year: bounded directory fan-out, prunes time-range scans
-    write_partitioned_parquet(flat, path, partition_by=["order_year"])
-    marts["fact_lineitem_flat"] = path
-
-    monthly = star.monthly_sales_rollup(t)
-    path = f"{out_dir}/mart_monthly_sales"
-    write_partitioned_parquet(monthly, path)
-    marts["mart_monthly_sales"] = path
-
+    load("fact_lineitem_flat", flat, partition_by=["order_year"])
+    load("mart_monthly_sales", star.monthly_sales_rollup(t))
     return marts

@@ -69,3 +69,16 @@ def test_curation_pipeline_to_versioned_table(spark, tmp_path):
     V.write_versioned(curated, tbl, mode="overwrite")
     assert len(V.changed_files(tbl, since_version=0)) > 0
     assert V.read_versioned(spark, tbl, version=0).count() == n0
+
+
+def test_run_etl_observed_metrics(spark, tmp_path):
+    """Load metrics come from Observation riding the load job itself —
+    no second pass — and match the actual mart row counts."""
+    from openlmis_distributions_etl_spark.plans.pipeline import run_etl
+
+    metrics: dict[str, dict] = {}
+    marts = run_etl(spark, SF0001, str(tmp_path / "marts"), metrics=metrics)
+    assert set(metrics) == set(marts)
+    for name, path in marts.items():
+        assert metrics[name]["rows_loaded"] == spark.read.parquet(path).count()
+        assert metrics[name]["rows_loaded"] > 0
