@@ -203,3 +203,36 @@ def multimodal_shard_plan(t: dict[str, DataFrame],
                       (cum - F.col("byte_len")).alias("start_byte"))
             .selectExpr("doc_id", "source", "byte_len", "start_byte",
                         f"start_byte DIV {target_bytes} AS shard_id"))
+
+
+ARROW_STATS_SCHEMA = ("doc_id long, byte_len long, checksum32 long")
+
+
+def multimodal_byte_stats_arrow(t: dict[str, DataFrame]) -> DataFrame:
+    """The mapInArrow variant of the binary path: raw
+    ``pyarrow.RecordBatch`` in and out — no pandas materialization, the
+    zero-copy lane for bulk binary work (a real decoder would hand the
+    Arrow buffers straight to native code). Computes byte length and a
+    deterministic additive 32-bit checksum (sum of bytes mod 2³²) per
+    payload; integer outputs keep the Python path exactly
+    oracle-checkable (the oracle folds ascii codes over the same ASCII
+    corpus the frame-sample oracle already enforces)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            payloads = batch.column("payload")
+            lens, sums = [], []
+            for v in payloads:
+                b = v.as_py() or b""
+                lens.append(len(b))
+                sums.append(sum(b) % (1 << 32))
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, pa.array(lens, pa.int64()),
+                 pa.array(sums, pa.int64())],
+                names=["doc_id", "byte_len", "checksum32"])
+
+    payloads = spread(t["documents"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInArrow(gen, schema=ARROW_STATS_SCHEMA)

@@ -1425,6 +1425,22 @@ ORACLES.update({
     # non-ASCII document makes the oracle raise (error()) instead of
     # silently producing a wrong parity baseline — DuckDB has no blob
     # substring, so byte-exact framing can't be expressed directly.
+    # additive byte checksum over the ASCII-enforced corpus (byte ==
+    # code point there; the frame-sample oracle pins the same guard)
+    "multimodal_byte_stats_arrow": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(COALESCE(list_sum(list_transform(
+                      string_split(CASE WHEN octet_length(encode(text))
+                                             = length(text)
+                                        THEN text
+                                        ELSE error('non-ASCII doc '
+                                                   || doc_id)
+                                   END, '')
+                      , c -> ascii(c))), 0) % 4294967296 AS BIGINT)
+                 AS checksum32
+        FROM documents
+    """,
     # greedy byte-budget sharding: running byte total per source in
     # doc_id order; integer floor-div only (no float→int casts)
     "multimodal_shard_plan": """

@@ -149,6 +149,7 @@ _OPERATORS = {
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     "multimodal_shard_plan": multimodal.multimodal_shard_plan,
+    "multimodal_byte_stats_arrow": multimodal.multimodal_byte_stats_arrow,
     # §2.G/§2.C round-3 wave: curation + sliding windows
     "pii_redaction": text.pii_redaction,
     "doc_oov_rate": text.doc_oov_rate,
