@@ -621,15 +621,19 @@ def hybrid_search_rrf(t: dict[str, DataFrame],
     live on incomparable scales (the reason RRF is the standard fusion
     in production search).
 
-    Scale shape: each side is its own ranked top list (BM25: sparse
-    posting intersection; vector: ANN at scale, exact here); the
-    fusion joins two id→rank lists — outer join on doc_id, missing
-    ranks contribute 0."""
-    from .similarity_bridge import doc_cosine_ranks
+    Scale shape: each side is a TRUNCATED top list (the standard RRF
+    depth; full-corpus rankings would funnel a global rank window onto
+    one task) selected by distributed sort+limit, so the rank windows
+    run on ≤depth rows. BM25's candidate set is the sparse posting
+    intersection; the vector side is ANN at scale (exact here). The
+    fusion is an outer join of two id→rank lists; missing ranks
+    contribute 0."""
+    from .similarity_bridge import RRF_DEPTH, doc_cosine_ranks
 
     bm = bm25_scores(t)
+    bm_head = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RRF_DEPTH)
     w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    bm_ranked = bm.select(
+    bm_ranked = bm_head.select(
         "doc_id", F.row_number().over(w_bm).alias("r_bm"))
     vec_ranked = doc_cosine_ranks(t)
     fused = (bm_ranked.join(vec_ranked, "doc_id", "full_outer")

@@ -2159,19 +2159,26 @@ ORACLES.update({
 # and a cosine ranking; integer ranks → bit-portable fusion scores
 ORACLES.update({
     "hybrid_search_rrf": f"""
-        WITH bm_ranked AS (
+        WITH bm_head AS (
+          SELECT doc_id, bm25 FROM ({ORACLES['bm25_scores']})
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+        bm_ranked AS (
           SELECT doc_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
                       AS INT) AS r_bm
-          FROM ({ORACLES['bm25_scores']})),
+          FROM bm_head),
         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-        vec_ranked AS (
+        vec_head AS (
           SELECT vec_id AS doc_id,
-                 CAST(ROW_NUMBER() OVER (
-                   ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC)
-                      AS INT) AS r_vec
+                 {_cos('embedding', 'q')} AS cos_sim
           FROM embeddings, q
-          WHERE vec_id <> 0)
+          WHERE vec_id <> 0
+          ORDER BY cos_sim DESC, doc_id ASC LIMIT 100),
+        vec_ranked AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS r_vec
+          FROM vec_head)
         SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
                (CASE WHEN b.r_bm IS NOT NULL
                      THEN CAST(1.0 AS DOUBLE) / (60 + b.r_bm)
