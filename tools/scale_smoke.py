@@ -34,6 +34,7 @@ OPS = (
     "dedup_components",
     "curation_pipeline",
     "doc_quality_filters",
+    "multimodal_shard_plan",
 )
 
 
