@@ -144,6 +144,28 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stats_stream(events: DataFrame,
+                                gap: str = "30 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.windows.session_window_stats: the
+    NATIVE session_window aggregate under readStream — Spark's own
+    gap-session state machine (merge-on-overlap, watermark-evicted),
+    complementing the applyInPandasWithState custom sessionizer
+    (sessionize_stream) which exists for session logic the native
+    operator can't express. Identical logical plan to the batch twin."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(dec("value")).cast("decimal(38,6)").cast("double")
+                 .alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("start_us"),
+                    F.unix_micros(F.col("session_window.end"))
+                    .alias("end_us"),
+                    "n_events", "sum_value"))
+
+
 def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
                       available_now: bool = True):
     """Stream → partitioned parquet files with exactly-once file-sink

@@ -199,3 +199,13 @@ def test_stream_append_versioned_exactly_once(spark, tmp_path):
     write_versioned(read_versioned(spark, tbl).limit(7), tbl,
                     mode="append", txn="backfill-1")
     assert read_versioned(spark, tbl).count() == 1007
+
+
+def test_session_window_stream_matches_batch(spark):
+    got = _run_available_now(
+        jobs.session_window_stats_stream(jobs.read_events_stream(spark, SF0001)),
+        "sess_win_stream", spark, "complete")
+    want = windows.session_window_stats(
+        load_tables(spark, SF0001, "events")).toPandas()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
