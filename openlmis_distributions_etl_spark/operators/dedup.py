@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import pin, spread
-from ..functions.cache import register, retain
+from ..functions.cache import retain
 from .text import tokens
 
 N_HASHES = 16          # minhash permutations
@@ -359,39 +359,44 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 
     ``edges``: (src, dst) undirected; ``nodes``: (node) all vertices.
     Returns (node, component) with component = min node id reachable.
+
+    The edge list is ``localCheckpoint``-ed once at entry: the join
+    re-embeds the edge PLAN into every round's logical plan, so an
+    expensive pair-generation lineage (e.g. the embedding-LSH tree
+    behind semantic_dedup_components) otherwise multiplies by the
+    round count and blows up plan processing long before data size
+    matters. Checkpointing truncates it to a materialized leaf —
+    on a cluster prefer a reliable checkpoint dir for lineage safety.
     """
     sym = (edges.selectExpr("src", "dst")
            .union(edges.selectExpr("dst AS src", "src AS dst"))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=False))
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
-    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("nbr_min")))
         # carry the old label through the round so convergence is ONE
-        # filter on the cached result instead of a second join
+        # filter on the checkpointed result instead of a second join.
+        # localCheckpoint (not persist): ``labels`` appears TWICE in
+        # each round's plan, so the un-truncated logical plan DOUBLES
+        # per round — ~10 rounds in and Catalyst's own plan handling
+        # (treeString, analysis) OOMs before any data moves. The
+        # checkpoint replaces the round's plan with a materialized
+        # leaf; old rounds' blocks are released by the ContextCleaner
+        # once the loop drops its references.
         upd = (
             labels.join(neighbor_min, "node", "left")
             .select("node", F.col("component").alias("old_c"),
                     F.least("component", F.coalesce("nbr_min", "component"))
                     .alias("component"))
-            .persist())  # persist BEFORE the count action so the
-                         # convergence check fills the cache the
-                         # returned plan reuses
+            .localCheckpoint(eager=False))
         changed = (upd.where(F.col("component") != F.col("old_c"))
                    .limit(1).count())
-        new_labels = upd.select("node", "component")
-        if prev is not None:
-            prev.unpersist()
-        prev, labels = upd, new_labels
+        labels = upd.select("node", "component")
         if changed == 0:
-            # the returned plan reuses the final round's cache; register
-            # the PERSISTED frame (upd) — unpersist() only releases a
-            # cache whose plan matches, so registering the projection
-            # would leak the final round's cache
-            register(upd)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
@@ -574,3 +579,19 @@ def semantic_dedup_pairs(t: dict[str, DataFrame],
                     F.col("vec_b").alias("doc_b"), "cos_sim",
                     (F.col("ha") == F.col("hb")).cast("int")
                     .alias("same_text")))
+
+
+def semantic_dedup_components(t: dict[str, DataFrame]) -> DataFrame:
+    """Semantic near-dup CLUSTERS: connected components over the
+    embedding near-dup pair graph — the cluster-collapse step after
+    pair generation (keep one doc per semantic cluster). Same
+    distributed min-label propagation as dedup_components; only the
+    edge source differs (cosine-LSH pairs instead of MinHash pairs),
+    which is the point — the CC machinery is operator-agnostic."""
+    from .similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(t)
+    edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst")
+    nodes = t["documents"].select(F.col("doc_id").alias("node")).distinct()
+    cc = connected_components(edges, nodes)
+    return cc.select(F.col("node").alias("doc_id"), "component")

@@ -1823,6 +1823,28 @@ ORACLES.update({
         JOIN h da ON p.vec_a = da.doc_id
         JOIN h db ON p.vec_b = db.doc_id
     """,
+    "semantic_dedup_components": f'''
+        WITH RECURSIVE {_PAIR_CTE},
+        vpairs AS (
+          SELECT vec_a AS doc_a, vec_b AS doc_b
+          FROM cand
+          JOIN norm a ON vec_a = a.vec_id
+          JOIN norm b ON vec_b = b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM vpairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ''',
     "near_dup_recall": f"""
         WITH {_PAIR_CTE},
         truep AS (

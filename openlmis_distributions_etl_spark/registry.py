@@ -90,6 +90,7 @@ _OPERATORS = {
     "curation_pipeline": curation.curation_pipeline,
     "doc_dup_rate_by_source": dedup.doc_dup_rate_by_source,
     "semantic_dedup_pairs": dedup.semantic_dedup_pairs,
+    "semantic_dedup_components": dedup.semantic_dedup_components,
     "monthly_sales_rollup": star.monthly_sales_rollup,
     # §2.C windows
     "topk_customers_per_nation": windows.topk_customers_per_nation,
