@@ -646,3 +646,80 @@ def hybrid_search_rrf(t: dict[str, DataFrame],
                      "r_bm", "r_vec"))
     return (fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
             .limit(k))
+
+
+# -- round-4 wave: training-order shuffle + per-source quotas ----------
+
+def _md5_key(salt: str, id_col: str = "doc_id") -> Column:
+    """Deterministic 32-bit shuffle key: first 8 hex chars of
+    md5(salt||id) as a long. No rand() — the same doc lands in the
+    same place on every engine, run, and cluster size."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("long"))
+
+
+SHUFFLE_SHARDS = 8
+
+
+def deterministic_shuffle(t: dict[str, DataFrame],
+                          n_shards: int = SHUFFLE_SHARDS,
+                          salt: str = "shuf|") -> DataFrame:
+    """Global training-order shuffle: the step that turns a curated
+    corpus into the randomized read order a training job consumes.
+    Each doc gets an md5 shuffle key; shard = key mod n_shards, and
+    the position within the shard is the rank of the key (doc_id
+    tie-break makes the order total even under 32-bit key
+    collisions).
+
+    Scale shape: ONE shuffle on shard_id, then each shard sorts
+    independently — no global sort, no single-task rank window. At
+    100 TB, n_shards scales with the cluster and each task writes one
+    sorted shard file; this is exactly the physical layout
+    `write_sorted_parquet` + `multimodal_shard_plan` feed a data
+    loader."""
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (t["documents"]
+            .select("doc_id",
+                    _md5_key(salt).alias("shuffle_key"))
+            .withColumn("shard",
+                        (F.col("shuffle_key") % n_shards).cast("int"))
+            .select("doc_id", "shard", "shuffle_key",
+                    F.row_number().over(w).alias("pos")))
+
+
+# below the 25-docs-per-source the gate corpus carries at every sf, so
+# the cap actually filters in the driver's correctness sample
+QUOTA_PER_SOURCE = 15
+QUOTA_SPLITS = 32
+
+
+def source_quota_sample(t: dict[str, DataFrame],
+                        quota: int = QUOTA_PER_SOURCE,
+                        salt: str = "quota|") -> DataFrame:
+    """Per-source document quota: cap every ingestion feed (domain,
+    crawl host, dump shard) at `quota` docs, chosen by deterministic
+    md5 rank — the domain-cap step of web-corpus curation (keeps one
+    giant domain from dominating the mixture).
+
+    Skew is the whole problem here: ONE hot source can hold most of
+    the corpus, and a single per-source rank window would funnel it
+    through one task. Two-phase selection instead: phase 1 ranks
+    within (source, key mod 32) — the hot source splits across 32
+    hash sub-splits, each keeping ≤quota survivors — and phase 2
+    ranks the ≤32·quota survivors per source exactly. Phase 1 is a
+    pure superset prefilter (any doc in the true top-quota is in the
+    top-quota of its own sub-split), so the result is identical to
+    the single-window answer while the per-task row bound is
+    O(corpus/32 + 32·quota)."""
+    d = (t["documents"]
+         .select("doc_id", "source", _md5_key(salt).alias("key"))
+         .withColumn("sub", (F.col("key") % QUOTA_SPLITS).cast("int")))
+    w1 = Window.partitionBy("source", "sub").orderBy("key", "doc_id")
+    survivors = (d.withColumn("rk1", F.row_number().over(w1))
+                 .where(F.col("rk1") <= quota))
+    w2 = Window.partitionBy("source").orderBy("key", "doc_id")
+    return (survivors
+            .select("doc_id", "source", "key",
+                    F.row_number().over(w2).alias("rk"))
+            .where(F.col("rk") <= quota))

@@ -2214,3 +2214,37 @@ ORACLES.update({
         LIMIT 10
     """,
 })
+
+# -- round-4 wave: training-order shuffle + per-source quotas ----------
+
+ORACLES.update({
+    # global shard+rank order; the two-phase Spark plan must reduce to
+    # the plain single-window answer
+    "deterministic_shuffle": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 {_HEX8_TO_INT("'shuf|' || CAST(doc_id AS VARCHAR)")}
+                   AS shuffle_key
+          FROM documents)
+        SELECT doc_id,
+               CAST(shuffle_key % 8 AS INT) AS shard, shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                      PARTITION BY shuffle_key % 8
+                      ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        FROM d
+    """,
+    "source_quota_sample": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 {_HEX8_TO_INT("'quota|' || CAST(doc_id AS VARCHAR)")}
+                   AS key
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source, key,
+                 CAST(ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY key, doc_id) AS INT) AS rk
+          FROM d)
+        SELECT doc_id, source, key, rk FROM ranked WHERE rk <= 15
+    """,
+})

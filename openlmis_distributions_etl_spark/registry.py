@@ -157,6 +157,9 @@ _OPERATORS = {
     "sequence_packing": text.sequence_packing,
     "hashed_classifier_score": text.hashed_classifier_score,
     "sliding_window_event_counts": windows.sliding_window_event_counts,
+    # §2.G round-4 wave: training-order shuffle + per-source quotas
+    "deterministic_shuffle": text.deterministic_shuffle,
+    "source_quota_sample": text.source_quota_sample,
 }
 
 

@@ -386,3 +386,40 @@ def test_winnowing_short_doc_excluded(spark):
     out = text.winnowing_fingerprints({"documents": _docs(spark, rows)})
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {2}
+
+
+def test_source_quota_two_phase_equals_single_window(spark):
+    """The sub-split prefilter must be a pure superset: the two-phase
+    plan's survivors are EXACTLY the plain per-source top-quota by
+    (key, doc_id). Pinned on a skewed corpus (one hot source)."""
+    rows = ([(i, f"doc text {i}", "en", "hot", 10) for i in range(300)]
+            + [(1000 + i, f"other {i}", "en", "cold", 8) for i in range(5)])
+    t = {"documents": _docs(spark, rows)}
+    got = {(r["doc_id"], r["rk"])
+           for r in text.source_quota_sample(t, quota=7).collect()}
+
+    from pyspark.sql import Window
+
+    d = t["documents"].select(
+        "doc_id", "source", text._md5_key("quota|").alias("key"))
+    w = Window.partitionBy("source").orderBy("key", "doc_id")
+    want = {(r["doc_id"], r["rk"])
+            for r in d.select("doc_id",
+                              F.row_number().over(w).alias("rk"))
+                      .where(F.col("rk") <= 7).collect()}
+    assert got == want
+    assert len([1 for _, rk in got if True]) == 7 + 5
+
+
+def test_deterministic_shuffle_positions_dense(spark):
+    """Every shard's positions are 1..n_shard with no gaps — the
+    contract a sharded data loader reads against."""
+    rows = [(i, f"doc {i}", "en", "s", 6) for i in range(64)]
+    out = text.deterministic_shuffle(
+        {"documents": _docs(spark, rows)}).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 64
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
