@@ -1,0 +1,98 @@
+"""Whole-registry plan-hygiene ratchet (SURVEY.md §6): build every
+registered query's physical plan once and assert the scale-killing
+node types appear nowhere — or only in the pinned places where they
+are the intended plan. A new query (or a Catalyst strategy change)
+that introduces an unpinned CartesianProduct / nested-loop join /
+row-Python eval fails here by name instead of surfacing as an OOM at
+1000× the data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openlmis_distributions_etl_spark import registry
+
+SF0001 = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is the CORRECT plan when the broadcast side
+# is O(1)..O(k) rows: scalar-subquery thresholds (q11, q22, set ops),
+# a broadcast query vector / centroid table / corpus-stats singleton
+# (the kNN + text-stats family), the non-equi broadcast band dim
+# (range_join), and the documented all-pairs eval harness
+# (near_dup_recall). Anything OUTSIDE this set is a regression: at
+# scale an unintended BNLJ replays the whole stream side per
+# partition.
+BNLJ_ALLOWED = {
+    "bm25_scores",
+    "doc_oov_rate",
+    "doc_tfidf_top_terms",
+    "hybrid_search_rrf",
+    "ivf_cluster_stats",
+    "kmeans_centroids",
+    "knn_batch",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_ivf_trained",
+    "knn_lsh",
+    "knn_lsh_recall",
+    "knn_pq_adc",
+    "language_mixture_weights",
+    "near_dup_recall",
+    "pq_codes",
+    "q11_important_parts",
+    "q22_dormant_high_balance",
+    "range_join_value_buckets",
+    "set_ops_customers",
+    "token_countmin_topk",
+}
+
+# The only operators allowed to leave the JVM: the declared Arrow
+# lanes (mapInPandas / applyInPandas / mapInArrow escape hatches).
+PYTHON_EVAL_ALLOWED = {
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_byte_stats_arrow",
+    "user_value_histogram_pandas",
+}
+
+_PY_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+             "MapInArrow", "PythonMapInArrow")
+
+
+@pytest.fixture(scope="module")
+def plans(spark) -> dict[str, str]:
+    out = {}
+    for name, fn in sorted(registry.queries().items()):
+        df = fn(spark, SF0001)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"unbroadcast cross joins: {bad}"
+
+
+def test_bnlj_only_where_pinned(plans):
+    got = {n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p}
+    new = got - BNLJ_ALLOWED
+    assert not new, (
+        f"new BroadcastNestedLoopJoin in {sorted(new)} — broadcast-"
+        "singleton pattern? pin it here with a reason, else fix the join")
+    gone = BNLJ_ALLOWED - got
+    assert not gone, (
+        f"{sorted(gone)} no longer use BNLJ — ratchet down: remove "
+        "them from BNLJ_ALLOWED")
+
+
+def test_no_row_python_anywhere(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDFs in: {bad}"
+
+
+def test_arrow_python_only_in_declared_lanes(plans):
+    got = {n for n, p in plans.items()
+           if any(node in p for node in _PY_NODES)}
+    new = got - PYTHON_EVAL_ALLOWED
+    assert not new, f"undeclared Python eval lanes in {sorted(new)}"
