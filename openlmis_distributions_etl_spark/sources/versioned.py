@@ -291,3 +291,63 @@ def merge_upsert_versioned(spark: SparkSession, path: str,
     merged = survivors.unionByName(updates)
     return write_versioned(merged, path, mode="overwrite",
                            base_version=base)
+
+
+ZORDER_BITS = 8
+
+
+def zorder_rewrite(spark: SparkSession, path: str, cols: list[str],
+                   target_files: int = 4, bits: int = ZORDER_BITS,
+                   base_version: int | None = None) -> int:
+    """OPTIMIZE ... ZORDER BY: rewrite the current snapshot clustered
+    on the Z-value (bit-interleaved bucket ids) of ``cols``, then
+    refresh file stats — so `read_versioned_pruned` skips files for
+    selective predicates on ANY of the clustered columns, not just the
+    first one a linear sort favors. This is the Delta/Iceberg
+    multi-dimensional clustering maintenance pass; at 100 TB it is what
+    keeps two different dashboards (one filtering user, one filtering
+    value) both reading ~1/target_files of the table.
+
+    Each column is linearly bucketed to 2^bits cells between its
+    min/max (one tiny agg job for the ranges; NULLs cluster at cell 0),
+    and the Z-value interleaves the cells' bits. The rewrite itself is
+    ONE range shuffle on the Z-value + per-partition sort — the same
+    plan shape as `write_sorted_parquet`, no global sort.
+
+    Committed as an overwrite version derived from ``base_version``
+    (default latest) under the usual OCC protocol; returns the new
+    version number.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    base = vs[-1] if base_version is None else base_version
+    df = read_versioned(spark, path, version=base)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+    rng = df.agg(*aggs).collect()[0]
+    n, cells = len(cols), 1 << bits
+    buckets = []
+    for c in cols:
+        lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]
+        span = (hi - lo) if (hi is not None and hi > lo) else 1.0
+        cell = F.floor((F.col(c).cast("double") - F.lit(lo))
+                       / F.lit(span) * cells).cast("long")
+        buckets.append(F.coalesce(
+            F.greatest(F.lit(0), F.least(F.lit(cells - 1), cell)),
+            F.lit(0)))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, bk in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(bk, j).bitwiseAND(F.lit(1)), j * n + i)
+    clustered = (df.withColumn("__z", z)
+                 .repartitionByRange(target_files, "__z")
+                 .sortWithinPartitions("__z")
+                 .drop("__z"))
+    version = write_versioned(clustered, path, mode="overwrite",
+                              base_version=base)
+    collect_stats(path, version=version, stat_cols=tuple(cols))
+    return version

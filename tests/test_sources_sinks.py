@@ -346,3 +346,60 @@ def test_versioned_schema_evolution(spark, tmp_path):
     assert rows == {1: None, 2: 9.5}        # old files null-fill
     v0 = V.read_versioned(spark, tbl, version=0)
     assert set(v0.columns) == {"id", "name"}  # time travel keeps old schema
+
+
+def test_versioned_zorder_prunes_on_both_columns(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    t = load_tables(spark, SF0001, "orders")
+    base = t["orders"].select("o_orderkey", "o_totalprice")
+    n_rows = base.count()
+
+    # linear layout: ranged+sorted on orderkey only — the second
+    # dimension's stats are full-range in every file, so a price
+    # predicate prunes NOTHING
+    lin = str(tmp_path / "linear")
+    V.write_versioned(
+        base.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+        lin, mode="overwrite")
+    V.collect_stats(lin, stat_cols=("o_orderkey", "o_totalprice"))
+
+    zt = str(tmp_path / "zordered")
+    V.write_versioned(base, zt, mode="overwrite")
+    v = V.zorder_rewrite(spark, zt, ["o_orderkey", "o_totalprice"],
+                         target_files=8)
+    assert v == 1
+    m = V._read_manifest(zt, v)
+    assert len(m["files"]) == 8
+
+    # rewrite preserves content exactly
+    got = sorted(map(tuple, V.read_versioned(spark, zt).collect()))
+    want = sorted(map(tuple, base.collect()))
+    assert got == want and len(got) == n_rows
+
+    lo_k = base.agg(F.min("o_orderkey")).collect()[0][0]
+    key_win = (lo_k, lo_k + 50)
+    # MID-range window (~10% of the price span): at the extremes even
+    # a random layout prunes by min/max luck; mid-range, a layout not
+    # clustered on price has every file spanning the window
+    price_win = (200_000.0, 250_000.0)
+
+    def n_files(tbl, col, win):
+        df = V.read_versioned_pruned(spark, tbl, col, *win)
+        return len(df.inputFiles())
+
+    # linear layout: perfect on its sort key, useless on price
+    assert n_files(lin, "o_orderkey", key_win) == 1
+    assert n_files(lin, "o_totalprice", price_win) == 8
+    # z-order: BOTH dimensions prune (the multi-dim clustering payoff);
+    # neither is as tight as a dedicated single-column sort, but no
+    # dimension degrades to a full scan
+    zk = n_files(zt, "o_orderkey", key_win)
+    zp = n_files(zt, "o_totalprice", price_win)
+    assert zk < 8 and zp < 8, (zk, zp)
+    # and pruned reads return exactly the matching rows
+    pruned = V.read_versioned_pruned(spark, zt, "o_totalprice", *price_win)
+    want_n = base.where(F.col("o_totalprice").between(*price_win)).count()
+    assert pruned.where(
+        F.col("o_totalprice").between(*price_win)).count() == want_n
