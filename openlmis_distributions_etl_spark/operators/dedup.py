@@ -595,3 +595,79 @@ def semantic_dedup_components(t: dict[str, DataFrame]) -> DataFrame:
     nodes = t["documents"].select(F.col("doc_id").alias("node")).distinct()
     cc = connected_components(edges, nodes)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# -- round-4: Bloom-filter prefiltered incremental dedup ---------------
+
+BLOOM_BITS = 1 << 16          # m: 64 Kbit filter = 1024 longs = 8 KB
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4                   # hash functions
+
+
+def _bloom_pos(col: Column, j: int) -> Column:
+    """Bit position j for a content hash: md5-derived 32-bit int mod m
+    (deterministic, engine-portable — the same 4 positions on Spark
+    and the DuckDB oracle)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"bl{j}|"), col).cast("binary")), 1, 8),
+        16, 10).cast("long") % BLOOM_BITS)
+
+
+def bloom_prefilter_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental dedup with a Bloom prefilter — the 100 TB variant
+    of `incremental_dedup`: the snapshot's content-hash set is folded
+    into a fixed 8 KB bit array, BROADCAST to every probe task, and the
+    incoming batch tests 4 bits per doc in-row. Only the Bloom
+    POSITIVES (true dups + the small false-positive tail) reach the
+    exact semi-join; Bloom negatives are guaranteed-fresh without
+    shuffling a byte — so the join input shrinks from |batch| to
+    ~|dups|, and the filter build is one aggregation whose result size
+    is the CONSTANT m/8 bytes regardless of snapshot size.
+
+    No false negatives by construction (every snapshot member set its
+    4 bits), which the output makes checkable: is_dup=1 ⇒ bloom_hit=1.
+    Emits every batch doc with (bloom_hit, is_dup).
+
+    Build shape: snapshot hashes → 4 positions each → groupBy(word)
+    bit_or partial-aggregates map-side, ≤1024 rows out — then one row:
+    the dense long[1024] bitmap (missing words zero-filled). The probe
+    crossJoins that singleton (broadcast nested loop over ONE row,
+    the pinned BNLJ pattern)."""
+    hashed = t["documents"].select(
+        "doc_id", _text_hash().alias("text_hash"))
+    snapshot = (hashed.where(F.pmod("doc_id", F.lit(5)) != 0)
+                .select("text_hash").distinct())
+    batch = hashed.where(F.pmod("doc_id", F.lit(5)) == 0)
+
+    pos = snapshot.select(F.explode(F.array(
+        *[_bloom_pos(F.col("text_hash"), j)
+          for j in range(BLOOM_K)])).alias("pos"))
+    words = (pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(pos % 64 AS INT)))").alias("bits")))
+    word_map = words.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("wm"))
+    bitmap = word_map.select(F.expr(
+        f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+        "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
+        .alias("bitmap"))
+
+    # SQL-text bit tests: shiftright's Python API takes only literal
+    # shift counts; the SQL form takes expressions
+    hit_sql = " AND ".join(
+        f"((element_at(bitmap, CAST(p{j} DIV 64 AS INT) + 1) "
+        f">> CAST(p{j} % 64 AS INT)) & 1) = 1"
+        for j in range(BLOOM_K))
+    probed = (batch.crossJoin(F.broadcast(bitmap))
+              .select("doc_id", "text_hash", "bitmap",
+                      *[_bloom_pos(F.col("text_hash"), j).alias(f"p{j}")
+                        for j in range(BLOOM_K)])
+              .select("doc_id", "text_hash",
+                      F.expr(hit_sql).cast("int").alias("bloom_hit")))
+    positives = probed.where(F.col("bloom_hit") == 1)
+    dups = (positives.join(snapshot, "text_hash", "left_semi")
+            .select("doc_id", F.lit(1).alias("dup")))
+    return (probed.join(dups, "doc_id", "left")
+            .select("doc_id", "bloom_hit",
+                    F.coalesce(F.col("dup"), F.lit(0)).cast("int")
+                    .alias("is_dup")))

@@ -2248,3 +2248,41 @@ ORACLES.update({
         SELECT doc_id, source, key, rk FROM ranked WHERE rk <= 15
     """,
 })
+
+# Bloom-prefiltered incremental dedup: same 4 md5-affine bit
+# positions, bitmap built relationally (the oracle needs no broadcast
+# trick — a word-table join expresses the same bits)
+ORACLES.update({
+    "bloom_prefilter_dedup": f"""
+        WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        snapshot AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 5 <> 0),
+        batch AS (SELECT doc_id, h FROM hashed WHERE doc_id % 5 = 0),
+        js AS (SELECT j FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+        spos AS (
+          SELECT DISTINCT
+                 {_HEX8_TO_INT("'bl' || CAST(js.j AS VARCHAR) || '|' || s.h")}
+                   % 65536 AS pos
+          FROM snapshot s, js),
+        words AS (
+          SELECT pos // 64 AS w,
+                 bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+          FROM spos GROUP BY pos // 64),
+        bpos AS (
+          SELECT b.doc_id, b.h,
+                 {_HEX8_TO_INT("'bl' || CAST(js.j AS VARCHAR) || '|' || b.h")}
+                   % 65536 AS pos
+          FROM batch b, js),
+        btest AS (
+          SELECT doc_id, h,
+                 MIN(CASE WHEN (COALESCE(w.bits, CAST(0 AS UBIGINT))
+                                >> CAST(pos % 64 AS INT)) & 1 = 1
+                          THEN 1 ELSE 0 END) AS bloom_hit
+          FROM bpos LEFT JOIN words w ON pos // 64 = w.w
+          GROUP BY doc_id, h)
+        SELECT doc_id, CAST(bloom_hit AS INT) AS bloom_hit,
+               CAST(CASE WHEN bloom_hit = 1
+                          AND h IN (SELECT h FROM snapshot)
+                         THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM btest
+    """,
+})

@@ -160,6 +160,7 @@ _OPERATORS = {
     # §2.G round-4 wave: training-order shuffle + per-source quotas
     "deterministic_shuffle": text.deterministic_shuffle,
     "source_quota_sample": text.source_quota_sample,
+    "bloom_prefilter_dedup": dedup.bloom_prefilter_dedup,
 }
 
 

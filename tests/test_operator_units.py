@@ -423,3 +423,46 @@ def test_deterministic_shuffle_positions_dense(spark):
     assert sum(len(v) for v in by_shard.values()) == 64
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true duplicate must be a Bloom positive (is_dup=1 ⇒
+    bloom_hit=1), and a Bloom negative is guaranteed fresh — the
+    invariant that makes the prefilter safe to run before the exact
+    join. Batch docs 0/5/10 duplicate snapshot content; 15 is fresh."""
+    rows = [(1, "alpha beta gamma", "en", "s", 16),
+            (2, "delta epsilon zeta", "en", "s", 18),
+            (3, "eta theta iota", "en", "s", 14),
+            (4, "kappa lambda mu", "en", "s", 15),
+            (0, "alpha beta gamma", "en", "s", 16),     # dup of 1
+            (5, "delta epsilon zeta", "en", "s", 18),   # dup of 2
+            (10, "eta theta iota", "en", "s", 14),      # dup of 3
+            (15, "totally novel content", "en", "s", 21)]
+    out = {r["doc_id"]: (r["bloom_hit"], r["is_dup"])
+           for r in dedup.bloom_prefilter_dedup(
+               {"documents": _docs(spark, rows)}).collect()}
+    assert set(out) == {0, 5, 10, 15}
+    assert out[0] == (1, 1) and out[5] == (1, 1) and out[10] == (1, 1)
+    hit, is_dup = out[15]
+    assert is_dup == 0          # novel content is never a dup
+    for h, d in out.values():   # is_dup=1 ⇒ bloom_hit=1, always
+        assert not (d == 1 and h == 0)
+
+
+def test_bloom_prefilter_filters_most_fresh_docs(spark):
+    """The point of the filter: with a fresh-heavy batch, the Bloom
+    positive set (what reaches the exact join) stays close to the true
+    dup count — false-positive tail < 10% at 200 snapshot keys in a
+    64 Kbit / 4-hash filter (theoretical fp ~ (1-e^(-4*200/65536))^4
+    ≈ 2e-8; 10% allows huge margin)."""
+    rows = ([(i, f"snapshot doc {i}", "en", "s", 12)
+             for i in range(1, 1002) if i % 5 != 0]
+            + [(i, f"fresh doc {i}", "en", "s", 11)
+               for i in range(0, 1000, 5)])
+    out = dedup.bloom_prefilter_dedup(
+        {"documents": _docs(spark, rows)}).collect()
+    n_batch = len(out)
+    n_pos = sum(r["bloom_hit"] for r in out)
+    n_dup = sum(r["is_dup"] for r in out)
+    assert n_dup == 0                    # all batch docs are fresh
+    assert n_pos <= 0.1 * n_batch, (n_pos, n_batch)

@@ -24,6 +24,7 @@ SF0001 = "/root/testdata/sf0.001"
 # scale an unintended BNLJ replays the whole stream side per
 # partition.
 BNLJ_ALLOWED = {
+    "bloom_prefilter_dedup",
     "bm25_scores",
     "doc_oov_rate",
     "doc_tfidf_top_terms",
