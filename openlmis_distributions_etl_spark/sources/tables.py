@@ -91,6 +91,27 @@ def normalize_ts(df: DataFrame, column: str, *, table: str = "?") -> DataFrame:
     )
 
 
+# The similarity suite (hyperplane LSH, PQ subspaces, unrolled
+# per-dim SQL) and its DuckDB oracles bake this width into their
+# expressions; a re-provisioned corpus with a different width must
+# fail AT LOAD with a named contract error, not as silently-truncated
+# zip_with folds downstream (the timestamp-layout lesson, applied to
+# the other driver-owned physical detail).
+EXPECTED_EMB_DIM = 64
+
+
+def _assert_embedding_dim(df: DataFrame, *, table: str) -> None:
+    # one-row probe; runs once per (session, sf_dir) because the
+    # loaded handle is memoized below
+    row = df.select(F.size("embedding").alias("d")).first()
+    if row is not None and row["d"] != EXPECTED_EMB_DIM:
+        raise TypeError(
+            f"table {table!r} column 'embedding': expected "
+            f"array<float>[{EXPECTED_EMB_DIM}], got width {row['d']} — "
+            "the similarity operators and oracles are built for "
+            f"{EXPECTED_EMB_DIM}-dim vectors")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Memoize the DataFrame handle per (session, path): a repeated
     # load otherwise re-reads the parquet footer and rebuilds the scan
@@ -117,6 +138,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"{missing}; found {df.columns}")
     for c in TS_COLS.get(name, ()):
         df = normalize_ts(df, c, table=name)
+    if name == "embeddings":
+        _assert_embedding_dim(df, table=name)
     cache[key] = df
     return df
 

@@ -403,3 +403,20 @@ def test_versioned_zorder_prunes_on_both_columns(spark, tmp_path):
     want_n = base.where(F.col("o_totalprice").between(*price_win)).count()
     assert pruned.where(
         F.col("o_totalprice").between(*price_win)).count() == want_n
+
+
+def test_embedding_dim_contract(spark, tmp_path):
+    """A re-provisioned embeddings table with a different vector width
+    must fail at load with the table/column/width named (the
+    timestamp-layout lesson applied to the other driver-owned physical
+    detail), and the real testdata must pass the same gate."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 8, "a")], "vec_id long, embedding array<float>, "
+                               "label string")
+    bad.write.parquet(str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(TypeError, match="embedding.*width 8"):
+        load_table(spark, str(tmp_path), "embeddings")
+    ok = load_table(spark, SF0001, "embeddings")
+    assert ok.select(F.size("embedding")).first()[0] == 64
