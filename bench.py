@@ -39,6 +39,10 @@ HEADLINE = [
     "knn_bruteforce",
     "embedding_near_dup_pairs",
     "multimodal_features",
+    # round-4 showcases
+    "bloom_prefilter_dedup",
+    "source_quota_sample",
+    "deterministic_shuffle",
 ]
 
 

@@ -23,6 +23,8 @@ FLAGSHIPS = (
     "ngram_jaccard_pairs",
     "kmeans_centroids",
     "pq_codes",
+    "bloom_prefilter_dedup",
+    "source_quota_sample",
 )
 
 

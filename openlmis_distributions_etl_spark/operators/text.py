@@ -723,3 +723,46 @@ def source_quota_sample(t: dict[str, DataFrame],
             .select("doc_id", "source", "key",
                     F.row_number().over(w2).alias("rk"))
             .where(F.col("rk") <= quota))
+
+
+def doc_bigram_lm_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc fluency score under the corpus bigram LM (the CCNet /
+    Gopher "perplexity filter" shape): every bigram's conditional
+    probability c(w1,w2)/c(w1·), aggregated per doc. Low average =
+    improbable transitions = boilerplate/garbled text.
+
+    Portability by construction: each term is quantized to an INTEGER
+    ppm (10⁶·c12 div c1), so per-doc sums/mins are exact bigint
+    arithmetic in any aggregation order on any engine — no float fold
+    ordering to pin. The only float op is ONE final division.
+
+    Scale shape: the exploded bigram stream is retained and scanned
+    three times (two vocab-bounded model aggregates + the per-doc
+    stream); the model joins shuffle on w1[,w2] (AQE broadcasts them
+    when the vocab is small), the scoring agg shuffles on doc_id.
+    Model size is vocab-bounded, never corpus-bounded."""
+    toks = tokens()
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")
+    bg = retain(
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2"))
+    pair_cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_cnt = (bg.groupBy(F.col("w1").alias("u_w1"))
+               .agg(F.count(F.lit(1)).alias("c1")))
+    terms = (bg.join(pair_cnt, ["w1", "w2"])
+             .join(uni_cnt, F.col("w1") == F.col("u_w1"))
+             .select("doc_id", F.expr(
+                 "CAST(1000000 AS BIGINT) * c12 DIV c1").alias("ppm")))
+    return (terms.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.min("ppm").alias("min_ppm"),
+                 F.sum("ppm").alias("sum_ppm"))
+            .select("doc_id", "n_bigrams", "min_ppm", "sum_ppm",
+                    (F.col("sum_ppm")
+                     / (F.col("n_bigrams") * F.lit(1000000)))
+                    .alias("avg_prob")))

@@ -2286,3 +2286,33 @@ ORACLES.update({
         FROM btest
     """,
 })
+
+# per-doc bigram-LM fluency: integer-ppm terms make every aggregate
+# exact bigint arithmetic; the single final division is the only float
+ORACLES.update({
+    "doc_bigram_lm_score": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id, unnest({_BIGRAMS}) AS b
+          FROM d WHERE len(toks) >= 2),
+        sp AS (
+          SELECT doc_id, string_split(b, ' ')[1] AS w1,
+                 string_split(b, ' ')[2] AS w2 FROM bg),
+        pair_cnt AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM sp GROUP BY w1, w2),
+        uni_cnt AS (
+          SELECT w1, COUNT(*) AS c1 FROM sp GROUP BY w1),
+        terms AS (
+          SELECT s.doc_id,
+                 (CAST(1000000 AS BIGINT) * p.c12) // u.c1 AS ppm
+          FROM sp s
+          JOIN pair_cnt p ON s.w1 = p.w1 AND s.w2 = p.w2
+          JOIN uni_cnt u ON s.w1 = u.w1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(MIN(ppm) AS BIGINT) AS min_ppm,
+               CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+               CAST(SUM(ppm) AS DOUBLE) / (COUNT(*) * 1000000)
+                 AS avg_prob
+        FROM terms GROUP BY doc_id
+    """,
+})

@@ -161,6 +161,7 @@ _OPERATORS = {
     "deterministic_shuffle": text.deterministic_shuffle,
     "source_quota_sample": text.source_quota_sample,
     "bloom_prefilter_dedup": dedup.bloom_prefilter_dedup,
+    "doc_bigram_lm_score": text.doc_bigram_lm_score,
 }
 
 

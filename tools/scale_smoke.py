@@ -35,6 +35,9 @@ OPS = (
     "curation_pipeline",
     "doc_quality_filters",
     "multimodal_shard_plan",
+    "bloom_prefilter_dedup",
+    "source_quota_sample",
+    "deterministic_shuffle",
 )
 
 
