@@ -613,6 +613,39 @@ def _bloom_pos(col: Column, j: int) -> Column:
         16, 10).cast("long") % BLOOM_BITS)
 
 
+def bloom_bitmap(hashes: DataFrame) -> DataFrame:
+    """Fold a `text_hash` column into the dense long[BLOOM_WORDS]
+    Bloom bit array — ONE aggregation whose output is the constant
+    m/8 bytes regardless of input size. Returns a single-row frame
+    with column `bitmap` (crossJoin-broadcast it, or collect the 8 KB
+    once for a streaming literal)."""
+    pos = hashes.select(F.explode(F.array(
+        *[_bloom_pos(F.col("text_hash"), j)
+          for j in range(BLOOM_K)])).alias("pos"))
+    words = (pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(pos % 64 AS INT)))").alias("bits")))
+    word_map = words.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("wm"))
+    return word_map.select(F.expr(
+        f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+        "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
+        .alias("bitmap"))
+
+
+def bloom_hit_sql() -> str:
+    """SQL predicate testing a row's `text_hash` against the `bitmap`
+    column: all BLOOM_K bits set."""
+    def pos_sql(j: int) -> str:
+        return (f"(CAST(conv(substring(md5(CAST(concat('bl{j}|', "
+                f"text_hash) AS BINARY)), 1, 8), 16, 10) AS BIGINT) "
+                f"% {BLOOM_BITS})")
+    return " AND ".join(
+        f"((element_at(bitmap, CAST({pos_sql(j)} DIV 64 AS INT) + 1) "
+        f">> CAST({pos_sql(j)} % 64 AS INT)) & 1) = 1"
+        for j in range(BLOOM_K))
+
+
 def bloom_prefilter_dedup(t: dict[str, DataFrame]) -> DataFrame:
     """Incremental dedup with a Bloom prefilter — the 100 TB variant
     of `incremental_dedup`: the snapshot's content-hash set is folded
@@ -639,18 +672,7 @@ def bloom_prefilter_dedup(t: dict[str, DataFrame]) -> DataFrame:
                 .select("text_hash").distinct())
     batch = hashed.where(F.pmod("doc_id", F.lit(5)) == 0)
 
-    pos = snapshot.select(F.explode(F.array(
-        *[_bloom_pos(F.col("text_hash"), j)
-          for j in range(BLOOM_K)])).alias("pos"))
-    words = (pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
-             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                         "CAST(pos % 64 AS INT)))").alias("bits")))
-    word_map = words.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "bits"))).alias("wm"))
-    bitmap = word_map.select(F.expr(
-        f"transform(sequence(0, {BLOOM_WORDS - 1}), "
-        "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
-        .alias("bitmap"))
+    bitmap = bloom_bitmap(snapshot)
 
     # SQL-text bit tests: shiftright's Python API takes only literal
     # shift counts; the SQL form takes expressions

