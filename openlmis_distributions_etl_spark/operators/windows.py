@@ -266,3 +266,37 @@ def event_value_outliers(t: dict[str, DataFrame]) -> DataFrame:
                     lo.alias("lo_fence"), hi.alias("hi_fence"))
             .where((F.col("value") < F.col("lo_fence"))
                    | (F.col("value") > F.col("hi_fence"))))
+
+
+def daily_value_ffill(t: dict[str, DataFrame]) -> DataFrame:
+    """Calendar resample with forward fill — the gap-filling step every
+    reporting mart needs: one row per user per calendar day of their
+    active span, carrying the day's LAST observed value, with gap days
+    forward-filled from the most recent observation.
+
+    Shape: per-(user, day) last-record (one shuffle; ts + event_id
+    tie-break makes it total), a per-user date spine exploded from ONE
+    tiny min/max aggregate (spine rows = Σ user spans — days, not
+    events), then a per-user ordered window for the fill. No global
+    sort; the fill value is carried, never recomputed, so doubles pass
+    through bit-exact."""
+    e = t["events"].select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value")
+    w_last = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    daily = (e.withColumn("rn", F.row_number().over(w_last))
+             .where(F.col("rn") == 1)
+             .select("user_id", "d", F.col("value").alias("obs_value")))
+    spine = (e.groupBy("user_id")
+             .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+             .select("user_id", F.explode(F.expr(
+                 "sequence(lo, hi, interval 1 day)")).alias("d")))
+    w_fill = (Window.partitionBy("user_id").orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(daily, ["user_id", "d"], "left")
+            .select("user_id",
+                    F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.last("obs_value", ignorenulls=True).over(w_fill)
+                    .alias("value_ffill"),
+                    F.col("obs_value").isNotNull().cast("int")
+                    .alias("is_observed")))

@@ -2316,3 +2316,35 @@ ORACLES.update({
         FROM terms GROUP BY doc_id
     """,
 })
+
+# calendar resample + forward fill; generate_series spine, LAST_VALUE
+# IGNORE NULLS fill — the filled value is carried, never recomputed
+ORACLES.update({
+    "daily_value_ffill": """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value
+          FROM events),
+        daily AS (
+          SELECT user_id, d, value AS obs_value FROM e
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, d
+            ORDER BY ts DESC, event_id DESC) = 1),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                             CAST(hi AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS d
+          FROM (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi
+                FROM e GROUP BY user_id))
+        SELECT s.user_id,
+               strftime(s.d, '%Y-%m-%d') AS day,
+               LAST_VALUE(dl.obs_value IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_ffill,
+               CAST(dl.obs_value IS NOT NULL AS INT) AS is_observed
+        FROM spine s LEFT JOIN daily dl
+          ON s.user_id = dl.user_id AND s.d = dl.d
+    """,
+})

@@ -162,6 +162,7 @@ _OPERATORS = {
     "source_quota_sample": text.source_quota_sample,
     "bloom_prefilter_dedup": dedup.bloom_prefilter_dedup,
     "doc_bigram_lm_score": text.doc_bigram_lm_score,
+    "daily_value_ffill": windows.daily_value_ffill,
 }
 
 

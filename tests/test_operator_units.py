@@ -466,3 +466,25 @@ def test_bloom_prefilter_filters_most_fresh_docs(spark):
     n_dup = sum(r["is_dup"] for r in out)
     assert n_dup == 0                    # all batch docs are fresh
     assert n_pos <= 0.1 * n_batch, (n_pos, n_batch)
+
+
+def test_daily_value_ffill_fills_gaps(spark):
+    """A 3-day gap carries the last observation forward with
+    is_observed=0; a multi-event day keeps its LAST value by ts."""
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9), 7, "view", 10.0, "{}"),
+        (2, d(2024, 1, 1, 18), 7, "view", 20.0, "{}"),   # day-1 last
+        (3, d(2024, 1, 5, 12), 7, "view", 50.0, "{}"),   # after a gap
+        (4, d(2024, 1, 2, 1), 8, "view", 1.5, "{}"),     # other user
+    ]
+    out = {(r["user_id"], r["day"]): (r["value_ffill"], r["is_observed"])
+           for r in windows.daily_value_ffill(
+               {"events": _events(spark, rows)}).collect()}
+    assert out[(7, "2024-01-01")] == (20.0, 1)
+    assert out[(7, "2024-01-02")] == (20.0, 0)
+    assert out[(7, "2024-01-03")] == (20.0, 0)
+    assert out[(7, "2024-01-04")] == (20.0, 0)
+    assert out[(7, "2024-01-05")] == (50.0, 1)
+    assert out[(8, "2024-01-02")] == (1.5, 1)
+    assert len(out) == 6
