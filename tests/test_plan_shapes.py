@@ -304,3 +304,27 @@ def test_pq_encoding_zero_shuffle(spark):
     plan = _plan(_q(spark, "pq_codes"))
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_quota_two_phase_shuffle_count(spark):
+    """The skew-proof quota's whole point: exactly TWO exchanges (the
+    (source, sub) sub-split phase and the per-source exact phase) — a
+    third would mean the prefilter stopped reusing its partitioning."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q(spark, "source_quota_sample"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_deterministic_shuffle_single_exchange(spark):
+    """Training-order shuffle: ONE exchange on shard_id, per-shard
+    sort inside it — no global sort node."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q(spark, "deterministic_shuffle"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower()
