@@ -693,3 +693,33 @@ def bloom_prefilter_dedup(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_id", "bloom_hit",
                     F.coalesce(F.col("dup"), F.lit(0)).cast("int")
                     .alias("is_dup")))
+
+
+def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (the LSH connected components), keep the HIGHEST-quality copy
+    instead of an arbitrary min-id — the curation policy that
+    preserves the cleanest duplicate of boilerplate-mangled web text.
+    Composes three suite pieces (components ⋈ quality score → per-
+    cluster argmax); the quality ordering is engine-exact because
+    doc_quality_score is bit-portable, and ties break on doc_id.
+
+    Scale: one id-keyed join + one window on the component key; the
+    iterative CC cost is shared machinery, everything after it is
+    cluster-count-sized."""
+    from pyspark.sql import Window
+
+    from .text import doc_quality_score
+
+    comp = dedup_components(t)
+    q = doc_quality_score(t).select("doc_id", "quality_score")
+    j = comp.join(q, "doc_id")
+    wp = Window.partitionBy("component")
+    wo = wp.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (j.select("component", "doc_id", "quality_score",
+                     F.row_number().over(wo).alias("rn"),
+                     F.count(F.lit(1)).over(wp).alias("n_members"))
+            .where(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("best_doc_id"),
+                    F.col("quality_score").alias("best_quality"),
+                    "n_members"))

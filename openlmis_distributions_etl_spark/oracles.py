@@ -2348,3 +2348,58 @@ ORACLES.update({
           ON s.user_id = dl.user_id AND s.d = dl.d
     """,
 })
+
+# quality-aware canonical selection over the LSH near-dup components:
+# same recursive-CTE component labels as dedup_components, joined to
+# the bit-portable quality score, per-cluster argmax
+ORACLES.update({
+    "dedup_keep_best": f'''
+        WITH RECURSIVE {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        q AS (
+          SELECT doc_id,
+                 (n_distinct / n_tokens) * 0.4
+                   + (1.0 - n_stop / n_tokens) * 0.4
+                   + least(n_tokens / 100.0, 1.0) * 0.2 AS quality_score
+          FROM (SELECT doc_id,
+                       CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                       CAST(len(list_distinct({TOKS})) AS INTEGER)
+                         AS n_distinct,
+                       CAST(len(list_filter({TOKS},
+                            x -> x IN ('the', 'a', 'of', 'and', 'to',
+                                       'in'))) AS INTEGER) AS n_stop
+                FROM documents)),
+        ranked AS (
+          SELECT l.component, l.doc_id, q.quality_score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l.component
+                   ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.component) AS n_members
+          FROM labeled l JOIN q ON l.doc_id = q.doc_id)
+        SELECT component, doc_id AS best_doc_id,
+               quality_score AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    ''',
+})

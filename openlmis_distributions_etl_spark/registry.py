@@ -163,6 +163,7 @@ _OPERATORS = {
     "bloom_prefilter_dedup": dedup.bloom_prefilter_dedup,
     "doc_bigram_lm_score": text.doc_bigram_lm_score,
     "daily_value_ffill": windows.daily_value_ffill,
+    "dedup_keep_best": dedup.dedup_keep_best,
 }
 
 
