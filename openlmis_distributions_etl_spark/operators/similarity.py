@@ -758,3 +758,28 @@ def knn_pq_adc(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
             .select("vec_id", "label", adc.alias("adc_dist"))
             .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
             .limit(k))
+
+
+PQ_SHORTLIST = 50
+
+
+def knn_pq_refine(t: dict[str, DataFrame], k: int = TOP_K,
+                  shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """Two-stage ANN serving (the FAISS coarse-scan + refine shape):
+    stage 1 scans the 32×-compressed PQ codes with ADC to produce a
+    `shortlist`-sized candidate set; stage 2 re-ranks ONLY those
+    candidates with exact cosine over the full floats. At scale the
+    full-precision vectors are touched for 50 rows instead of the
+    corpus — the quantized scan pays for the whole query.
+
+    The shortlist membership is engine-exact because knn_pq_adc's ADC
+    distances and tie-breaks are; the refine join is an id-keyed
+    broadcast semi-join."""
+    short = knn_pq_adc(t, k=shortlist).select("vec_id")
+    return (t["embeddings"]
+            .join(broadcast(short), "vec_id", "left_semi")
+            .crossJoin(broadcast(_query_vector(t)))
+            .select("vec_id", "label",
+                    cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))

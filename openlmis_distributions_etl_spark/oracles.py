@@ -2403,3 +2403,30 @@ ORACLES.update({
         FROM ranked WHERE rn = 1
     ''',
 })
+
+# two-stage PQ serve: ADC shortlist (engine-exact ordering) -> exact
+# cosine re-rank over the full floats
+ORACLES.update({
+    "knn_pq_refine": f"""
+        WITH {_PQ_BOOK},
+        {_PQ_CODES},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (
+          SELECT b.m, b.code,
+                 {_PQ_D2.format(a='q.qv', m='b.m', cv='b.cv')} AS d
+          FROM book b CROSS JOIN q),
+        adc AS (
+          SELECT c.vec_id, list_sum(list(l.d ORDER BY l.m)) AS adc_dist
+          FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+          GROUP BY c.vec_id),
+        short AS (
+          SELECT vec_id FROM adc WHERE vec_id <> 0
+          ORDER BY adc_dist ASC, vec_id ASC
+          LIMIT 50),
+        q2 AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label, {_cos('e.embedding', 'q2.q')} AS cos_sim
+        FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q2
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+})

@@ -164,6 +164,7 @@ _OPERATORS = {
     "doc_bigram_lm_score": text.doc_bigram_lm_score,
     "daily_value_ffill": windows.daily_value_ffill,
     "dedup_keep_best": dedup.dedup_keep_best,
+    "knn_pq_refine": similarity.knn_pq_refine,
 }
 
 

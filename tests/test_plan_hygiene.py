@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "knn_lsh",
     "knn_lsh_recall",
     "knn_pq_adc",
+    "knn_pq_refine",
     "language_mixture_weights",
     "near_dup_recall",
     "pq_codes",
