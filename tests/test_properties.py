@@ -175,3 +175,22 @@ def test_versioned_table_model(spark, tmp_path_factory, ops):
             V.vacuum_versioned(tbl, keep_versions=arg)
         if visible is not None:
             assert V.read_versioned(spark, tbl).count() == visible
+
+
+@PROP
+@given(texts_strategy)
+def test_bloom_prefilter_agrees_with_exact_dedup(spark, texts):
+    """For ANY corpus: the Bloom-prefiltered answer's is_dup equals
+    the plain hash-probe truth (no false negatives, and positives are
+    exactly verified), and every true dup is a Bloom positive."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    t = {"documents": docs}
+    got = {r["doc_id"]: (r["bloom_hit"], r["is_dup"])
+           for r in dedup.bloom_prefilter_dedup(t).collect()}
+    want = {r["doc_id"]: r["is_dup"]
+            for r in dedup.incremental_dedup(t).collect()}
+    assert {k: v[1] for k, v in got.items()} == want
+    for hit, is_dup in got.values():
+        assert not (is_dup == 1 and hit == 0)
