@@ -721,6 +721,35 @@ def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
                     .alias("m", "code")))
 
 
+def _pq_lut(t: dict[str, DataFrame], book: DataFrame) -> DataFrame:
+    """The query's ADC lookup table as ONE broadcastable row: per-cell
+    d²(query subspace, code vector), flat-indexed like the book."""
+    q = (t["embeddings"].where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("qv")))
+    lut_col = F.transform(
+        F.col("book"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                _dbl(F.slice(F.col("qv"),
+                             c["m"] * PQ_SUBDIM + 1, PQ_SUBDIM)),
+                c["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return q.crossJoin(broadcast(book)).select(lut_col.alias("lut"))
+
+
+def _adc_sum() -> Column:
+    """ADC distance from the broadcast ``lut`` and a row's ``codes``:
+    PQ_M table lookups summed in subspace order (matches the oracle's
+    list_sum(list(d ORDER BY m)))."""
+    adc: Column | None = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"),
+            (F.lit(m * PQ_K) + F.col("codes")[m] + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def knn_pq_adc(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     """Approximate kNN by asymmetric distance computation (ADC) over
     PQ codes: the query precomputes its 8×16 lookup table of subspace
@@ -730,29 +759,12 @@ def knn_pq_adc(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     the same pass here for self-containment; a production index stores
     pq_codes' output and joins it instead."""
     book = _pq_codebook(t)
-    q = (t["embeddings"].where(F.col("vec_id") == QUERY_VEC_ID)
-         .select(F.col("embedding").alias("qv")))
-    # per-cell d²(query subspace, code vector), flat-indexed like book
-    lut_col = F.transform(
-        F.col("book"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                _dbl(F.slice(F.col("qv"),
-                             c["m"] * PQ_SUBDIM + 1, PQ_SUBDIM)),
-                c["cv"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    lut = (q.crossJoin(broadcast(book))
-           .select(lut_col.alias("lut")))
+    lut = _pq_lut(t, book)
     encoded = (spread(t["embeddings"])
                .select("vec_id", "label", "embedding")
                .crossJoin(broadcast(book))
                .select("vec_id", "label", _pq_code_array().alias("codes")))
-    adc: Column | None = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.col("lut"),
-            (F.lit(m * PQ_K) + F.col("codes")[m] + 1).cast("int"))
-        adc = term if adc is None else adc + term
+    adc = _adc_sum()
     return (encoded.crossJoin(broadcast(lut))
             .where(F.col("vec_id") != QUERY_VEC_ID)
             .select("vec_id", "label", adc.alias("adc_dist"))
@@ -779,6 +791,45 @@ def knn_pq_refine(t: dict[str, DataFrame], k: int = TOP_K,
     return (t["embeddings"]
             .join(broadcast(short), "vec_id", "left_semi")
             .crossJoin(broadcast(_query_vector(t)))
+            .select("vec_id", "label",
+                    cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))
+
+
+def knn_ivf_pq(t: dict[str, DataFrame], k: int = TOP_K,
+               nprobe: int = NPROBE,
+               shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """The full FAISS IndexIVFPQ serve shape, composed from the suite's
+    pieces: (1) the coarse IVF probe prunes the scan to nprobe
+    clusters (1/K of the corpus each), (2) ADC over the 32×-compressed
+    PQ codes ranks ONLY the probed vectors into a shortlist, (3) exact
+    cosine over the full floats re-ranks only the shortlist. At 100 TB
+    the full-precision vectors are read for `shortlist` rows, the code
+    scan touches nprobe/K of the corpus, and everything broadcast
+    (centroids, codebook, LUT, probe list, shortlist) is KB-sized.
+    Approximate like any IVF: recall bounded by the probe set."""
+    q = _query_vector(t)
+    probe = (
+        _centroids(t).crossJoin(broadcast(q))
+        .select("centroid_id", cosine(F.col("cvec"), F.col("q")).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id"))
+    cands = (ivf_assign(t).join(broadcast(probe), "centroid_id")
+             .where(F.col("vec_id") != QUERY_VEC_ID)
+             .select("vec_id", "embedding"))
+    book = _pq_codebook(t)
+    encoded = (cands.crossJoin(broadcast(book))
+               .select("vec_id", _pq_code_array().alias("codes")))
+    short = (encoded.crossJoin(broadcast(_pq_lut(t, book)))
+             .select("vec_id", _adc_sum().alias("adc_dist"))
+             .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+             .limit(shortlist)
+             .select("vec_id"))
+    return (t["embeddings"]
+            .join(broadcast(short), "vec_id", "left_semi")
+            .crossJoin(broadcast(q))
             .select("vec_id", "label",
                     cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

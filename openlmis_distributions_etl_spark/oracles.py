@@ -2430,3 +2430,49 @@ ORACLES.update({
         LIMIT 10
     """,
 })
+
+# FAISS IndexIVFPQ composition: coarse probe -> ADC over probed codes
+# -> exact refine of the shortlist
+ORACLES.update({
+    "knn_ivf_pq": f"""
+        WITH {_PQ_BOOK},
+        {_PQ_CODES},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        q2 AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+        probe AS (
+          SELECT centroid_id FROM cent, q2
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 2),
+        assigned AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        cand AS (
+          SELECT a.vec_id FROM assigned a JOIN probe USING (centroid_id)
+          WHERE a.vec_id <> 0),
+        lut AS (
+          SELECT b.m, b.code,
+                 {_PQ_D2.format(a='q.qv', m='b.m', cv='b.cv')} AS d
+          FROM book b CROSS JOIN q),
+        adc AS (
+          SELECT c.vec_id, list_sum(list(l.d ORDER BY l.m)) AS adc_dist
+          FROM codes c JOIN cand USING (vec_id)
+          JOIN lut l ON c.m = l.m AND c.code = l.code
+          GROUP BY c.vec_id),
+        short AS (
+          SELECT vec_id FROM adc
+          ORDER BY adc_dist ASC, vec_id ASC
+          LIMIT 50)
+        SELECT e.vec_id, e.label, {_cos('e.embedding', 'q2.q')} AS cos_sim
+        FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q2
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+})

@@ -165,6 +165,7 @@ _OPERATORS = {
     "daily_value_ffill": windows.daily_value_ffill,
     "dedup_keep_best": dedup.dedup_keep_best,
     "knn_pq_refine": similarity.knn_pq_refine,
+    "knn_ivf_pq": similarity.knn_ivf_pq,
 }
 
 

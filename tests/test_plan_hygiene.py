@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "knn_lsh_recall",
     "knn_pq_adc",
     "knn_pq_refine",
+    "knn_ivf_pq",
     "language_mixture_weights",
     "near_dup_recall",
     "pq_codes",
