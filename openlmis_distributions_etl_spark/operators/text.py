@@ -529,6 +529,15 @@ CM_ROWS = 4       # count-min hash rows
 CM_WIDTH = 64     # counters per row
 
 
+def cm_cell(j: int, ref: str = "tok") -> Column:
+    """Count-min cell index for hash row j (md5-seeded, deterministic
+    — shared by the batch sketch, its DuckDB oracle, and the streaming
+    maintenance job)."""
+    return F.expr(
+        f"CAST(pmod(CAST(conv(substring(md5(CAST(concat('cm{j}|', {ref})"
+        f" AS BINARY)), 1, 8), 16, 10) AS BIGINT), {CM_WIDTH}) AS INT)")
+
+
 def token_countmin_topk(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan, J.Alg'05) over the
     token stream, evaluated against exact counts: d=4 md5-seeded hash
@@ -545,12 +554,7 @@ def token_countmin_topk(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
     DuckDB oracle reproduces estimates exactly."""
     tok = t["documents"].select(F.explode(tokens()).alias("tok"))
     tok = retain(tok)
-
-    def cell(j: int, ref: str = "tok") -> Column:
-        return F.expr(
-            f"CAST(pmod(CAST(conv(substring(md5(CAST(concat('cm{j}|', {ref})"
-            f" AS BINARY)), 1, 8), 16, 10) AS BIGINT), {CM_WIDTH}) AS INT)")
-
+    cell = cm_cell
     cells = tok.select(F.explode(F.array(*[
         (F.lit(j * CM_WIDTH) + cell(j)).alias(f"c{j}")
         for j in range(CM_ROWS)])).alias("idx"))

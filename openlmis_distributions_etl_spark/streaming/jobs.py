@@ -442,3 +442,24 @@ def bloom_gate_stream(new_docs: DataFrame,
                  .join(snap_hashes, "text_hash", "left_anti")
                  .select("doc_id", "lang", "source"))
     return negatives.unionByName(positives)
+
+
+def countmin_cells_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch maintenance over the token stream:
+    the sketch's additive cells are a streaming aggregate whose state
+    is CM_ROWS × CM_WIDTH rows (256) REGARDLESS of stream size — the
+    property that lets a sketch monitor an unbounded token firehose
+    where an exact token dictionary's state would grow without bound.
+    Cell indices are the same md5-seeded hashes as the batch sketch
+    (`token_countmin_topk`), so the maintained cells equal the batch
+    cells at any cut point (tested: estimates derived from the
+    streamed cells match the batch operator's exactly). Run in
+    complete/update output mode; downstream, a consumer answers
+    frequency queries with 4 array lookups."""
+    from ..operators.text import CM_ROWS, CM_WIDTH, cm_cell, tokens
+
+    tok = docs.select(F.explode(tokens()).alias("tok"))
+    cells = tok.select(F.explode(F.array(*[
+        (F.lit(j * CM_WIDTH) + cm_cell(j)).alias(f"c{j}")
+        for j in range(CM_ROWS)])).alias("idx"))
+    return cells.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))

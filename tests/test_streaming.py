@@ -251,3 +251,26 @@ def test_bloom_gate_stream_catches_planted_dups(spark, tmp_path):
         jobs.bloom_gate_stream(stream, snapshot),
         "bloom_gate_planted", spark, "append")
     assert set(got["doc_id"]) == {102, 103}
+
+
+def test_countmin_stream_cells_match_batch(spark):
+    """The streamed sketch must equal the batch sketch at the cut:
+    estimates rebuilt from the streamed cells match token_countmin_topk
+    for every exact-top-k token."""
+    from openlmis_distributions_etl_spark.operators import text
+
+    stream = jobs.read_documents_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.countmin_cells_stream(stream), "cm_stream", spark, "complete")
+    cm = {int(r["idx"]): int(r["cnt"]) for _, r in got.iterrows()}
+    t = load_tables(spark, SF0001, "documents")
+    for r in text.token_countmin_topk(t).collect():
+        est = min(cm.get(j * text.CM_WIDTH + _cm_idx(r["token"], j), 0)
+                  for j in range(text.CM_ROWS))
+        assert est == r["n_est"], r["token"]
+
+
+def _cm_idx(token: str, j: int) -> int:
+    import hashlib
+    h = hashlib.md5(f"cm{j}|{token}".encode()).hexdigest()[:8]
+    return int(h, 16) % 64
