@@ -347,6 +347,18 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
     return summed.selectExpr("doc_id", guarded)
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut a DataFrame's lineage for iterative reuse: RELIABLE
+    checkpoint when the session has a checkpoint dir configured
+    (cluster mode — survives executor loss), localCheckpoint otherwise
+    (local/test mode — executor-storage blocks, fine on one machine).
+    Lazy either way; materialized on first action."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation — the
@@ -368,10 +380,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     matters. Checkpointing truncates it to a materialized leaf —
     on a cluster prefer a reliable checkpoint dir for lineage safety.
     """
-    sym = (edges.selectExpr("src", "dst")
-           .union(edges.selectExpr("dst AS src", "src AS dst"))
-           .distinct()
-           .localCheckpoint(eager=False))
+    sym = _truncate_lineage(
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .distinct())
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -391,8 +403,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             labels.join(neighbor_min, "node", "left")
             .select("node", F.col("component").alias("old_c"),
                     F.least("component", F.coalesce("nbr_min", "component"))
-                    .alias("component"))
-            .localCheckpoint(eager=False))
+                    .alias("component")))
+        upd = _truncate_lineage(upd)
         changed = (upd.where(F.col("component") != F.col("old_c"))
                    .limit(1).count())
         labels = upd.select("node", "component")

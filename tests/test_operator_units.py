@@ -488,3 +488,28 @@ def test_daily_value_ffill_fills_gaps(spark):
     assert out[(7, "2024-01-05")] == (50.0, 1)
     assert out[(8, "2024-01-02")] == (1.5, 1)
     assert len(out) == 6
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (cluster mode), CC must use
+    RELIABLE checkpoints — files appear under the dir — and produce
+    the same components as the local-mode path."""
+    rows = [(i, "near dup shared text body here okay", "en", "s", 30)
+            for i in range(6)] + [(10, "completely different", "en", "s", 20)]
+    t = {"documents": _docs(spark, rows)}
+    want = sorted(map(tuple, dedup.dedup_components(t).collect()))
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = sorted(map(tuple, dedup.dedup_components(t).collect()))
+        import os
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckdir))
+        assert n_files > 0, "no reliable checkpoint files written"
+    finally:
+        # restore local-mode behavior for the rest of the session
+        # (Spark's setCheckpointDir(null) clears it)
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+    assert got == want
