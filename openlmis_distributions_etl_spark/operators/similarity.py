@@ -834,3 +834,100 @@ def knn_ivf_pq(t: dict[str, DataFrame], k: int = TOP_K,
                     cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
+
+
+def _pq_subrows(t: dict[str, DataFrame]) -> DataFrame:
+    """Every vector exploded into its PQ subvectors: (vec_id, m,
+    sub[PQ_SUBDIM] double). The batching trick that trains all PQ_M
+    subspace codebooks in ONE distributed job instead of PQ_M
+    sequential mini-k-means runs."""
+    return (spread(t["embeddings"]).select("vec_id", "embedding")
+            .select("vec_id", F.explode(F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, "
+                f"transform(slice(embedding, m * {PQ_SUBDIM} + 1, "
+                f"{PQ_SUBDIM}), x -> CAST(x AS DOUBLE)) AS sub))"))
+                .alias("s"))
+            .select("vec_id", F.col("s.m").alias("m"),
+                    F.col("s.sub").alias("sub")))
+
+
+def _pq_book_row(book: DataFrame) -> DataFrame:
+    """A long codebook (m, code, cv) as ONE broadcastable row, flat
+    array sorted by (m, code)."""
+    return book.agg(F.array_sort(
+        F.collect_list(F.struct("m", "code", "cv"))).alias("book"))
+
+
+def _pq_assign_sub(sub: DataFrame, book_row: DataFrame) -> DataFrame:
+    """Zero-shuffle subspace assignment: each (vec, m) row filters the
+    broadcast book to its own subspace's surviving codes (filter, not
+    slice — a code that lost all members drops out without misaligning
+    anything) and folds an argmin of exact L2²; first strict minimum
+    in code order = smallest-code tie-break, like the oracle's
+    ROW_NUMBER ... d ASC, code ASC."""
+    cand = F.filter(F.col("book"), lambda c: c["m"] == F.col("m"))
+    scored = F.transform(cand, lambda c: F.struct(
+        F.aggregate(F.zip_with(F.col("sub"), c["cv"],
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, x: a + x).alias("d"),
+        c["code"].alias("code")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("inf")).alias("d"),
+                 F.lit(-1).cast("long").alias("code")),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc))["code"]
+    return (sub.crossJoin(broadcast(book_row))
+            .select("vec_id", "m", "sub", best.alias("code")))
+
+
+def _pq_means(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, code, dim) mean via the two-level
+    order-canonical fold (bit-exact, bounded state — label_centroids
+    machinery keyed on (m, code, dim))."""
+    ex = assigned.select("m", "code", "vec_id",
+                         F.posexplode("sub").alias("dim", "x"))
+    lvl1 = _block_sums(ex, ["m", "code", "dim"])
+    g = (lvl1.groupBy("m", "code", "dim")
+         .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+              .alias("bs"),
+              F.sum("nb").alias("n")))
+    return g.select("m", "code", "dim",
+                    (_fold_blocks() / F.col("n")).alias("centroid"), "n")
+
+
+def _means_to_book(means: DataFrame) -> DataFrame:
+    return (means.groupBy("m", "code")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid))), "
+                "p -> p.centroid)").alias("cv")))
+
+
+def pq_codebook_trained(t: dict[str, DataFrame],
+                        iters: int = 2) -> DataFrame:
+    """Lloyd-trained PQ codebooks (replacing pq_codes' seed-codebook
+    stand-in): per subspace, PQ_K code vectors refined by k-means on
+    the subvectors. All PQ_M subspaces train SIMULTANEOUSLY — the
+    subvector explode keys rows by (vec, m), assignment is an in-row
+    argmin over the broadcast book, and one bounded-state aggregation
+    per iteration updates every (m, code, dim) mean. At 100 TB each
+    iteration is one scan + one tiny agg, exactly like
+    kmeans_centroids. Output long format (m, code, dim, centroid, n);
+    bit-exact relational DuckDB oracle (canonical list_sum folds)."""
+    sub = retain(_pq_subrows(t))
+    book = (sub.where(F.col("vec_id") < PQ_K)
+            .select("m", F.col("vec_id").alias("code"),
+                    F.col("sub").alias("cv")))
+    for _ in range(iters - 1):
+        means = _pq_means(_pq_assign_sub(sub, _pq_book_row(book)))
+        book = _means_to_book(means)
+    return _pq_means(_pq_assign_sub(sub, _pq_book_row(book)))
+
+
+def pq_codes_trained(t: dict[str, DataFrame]) -> DataFrame:
+    """Encode the corpus against the TRAINED codebooks (the production
+    pq_codes path once training replaces seeds): train (2 Lloyd
+    iterations), rebuild the book from the final means, one more
+    zero-shuffle assignment pass. Output (vec_id, m, code)."""
+    book = _means_to_book(pq_codebook_trained(t))
+    return (_pq_assign_sub(_pq_subrows(t), _pq_book_row(book))
+            .select("vec_id", "m", "code"))

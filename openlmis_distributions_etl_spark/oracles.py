@@ -2476,3 +2476,77 @@ ORACLES.update({
         LIMIT 10
     """,
 })
+
+# trained PQ: all subspaces k-means-trained relationally; canonical
+# list_sum folds mirror the Spark two-level block means bit-for-bit
+_PQT_D2 = ("list_sum(list_transform(range(1, 9), i -> "
+           "(s.sub[CAST(i AS INT)] - b.cv[CAST(i AS INT)]) "
+           "* (s.sub[CAST(i AS INT)] - b.cv[CAST(i AS INT)])))")
+
+
+def _pqt_assign(name: str, book: str) -> str:
+    return f"""{name} AS (
+          SELECT vec_id, m, sub, code FROM (
+            SELECT s.vec_id, s.m, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY {_PQT_D2} ASC, b.code ASC) AS rn
+            FROM sub s JOIN {book} b ON s.m = b.m) WHERE rn = 1)"""
+
+
+def _pqt_blocks(name: str, assign: str) -> str:
+    return f"""{name} AS (
+          SELECT m, code, CAST(i - 1 AS INT) AS dim, vec_id,
+                 vec_id // 256 AS blk, sub[CAST(i AS INT)] AS x
+          FROM {assign}, (SELECT unnest(range(1, 9)) AS i)),
+        {name}b AS (
+          SELECT m, code, dim, blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM {name} GROUP BY m, code, dim, blk)"""
+
+
+_PQT_CTES = f"""js AS (SELECT unnest(range(0, 8)) AS jm),
+        sub AS (
+          SELECT e.vec_id, CAST(js.jm AS INT) AS m,
+                 list_transform(range(1, 9), i ->
+                   CAST(e.embedding[CAST(js.jm * 8 + i AS INT)] AS DOUBLE))
+                   AS sub
+          FROM embeddings e, js),
+        book0 AS (
+          SELECT m, vec_id AS code, sub AS cv FROM sub WHERE vec_id < 16),
+        {_pqt_assign('a1', 'book0')},
+        {_pqt_blocks('e1', 'a1')},
+        m1 AS (
+          SELECT m, code, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS c
+          FROM e1b GROUP BY m, code, dim),
+        book1 AS (
+          SELECT m, code, list(c ORDER BY dim) AS cv
+          FROM m1 GROUP BY m, code),
+        {_pqt_assign('a2', 'book1')},
+        {_pqt_blocks('e2', 'a2')}"""
+
+ORACLES.update({
+    "pq_codebook_trained": f"""
+        WITH {_PQT_CTES}
+        SELECT m, code, dim,
+               list_sum(list(bsum ORDER BY blk))
+                 / CAST(SUM(nb) AS BIGINT) AS centroid,
+               CAST(SUM(nb) AS BIGINT) AS n
+        FROM e2b GROUP BY m, code, dim
+    """,
+    "pq_codes_trained": f"""
+        WITH {_PQT_CTES},
+        m2 AS (
+          SELECT m, code, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS c
+          FROM e2b GROUP BY m, code, dim),
+        book2 AS (
+          SELECT m, code, list(c ORDER BY dim) AS cv
+          FROM m2 GROUP BY m, code),
+        {_pqt_assign('a3', 'book2')}
+        SELECT vec_id, m, code FROM a3
+    """,
+})

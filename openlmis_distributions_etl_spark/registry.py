@@ -166,6 +166,8 @@ _OPERATORS = {
     "dedup_keep_best": dedup.dedup_keep_best,
     "knn_pq_refine": similarity.knn_pq_refine,
     "knn_ivf_pq": similarity.knn_ivf_pq,
+    "pq_codebook_trained": similarity.pq_codebook_trained,
+    "pq_codes_trained": similarity.pq_codes_trained,
 }
 
 

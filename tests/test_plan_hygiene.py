@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     "knn_pq_adc",
     "knn_pq_refine",
     "knn_ivf_pq",
+    "pq_codebook_trained",
+    "pq_codes_trained",
     "language_mixture_weights",
     "near_dup_recall",
     "pq_codes",
