@@ -513,3 +513,33 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
     assert got == want
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd iterations must not worsen the objective: total L2²
+    quantization error under the trained codebook <= under the seed
+    codebook (on the real sf0.001 embeddings)."""
+    from openlmis_distributions_etl_spark.operators import similarity as S
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from tests.conftest import SF0001
+
+    t = load_tables(spark, SF0001, "embeddings")
+    sub = S._pq_subrows(t)
+
+    def total_err(book):
+        a = S._pq_assign_sub(sub, S._pq_book_row(book))
+        joined = a.join(book, ["m", "code"])
+        d2 = F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cv"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return joined.agg(F.sum(d2)).collect()[0][0]
+
+    seed_book = (sub.where(F.col("vec_id") < S.PQ_K)
+                 .select("m", F.col("vec_id").alias("code"),
+                         F.col("sub").alias("cv")))
+    trained_book = S._means_to_book(S.pq_codebook_trained(t))
+    e_seed, e_trained = total_err(seed_book), total_err(trained_book)
+    assert e_trained <= e_seed, (e_trained, e_seed)
+    # and it should actually improve on real data, not just not-worsen
+    assert e_trained < 0.95 * e_seed, (e_trained, e_seed)
