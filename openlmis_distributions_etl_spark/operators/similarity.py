@@ -931,3 +931,75 @@ def pq_codes_trained(t: dict[str, DataFrame]) -> DataFrame:
     book = _means_to_book(pq_codebook_trained(t))
     return (_pq_assign_sub(_pq_subrows(t), _pq_book_row(book))
             .select("vec_id", "m", "code"))
+
+
+RQ_K = 16
+
+
+def rq_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Residual (two-stage additive) quantization: stage 1 quantizes
+    the vector against a K-centroid codebook, stage 2 quantizes the
+    RESIDUAL v − C1[c1] against a second codebook — reconstruction
+    C1[c1] + C2[c2] halves the error of one-stage VQ at the same code
+    budget (the additive-quantizer family PQ's subspace split
+    approximates). Seed codebooks: C1 = the first K vectors, C2 = the
+    residuals of vectors K..2K−1 (NOT 0..K−1 — those have residual
+    exactly 0 under their own centroid, a degenerate stage-2 book).
+
+    Zero shuffle end to end: both codebooks broadcast as one-row
+    sorted arrays, both assignments are in-row argmin L2² folds
+    (first-strict-min = smallest-code tie-break), the residual is an
+    in-row zip_with. Output (vec_id, c1, c2, err) with err the exact
+    stage-2 quantization error — bit-portable, relational oracle."""
+    e = spread(t["embeddings"]).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+
+    def cents_row(src: DataFrame, vcol: str, off: int) -> DataFrame:
+        return (src.where((F.col("vec_id") >= off)
+                          & (F.col("vec_id") < off + RQ_K))
+                .select((F.col("vec_id") - off).alias("code"),
+                        F.col(vcol).alias("cv"))
+                .agg(F.array_sort(F.collect_list(F.struct("code", "cv")))
+                     .alias("cents")))
+
+    def argmin(vcol: str) -> Column:
+        scored = F.transform(F.col("cents"), lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col(vcol), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, x: a + x).alias("d"),
+            c["code"].alias("code")))
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(-1).cast("long").alias("code")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc))
+
+    best1 = argmin("v")
+    a1 = (e.crossJoin(broadcast(cents_row(e, "v", 0)))
+          .select("vec_id", "v", best1["code"].alias("c1"),
+                  F.zip_with(
+                      F.col("v"),
+                      F.element_at("cents", (best1["code"] + 1).cast("int"))
+                      ["cv"],
+                      lambda x, y: x - y).alias("r")))
+    a1 = retain(a1)
+    # stage-2 book: code 0 is the ZERO "no correction" codeword —
+    # without it, seed residuals are near-orthogonal to other rows'
+    # residuals in high dim and stage 2 would INCREASE error on
+    # average; with it, err <= stage-1 error per row by construction
+    zero = (a1.where(F.col("vec_id") == 0)
+            .select(F.lit(0).cast("long").alias("code"),
+                    F.expr("transform(r, x -> CAST(0 AS DOUBLE))")
+                    .alias("cv")))
+    seeds = (a1.where((F.col("vec_id") >= RQ_K)
+                      & (F.col("vec_id") < 2 * RQ_K - 1))
+             .select((F.col("vec_id") - (RQ_K - 1)).alias("code"),
+                     F.col("r").alias("cv")))
+    c2row = (zero.unionByName(seeds)
+             .agg(F.array_sort(F.collect_list(F.struct("code", "cv")))
+                  .alias("cents")))
+    best2 = argmin("r")
+    return (a1.crossJoin(broadcast(c2row))
+            .select("vec_id", "c1", best2["code"].alias("c2"),
+                    best2["d"].alias("err")))

@@ -2550,3 +2550,48 @@ ORACLES.update({
         SELECT vec_id, m, code FROM a3
     """,
 })
+
+# residual quantization: two argmin stages + in-row residual; same
+# left-fold L2 arithmetic as the Spark plan
+_RQ_D2 = ("list_sum(list_transform(range(1, 65), i -> "
+          "({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)]) "
+          "* ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])))")
+
+ORACLES.update({
+    "rq_codes": f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c1 AS (SELECT vec_id AS code, v AS cv FROM v WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, v, code AS c1, cv FROM (
+            SELECT s.vec_id, s.v, c.code, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY {_RQ_D2.format(a='s.v', b='c.cv')} ASC,
+                              c.code ASC) AS rn
+            FROM v s CROSS JOIN c1 c) WHERE rn = 1),
+        res AS (
+          SELECT vec_id, c1,
+                 list_transform(range(1, 65), i ->
+                   v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+          FROM a1),
+        c2 AS (
+          SELECT CAST(vec_id - 15 AS BIGINT) AS code, r AS cv FROM res
+          WHERE vec_id >= 16 AND vec_id < 31
+          UNION ALL
+          SELECT CAST(0 AS BIGINT) AS code,
+                 list_transform(range(1, 65), i -> CAST(0 AS DOUBLE))
+                   AS cv
+          FROM res WHERE vec_id = 0),
+        a2 AS (
+          SELECT vec_id, c1, code AS c2, d2 AS err FROM (
+            SELECT s.vec_id, s.c1, c.code,
+                   {_RQ_D2.format(a='s.r', b='c.cv')} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY {_RQ_D2.format(a='s.r', b='c.cv')} ASC,
+                              c.code ASC) AS rn
+            FROM res s CROSS JOIN c2 c) WHERE rn = 1)
+        SELECT vec_id, c1, c2, err FROM a2
+    """,
+})

@@ -168,6 +168,7 @@ _OPERATORS = {
     "knn_ivf_pq": similarity.knn_ivf_pq,
     "pq_codebook_trained": similarity.pq_codebook_trained,
     "pq_codes_trained": similarity.pq_codes_trained,
+    "rq_codes": similarity.rq_codes,
 }
 
 

@@ -543,3 +543,30 @@ def test_pq_training_reduces_quantization_error(spark):
     assert e_trained <= e_seed, (e_trained, e_seed)
     # and it should actually improve on real data, not just not-worsen
     assert e_trained < 0.95 * e_seed, (e_trained, e_seed)
+
+
+def test_rq_second_stage_reduces_error(spark):
+    """The point of residual quantization: the two-stage reconstruction
+    error must undercut single-stage VQ (= distance to the stage-1
+    centroid alone). The zero 'no correction' codeword guarantees
+    per-row non-increase; real data makes the aggregate strictly
+    better."""
+    from openlmis_distributions_etl_spark.operators import similarity as S
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from tests.conftest import SF0001
+
+    t = load_tables(spark, SF0001, "embeddings")
+    out = S.rq_codes(t)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    # stage-1-only error: distance to the assigned first-stage centroid
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    c1 = (e.where(F.col("vec_id") < S.RQ_K)
+          .select(F.col("vec_id").alias("c1"), F.col("v").alias("cv")))
+    joined = out.join(e, "vec_id").join(c1, "c1")
+    stage1_err = joined.agg(F.sum(d2(F.col("v"), F.col("cv")))).collect()[0][0]
+    total_err = out.agg(F.sum("err")).collect()[0][0]
+    assert total_err < stage1_err, (total_err, stage1_err)

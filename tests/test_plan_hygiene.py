@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "knn_ivf_pq",
     "pq_codebook_trained",
     "pq_codes_trained",
+    "rq_codes",
     "language_mixture_weights",
     "near_dup_recall",
     "pq_codes",
