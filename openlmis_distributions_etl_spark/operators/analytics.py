@@ -366,3 +366,48 @@ def approx_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
                  p(0.9).alias("p90_exact"),
                  ok(0.5).cast("int").alias("ok50"),
                  ok(0.9).cast("int").alias("ok90")))
+
+
+def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores) — the classic marketing-mart rollup. Scale-first
+    scoring: quintile FENCES come from one tiny exact-percentile
+    aggregate broadcast to every row (a global ntile() window would
+    funnel the whole customer table through one task); each customer
+    then buckets itself with four comparisons per dimension.
+
+    Engine-exactness: the percentile fences are rounded to 6 decimals
+    (the percentile_order_value convention — Spark `percentile` and
+    DuckDB `quantile_cont` interpolate equivalently but not
+    bit-identically) and scores derive from the rounded fences with
+    the same expression tree, so every score matches exactly.
+    Recency inverts (most recent = 5); rfm = r·100 + f·10 + m."""
+    from ..functions import dsum
+
+    o = t["orders"]
+    per = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                dsum("o_totalprice").alias("monetary")))
+    ref = per.agg(F.max("last_order").alias("maxd"))
+    per = (per.crossJoin(F.broadcast(ref))
+           .withColumn("recency_days",
+                       F.datediff(F.col("maxd"), F.col("last_order"))))
+    dims = ("recency_days", "frequency", "monetary")
+    fences = per.agg(*[
+        F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"{c}_{int(q * 100)}")
+        for c in dims for q in (0.2, 0.4, 0.6, 0.8)])
+    j = per.crossJoin(F.broadcast(fences))
+
+    def bucket(c: str) -> Column:
+        raw = F.lit(1)
+        for q in (20, 40, 60, 80):
+            raw = raw + (F.col(c) > F.col(f"{c}_{q}")).cast("int")
+        return raw
+
+    r = (F.lit(6) - bucket("recency_days")).cast("int")
+    f_ = bucket("frequency").cast("int")
+    m = bucket("monetary").cast("int")
+    return j.select("c_custkey", "recency_days", "frequency", "monetary",
+                    r.alias("r"), f_.alias("f"), m.alias("m"),
+                    (r * 100 + f_ * 10 + m).cast("int").alias("rfm"))

@@ -2595,3 +2595,57 @@ ORACLES.update({
         SELECT vec_id, c1, c2, err FROM a2
     """,
 })
+
+# RFM segmentation: fences from rounded exact percentiles (the
+# percentile_order_value convention), scores re-derived with the same
+# expression tree
+ORACLES.update({
+    "rfm_segments": f"""
+        WITH per AS (
+          SELECT o_custkey AS c_custkey,
+                 MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS frequency,
+                 {DSUM('o_totalprice')} AS monetary
+          FROM orders GROUP BY o_custkey),
+        ref AS (SELECT MAX(last_order) AS maxd FROM per),
+        p2 AS (
+          SELECT per.*, date_diff('day', CAST(last_order AS DATE),
+                                  CAST(maxd AS DATE)) AS recency_days
+          FROM per, ref),
+        fences AS (
+          SELECT
+            round(quantile_cont(recency_days, 0.2), 6) AS r20,
+            round(quantile_cont(recency_days, 0.4), 6) AS r40,
+            round(quantile_cont(recency_days, 0.6), 6) AS r60,
+            round(quantile_cont(recency_days, 0.8), 6) AS r80,
+            round(quantile_cont(frequency, 0.2), 6) AS f20,
+            round(quantile_cont(frequency, 0.4), 6) AS f40,
+            round(quantile_cont(frequency, 0.6), 6) AS f60,
+            round(quantile_cont(frequency, 0.8), 6) AS f80,
+            round(quantile_cont(monetary, 0.2), 6) AS m20,
+            round(quantile_cont(monetary, 0.4), 6) AS m40,
+            round(quantile_cont(monetary, 0.6), 6) AS m60,
+            round(quantile_cont(monetary, 0.8), 6) AS m80
+          FROM p2),
+        scored AS (
+          SELECT c_custkey, CAST(recency_days AS INT) AS recency_days,
+                 frequency, monetary,
+                 CAST(6 - (1 + CAST(recency_days > r20 AS INT)
+                             + CAST(recency_days > r40 AS INT)
+                             + CAST(recency_days > r60 AS INT)
+                             + CAST(recency_days > r80 AS INT)) AS INT)
+                   AS r,
+                 CAST(1 + CAST(frequency > f20 AS INT)
+                        + CAST(frequency > f40 AS INT)
+                        + CAST(frequency > f60 AS INT)
+                        + CAST(frequency > f80 AS INT) AS INT) AS f,
+                 CAST(1 + CAST(monetary > m20 AS INT)
+                        + CAST(monetary > m40 AS INT)
+                        + CAST(monetary > m60 AS INT)
+                        + CAST(monetary > m80 AS INT) AS INT) AS m
+          FROM p2, fences)
+        SELECT c_custkey, recency_days, frequency, monetary, r, f, m,
+               CAST(r * 100 + f * 10 + m AS INT) AS rfm
+        FROM scored
+    """,
+})

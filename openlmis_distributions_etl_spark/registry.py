@@ -169,6 +169,7 @@ _OPERATORS = {
     "pq_codebook_trained": similarity.pq_codebook_trained,
     "pq_codes_trained": similarity.pq_codes_trained,
     "rq_codes": similarity.rq_codes,
+    "rfm_segments": analytics.rfm_segments,
 }
 
 

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "q11_important_parts",
     "q22_dormant_high_balance",
     "range_join_value_buckets",
+    "rfm_segments",
     "set_ops_customers",
     "token_countmin_topk",
 }
