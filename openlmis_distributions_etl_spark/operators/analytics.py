@@ -411,3 +411,27 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     return j.select("c_custkey", "recency_days", "frequency", "monetary",
                     r.alias("r"), f_.alias("f"), m.alias("m"),
                     (r * 100 + f_ * 10 + m).cast("int").alias("rfm"))
+
+
+def monthly_revenue_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month revenue growth — the trend line on every
+    revenue dashboard: monthly decimal-exact revenue, previous month
+    via lag over the (tiny) month series, growth = (cur − prev)/prev.
+    One hash-agg shuffle on ~tens of month keys; the lag window runs
+    on the aggregated series, not the fact table. Growth division is
+    IEEE on identical exact-decimal-sourced doubles — engine-exact."""
+    from pyspark.sql import Window
+
+    from ..functions import dsum
+
+    monthly = (t["orders"]
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+               .agg(dsum("o_totalprice").alias("revenue"),
+                    F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue", "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("growth"))

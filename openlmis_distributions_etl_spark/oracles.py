@@ -2649,3 +2649,18 @@ ORACLES.update({
         FROM scored
     """,
 })
+
+ORACLES.update({
+    "monthly_revenue_growth": f"""
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 {DSUM('o_totalprice')} AS revenue,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT month, revenue, n_orders,
+               LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+               (revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) AS growth
+        FROM monthly
+    """,
+})

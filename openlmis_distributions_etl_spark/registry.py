@@ -170,6 +170,7 @@ _OPERATORS = {
     "pq_codes_trained": similarity.pq_codes_trained,
     "rq_codes": similarity.rq_codes,
     "rfm_segments": analytics.rfm_segments,
+    "monthly_revenue_growth": analytics.monthly_revenue_growth,
 }
 
 
