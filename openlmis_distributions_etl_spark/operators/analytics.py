@@ -435,3 +435,28 @@ def monthly_revenue_growth(t: dict[str, DataFrame]) -> DataFrame:
         "month", "revenue", "n_orders",
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("growth"))
+
+
+def window_rank_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Ranking-function battery per nation over customer balances:
+    rank / dense_rank / percent_rank / cume_dist / ntile(4) / nth
+    value — the remaining ordered-analytics surface in one report.
+    Window partitioned by nation (distributes on the partition key;
+    no global window). Ties break on c_custkey so every function is
+    deterministic; percent_rank/cume_dist are exact rationals of row
+    counts, identical IEEE divisions in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (t["customer"]
+            .select("c_nationkey", "c_custkey", "c_acctbal",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.percent_rank().over(w).alias("prnk"),
+                    F.cume_dist().over(w).alias("cume"),
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.nth_value("c_acctbal", 2).over(
+                        w.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing))
+                    .alias("second_balance")))

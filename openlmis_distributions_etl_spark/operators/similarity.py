@@ -1003,3 +1003,23 @@ def rq_codes(t: dict[str, DataFrame]) -> DataFrame:
     return (a1.crossJoin(broadcast(c2row))
             .select("vec_id", "c1", best2["code"].alias("c2"),
                     best2["d"].alias("err")))
+
+
+def knn_filtered(t: dict[str, DataFrame], label: int = 1,
+                 k: int = TOP_K) -> DataFrame:
+    """Metadata-filtered vector search (the "filtered ANN" serving
+    shape): top-k cosine neighbors among vectors with a given label.
+    PRE-filter strategy: the predicate reaches the parquet scan
+    (PushedFilters), so the similarity scan touches only the matching
+    partition slice — at 100 TB with label-partitioned storage this is
+    partition pruning, not a post-scan filter; the top-k then runs on
+    the filtered stream. (Post-filtering an unfiltered ANN shortlist
+    under-returns when the filter is selective — the classic filtered-
+    search failure this shape avoids.)"""
+    e = spread(t["embeddings"]).where(F.col("label") == label)
+    return (e.crossJoin(broadcast(_query_vector(t)))
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", "label",
+                    cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))

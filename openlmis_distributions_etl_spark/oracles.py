@@ -2664,3 +2664,30 @@ ORACLES.update({
         FROM monthly
     """,
 })
+
+ORACLES.update({
+    "knn_filtered": f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, {_cos('embedding', 'q')} AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label = 1
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "window_rank_report": """
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               CAST(RANK() OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cume,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               NTH_VALUE(c_acctbal, 2) OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS second_balance
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+})

@@ -171,6 +171,8 @@ _OPERATORS = {
     "rq_codes": similarity.rq_codes,
     "rfm_segments": analytics.rfm_segments,
     "monthly_revenue_growth": analytics.monthly_revenue_growth,
+    "knn_filtered": similarity.knn_filtered,
+    "window_rank_report": analytics.window_rank_report,
 }
 
 

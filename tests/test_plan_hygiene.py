@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "knn_batch",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_filtered",
     "knn_ivf_trained",
     "knn_lsh",
     "knn_lsh_recall",
