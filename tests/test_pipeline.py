@@ -82,3 +82,30 @@ def test_run_etl_observed_metrics(spark, tmp_path):
     for name, path in marts.items():
         assert metrics[name]["rows_loaded"] == spark.read.parquet(path).count()
         assert metrics[name]["rows_loaded"] > 0
+
+
+def test_export_training_shards_layout(spark, tmp_path):
+    """The materialized layout must BE the shuffle order: every shard
+    directory's rows, in file storage order, carry pos 1..n_shard with
+    no gaps, and the union covers the corpus exactly once."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from openlmis_distributions_etl_spark.plans.shards import (
+        export_training_shards)
+
+    out = str(tmp_path / "shards")
+    res = export_training_shards(spark, SF0001, out, n_shards=4)
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    assert res == {"n_shards": 4, "n_docs": n_docs}
+    shard_dirs = sorted(Path(out).glob("shard=*"))
+    assert len(shard_dirs) == 4
+    seen = 0
+    for d in shard_dirs:
+        tables = [pq.read_table(str(f))
+                  for f in sorted(d.glob("*.parquet"))]
+        pos = [p for t_ in tables for p in t_.column("pos").to_pylist()]
+        # storage order IS position order, dense from 1
+        assert pos == list(range(1, len(pos) + 1)), d.name
+        seen += len(pos)
+    assert seen == n_docs
