@@ -460,3 +460,57 @@ def window_rank_report(t: dict[str, DataFrame]) -> DataFrame:
                         w.rowsBetween(Window.unboundedPreceding,
                                       Window.unboundedFollowing))
                     .alias("second_balance")))
+
+
+def date_dim(t: dict[str, DataFrame]) -> DataFrame:
+    """Calendar date dimension spanning the fact table's date range —
+    the conformance table every mart joins for year/quarter/weekend
+    rollups. Generated from ONE tiny min/max aggregate + an exploded
+    day sequence (calendar dims are thousands of rows at any data
+    scale, so the single-task generate is fine by nature).
+    day_of_week is Spark convention (1=Sunday..7=Saturday); the oracle
+    maps DuckDB's 0-based dayofweek accordingly."""
+    span = (t["orders"]
+            .agg(F.to_date(F.min("o_orderdate")).alias("lo"),
+                 F.to_date(F.max("o_orderdate")).alias("hi")))
+    days = span.select(F.explode(F.expr(
+        "sequence(lo, hi, interval 1 day)")).alias("d"))
+    dow = F.dayofweek("d")
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        dow.alias("day_of_week"),
+        dow.isin(1, 7).cast("int").alias("is_weekend"))
+
+
+def event_value_zscores(t: dict[str, DataFrame],
+                        z: float = 3.0) -> DataFrame:
+    """Per-type z-score outliers: mean/std from exact decimal moment
+    sums (the stats_correlation convention — identical moments on both
+    engines make the derived doubles and therefore the |z|>threshold
+    flags engine-exact), broadcast back over the scan. The streaming-
+    friendly one-pass alternative to the Tukey-fence variant
+    (event_value_outliers)."""
+    from ..functions import dec
+
+    ev = t["events"].select("event_id", "event_type", "value",
+                            dec("value").alias("x"))
+    m = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").cast("decimal(38,6)").cast("double").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)")
+              .cast("double").alias("sxx")))
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    std = F.sqrt(F.col("sxx") / n - mean * mean)
+    stats = m.select("event_type", mean.alias("mean_value"),
+                     std.alias("std_value"))
+    zcol = (F.col("value") - F.col("mean_value")) / F.col("std_value")
+    return (ev.select("event_id", "event_type", "value")
+            .join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type", "value",
+                    zcol.alias("zscore"))
+            .where(F.abs(F.col("zscore")) > z))

@@ -2691,3 +2691,49 @@ ORACLES.update({
                      ORDER BY c_acctbal DESC, c_custkey ASC)
     """,
 })
+
+ORACLES.update({
+    # Spark day_of_week is 1=Sunday; DuckDB dayofweek is 0=Sunday
+    "date_dim": """
+        WITH span AS (
+          SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                 CAST(MAX(o_orderdate) AS DATE) AS hi
+          FROM orders),
+        days AS (
+          SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                             CAST(hi AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS d
+          FROM span)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(year(d) AS INT) AS year,
+               CAST(quarter(d) AS INT) AS quarter,
+               CAST(month(d) AS INT) AS month,
+               CAST(day(d) AS INT) AS day_of_month,
+               CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+               CAST(dayofweek(d) IN (0, 6) AS INT) AS is_weekend
+        FROM days
+    """,
+    "event_value_zscores": """
+        WITH ev AS (
+          SELECT event_id, event_type, value,
+                 CAST(value AS DECIMAL(18,4)) AS x
+          FROM events),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(x * x) AS DECIMAL(38,6)) AS DOUBLE) AS sxx
+          FROM ev GROUP BY event_type),
+        stats AS (
+          SELECT event_type,
+                 sx / CAST(n AS DOUBLE) AS mean_value,
+                 sqrt(sxx / CAST(n AS DOUBLE)
+                      - (sx / CAST(n AS DOUBLE))
+                        * (sx / CAST(n AS DOUBLE))) AS std_value
+          FROM m)
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.mean_value) / s.std_value AS zscore
+        FROM ev e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mean_value) / s.std_value) > 3.0
+    """,
+})

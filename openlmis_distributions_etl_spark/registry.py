@@ -173,6 +173,8 @@ _OPERATORS = {
     "monthly_revenue_growth": analytics.monthly_revenue_growth,
     "knn_filtered": similarity.knn_filtered,
     "window_rank_report": analytics.window_rank_report,
+    "date_dim": analytics.date_dim,
+    "event_value_zscores": analytics.event_value_zscores,
 }
 
 
