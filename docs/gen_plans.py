@@ -25,6 +25,9 @@ FLAGSHIPS = (
     "pq_codes",
     "bloom_prefilter_dedup",
     "source_quota_sample",
+    "knn_ivf_pq",
+    "rfm_segments",
+    "deterministic_shuffle",
 )
 
 
