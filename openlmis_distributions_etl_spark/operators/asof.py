@@ -85,3 +85,65 @@ def asof_purchase_attribution(t: dict[str, DataFrame]) -> DataFrame:
         "event_id", "user_id", "ts_us",
         F.col("asof_click_ts_us").alias("last_click_ts_us"),
         (F.col("ts_us") - F.col("asof_click_ts_us")).alias("gap_us"))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str,
+                      value_cols: list[str],
+                      tiebreak: list[str] | None = None) -> DataFrame:
+    """Forward twin of asof_join_backward: for each left row, attach
+    the right row's values as of the EARLIEST right_ts strictly after
+    left_ts (NULL when none) — the time-to-next-event shape. Same
+    union-sort scalability (one shuffle on the key); at equal
+    timestamps the right row sorts BEFORE the probe (tag ordering), so
+    the strictly-after frame never sees it. Tied right rows order by
+    ``tiebreak`` ascending and first() picks the smallest — forward
+    mirror of backward's greatest-wins."""
+    tiebreak = list(tiebreak) if tiebreak is not None else list(value_cols)
+    missing = set(tiebreak) - set(value_cols)
+    if missing:
+        raise ValueError(f"asof_join_forward: tiebreak columns must be "
+                         f"in value_cols: {sorted(missing)}")
+    reserved = {"_ts", "_tag"} | {f"_v_{c}" for c in value_cols} \
+        | {f"asof_{c}" for c in value_cols}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join_forward: left columns collide "
+                         f"with internal names: {sorted(clash)}")
+    lt = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ts"), F.lit(1).alias("_tag"))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"), F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols])
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(key)
+         .orderBy("_ts", "_tag", *[f"_v_{c}" for c in tiebreak])
+         .rowsBetween(1, Window.unboundedFollowing))
+    carried = unioned.select(
+        *unioned.columns,
+        *[F.first(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in value_cols])
+    return (carried.where(F.col("_tag") == 1)
+            .drop("_ts", "_tag", *[f"_v_{c}" for c in value_cols]))
+
+
+def asof_time_to_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-to-conversion: for each click, the user's NEXT purchase
+    strictly after it (forward as-of join) and the gap — the
+    conversion-latency metric funnels report on."""
+    ev = t["events"].select("event_id", "user_id", "event_type",
+                            ts_us("ts").alias("ts_us"))
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts_us", F.col("ts_us").alias("purchase_ts_us"))
+    joined = asof_join_forward(
+        clicks, purchases, key="user_id",
+        left_ts="ts_us", right_ts="ts_us",
+        value_cols=["purchase_ts_us"])
+    return joined.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_purchase_ts_us").alias("next_purchase_ts_us"),
+        (F.col("asof_purchase_ts_us") - F.col("ts_us")).alias("gap_us"))

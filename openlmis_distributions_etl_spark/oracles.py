@@ -2737,3 +2737,24 @@ ORACLES.update({
         WHERE abs((e.value - s.mean_value) / s.std_value) > 3.0
     """,
 })
+
+ORACLES.update({
+    # forward as-of: earliest strictly-later purchase per click
+    "asof_time_to_purchase": """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        c AS (SELECT event_id, user_id, ts_us FROM ev
+              WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts_us AS pts FROM ev
+              WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, c.ts_us,
+               (SELECT MIN(pts) FROM p
+                WHERE p.user_id = c.user_id AND p.pts > c.ts_us)
+                 AS next_purchase_ts_us,
+               (SELECT MIN(pts) FROM p
+                WHERE p.user_id = c.user_id AND p.pts > c.ts_us) - c.ts_us
+                 AS gap_us
+        FROM c
+    """,
+})

@@ -103,6 +103,7 @@ _OPERATORS = {
     "funnel_three_step": windows.funnel_three_step,
     "event_value_outliers": windows.event_value_outliers,
     "asof_purchase_attribution": asof.asof_purchase_attribution,
+    "asof_time_to_purchase": asof.asof_time_to_purchase,
     "cohort_retention": windows.cohort_retention,
     "event_transitions": windows.event_transitions,
     "daily_active_users": windows.daily_active_users,

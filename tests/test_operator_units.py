@@ -570,3 +570,22 @@ def test_rq_second_stage_reduces_error(spark):
     stage1_err = joined.agg(F.sum(d2(F.col("v"), F.col("cv")))).collect()[0][0]
     total_err = out.agg(F.sum("err")).collect()[0][0]
     assert total_err < stage1_err, (total_err, stage1_err)
+
+
+def test_asof_forward_strictly_after(spark):
+    """A purchase at the SAME microsecond as the click must not match
+    (strictly-after semantics); the earliest later one wins."""
+    from openlmis_distributions_etl_spark.operators import asof
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10, 0, 0), 7, "click", 0.0, "{}"),
+        (2, d(2024, 1, 1, 10, 0, 0), 7, "purchase", 1.0, "{}"),  # same ts
+        (3, d(2024, 1, 1, 11, 0, 0), 7, "purchase", 1.0, "{}"),  # next
+        (4, d(2024, 1, 1, 12, 0, 0), 7, "purchase", 1.0, "{}"),
+        (5, d(2024, 1, 1, 9, 0, 0), 8, "click", 0.0, "{}"),      # no purch
+    ]
+    out = {r["event_id"]: r for r in asof.asof_time_to_purchase(
+        {"events": _events(spark, rows)}).collect()}
+    assert out[1]["gap_us"] == 3_600_000_000      # 11:00, not 10:00
+    assert out[5]["next_purchase_ts_us"] is None
