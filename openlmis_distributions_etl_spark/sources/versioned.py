@@ -351,3 +351,36 @@ def zorder_rewrite(spark: SparkSession, path: str, cols: list[str],
                               base_version=base)
     collect_stats(path, version=version, stat_cols=tuple(cols))
     return version
+
+
+def clone_versioned(src: str, dst: str) -> int:
+    """Shallow (zero-copy) clone: ``dst`` becomes a new table whose
+    v0 manifest references ``src``'s current data files by relative
+    path — no data copied, no Spark job, pure manifest metadata (the
+    Delta SHALLOW CLONE primitive: instant dev/test copies of a
+    100 TB table). The clone then evolves independently — appends and
+    overwrites land under ``dst``'s own data directory.
+
+    Hazard (same as Delta's): VACUUM on the SOURCE can delete files
+    the clone still references; clones are for short-lived forks, or
+    pair them with source retention that outlives them. ``dst``'s own
+    vacuum never touches files outside its directory.
+    """
+    vs = versions(src)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {src}")
+    m = _read_manifest(src, vs[-1])
+    files = [os.path.relpath(str(Path(src) / f), dst) for f in m["files"]]
+    _log_dir(dst).mkdir(parents=True, exist_ok=True)
+    manifest = _log_dir(dst) / "v00000000.json"
+    try:
+        with open(manifest, "x", encoding="utf-8") as f:
+            json.dump({"version": 0, "mode": "overwrite", "files": files,
+                       "txn": None,
+                       "cloned_from": {"table": str(src),
+                                       "version": vs[-1]}}, f)
+    except FileExistsError as e:
+        raise VersionConflictError(
+            f"{dst} already has a version 0; clone targets must be "
+            "fresh paths") from e
+    return 0

@@ -420,3 +420,29 @@ def test_embedding_dim_contract(spark, tmp_path):
         load_table(spark, str(tmp_path), "embeddings")
     ok = load_table(spark, SF0001, "embeddings")
     assert ok.select(F.size("embedding")).first()[0] == 64
+
+
+def test_versioned_shallow_clone(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import versioned as V
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = load_tables(spark, SF0001, "nation")["nation"]
+    V.write_versioned(base, src, mode="overwrite")
+    v = V.clone_versioned(src, dst)
+    assert v == 0
+    # zero-copy: the clone's data dir does not exist yet
+    import os
+    assert not os.path.isdir(f"{dst}/data")
+    got = sorted(map(tuple, V.read_versioned(spark, dst).collect()))
+    want = sorted(map(tuple, base.collect()))
+    assert got == want
+    # the clone evolves independently; the source is untouched
+    extra = base.limit(3)
+    V.write_versioned(extra, dst, mode="append")
+    assert V.read_versioned(spark, dst).count() == len(want) + 3
+    assert V.read_versioned(spark, src).count() == len(want)
+    # re-cloning onto an existing table refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(V.VersionConflictError):
+        V.clone_versioned(src, dst)
