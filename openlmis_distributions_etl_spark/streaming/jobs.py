@@ -463,3 +463,36 @@ def countmin_cells_stream(docs: DataFrame) -> DataFrame:
         (F.lit(j * CM_WIDTH) + cm_cell(j)).alias(f"c{j}")
         for j in range(CM_ROWS)])).alias("idx"))
     return cells.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def zscore_gate_stream(events: DataFrame, history: DataFrame,
+                       z: float = 3.0) -> DataFrame:
+    """Streaming anomaly gate: incoming events test their value
+    against per-type mean/std derived ONCE (at stream setup) from the
+    static history's exact decimal moment sums — the same stats as the
+    batch `event_value_zscores`, shipped to executors as a tiny
+    literal map, so flagging is a stateless per-row projection (no
+    join, no state store; at 100 TB/day this is map-only work).
+    Passes through only |z| > threshold rows — the alert stream."""
+    from ..functions import dec
+    ev = history.select("event_type", dec("value").alias("x"))
+    m = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").cast("decimal(38,6)").cast("double").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)")
+              .cast("double").alias("sxx")))
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    std = F.sqrt(F.col("sxx") / n - mean * mean)
+    rows = (m.select("event_type", mean.alias("mu"), std.alias("sd"))
+            .collect())
+    mu = F.create_map(*[F.lit(x) for r in rows
+                        for x in (r["event_type"], r["mu"])])
+    sd = F.create_map(*[F.lit(x) for r in rows
+                        for x in (r["event_type"], r["sd"])])
+    zcol = (F.col("value") - mu[F.col("event_type")]) \
+        / sd[F.col("event_type")]
+    return (events
+            .select("event_id", "event_type", "value", "ts",
+                    zcol.alias("zscore"))
+            .where(F.abs(F.col("zscore")) > z))

@@ -274,3 +274,19 @@ def _cm_idx(token: str, j: int) -> int:
     import hashlib
     h = hashlib.md5(f"cm{j}|{token}".encode()).hexdigest()[:8]
     return int(h, 16) % 64
+
+
+def test_zscore_gate_stream_matches_batch(spark):
+    """The streamed alert set must equal the batch z-score outliers
+    when history = the same corpus the stream replays (stats from
+    identical exact moments → identical flags)."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.zscore_gate_stream(stream, t["events"]),
+        "z_gate", spark, "append")
+    want = {r["event_id"]
+            for r in analytics.event_value_zscores(t).collect()}
+    assert set(got["event_id"]) == want and len(got) == len(want)
