@@ -735,3 +735,61 @@ def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
             .select("component", F.col("doc_id").alias("best_doc_id"),
                     F.col("quality_score").alias("best_quality"),
                     "n_members"))
+
+
+MIN_OVERLAP = 8
+
+
+def shingle_overlap_pairs(t: dict[str, DataFrame],
+                          min_overlap: int = MIN_OVERLAP) -> DataFrame:
+    """Absolute shingle-overlap pair join (|A∩B| ≥ K) with derived
+    containment scores — the quote/subset detector Jaccard misses: a
+    short doc fully contained in a long one has HIGH containment but
+    LOW Jaccard, so the τ-Jaccard prefix filter never surfaces it.
+    The absolute-overlap prefix bound is exact (SSJoin): under a
+    common total order, two sets sharing ≥ K elements must each carry
+    a shared element within their first n − K + 1 — so docs with
+    n < K index nothing and the inverted-index self-join stays
+    prefix-bounded, never quadratic.
+
+    Same Vernica single-pass shape as ngram_jaccard_pairs: prefix rows
+    carry the full set, the overlap verifies inline, and each pair is
+    emitted exactly once at its rarest shared-prefix shingle. Output:
+    (doc_a, doc_b, n_common, containment_a, containment_b) where
+    containment_x = |A∩B| / |x's set|."""
+    d = retain(pin(_with_shingles(t),
+                   sh=F.array_distinct(F.col("shingles")))
+               .select("doc_id", "sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pre = retain(
+        ex.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(df, shingle))), "
+                    "p -> p.shingle)").alias("sh"))
+        .selectExpr(
+            "doc_id", "sh", "size(sh) AS n_sh",
+            f"slice(sh, 1, GREATEST(size(sh) - {min_overlap} + 1, 0)) "
+            "AS pref"))
+    rows = (pre.select("doc_id", "n_sh", "sh", "pref",
+                       F.explode("pref").alias("shingle"))
+            .hint("shuffle_hash"))
+    a, b = rows.alias("a"), rows.alias("b")
+    first_shared = F.element_at(
+        F.array_intersect(F.col("a.pref"), F.col("b.pref")), 1)
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.shingle") == first_shared))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+                    F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b")))
+    pinned = pin(cand, n_common=F.size(F.array_intersect("sh_a", "sh_b"))
+                 .cast("long"))
+    return (pinned
+            .where(F.col("n_common") >= min_overlap)
+            .select("doc_a", "doc_b", "n_common",
+                    (F.col("n_common") / F.col("n_a"))
+                    .alias("containment_a"),
+                    (F.col("n_common") / F.col("n_b"))
+                    .alias("containment_b")))

@@ -2758,3 +2758,29 @@ ORACLES.update({
         FROM c
     """,
 })
+
+# absolute shingle-overlap pairs + containment; the oracle runs the
+# naive shared-shingle join (exact at gate scale)
+ORACLES.update({
+    "shingle_overlap_pairs": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        sets AS (
+          SELECT doc_id, list_distinct({SHINGLES}) AS sh
+          FROM d WHERE len(toks) >= 3),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= 8)
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               p.n_common / sa.n AS containment_a,
+               p.n_common / sb.n AS containment_b
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    """,
+})

@@ -176,6 +176,7 @@ _OPERATORS = {
     "window_rank_report": analytics.window_rank_report,
     "date_dim": analytics.date_dim,
     "event_value_zscores": analytics.event_value_zscores,
+    "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
 }
 
 

@@ -589,3 +589,26 @@ def test_asof_forward_strictly_after(spark):
         {"events": _events(spark, rows)}).collect()}
     assert out[1]["gap_us"] == 3_600_000_000      # 11:00, not 10:00
     assert out[5]["next_purchase_ts_us"] is None
+
+
+def test_overlap_pairs_catch_contained_quote(spark):
+    """A short doc fully contained in a long one: high containment,
+    low Jaccard — the subset case the overlap join exists for."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = quote + (" lambda mu nu xi omicron pi rho sigma tau"
+                        " upsilon phi chi psi omega one two three four"
+                        " five six seven eight nine ten")
+    rows = [(1, quote, "en", "s", len(quote)),
+            (2, long_doc, "en", "s", len(long_doc)),
+            (3, "entirely different words everywhere in this one doc"
+                " with nothing shared at all", "en", "s", 80)]
+    t = {"documents": _docs(spark, rows)}
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in dedup.shingle_overlap_pairs(t).collect()}
+    assert (1, 2) in out and len(out) == 1
+    r = out[(1, 2)]
+    assert r["containment_a"] == 1.0          # quote fully contained
+    assert r["containment_b"] < 0.3
+    # and Jaccard would have missed it at tau=0.5
+    jac = dedup.ngram_jaccard_pairs(t).collect()
+    assert not jac
