@@ -757,9 +757,18 @@ def shingle_overlap_pairs(t: dict[str, DataFrame],
     emitted exactly once at its rarest shared-prefix shingle. Output:
     (doc_a, doc_b, n_common, containment_a, containment_b) where
     containment_x = |A∩B| / |x's set|."""
-    d = retain(pin(_with_shingles(t),
-                   sh=F.array_distinct(F.col("shingles")))
-               .select("doc_id", "sh"))
+    # hash shingles to 60-bit longs BEFORE anything ships: overlap
+    # prefixes are nearly whole sets, so the join moves ~n copies of
+    # each set — 8-byte lanes instead of ~40-byte strings is the
+    # difference between a 4.8 GB and a ~1 GB sort at 10x corpus.
+    # Both engines hash identically, so parity is exact; the counted
+    # sets are the hashed sets (collisions ~n²/2^60, and BOTH engines
+    # see the same ones).
+    d = retain(pin(_with_shingles(t), sh=F.expr(
+        "array_distinct(transform(shingles, "
+        "s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), "
+        "16, 10) AS BIGINT)))"))
+        .select("doc_id", "sh"))
     ex = d.select("doc_id", F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     pre = retain(
@@ -771,9 +780,14 @@ def shingle_overlap_pairs(t: dict[str, DataFrame],
             "doc_id", "sh", "size(sh) AS n_sh",
             f"slice(sh, 1, GREATEST(size(sh) - {min_overlap} + 1, 0)) "
             "AS pref"))
+    # merge (sort) join, NOT shuffle_hash: overlap prefixes are nearly
+    # the whole set (n - K + 1), so each task's build side would be
+    # ~n copies of every n-element array — the hash map OOMs at 10x
+    # corpus (caught by tools/scale_smoke.py). A sort-merge join
+    # SPILLS its sorted runs instead of holding a hash map.
     rows = (pre.select("doc_id", "n_sh", "sh", "pref",
                        F.explode("pref").alias("shingle"))
-            .hint("shuffle_hash"))
+            .hint("merge"))
     a, b = rows.alias("a"), rows.alias("b")
     first_shared = F.element_at(
         F.array_intersect(F.col("a.pref"), F.col("b.pref")), 1)

@@ -2765,7 +2765,15 @@ ORACLES.update({
     "shingle_overlap_pairs": f"""
         WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
         sets AS (
-          SELECT doc_id, list_distinct({SHINGLES}) AS sh
+          SELECT doc_id,
+                 list_distinct(list_transform({SHINGLES},
+                   s -> CAST(list_sum(list_transform(range(1, 16),
+                          j -> (strpos('0123456789abcdef',
+                                       substr(md5(s), CAST(j AS INT), 1))
+                                - 1)
+                               * (CAST(1 AS BIGINT)
+                                  << CAST(4 * (15 - j) AS INT))))
+                        AS BIGINT))) AS sh
           FROM d WHERE len(toks) >= 3),
         sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
         sizes AS (SELECT doc_id, len(sh) AS n FROM sets),

@@ -38,6 +38,7 @@ OPS = (
     "bloom_prefilter_dedup",
     "source_quota_sample",
     "deterministic_shuffle",
+    "shingle_overlap_pairs",
 )
 
 
