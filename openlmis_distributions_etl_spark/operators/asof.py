@@ -147,3 +147,40 @@ def asof_time_to_purchase(t: dict[str, DataFrame]) -> DataFrame:
         "event_id", "user_id", "ts_us",
         F.col("asof_purchase_ts_us").alias("next_purchase_ts_us"),
         (F.col("asof_purchase_ts_us") - F.col("ts_us")).alias("gap_us"))
+
+
+def asof_nearest_click(t: dict[str, DataFrame]) -> DataFrame:
+    """Nearest-in-time as-of: attach to each purchase the user's click
+    CLOSEST in time, before or after (the sensor-alignment join —
+    match a reading to the nearest reference sample). Composes the
+    backward and forward passes (each one shuffle on the key) and
+    picks the smaller absolute gap; exact ties break to the earlier
+    (backward) click. NULL-safe: a side with no match loses to the
+    other; no match at all → NULLs."""
+    ev = t["events"].select("event_id", "user_id", "event_type",
+                            ts_us("ts").alias("ts_us"))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts_us")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts_us", F.col("ts_us").alias("click_ts_us"))
+    back = asof_join_backward(
+        purchases, clicks, key="user_id",
+        left_ts="ts_us", right_ts="ts_us",
+        value_cols=["click_ts_us"]).withColumnRenamed(
+        "asof_click_ts_us", "back_ts")
+    both = asof_join_forward(
+        back, clicks, key="user_id",
+        left_ts="ts_us", right_ts="ts_us",
+        value_cols=["click_ts_us"]).withColumnRenamed(
+        "asof_click_ts_us", "fwd_ts")
+    back_gap = F.col("ts_us") - F.col("back_ts")
+    fwd_gap = F.col("fwd_ts") - F.col("ts_us")
+    take_back = (F.col("back_ts").isNotNull()
+                 & (F.col("fwd_ts").isNull() | (back_gap <= fwd_gap)))
+    nearest = F.when(take_back, F.col("back_ts")).otherwise(F.col("fwd_ts"))
+    return (both.select(
+        "event_id", "user_id", "ts_us",
+        nearest.alias("nearest_click_ts_us"),
+        F.when(take_back, back_gap)
+        .otherwise(F.when(F.col("fwd_ts").isNotNull(), fwd_gap))
+        .alias("abs_gap_us")))

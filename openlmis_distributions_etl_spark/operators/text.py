@@ -770,3 +770,23 @@ def doc_bigram_lm_score(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("sum_ppm")
                      / (F.col("n_bigrams") * F.lit(1000000)))
                     .alias("avg_prob")))
+
+
+def langid_confusion(t: dict[str, DataFrame]) -> DataFrame:
+    """Language-ID evaluation: the (actual, predicted) confusion
+    matrix with per-cell counts and per-actual-language recall — the
+    model-eval artifact that turns doc_langid from a score column into
+    a measured classifier. Tiny two-key aggregate over the langid
+    projection; the recall division is IEEE on exact counts."""
+    from pyspark.sql import Window
+
+    pred = doc_langid(t).select("lang", "pred_lang")
+    cells = (pred.groupBy("lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("lang")
+    return (cells
+            .withColumn("n_actual", F.sum("n").over(w))
+            .select("lang", "pred_lang", "n", "n_actual",
+                    (F.col("n") / F.col("n_actual")).alias("frac"),
+                    ((F.col("lang") == F.col("pred_lang"))
+                     .cast("int")).alias("is_correct")))

@@ -2792,3 +2792,49 @@ ORACLES.update({
         JOIN sizes sb ON p.doc_b = sb.doc_id
     """,
 })
+
+ORACLES.update({
+    # nearest-in-time asof: smaller absolute gap wins, ties backward
+    "asof_nearest_click": """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        p AS (SELECT event_id, user_id, ts_us FROM ev
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'click'),
+        g AS (
+          SELECT p.event_id, p.user_id, p.ts_us,
+                 (SELECT MAX(ts_us) FROM c
+                  WHERE c.user_id = p.user_id AND c.ts_us < p.ts_us)
+                   AS back,
+                 (SELECT MIN(ts_us) FROM c
+                  WHERE c.user_id = p.user_id AND c.ts_us > p.ts_us)
+                   AS fwd
+          FROM p)
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN back IS NOT NULL
+                     AND (fwd IS NULL OR ts_us - back <= fwd - ts_us)
+                    THEN back ELSE fwd END AS nearest_click_ts_us,
+               CASE WHEN back IS NOT NULL
+                     AND (fwd IS NULL OR ts_us - back <= fwd - ts_us)
+                    THEN ts_us - back
+                    WHEN fwd IS NOT NULL THEN fwd - ts_us
+               END AS abs_gap_us
+        FROM g
+    """,
+})
+
+ORACLES.update({
+    "langid_confusion": f"""
+        WITH pred AS ({ORACLES['doc_langid']}),
+        cells AS (
+          SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, pred_lang)
+        SELECT lang, pred_lang, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                 AS n_actual,
+               n / SUM(n) OVER (PARTITION BY lang) AS frac,
+               CAST(lang = pred_lang AS INT) AS is_correct
+        FROM cells
+    """,
+})

@@ -177,6 +177,8 @@ _OPERATORS = {
     "date_dim": analytics.date_dim,
     "event_value_zscores": analytics.event_value_zscores,
     "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
+    "asof_nearest_click": asof.asof_nearest_click,
+    "langid_confusion": text.langid_confusion,
 }
 
 
