@@ -514,3 +514,29 @@ def event_value_zscores(t: dict[str, DataFrame],
             .select("event_id", "event_type", "value",
                     zcol.alias("zscore"))
             .where(F.abs(F.col("zscore")) > z))
+
+
+def hll_partitioned_union(t: dict[str, DataFrame]) -> DataFrame:
+    """Re-aggregatable distinct counting: per-(type, day) HLL sketches
+    (DataSketches, `hll_sketch_agg`) MERGED across days per type with
+    `hll_union_agg` — the 100 TB pattern where daily sketch columns
+    are stored once and any rollup window is a sketch union, never a
+    raw re-scan. Verified the approx_distinct_events way: the exact
+    distinct count is checked bit-for-bit, and each engine's own
+    estimate must land inside the 5% envelope (sketch internals are
+    not cross-engine portable; their accuracy contract is)."""
+    ev = t["events"].select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id")
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return (exact.join(merged, "event_type")
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).cast("int")
+                    .alias("ok_est")))

@@ -2838,3 +2838,17 @@ ORACLES.update({
         FROM cells
     """,
 })
+
+# partitioned-sketch union: exact distinct bit-checked; each engine's
+# own sketch must sit in the 5% envelope (approx_distinct_events
+# convention — sketch bytes are not cross-engine portable)
+ORACLES.update({
+    "hll_partitioned_union": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(abs(approx_count_distinct(user_id)
+                        - COUNT(DISTINCT user_id))
+                    <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS ok_est
+        FROM events GROUP BY event_type
+    """,
+})

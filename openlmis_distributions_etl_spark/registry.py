@@ -179,6 +179,7 @@ _OPERATORS = {
     "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
     "asof_nearest_click": asof.asof_nearest_click,
     "langid_confusion": text.langid_confusion,
+    "hll_partitioned_union": analytics.hll_partitioned_union,
 }
 
 
