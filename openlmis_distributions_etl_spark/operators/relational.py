@@ -611,3 +611,33 @@ def sql_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
     li = t["lineitem"]
     li.createOrReplaceTempView("lineitem_v")
     return li.sparkSession.sql(PORTABLE_Q1_SQL.format(table="lineitem_v"))
+
+
+def supplier_scorecard(t: dict[str, DataFrame],
+                       on_time_days: int = 30) -> DataFrame:
+    """Supplier performance scorecard — the distributions-domain KPI
+    rollup: per supplier, line volume, decimal-exact discounted
+    revenue, on-time ship rate (shipped within `on_time_days` of the
+    order date) and return rate. One fact-side shuffle (lineitem ⋈
+    orders on orderkey), supplier dim broadcast, map-side-combinable
+    aggregates; the rates are IEEE divisions of exact counts."""
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate",
+                              "l_returnflag", disc_price().alias("dp"))
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    on_time = (F.datediff("l_shipdate", "o_orderdate")
+               <= on_time_days).cast("long")
+    returned = (F.col("l_returnflag") == "R").cast("long")
+    per = (j.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                dsum_of(F.col("dp")).alias("revenue"),
+                F.sum(on_time).alias("n_on_time"),
+                F.sum(returned).alias("n_returned")))
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (per.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                    "n_lines", "revenue",
+                    (F.col("n_on_time") / F.col("n_lines"))
+                    .alias("on_time_rate"),
+                    (F.col("n_returned") / F.col("n_lines"))
+                    .alias("return_rate")))

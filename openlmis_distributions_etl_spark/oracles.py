@@ -2852,3 +2852,25 @@ ORACLES.update({
         FROM events GROUP BY event_type
     """,
 })
+
+ORACLES.update({
+    "supplier_scorecard": f"""
+        WITH j AS (
+          SELECT l.l_suppkey, {DISC_PRICE} AS dp,
+                 CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) <= 30
+                      THEN 1 ELSE 0 END AS on_time,
+                 CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        per AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS revenue,
+                 SUM(on_time) AS n_on_time, SUM(ret) AS n_returned
+          FROM j GROUP BY l_suppkey)
+        SELECT s.s_suppkey AS suppkey, s.s_name, p.n_lines, p.revenue,
+               p.n_on_time / CAST(p.n_lines AS DOUBLE) AS on_time_rate,
+               p.n_returned / CAST(p.n_lines AS DOUBLE) AS return_rate
+        FROM per p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    """,
+})

@@ -180,6 +180,7 @@ _OPERATORS = {
     "asof_nearest_click": asof.asof_nearest_click,
     "langid_confusion": text.langid_confusion,
     "hll_partitioned_union": analytics.hll_partitioned_union,
+    "supplier_scorecard": relational.supplier_scorecard,
 }
 
 
