@@ -641,3 +641,26 @@ def supplier_scorecard(t: dict[str, DataFrame],
                     .alias("on_time_rate"),
                     (F.col("n_returned") / F.col("n_lines"))
                     .alias("return_rate")))
+
+
+def demand_yoy_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Demand planning rollup: monthly shipped quantity per part type
+    with the year-ago month (lag 12 over the aggregated series) and
+    YoY change — the seasonality view a replenishment planner reads.
+    One fact-side aggregate (map-side combinable) with the part dim
+    broadcast; the lag window runs on type × month rows, never the
+    fact table; YoY is an IEEE division of exact decimal-sourced
+    doubles."""
+    from pyspark.sql import Window
+
+    li = t["lineitem"].select("l_partkey", "l_shipdate", "l_quantity")
+    p = t["part"].select("p_partkey", "p_type")
+    m = (li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy("p_type",
+                  F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+         .agg(dsum("l_quantity").alias("qty")))
+    w = Window.partitionBy("p_type").orderBy("month")
+    ly = F.lag("qty", 12).over(w)
+    return m.select("p_type", "month", "qty",
+                    ly.alias("qty_last_year"),
+                    ((F.col("qty") - ly) / ly).alias("yoy"))

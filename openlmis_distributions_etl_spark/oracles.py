@@ -2874,3 +2874,18 @@ ORACLES.update({
         FROM per p JOIN supplier s ON p.l_suppkey = s.s_suppkey
     """,
 })
+
+ORACLES.update({
+    "demand_yoy_by_type": f"""
+        WITH m AS (
+          SELECT p.p_type, strftime(l.l_shipdate, '%Y-%m') AS month,
+                 {DSUM('l_quantity')} AS qty
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_type, strftime(l.l_shipdate, '%Y-%m'))
+        SELECT p_type, month, qty,
+               LAG(qty, 12) OVER w AS qty_last_year,
+               (qty - LAG(qty, 12) OVER w) / LAG(qty, 12) OVER w AS yoy
+        FROM m
+        WINDOW w AS (PARTITION BY p_type ORDER BY month)
+    """,
+})

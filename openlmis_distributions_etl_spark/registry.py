@@ -181,6 +181,7 @@ _OPERATORS = {
     "langid_confusion": text.langid_confusion,
     "hll_partitioned_union": analytics.hll_partitioned_union,
     "supplier_scorecard": relational.supplier_scorecard,
+    "demand_yoy_by_type": relational.demand_yoy_by_type,
 }
 
 
