@@ -49,6 +49,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # contract/smoke runs (tiny sf) set RUNS=1 WARMUP=0 to stay inside
+    # their subprocess timeout; driver-scale runs keep the steady-state
+    # default of 1 warmup + median-of-3
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -59,20 +64,22 @@ def main() -> None:
     # spin-up), then time the second pass. At production scale these
     # one-time costs amortize to zero against hours of execution; the
     # timed pass measures the plans.
-    for name in names:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if warmup:
+        for name in names:
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
 
-    # median of 3 timed runs per query: single-run numbers swing ±30%
+    # median of N timed runs per query: single-run numbers swing ±30%
     # on the heavy HOF queries from GC/JIT noise alone
     timings: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -15,7 +15,11 @@ REPO = Path(__file__).resolve().parent.parent
 def test_bench_emits_one_json_line():
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4")
+               SPARK_GRAFT_CPUS="4",
+               # single timed pass, no warmup: the contract under test
+               # is the output shape, not steady-state timing
+               SPARK_GRAFT_BENCH_RUNS="1",
+               SPARK_GRAFT_BENCH_WARMUP="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, timeout=300, cwd=REPO)
