@@ -540,3 +540,24 @@ def hll_partitioned_union(t: dict[str, DataFrame]) -> DataFrame:
                     (F.abs(F.col("est") - F.col("n_exact"))
                      <= 0.05 * F.col("n_exact")).cast("int")
                     .alias("ok_est")))
+
+
+def grouping_sets_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front-end — the mixed
+    shape ROLLUP/CUBE can't express: a detailed (status, priority)
+    breakdown plus a standalone priority margin plus the grand total,
+    in ONE scan. Catalyst expands the sets into a single Expand +
+    hash aggregate, so the fact still shuffles once (same plan family
+    as rollup_priority_status; completes the grouping-sets trio)."""
+    spark = t["orders"].sparkSession
+    t["orders"].createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """)

@@ -664,3 +664,36 @@ def demand_yoy_by_type(t: dict[str, DataFrame]) -> DataFrame:
     return m.select("p_type", "month", "qty",
                     ly.alias("qty_last_year"),
                     ((F.col("qty") - ly) / ly).alias("yoy"))
+
+
+def supplier_lead_time_gaps(t: dict[str, DataFrame]) -> DataFrame:
+    """Shipment-cadence report: per supplier, the day gaps between
+    consecutive shipments (lag over a fully deterministic
+    shipdate/orderkey/linenumber order) rolled up to count, average
+    and max — the replenishment-frequency signal a distributions
+    planner watches for supply interruptions.
+
+    One shuffle on l_suppkey; both the lag window and the aggregate
+    reuse that single partitioning. The gap average is an IEEE
+    division of an exact integer day sum (day gaps are integers, so
+    no float fold-order to pin), making the result engine-exact."""
+    from pyspark.sql import Window
+
+    li = t["lineitem"].select("l_suppkey", "l_shipdate", "l_orderkey",
+                              "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber")
+    gap = F.datediff("l_shipdate", F.lag("l_shipdate").over(w))
+    gaps = li.select("l_suppkey", gap.cast("long").alias("gap_days"))
+    per = (gaps.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("n_shipments"),
+                F.sum("gap_days").alias("sum_gap"),
+                F.count("gap_days").alias("n_gaps"),
+                F.max("gap_days").alias("max_gap_days")))
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (per.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("l_suppkey").alias("suppkey"), "s_name",
+                    "n_shipments",
+                    (F.col("sum_gap").cast("double") / F.col("n_gaps"))
+                    .alias("avg_gap_days"),
+                    "max_gap_days"))

@@ -1023,3 +1023,91 @@ def knn_filtered(t: dict[str, DataFrame], label: int = 1,
                     cosine(F.col("embedding"), F.col("q")).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
+
+
+def _dim_variances(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension variance (dim, var) via the two-level
+    order-canonical fold (see label_centroids): level 1 folds each
+    vec_id block's x and x² sorted by vec_id, level 2 folds block
+    partials in block order — exact the same double sequence DuckDB's
+    list_sum(... ORDER BY) runs, so the variance RANKING (all the
+    permutation below consumes) is engine-identical."""
+    e = (spread(t["embeddings"])
+         .select("vec_id", F.posexplode(F.col("embedding"))
+                 .alias("dim", "x")))
+    blk = (e.groupBy("dim", F.expr(f"vec_id DIV {MEAN_BLOCK}")
+                     .alias("blk"))
+           .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+                .alias("vs"),
+                F.count(F.lit(1)).alias("nb")))
+    bsum = F.aggregate(F.col("vs"), F.lit(0.0),
+                       lambda acc, s: acc + s["x"].cast("double"))
+    bsq = F.aggregate(F.col("vs"), F.lit(0.0),
+                      lambda acc, s: acc + s["x"].cast("double")
+                      * s["x"].cast("double"))
+    lvl1 = blk.select("dim", "blk", bsum.alias("bsum"),
+                      bsq.alias("bsq"), "nb")
+    g = (lvl1.groupBy("dim")
+         .agg(F.array_sort(F.collect_list(
+             F.struct("blk", "bsum", "bsq"))).alias("bs"),
+              F.sum("nb").alias("n")))
+    s = F.aggregate(F.col("bs"), F.lit(0.0),
+                    lambda acc, x: acc + x["bsum"])
+    sq = F.aggregate(F.col("bs"), F.lit(0.0),
+                     lambda acc, x: acc + x["bsq"])
+    n = F.col("n").cast("double")
+    return g.select("dim", (sq / n - (s / n) * (s / n)).alias("var"))
+
+
+def _balanced_perm(t: dict[str, DataFrame]) -> DataFrame:
+    """The OPQ-lite dimension permutation as ONE broadcastable row:
+    dims ranked by variance (desc, dim tie-break) and dealt to the
+    PQ_M subspaces in snake order — round r of the deal places its
+    dims left-to-right when r is even, right-to-left when odd, so
+    every subspace receives one dim from each variance octile. This
+    is the parametric-free slice of OPQ (Ge et al., CVPR'13): balance
+    the per-subspace variance so no codebook wastes its 16 codes on
+    near-constant dims while another starves.
+
+    The rank window is a single 64-row partition — constant-size
+    whatever the corpus, so the 'global window' is a non-issue."""
+    v = _dim_variances(t)
+    w = Window.orderBy(F.desc("var"), F.asc("dim"))
+    r = F.row_number().over(w) - 1
+    ranked = v.select("dim", r.alias("r"))
+    m = F.when((F.col("r").cast("long") % (2 * PQ_M)) < PQ_M,
+               F.col("r") % PQ_M) \
+         .otherwise(PQ_M - 1 - (F.col("r") % PQ_M))
+    pos = F.expr(f"r DIV {PQ_M}")
+    cells = ranked.select(m.cast("int").alias("m"),
+                          pos.cast("int").alias("pos"), "dim")
+    return (cells.agg(F.array_sort(F.collect_list(
+        F.struct("m", "pos", "dim"))).alias("cells"))
+        .select(F.transform(F.col("cells"), lambda c: c["dim"])
+                .alias("perm")))
+
+
+def pq_balanced_perm(t: dict[str, DataFrame]) -> DataFrame:
+    """Product quantization over variance-balanced permuted
+    dimensions (OPQ's free first step): permute dims so each of the
+    PQ_M subspaces gets an equal spread of high- and low-variance
+    dims, then encode exactly like pq_codes. Output (vec_id, m, code)
+    against the PERMUTED subspaces.
+
+    Scale shape: the permutation is learned from one embeddings scan
+    (two-level fold → 64 tiny rows → one 64-element broadcast array);
+    encoding stays the zero-shuffle in-row argmin fold. Nothing new
+    shuffles versus plain pq_codes."""
+    perm = _balanced_perm(t)
+    permuted = (spread(t["embeddings"])
+                .crossJoin(broadcast(perm))
+                .select("vec_id",
+                        F.transform(F.col("perm"),
+                                    lambda d: F.element_at(
+                                        F.col("embedding"),
+                                        d.cast("int") + 1))
+                        .alias("embedding")))
+    book = _pq_codebook({"embeddings": permuted})
+    return (permuted.crossJoin(broadcast(book))
+            .select("vec_id", F.posexplode(_pq_code_array())
+                    .alias("m", "code")))

@@ -790,3 +790,46 @@ def langid_confusion(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n") / F.col("n_actual")).alias("frac"),
                     ((F.col("lang") == F.col("pred_lang"))
                      .cast("int")).alias("is_correct")))
+
+
+def doc_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
+    """Lexical-diversity quality signal: per-doc Simpson concentration
+    Σ c_i² over token counts and its inverse N²/Σc_i² — the
+    "effective vocabulary size" (a doc repeating one word scores 1.0,
+    an all-distinct doc scores N). The entropy-family diversity
+    measure that stays ENGINE-EXACT: unlike Shannon entropy (p·ln p is
+    not bit-portable), Simpson's index is pure integer arithmetic
+    until one final IEEE division of two exactly-representable
+    bigints.
+
+    Zero shuffle: token counts never materialize as rows — the sorted
+    token array folds in-row with a (prev, run_length, acc) state,
+    adding run² at each run boundary (the run-length-encoding trick).
+    State is 3 scalars per row whatever the doc length."""
+    toks = tokens()
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("acc"))
+
+    def step(acc, x):
+        return F.when(
+            x == acc["prev"],
+            F.struct(x.alias("prev"),
+                     (acc["run"] + F.lit(1)).alias("run"),
+                     acc["acc"].alias("acc")),
+        ).otherwise(
+            F.struct(x.alias("prev"),
+                     F.lit(1).cast("long").alias("run"),
+                     (acc["acc"] + acc["run"] * acc["run"]).alias("acc")))
+
+    simpson = F.aggregate(F.array_sort(toks), init, step,
+                          lambda acc: acc["acc"] + acc["run"] * acc["run"])
+    d = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        simpson.alias("simpson_num"))
+    return (d.where(F.col("n_tokens") > 0)
+            .select("doc_id", "n_tokens", "simpson_num",
+                    ((F.col("n_tokens") * F.col("n_tokens")).cast("double")
+                     / F.col("simpson_num").cast("double"))
+                    .alias("inv_simpson")))

@@ -2889,3 +2889,105 @@ ORACLES.update({
         WINDOW w AS (PARTITION BY p_type ORDER BY month)
     """,
 })
+
+ORACLES.update({
+    "grouping_sets_report": f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """,
+    "supplier_lead_time_gaps": """
+        WITH g AS (
+          SELECT l_suppkey,
+                 date_diff('day', LAG(l_shipdate) OVER w, l_shipdate)
+                   AS gap_days
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        per AS (
+          SELECT l_suppkey, COUNT(*) AS n_shipments,
+                 CAST(SUM(gap_days) AS BIGINT) AS sum_gap,
+                 COUNT(gap_days) AS n_gaps,
+                 CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+          FROM g GROUP BY l_suppkey)
+        SELECT p.l_suppkey AS suppkey, s.s_name, p.n_shipments,
+               CAST(p.sum_gap AS DOUBLE) / p.n_gaps AS avg_gap_days,
+               p.max_gap_days
+        FROM per p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    """,
+    "doc_simpson_diversity": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS}) AS tk FROM documents),
+        cnt AS (
+          SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+        agg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c * c) AS BIGINT) AS simpson_num
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_tokens, simpson_num,
+               CAST(n_tokens * n_tokens AS DOUBLE)
+                 / CAST(simpson_num AS DOUBLE) AS inv_simpson
+        FROM agg
+    """,
+    # the permutation is derived from engine-exact per-dim variances
+    # (two-level ordered fold, same plan as label_centroids), so rank,
+    # snake assignment, permuted codebook and argmin codes all match
+    # the Spark operator bit-for-bit
+    "pq_balanced_perm": """
+        WITH e AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        blk AS (
+          SELECT dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 list_sum(list(x * x ORDER BY vec_id)) AS bsq,
+                 COUNT(*) AS nb
+          FROM e GROUP BY dim, blk),
+        vstat AS (
+          SELECT dim,
+                 list_sum(list(bsum ORDER BY blk)) AS s,
+                 list_sum(list(bsq ORDER BY blk)) AS sq,
+                 CAST(SUM(nb) AS BIGINT) AS n
+          FROM blk GROUP BY dim),
+        ranked AS (
+          SELECT dim,
+                 ROW_NUMBER() OVER (
+                   ORDER BY sq / n - (s / n) * (s / n) DESC, dim ASC
+                 ) - 1 AS r
+          FROM vstat),
+        assign AS (
+          SELECT dim,
+                 CASE WHEN (r % 16) < 8 THEN r % 8
+                      ELSE 7 - (r % 8) END AS m,
+                 r // 8 AS pos
+          FROM ranked),
+        pe AS (
+          SELECT e.vec_id, a.m, a.pos, e.x
+          FROM e JOIN assign a USING (dim)),
+        book AS (
+          SELECT vec_id AS code, m, list(x ORDER BY pos) AS cv
+          FROM pe WHERE vec_id < 16 GROUP BY vec_id, m),
+        sv AS (
+          SELECT vec_id, m, list(x ORDER BY pos) AS v
+          FROM pe GROUP BY vec_id, m),
+        scored AS (
+          SELECT sv.vec_id, sv.m, b.code,
+                 list_sum(list_transform(range(1, 9), i ->
+                   (sv.v[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+                   * (sv.v[CAST(i AS INT)] - b.cv[CAST(i AS INT)])))
+                   AS d
+          FROM sv JOIN book b ON sv.m = b.m),
+        codes AS (
+          SELECT vec_id, m, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d ASC, code ASC) AS rn
+          FROM scored)
+        SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code
+        FROM codes WHERE rn = 1
+    """,
+})

@@ -182,6 +182,12 @@ _OPERATORS = {
     "hll_partitioned_union": analytics.hll_partitioned_union,
     "supplier_scorecard": relational.supplier_scorecard,
     "demand_yoy_by_type": relational.demand_yoy_by_type,
+    # §2 round-4 wave 4: grouping sets, shipment cadence, Simpson
+    # diversity, OPQ-lite balanced-permutation PQ
+    "grouping_sets_report": analytics.grouping_sets_report,
+    "supplier_lead_time_gaps": relational.supplier_lead_time_gaps,
+    "doc_simpson_diversity": text.doc_simpson_diversity,
+    "pq_balanced_perm": similarity.pq_balanced_perm,
 }
 
 

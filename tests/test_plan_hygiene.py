@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "rq_codes",
     "language_mixture_weights",
     "near_dup_recall",
+    "pq_balanced_perm",   # broadcast perm row + broadcast codebook row
     "pq_codes",
     "q11_important_parts",
     "q22_dormant_high_balance",
