@@ -51,3 +51,18 @@ def read_text(spark: SparkSession, path: str,
     ingestion path; one `value` column, splits parallelize per file
     block like any file source."""
     return spark.read.option("wholetext", whole).text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Opaque-payload ingestion via Spark's binaryFile source: one row
+    per file with (path, modificationTime, length, content:binary) —
+    the lane that loads image/audio/video blobs into the multimodal
+    binary-column operators (operators/multimodal.py) without any
+    decode on the scan. Column pruning applies: a metadata-only query
+    (count by extension, byte totals) never reads `content`, so
+    planning stats over a 100 TB blob store touches only footers."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -496,3 +496,17 @@ def zscore_gate_stream(events: DataFrame, history: DataFrame,
             .select("event_id", "event_type", "value", "ts",
                     zcol.alias("zscore"))
             .where(F.abs(F.col("zscore")) > z))
+
+
+def sample_gate_stream(docs: DataFrame, pct: int = 10,
+                       salt: str = "split|") -> DataFrame:
+    """Streaming twin of operators.text.deterministic_sample: the
+    md5-bucket training-split gate applied at INGEST, so only the
+    sampled slice ever reaches storage (the down-sampling shape for
+    over-represented feeds). Deterministic per doc_id — replays and
+    micro-batch re-planning cannot change membership, which makes the
+    gate exactly-once-safe with no state store: stateless projection +
+    filter, no watermark, embarrassingly parallel at any rate."""
+    from ..operators.text import deterministic_sample
+
+    return deterministic_sample({"documents": docs}, pct=pct, salt=salt)

@@ -446,3 +446,23 @@ def test_versioned_shallow_clone(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(V.VersionConflictError):
         V.clone_versioned(src, dst)
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources.files import (
+        read_binary_files)
+
+    blobs = {"a.bin": b"\x89PNG\r\n" + bytes(range(64)),
+             "b.bin": b"RIFF" + b"\x00" * 32,
+             "skip.txt": b"not a blob"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == blobs["a.bin"]
+    assert rows["b.bin"]["length"] == len(blobs["b.bin"])
+    # metadata-only projection never deserializes content
+    meta = read_binary_files(spark, str(tmp_path), glob="*.bin") \
+        .select("path", "length")
+    assert meta.count() == 2

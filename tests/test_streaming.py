@@ -290,3 +290,15 @@ def test_zscore_gate_stream_matches_batch(spark):
     want = {r["event_id"]
             for r in analytics.event_value_zscores(t).collect()}
     assert set(got["event_id"]) == want and len(got) == len(want)
+
+
+def test_sample_gate_stream_matches_batch(spark):
+    from openlmis_distributions_etl_spark.operators import text
+
+    got = _run_available_now(
+        jobs.sample_gate_stream(jobs.read_documents_stream(spark, SF0001)),
+        "sample_gate_stream", spark, "append")
+    want = text.deterministic_sample(
+        load_tables(spark, SF0001, "documents")).toPandas()
+    assert 0 < len(want) < 500  # the gate actually filters
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
