@@ -1098,7 +1098,10 @@ def pq_balanced_perm(t: dict[str, DataFrame]) -> DataFrame:
     (two-level fold → 64 tiny rows → one 64-element broadcast array);
     encoding stays the zero-shuffle in-row argmin fold. Nothing new
     shuffles versus plain pq_codes."""
-    perm = _balanced_perm(t)
+    # the perm row feeds both the codebook build and the encoding
+    # scan; retained so the full-corpus variance fold runs ONCE, not
+    # once per consumer (plan-tree duplication has no auto-reuse)
+    perm = retain(_balanced_perm(t))
     permuted = (spread(t["embeddings"])
                 .crossJoin(broadcast(perm))
                 .select("vec_id",
