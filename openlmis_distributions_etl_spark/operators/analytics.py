@@ -561,3 +561,45 @@ def grouping_sets_report(t: dict[str, DataFrame]) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderpriority), ())
     """)
+
+
+SKEW_TOPN = 20
+SKEW_SPLITS = 32
+
+
+def join_key_skew_audit(t: dict[str, DataFrame],
+                        topn: int = SKEW_TOPN) -> DataFrame:
+    """Join-key heavy-hitter audit over lineitem.l_partkey: the top-N
+    hottest keys with their row share — the measurement that decides
+    whether a planned join needs salting / AQE skew handling BEFORE it
+    runs at 100 TB (a key holding >1% of a fact is a straggler task
+    waiting to happen).
+
+    Scale shape: one map-side-combinable count per key, then the
+    skew-proof two-phase global top-N over the AGGREGATED key counts
+    (rank within (key mod SKEW_SPLITS) sub-splits first — any global
+    top-N key is in its own split's top-N, so phase 2 ranks ≤32·N
+    rows exactly; the same superset-prefilter argument as
+    source_quota_sample, here protecting against KEY-COUNT cardinality
+    rather than row skew). Corpus totals ride in on one broadcast
+    row; the share is an IEEE division of exact counts."""
+    from pyspark.sql.functions import broadcast
+
+    counts = (t["lineitem"].groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    total = counts.agg(F.sum("cnt").alias("total"),
+                       F.count(F.lit(1)).alias("n_keys"))
+    sub = counts.withColumn(
+        "sub", F.pmod("l_partkey", F.lit(SKEW_SPLITS)).cast("int"))
+    w1 = Window.partitionBy("sub").orderBy(F.desc("cnt"),
+                                           F.asc("l_partkey"))
+    surv = (sub.withColumn("rk1", F.row_number().over(w1))
+            .where(F.col("rk1") <= topn))
+    w2 = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    top = (surv.select("l_partkey", "cnt",
+                       F.row_number().over(w2).alias("rank"))
+           .where(F.col("rank") <= topn))
+    return (top.crossJoin(broadcast(total))
+            .select("rank", F.col("l_partkey").alias("key"), "cnt",
+                    (F.col("cnt") / F.col("total")).alias("share"),
+                    "total", "n_keys"))

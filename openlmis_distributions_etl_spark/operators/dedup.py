@@ -807,3 +807,30 @@ def shingle_overlap_pairs(t: dict[str, DataFrame],
                     .alias("containment_a"),
                     (F.col("n_common") / F.col("n_b"))
                     .alias("containment_b")))
+
+
+def semantic_dup_lang_matrix(t: dict[str, DataFrame],
+                             threshold: float = 0.3) -> DataFrame:
+    """Cross-language semantic-duplication matrix: the embedding
+    near-dup pairs bucketed by unordered language pair — off-diagonal
+    cells are translations/paraphrases ACROSS languages, the
+    duplication no text-hash or shingle method can see, and the
+    signal that decides whether multilingual corpora need
+    cross-lingual dedup before training.
+
+    Scale shape: the pair stream (bucket-local LSH, never all-pairs)
+    joins a (doc_id, lang) lookup per side — id-keyed fixed-width
+    joins — then one tiny aggregate on the ≤|langs|² key space."""
+    from .similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(t, threshold)
+    langs = t["documents"].select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("vec_a"),
+                      F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("vec_b"),
+                      F.col("lang").alias("lang_b"))
+    return (pairs.join(la, "vec_a").join(lb, "vec_b")
+            .select(F.least("lang_a", "lang_b").alias("lang_lo"),
+                    F.greatest("lang_a", "lang_b").alias("lang_hi"))
+            .groupBy("lang_lo", "lang_hi")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -1114,3 +1114,43 @@ def pq_balanced_perm(t: dict[str, DataFrame]) -> DataFrame:
     return (permuted.crossJoin(broadcast(book))
             .select("vec_id", F.posexplode(_pq_code_array())
                     .alias("m", "code")))
+
+
+MRL_PREFIX_DIMS = (8, 16, 32)
+
+
+def matryoshka_prefix_eval(t: dict[str, DataFrame], k: int = TOP_K,
+                           dims: tuple[int, ...] = MRL_PREFIX_DIMS,
+                           ) -> DataFrame:
+    """Matryoshka (prefix-truncation) retrieval audit: recall@k of
+    cosine search over only the FIRST d dimensions against the
+    full-dim exact top-k, for each candidate truncation width — the
+    measurement that decides how far MRL-style embeddings can be cut
+    before the index quality drops (truncating to d is an 8×/4×/2×
+    scan-bytes saving at serving time).
+
+    Each prefix search is the brute-force plan with the fold shortened
+    to d terms: broadcast query row, map-side score, distributed
+    top-k; the recall join intersects two k-row frames. Everything
+    stays engine-exact — same fold order, same (cos DESC, vec_id)
+    tie-break as knn_bruteforce."""
+    exact = knn_bruteforce(t, k).select("vec_id")
+    e = spread(t["embeddings"])
+    q = _query_vector(t)
+    out: DataFrame | None = None
+    for d in dims:
+        pc = cosine(F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("q"), 1, d))
+        approx = (e.crossJoin(broadcast(q))
+                  .where(F.col("vec_id") != QUERY_VEC_ID)
+                  .select("vec_id", pc.alias("pcos"))
+                  .orderBy(F.desc("pcos"), F.asc("vec_id"))
+                  .limit(k)
+                  .select("vec_id"))
+        r = (exact.join(approx, "vec_id")
+             .agg(F.lit(d).alias("prefix_dim"),
+                  F.lit(k).alias("k"),
+                  F.count(F.lit(1)).cast("int").alias("n_hits"),
+                  (F.count(F.lit(1)) / k).alias("recall_at_k")))
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -2991,3 +2991,75 @@ ORACLES.update({
         FROM codes WHERE rn = 1
     """,
 })
+
+
+def _cos_pfx(a: str, b: str, d: int) -> str:
+    """Prefix-d cosine: the _cos fold truncated to the first d dims
+    (same left-to-right order, so prefix scores are bit-identical to
+    the Spark slice+fold)."""
+    dq = (f"list_sum(list_transform(range(1, {d + 1}), "
+          f"i -> CAST({{a}}[i] AS DOUBLE) * CAST({{b}}[i] AS DOUBLE)))")
+    return (f"({dq.format(a=a, b=b)} / "
+            f"(sqrt({dq.format(a=a, b=a)}) * sqrt({dq.format(a=b, b=b)})))")
+
+
+def _mrl_block(d: int) -> str:
+    return f"""
+        SELECT {d} AS prefix_dim, 10 AS k,
+               CAST(COUNT(*) AS INT) AS n_hits,
+               COUNT(*) / 10 AS recall_at_k
+        FROM mrl_exact e
+        JOIN (
+          SELECT vec_id FROM embeddings, mrl_q
+          WHERE vec_id <> 0
+          ORDER BY {_cos_pfx('embedding', 'q', d)} DESC, vec_id ASC
+          LIMIT 10
+        ) a USING (vec_id)"""
+
+
+ORACLES.update({
+    "matryoshka_prefix_eval": f"""
+        WITH mrl_q AS (
+          SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        mrl_exact AS (
+          SELECT vec_id FROM embeddings, mrl_q
+          WHERE vec_id <> 0
+          ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC
+          LIMIT 10)
+        {_mrl_block(8)}
+        UNION ALL {_mrl_block(16)}
+        UNION ALL {_mrl_block(32)}
+    """,
+    "semantic_dup_lang_matrix": f"""
+        WITH {_PAIR_CTE},
+        spairs AS (
+          SELECT vec_a, vec_b FROM cand
+          JOIN norm a ON vec_a = a.vec_id
+          JOIN norm b ON vec_b = b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3)
+        SELECT LEAST(la.lang, lb.lang) AS lang_lo,
+               GREATEST(la.lang, lb.lang) AS lang_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM spairs p
+        JOIN documents la ON p.vec_a = la.doc_id
+        JOIN documents lb ON p.vec_b = lb.doc_id
+        GROUP BY LEAST(la.lang, lb.lang), GREATEST(la.lang, lb.lang)
+    """,
+    "join_key_skew_audit": """
+        WITH c AS (
+          SELECT l_partkey, COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 COUNT(*) AS n_keys FROM c),
+        ranked AS (
+          SELECT l_partkey, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey ASC)
+                   AS rank
+          FROM c)
+        SELECT r.rank, r.l_partkey AS key, r.cnt,
+               r.cnt / t.total AS share, t.total, t.n_keys
+        FROM ranked r, tot t
+        WHERE r.rank <= 20
+    """,
+})

@@ -1,0 +1,78 @@
+"""Incremental aggregate maintenance over the versioned table format
+(SURVEY.md §2.B).
+
+The 100 TB reporting pattern: a month × segment rollup is far cheaper
+to MAINTAIN than to recompute — when a day's ingest lands, only the
+months its rows touch can have changed, so the update recomputes those
+months from the fact and MERGEs them into the rollup table, leaving
+every other month's rows untouched. The change feed (read_changes)
+bounds the "which months moved" probe to the delta files only; the
+recompute reads the fact filtered to the affected months (on a
+month-partitioned production fact that filter is partition pruning —
+here it is a predicate, documented trade), and the merge is the
+versioned format's keyed upsert, so a concurrent writer conflicts
+loudly instead of losing the update.
+
+Correct under arbitrary appends including LATE data: recomputing an
+affected month from the full fact (not just the delta) makes the
+update idempotent and order-insensitive — re-running it after any
+interleaving of appends converges to the full-recompute answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import dsum, month_key
+from ..sources.versioned import (merge_upsert_versioned, read_changes,
+                                 read_versioned, versions, write_versioned)
+
+
+def _month_segment_rollup(orders: DataFrame,
+                          customer: DataFrame) -> DataFrame:
+    """The same plan as plans.star.monthly_sales_rollup, taking the
+    fact as a DataFrame so it runs against any snapshot/filter."""
+    return (orders
+            .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(month_key("o_orderdate").alias("month"),
+                     "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total_value")))
+
+
+def init_rollup(spark: SparkSession, fact_path: str, rollup_path: str,
+                customer: DataFrame) -> int:
+    """Materialize the rollup table from the fact's current version."""
+    orders = read_versioned(spark, fact_path)
+    return write_versioned(_month_segment_rollup(orders, customer),
+                           rollup_path, mode="overwrite")
+
+
+def incremental_rollup_update(spark: SparkSession, fact_path: str,
+                              rollup_path: str, customer: DataFrame,
+                              since_version: int) -> int:
+    """Fold every fact version after ``since_version`` into the
+    rollup: probe the delta for touched months (a distinct over the
+    delta only — rows proportional to the ingest, never the table),
+    recompute those months from the full fact, keyed-merge into the
+    rollup. Returns the rollup's new version (or its current one when
+    the delta is empty).
+
+    The touched-month list is collected to the driver: it is bounded
+    by the calendar (a 100-year fact has ~1200 months), not by data
+    volume — the same cardinality argument that makes month a sane
+    partition key."""
+    delta = read_changes(spark, fact_path, since_version)
+    months = [r["month"] for r in
+              delta.select(month_key("o_orderdate").alias("month"))
+              .distinct().collect()]
+    if not months:
+        return versions(rollup_path)[-1]
+    fact = read_versioned(spark, fact_path)
+    affected = fact.where(month_key("o_orderdate").isin(months))
+    updated = _month_segment_rollup(affected, customer)
+    return merge_upsert_versioned(spark, rollup_path, updated,
+                                  ["month", "c_mktsegment"])

@@ -188,6 +188,9 @@ _OPERATORS = {
     "supplier_lead_time_gaps": relational.supplier_lead_time_gaps,
     "doc_simpson_diversity": text.doc_simpson_diversity,
     "pq_balanced_perm": similarity.pq_balanced_perm,
+    "matryoshka_prefix_eval": similarity.matryoshka_prefix_eval,
+    "semantic_dup_lang_matrix": dedup.semantic_dup_lang_matrix,
+    "join_key_skew_audit": analytics.join_key_skew_audit,
 }
 
 

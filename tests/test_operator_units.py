@@ -690,3 +690,44 @@ def test_pq_balanced_perm_codes_shape(spark):
     rows = out.collect()
     assert len(rows) == n_vecs * PQ_M
     assert all(0 <= r["code"] < PQ_K for r in rows)
+
+
+def test_matryoshka_full_width_prefix_is_exact(spark):
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        matryoshka_prefix_eval)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    row = matryoshka_prefix_eval(t, dims=(64,)).collect()[0]
+    assert row["prefix_dim"] == 64
+    assert row["n_hits"] == row["k"] and row["recall_at_k"] == 1.0
+
+
+def test_semantic_dup_lang_matrix_covers_all_pairs(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        semantic_dup_lang_matrix)
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    cells = semantic_dup_lang_matrix(t).collect()
+    n_pairs = embedding_near_dup_pairs(t).count()
+    assert sum(r["n_pairs"] for r in cells) == n_pairs > 0
+    assert all(r["lang_lo"] <= r["lang_hi"] for r in cells)
+
+
+def test_join_key_skew_audit_ranks_and_shares(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        join_key_skew_audit)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = sorted(join_key_skew_audit(t).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    # counts non-increasing in rank; shares consistent with totals
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    total = rows[0]["total"]
+    li_rows = t["lineitem"].count()
+    assert total == li_rows
+    assert abs(sum(r["share"] for r in rows)
+               - sum(cnts) / total) < 1e-12

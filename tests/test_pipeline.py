@@ -109,3 +109,43 @@ def test_export_training_shards_layout(spark, tmp_path):
         assert pos == list(range(1, len(pos) + 1)), d.name
         seen += len(pos)
     assert seen == n_docs
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        _month_segment_rollup, incremental_rollup_update, init_rollup)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, versions, write_versioned)
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    orders, customer = t["orders"], t["customer"]
+    fact = str(tmp_path / "fact")
+    rollup = str(tmp_path / "rollup")
+
+    # v0: the first half of the fact; rollup initialized from it
+    write_versioned(orders.where(F.col("o_orderkey") % 2 == 0), fact)
+    base_fact_version = versions(fact)[-1]
+    init_rollup(spark, fact, rollup, customer)
+
+    # append the second half — includes LATE rows for months already
+    # present in v0, the case a delta-only rollup would get wrong
+    write_versioned(orders.where(F.col("o_orderkey") % 2 == 1), fact,
+                    mode="append")
+    incremental_rollup_update(spark, fact, rollup, customer,
+                              since_version=base_fact_version)
+
+    got = read_versioned(spark, rollup).toPandas() \
+        .sort_values(["month", "c_mktsegment"]).reset_index(drop=True)
+    want = _month_segment_rollup(orders, customer).toPandas() \
+        .sort_values(["month", "c_mktsegment"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+
+    # empty delta → no new rollup version
+    v_before = versions(rollup)[-1]
+    assert incremental_rollup_update(
+        spark, fact, rollup, customer,
+        since_version=versions(fact)[-1]) == v_before
+    assert versions(rollup)[-1] == v_before

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "knn_lsh",
     "knn_lsh_recall",
     "knn_pq_adc",
+    "matryoshka_prefix_eval",  # broadcast query row per prefix width
+    "join_key_skew_audit",     # broadcast corpus-totals row
     "knn_pq_refine",
     "knn_ivf_pq",
     "pq_codebook_trained",
