@@ -510,3 +510,41 @@ def sample_gate_stream(docs: DataFrame, pct: int = 10,
     from ..operators.text import deterministic_sample
 
     return deterministic_sample({"documents": docs}, pct=pct, salt=salt)
+
+
+def stream_maintain_rollup(orders: DataFrame, fact_path: str,
+                           rollup_path: str, customer: DataFrame,
+                           checkpoint_dir: str):
+    """Streaming ingest + incremental aggregate maintenance: each
+    micro-batch (a) lands in the versioned fact exactly-once (txn
+    ledger absorbs checkpoint-recovery replays) and (b) folds ONLY the
+    months it touched into the month × segment rollup via
+    plans.incremental — the continuous version of the nightly
+    maintain-don't-recompute pattern, so the serving rollup lags
+    ingest by one micro-batch, not one batch window.
+
+    Idempotent in VALUE under replay: the fact append is a txn no-op
+    and the rollup update recomputes affected months from the fact
+    (converging to the same rows; it may commit an extra rollup
+    version, which snapshot isolation makes harmless). The first
+    batch initializes the rollup with a full build."""
+    from ..plans.incremental import (incremental_rollup_update,
+                                     init_rollup)
+    from ..sources.versioned import versions, write_versioned
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        existing = versions(fact_path)
+        base = existing[-1] if existing else None
+        write_versioned(batch, fact_path, mode="append",
+                        txn=f"rollup-maint-{batch_id}")
+        if base is None or not versions(rollup_path):
+            init_rollup(spark, fact_path, rollup_path, customer)
+        else:
+            incremental_rollup_update(spark, fact_path, rollup_path,
+                                      customer, since_version=base)
+
+    return (orders.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

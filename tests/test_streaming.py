@@ -302,3 +302,32 @@ def test_sample_gate_stream_matches_batch(spark):
         load_tables(spark, SF0001, "documents")).toPandas()
     assert 0 < len(want) < 500  # the gate actually filters
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_maintain_rollup_matches_batch(spark, tmp_path):
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        _month_segment_rollup)
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned)
+
+    t = load_tables(spark, SF0001)
+    orders, customer = t["orders"], t["customer"]
+    src = str(tmp_path / "src")
+    # two source files → two micro-batches under maxFilesPerTrigger=1
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = jobs.stream_maintain_rollup(
+        stream, str(tmp_path / "fact"), str(tmp_path / "rollup"),
+        customer, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = read_versioned(spark, str(tmp_path / "rollup")).toPandas()
+    want = _month_segment_rollup(orders, customer).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    # the fact holds exactly the streamed rows
+    assert read_versioned(spark, str(tmp_path / "fact")).count() \
+        == orders.count()
