@@ -697,3 +697,58 @@ def supplier_lead_time_gaps(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("sum_gap").cast("double") / F.col("n_gaps"))
                     .alias("avg_gap_days"),
                     "max_gap_days"))
+
+
+BACKLOG_BUCKETS = ((0, 30, "0-30d"), (31, 90, "31-90d"),
+                   (91, 365, "91-365d"))
+
+
+def orders_backlog_aging(t: dict[str, DataFrame]) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O' bucketed
+    by age (days from order date to the corpus's latest order date —
+    the 'as of' anchor a snapshot report uses), per priority — the
+    distribution-center workload view that shows where fulfilment is
+    falling behind.
+
+    One broadcast singleton (the anchor date) + one map-side bucket
+    projection + one small-key aggregate; ages are integer days and
+    value sums are exact decimals, so the report is engine-exact."""
+    o = t["orders"].select("o_orderkey", "o_orderstatus",
+                           "o_orderpriority", "o_orderdate",
+                           "o_totalprice")
+    anchor = o.agg(F.max("o_orderdate").alias("asof"))
+    age = F.datediff(F.col("asof"), F.col("o_orderdate"))
+    bucket = F.lit("365d+")
+    for lo, hi, label in reversed(BACKLOG_BUCKETS):
+        bucket = F.when((age >= lo) & (age <= hi), F.lit(label)) \
+                  .otherwise(bucket)
+    return (o.where(F.col("o_orderstatus") == "O")
+            .crossJoin(F.broadcast(anchor))
+            .select("o_orderpriority", bucket.alias("age_bucket"),
+                    "o_totalprice")
+            .groupBy("o_orderpriority", "age_bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("backlog_value")))
+
+
+def return_rate_by_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """Return-rate quality report per part brand: line counts, return
+    counts/rate, and the decimal-exact revenue lost to returned lines
+    — the supplier-quality slice a distributions QA team reviews.
+    One fact shuffle on the small brand key space (map-side combine),
+    part dim broadcast; the rate is an IEEE division of exact
+    counts."""
+    li = t["lineitem"].select("l_partkey", "l_returnflag",
+                              disc_price().alias("dp"))
+    p = t["part"].select("p_partkey", "p_brand")
+    j = li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(ret).alias("n_returned"),
+                 dsum_of(F.when(F.col("l_returnflag") == "R",
+                                F.col("dp"))).alias("returned_revenue"))
+            .select("p_brand", "n_lines", "n_returned",
+                    (F.col("n_returned") / F.col("n_lines"))
+                    .alias("return_rate"),
+                    "returned_revenue"))

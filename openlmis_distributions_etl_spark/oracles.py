@@ -3063,3 +3063,40 @@ ORACLES.update({
         WHERE r.rank <= 20
     """,
 })
+
+ORACLES.update({
+    "orders_backlog_aging": f"""
+        WITH anchor AS (
+          SELECT MAX(o_orderdate) AS asof_date FROM orders),
+        b AS (
+          SELECT o_orderpriority,
+                 CASE WHEN date_diff('day', o_orderdate, asof_date)
+                        BETWEEN 0 AND 30 THEN '0-30d'
+                      WHEN date_diff('day', o_orderdate, asof_date)
+                        BETWEEN 31 AND 90 THEN '31-90d'
+                      WHEN date_diff('day', o_orderdate, asof_date)
+                        BETWEEN 91 AND 365 THEN '91-365d'
+                      ELSE '365d+' END AS age_bucket,
+                 o_totalprice
+          FROM orders, anchor
+          WHERE o_orderstatus = 'O')
+        SELECT o_orderpriority, age_bucket,
+               COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS backlog_value
+        FROM b GROUP BY o_orderpriority, age_bucket
+    """,
+    "return_rate_by_brand": f"""
+        SELECT p.p_brand,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+                 / COUNT(*) AS return_rate,
+               CAST(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                  THEN {DISC_PRICE} END)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS returned_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+})

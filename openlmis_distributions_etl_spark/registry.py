@@ -191,6 +191,8 @@ _OPERATORS = {
     "matryoshka_prefix_eval": similarity.matryoshka_prefix_eval,
     "semantic_dup_lang_matrix": dedup.semantic_dup_lang_matrix,
     "join_key_skew_audit": analytics.join_key_skew_audit,
+    "orders_backlog_aging": relational.orders_backlog_aging,
+    "return_rate_by_brand": relational.return_rate_by_brand,
 }
 
 

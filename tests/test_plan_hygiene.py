@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "rq_codes",
     "language_mixture_weights",
     "near_dup_recall",
+    "orders_backlog_aging",    # broadcast as-of anchor-date row
     "pq_balanced_perm",   # broadcast perm row + broadcast codebook row
     "pq_codes",
     "q11_important_parts",
