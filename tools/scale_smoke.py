@@ -39,6 +39,14 @@ OPS = (
     "source_quota_sample",
     "deterministic_shuffle",
     "shingle_overlap_pairs",
+    "doc_simpson_diversity",
+    # embedding-side (replicated embeddings; identical copies make the
+    # near-dup PAIR count grow ~copies² per original vector — output-
+    # driven growth by construction, what the smoke is checking is
+    # that the PLAN stays bucket-local with no broadcast blowup)
+    "pq_balanced_perm",
+    "matryoshka_prefix_eval",
+    "semantic_dup_lang_matrix",
 )
 
 
@@ -63,6 +71,16 @@ def main() -> None:
     big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     total = spark.read.parquet(f"{tmp}/documents.parquet").count()
     print(f"corpus: {total} docs ({n_copies}x sf0.1) at {tmp}")
+
+    esrc = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_vec = esrc.count()
+    ebig = None
+    for i in range(n_copies):
+        part = esrc.select((F.col("vec_id") + i * n_vec).alias("vec_id"),
+                           "embedding", "label")
+        ebig = part if ebig is None else ebig.unionByName(part)
+    ebig.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    print(f"embeddings: {n_vec * n_copies} vectors")
 
     qs = registry.queries()
     for name in OPS:
