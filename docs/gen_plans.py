@@ -28,6 +28,9 @@ FLAGSHIPS = (
     "knn_ivf_pq",
     "rfm_segments",
     "deterministic_shuffle",
+    "pq_balanced_perm",
+    "doc_simpson_diversity",
+    "join_key_skew_audit",
 )
 
 

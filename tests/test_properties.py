@@ -194,3 +194,55 @@ def test_bloom_prefilter_agrees_with_exact_dedup(spark, texts):
     assert {k: v[1] for k, v in got.items()} == want
     for hit, is_dup in got.values():
         assert not (is_dup == 1 and hit == 0)
+
+
+@PROP
+@given(texts_strategy)
+def test_simpson_diversity_bounds(spark, texts):
+    from openlmis_distributions_etl_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = T.doc_simpson_diversity({"documents": docs}).collect()
+    nonempty = [t for t in texts if t.strip()]
+    assert len(out) == len(nonempty)
+    for r in out:
+        n, s, inv = r["n_tokens"], r["simpson_num"], r["inv_simpson"]
+        toks = texts[r["doc_id"]].split()
+        # Σc² computed per-token must equal the brute-force count
+        from collections import Counter
+        assert s == sum(c * c for c in Counter(t for t in toks if t).values())
+        # 1 ≤ inv_simpson ≤ n_tokens (equality at the extremes)
+        assert n <= s <= n * n
+        assert 1.0 - 1e-12 <= inv <= n + 1e-12
+
+
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 6),         # suppkey
+                          st.integers(0, 400)),      # day offset
+                min_size=1, max_size=40))
+def test_lead_time_gap_sum_telescopes(spark, rows):
+    from openlmis_distributions_etl_spark.operators import relational
+    li = spark.createDataFrame(
+        [(i, sk, i, 1, BASE.date() + dt.timedelta(days=d))
+         for i, (sk, d) in enumerate(rows)],
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_linenumber int, l_shipdate date")
+    sup = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(7)], "s_suppkey long, s_name string")
+    out = relational.supplier_lead_time_gaps(
+        {"lineitem": li, "supplier": sup}).collect()
+    per: dict[int, list[int]] = {}
+    for i, (sk, d) in enumerate(rows):
+        per.setdefault(sk, []).append(d)
+    for r in out:
+        days = sorted(per[r["suppkey"]])
+        assert r["n_shipments"] == len(days)
+        if len(days) == 1:
+            assert r["avg_gap_days"] is None
+        else:
+            # consecutive gaps telescope: avg = (last-first)/(n-1)
+            want = (days[-1] - days[0]) / (len(days) - 1)
+            assert abs(r["avg_gap_days"] - want) < 1e-9
+            assert r["max_gap_days"] >= want - 1e-9
