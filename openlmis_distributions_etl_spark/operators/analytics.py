@@ -603,3 +603,73 @@ def join_key_skew_audit(t: dict[str, DataFrame],
             .select("rank", F.col("l_partkey").alias("key"), "cnt",
                     (F.col("cnt") / F.col("total")).alias("share"),
                     "total", "n_keys"))
+
+
+ABC_BUCKETS = 16
+
+
+def abc_classification(t: dict[str, DataFrame]) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue with the
+    cumulative revenue share — class A holds the first 80% of revenue,
+    B the next 15%, C the tail (the Pareto cut every warehouse uses to
+    set stocking policy).
+
+    The interesting scale problem is the CUMULATIVE sum: a single
+    ORDER BY window funnels every part through one task. This plan
+    runs a DISTRIBUTED PREFIX SUM instead — (1) revenue per part (one
+    map-side-combinable shuffle), (2) parts bucketed by revenue range
+    via broadcast exact-percentile fences (bucket order is consistent
+    with the global revenue order by construction: the bucket test is
+    monotone in revenue, and equal revenues land in one bucket),
+    (3) per-bucket totals → exclusive running offsets over the ≤16
+    bucket rows (constant-size window), (4) in-bucket prefix sums
+    (partitioned window, each ~1/16 of parts) plus the bucket offset =
+    the exact global cumulative. At production scale the bucket count
+    scales with the cluster; no task ever sees more than
+    parts/buckets rows.
+
+    Exactness: every cumulation is DECIMAL (order-independent), so the
+    decomposed prefix equals the oracle's single-window prefix
+    bit-for-bit; the A/B/C cut compares decimals scaled by 100/80/95
+    (pure integer-decimal arithmetic), and only the cosmetic
+    share_cum column divides through doubles."""
+    from ..functions import disc_price
+
+    rev = (t["lineitem"]
+           .groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(F.sum(disc_price()).cast("decimal(38,6)").alias("rev")))
+    fences = rev.agg(*[
+        F.expr(f"percentile(rev, {i / ABC_BUCKETS})").alias(f"f{i}")
+        for i in range(1, ABC_BUCKETS)])
+    b = F.lit(0)
+    for i in range(1, ABC_BUCKETS):
+        b = b + (F.col("rev") > F.col(f"f{i}")).cast("int")
+    bucketed = (rev.crossJoin(F.broadcast(fences))
+                .select("partkey", "rev", b.alias("bkt")))
+    bt = (bucketed.groupBy("bkt")
+          .agg(F.sum("rev").cast("decimal(38,6)").alias("btot")))
+    wo = (Window.orderBy(F.desc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("btot").over(wo),
+                   F.lit(0).cast("decimal(38,6)")).alias("off"))
+    tot = rev.agg(F.sum("rev").cast("decimal(38,6)").alias("total"))
+    win = (Window.partitionBy("bkt")
+           .orderBy(F.desc("rev"), F.asc("partkey"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), "bkt")
+           .select("partkey", "rev",
+                   (F.sum("rev").over(win) + F.col("off"))
+                   .cast("decimal(38,6)").alias("cum")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("partkey",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.col("cum").cast("double").alias("cum_revenue"),
+                    (F.col("cum").cast("double")
+                     / F.col("total").cast("double")).alias("share_cum"),
+                    F.when(F.col("cum") * 100 <= F.col("total") * 80,
+                           "A")
+                    .when(F.col("cum") * 100 <= F.col("total") * 95,
+                          "B")
+                    .otherwise("C").alias("abc_class")))

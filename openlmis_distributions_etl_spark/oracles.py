@@ -3100,3 +3100,33 @@ ORACLES.update({
         GROUP BY p.p_brand
     """,
 })
+
+ORACLES.update({
+    # single-window prefix (the oracle's luxury); the Spark plan's
+    # bucket-decomposed prefix equals it bit-for-bit because every
+    # cumulation is decimal
+    "abc_classification": f"""
+        WITH rev AS (
+          SELECT l_partkey AS partkey,
+                 CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6)) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (
+          SELECT CAST(SUM(rev) AS DECIMAL(38,6)) AS total FROM rev),
+        cum AS (
+          SELECT partkey, rev,
+                 CAST(SUM(rev) OVER (
+                   ORDER BY rev DESC, partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,6)) AS cum
+          FROM rev)
+        SELECT c.partkey,
+               CAST(c.rev AS DOUBLE) AS revenue,
+               CAST(c.cum AS DOUBLE) AS cum_revenue,
+               CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 AS share_cum,
+               CASE WHEN c.cum * 100 <= t.total * 80 THEN 'A'
+                    WHEN c.cum * 100 <= t.total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum c, tot t
+    """,
+})

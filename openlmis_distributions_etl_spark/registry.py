@@ -193,6 +193,7 @@ _OPERATORS = {
     "join_key_skew_audit": analytics.join_key_skew_audit,
     "orders_backlog_aging": relational.orders_backlog_aging,
     "return_rate_by_brand": relational.return_rate_by_brand,
+    "abc_classification": analytics.abc_classification,
 }
 
 

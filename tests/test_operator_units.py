@@ -731,3 +731,22 @@ def test_join_key_skew_audit_ranks_and_shares(spark):
     assert total == li_rows
     assert abs(sum(r["share"] for r in rows)
                - sum(cnts) / total) < 1e-12
+
+
+def test_abc_classification_prefix_decomposition_exact(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        abc_classification)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = sorted(abc_classification(t).collect(),
+                  key=lambda r: (-r["revenue"], r["partkey"]))
+    # cumulative is strictly increasing and ends at the grand total
+    cums = [r["cum_revenue"] for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - sum(r["revenue"] for r in rows)) < 1e-6
+    assert abs(rows[-1]["share_cum"] - 1.0) < 1e-12
+    # classes partition the ranked sequence in order A..B..C
+    classes = "".join(r["abc_class"] for r in rows)
+    assert classes == ("A" * classes.count("A") + "B" * classes.count("B")
+                       + "C" * classes.count("C"))
+    assert set(classes) == {"A", "B", "C"}

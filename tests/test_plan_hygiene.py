@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "knn_filtered",
     "knn_ivf_trained",
     "knn_lsh",
+    "abc_classification",      # broadcast fences + totals rows
     "knn_lsh_recall",
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width
