@@ -834,3 +834,38 @@ def semantic_dup_lang_matrix(t: dict[str, DataFrame],
                     F.greatest("lang_a", "lang_b").alias("lang_hi"))
             .groupBy("lang_lo", "lang_hi")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def minhash_pair_precision(t: dict[str, DataFrame],
+                           threshold: float = 0.5) -> DataFrame:
+    """Precision of the MinHash-LSH candidate pairs against exact
+    3-gram Jaccard ≥ τ — the companion to the recall harnesses
+    (`knn_lsh_recall`, `near_dup_recall`): recall says what the index
+    misses, precision says how much verify work the candidate stream
+    wastes, and together they justify a band configuration before it
+    ships.
+
+    The shingle-set join-back runs over the CANDIDATE stream only
+    (LSH output, bucket-bounded) — the eval-harness context where an
+    array-payload join is the right tool; the corpus itself is never
+    pair-joined. The τ test is exact integer arithmetic
+    (2·|A∩B| ≥ |A∪B| for τ = ½), so the flag is engine-exact and the
+    only float is the final precision division."""
+    pairs = minhash_lsh_pairs(t)
+    sets_ = retain(pin(_with_shingles(t),
+                       sh=F.array_distinct(F.col("shingles")))
+                   .select("doc_id", "sh"))
+    a = sets_.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    true_pair = (inter * 2 >= union).cast("long")
+    return (j.select(true_pair.alias("tp"))
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum("tp").alias("n_true"))
+            .select("n_candidates", "n_true",
+                    (F.col("n_true") / F.col("n_candidates"))
+                    .alias("precision")))

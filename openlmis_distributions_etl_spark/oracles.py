@@ -3130,3 +3130,33 @@ ORACLES.update({
         FROM cum c, tot t
     """,
 })
+
+ORACLES.update({
+    "minhash_pair_precision": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        dsh AS (
+          SELECT doc_id, list_distinct({SHINGLES}) AS sh
+          FROM (SELECT doc_id, {TOKS} AS toks FROM documents)),
+        flags AS (
+          SELECT CASE WHEN 2 * len(list_intersect(x.sh, y.sh))
+                        >= len(x.sh) + len(y.sh)
+                           - len(list_intersect(x.sh, y.sh))
+                      THEN 1 ELSE 0 END AS tp
+          FROM cpairs p
+          JOIN dsh x ON p.doc_a = x.doc_id
+          JOIN dsh y ON p.doc_b = y.doc_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(tp) AS BIGINT) AS n_true,
+               SUM(tp) / COUNT(*) AS precision
+        FROM flags
+    """,
+})

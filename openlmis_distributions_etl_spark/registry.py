@@ -194,6 +194,7 @@ _OPERATORS = {
     "orders_backlog_aging": relational.orders_backlog_aging,
     "return_rate_by_brand": relational.return_rate_by_brand,
     "abc_classification": analytics.abc_classification,
+    "minhash_pair_precision": dedup.minhash_pair_precision,
 }
 
 

@@ -750,3 +750,15 @@ def test_abc_classification_prefix_decomposition_exact(spark):
     assert classes == ("A" * classes.count("A") + "B" * classes.count("B")
                        + "C" * classes.count("C"))
     assert set(classes) == {"A", "B", "C"}
+
+
+def test_minhash_pair_precision_bounds(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_pair_precision)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    row = minhash_pair_precision(t).collect()[0]
+    assert row["n_candidates"] == minhash_lsh_pairs(t).count() > 0
+    assert 0 <= row["n_true"] <= row["n_candidates"]
+    assert abs(row["precision"]
+               - row["n_true"] / row["n_candidates"]) < 1e-15
