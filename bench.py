@@ -43,6 +43,8 @@ HEADLINE = [
     "bloom_prefilter_dedup",
     "source_quota_sample",
     "deterministic_shuffle",
+    "doc_simpson_diversity",
+    "abc_classification",
 ]
 
 

@@ -634,10 +634,15 @@ def abc_classification(t: dict[str, DataFrame]) -> DataFrame:
     (pure integer-decimal arithmetic), and only the cosmetic
     share_cum column divides through doubles."""
     from ..functions import disc_price
+    from ..functions.cache import retain
 
-    rev = (t["lineitem"]
-           .groupBy(F.col("l_partkey").alias("partkey"))
-           .agg(F.sum(disc_price()).cast("decimal(38,6)").alias("rev")))
+    # retained: the per-part revenue feeds FOUR consumers (fences,
+    # bucketing, bucket totals, grand total) — without the cache the
+    # lineitem aggregate re-executes once per consumer
+    rev = retain(t["lineitem"]
+                 .groupBy(F.col("l_partkey").alias("partkey"))
+                 .agg(F.sum(disc_price()).cast("decimal(38,6)")
+                      .alias("rev")))
     fences = rev.agg(*[
         F.expr(f"percentile(rev, {i / ABC_BUCKETS})").alias(f"f{i}")
         for i in range(1, ABC_BUCKETS)])
