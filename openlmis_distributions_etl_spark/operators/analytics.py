@@ -692,3 +692,122 @@ def abc_classification(t: dict[str, DataFrame]) -> DataFrame:
                     .when(F.col("cum") * 100 <= F.col("total") * 95,
                           "B")
                     .otherwise("C").alias("abc_class")))
+
+
+KS_BUCKETS = 16
+KS_GROUP_A = "click"
+KS_GROUP_B = "purchase"
+
+
+def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    `value` distributions of two event types — the detector a data
+    pipeline runs between yesterday's corpus and today's before
+    letting a feed into training.
+
+    Scale shape: the ECDFs are built with the same DISTRIBUTED PREFIX
+    SUM as abc_classification — (1) per-distinct-value counts for
+    both groups (one map-side-combinable shuffle, cardinality =
+    distinct values, not rows), (2) approx-percentile fences bucket
+    the value axis (fence placement only affects balance; the bucket
+    test is monotone so cumulative order is preserved), (3) per-bucket
+    totals → exclusive offsets over ≤16 rows, (4) in-bucket running
+    counts + offset = exact global cumulative counts fa, fb. No
+    single-task ORDER BY window ever sees the full value axis.
+
+    Exactness: fa, fb, na, nb are integers; the KS numerator
+    |fa·nb − fb·na| is computed in DECIMAL(38,0) (na·nb overflows
+    bigint at 100 TB row counts), so the max and its arg are exact —
+    only the final ks_stat division goes through doubles. at_value is
+    the smallest value attaining the max (deterministic tie-break)."""
+    ev = (t["events"]
+          .where(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+                 & F.col("value").isNotNull())
+          .select("event_type", "value"))
+    from ..functions.cache import retain
+    pts = retain(ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_GROUP_A, 1)
+              .otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_GROUP_B, 1)
+              .otherwise(0)).alias("cb")))
+    pcts = ",".join(str(i / KS_BUCKETS) for i in range(1, KS_BUCKETS))
+    fences = pts.agg(F.expr(
+        f"approx_percentile(value, array({pcts}))").alias("fa_"))
+    b = F.lit(0)
+    for i in range(1, KS_BUCKETS):
+        b = b + (F.col("value") > F.element_at("fa_", i)).cast("int")
+    bucketed = (pts.crossJoin(F.broadcast(fences))
+                .select("value", "ca", "cb", b.alias("bkt")))
+    bt = bucketed.groupBy("bkt").agg(F.sum("ca").alias("bca"),
+                                     F.sum("cb").alias("bcb"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("bca").over(wo), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("bcb").over(wo), F.lit(0)).alias("offb"),
+        F.sum("bca").over(wt).alias("na"),
+        F.sum("bcb").over(wt).alias("nb"))
+    win = (Window.partitionBy("bkt").orderBy(F.asc("value"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = (bucketed.join(F.broadcast(offs), "bkt")
+           .select("value", "na", "nb",
+                   (F.sum("ca").over(win) + F.col("offa")).alias("fa"),
+                   (F.sum("cb").over(win) + F.col("offb")).alias("fb")))
+    d = cum.select(
+        "value", "na", "nb",
+        F.abs(dec("fa") * dec("nb") - dec("fb") * dec("na"))
+        .alias("dnum"))
+    mx = d.groupBy().agg(F.max("dnum").alias("mx"))
+    return (d.join(F.broadcast(mx), F.col("dnum") == F.col("mx"))
+            .groupBy("na", "nb")
+            .agg(F.min("value").alias("at_value"),
+                 F.max("dnum").cast("double").alias("d_num"))
+            .select("na", "nb", "at_value", "d_num",
+                    (F.col("d_num")
+                     / (F.col("na").cast("double")
+                        * F.col("nb").cast("double"))).alias("ks_stat")))
+
+
+CHI2_SEGMENTS = 3
+
+
+def chi2_event_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-cell chi-squared contingency analysis of event_type versus
+    a user segment (user_id mod 3) — the independence check a
+    curation pipeline runs to spot a feed whose event mix shifted for
+    one cohort only.
+
+    Emits one row per (event_type, segment) cell with the observed
+    count, expected count, and the cell's chi-squared contribution —
+    per-cell rather than a single summed statistic so each double is
+    ONE deterministic expression (a cross-engine sum of 15 doubles
+    would be ordering-dependent; the per-cell residuals are also the
+    actionable output). One count shuffle on a 15-key space; row and
+    column totals ride on constant-size windows over the aggregate."""
+    obs = (t["events"]
+           .select("event_type",
+                   F.pmod("user_id", F.lit(CHI2_SEGMENTS))
+                   .cast("int").alias("segment"))
+           .groupBy("event_type", "segment")
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("segment")
+    wa = Window.partitionBy()
+    cells = obs.select(
+        "event_type", "segment", "n_obs",
+        F.sum("n_obs").over(wr).alias("row_tot"),
+        F.sum("n_obs").over(wc).alias("col_tot"),
+        F.sum("n_obs").over(wa).alias("grand"))
+    n_exp = ((F.col("row_tot").cast("double")
+              * F.col("col_tot").cast("double"))
+             / F.col("grand").cast("double"))
+    return cells.select(
+        "event_type", "segment", "n_obs",
+        n_exp.alias("n_exp"),
+        ((F.col("n_obs").cast("double") - n_exp) ** 2 / n_exp)
+        .alias("chi2_cell"))

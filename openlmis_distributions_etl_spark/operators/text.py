@@ -833,3 +833,69 @@ def doc_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
                     ((F.col("n_tokens") * F.col("n_tokens")).cast("double")
                      / F.col("simpson_num").cast("double"))
                     .alias("inv_simpson")))
+
+
+BPE_TOPK = 50
+
+
+def bpe_merge_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """First iteration of BPE tokenizer training: corpus-wide counts
+    of adjacent character pairs, weighted by word frequency — the
+    merge-candidate table a byte-pair-encoding trainer ranks each
+    round.
+
+    Scale shape: pairs are generated from the DISTINCT-WORD dictionary
+    (one word-count shuffle collapses the Zipf-heavy corpus to its
+    vocabulary), so the per-character explode runs over |vocab| rows,
+    not |corpus| tokens — the standard BPE trick, here as one
+    aggregate + one higher-order-function explode + one pair-sum
+    shuffle, all JVM codegen. Global top-50 plans as
+    TakeOrderedAndProject (per-partition heap, no full sort)."""
+    words = (t["documents"]
+             .select(F.explode(tokens()).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    pairs = (words
+             .where(F.length("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(w)-1), "
+                 "i -> substring(w, i, 2))")).alias("pair"),
+                 "wc"))
+    return (pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_TOPK))
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(t: dict[str, DataFrame]) -> DataFrame:
+    """Overlapping fixed-size token chunking (64-token windows, stride
+    48) — the retrieval-corpus build step that turns documents into
+    embeddable passages with provenance.
+
+    Pure narrow plan: tokenize, generate chunk starts with
+    sequence(), slice per start, explode — zero shuffles, chunk count
+    scales with token volume. The token array is pin()ned so the
+    split runs once per DOCUMENT, not re-inlined per chunk row by
+    CollapseProject. chunk_id = start/stride is derivable (no
+    positional explode index that an engine could order differently);
+    the md5 over the space-joined slice gives each passage a content
+    address for downstream dedup."""
+    from ..functions import pin
+    d = (pin(t["documents"].select("doc_id", "text"), toks=tokens())
+         .select("doc_id", "toks", F.size("toks").alias("n"))
+         .where(F.col("n") > 0))
+    c = CHUNK_TOKENS
+    s = CHUNK_STRIDE
+    chunks = d.select(
+        "doc_id", "toks",
+        F.explode(F.expr(f"sequence(0, n - 1, {s})")).alias("start"))
+    chunk = F.slice("toks", F.col("start") + 1, c)
+    return (chunks
+            .select(
+                "doc_id",
+                F.expr(f"start DIV {s}").alias("chunk_id"),
+                "start",
+                F.size(chunk).alias("n_chunk_tokens"),
+                F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash")))

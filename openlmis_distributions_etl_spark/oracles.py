@@ -3160,3 +3160,111 @@ ORACLES.update({
         FROM flags
     """,
 })
+
+ORACLES.update({
+    # single-window ECDF (the oracle's luxury); the Spark plan's
+    # bucket-decomposed prefix equals it exactly because fa/fb/na/nb
+    # are integers and the KS numerator is computed in wide exact
+    # integers (HUGEINT here, DECIMAL(38,0) in Spark)
+    "ks_drift_value": """
+        WITH pts AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL
+          GROUP BY value),
+        cum AS (
+          SELECT value,
+                 SUM(ca) OVER (ORDER BY value) AS fa,
+                 SUM(cb) OVER (ORDER BY value) AS fb
+          FROM pts),
+        tot AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb
+          FROM pts),
+        d AS (
+          SELECT value, na, nb,
+                 ABS(CAST(fa AS HUGEINT) * nb
+                     - CAST(fb AS HUGEINT) * na) AS dnum
+          FROM cum, tot),
+        mx AS (SELECT MAX(dnum) AS mx FROM d)
+        SELECT na, nb,
+               MIN(value) AS at_value,
+               CAST(MAX(dnum) AS DOUBLE) AS d_num,
+               CAST(MAX(dnum) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+        FROM d, mx
+        WHERE dnum = mx
+        GROUP BY na, nb
+    """,
+    # per-cell contingency stats: each double is one deterministic
+    # expression (no cross-engine sum-of-doubles ordering hazard)
+    "chi2_event_segments": """
+        WITH obs AS (
+          SELECT event_type,
+                 CAST(user_id % 3 AS INTEGER) AS segment,
+                 COUNT(*) AS n_obs
+          FROM events
+          GROUP BY event_type, CAST(user_id % 3 AS INTEGER)),
+        cells AS (
+          SELECT event_type, segment, CAST(n_obs AS BIGINT) AS n_obs,
+                 SUM(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+                 SUM(n_obs) OVER (PARTITION BY segment) AS col_tot,
+                 SUM(n_obs) OVER () AS grand
+          FROM obs)
+        SELECT event_type, segment, n_obs,
+               CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                 / CAST(grand AS DOUBLE) AS n_exp,
+               POW(CAST(n_obs AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(grand AS DOUBLE), 2)
+                 / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE)) AS chi2_cell
+        FROM cells
+    """,
+})
+
+ORACLES.update({
+    # pairs from the DISTINCT-WORD dictionary, weighted by word
+    # frequency — mirrors the Spark vocabulary-collapse formulation
+    "bpe_merge_pairs": f"""
+        WITH words AS (
+          SELECT w, COUNT(*) AS wc
+          FROM (SELECT unnest({TOKS}) AS w FROM documents)
+          GROUP BY w),
+        pairs AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, length(w) - 1),
+                   i -> w[i : i + 1])) AS pair,
+                 wc
+          FROM words
+          WHERE length(w) >= 2)
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair ASC
+        LIMIT 50
+    """,
+    "doc_chunks": f"""
+        WITH d AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+          WHERE len(toks) > 0),
+        starts AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n - 1, 48)) AS start
+          FROM d)
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS start,
+               CAST(len(toks[start + 1 : start + 64]) AS INTEGER)
+                 AS n_chunk_tokens,
+               md5(array_to_string(toks[start + 1 : start + 64], ' '))
+                 AS chunk_hash
+        FROM starts
+    """,
+})

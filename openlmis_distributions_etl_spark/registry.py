@@ -195,6 +195,11 @@ _OPERATORS = {
     "return_rate_by_brand": relational.return_rate_by_brand,
     "abc_classification": analytics.abc_classification,
     "minhash_pair_precision": dedup.minhash_pair_precision,
+    # §2 round-4 wave: drift stats, tokenizer training, RAG chunking
+    "ks_drift_value": analytics.ks_drift_value,
+    "chi2_event_segments": analytics.chi2_event_segments,
+    "bpe_merge_pairs": text.bpe_merge_pairs,
+    "doc_chunks": text.doc_chunks,
 }
 
 

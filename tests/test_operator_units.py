@@ -762,3 +762,92 @@ def test_minhash_pair_precision_bounds(spark):
     assert 0 <= row["n_true"] <= row["n_candidates"]
     assert abs(row["precision"]
                - row["n_true"] / row["n_candidates"]) < 1e-15
+
+
+def test_ks_drift_matches_pure_python(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        ks_drift_value)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    row = ks_drift_value(t).collect()[0]
+    ev = [(r["event_type"], r["value"])
+          for r in t["events"].select("event_type", "value").collect()]
+    a = sorted(v for g, v in ev if g == "click")
+    b = sorted(v for g, v in ev if g == "purchase")
+    na, nb = len(a), len(b)
+    assert (row["na"], row["nb"]) == (na, nb)
+    import bisect
+    best = -1
+    best_at = None
+    for x in sorted(set(a) | set(b)):
+        fa = bisect.bisect_right(a, x)
+        fb = bisect.bisect_right(b, x)
+        d = abs(fa * nb - fb * na)
+        if d > best:
+            best, best_at = d, x
+    assert row["d_num"] == float(best)
+    assert row["at_value"] == best_at
+    assert abs(row["ks_stat"] - best / (na * nb)) < 1e-15
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_chi2_cells_marginals_consistent(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        chi2_event_segments)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = chi2_event_segments(t).collect()
+    n_events = t["events"].count()
+    assert sum(r["n_obs"] for r in rows) == n_events
+    # expected counts reproduce the observed marginals exactly
+    from collections import defaultdict
+    obs_by_type, exp_by_type = defaultdict(int), defaultdict(float)
+    for r in rows:
+        obs_by_type[r["event_type"]] += r["n_obs"]
+        exp_by_type[r["event_type"]] += r["n_exp"]
+    for k in obs_by_type:
+        assert abs(exp_by_type[k] - obs_by_type[k]) < 1e-6
+    assert all(r["chi2_cell"] >= 0.0 for r in rows)
+
+
+def test_bpe_merge_pairs_matches_counter(spark):
+    from collections import Counter
+    from openlmis_distributions_etl_spark.operators.text import (
+        bpe_merge_pairs)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    got = [(r["pair"], r["cnt"]) for r in bpe_merge_pairs(t).collect()]
+    c = Counter()
+    for r in t["documents"].select("text").collect():
+        for w in r["text"].split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    c[w[i:i + 2]] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == exp
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    from openlmis_distributions_etl_spark.operators.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, doc_chunks)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = doc_chunks(t).collect()
+    n_toks = {r["doc_id"]: r["n"] for r in t["documents"].selectExpr(
+        "doc_id", "size(filter(split(text, ' '), x -> x != '')) AS n")
+        .collect()}
+    from collections import defaultdict
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    for doc_id, chunks in per_doc.items():
+        n = n_toks[doc_id]
+        chunks.sort(key=lambda r: r["start"])
+        for i, r in enumerate(chunks):
+            assert r["chunk_id"] == i
+            assert r["start"] == i * CHUNK_STRIDE
+            assert r["n_chunk_tokens"] == min(CHUNK_TOKENS, n - r["start"])
+        # windows cover every token: last start within stride of the end
+        assert chunks[-1]["start"] + chunks[-1]["n_chunk_tokens"] == n
+        assert len(chunks) == (max(n - 1, 0)) // CHUNK_STRIDE + 1
+    assert set(per_doc) == {d for d, n in n_toks.items() if n > 0}
