@@ -45,6 +45,9 @@ HEADLINE = [
     "deterministic_shuffle",
     "doc_simpson_diversity",
     "abc_classification",
+    "ks_drift_value",
+    "bpe_merge_pairs",
+    "doc_chunks",
 ]
 
 

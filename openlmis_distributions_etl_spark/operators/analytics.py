@@ -762,15 +762,21 @@ def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
         "value", "na", "nb",
         F.abs(dec("fa") * dec("nb") - dec("fb") * dec("na"))
         .alias("dnum"))
-    mx = d.groupBy().agg(F.max("dnum").alias("mx"))
-    return (d.join(F.broadcast(mx), F.col("dnum") == F.col("mx"))
-            .groupBy("na", "nb")
-            .agg(F.min("value").alias("at_value"),
-                 F.max("dnum").cast("double").alias("d_num"))
-            .select("na", "nb", "at_value", "d_num",
-                    (F.col("d_num")
-                     / (F.col("na").cast("double")
-                        * F.col("nb").cast("double"))).alias("ks_stat")))
+    # ONE aggregate finds the max AND its deterministic arg: struct
+    # comparison is lexicographic, so max((dnum, -value)) is the
+    # largest gap with the smallest value as tie-break — no second
+    # pass / broadcast-join round for the argmax
+    best = (d.groupBy("na", "nb")
+            .agg(F.max(F.struct(F.col("dnum").alias("dn"),
+                                (-F.col("value")).alias("nv")))
+                 .alias("m")))
+    return best.select(
+        "na", "nb",
+        (-F.col("m.nv")).alias("at_value"),
+        F.col("m.dn").cast("double").alias("d_num"),
+        (F.col("m.dn").cast("double")
+         / (F.col("na").cast("double")
+            * F.col("nb").cast("double"))).alias("ks_stat"))
 
 
 CHI2_SEGMENTS = 3

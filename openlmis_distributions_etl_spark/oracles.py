@@ -3191,15 +3191,18 @@ ORACLES.update({
                  ABS(CAST(fa AS HUGEINT) * nb
                      - CAST(fb AS HUGEINT) * na) AS dnum
           FROM cum, tot),
-        mx AS (SELECT MAX(dnum) AS mx FROM d)
+        -- one aggregate: lexicographic struct max = largest gap with
+        -- smallest value as the deterministic tie-break
+        best AS (
+          SELECT na, nb,
+                 MAX(struct_pack(dn := dnum, nv := -value)) AS m
+          FROM d GROUP BY na, nb)
         SELECT na, nb,
-               MIN(value) AS at_value,
-               CAST(MAX(dnum) AS DOUBLE) AS d_num,
-               CAST(MAX(dnum) AS DOUBLE)
+               -(m.nv) AS at_value,
+               CAST(m.dn AS DOUBLE) AS d_num,
+               CAST(m.dn AS DOUBLE)
                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
-        FROM d, mx
-        WHERE dnum = mx
-        GROUP BY na, nb
+        FROM best
     """,
     # per-cell contingency stats: each double is one deterministic
     # expression (no cross-engine sum-of-doubles ordering hazard)
