@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import pin, spread
@@ -869,3 +869,63 @@ def minhash_pair_precision(t: dict[str, DataFrame],
             .select("n_candidates", "n_true",
                     (F.col("n_true") / F.col("n_candidates"))
                     .alias("precision")))
+
+
+DUP_SPAN_W = 16
+
+
+def dup_span_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact duplicate-SPAN detection (the ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): every 16-token window that appears
+    ≥2 times corpus-wide marks its positions; per doc, marked windows
+    merge into maximal spans (gaps-and-islands) and the output reports
+    the duplicated-token fraction — the signal used to cut boilerplate
+    and templated text out of a training corpus.
+
+    Scale shape: (1) window hashes are generated per doc with ONE
+    higher-order transform over a pin()ned token array (no per-window
+    re-tokenize), (2) corpus-wide duplication = count(*) OVER
+    (PARTITION BY hash) — one shuffle on the 16-byte hash, no join-
+    back, (3) span merging is two windows over (doc_id, position) —
+    one more shuffle bounded per doc. Everything is exact integer
+    arithmetic except the final fraction division; no pair
+    enumeration anywhere (a window duplicated k times costs k rows,
+    never k² pairs)."""
+    w = DUP_SPAN_W
+    d = (pin(t["documents"].select("doc_id", "text"), toks=tokens())
+         .select("doc_id", "toks", F.size("toks").alias("n"))
+         .where(F.col("n") >= w))
+    wh = d.select(
+        "doc_id", "n",
+        F.explode(F.expr(
+            f"transform(sequence(1, n - {w} + 1), "
+            f"p -> struct(p AS p, md5(array_join(slice(toks, p, {w}), "
+            f"' ')) AS h))")).alias("ph"))
+    wh = wh.select("doc_id", "n", F.col("ph.p").alias("p"),
+                   F.col("ph.h").alias("h"))
+    dup = (wh.withColumn("c", F.count(F.lit(1))
+                         .over(Window.partitionBy("h")))
+           .where(F.col("c") >= 2))
+    prev_max = (Window.partitionBy("doc_id").orderBy("p")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.select(
+        "doc_id", "n", "p",
+        F.when(F.col("p") > F.coalesce(F.max("p").over(prev_max),
+                                       F.lit(-w)) + w, 1)
+        .otherwise(0).alias("ni"))
+    run = (Window.partitionBy("doc_id").orderBy("p")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    isl = isl.withColumn("island", F.sum("ni").over(run))
+    spans = (isl.groupBy("doc_id", "n", "island")
+             .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
+                  F.count(F.lit(1)).alias("nw")))
+    return (spans.groupBy("doc_id", "n")
+            .agg(F.sum(F.col("mx") + w - F.col("mn"))
+                 .alias("n_dup_tokens"),
+                 F.sum("nw").alias("n_dup_windows"),
+                 F.count(F.lit(1)).alias("n_spans"))
+            .select("doc_id", F.col("n").alias("n_tokens"),
+                    "n_dup_tokens", "n_dup_windows", "n_spans",
+                    (F.col("n_dup_tokens").cast("double")
+                     / F.col("n").cast("double")).alias("dup_fraction")))

@@ -3271,3 +3271,53 @@ ORACLES.update({
         FROM starts
     """,
 })
+
+ORACLES.update({
+    "dup_span_stats": f"""
+        WITH d AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 16),
+        pos AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(1, n - 15)) AS p
+          FROM d),
+        wh AS (
+          SELECT doc_id, n, p,
+                 md5(array_to_string(toks[p : p + 15], ' ')) AS h
+          FROM pos),
+        dup AS (
+          SELECT doc_id, n, p
+          FROM (SELECT doc_id, n, p,
+                       COUNT(*) OVER (PARTITION BY h) AS c
+                FROM wh)
+          WHERE c >= 2),
+        isl AS (
+          SELECT doc_id, n, p,
+                 CASE WHEN p > COALESCE(MAX(p) OVER (
+                          PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -16) + 16
+                      THEN 1 ELSE 0 END AS ni
+          FROM dup),
+        isl2 AS (
+          SELECT doc_id, n, p, SUM(ni) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, n, island,
+                 MIN(p) AS mn, MAX(p) AS mx, COUNT(*) AS nw
+          FROM isl2 GROUP BY doc_id, n, island)
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               CAST(SUM(mx + 16 - mn) AS BIGINT) AS n_dup_tokens,
+               CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(mx + 16 - mn) AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS dup_fraction
+        FROM spans
+        GROUP BY doc_id, n
+    """,
+})

@@ -200,6 +200,7 @@ _OPERATORS = {
     "chi2_event_segments": analytics.chi2_event_segments,
     "bpe_merge_pairs": text.bpe_merge_pairs,
     "doc_chunks": text.doc_chunks,
+    "dup_span_stats": dedup.dup_span_stats,
 }
 
 

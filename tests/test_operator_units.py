@@ -851,3 +851,35 @@ def test_doc_chunks_cover_and_overlap(spark):
         assert chunks[-1]["start"] + chunks[-1]["n_chunk_tokens"] == n
         assert len(chunks) == (max(n - 1, 0)) // CHUNK_STRIDE + 1
     assert set(per_doc) == {d for d, n in n_toks.items() if n > 0}
+
+
+def test_dup_span_stats_matches_pure_python(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        DUP_SPAN_W, dup_span_stats)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from collections import Counter, defaultdict
+    t = load_tables(spark, SF0001)
+    got = {r["doc_id"]: r for r in dup_span_stats(t).collect()}
+    w = DUP_SPAN_W
+    docs = {r["doc_id"]: [x for x in r["text"].split(" ") if x]
+            for r in t["documents"].select("doc_id", "text").collect()}
+    cnt = Counter()
+    for toks in docs.values():
+        for p in range(len(toks) - w + 1):
+            cnt[" ".join(toks[p:p + w])] += 1
+    exp = {}
+    for doc_id, toks in docs.items():
+        marked = [p for p in range(len(toks) - w + 1)
+                  if cnt[" ".join(toks[p:p + w])] >= 2]
+        if not marked:
+            continue
+        covered = set()
+        for p in marked:
+            covered.update(range(p, p + w))
+        exp[doc_id] = (len(toks), len(covered), len(marked))
+    assert set(got) == set(exp)
+    for doc_id, (n, n_dup, n_win) in exp.items():
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_dup_tokens"],
+                r["n_dup_windows"]) == (n, n_dup, n_win)
+        assert abs(r["dup_fraction"] - n_dup / n) < 1e-15

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "knn_ivf_trained",
     "knn_lsh",
     "abc_classification",      # broadcast fences + totals rows
+    "ks_drift_value",          # broadcast percentile-fence row
     "knn_lsh_recall",
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width

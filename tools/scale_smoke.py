@@ -47,6 +47,12 @@ OPS = (
     "pq_balanced_perm",
     "matryoshka_prefix_eval",
     "semantic_dup_lang_matrix",
+    # round-4 wave: tokenizer training, chunking, drift stats (events)
+    "bpe_merge_pairs",
+    "doc_chunks",
+    "dup_span_stats",
+    "ks_drift_value",
+    "chi2_event_segments",
 )
 
 
@@ -81,6 +87,21 @@ def main() -> None:
         ebig = part if ebig is None else ebig.unionByName(part)
     ebig.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
     print(f"embeddings: {n_vec * n_copies} vectors")
+
+    vsrc = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    n_ev = vsrc.count()
+    vbig = None
+    for i in range(n_copies):
+        # jitter value per copy so the drift stats see a non-degenerate
+        # (not purely replicated) distribution
+        part = vsrc.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"), "ts",
+            (F.col("user_id") + i * 1000).alias("user_id"),
+            "event_type",
+            (F.col("value") * (1.0 + i * 0.01)).alias("value"), "props")
+        vbig = part if vbig is None else vbig.unionByName(part)
+    vbig.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    print(f"events: {n_ev * n_copies} rows")
 
     qs = registry.queries()
     for name in OPS:
