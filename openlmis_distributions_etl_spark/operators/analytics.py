@@ -699,27 +699,21 @@ KS_GROUP_A = "click"
 KS_GROUP_B = "purchase"
 
 
-def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift statistic between the
-    `value` distributions of two event types — the detector a data
-    pipeline runs between yesterday's corpus and today's before
-    letting a feed into training.
+def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
+    """Shared distributed-ECDF core for the drift statistics: exact
+    cumulative counts of two event-type samples over the `value`
+    axis, one row per DISTINCT value with (value, ca, cb, na, nb,
+    fa, fb).
 
-    Scale shape: the ECDFs are built with the same DISTRIBUTED PREFIX
-    SUM as abc_classification — (1) per-distinct-value counts for
-    both groups (one map-side-combinable shuffle, cardinality =
-    distinct values, not rows), (2) approx-percentile fences bucket
-    the value axis (fence placement only affects balance; the bucket
-    test is monotone so cumulative order is preserved), (3) per-bucket
-    totals → exclusive offsets over ≤16 rows, (4) in-bucket running
-    counts + offset = exact global cumulative counts fa, fb. No
-    single-task ORDER BY window ever sees the full value axis.
-
-    Exactness: fa, fb, na, nb are integers; the KS numerator
-    |fa·nb − fb·na| is computed in DECIMAL(38,0) (na·nb overflows
-    bigint at 100 TB row counts), so the max and its arg are exact —
-    only the final ks_stat division goes through doubles. at_value is
-    the smallest value attaining the max (deterministic tie-break)."""
+    Built with the same DISTRIBUTED PREFIX SUM as abc_classification:
+    (1) per-distinct-value counts for both groups (one map-side-
+    combinable shuffle, cardinality = distinct values, not rows),
+    (2) approx-percentile fences bucket the value axis (fence
+    placement only affects balance; the bucket test is monotone so
+    cumulative order is preserved), (3) per-bucket totals → exclusive
+    offsets over ≤16 rows, (4) in-bucket running counts + offset =
+    exact global cumulatives. No single-task ORDER BY window ever
+    sees the full value axis."""
     ev = (t["events"]
           .where(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
                  & F.col("value").isNotNull())
@@ -753,11 +747,26 @@ def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
         F.sum("bcb").over(wt).alias("nb"))
     win = (Window.partitionBy("bkt").orderBy(F.asc("value"))
            .rowsBetween(Window.unboundedPreceding, 0))
+    return (bucketed.join(F.broadcast(offs), "bkt")
+            .select("value", "ca", "cb", "na", "nb",
+                    (F.sum("ca").over(win) + F.col("offa")).alias("fa"),
+                    (F.sum("cb").over(win) + F.col("offb")).alias("fb")))
+
+
+def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    `value` distributions of two event types — the detector a data
+    pipeline runs between yesterday's corpus and today's before
+    letting a feed into training. ECDFs come from the shared
+    distributed prefix-sum core (`_value_ecdf`).
+
+    Exactness: fa, fb, na, nb are integers; the KS numerator
+    |fa·nb − fb·na| is computed in DECIMAL(38,0) (na·nb overflows
+    bigint at 100 TB row counts), so the max and its arg are exact —
+    only the final ks_stat division goes through doubles. at_value is
+    the smallest value attaining the max (deterministic tie-break)."""
+    cum = _value_ecdf(t)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    cum = (bucketed.join(F.broadcast(offs), "bkt")
-           .select("value", "na", "nb",
-                   (F.sum("ca").over(win) + F.col("offa")).alias("fa"),
-                   (F.sum("cb").over(win) + F.col("offb")).alias("fb")))
     d = cum.select(
         "value", "na", "nb",
         F.abs(dec("fa") * dec("nb") - dec("fb") * dec("na"))
@@ -777,6 +786,60 @@ def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("m.dn").cast("double")
          / (F.col("na").cast("double")
             * F.col("nb").cast("double"))).alias("ks_stat"))
+
+
+PSI_BUCKETS = 10
+
+
+def psi_value_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Population Stability Index between the two event-type value
+    distributions, per decile bucket of the BASELINE sample — the
+    binned drift metric production scoring pipelines alarm on
+    (PSI > 0.25 = retrain).
+
+    Bucket fences are the baseline's exact DISCRETE deciles, derived
+    from the shared distributed ECDF by pure rank arithmetic: fence_k
+    = min value whose cumulative baseline count reaches
+    ceil(k·na/10) — no float percentile interpolation, so both
+    engines pick identical fences and every bucket count is exact.
+    All nine conditional mins ride in ONE aggregate over the ECDF;
+    the PSI term (pa−pb)·ln(pa/pb) is a single double expression per
+    output row (NULL when a side's bucket is empty, the caller's
+    signal to fall back to a smoothed variant), quantized to 1e-9 via
+    floor(x·1e9 + 0.5)/1e9 — JVM Math.log and libm ln can disagree by
+    one ulp, and the explicit quantization chain is the same three
+    exact IEEE ops in both engines (unlike round(), whose half-mode
+    differs)."""
+    from ..functions.cache import register
+    cum = _value_ecdf(t)
+    cum.persist()
+    register(cum)
+    # discrete decile fences of the baseline via integer rank math
+    fence_exprs = [
+        F.min(F.when(
+            F.col("fa") >= F.expr(f"({k} * na + {PSI_BUCKETS - 1}) "
+                                  f"DIV {PSI_BUCKETS}"),
+            F.col("value"))).alias(f"f{k}")
+        for k in range(1, PSI_BUCKETS)]
+    fen = cum.agg(*fence_exprs)
+    b = F.lit(0)
+    for k in range(1, PSI_BUCKETS):
+        b = b + (F.col("value") > F.col(f"f{k}")).cast("int")
+    bucketed = (cum.crossJoin(F.broadcast(fen))
+                .select("value", "ca", "cb", "na", "nb",
+                        b.alias("bucket")))
+    agg = (bucketed.groupBy("bucket")
+           .agg(F.sum("ca").alias("n_base"), F.sum("cb").alias("n_cur"),
+                F.max("na").alias("na"), F.max("nb").alias("nb")))
+    pa = F.col("n_base").cast("double") / F.col("na").cast("double")
+    pb = F.col("n_cur").cast("double") / F.col("nb").cast("double")
+    raw = (pa - pb) * F.log(pa / pb)
+    return agg.select(
+        "bucket", "n_base", "n_cur",
+        pa.alias("p_base"), pb.alias("p_cur"),
+        F.when((F.col("n_base") > 0) & (F.col("n_cur") > 0),
+               F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+        .alias("psi_term"))
 
 
 CHI2_SEGMENTS = 3

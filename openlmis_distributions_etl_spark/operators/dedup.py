@@ -929,3 +929,33 @@ def dup_span_stats(t: dict[str, DataFrame]) -> DataFrame:
                     "n_dup_tokens", "n_dup_windows", "n_spans",
                     (F.col("n_dup_tokens").cast("double")
                      / F.col("n").cast("double")).alias("dup_fraction")))
+
+
+def doc_novelty_rate(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose corpus-wide FIRST occurrence (minimum doc_id in
+    ingestion order) is this document — the "how much does this doc
+    add" signal used to rank late-arriving feeds and to drop
+    recombinations of already-seen text that per-pair dedup misses.
+
+    Scale shape: distinct (doc, shingle) pairs from the shared
+    shingle pipeline; first-owner = min(doc_id) OVER (PARTITION BY
+    shingle) — one shuffle on the shingle hash, no self-join; then
+    one groupBy(doc) for the rate. A shingle occurring k times costs
+    k rows, never pairs. Shingles ship as md5 longs-equivalent hex
+    (16 bytes) rather than raw 3-gram strings — the Vernica-payload
+    lesson from the Jaccard op applied here."""
+    pairs = (_with_shingles(t)
+             .select("doc_id",
+                     F.explode(F.array_distinct("shingles")).alias("sh"))
+             .select("doc_id", F.md5("sh").alias("h")))
+    first = F.min("doc_id").over(Window.partitionBy("h"))
+    flagged = pairs.select(
+        "doc_id", (F.col("doc_id") == first).cast("int").alias("novel"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("novel").alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("novelty_rate")))

@@ -3321,3 +3321,92 @@ ORACLES.update({
         GROUP BY doc_id, n
     """,
 })
+
+
+ORACLES.update({
+    # baseline-decile PSI; fences by integer rank arithmetic (no float
+    # percentile interpolation), per-bucket doubles each a single
+    # deterministic expression
+    "psi_value_drift": """
+        WITH pts AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL
+          GROUP BY value),
+        cum AS (
+          SELECT value, ca, cb,
+                 SUM(ca) OVER (ORDER BY value) AS fa
+          FROM pts),
+        tot AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb
+          FROM pts),
+        fen AS (
+          SELECT
+          MIN(CASE WHEN fa >= (1 * na + 9) // 10 THEN value END) AS f1,
+          MIN(CASE WHEN fa >= (2 * na + 9) // 10 THEN value END) AS f2,
+          MIN(CASE WHEN fa >= (3 * na + 9) // 10 THEN value END) AS f3,
+          MIN(CASE WHEN fa >= (4 * na + 9) // 10 THEN value END) AS f4,
+          MIN(CASE WHEN fa >= (5 * na + 9) // 10 THEN value END) AS f5,
+          MIN(CASE WHEN fa >= (6 * na + 9) // 10 THEN value END) AS f6,
+          MIN(CASE WHEN fa >= (7 * na + 9) // 10 THEN value END) AS f7,
+          MIN(CASE WHEN fa >= (8 * na + 9) // 10 THEN value END) AS f8,
+          MIN(CASE WHEN fa >= (9 * na + 9) // 10 THEN value END) AS f9
+          FROM cum, tot),
+        b AS (
+          SELECT value, ca, cb,
+                 (CASE WHEN value > f1 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f2 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f3 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f4 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f5 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f6 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f7 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f8 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > f9 THEN 1 ELSE 0 END) AS bucket
+          FROM pts, fen),
+        agg AS (
+          SELECT bucket,
+                 CAST(SUM(ca) AS BIGINT) AS n_base,
+                 CAST(SUM(cb) AS BIGINT) AS n_cur
+          FROM b GROUP BY bucket)
+        SELECT bucket, n_base, n_cur,
+               CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE) AS p_base,
+               CAST(n_cur AS DOUBLE) / CAST(nb AS DOUBLE) AS p_cur,
+               CASE WHEN n_base > 0 AND n_cur > 0 THEN
+                 floor((CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(n_cur AS DOUBLE) / CAST(nb AS DOUBLE))
+                       * ln((CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE))
+                            / (CAST(n_cur AS DOUBLE) / CAST(nb AS DOUBLE)))
+                       * 1e9 + 0.5) / 1e9
+               END AS psi_term
+        FROM agg, tot
+    """,
+})
+
+ORACLES.update({
+    "doc_novelty_rate": f"""
+        WITH pairs AS (
+          SELECT doc_id, md5(sh) AS h
+          FROM (SELECT doc_id,
+                       unnest(list_distinct({SHINGLES})) AS sh
+                FROM (SELECT doc_id, {TOKS} AS toks FROM documents))),
+        flagged AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                      THEN 1 ELSE 0 END AS novel
+          FROM pairs)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(novel) AS BIGINT) AS n_novel,
+               CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS novelty_rate
+        FROM flagged
+        GROUP BY doc_id
+    """,
+})

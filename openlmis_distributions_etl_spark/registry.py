@@ -201,6 +201,8 @@ _OPERATORS = {
     "bpe_merge_pairs": text.bpe_merge_pairs,
     "doc_chunks": text.doc_chunks,
     "dup_span_stats": dedup.dup_span_stats,
+    "psi_value_drift": analytics.psi_value_drift,
+    "doc_novelty_rate": dedup.doc_novelty_rate,
 }
 
 

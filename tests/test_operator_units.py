@@ -883,3 +883,42 @@ def test_dup_span_stats_matches_pure_python(spark):
         assert (r["n_tokens"], r["n_dup_tokens"],
                 r["n_dup_windows"]) == (n, n_dup, n_win)
         assert abs(r["dup_fraction"] - n_dup / n) < 1e-15
+
+
+def test_psi_buckets_partition_baseline_evenly(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        PSI_BUCKETS, psi_value_drift)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    import math
+    t = load_tables(spark, SF0001)
+    rows = sorted(psi_value_drift(t).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(PSI_BUCKETS))
+    na = sum(r["n_base"] for r in rows)
+    nb = sum(r["n_cur"] for r in rows)
+    ev = t["events"].groupBy("event_type").count().collect()
+    by_type = {r["event_type"]: r["count"] for r in ev}
+    assert na == by_type["click"] and nb == by_type["purchase"]
+    # discrete-decile fences: every bucket's baseline share within one
+    # value's worth of 1/10 (values are near-distinct in the corpus)
+    for r in rows:
+        assert abs(r["p_base"] - 1 / PSI_BUCKETS) < 0.02
+        if r["psi_term"] is not None:
+            raw = ((r["p_base"] - r["p_cur"])
+                   * math.log(r["p_base"] / r["p_cur"]))
+            ref = math.floor(raw * 1e9 + 0.5) / 1e9
+            assert abs(r["psi_term"] - ref) <= 1e-9
+            assert r["psi_term"] >= 0.0
+
+
+def test_doc_novelty_rate_first_doc_fully_novel(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        doc_novelty_rate)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = {r["doc_id"]: r for r in doc_novelty_rate(t).collect()}
+    # the smallest doc_id owns every one of its shingles by definition
+    first = min(rows)
+    assert rows[first]["novelty_rate"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "knn_lsh",
     "abc_classification",      # broadcast fences + totals rows
     "ks_drift_value",          # broadcast percentile-fence row
+    "psi_value_drift",         # broadcast fence rows (ECDF + deciles)
     "knn_lsh_recall",
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width
