@@ -959,3 +959,64 @@ def doc_novelty_rate(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_novel").cast("double")
                      / F.col("n_shingles").cast("double"))
                     .alias("novelty_rate")))
+
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_dup_graph(t: dict[str, DataFrame]) -> DataFrame:
+    """PageRank over the undirected near-dup similarity graph (LSH
+    candidate pairs as edges): centrality identifies the TEMPLATE
+    documents — the hubs a whole family of near-duplicates derives
+    from — which a curation pipeline keeps as canonical while
+    dropping their satellites.
+
+    Iterative power method, 8 fixed iterations, damping 0.85,
+    dangling mass redistributed uniformly (ranks always sum to 1).
+    Per iteration: one join-aggregate shuffle for the contributions
+    plus a broadcast scalar for the dangling mass; ranks stay
+    distributed — nothing but the one-row dangling aggregate ever
+    leaves the executors, and the lineage is truncated per round
+    (the connected-components lesson: the rank frame appears twice
+    per iteration, so an un-truncated plan doubles per round).
+
+    Rows-only correctness check (iterative float algorithm — not
+    SQL-expressible for the DuckDB oracle); semantics pinned instead
+    by tests/test_operator_units.py against a pure-Python power
+    iteration."""
+    edges = minhash_lsh_pairs(t).selectExpr("doc_a AS src",
+                                            "doc_b AS dst")
+    sym = _truncate_lineage(
+        edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+        .distinct())
+    nodes = t["documents"].select(F.col("doc_id").alias("node"))
+    n = nodes.count()
+    outdeg = (sym.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg")))
+    deg = _truncate_lineage(
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    d = PAGERANK_DAMPING
+    ranks = deg.select("node", "outdeg",
+                       F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        dangling = (ranks.where(F.col("outdeg") == 0)
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dm")))
+        contrib = (sym.join(ranks.where(F.col("outdeg") > 0),
+                            sym["src"] == ranks["node"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("outdeg")).alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("contrib")))
+        ranks = (deg.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node", "outdeg",
+                         (F.lit((1.0 - d) / n)
+                          + d * (F.coalesce("contrib", F.lit(0.0))
+                                 + F.col("dm") / F.lit(float(n))))
+                         .alias("rank")))
+        ranks = _truncate_lineage(ranks)
+    return ranks.select(F.col("node").alias("doc_id"),
+                        F.col("outdeg").alias("n_neighbors"),
+                        F.col("rank").alias("pagerank"))

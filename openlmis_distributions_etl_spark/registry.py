@@ -203,6 +203,7 @@ _OPERATORS = {
     "dup_span_stats": dedup.dup_span_stats,
     "psi_value_drift": analytics.psi_value_drift,
     "doc_novelty_rate": dedup.doc_novelty_rate,
+    "pagerank_dup_graph": dedup.pagerank_dup_graph,
 }
 
 

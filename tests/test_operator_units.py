@@ -922,3 +922,38 @@ def test_doc_novelty_rate_first_doc_fully_novel(spark):
     for r in rows.values():
         assert 0.0 <= r["novelty_rate"] <= 1.0
         assert r["n_novel"] <= r["n_shingles"]
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        PAGERANK_DAMPING, PAGERANK_ITERS, minhash_lsh_pairs,
+        pagerank_dup_graph)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from collections import defaultdict
+    t = load_tables(spark, SF0001)
+    got = {r["doc_id"]: r for r in pagerank_dup_graph(t).collect()}
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(t).collect()]
+    nodes = [r["doc_id"] for r in t["documents"]
+             .select("doc_id").collect()]
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    n, d = len(nodes), PAGERANK_DAMPING
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        dangling = sum(pr[v] for v in nodes if not nbrs[v])
+        contrib = defaultdict(float)
+        for v in nodes:
+            if nbrs[v]:
+                share = pr[v] / len(nbrs[v])
+                for u in nbrs[v]:
+                    contrib[u] += share
+        pr = {v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
+              for v in nodes}
+    assert set(got) == set(nodes)
+    assert abs(sum(r["pagerank"] for r in got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v]["pagerank"] - pr[v]) < 1e-12
+        assert got[v]["n_neighbors"] == len(nbrs[v])

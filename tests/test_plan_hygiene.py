@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     "abc_classification",      # broadcast fences + totals rows
     "ks_drift_value",          # broadcast percentile-fence row
     "psi_value_drift",         # broadcast fence rows (ECDF + deciles)
+    # (pagerank_dup_graph's per-iteration broadcast dangling scalar
+    # sits behind localCheckpoint leaves, so it never shows here)
     "knn_lsh_recall",
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width
