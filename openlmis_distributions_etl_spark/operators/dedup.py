@@ -1020,3 +1020,40 @@ def pagerank_dup_graph(t: dict[str, DataFrame]) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"),
                         F.col("outdeg").alias("n_neighbors"),
                         F.col("rank").alias("pagerank"))
+
+
+EDIT_SKEL_LEN = 64
+
+
+def edit_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Fuzzy record linkage: exact Levenshtein distance over the LSH
+    candidate pairs — the verify step of a blocked fuzzy join (block
+    with MinHash bands, verify with edit distance), the shape entity-
+    resolution pipelines use instead of an O(n²) similarity join.
+
+    The distance runs on a lowercased ASCII skeleton prefix
+    (64 chars): Spark's levenshtein counts codepoints while DuckDB's
+    counts bytes, so the portable contract restricts the measure to
+    the byte==codepoint subset — and at 100 TB you'd want the bounded
+    prefix anyway (O(len²) DP per pair). Candidates come from the
+    banded self-join (never all-pairs); the two doc_id joins that
+    fetch the skeletons are plain key joins the planner handles."""
+    pairs = minhash_lsh_pairs(t)
+    skel = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        1, EDIT_SKEL_LEN)
+    docs = t["documents"].select("doc_id", skel.alias("skel"))
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("skel").alias("skel_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("skel").alias("skel_b"))
+    j = (pairs.join(a, "doc_a").join(b, "doc_b")
+         .select("doc_a", "doc_b",
+                 F.levenshtein("skel_a", "skel_b").alias("edit_distance"),
+                 F.greatest(F.length("skel_a"), F.length("skel_b"))
+                 .alias("max_skel_len")))
+    return j.select(
+        "doc_a", "doc_b", "edit_distance", "max_skel_len",
+        (F.col("edit_distance").cast("double")
+         / F.greatest(F.col("max_skel_len"), F.lit(1)).cast("double"))
+        .alias("rel_distance"))

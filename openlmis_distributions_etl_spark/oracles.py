@@ -3410,3 +3410,36 @@ ORACLES.update({
         GROUP BY doc_id
     """,
 })
+
+ORACLES.update({
+    "edit_distance_pairs": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        sk AS (
+          SELECT doc_id,
+                 substring(regexp_replace(lower(text),
+                                          '[^a-z0-9 ]', '', 'g'),
+                           1, 64) AS skel
+          FROM documents)
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(x.skel, y.skel) AS INTEGER)
+                 AS edit_distance,
+               CAST(greatest(length(x.skel), length(y.skel)) AS INTEGER)
+                 AS max_skel_len,
+               CAST(levenshtein(x.skel, y.skel) AS DOUBLE)
+                 / CAST(greatest(greatest(length(x.skel),
+                                          length(y.skel)), 1) AS DOUBLE)
+                 AS rel_distance
+        FROM cpairs p
+        JOIN sk x ON p.doc_a = x.doc_id
+        JOIN sk y ON p.doc_b = y.doc_id
+    """,
+})

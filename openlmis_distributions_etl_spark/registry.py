@@ -204,6 +204,7 @@ _OPERATORS = {
     "psi_value_drift": analytics.psi_value_drift,
     "doc_novelty_rate": dedup.doc_novelty_rate,
     "pagerank_dup_graph": dedup.pagerank_dup_graph,
+    "edit_distance_pairs": dedup.edit_distance_pairs,
 }
 
 

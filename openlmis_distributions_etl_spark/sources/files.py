@@ -66,3 +66,65 @@ def read_binary_files(spark: SparkSession, path: str,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+# Safe physical→target widenings for evolved reads. Anything outside
+# this table is a narrowing (or a semantic change) and must fail
+# loudly at load — the timestamp-layout lesson generalized to the
+# whole schema.
+_SAFE_WIDENINGS = {
+    ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("float", "double"),
+    ("int", "double"), ("bigint", "double"),
+    ("timestamp_ntz", "timestamp"),
+    ("date", "timestamp"),
+}
+
+
+def read_evolved(spark: SparkSession, paths: str | list[str],
+                 target: StructType) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: batches written under
+    older schema versions (missing columns, narrower numeric types,
+    tz-less timestamps) surface under ONE target schema.
+
+    Spark's own mergeSchema only merges ADDITIVE changes — a batch
+    whose column widened int→bigint fails the footer merge outright —
+    so each schema-version path is read with its own physical schema
+    and aligned to the target independently:
+    - columns a batch lacks come back as typed NULLs (the
+      late-added-column case);
+    - physical types are cast to the target ONLY along the safe
+      widening table above — a narrowing or type swap raises a
+      TypeError naming column/got/want instead of silently truncating
+      values the way a blind cast would;
+    - aligned batches union by name (plan-level: no data moves until
+      an action).
+
+    Column pruning and predicate pushdown still reach each scan: the
+    alignment is a pure per-batch projection."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def align(df: DataFrame, path: str) -> DataFrame:
+        have = dict(df.dtypes)
+        cols = []
+        for f in target.fields:
+            want = f.dataType.simpleString()
+            got = have.get(f.name)
+            if got is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif got == want or (got, want) in _SAFE_WIDENINGS:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                raise TypeError(
+                    f"column {f.name!r} at {path}: cannot evolve "
+                    f"physical type {got!r} to target {want!r} — not "
+                    "a safe widening")
+        return df.select(*cols)
+
+    parts = [align(spark.read.parquet(p), p) for p in paths]
+    return reduce(DataFrame.unionByName, parts)

@@ -957,3 +957,35 @@ def test_pagerank_matches_pure_python_power_iteration(spark):
     for v in nodes:
         assert abs(got[v]["pagerank"] - pr[v]) < 1e-12
         assert got[v]["n_neighbors"] == len(nbrs[v])
+
+
+def test_edit_distance_pairs_reference(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        EDIT_SKEL_LEN, edit_distance_pairs)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    import re
+    t = load_tables(spark, SF0001)
+    rows = edit_distance_pairs(t).collect()
+    texts = {r["doc_id"]: r["text"]
+             for r in t["documents"].select("doc_id", "text").collect()}
+
+    def skel(s):
+        return re.sub(r"[^a-z0-9 ]", "", s.lower())[:EDIT_SKEL_LEN]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert rows, "expected at least one LSH candidate pair"
+    for r in rows:
+        sa, sb = skel(texts[r["doc_a"]]), skel(texts[r["doc_b"]])
+        assert r["edit_distance"] == lev(sa, sb)
+        assert r["max_skel_len"] == max(len(sa), len(sb))
+        assert (r["rel_distance"]
+                == r["edit_distance"] / max(r["max_skel_len"], 1))

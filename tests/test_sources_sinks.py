@@ -466,3 +466,38 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     meta = read_binary_files(spark, str(tmp_path), glob="*.bin") \
         .select("path", "length")
     assert meta.count() == 2
+
+
+def test_read_evolved_merges_versions_and_widens(spark, tmp_path):
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from openlmis_distributions_etl_spark.sources.files import read_evolved
+    p = str(tmp_path / "evolved")
+    # v1: (k int, v float), before the metric column existed
+    spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v float") \
+        .write.parquet(p + "/batch=1")
+    # v2: k widened to bigint, v to double, new metric column
+    spark.createDataFrame([(3_000_000_000, 3.5, "m3")],
+                          "k bigint, v double, metric string") \
+        .write.parquet(p + "/batch=2")
+    target = StructType([
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("metric", StringType()),
+    ])
+    rows = sorted(
+        (r["k"], r["v"], r["metric"])
+        for r in read_evolved(spark, [p + "/batch=1", p + "/batch=2"],
+                              target).collect())
+    assert rows == [(1, 1.5, None), (2, 2.5, None),
+                    (3_000_000_000, 3.5, "m3")]
+
+
+def test_read_evolved_rejects_narrowing(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from openlmis_distributions_etl_spark.sources.files import read_evolved
+    p = str(tmp_path / "narrow")
+    spark.createDataFrame([(3_000_000_000,)], "k bigint").write.parquet(p)
+    with pytest.raises(TypeError, match="safe widening"):
+        read_evolved(spark, p, StructType([StructField("k", IntegerType())]))
