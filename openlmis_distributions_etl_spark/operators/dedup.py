@@ -874,28 +874,20 @@ def minhash_pair_precision(t: dict[str, DataFrame],
 DUP_SPAN_W = 16
 
 
-def dup_span_stats(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact duplicate-SPAN detection (the ExactSubstr dedup of
-    "Deduplicating Training Data Makes Language Models Better",
-    re-expressed relationally): every 16-token window that appears
-    ≥2 times corpus-wide marks its positions; per doc, marked windows
-    merge into maximal spans (gaps-and-islands) and the output reports
-    the duplicated-token fraction — the signal used to cut boilerplate
-    and templated text out of a training corpus.
+def _all_docs_tokenized(t: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, toks, n) for every document, token array pin()ned so
+    the split runs once per doc however many downstream references."""
+    return (pin(t["documents"].select("doc_id", "text"), toks=tokens())
+            .select("doc_id", "toks", F.size("toks").alias("n")))
 
-    Scale shape: (1) window hashes are generated per doc with ONE
-    higher-order transform over a pin()ned token array (no per-window
-    re-tokenize), (2) corpus-wide duplication = count(*) OVER
-    (PARTITION BY hash) — one shuffle on the 16-byte hash, no join-
-    back, (3) span merging is two windows over (doc_id, position) —
-    one more shuffle bounded per doc. Everything is exact integer
-    arithmetic except the final fraction division; no pair
-    enumeration anywhere (a window duplicated k times costs k rows,
-    never k² pairs)."""
+
+def _dup_spans(t: dict[str, DataFrame]) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, n, island, mn, mx,
+    nw) where [mn, mx + W − 1] is a merged run of ≥2×-occurring
+    W-token windows. Shared by dup_span_stats (report) and
+    dup_span_removal (transform)."""
     w = DUP_SPAN_W
-    d = (pin(t["documents"].select("doc_id", "text"), toks=tokens())
-         .select("doc_id", "toks", F.size("toks").alias("n"))
-         .where(F.col("n") >= w))
+    d = _all_docs_tokenized(t).where(F.col("n") >= w)
     wh = d.select(
         "doc_id", "n",
         F.explode(F.expr(
@@ -917,9 +909,31 @@ def dup_span_stats(t: dict[str, DataFrame]) -> DataFrame:
     run = (Window.partitionBy("doc_id").orderBy("p")
            .rowsBetween(Window.unboundedPreceding, 0))
     isl = isl.withColumn("island", F.sum("ni").over(run))
-    spans = (isl.groupBy("doc_id", "n", "island")
-             .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
-                  F.count(F.lit(1)).alias("nw")))
+    return (isl.groupBy("doc_id", "n", "island")
+            .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
+                 F.count(F.lit(1)).alias("nw")))
+
+
+def dup_span_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact duplicate-SPAN detection (the ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): every 16-token window that appears
+    ≥2 times corpus-wide marks its positions; per doc, marked windows
+    merge into maximal spans (gaps-and-islands) and the output reports
+    the duplicated-token fraction — the signal used to cut boilerplate
+    and templated text out of a training corpus.
+
+    Scale shape: (1) window hashes are generated per doc with ONE
+    higher-order transform over a pin()ned token array (no per-window
+    re-tokenize), (2) corpus-wide duplication = count(*) OVER
+    (PARTITION BY hash) — one shuffle on the 16-byte hash, no join-
+    back, (3) span merging is two windows over (doc_id, position) —
+    one more shuffle bounded per doc. Everything is exact integer
+    arithmetic except the final fraction division; no pair
+    enumeration anywhere (a window duplicated k times costs k rows,
+    never k² pairs)."""
+    spans = _dup_spans(t)
+    w = DUP_SPAN_W
     return (spans.groupBy("doc_id", "n")
             .agg(F.sum(F.col("mx") + w - F.col("mn"))
                  .alias("n_dup_tokens"),
@@ -1057,3 +1071,42 @@ def edit_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("edit_distance").cast("double")
          / F.greatest(F.col("max_skel_len"), F.lit(1)).cast("double"))
         .alias("rel_distance"))
+
+
+def dup_span_removal(t: dict[str, DataFrame]) -> DataFrame:
+    """ACT on the duplicate-span signal: emit each document with its
+    duplicated spans cut out — the transform half of ExactSubstr
+    dedup (dup_span_stats is the report half). Returns per-doc token
+    counts before/after and a content hash of the cleaned text, so a
+    downstream pipeline can verify or materialize the cut corpus.
+
+    Scale shape: the span list per doc is collected into a bounded
+    per-doc array (spans are merged maximal runs — their count is
+    ≤ n/W per doc), broadcast nothing; the cut itself is one
+    higher-order filter over the pin()ned token array, index-tested
+    against the doc's own intervals. One extra groupBy(doc) over the
+    span frame beyond the stats plan; docs with no duplicated spans
+    pass through via the left join with an empty interval list."""
+    w = DUP_SPAN_W
+    ivs = (_dup_spans(t)
+           .groupBy("doc_id")
+           .agg(F.collect_list(
+               F.array(F.col("mn"),
+                       F.col("mx") + F.lit(w - 1))).alias("ivs")))
+    d = _all_docs_tokenized(t)
+    joined = (d.join(ivs, "doc_id", "left")
+              .select("doc_id", "toks", "n",
+                      F.coalesce("ivs", F.expr("array()")).alias("ivs")))
+    # Spark HOF lambda index is 0-based → token position = i + 1;
+    # intervals are [mn, mx + W - 1] in 1-based token positions
+    kept = F.expr(
+        "filter(toks, (x, i) -> size(filter(ivs, "
+        "iv -> i + 1 >= iv[0] AND i + 1 <= iv[1])) == 0)")
+    return (joined
+            .select("doc_id", F.col("n").alias("n_tokens"),
+                    F.size(kept).alias("n_kept"),
+                    F.md5(F.array_join(kept, " ")).alias("cleaned_hash"))
+            .withColumn("kept_fraction",
+                        F.when(F.col("n_tokens") > 0,
+                               F.col("n_kept").cast("double")
+                               / F.col("n_tokens").cast("double"))))

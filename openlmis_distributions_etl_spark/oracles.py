@@ -3443,3 +3443,67 @@ ORACLES.update({
         JOIN sk y ON p.doc_b = y.doc_id
     """,
 })
+
+ORACLES.update({
+    # DuckDB list_filter lambda index is 1-BASED (Spark's is 0-based);
+    # both sides test token position against [mn, mx+15] intervals
+    "dup_span_removal": f"""
+        WITH d AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM (SELECT doc_id, {TOKS} AS toks FROM documents)),
+        e AS (SELECT * FROM d WHERE n >= 16),
+        pos AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(1, n - 15)) AS p
+          FROM e),
+        wh AS (
+          SELECT doc_id, n, p,
+                 md5(array_to_string(toks[p : p + 15], ' ')) AS h
+          FROM pos),
+        dup AS (
+          SELECT doc_id, n, p
+          FROM (SELECT doc_id, n, p,
+                       COUNT(*) OVER (PARTITION BY h) AS c
+                FROM wh)
+          WHERE c >= 2),
+        isl AS (
+          SELECT doc_id, n, p,
+                 CASE WHEN p > COALESCE(MAX(p) OVER (
+                          PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -16) + 16
+                      THEN 1 ELSE 0 END AS ni
+          FROM dup),
+        isl2 AS (
+          SELECT doc_id, n, p, SUM(ni) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, island, MIN(p) AS mn, MAX(p) AS mx
+          FROM isl2 GROUP BY doc_id, island),
+        ivs AS (
+          SELECT doc_id, list([mn, mx + 15]) AS ivs
+          FROM spans GROUP BY doc_id),
+        joined AS (
+          SELECT d.doc_id, d.toks, d.n,
+                 COALESCE(i.ivs, []) AS ivs
+          FROM d LEFT JOIN ivs i ON d.doc_id = i.doc_id),
+        clean AS (
+          SELECT doc_id, n,
+                 list_filter(toks, (x, i) -> len(list_filter(ivs,
+                   iv -> i >= iv[1] AND i <= iv[2])) = 0) AS kept
+          FROM joined)
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               CAST(len(kept) AS INTEGER) AS n_kept,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               md5(COALESCE(array_to_string(kept, ' '), ''))
+                 AS cleaned_hash,
+               CASE WHEN n > 0 THEN
+                 CAST(len(kept) AS DOUBLE) / CAST(n AS DOUBLE)
+               END AS kept_fraction
+        FROM clean
+    """,
+})

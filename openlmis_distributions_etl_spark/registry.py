@@ -205,6 +205,7 @@ _OPERATORS = {
     "doc_novelty_rate": dedup.doc_novelty_rate,
     "pagerank_dup_graph": dedup.pagerank_dup_graph,
     "edit_distance_pairs": dedup.edit_distance_pairs,
+    "dup_span_removal": dedup.dup_span_removal,
 }
 
 

@@ -989,3 +989,22 @@ def test_edit_distance_pairs_reference(spark):
         assert r["max_skel_len"] == max(len(sa), len(sb))
         assert (r["rel_distance"]
                 == r["edit_distance"] / max(r["max_skel_len"], 1))
+
+
+def test_dup_span_removal_consistent_with_stats(spark):
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        dup_span_removal, dup_span_stats)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    removed = {r["doc_id"]: r for r in dup_span_removal(t).collect()}
+    stats = {r["doc_id"]: r for r in dup_span_stats(t).collect()}
+    n_docs = t["documents"].count()
+    assert len(removed) == n_docs
+    for doc_id, r in removed.items():
+        s = stats.get(doc_id)
+        if s is None:
+            assert r["n_kept"] == r["n_tokens"]
+            assert r["kept_fraction"] == 1.0
+        else:
+            # the transform cuts exactly the tokens the report counted
+            assert r["n_kept"] == r["n_tokens"] - s["n_dup_tokens"]
