@@ -328,3 +328,47 @@ def test_deterministic_shuffle_single_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_doc_chunks_is_zero_exchange(spark):
+    # chunking is a pure narrow plan: tokenize → sequence → explode —
+    # any Exchange here would be a scale regression
+    plan = _plan(_q(spark, "doc_chunks"))
+    assert "Exchange" not in plan, plan[:800]
+    assert "Generate" in plan  # the explode
+
+
+def test_bpe_merge_pairs_topk_never_global_sort(spark):
+    # global top-50 must plan as TakeOrderedAndProject (per-partition
+    # heaps), not a full Sort over the aggregated pair table
+    plan = _plan(_q(spark, "bpe_merge_pairs"))
+    assert "TakeOrderedAndProject" in plan
+    # two aggregation shuffles: word counts, pair sums
+    assert plan.count("Exchange") <= 3
+
+
+def test_dup_span_stats_single_hash_shuffle_no_join(spark):
+    # corpus-wide duplication via count OVER (PARTITION BY h): the
+    # plan must contain zero joins (no join-back of dup hashes)
+    plan = _plan(_q(spark, "dup_span_stats"))
+    for node in ("SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_ks_drift_no_global_orderby_window(spark):
+    # the ECDF must come from the bucket-decomposed prefix sum; a
+    # global ORDER BY window (empty partition spec over the full value
+    # axis) would funnel every distinct value through one task. The
+    # only permissible unpartitioned window is the constant-size
+    # bucket-offset frame over ≤16 rows — identified by its input
+    # being the bucket aggregate (bkt grouping), never raw values.
+    import re
+    plan = _plan(_q(spark, "ks_drift_value"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    value_specs = [s for s in specs if "value#" in s]
+    assert value_specs, "expected in-bucket cumulative windows"
+    # every window ordering over the value axis must be partitioned
+    # (first spec component = bkt), never a bare global ORDER BY value
+    for s in value_specs:
+        assert s.split(",")[0].strip().startswith("bkt#"), s
