@@ -31,6 +31,11 @@ FLAGSHIPS = (
     "pq_balanced_perm",
     "doc_simpson_diversity",
     "join_key_skew_audit",
+    "ks_drift_value",
+    "psi_value_drift",
+    "dup_span_stats",
+    "bpe_merge_pairs",
+    "doc_chunks",
 )
 
 

@@ -51,7 +51,12 @@ OPS = (
     "bpe_merge_pairs",
     "doc_chunks",
     "dup_span_stats",
+    "dup_span_removal",
+    "doc_novelty_rate",
+    "edit_distance_pairs",
+    "pagerank_dup_graph",
     "ks_drift_value",
+    "psi_value_drift",
     "chi2_event_segments",
 )
 
