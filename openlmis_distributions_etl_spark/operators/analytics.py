@@ -791,6 +791,37 @@ def ks_drift_value(t: dict[str, DataFrame]) -> DataFrame:
 PSI_BUCKETS = 10
 
 
+def _psi_fences(cum: DataFrame) -> DataFrame:
+    """One-row frame of the baseline's exact DISCRETE decile fences,
+    by integer rank arithmetic over the distributed ECDF (fence_k =
+    min value whose cumulative baseline count reaches ceil(k·na/10)).
+    No float percentile interpolation — both engines pick identical
+    fences."""
+    return cum.agg(*[
+        F.min(F.when(
+            F.col("fa") >= F.expr(f"({k} * na + {PSI_BUCKETS - 1}) "
+                                  f"DIV {PSI_BUCKETS}"),
+            F.col("value"))).alias(f"f{k}")
+        for k in range(1, PSI_BUCKETS)])
+
+
+def _psi_bucket(value_col: str = "value") -> Column:
+    """Bucket id 0..9 given the fence columns f1..f9 in scope."""
+    b = F.lit(0)
+    for k in range(1, PSI_BUCKETS):
+        b = b + (F.col(value_col) > F.col(f"f{k}")).cast("int")
+    return b
+
+
+def _psi_quantized_term(pa, pb):
+    """(pa−pb)·ln(pa/pb) quantized to 1e-9 via floor(x·1e9+0.5)/1e9 —
+    JVM Math.log and libm ln can disagree by one ulp, and the explicit
+    quantization chain is the same three exact IEEE ops in both
+    engines (unlike round(), whose half-mode differs)."""
+    raw = (pa - pb) * F.log(pa / pb)
+    return F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
 def psi_value_drift(t: dict[str, DataFrame]) -> DataFrame:
     """Population Stability Index between the two event-type value
     distributions, per decile bucket of the BASELINE sample — the
@@ -814,32 +845,62 @@ def psi_value_drift(t: dict[str, DataFrame]) -> DataFrame:
     cum = _value_ecdf(t)
     cum.persist()
     register(cum)
-    # discrete decile fences of the baseline via integer rank math
-    fence_exprs = [
-        F.min(F.when(
-            F.col("fa") >= F.expr(f"({k} * na + {PSI_BUCKETS - 1}) "
-                                  f"DIV {PSI_BUCKETS}"),
-            F.col("value"))).alias(f"f{k}")
-        for k in range(1, PSI_BUCKETS)]
-    fen = cum.agg(*fence_exprs)
-    b = F.lit(0)
-    for k in range(1, PSI_BUCKETS):
-        b = b + (F.col("value") > F.col(f"f{k}")).cast("int")
+    fen = _psi_fences(cum)
     bucketed = (cum.crossJoin(F.broadcast(fen))
                 .select("value", "ca", "cb", "na", "nb",
-                        b.alias("bucket")))
+                        _psi_bucket().alias("bucket")))
     agg = (bucketed.groupBy("bucket")
            .agg(F.sum("ca").alias("n_base"), F.sum("cb").alias("n_cur"),
                 F.max("na").alias("na"), F.max("nb").alias("nb")))
     pa = F.col("n_base").cast("double") / F.col("na").cast("double")
     pb = F.col("n_cur").cast("double") / F.col("nb").cast("double")
-    raw = (pa - pb) * F.log(pa / pb)
     return agg.select(
         "bucket", "n_base", "n_cur",
         pa.alias("p_base"), pb.alias("p_cur"),
         F.when((F.col("n_base") > 0) & (F.col("n_cur") > 0),
-               F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
-        .alias("psi_term"))
+               _psi_quantized_term(pa, pb)).alias("psi_term"))
+
+
+def psi_windowed(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly PSI drift report: the current sample's hourly value
+    distribution vs the full-corpus baseline deciles — the batch twin
+    of streaming/jobs.psi_bucket_counts_stream and the report a drift
+    dashboard renders per ingestion window.
+
+    Baseline fences + per-bucket baseline counts come from the shared
+    distributed-ECDF core (rank-exact deciles, one broadcast row +
+    one ≤10-row broadcast); the hourly side is ONE (hour, bucket)
+    count shuffle over the current event type, with per-window totals
+    on a window partition over the aggregate. Every count exact; the
+    per-row PSI term is the same quantized expression as
+    psi_value_drift."""
+    from ..functions.cache import register
+    cum = _value_ecdf(t)
+    cum.persist()
+    register(cum)
+    fen = _psi_fences(cum)
+    base = (cum.crossJoin(F.broadcast(fen))
+            .select("ca", "na", _psi_bucket().alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("ca").alias("n_base"), F.max("na").alias("na")))
+    cur = (t["events"]
+           .where((F.col("event_type") == KS_GROUP_B)
+                  & F.col("value").isNotNull())
+           .select(F.date_format(F.date_trunc("hour", "ts"),
+                                 "yyyy-MM-dd HH:00").alias("hour"),
+                   "value")
+           .crossJoin(F.broadcast(fen))
+           .select("hour", _psi_bucket().alias("bucket"))
+           .groupBy("hour", "bucket")
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    win = cur.withColumn(
+        "nb_win", F.sum("n_cur").over(Window.partitionBy("hour")))
+    pa = F.col("n_base").cast("double") / F.col("na").cast("double")
+    pb = F.col("n_cur").cast("double") / F.col("nb_win").cast("double")
+    return (win.join(F.broadcast(base), "bucket")
+            .select("hour", "bucket", "n_cur", "nb_win", "n_base",
+                    pa.alias("p_base"), pb.alias("p_cur"),
+                    _psi_quantized_term(pa, pb).alias("psi_term")))
 
 
 CHI2_SEGMENTS = 3

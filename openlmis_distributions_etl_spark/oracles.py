@@ -3507,3 +3507,78 @@ ORACLES.update({
         FROM clean
     """,
 })
+
+
+ORACLES.update({
+    "psi_windowed": """
+        WITH pts AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL
+          GROUP BY value),
+        cum AS (
+          SELECT value, ca,
+                 SUM(ca) OVER (ORDER BY value) AS fa
+          FROM pts),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM pts),
+        fen AS (
+          SELECT
+          MIN(CASE WHEN fa >= (1 * na + 9) // 10 THEN value END) AS f1,
+          MIN(CASE WHEN fa >= (2 * na + 9) // 10 THEN value END) AS f2,
+          MIN(CASE WHEN fa >= (3 * na + 9) // 10 THEN value END) AS f3,
+          MIN(CASE WHEN fa >= (4 * na + 9) // 10 THEN value END) AS f4,
+          MIN(CASE WHEN fa >= (5 * na + 9) // 10 THEN value END) AS f5,
+          MIN(CASE WHEN fa >= (6 * na + 9) // 10 THEN value END) AS f6,
+          MIN(CASE WHEN fa >= (7 * na + 9) // 10 THEN value END) AS f7,
+          MIN(CASE WHEN fa >= (8 * na + 9) // 10 THEN value END) AS f8,
+          MIN(CASE WHEN fa >= (9 * na + 9) // 10 THEN value END) AS f9
+          FROM cum, tot),
+        base AS (
+          SELECT (CASE WHEN value > f1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f5 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f6 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f7 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f8 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f9 THEN 1 ELSE 0 END) AS bucket,
+                 CAST(SUM(ca) AS BIGINT) AS n_base
+          FROM pts, fen
+          GROUP BY 1),
+        cur AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                   AS hour,
+                 (CASE WHEN value > f1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f5 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f6 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f7 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f8 THEN 1 ELSE 0 END)
+                 + (CASE WHEN value > f9 THEN 1 ELSE 0 END) AS bucket,
+                 COUNT(*) AS n_cur
+          FROM events, fen
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1, 2),
+        win AS (
+          SELECT hour, bucket, CAST(n_cur AS BIGINT) AS n_cur,
+                 CAST(SUM(n_cur) OVER (PARTITION BY hour) AS BIGINT)
+                   AS nb_win
+          FROM cur)
+        SELECT hour, bucket, n_cur, nb_win, n_base,
+               CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE) AS p_base,
+               CAST(n_cur AS DOUBLE) / CAST(nb_win AS DOUBLE) AS p_cur,
+               floor((CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(n_cur AS DOUBLE) / CAST(nb_win AS DOUBLE))
+                     * ln((CAST(n_base AS DOUBLE) / CAST(na AS DOUBLE))
+                          / (CAST(n_cur AS DOUBLE)
+                             / CAST(nb_win AS DOUBLE)))
+                     * 1e9 + 0.5) / 1e9 AS psi_term
+        FROM win JOIN base USING (bucket), tot
+    """,
+})

@@ -206,6 +206,7 @@ _OPERATORS = {
     "pagerank_dup_graph": dedup.pagerank_dup_graph,
     "edit_distance_pairs": dedup.edit_distance_pairs,
     "dup_span_removal": dedup.dup_span_removal,
+    "psi_windowed": analytics.psi_windowed,
 }
 
 

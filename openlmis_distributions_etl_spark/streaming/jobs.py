@@ -548,3 +548,52 @@ def stream_maintain_rollup(orders: DataFrame, fact_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def psi_bucket_counts_stream(events: DataFrame,
+                             history: DataFrame) -> DataFrame:
+    """Streaming drift monitor: bucket incoming current-sample events
+    against baseline decile fences derived ONCE (at stream setup)
+    from the static history, and count per (hour window, bucket) with
+    a watermark — the live half of the PSI dashboard whose batch twin
+    is operators.analytics.psi_windowed.
+
+    The fences and per-bucket baseline counts are rank-exact decile
+    statistics from the shared distributed-ECDF core; they ship to
+    executors as literals (the zscore-gate pattern: tiny setup-time
+    collect, then the hot path is a stateless projection + one
+    windowed count — no stream-side join, no extra state beyond the
+    windowed aggregate). Emits (hour, bucket, n_cur, n_base, p_base);
+    per-window totals and the PSI term are one window function away
+    in the consumer (a streaming agg cannot nest a second agg)."""
+    from ..operators.analytics import (KS_GROUP_B, PSI_BUCKETS,
+                                       _psi_fences, _value_ecdf)
+    cum = _value_ecdf({"events": history})
+    fen = _psi_fences(cum)
+    frow = fen.collect()[0]
+    fences = [frow[f"f{k}"] for k in range(1, PSI_BUCKETS)]
+    b = F.lit(0)
+    for fk in fences:
+        b = b + (F.col("value") > F.lit(fk)).cast("int")
+    base = (cum.select("ca", "na",
+                       sum((F.col("value") > F.lit(fk)).cast("int")
+                           for fk in fences).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("ca").alias("n_base"), F.max("na").alias("na"))
+            .collect())
+    n_base = F.create_map(*[F.lit(x) for r in base
+                            for x in (r["bucket"], r["n_base"])])
+    na = float(base[0]["na"])
+    return (events
+            .where((F.col("event_type") == KS_GROUP_B)
+                   & F.col("value").isNotNull())
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"),
+                     b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .select(F.date_format(F.col("win.start"),
+                                  "yyyy-MM-dd HH:00").alias("hour"),
+                    "bucket", "n_cur",
+                    n_base[F.col("bucket")].cast("long").alias("n_base"),
+                    (n_base[F.col("bucket")].cast("double")
+                     / F.lit(na)).alias("p_base")))

@@ -331,3 +331,20 @@ def test_stream_maintain_rollup_matches_batch(spark, tmp_path):
     # the fact holds exactly the streamed rows
     assert read_versioned(spark, str(tmp_path / "fact")).count() \
         == orders.count()
+
+
+def test_psi_bucket_counts_stream_matches_batch(spark):
+    """The streamed per-(hour, bucket) counts and baseline shares must
+    equal the batch psi_windowed projection when history = the corpus
+    the stream replays."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.psi_bucket_counts_stream(stream, t["events"]),
+        "psi_counts", spark, "complete")
+    want = (analytics.psi_windowed(t)
+            .select("hour", "bucket", "n_cur", "n_base", "p_base")
+            .toPandas())
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
