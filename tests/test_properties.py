@@ -246,3 +246,81 @@ def test_lead_time_gap_sum_telescopes(spark, rows):
             want = (days[-1] - days[0]) / (len(days) - 1)
             assert abs(r["avg_gap_days"] - want) < 1e-9
             assert r["max_gap_days"] >= want - 1e-9
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abc")), min_size=1, max_size=40),
+    min_size=2, max_size=12)
+
+
+def _docs_df(spark, token_lists):
+    data = [(i, " ".join(toks), "en", "src", len(" ".join(toks)))
+            for i, toks in enumerate(token_lists)]
+    return spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+
+
+@PROP
+@given(docs_strategy)
+def test_dup_span_stats_matches_interval_merge(spark, token_lists):
+    """Random tiny-alphabet corpora (duplicates everywhere): the
+    operator's per-doc duplicated-token count equals a brute-force
+    position-set union, and removal cuts exactly that many tokens."""
+    from collections import Counter
+    w = dedup.DUP_SPAN_W
+    t = {"documents": _docs_df(spark, token_lists)}
+    stats = {r["doc_id"]: r for r in dedup.dup_span_stats(t).collect()}
+    removed = {r["doc_id"]: r for r in dedup.dup_span_removal(t).collect()}
+    cnt = Counter()
+    for toks in token_lists:
+        for p in range(len(toks) - w + 1):
+            cnt[" ".join(toks[p:p + w])] += 1
+    for doc_id, toks in enumerate(token_lists):
+        marked = [p for p in range(len(toks) - w + 1)
+                  if cnt[" ".join(toks[p:p + w])] >= 2]
+        covered = set()
+        for p in marked:
+            covered.update(range(p, p + w))
+        if marked:
+            s = stats[doc_id]
+            assert s["n_dup_tokens"] == len(covered)
+            assert s["n_dup_windows"] == len(marked)
+        else:
+            assert doc_id not in stats
+        r = removed[doc_id]
+        assert r["n_kept"] == len(toks) - len(covered)
+
+
+values_strategy = st.lists(
+    st.tuples(st.sampled_from(["click", "purchase"]),
+              st.integers(-5, 5)),
+    min_size=2, max_size=60).filter(
+        lambda rows: len({g for g, _ in rows}) == 2)
+
+
+@PROP
+@given(values_strategy)
+def test_ks_drift_matches_brute_force(spark, rows):
+    """Random two-sample value sets (heavy ties by construction): the
+    distributed-ECDF KS equals the brute-force sup |Fa - Fb|."""
+    from openlmis_distributions_etl_spark.operators import analytics
+    data = [(i, BASE, 0, g, float(v), "{}")
+            for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = analytics.ks_drift_value({"events": df}).collect()[0]
+    a = sorted(float(v) for g, v in rows if g == "click")
+    b = sorted(float(v) for g, v in rows if g == "purchase")
+    import bisect
+    na, nb = len(a), len(b)
+    best, best_at = -1, None
+    for x in sorted(set(a) | set(b)):
+        d = abs(bisect.bisect_right(a, x) * nb
+                - bisect.bisect_right(b, x) * na)
+        if d > best:
+            best, best_at = d, x
+    assert (out["na"], out["nb"]) == (na, nb)
+    assert out["d_num"] == float(best)
+    assert out["at_value"] == best_at
