@@ -48,6 +48,8 @@ HEADLINE = [
     "ks_drift_value",
     "bpe_merge_pairs",
     "doc_chunks",
+    "dup_span_stats",
+    "psi_windowed",
 ]
 
 

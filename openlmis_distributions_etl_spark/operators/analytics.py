@@ -941,3 +941,63 @@ def chi2_event_segments(t: dict[str, DataFrame]) -> DataFrame:
         n_exp.alias("n_exp"),
         ((F.col("n_obs").cast("double") - n_exp) ** 2 / n_exp)
         .alias("chi2_cell"))
+
+
+MEDIAN_FINISH_ROWS = 65536
+MEDIAN_MAX_ITERS = 64
+
+
+def exact_median_value(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT median of a value column by distributed selection — the
+    answer `percentile()` gives on one node, computed the way a
+    1000-executor cluster has to: a driver-coordinated bisection on
+    the value range (one count aggregate per round, only two doubles
+    and a count ever reach the driver) that narrows to a window of
+    ≤64k rows, then a distributed top-k (TakeOrdered — per-partition
+    heaps) selects the k-th smallest inside it. No global sort, no
+    single-task percentile over the full column; rounds are
+    O(log(range)) with a typical count of ~10.
+
+    Deterministic for ANY pivot sequence (pivots only steer the
+    search; the final selection is exact), so the oracle is plain
+    ORDER BY ... OFFSET. Returns (n, k, median) with k = (n+1)//2 —
+    the lower median, matching the discrete-quantile oracle."""
+    from ..functions.cache import retain
+    sample = retain(t["events"]
+                    .where((F.col("event_type") == KS_GROUP_A)
+                           & F.col("value").isNotNull())
+                    .select("value"))
+    row = sample.agg(F.count(F.lit(1)).alias("n"),
+                     F.min("value").alias("lo"),
+                     F.max("value").alias("hi")).collect()[0]
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    k = (n + 1) // 2
+    # rows ≤ lo is 0 only before the first narrowing; track it so the
+    # in-window rank stays correct as [lo, hi] shrinks
+    cnt_le_lo = 0
+    in_range = n
+    for _ in range(MEDIAN_MAX_ITERS):
+        if in_range <= MEDIAN_FINISH_ROWS or lo == hi:
+            break
+        pivot = lo + (hi - lo) / 2.0
+        if pivot <= lo or pivot >= hi:   # double precision exhausted
+            break
+        c = sample.where((F.col("value") > lo)
+                         & (F.col("value") <= hi)).agg(
+            F.sum((F.col("value") <= pivot).cast("long")).alias("le"),
+            F.count(F.lit(1)).alias("tot")).collect()[0]
+        if cnt_le_lo + c["le"] >= k:
+            hi = pivot
+            in_range = c["le"]
+        else:
+            cnt_le_lo += c["le"]
+            lo = pivot
+            in_range = c["tot"] - c["le"]
+    j = k - cnt_le_lo
+    finish = (sample.where((F.col("value") > lo)
+                           & (F.col("value") <= hi))
+              if cnt_le_lo > 0 else sample)
+    med = (finish.orderBy(F.asc("value")).limit(j)
+           .agg(F.max("value").alias("median")))
+    return med.select(F.lit(n).alias("n"), F.lit(k).alias("k"),
+                      "median")

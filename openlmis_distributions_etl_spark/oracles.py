@@ -3582,3 +3582,19 @@ ORACLES.update({
         FROM win JOIN base USING (bucket), tot
     """,
 })
+
+ORACLES.update({
+    # the single-node luxury: ORDER BY + OFFSET; the Spark plan's
+    # bisection+top-k selection returns the identical k-th smallest
+    "exact_median_value": """
+        WITH s AS (
+          SELECT value FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+        SELECT n, CAST((n + 1) // 2 AS BIGINT) AS k,
+               (SELECT value FROM s ORDER BY value
+                LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM t))
+                 AS median
+        FROM t
+    """,
+})

@@ -207,6 +207,7 @@ _OPERATORS = {
     "edit_distance_pairs": dedup.edit_distance_pairs,
     "dup_span_removal": dedup.dup_span_removal,
     "psi_windowed": analytics.psi_windowed,
+    "exact_median_value": analytics.exact_median_value,
 }
 
 

@@ -1008,3 +1008,18 @@ def test_dup_span_removal_consistent_with_stats(spark):
         else:
             # the transform cuts exactly the tokens the report counted
             assert r["n_kept"] == r["n_tokens"] - s["n_dup_tokens"]
+
+
+def test_exact_median_selection_matches_sorted(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        exact_median_value)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    row = exact_median_value(t).collect()[0]
+    vals = sorted(r["value"] for r in t["events"]
+                  .where("event_type = 'click' AND value IS NOT NULL")
+                  .select("value").collect())
+    n = len(vals)
+    k = (n + 1) // 2
+    assert (row["n"], row["k"]) == (n, k)
+    assert row["median"] == vals[k - 1]
