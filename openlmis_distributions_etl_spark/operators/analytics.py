@@ -1001,3 +1001,44 @@ def exact_median_value(t: dict[str, DataFrame]) -> DataFrame:
            .agg(F.max("value").alias("median")))
     return med.select(F.lit(n).alias("n"), F.lit(k).alias("k"),
                       "median")
+
+
+GRI_BUCKETS = 16
+
+
+def global_row_index(t: dict[str, DataFrame]) -> DataFrame:
+    """Contiguous global row ids 0..n−1 in (n_chars DESC, doc_id ASC)
+    order — the distributed zipWithIndex every training-data export
+    needs (assign example ids in curriculum order) — WITHOUT the
+    single-task global ORDER BY window: approx-percentile fences
+    range-bucket the order key (monotone test, ties share a bucket,
+    so bucket order is consistent with the global order), per-bucket
+    counts give exclusive offsets over ≤16 rows, and in-bucket
+    row_number + offset = the exact global index. The same
+    prefix-decomposition as abc_classification, producing ids instead
+    of cumulative sums."""
+    from ..functions.cache import retain
+    d = retain(t["documents"].select("doc_id", "n_chars"))
+    pcts = ",".join(str(i / GRI_BUCKETS) for i in range(1, GRI_BUCKETS))
+    fences = d.agg(F.expr(
+        f"approx_percentile(CAST(n_chars AS DOUBLE), array({pcts}))")
+        .alias("fa_"))
+    # descending order key: bucket 0 holds the LARGEST n_chars
+    b = F.lit(0)
+    for i in range(1, GRI_BUCKETS):
+        b = b + (F.col("n_chars").cast("double")
+                 <= F.element_at("fa_", GRI_BUCKETS - i)).cast("int")
+    bucketed = (d.crossJoin(F.broadcast(fences))
+                .select("doc_id", "n_chars", b.alias("bkt")))
+    bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(wo),
+                          F.lit(0).cast("long")).alias("off"))
+    win = (Window.partitionBy("bkt")
+           .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (bucketed.join(F.broadcast(offs), "bkt")
+            .select("doc_id", "n_chars",
+                    (F.row_number().over(win) - 1 + F.col("off"))
+                    .cast("long").alias("row_index")))

@@ -899,3 +899,45 @@ def doc_chunks(t: dict[str, DataFrame]) -> DataFrame:
                 "start",
                 F.size(chunk).alias("n_chunk_tokens"),
                 F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash")))
+
+
+def phrase_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact phrase search through a POSITIONAL INVERTED INDEX — the
+    search-engine primitive: find every occurrence of the corpus's
+    most frequent bigram by joining the two terms' posting lists on
+    (doc, adjacent positions), never rescanning documents.
+
+    The query phrase is derived in-plan (top bigram by count,
+    deterministic tie-break) so the operator is self-contained; the
+    posting table is built once (posexplode, retained) and each term's
+    postings are filtered BEFORE the position join — at 100 TB the
+    join touches two posting lists, not the corpus. One (doc, pos)
+    shuffle for the adjacency join; TakeOrderedAndProject for the
+    top-1 phrase."""
+    from ..functions.cache import retain
+    d = (t["documents"]
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") >= 2))
+    postings = retain(
+        d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), "tok"))
+    bigrams = d.select(F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("b"))
+    top = (bigrams.groupBy("b.w1", "b.w2")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+           .limit(1))
+    p1 = (postings.join(F.broadcast(top), F.col("tok") == F.col("w1"))
+          .select("doc_id", "pos", "w1", "w2", "cnt"))
+    p2 = postings.select(F.col("doc_id").alias("doc2"),
+                         F.col("pos").alias("pos2"), "tok")
+    hits = p1.join(p2, (F.col("doc_id") == F.col("doc2"))
+                   & (F.col("pos2") == F.col("pos") + 1)
+                   & (F.col("tok") == F.col("w2")))
+    return (hits.groupBy("doc_id", "w1", "w2", "cnt")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("pos").alias("first_pos"))
+            .select("doc_id", "w1", "w2",
+                    F.col("cnt").alias("corpus_count"),
+                    "n_matches", "first_pos"))

@@ -3598,3 +3598,44 @@ ORACLES.update({
         FROM t
     """,
 })
+
+ORACLES.update({
+    "phrase_search": f"""
+        WITH d AS (
+          SELECT doc_id, toks FROM
+            (SELECT doc_id, {TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        bigr AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        top AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM bigr GROUP BY w1, w2
+          ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        post AS (
+          SELECT doc_id, p AS pos, toks[p] AS tok
+          FROM d, unnest(generate_series(1, len(toks))) AS u(p)),
+        hits AS (
+          SELECT a.doc_id, a.pos, t.w1, t.w2, t.cnt
+          FROM post a, top t, post b
+          WHERE a.tok = t.w1 AND b.tok = t.w2
+            AND b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+        SELECT doc_id, w1, w2, cnt AS corpus_count,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(pos) AS INTEGER) AS first_pos
+        FROM hits
+        GROUP BY doc_id, w1, w2, cnt
+    """,
+})
+
+ORACLES.update({
+    # single-window luxury; the Spark plan's bucket-decomposed
+    # row_number equals it because the bucket test is monotone in the
+    # order key and ties never straddle buckets
+    "global_row_index": """
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                    - 1 AS BIGINT) AS row_index
+        FROM documents
+    """,
+})

@@ -208,6 +208,8 @@ _OPERATORS = {
     "dup_span_removal": dedup.dup_span_removal,
     "psi_windowed": analytics.psi_windowed,
     "exact_median_value": analytics.exact_median_value,
+    "phrase_search": text.phrase_search,
+    "global_row_index": analytics.global_row_index,
 }
 
 

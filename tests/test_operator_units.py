@@ -1023,3 +1023,44 @@ def test_exact_median_selection_matches_sorted(spark):
     k = (n + 1) // 2
     assert (row["n"], row["k"]) == (n, k)
     assert row["median"] == vals[k - 1]
+
+
+def test_phrase_search_matches_scan(spark):
+    from collections import Counter
+    from openlmis_distributions_etl_spark.operators.text import (
+        phrase_search)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = phrase_search(t).collect()
+    assert rows
+    w1, w2 = rows[0]["w1"], rows[0]["w2"]
+    docs = {r["doc_id"]: [x for x in r["text"].split(" ") if x]
+            for r in t["documents"].select("doc_id", "text").collect()}
+    bigrams = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+    top = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (w1, w2) == top[0]
+    exp = {}
+    for doc_id, toks in docs.items():
+        pos = [i + 1 for i, (a, b) in enumerate(zip(toks, toks[1:]))
+               if (a, b) == (w1, w2)]
+        if pos:
+            exp[doc_id] = (len(pos), pos[0])
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in rows}
+    assert got == exp
+    assert all(r["corpus_count"] == top[1] for r in rows)
+
+
+def test_global_row_index_is_a_permutation(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        global_row_index)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    rows = sorted(global_row_index(t).collect(),
+                  key=lambda r: r["row_index"])
+    n = t["documents"].count()
+    assert [r["row_index"] for r in rows] == list(range(n))
+    keys = [(-r["n_chars"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
