@@ -1110,3 +1110,46 @@ def dup_span_removal(t: dict[str, DataFrame]) -> DataFrame:
                         F.when(F.col("n_tokens") > 0,
                                F.col("n_kept").cast("double")
                                / F.col("n_tokens").cast("double"))))
+
+
+def triangle_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph — the local
+    clustering signal that separates tight template families (dense
+    triangles) from chains of borderline matches, used to pick which
+    dup clusters are safe to collapse aggressively.
+
+    Scale shape: the DEGREE-ORIENTED wedge join (orient every edge
+    from the lower (degree, id) endpoint to the higher; every
+    triangle then has exactly ONE vertex whose two out-edges span it,
+    so each is found once and wedge generation per node is bounded by
+    its OUT-degree — the classic arboricity bound that makes triangle
+    listing feasible on power-law graphs where a naive wedge join
+    explodes on hubs). The closing-edge check is one semi-join
+    against the normalized edge set. The output (how many triangles
+    touch each node) is orientation-independent, so the DuckDB oracle
+    uses the naive ordered 3-join."""
+    edges = retain(minhash_lsh_pairs(t)
+                   .selectExpr("doc_a AS a", "doc_b AS b"))
+    sym = (edges.selectExpr("a AS u", "b AS v")
+           .union(edges.selectExpr("b AS u", "a AS v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    d1 = deg.selectExpr("node AS u", "deg AS deg_u")
+    d2 = deg.selectExpr("node AS v", "deg AS deg_v")
+    oriented = (sym.join(d1, "u").join(d2, "v")
+                .where((F.col("deg_u") < F.col("deg_v"))
+                       | ((F.col("deg_u") == F.col("deg_v"))
+                          & (F.col("u") < F.col("v"))))
+                .select("u", "v"))
+    w1 = oriented.selectExpr("u AS c0", "v AS w1")
+    w2 = oriented.selectExpr("u AS c0", "v AS w2")
+    wedges = w1.join(w2, "c0").where(F.col("w1") < F.col("w2"))
+    closing = wedges.join(
+        edges,
+        (F.least("w1", "w2") == F.col("a"))
+        & (F.greatest("w1", "w2") == F.col("b")),
+        "leftsemi")
+    members = closing.select(
+        F.explode(F.array("c0", "w1", "w2")).alias("doc_id"))
+    return (members.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

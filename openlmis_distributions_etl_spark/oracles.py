@@ -3639,3 +3639,29 @@ ORACLES.update({
         FROM documents
     """,
 })
+
+ORACLES.update({
+    # naive ordered 3-join (oracle luxury); the Spark plan's
+    # degree-oriented wedge join finds the identical triangle set
+    "triangle_counts": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        e AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        members AS (
+          SELECT unnest([x, y, z]) AS doc_id FROM tri)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM members GROUP BY doc_id
+    """,
+})

@@ -210,6 +210,7 @@ _OPERATORS = {
     "exact_median_value": analytics.exact_median_value,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
+    "triangle_counts": dedup.triangle_counts,
 }
 
 

@@ -1064,3 +1064,25 @@ def test_global_row_index_is_a_permutation(spark):
     assert [r["row_index"] for r in rows] == list(range(n))
     keys = [(-r["n_chars"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_triangle_counts_match_brute_force(spark):
+    from itertools import combinations
+    from openlmis_distributions_etl_spark.operators.dedup import (
+        minhash_lsh_pairs, triangle_counts)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from collections import Counter
+    t = load_tables(spark, SF0001)
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts(t).collect()}
+    edges = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(t).collect()}
+    nodes = sorted({v for e in edges for v in e})
+    exp = Counter()
+    for x, y, z in combinations(nodes, 3):
+        if ({(x, y), (x, z), (y, z)} <= edges):
+            exp[x] += 1
+            exp[y] += 1
+            exp[z] += 1
+    assert got == dict(exp)
+    assert sum(got.values()) % 3 == 0
