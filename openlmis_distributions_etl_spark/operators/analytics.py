@@ -944,63 +944,153 @@ def chi2_event_segments(t: dict[str, DataFrame]) -> DataFrame:
 
 
 MEDIAN_FINISH_ROWS = 65536
-MEDIAN_MAX_ITERS = 64
+SELECT_HIST_FENCES = 255     # interior fences per histogram round
+SELECT_MAX_ROUNDS = 16       # 256^16 = 2^128 range reduction ≫ double
 
 
-def exact_median_value(t: dict[str, DataFrame]) -> DataFrame:
-    """EXACT median of a value column by distributed selection — the
-    answer `percentile()` gives on one node, computed the way a
-    1000-executor cluster has to: a driver-coordinated bisection on
-    the value range (one count aggregate per round, only two doubles
-    and a count ever reach the driver) that narrows to a window of
-    ≤64k rows, then a distributed top-k (TakeOrdered — per-partition
-    heaps) selects the k-th smallest inside it. No global sort, no
-    single-task percentile over the full column; rounds are
-    O(log(range)) with a typical count of ~10.
+def _select_kth(sample: DataFrame, n: int, k: int,
+                init_row) -> tuple[DataFrame, int]:
+    """EXACT k-th smallest of cached column `value` by distributed
+    multi-fence histogram selection. Per round ONE aggregate counts
+    the candidate window into ≤256 equal-width sub-intervals (the
+    fence literals are driver doubles, and the bucket test is the
+    same `value > fence` comparison the next round's window predicate
+    uses, so interval bookkeeping is float-exact); the driver walks
+    the ≤256 counts to pick the sub-interval holding rank k. Rounds
+    are O(log_256(range)) — ≤2 in practice — versus ~10 for
+    one-pivot bisection, and only fence doubles and bucket counts
+    ever reach the driver.
 
-    Deterministic for ANY pivot sequence (pivots only steer the
-    search; the final selection is exact), so the oracle is plain
-    ORDER BY ... OFFSET. Returns (n, k, median) with k = (n+1)//2 —
-    the lower median, matching the discrete-quantile oracle."""
+    Invariants maintained exactly across rounds (the round-4 bisection
+    lost the first one for ties on the minimum):
+      cnt_le_lo == count(value <= lo)
+      in_range  == count(lo < value <= hi)
+      cnt_le_lo < k <= cnt_le_lo + in_range
+    ``init_row`` must carry n/lo/hi/c_min from one initial aggregate.
+    Returns (one-row DataFrame with double column `value`, rounds)."""
+    lo, hi, c_min = init_row["lo"], init_row["hi"], init_row["c_min"]
+    if k <= c_min:       # the k-th smallest IS the minimum
+        return (sample.sparkSession.range(1)
+                .select(F.lit(float(lo)).alias("value")), 0)
+    cnt_le_lo, in_range = c_min, n - c_min
+    rounds = 0
+    while in_range > MEDIAN_FINISH_ROWS and rounds < SELECT_MAX_ROUNDS:
+        m = SELECT_HIST_FENCES + 1
+        fences = sorted({p for i in range(1, m)
+                         if lo < (p := lo + (hi - lo) * i / m) < hi})
+        if not fences:   # interval is ≤ a few ulps wide
+            break
+        arr = F.array(*[F.lit(p) for p in fences])
+        bkt = F.size(F.filter(arr, lambda x: F.col("value") > x))
+        counts = dict(
+            sample.where((F.col("value") > lo) & (F.col("value") <= hi))
+            .groupBy(bkt.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect())
+        rounds += 1
+        bounds = [lo] + fences + [hi]
+        cum = cnt_le_lo
+        for j in range(len(bounds) - 1):
+            c = counts.get(j, 0)
+            if cum + c >= k:
+                lo, hi = bounds[j], bounds[j + 1]
+                cnt_le_lo, in_range = cum, c
+                break
+            cum += c
+    window = sample.where((F.col("value") > lo) & (F.col("value") <= hi))
+    j = k - cnt_le_lo
+    if in_range <= MEDIAN_FINISH_ROWS:
+        # distributed top-j (TakeOrdered per-partition heaps) inside
+        # the ≤64k-row window; max of the top-j = the j-th smallest
+        return (window.orderBy(F.asc("value")).limit(j)
+                .agg(F.max("value").alias("value")), rounds)
+    # fence precision exhausted with a big window: the interval spans
+    # ≤ SELECT_HIST_FENCES ulps, so its DISTINCT values are few — one
+    # value-count aggregate, walk the cumulative on the driver
+    pts = sorted(window.groupBy("value")
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+    cum = cnt_le_lo
+    for v, c in pts:
+        cum += c
+        if cum >= k:
+            return (sample.sparkSession.range(1)
+                    .select(F.lit(float(v)).alias("value")), rounds)
+    raise AssertionError("rank invariant violated in _select_kth")
+
+
+def _quantile_sample(t: dict[str, DataFrame]) -> tuple[DataFrame, dict]:
+    """Cached click-value column + its one-pass boundary stats
+    (n, min, max, multiplicity of the min — the tie count the
+    round-4 bisection forgot to seed cnt_le_lo with)."""
     from ..functions.cache import retain
     sample = retain(t["events"]
                     .where((F.col("event_type") == KS_GROUP_A)
                            & F.col("value").isNotNull())
                     .select("value"))
-    row = sample.agg(F.count(F.lit(1)).alias("n"),
-                     F.min("value").alias("lo"),
-                     F.max("value").alias("hi")).collect()[0]
-    n, lo, hi = row["n"], row["lo"], row["hi"]
+    row = sample.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi")).collect()[0]
+    c_min = (0 if row["n"] == 0 else
+             sample.where(F.col("value") == row["lo"]).count())
+    return sample, {"n": row["n"], "lo": row["lo"], "hi": row["hi"],
+                    "c_min": c_min}
+
+
+def exact_median_value(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT median of a value column by distributed selection — the
+    answer `percentile()` gives on one node, computed the way a
+    1000-executor cluster has to: multi-fence histogram selection
+    (`_select_kth` — one 256-bucket count aggregate per round, ≤2
+    rounds in practice) narrows to a window of ≤64k rows, then a
+    distributed top-k (TakeOrdered — per-partition heaps) selects the
+    k-th smallest inside it. No global sort, no single-task
+    percentile over the full column.
+
+    Deterministic for ANY fence sequence (fences only steer the
+    search; the final selection is exact), so the oracle is plain
+    ORDER BY ... OFFSET. Returns (n, k, median) with k = (n+1)//2 —
+    the lower median, matching the discrete-quantile oracle."""
+    sample, row = _quantile_sample(t)
+    n = row["n"]
     k = (n + 1) // 2
-    # rows ≤ lo is 0 only before the first narrowing; track it so the
-    # in-window rank stays correct as [lo, hi] shrinks
-    cnt_le_lo = 0
-    in_range = n
-    for _ in range(MEDIAN_MAX_ITERS):
-        if in_range <= MEDIAN_FINISH_ROWS or lo == hi:
-            break
-        pivot = lo + (hi - lo) / 2.0
-        if pivot <= lo or pivot >= hi:   # double precision exhausted
-            break
-        c = sample.where((F.col("value") > lo)
-                         & (F.col("value") <= hi)).agg(
-            F.sum((F.col("value") <= pivot).cast("long")).alias("le"),
-            F.count(F.lit(1)).alias("tot")).collect()[0]
-        if cnt_le_lo + c["le"] >= k:
-            hi = pivot
-            in_range = c["le"]
-        else:
-            cnt_le_lo += c["le"]
-            lo = pivot
-            in_range = c["tot"] - c["le"]
-    j = k - cnt_le_lo
-    finish = (sample.where((F.col("value") > lo)
-                           & (F.col("value") <= hi))
-              if cnt_le_lo > 0 else sample)
-    med = (finish.orderBy(F.asc("value")).limit(j)
-           .agg(F.max("value").alias("median")))
+    if n == 0:
+        med = sample.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias("value"))
+    else:
+        med, _ = _select_kth(sample, n, k, row)
     return med.select(F.lit(n).alias("n"), F.lit(k).alias("k"),
-                      "median")
+                      F.col("value").alias("median"))
+
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def exact_quantiles_value(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT p50/p90/p99 of the click value column — the latency-style
+    tail quantiles a drift dashboard reports, computed by the same
+    distributed multi-fence selection as `exact_median_value` (k_p =
+    ceil(p·n/100) in integer arithmetic, so both engines pick the
+    identical order statistic; each quantile costs ≤2 histogram
+    rounds + one bounded top-k over the shared cached column)."""
+    sample, row = _quantile_sample(t)
+    n = row["n"]
+    if n == 0:
+        return (sample.sparkSession.range(0)
+                .select(F.lit("").alias("q"), F.lit(0).alias("n"),
+                        F.lit(0).alias("k"),
+                        F.lit(None).cast("double").alias("value")))
+    parts = []
+    for pct in QUANTILE_PCTS:
+        k = (pct * n + 99) // 100
+        sel, _ = _select_kth(sample, n, k, row)
+        parts.append(sel.select(
+            F.lit(f"p{pct}").alias("q"), F.lit(n).alias("n"),
+            F.lit(k).alias("k"), "value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 GRI_BUCKETS = 16

@@ -3597,6 +3597,25 @@ ORACLES.update({
                  AS median
         FROM t
     """,
+    # k_p = ceil(p·n/100) in integer arithmetic — identical order
+    # statistic on both engines; the oracle ranks once and joins
+    "exact_quantiles_value": """
+        WITH s AS (
+          SELECT value FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        q AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90),
+                                    ('p99', 99)) AS v(q, pct)),
+        r AS (SELECT q.q, t.n,
+                     CAST((q.pct * t.n + 99) // 100 AS BIGINT) AS k
+              FROM q, t),
+        ranked AS (
+          SELECT value,
+                 ROW_NUMBER() OVER (ORDER BY value) AS rn
+          FROM s)
+        SELECT r.q, r.n, r.k, ranked.value
+        FROM r JOIN ranked ON ranked.rn = r.k
+    """,
 })
 
 ORACLES.update({

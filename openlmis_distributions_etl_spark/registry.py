@@ -208,6 +208,7 @@ _OPERATORS = {
     "dup_span_removal": dedup.dup_span_removal,
     "psi_windowed": analytics.psi_windowed,
     "exact_median_value": analytics.exact_median_value,
+    "exact_quantiles_value": analytics.exact_quantiles_value,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
     "triangle_counts": dedup.triangle_counts,

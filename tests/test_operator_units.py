@@ -1086,3 +1086,32 @@ def test_triangle_counts_match_brute_force(spark):
             exp[z] += 1
     assert got == dict(exp)
     assert sum(got.values()) % 3 == 0
+
+
+def test_select_kth_above_finish_threshold_with_min_ties(spark):
+    """Regression for the round-4 bisection bug: rows tied with the
+    MINIMUM were never counted into cnt_le_lo, selecting a value above
+    the true order statistic — but only in the > MEDIAN_FINISH_ROWS
+    regime the operator exists for. Exercise the histogram loop on
+    200k rows with a fat tie-block at the min and assert the exact
+    k-th smallest for boundary and interior ranks, in ≤3 rounds."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        MEDIAN_FINISH_ROWS, _select_kth)
+    n = 200_000
+    assert n > MEDIAN_FINISH_ROWS
+    sample = spark.range(n).select(
+        F.when(F.col("id") % 7 == 0, F.lit(-5.0))
+        .otherwise(((F.col("id") * 2654435761) % 1000003)
+                   .cast("double") / 97.0).alias("value"))
+    sample.persist()
+    vals = sorted(r["value"] for r in sample.collect())
+    lo, hi = vals[0], vals[-1]
+    c_min = sum(1 for v in vals if v == lo)
+    assert c_min > 1000  # the tie block the old loop dropped
+    row = {"n": n, "lo": lo, "hi": hi, "c_min": c_min}
+    for k in (1, c_min, c_min + 1, n // 2, (n + 1) // 2,
+              (99 * n + 99) // 100, n):
+        sel, rounds = _select_kth(sample, n, k, row)
+        assert rounds <= 3, f"k={k}: {rounds} histogram rounds"
+        assert sel.collect()[0]["value"] == vals[k - 1], f"k={k}"
+    sample.unpersist()
