@@ -694,9 +694,75 @@ def abc_classification(t: dict[str, DataFrame]) -> DataFrame:
                     .otherwise("C").alias("abc_class")))
 
 
-KS_BUCKETS = 16
+PREFIX_TARGET_ROWS = 4_000_000   # cap on rows one in-bucket window task sees
+PREFIX_MAX_FENCES = 1024         # per-level fence ceiling (per-row test cost)
 KS_GROUP_A = "click"
 KS_GROUP_B = "purchase"
+
+
+def _rank_buckets(df: DataFrame, n: int) -> DataFrame:
+    """Range-bucket ``df`` on its double column ``_k`` (ascending;
+    ties NEVER straddle buckets) into a DATA-PROPORTIONAL number of
+    buckets — ceil(n / PREFIX_TARGET_ROWS), floor 16 — so the
+    in-bucket window of a distributed prefix sum is bounded-size at
+    ANY input scale (the round-4 version hard-coded 16 buckets, a
+    16-way parallelism ceiling at 100 TB). Returns ``df`` plus an
+    int column ``bkt``, monotone in ``_k``.
+
+    Fences are approx_percentile values of ``_k`` itself and the test
+    is ``_k > fence``, so equal keys always share a bucket and fence
+    placement only affects balance — never results. Per-row bucket
+    assignment is one JVM higher-order fold over the broadcast fence
+    array (``size(filter(fences, f -> _k > f))``). Above
+    PREFIX_MAX_FENCES the decomposition RECURSES one level: coarse
+    fences split the axis ~sqrt(nb) ways, then per-coarse-bucket
+    fences (one grouped percentile sketch, broadcast back) refine to
+    nb total — per-row cost stays O(sqrt(nb)) ≈ 1k comparisons while
+    bucket count tracks n/4M up to ~4e12 rows per level pair."""
+    import math
+
+    nb = max(16, math.ceil(n / PREFIX_TARGET_ROWS)) if n else 16
+
+    def fence_pcts(m: int) -> str:
+        return ",".join(str(i / m) for i in range(1, m))
+
+    def one_level(frame: DataFrame, m: int, out: str) -> DataFrame:
+        # level-1 fences are COLLECTED to driver literals (≤1023
+        # doubles): the bucketed frame feeds two plan branches in the
+        # two-level path, and a re-evaluated approx_percentile sketch
+        # is not guaranteed to reproduce — literals pin one fence set.
+        # The bucket id is an UNROLLED sum of comparisons, not a
+        # size(filter(...)) higher-order fold: a lambda-bearing column
+        # used as both a grouping key and a join key trips Catalyst
+        # attribute binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when
+        # the HOF is inlined across the self-join), and the unrolled
+        # form codegens to the same per-row comparison count anyway.
+        acc = max(10000, m * 64)
+        row = frame.agg(F.expr(
+            f"approx_percentile(_k, array({fence_pcts(m)}), {acc})")
+            .alias("_fa")).collect()[0]["_fa"]
+        fences = [float(x) for x in (row or []) if x is not None]
+        b = F.lit(0)
+        for p in fences:
+            b = b + (F.col("_k") > F.lit(p)).cast("int")
+        return frame.withColumn(out, b)
+
+    if nb <= PREFIX_MAX_FENCES:
+        return one_level(df, nb, "bkt")
+    nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
+    nb2 = math.ceil(nb / nb1)
+    acc2 = max(10000, nb2 * 64)
+    lvl1 = one_level(df, nb1, "_b1")
+    # level-2 fences stay distributed (nb1·nb2 doubles): ONE grouped
+    # sketch evaluated once, broadcast back keyed on the level-1 id
+    fences2 = (lvl1.groupBy("_b1")
+               .agg(F.expr(f"approx_percentile(_k, "
+                           f"array({fence_pcts(nb2)}), {acc2})")
+                    .alias("_fb")))
+    return (lvl1.join(F.broadcast(fences2), "_b1")
+            .withColumn("bkt", F.col("_b1") * nb2 + F.size(F.filter(
+                "_fb", lambda x: F.col("_k") > x)))
+            .drop("_fb", "_b1"))
 
 
 def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
@@ -708,12 +774,15 @@ def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
     Built with the same DISTRIBUTED PREFIX SUM as abc_classification:
     (1) per-distinct-value counts for both groups (one map-side-
     combinable shuffle, cardinality = distinct values, not rows),
-    (2) approx-percentile fences bucket the value axis (fence
-    placement only affects balance; the bucket test is monotone so
-    cumulative order is preserved), (3) per-bucket totals → exclusive
-    offsets over ≤16 rows, (4) in-bucket running counts + offset =
-    exact global cumulatives. No single-task ORDER BY window ever
-    sees the full value axis."""
+    (2) `_rank_buckets` fences bucket the value axis DATA-
+    PROPORTIONALLY — ceil(distinct/4M) buckets, recursing to a
+    two-level split past 1024 — so no in-bucket window task ever
+    sees more than a bounded row count at any scale (fence placement
+    only affects balance; the bucket test is monotone so cumulative
+    order is preserved), (3) per-bucket totals → exclusive offsets
+    over the small bucket frame, (4) in-bucket running counts +
+    offset = exact global cumulatives. No single-task ORDER BY window
+    ever sees the full value axis."""
     ev = (t["events"]
           .where(F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
                  & F.col("value").isNotNull())
@@ -724,14 +793,10 @@ def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
               .otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == KS_GROUP_B, 1)
               .otherwise(0)).alias("cb")))
-    pcts = ",".join(str(i / KS_BUCKETS) for i in range(1, KS_BUCKETS))
-    fences = pts.agg(F.expr(
-        f"approx_percentile(value, array({pcts}))").alias("fa_"))
-    b = F.lit(0)
-    for i in range(1, KS_BUCKETS):
-        b = b + (F.col("value") > F.element_at("fa_", i)).cast("int")
-    bucketed = (pts.crossJoin(F.broadcast(fences))
-                .select("value", "ca", "cb", b.alias("bkt")))
+    n_pts = pts.count()
+    bucketed = (_rank_buckets(
+        pts.withColumn("_k", F.col("value").cast("double")), n_pts)
+        .select("value", "ca", "cb", "bkt"))
     bt = bucketed.groupBy("bkt").agg(F.sum("ca").alias("bca"),
                                      F.sum("cb").alias("bcb"))
     wo = (Window.orderBy(F.asc("bkt"))
@@ -1093,33 +1158,25 @@ def exact_quantiles_value(t: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
-GRI_BUCKETS = 16
-
-
 def global_row_index(t: dict[str, DataFrame]) -> DataFrame:
     """Contiguous global row ids 0..n−1 in (n_chars DESC, doc_id ASC)
     order — the distributed zipWithIndex every training-data export
     needs (assign example ids in curriculum order) — WITHOUT the
-    single-task global ORDER BY window: approx-percentile fences
-    range-bucket the order key (monotone test, ties share a bucket,
-    so bucket order is consistent with the global order), per-bucket
-    counts give exclusive offsets over ≤16 rows, and in-bucket
-    row_number + offset = the exact global index. The same
+    single-task global ORDER BY window: `_rank_buckets` fences
+    range-bucket the order key into ceil(n/4M) buckets (monotone
+    test, ties share a bucket, so bucket order is consistent with the
+    global order; two-level recursion past 1024 buckets), per-bucket
+    counts give exclusive offsets over the small bucket frame, and
+    in-bucket row_number + offset = the exact global index. The same
     prefix-decomposition as abc_classification, producing ids instead
-    of cumulative sums."""
+    of cumulative sums. The DESCENDING order key rides through the
+    ascending bucketer negated: bucket 0 holds the LARGEST n_chars."""
     from ..functions.cache import retain
     d = retain(t["documents"].select("doc_id", "n_chars"))
-    pcts = ",".join(str(i / GRI_BUCKETS) for i in range(1, GRI_BUCKETS))
-    fences = d.agg(F.expr(
-        f"approx_percentile(CAST(n_chars AS DOUBLE), array({pcts}))")
-        .alias("fa_"))
-    # descending order key: bucket 0 holds the LARGEST n_chars
-    b = F.lit(0)
-    for i in range(1, GRI_BUCKETS):
-        b = b + (F.col("n_chars").cast("double")
-                 <= F.element_at("fa_", GRI_BUCKETS - i)).cast("int")
-    bucketed = (d.crossJoin(F.broadcast(fences))
-                .select("doc_id", "n_chars", b.alias("bkt")))
+    n = d.count()
+    bucketed = (_rank_buckets(
+        d.withColumn("_k", -F.col("n_chars").cast("double")), n)
+        .select("doc_id", "n_chars", "bkt"))
     bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))

@@ -1115,3 +1115,47 @@ def test_select_kth_above_finish_threshold_with_min_ties(spark):
         assert rounds <= 3, f"k={k}: {rounds} histogram rounds"
         assert sel.collect()[0]["value"] == vals[k - 1], f"k={k}"
     sample.unpersist()
+
+
+def test_rank_buckets_data_proportional_and_two_level(spark, monkeypatch):
+    """The prefix-sum bucket count must GROW with input (the round-4
+    fixed 16-bucket ceiling capped window parallelism at scale), ties
+    must never straddle buckets, and the two-level recursion past
+    PREFIX_MAX_FENCES must produce the same monotone bucketing."""
+    from openlmis_distributions_etl_spark.operators import analytics as A
+    df = spark.range(5000).select(
+        ((F.col("id") * 37) % 991).cast("double").alias("_k"))
+    monkeypatch.setattr(A, "PREFIX_TARGET_ROWS", 100)  # → nb = 50
+    for max_fences, label in ((1024, "single"), (8, "two-level")):
+        monkeypatch.setattr(A, "PREFIX_MAX_FENCES", max_fences)
+        out = A._rank_buckets(df, 5000).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["bkt"], set()).add(r["_k"])
+        assert len(per) > 16, f"{label}: bucket count stuck at old ceiling"
+        # monotone in _k: bucket ranges must not interleave
+        spans = sorted((min(v), max(v), b) for b, v in per.items())
+        for (lo1, hi1, b1), (lo2, hi2, b2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2 and b1 < b2, f"{label}: interleaved buckets"
+        # ties share a bucket
+        owner = {}
+        for r in out:
+            assert owner.setdefault(r["_k"], r["bkt"]) == r["bkt"], label
+        # balance: no bucket hoards the axis
+        sizes = [len([r for r in out if r["bkt"] == b]) for b in per]
+        assert max(sizes) <= 1000, f"{label}: unbalanced {max(sizes)}"
+
+
+def test_global_row_index_exact_under_two_level_buckets(spark, monkeypatch):
+    """End-to-end pin: the two-level recursion path still assigns the
+    EXACT contiguous ids (fence placement only affects balance)."""
+    from openlmis_distributions_etl_spark.operators import analytics as A
+    from openlmis_distributions_etl_spark.sources import load_tables
+    monkeypatch.setattr(A, "PREFIX_TARGET_ROWS", 20)
+    monkeypatch.setattr(A, "PREFIX_MAX_FENCES", 5)
+    t = load_tables(spark, SF0001)
+    got = {r["doc_id"]: r["row_index"]
+           for r in A.global_row_index(t).collect()}
+    want = sorted(((-r["n_chars"], r["doc_id"]) for r in
+                   t["documents"].select("doc_id", "n_chars").collect()))
+    assert got == {doc: i for i, (_, doc) in enumerate(want)}

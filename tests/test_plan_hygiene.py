@@ -38,10 +38,8 @@ BNLJ_ALLOWED = {
     "knn_ivf_trained",
     "knn_lsh",
     "abc_classification",      # broadcast fences + totals rows
-    "ks_drift_value",          # broadcast percentile-fence row
     "psi_value_drift",         # broadcast fence rows (ECDF + deciles)
     "psi_windowed",            # broadcast fence row + 10-row baseline
-    "global_row_index",        # broadcast percentile-fence row
     # (pagerank_dup_graph's per-iteration broadcast dangling scalar
     # sits behind localCheckpoint leaves, so it never shows here)
     "knn_lsh_recall",
