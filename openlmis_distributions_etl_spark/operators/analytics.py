@@ -871,10 +871,15 @@ def _psi_fences(cum: DataFrame) -> DataFrame:
 
 
 def _psi_bucket(value_col: str = "value") -> Column:
-    """Bucket id 0..9 given the fence columns f1..f9 in scope."""
+    """Bucket id 0..9 given the fence columns f1..f9 in scope.
+    Each comparison coalesces to 0 so a NULL fence (empty baseline →
+    all fences NULL) yields bucket 0, matching the oracle's
+    CASE WHEN value > fk THEN 1 ELSE 0 END semantics instead of
+    propagating a NULL bucket id."""
     b = F.lit(0)
     for k in range(1, PSI_BUCKETS):
-        b = b + (F.col(value_col) > F.col(f"f{k}")).cast("int")
+        b = b + F.coalesce(
+            (F.col(value_col) > F.col(f"f{k}")).cast("int"), F.lit(0))
     return b
 
 

@@ -3208,11 +3208,14 @@ ORACLES.update({
     # expression (no cross-engine sum-of-doubles ordering hazard)
     "chi2_event_segments": """
         WITH obs AS (
+          -- ((x % 3) + 3) % 3 = Spark's pmod: non-negative for any
+          -- sign of user_id (DuckDB % takes the dividend's sign)
           SELECT event_type,
-                 CAST(user_id % 3 AS INTEGER) AS segment,
+                 CAST(((user_id % 3) + 3) % 3 AS INTEGER) AS segment,
                  COUNT(*) AS n_obs
           FROM events
-          GROUP BY event_type, CAST(user_id % 3 AS INTEGER)),
+          GROUP BY event_type,
+                   CAST(((user_id % 3) + 3) % 3 AS INTEGER)),
         cells AS (
           SELECT event_type, segment, CAST(n_obs AS BIGINT) AS n_obs,
                  SUM(n_obs) OVER (PARTITION BY event_type) AS row_tot,

@@ -566,12 +566,20 @@ def psi_bucket_counts_stream(events: DataFrame,
     windowed aggregate). Emits (hour, bucket, n_cur, n_base, p_base);
     per-window totals and the PSI term are one window function away
     in the consumer (a streaming agg cannot nest a second agg)."""
-    from ..operators.analytics import (KS_GROUP_B, PSI_BUCKETS,
-                                       _psi_fences, _value_ecdf)
+    from ..operators.analytics import (KS_GROUP_A, KS_GROUP_B,
+                                       PSI_BUCKETS, _psi_fences,
+                                       _value_ecdf)
     cum = _value_ecdf({"events": history})
     fen = _psi_fences(cum)
     frow = fen.collect()[0]
     fences = [frow[f"f{k}"] for k in range(1, PSI_BUCKETS)]
+    if any(f is None for f in fences):
+        # fences are NULL iff the baseline sample is empty (na = 0):
+        # with na ≥ 1 every rank threshold ceil(k·na/10) is reached
+        raise ValueError(
+            "psi_bucket_counts_stream: history contains no baseline "
+            f"'{KS_GROUP_A}' events with non-null value — decile "
+            "fences are undefined; provide a non-empty baseline")
     b = F.lit(0)
     for fk in fences:
         b = b + (F.col("value") > F.lit(fk)).cast("int")

@@ -1159,3 +1159,26 @@ def test_global_row_index_exact_under_two_level_buckets(spark, monkeypatch):
     want = sorted(((-r["n_chars"], r["doc_id"]) for r in
                    t["documents"].select("doc_id", "n_chars").collect()))
     assert got == {doc: i for i, (_, doc) in enumerate(want)}
+
+
+def test_chi2_segments_pmod_matches_oracle_on_negative_ids(spark):
+    """Spark pmod vs DuckDB % diverge on negative dividends; the
+    oracle now uses ((x % 3) + 3) % 3. Pin equality on a frame that
+    actually contains negative user_ids (the shipped tables don't)."""
+    import duckdb
+    import pandas as pd
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        chi2_event_segments)
+    from openlmis_distributions_etl_spark.oracles import ORACLES
+    pdf = pd.DataFrame({
+        "user_id": [-7, -6, -5, -1, 0, 1, 2, 5, -2, 4] * 3,
+        "event_type": (["click"] * 10 + ["view"] * 10 + ["buy"] * 10),
+    })
+    ev = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in
+                 chi2_event_segments({"events": ev}).collect())
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = sorted(tuple(r) for r in
+                  con.execute(ORACLES["chi2_event_segments"]).fetchall())
+    assert got == want

@@ -4,6 +4,7 @@ parquet → memory sink → exact comparison)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF0001
@@ -348,3 +349,15 @@ def test_psi_bucket_counts_stream_matches_batch(spark):
             .select("hour", "bucket", "n_cur", "n_base", "p_base")
             .toPandas())
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_psi_stream_empty_baseline_raises(spark):
+    """An empty baseline (no click events in history) must fail loudly
+    at setup — NULL decile fences would silently bucket everything to
+    0 (the batch CASE semantics) with n_base undefined."""
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001, "events")
+    empty_hist = t["events"].where(F.lit(False))
+    stream = jobs.read_events_stream(spark, SF0001)
+    with pytest.raises(ValueError, match="no baseline"):
+        jobs.psi_bucket_counts_stream(stream, empty_hist)
