@@ -324,3 +324,45 @@ def test_ks_drift_matches_brute_force(spark, rows):
     assert (out["na"], out["nb"]) == (na, nb)
     assert out["d_num"] == float(best)
     assert out["at_value"] == best_at
+
+
+def test_connected_components_path_graph_converges_in_log_rounds(spark):
+    """The alternating large-star/small-star rewiring must converge in
+    O(log n) rounds on the worst diameter shape: a 1000-node PATH
+    (min-label propagation needed ~999 rounds here). max_iter=15 ≈
+    log2(1000) + slack — the test only passes with the O(log) scheme."""
+    from openlmis_distributions_etl_spark.operators import dedup
+    edges = spark.range(999).selectExpr("id AS src", "id + 1 AS dst")
+    nodes = spark.range(1000).selectExpr("id AS node")
+    rows = dedup.connected_components(edges, nodes, max_iter=15).collect()
+    assert len(rows) == 1000
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish graph equivalence against a driver-side union-find:
+    component ids must equal the min reachable node exactly."""
+    from openlmis_distributions_etl_spark.operators import dedup
+    n = 400
+    pairs = [((i * 7919) % n, (i * 104729 + 31) % n) for i in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n)}
+    # union-find roots ARE the min of each component here because
+    # unions always point the larger root at the smaller one
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.range(n).selectExpr("id AS node")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges, nodes).collect()}
+    assert got == want
