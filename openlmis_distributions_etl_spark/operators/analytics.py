@@ -973,6 +973,120 @@ def psi_windowed(t: dict[str, DataFrame]) -> DataFrame:
                     _psi_quantized_term(pa, pb).alias("psi_term")))
 
 
+KSW_BUCKETS = 64
+
+
+def _ksw_base_grid(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """Shared setup for the windowed-KS pair (batch query + streaming
+    monitor): (fences, bgrid). ``fences`` is a one-row frame f1..f63
+    of the BASELINE sample's rank-exact 1/64-quantile fences (min
+    value whose cumulative baseline count reaches ceil(k·na/64) — the
+    same integer rank arithmetic as the PSI deciles, so both engines
+    pick identical fences). ``bgrid`` is the full 64-row bucket grid
+    with the baseline's exact CUMULATIVE count ba at each bucket
+    boundary and the total na — broadcast-sized regardless of input."""
+    from ..functions.cache import register
+    cum = _value_ecdf(t)
+    cum.persist()
+    register(cum)
+    fen = cum.agg(*[
+        F.min(F.when(
+            F.col("fa") >= F.expr(f"({k} * na + {KSW_BUCKETS - 1}) "
+                                  f"DIV {KSW_BUCKETS}"),
+            F.col("value"))).alias(f"f{k}")
+        for k in range(1, KSW_BUCKETS)])
+    b = F.lit(0)
+    for k in range(1, KSW_BUCKETS):
+        b = b + F.coalesce(
+            (F.col("value") > F.col(f"f{k}")).cast("int"), F.lit(0))
+    base = (cum.crossJoin(F.broadcast(fen))
+            .select("ca", "na", b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("ca").alias("n_base"), F.max("na").alias("na")))
+    grid = (t["events"].sparkSession.range(KSW_BUCKETS)
+            .select(F.col("id").cast("int").alias("bucket")))
+    wc = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wa = Window.partitionBy()
+    bgrid = (grid.join(base, "bucket", "left")
+             .select("bucket",
+                     F.sum(F.coalesce("n_base", F.lit(0)))
+                     .over(wc).alias("ba"),
+                     F.max("na").over(wa).alias("na")))
+    return fen, bgrid
+
+
+def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame) -> DataFrame:
+    """Finishing transform shared by the batch query and the streaming
+    monitor's sink: fill each hour's 64-bucket grid, build the
+    cumulative current counts, and take the per-hour sup gap
+    |ba·nb − cu·na| in DECIMAL(38,0) (na·nb overflows bigint at
+    100 TB counts) with the smallest bucket as deterministic
+    arg-max tie-break. ``cur_counts``: (hour, bucket, n_cur)."""
+    spark = cur_counts.sparkSession
+    grid = (cur_counts.select("hour").distinct()
+            .crossJoin(spark.range(KSW_BUCKETS)
+                       .select(F.col("id").cast("int").alias("bucket"))))
+    full = (grid.join(cur_counts, ["hour", "bucket"], "left")
+            .select("hour", "bucket",
+                    F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    wc = (Window.partitionBy("hour").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("hour")
+    cw = full.select("hour", "bucket",
+                     F.sum("n_cur").over(wc).alias("cu"),
+                     F.sum("n_cur").over(wt).alias("nb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = (cw.join(F.broadcast(bgrid), "bucket")
+         .select("hour", "na", "nb",
+                 F.abs(dec("ba") * dec("nb") - dec("cu") * dec("na"))
+                 .alias("dnum"),
+                 "bucket"))
+    best = (d.groupBy("hour", "na", "nb")
+            .agg(F.max(F.struct(F.col("dnum").alias("dn"),
+                                (-F.col("bucket")).alias("nv")))
+                 .alias("m")))
+    return best.select(
+        "hour", "na", "nb",
+        (-F.col("m.nv")).cast("int").alias("at_bucket"),
+        F.col("m.dn").cast("double").alias("d_num"),
+        (F.col("m.dn").cast("double")
+         / (F.col("na").cast("double")
+            * F.col("nb").cast("double"))).alias("ks_stat"))
+
+
+def ks_windowed(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly two-sample KS drift report: each hour's current
+    (purchase) value distribution vs the full-corpus baseline (click)
+    ECDF, compared at 64 rank-exact fence boundaries — the windowed
+    twin of `ks_drift_value` and the batch twin of
+    streaming/jobs.ks_bucket_gap_stream (same shape PSI has with
+    psi_windowed / psi_bucket_counts_stream).
+
+    The sup over fence boundaries is the KS statistic at 1/64
+    granularity: exact integers throughout (bucket counts, cumulative
+    sums, DECIMAL(38,0) cross products), with only the final division
+    in doubles — deterministic and oracle-matched. One (hour, bucket)
+    count shuffle on the current side; the baseline grid is a 64-row
+    broadcast; per-hour windows run over 64-row partitions."""
+    fen, bgrid = _ksw_base_grid(t)
+    b = F.lit(0)
+    for k in range(1, KSW_BUCKETS):
+        b = b + F.coalesce(
+            (F.col("value") > F.col(f"f{k}")).cast("int"), F.lit(0))
+    cur = (t["events"]
+           .where((F.col("event_type") == KS_GROUP_B)
+                  & F.col("value").isNotNull())
+           .select(F.date_format(F.date_trunc("hour", "ts"),
+                                 "yyyy-MM-dd HH:00").alias("hour"),
+                   "value")
+           .crossJoin(F.broadcast(fen))
+           .select("hour", b.alias("bucket"))
+           .groupBy("hour", "bucket")
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    return _ksw_finish(cur, bgrid)
+
+
 CHI2_SEGMENTS = 3
 
 

@@ -941,3 +941,69 @@ def phrase_search(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_id", "w1", "w2",
                     F.col("cnt").alias("corpus_count"),
                     "n_matches", "first_pos"))
+
+
+BPE_MERGES = 32
+_BPE_SEP = "\x1f"   # unit separator: never appears in space-split tokens
+
+
+def bpe_vocab_32(t: dict[str, DataFrame]) -> DataFrame:
+    """FULL BPE tokenizer-training loop: 32 greedy merges over the
+    corpus, returning the learned merge table (step, s1, s2, cnt) —
+    what `bpe_merge_pairs` (one iteration's candidate counts)
+    becomes when the trainer actually runs.
+
+    Scale shape: the corpus collapses ONCE to its distinct-word
+    vocabulary with frequencies (the standard BPE trick), so every
+    iteration is vocabulary-sized regardless of corpus size: one
+    pair-count aggregate (explode adjacent symbol pairs, weighted by
+    word count, map-side combined) + a TakeOrdered top-1, then one
+    JVM `replace` projection applies the merge. Word shapes are kept
+    as separator-framed strings (`␟s1␟␟s2␟…`), so applying a merge is
+    a single non-overlapping left-to-right `replace` — the exact
+    greedy application order BPE specifies, with byte-identical
+    semantics in Spark and DuckDB (verified for overlapping-candidate
+    cases like `aaa` and `abab`). Every round's vocabulary frame is
+    lineage-TRUNCATED (localCheckpoint / reliable checkpoint): 32
+    chained cached projections under AQE nest each round's executed
+    query stages inside the next round's plan, and Spark's own plan
+    handling overflows the stack before any data moves — the same
+    hazard the connected-components loop documents. Only the 32
+    winning pairs ever reach the driver.
+
+    Deterministic: ties break on (count DESC, s1 ASC, s2 ASC) under
+    binary collation in both engines. The oracle unrolls the same 32
+    steps as MATERIALIZED CTEs."""
+    from .dedup import _truncate_lineage
+    spark = t["documents"].sparkSession
+    words = (t["documents"]
+             .select(F.explode(tokens()).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    prev = _truncate_lineage(words.select(
+        "wc", F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        .alias("rep")))
+    out_rows = []
+    sep2 = _BPE_SEP + _BPE_SEP
+    for step in range(1, BPE_MERGES + 1):
+        syms = F.split(F.expr("btrim(rep, chr(31))"),
+                       sep2, -1)
+        top = (prev.select("wc", syms.alias("syms"))
+               .where(F.size("syms") >= 2)
+               .select("wc", F.explode(F.expr(
+                   "transform(sequence(1, size(syms) - 1), "
+                   "i -> struct(syms[i-1] AS s1, syms[i] AS s2))"))
+                   .alias("p"))
+               .groupBy("p.s1", "p.s2")
+               .agg(F.sum("wc").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
+               .limit(1).collect())
+        if not top:
+            break
+        s1, s2, cnt = top[0]["s1"], top[0]["s2"], top[0]["cnt"]
+        out_rows.append((step, s1, s2, cnt))
+        pat = _BPE_SEP + s1 + _BPE_SEP + _BPE_SEP + s2 + _BPE_SEP
+        new = _BPE_SEP + s1 + s2 + _BPE_SEP
+        prev = _truncate_lineage(prev.select(
+            "wc", F.replace("rep", F.lit(pat), F.lit(new)).alias("rep")))
+    return spark.createDataFrame(
+        out_rows, "step int, s1 string, s2 string, cnt bigint")

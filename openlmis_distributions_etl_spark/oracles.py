@@ -3234,7 +3234,49 @@ ORACLES.update({
     """,
 })
 
+def _bpe_vocab_sql(k: int = 32) -> str:
+    """Unrolled k-step BPE training twin: each step re-counts adjacent
+    symbol pairs over the separator-framed vocabulary, picks the
+    deterministic top pair, and applies it with the same scan-left
+    non-overlapping replace() Spark uses. CTEs are MATERIALIZED —
+    every v_i is referenced twice (next pair count + next rewrite),
+    and inlining would double the plan per step."""
+    sep = "chr(31)"
+    s = f"""
+        WITH words AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+          FROM (SELECT unnest({TOKS}) AS w FROM documents)
+          GROUP BY w),
+        v0 AS MATERIALIZED (
+          SELECT wc,
+                 regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g')
+                   AS rep
+          FROM words)"""
+    for i in range(1, k + 1):
+        s += f""",
+        p{i} AS MATERIALIZED (
+          SELECT s.syms[u.i] AS s1, s.syms[u.i + 1] AS s2,
+                 CAST(SUM(s.wc) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(rep, {sep}),
+                                    {sep} || {sep}) AS syms, wc
+                FROM v{i - 1}) s,
+               unnest(generate_series(1, len(s.syms) - 1)) AS u(i)
+          GROUP BY s1, s2
+          ORDER BY cnt DESC, s1 ASC, s2 ASC
+          LIMIT 1),
+        v{i} AS MATERIALIZED (
+          SELECT wc, replace(rep,
+                   {sep} || p.s1 || {sep} || {sep} || p.s2 || {sep},
+                   {sep} || p.s1 || p.s2 || {sep}) AS rep
+          FROM v{i - 1}, p{i} AS p)"""
+    union = "\n          UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, s1, s2, cnt FROM p{i}"
+        for i in range(1, k + 1))
+    return s + f"\n        {union}\n    "
+
+
 ORACLES.update({
+    "bpe_vocab_32": _bpe_vocab_sql(32),
     # pairs from the DISTINCT-WORD dictionary, weighted by word
     # frequency — mirrors the Spark vocabulary-collapse formulation
     "bpe_merge_pairs": f"""
@@ -3586,7 +3628,90 @@ ORACLES.update({
     """,
 })
 
+def _ks_windowed_sql(nb: int = 64) -> str:
+    """Hourly sup-gap KS twin: rank-exact 1/nb baseline fences, full
+    (hour × bucket) grid, cumulative counts, HUGEINT cross products,
+    smallest-bucket arg-max tie-break — mirroring the Spark plan's
+    integer arithmetic exactly."""
+    fences = ",\n          ".join(
+        f"MIN(CASE WHEN fa >= ({k} * na + {nb - 1}) // {nb} "
+        f"THEN value END) AS f{k}" for k in range(1, nb))
+    bucket = "\n                 + ".join(
+        f"(CASE WHEN value > f{k} THEN 1 ELSE 0 END)"
+        for k in range(1, nb))
+    return f"""
+        WITH pts AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL
+          GROUP BY value),
+        cum AS (
+          SELECT value, ca, SUM(ca) OVER (ORDER BY value) AS fa
+          FROM pts),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM pts),
+        fen AS (
+          SELECT
+          {fences}
+          FROM cum, tot),
+        base AS (
+          SELECT {bucket} AS bucket,
+                 CAST(SUM(ca) AS BIGINT) AS n_base
+          FROM pts, fen
+          GROUP BY 1),
+        bgrid AS (
+          SELECT g.b AS bucket,
+                 SUM(COALESCE(base.n_base, 0)) OVER (ORDER BY g.b)
+                   AS ba
+          FROM unnest(generate_series(0, {nb - 1})) AS g(b)
+          LEFT JOIN base ON base.bucket = g.b),
+        cur AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                   AS hour,
+                 {bucket} AS bucket
+          FROM events, fen
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        ccnt AS (
+          SELECT hour, bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM cur GROUP BY hour, bucket),
+        grid AS (
+          SELECT h.hour, g.b AS bucket
+          FROM (SELECT DISTINCT hour FROM cur) h,
+               unnest(generate_series(0, {nb - 1})) AS g(b)),
+        filled AS (
+          SELECT grid.hour, grid.bucket,
+                 COALESCE(ccnt.n_cur, 0) AS n_cur
+          FROM grid LEFT JOIN ccnt
+            ON ccnt.hour = grid.hour AND ccnt.bucket = grid.bucket),
+        cw AS (
+          SELECT hour, bucket,
+                 SUM(n_cur) OVER (PARTITION BY hour ORDER BY bucket)
+                   AS cu,
+                 CAST(SUM(n_cur) OVER (PARTITION BY hour) AS BIGINT)
+                   AS nb
+          FROM filled),
+        d AS (
+          SELECT cw.hour, tot.na, cw.nb, cw.bucket,
+                 ABS(CAST(bgrid.ba AS HUGEINT) * cw.nb
+                     - CAST(cw.cu AS HUGEINT) * tot.na) AS dnum
+          FROM cw JOIN bgrid ON bgrid.bucket = cw.bucket, tot),
+        best AS (
+          SELECT hour, na, nb,
+                 MAX(struct_pack(dn := dnum, nv := -bucket)) AS m
+          FROM d GROUP BY hour, na, nb)
+        SELECT hour, na, nb,
+               CAST(-(m.nv) AS INTEGER) AS at_bucket,
+               CAST(m.dn AS DOUBLE) AS d_num,
+               CAST(m.dn AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+        FROM best
+    """
+
+
 ORACLES.update({
+    "ks_windowed": _ks_windowed_sql(64),
     # the single-node luxury: ORDER BY + OFFSET; the Spark plan's
     # bisection+top-k selection returns the identical k-th smallest
     "exact_median_value": """

@@ -199,6 +199,7 @@ _OPERATORS = {
     "ks_drift_value": analytics.ks_drift_value,
     "chi2_event_segments": analytics.chi2_event_segments,
     "bpe_merge_pairs": text.bpe_merge_pairs,
+    "bpe_vocab_32": text.bpe_vocab_32,
     "doc_chunks": text.doc_chunks,
     "dup_span_stats": dedup.dup_span_stats,
     "psi_value_drift": analytics.psi_value_drift,
@@ -207,6 +208,7 @@ _OPERATORS = {
     "edit_distance_pairs": dedup.edit_distance_pairs,
     "dup_span_removal": dedup.dup_span_removal,
     "psi_windowed": analytics.psi_windowed,
+    "ks_windowed": analytics.ks_windowed,
     "exact_median_value": analytics.exact_median_value,
     "exact_quantiles_value": analytics.exact_quantiles_value,
     "phrase_search": text.phrase_search,

@@ -605,3 +605,49 @@ def psi_bucket_counts_stream(events: DataFrame,
                     n_base[F.col("bucket")].cast("long").alias("n_base"),
                     (n_base[F.col("bucket")].cast("double")
                      / F.lit(na)).alias("p_base")))
+
+
+def ks_bucket_gap_stream(events: DataFrame,
+                         history: DataFrame) -> DataFrame:
+    """Streaming KS drift monitor — the live half of the windowed-KS
+    dashboard whose batch twin is operators.analytics.ks_windowed,
+    built the same way psi_bucket_counts_stream mirrors psi_windowed.
+
+    At stream setup the static history yields the baseline's 63
+    rank-exact 1/64-quantile fences and the per-bucket cumulative
+    baseline counts (a 64-row grid) via the shared _ksw_base_grid
+    core; both ship to executors as literals, so the hot path is a
+    stateless bucket projection + ONE watermarked windowed count —
+    no stream-side join, no state beyond the windowed aggregate.
+    Emits (hour, bucket, n_cur, ba, na); the per-hour grid fill,
+    cumulative counts and sup-gap are one _ksw_finish call away in
+    the consumer (a streaming agg cannot nest the second window)."""
+    from ..operators.analytics import (KS_GROUP_B, KSW_BUCKETS,
+                                       _ksw_base_grid)
+    fen, bgrid = _ksw_base_grid({"events": history})
+    frow = fen.collect()[0]
+    fences = [frow[f"f{k}"] for k in range(1, KSW_BUCKETS)]
+    if any(f is None for f in fences):
+        raise ValueError(
+            "ks_bucket_gap_stream: history contains no baseline "
+            "events with non-null value — fences are undefined; "
+            "provide a non-empty baseline")
+    grows = bgrid.collect()
+    ba_map = F.create_map(*[F.lit(x) for r in grows
+                            for x in (r["bucket"], r["ba"])])
+    na = int(grows[0]["na"])
+    b = F.lit(0)
+    for fk in fences:
+        b = b + (F.col("value") > F.lit(fk)).cast("int")
+    return (events
+            .where((F.col("event_type") == KS_GROUP_B)
+                   & F.col("value").isNotNull())
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"),
+                     b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .select(F.date_format(F.col("win.start"),
+                                  "yyyy-MM-dd HH:00").alias("hour"),
+                    "bucket", "n_cur",
+                    ba_map[F.col("bucket")].cast("long").alias("ba"),
+                    F.lit(na).cast("long").alias("na")))

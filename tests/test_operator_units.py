@@ -1182,3 +1182,38 @@ def test_chi2_segments_pmod_matches_oracle_on_negative_ids(spark):
     want = sorted(tuple(r) for r in
                   con.execute(ORACLES["chi2_event_segments"]).fetchall())
     assert got == want
+
+
+def test_bpe_vocab_matches_python_reference(spark, monkeypatch):
+    """Three-way pin: the distributed merge loop must reproduce a
+    pure-Python greedy BPE trainer (count pairs over the weighted
+    vocabulary, merge left-to-right non-overlapping) step for step,
+    including tie-breaks and overlapping-candidate words (aaa, abab)."""
+    import openlmis_distributions_etl_spark.operators.text as T
+    S = "\x1f"
+    texts = ["aba abab low lower lowest ab",
+             "newer new newest wide wider widest aba",
+             "aaa aa a banana bandana low low low"]
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string")
+    words: dict[str, int] = {}
+    for s in texts:
+        for w in s.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    vocab = {w: "".join(S + c + S for c in w) for w in words}
+    ref = []
+    for step in range(1, 13):
+        counts: dict[tuple[str, str], int] = {}
+        for w, rep in vocab.items():
+            syms = rep.strip(S).split(S + S)
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        (s1, s2), cnt = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((step, s1, s2, cnt))
+        vocab = {w: rep.replace(S + s1 + S + S + s2 + S, S + s1 + s2 + S)
+                 for w, rep in vocab.items()}
+    monkeypatch.setattr(T, "BPE_MERGES", 12)
+    got = [tuple(r) for r in T.bpe_vocab_32({"documents": docs}).collect()]
+    assert got == ref

@@ -361,3 +361,28 @@ def test_psi_stream_empty_baseline_raises(spark):
     stream = jobs.read_events_stream(spark, SF0001)
     with pytest.raises(ValueError, match="no baseline"):
         jobs.psi_bucket_counts_stream(stream, empty_hist)
+
+
+def test_ks_bucket_gap_stream_matches_batch(spark):
+    """Streamed per-(hour, bucket) counts, finished with the shared
+    _ksw_finish transform, must equal the batch ks_windowed report
+    when history = the corpus the stream replays."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    got_counts = _run_available_now(
+        jobs.ks_bucket_gap_stream(stream, t["events"]),
+        "ks_counts", spark, "complete")
+    # rebuild the baseline grid from the same history and apply the
+    # exact finishing transform the batch query uses
+    _, bgrid = analytics._ksw_base_grid(t)
+    counts_df = spark.createDataFrame(
+        got_counts[["hour", "bucket", "n_cur"]])
+    got = analytics._ksw_finish(counts_df, bgrid).toPandas()
+    want = analytics.ks_windowed(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    # the streamed ba/na literals equal the grid's values
+    grid = {r["bucket"]: (r["ba"], r["na"]) for r in bgrid.collect()}
+    for _, row in got_counts.iterrows():
+        assert grid[row["bucket"]] == (row["ba"], row["na"])
