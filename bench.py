@@ -50,6 +50,13 @@ HEADLINE = [
     "doc_chunks",
     "dup_span_stats",
     "psi_windowed",
+    # round-5 showcases: graph/fuzzy tail + exact selection + KS grid
+    "pagerank_dup_graph",
+    "edit_distance_pairs",
+    "triangle_counts",
+    "exact_median_value",
+    "exact_quantiles_value",
+    "ks_windowed",
 ]
 
 

@@ -1308,3 +1308,84 @@ def global_row_index(t: dict[str, DataFrame]) -> DataFrame:
             .select("doc_id", "n_chars",
                     (F.row_number().over(win) - 1 + F.col("off"))
                     .cast("long").alias("row_index")))
+
+
+def exact_median_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT per-group median of `value` for every event type — the
+    grouped order statistic a monitoring pipeline reports per feed.
+    Reuses the multi-fence `_select_kth` selection per group over one
+    shared cached column: the group key space (event types) is
+    enumeration-bounded, so the driver loop runs a handful of
+    ≤2-round histogram selections — each group's selection is fully
+    distributed, and no per-group window ever sees the group's whole
+    value axis (the single-window formulation would put ~n/|groups|
+    rows in one task at 100 TB)."""
+    from ..functions.cache import retain
+    sample = retain(t["events"]
+                    .where(F.col("value").isNotNull())
+                    .select("event_type", "value"))
+    stats = (sample.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("value").alias("lo"),
+                  F.max("value").alias("hi"))
+             .collect())
+    parts = []
+    for s in sorted(stats, key=lambda r: r["event_type"]):
+        grp = sample.where(F.col("event_type") == s["event_type"])
+        c_min = grp.where(F.col("value") == s["lo"]).count()
+        n = s["n"]
+        k = (n + 1) // 2
+        sel, _ = _select_kth(
+            grp.select("value"), n, k,
+            {"lo": s["lo"], "hi": s["hi"], "c_min": c_min})
+        parts.append(sel.select(
+            F.lit(s["event_type"]).alias("event_type"),
+            F.lit(n).alias("n"), F.lit(k).alias("k"),
+            F.col("value").alias("median")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+COV_QUANT = 1_000_000   # 1e-6 embedding quantization grid
+
+
+def embedding_covariance(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact empirical covariance matrix of the embedding columns
+    (upper triangle, j ≥ i) — the statistic PCA/whitening for ANN
+    serving starts from. Components are quantized to a declared 1e-6
+    grid FIRST (floor(x·1e6 + 0.5), the same engine-portable
+    quantization the PSI term uses), so every cross-product and sum
+    is exact INTEGER arithmetic — order-independent across any
+    partitioning, no float-sum drift at any scale. One explode emits
+    the d(d+1)/2 per-row products (map-side combined into d(d+1)/2
+    cells); covariance is a single deterministic double expression
+    over the exact sums.
+
+    At gate scales all sums sit far below 2^53, so the
+    decimal→double presentation casts round identically in both
+    engines."""
+    q = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {COV_QUANT}.0 + 0.5) AS BIGINT))")
+    cells = (t["embeddings"]
+             .select(q.alias("q"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(sequence(0, size(q) - 1), i -> "
+                 "transform(sequence(i, size(q) - 1), j -> "
+                 "struct(i, j, q[i] * q[j] AS xy, "
+                 "q[i] AS x, q[j] AS y))))")).alias("p"))
+             .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+             .agg(F.sum("p.xy").cast("decimal(38,0)").alias("sxy"),
+                  F.sum("p.x").cast("decimal(38,0)").alias("sx"),
+                  F.sum("p.y").cast("decimal(38,0)").alias("sy"),
+                  F.count(F.lit(1)).alias("n")))
+    nd = F.col("n").cast("double")
+    scale = float(COV_QUANT) * float(COV_QUANT)
+    return cells.select(
+        "i", "j", "n",
+        ((F.col("sxy").cast("double") / nd
+          - (F.col("sx").cast("double") / nd)
+          * (F.col("sy").cast("double") / nd)) / F.lit(scale))
+        .alias("cov"))

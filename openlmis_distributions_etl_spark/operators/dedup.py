@@ -1178,3 +1178,28 @@ def triangle_counts(t: dict[str, DataFrame]) -> DataFrame:
         F.explode(F.array("c0", "w1", "w2")).alias("doc_id"))
     return (members.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def dup_cluster_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup CLUSTER-SIZE histogram: how many clusters of each size
+    the MinHash-LSH dup graph contains and what share of the corpus
+    they hold — the report that decides a dedup pass's payoff (mass
+    in big clusters = high dedup win) before running the collapse.
+    Composition: connected components → per-component size → size
+    histogram; two small aggregates on top of the O(log n)-round CC,
+    with the corpus total folded in as a window over the ≤|sizes|-row
+    histogram frame (no second corpus scan)."""
+    comp = dedup_components(t)
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    hist = (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+    wa = Window.partitionBy()
+    return (hist
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs"))
+            .select("cluster_size", "n_clusters", "n_docs",
+                    (F.col("n_docs").cast("double")
+                     / F.sum("n_docs").over(wa).cast("double"))
+                    .alias("doc_share")))

@@ -699,6 +699,46 @@ ORACLES.update({
         FROM documents d
         LEFT JOIN comp c ON d.doc_id = c.node
     ''',
+    # cluster-size histogram over the same recursive-CTE components
+    "dup_cluster_stats": f'''
+        WITH RECURSIVE {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src),
+        labels AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component
+          FROM documents d
+          LEFT JOIN comp c ON d.doc_id = c.node),
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY component),
+        hist AS (
+          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM sizes GROUP BY cluster_size)
+        SELECT cluster_size, n_clusters,
+               cluster_size * n_clusters AS n_docs,
+               CAST(cluster_size * n_clusters AS DOUBLE)
+                 / CAST(SUM(cluster_size * n_clusters) OVER () AS DOUBLE)
+                 AS doc_share
+        FROM hist
+    ''',
 })
 
 
@@ -3724,6 +3764,50 @@ ORACLES.update({
                 LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM t))
                  AS median
         FROM t
+    """,
+    # grouped exact medians: per-group ROW_NUMBER rank join
+    "exact_median_by_type": """
+        WITH s AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL),
+        t AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k
+          FROM s GROUP BY event_type),
+        ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn
+          FROM s)
+        SELECT t.event_type, t.n, t.k, r.value AS median
+        FROM t JOIN ranked r
+          ON r.event_type = t.event_type AND r.rn = t.k
+    """,
+    # quantized-integer covariance cells: exact integer sums, one
+    # deterministic double expression per cell
+    "embedding_covariance": """
+        WITH q AS (
+          SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                             + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        cells AS (
+          SELECT a.i AS i, b.j AS j,
+                 SUM(q[a.i + 1] * q[b.j + 1]) AS sxy,
+                 SUM(q[a.i + 1]) AS sx,
+                 SUM(q[b.j + 1]) AS sy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM q,
+               unnest(generate_series(0, len(q) - 1)) AS a(i),
+               unnest(generate_series(0, len(q) - 1)) AS b(j)
+          WHERE b.j >= a.i
+          GROUP BY a.i, b.j)
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
+               (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 1000000000000.0 AS cov
+        FROM cells
     """,
     # k_p = ceil(p·n/100) in integer arithmetic — identical order
     # statistic on both engines; the oracle ranks once and joins

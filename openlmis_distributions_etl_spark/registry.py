@@ -211,6 +211,9 @@ _OPERATORS = {
     "ks_windowed": analytics.ks_windowed,
     "exact_median_value": analytics.exact_median_value,
     "exact_quantiles_value": analytics.exact_quantiles_value,
+    "exact_median_by_type": analytics.exact_median_by_type,
+    "embedding_covariance": analytics.embedding_covariance,
+    "dup_cluster_stats": dedup.dup_cluster_stats,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
     "triangle_counts": dedup.triangle_counts,
