@@ -58,6 +58,17 @@ OPS = (
     "ks_drift_value",
     "psi_value_drift",
     "chi2_event_segments",
+    # round-5 wave: data-proportional prefix sums, exact selection,
+    # KS grid, BPE training, star-CC histogram, covariance cells
+    "global_row_index",
+    "exact_median_value",
+    "exact_quantiles_value",
+    "exact_median_by_type",
+    "ks_windowed",
+    "psi_windowed",
+    "bpe_vocab_32",
+    "dup_cluster_stats",
+    "embedding_covariance",
 )
 
 
