@@ -1018,41 +1018,50 @@ def _ksw_base_grid(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
 
 def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame) -> DataFrame:
     """Finishing transform shared by the batch query and the streaming
-    monitor's sink: fill each hour's 64-bucket grid, build the
-    cumulative current counts, and take the per-hour sup gap
-    |ba·nb − cu·na| in DECIMAL(38,0) (na·nb overflows bigint at
-    100 TB counts) with the smallest bucket as deterministic
-    arg-max tie-break. ``cur_counts``: (hour, bucket, n_cur)."""
-    spark = cur_counts.sparkSession
-    grid = (cur_counts.select("hour").distinct()
-            .crossJoin(spark.range(KSW_BUCKETS)
-                       .select(F.col("id").cast("int").alias("bucket"))))
-    full = (grid.join(cur_counts, ["hour", "bucket"], "left")
-            .select("hour", "bucket",
-                    F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-    wc = (Window.partitionBy("hour").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy("hour")
-    cw = full.select("hour", "bucket",
-                     F.sum("n_cur").over(wc).alias("cu"),
-                     F.sum("n_cur").over(wt).alias("nb"))
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    d = (cw.join(F.broadcast(bgrid), "bucket")
-         .select("hour", "na", "nb",
-                 F.abs(dec("ba") * dec("nb") - dec("cu") * dec("na"))
-                 .alias("dnum"),
-                 "bucket"))
-    best = (d.groupBy("hour", "na", "nb")
-            .agg(F.max(F.struct(F.col("dnum").alias("dn"),
-                                (-F.col("bucket")).alias("nv")))
-                 .alias("m")))
-    return best.select(
-        "hour", "na", "nb",
-        (-F.col("m.nv")).cast("int").alias("at_bucket"),
-        F.col("m.dn").cast("double").alias("d_num"),
-        (F.col("m.dn").cast("double")
-         / (F.col("na").cast("double")
-            * F.col("nb").cast("double"))).alias("ks_stat"))
+    monitor's sink: the per-hour sup gap |ba·nb − cu·na| in
+    DECIMAL(38,0) (na·nb overflows bigint at 100 TB counts) with the
+    smallest bucket as deterministic arg-max tie-break.
+    ``cur_counts``: (hour, bucket, n_cur).
+
+    ONE (hour) shuffle: each hour's sparse bucket counts collapse to
+    a ≤64-entry map, the baseline grid rides in as a broadcast map
+    literal, and the cumulative counts + sup gap are a single
+    row-local `aggregate` fold over the 64 bucket ids — no per-hour
+    grid cross join, no window over the grid, no second pass over the
+    counts (the previous formulation consumed the counts twice and
+    ran three window/join stages over an hours×64 frame)."""
+    bas = bgrid.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "ba")))
+        .alias("bam"),
+        F.max("na").alias("na"))
+    per_hour = (cur_counts.groupBy("hour")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "n_cur")))
+                    .alias("m"),
+                     F.sum("n_cur").alias("nb")))
+    cu2 = ("acc.cu + coalesce(element_at(m, b), CAST(0 AS BIGINT))")
+    dnum = (f"abs(CAST(element_at(bam, b) AS DECIMAL(38,0)) "
+            f"* CAST(nb AS DECIMAL(38,0)) "
+            f"- CAST({cu2} AS DECIMAL(38,0)) "
+            f"* CAST(na AS DECIMAL(38,0)))")
+    fold = F.expr(f"""
+        aggregate(
+          sequence(0, {KSW_BUCKETS - 1}),
+          struct(CAST(0 AS BIGINT) AS cu,
+                 CAST(-1 AS DECIMAL(38,0)) AS best,
+                 -1 AS arg),
+          (acc, b) -> CASE WHEN {dnum} > acc.best
+            THEN struct({cu2} AS cu, {dnum} AS best, b AS arg)
+            ELSE struct({cu2} AS cu, acc.best AS best, acc.arg AS arg)
+          END)""")
+    return (per_hour.crossJoin(F.broadcast(bas))
+            .select("hour", "na", "nb", fold.alias("r"))
+            .select("hour", "na", "nb",
+                    F.col("r.arg").cast("int").alias("at_bucket"),
+                    F.col("r.best").cast("double").alias("d_num"),
+                    (F.col("r.best").cast("double")
+                     / (F.col("na").cast("double")
+                        * F.col("nb").cast("double"))).alias("ks_stat")))
 
 
 def ks_windowed(t: dict[str, DataFrame]) -> DataFrame:
