@@ -974,15 +974,25 @@ def bpe_vocab_32(t: dict[str, DataFrame]) -> DataFrame:
     Deterministic: ties break on (count DESC, s1 ASC, s2 ASC) under
     binary collation in both engines. The oracle unrolls the same 32
     steps as MATERIALIZED CTEs."""
+    merges, _ = _bpe_train(t)
+    return t["documents"].sparkSession.createDataFrame(
+        merges, "step int, s1 string, s2 string, cnt bigint")
+
+
+def _bpe_train(t: dict[str, DataFrame]
+               ) -> tuple[list[tuple], DataFrame]:
+    """Shared BPE training core: returns (merge list, final vocabulary
+    frame (w, wc, rep)) after BPE_MERGES greedy rounds. See
+    `bpe_vocab_32` for the scale/lineage design notes."""
     from .dedup import _truncate_lineage
-    spark = t["documents"].sparkSession
     words = (t["documents"]
              .select(F.explode(tokens()).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
     prev = _truncate_lineage(words.select(
-        "wc", F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        "w", "wc",
+        F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
         .alias("rep")))
-    out_rows = []
+    out_rows: list[tuple] = []
     sep2 = _BPE_SEP + _BPE_SEP
     for step in range(1, BPE_MERGES + 1):
         syms = F.split(F.expr("btrim(rep, chr(31))"),
@@ -1004,6 +1014,35 @@ def bpe_vocab_32(t: dict[str, DataFrame]) -> DataFrame:
         pat = _BPE_SEP + s1 + _BPE_SEP + _BPE_SEP + s2 + _BPE_SEP
         new = _BPE_SEP + s1 + s2 + _BPE_SEP
         prev = _truncate_lineage(prev.select(
-            "wc", F.replace("rep", F.lit(pat), F.lit(new)).alias("rep")))
-    return spark.createDataFrame(
-        out_rows, "step int, s1 string, s2 string, cnt bigint")
+            "w", "wc",
+            F.replace("rep", F.lit(pat), F.lit(new)).alias("rep")))
+    return out_rows, prev
+
+
+def bpe_apply_doc_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Apply the TRAINED tokenizer to the corpus: per document, the
+    whitespace word count versus the BPE symbol count after the 32
+    learned merges, plus the compression ratio — the number a
+    tokenizer-training pipeline reports to judge merge quality before
+    shipping the vocab.
+
+    Scale shape: training is vocabulary-sized (`_bpe_train`); applying
+    it is a word → symbol-count lookup — one join of the exploded
+    corpus words against the |vocab|-row symbol table and a per-doc
+    sum, never re-running merges over raw text. Every word is in the
+    vocabulary by construction (same corpus), so the join is inner
+    and lossless."""
+    _, vocab = _bpe_train(t)
+    syms = F.split(F.expr("btrim(rep, chr(31))"),
+                   _BPE_SEP + _BPE_SEP, -1)
+    wsym = vocab.select("w", F.size(syms).alias("n_sym"))
+    docw = (t["documents"]
+            .select("doc_id", F.explode(tokens()).alias("w")))
+    return (docw.join(wsym, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("n_bpe_tokens"))
+            .select("doc_id", "n_words", "n_bpe_tokens",
+                    (F.col("n_bpe_tokens").cast("double")
+                     / F.col("n_words").cast("double"))
+                    .alias("symbols_per_word")))

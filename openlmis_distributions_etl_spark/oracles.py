@@ -3288,7 +3288,7 @@ def _bpe_vocab_sql(k: int = 32) -> str:
           FROM (SELECT unnest({TOKS}) AS w FROM documents)
           GROUP BY w),
         v0 AS MATERIALIZED (
-          SELECT wc,
+          SELECT w, wc,
                  regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g')
                    AS rep
           FROM words)"""
@@ -3305,7 +3305,7 @@ def _bpe_vocab_sql(k: int = 32) -> str:
           ORDER BY cnt DESC, s1 ASC, s2 ASC
           LIMIT 1),
         v{i} AS MATERIALIZED (
-          SELECT wc, replace(rep,
+          SELECT w, wc, replace(rep,
                    {sep} || p.s1 || {sep} || {sep} || p.s2 || {sep},
                    {sep} || p.s1 || p.s2 || {sep}) AS rep
           FROM v{i - 1}, p{i} AS p)"""
@@ -3315,8 +3315,34 @@ def _bpe_vocab_sql(k: int = 32) -> str:
     return s + f"\n        {union}\n    "
 
 
+def _bpe_apply_sql(k: int = 32) -> str:
+    """Trained-tokenizer application twin: the same unrolled k-step
+    chain, then word → symbol-count lookup joined to the exploded
+    corpus words."""
+    sep = "chr(31)"
+    chain = _bpe_vocab_sql(k)
+    chain = chain[:chain.rindex("SELECT CAST(1 AS INTEGER)")
+                  - len("\n        ")]
+    return f"""{chain},
+        wsym AS (
+          SELECT w, len(string_split(trim(rep, {sep}),
+                                     {sep} || {sep})) AS n_sym
+          FROM v{k}),
+        docw AS (
+          SELECT doc_id, unnest({TOKS}) AS w FROM documents)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS symbols_per_word
+        FROM docw JOIN wsym USING (w)
+        GROUP BY doc_id
+    """
+
+
 ORACLES.update({
     "bpe_vocab_32": _bpe_vocab_sql(32),
+    "bpe_apply_doc_tokens": _bpe_apply_sql(32),
     # pairs from the DISTINCT-WORD dictionary, weighted by word
     # frequency — mirrors the Spark vocabulary-collapse formulation
     "bpe_merge_pairs": f"""

@@ -200,6 +200,7 @@ _OPERATORS = {
     "chi2_event_segments": analytics.chi2_event_segments,
     "bpe_merge_pairs": text.bpe_merge_pairs,
     "bpe_vocab_32": text.bpe_vocab_32,
+    "bpe_apply_doc_tokens": text.bpe_apply_doc_tokens,
     "doc_chunks": text.doc_chunks,
     "dup_span_stats": dedup.dup_span_stats,
     "psi_value_drift": analytics.psi_value_drift,
