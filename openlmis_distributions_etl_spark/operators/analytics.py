@@ -1375,11 +1375,16 @@ def embedding_covariance(t: dict[str, DataFrame]) -> DataFrame:
     At gate scales all sums sit far below 2^53, so the
     decimal→double presentation casts round identically in both
     engines."""
+    from ..functions import pin
     q = F.expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
         f"* {COV_QUANT}.0 + 0.5) AS BIGINT))")
-    cells = (t["embeddings"]
-             .select(q.alias("q"))
+    # pin(): the pair lambda references q at three sites per (i, j) —
+    # CollapseProject would re-inline the 64-element quantize
+    # transform into each one (d² re-evaluations per row); behind a
+    # Generate node q is a materialized row value
+    cells = (pin(t["embeddings"].select("embedding"), q=q)
+             .select("q")
              .select(F.explode(F.expr(
                  "flatten(transform(sequence(0, size(q) - 1), i -> "
                  "transform(sequence(i, size(q) - 1), j -> "
