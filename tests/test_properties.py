@@ -366,3 +366,41 @@ def test_connected_components_matches_union_find(spark):
     got = {r["node"]: r["component"]
            for r in dedup.connected_components(edges, nodes).collect()}
     assert got == want
+
+
+values_strategy = st.lists(
+    st.floats(min_value=-1e9, max_value=1e9,
+              allow_nan=False, allow_infinity=False)
+    # mix in heavy ties so the min-multiplicity / tie-bucket paths run
+    .map(lambda x: round(x, 2)),
+    min_size=1, max_size=60)
+
+
+@PROP
+@given(values_strategy, st.integers(0, 10**6))
+def test_select_kth_matches_sorted(spark, vals, kseed):
+    """_select_kth must return the exact k-th smallest for arbitrary
+    finite doubles with ties, at every rank — including k inside the
+    minimum's tie block (the round-4 bisection bug class)."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        _select_kth)
+    import openlmis_distributions_etl_spark.operators.analytics as A
+    sample = spark.createDataFrame([(v,) for v in vals], "value double")
+    sample.persist()
+    svals = sorted(vals)
+    n = len(vals)
+    lo, hi = svals[0], svals[-1]
+    c_min = sum(1 for v in vals if v == lo)
+    row = {"n": n, "lo": lo, "hi": hi, "c_min": c_min}
+    ks = sorted({1, c_min, min(c_min + 1, n), (n + 1) // 2, n,
+                 1 + kseed % n})
+    # tiny finish threshold forces the histogram loop on every example
+    old = A.MEDIAN_FINISH_ROWS
+    A.MEDIAN_FINISH_ROWS = 2
+    try:
+        for k in ks:
+            sel, _ = _select_kth(sample, n, k, row)
+            assert sel.collect()[0]["value"] == svals[k - 1], (k, vals)
+    finally:
+        A.MEDIAN_FINISH_ROWS = old
+        sample.unpersist()
