@@ -1154,3 +1154,40 @@ def matryoshka_prefix_eval(t: dict[str, DataFrame], k: int = TOP_K,
                   (F.count(F.lit(1)) / k).alias("recall_at_k")))
         out = r if out is None else out.unionByName(r)
     return out
+
+
+RANGE_TAU = 0.15
+
+
+def ann_range_search(t: dict[str, DataFrame],
+                     threshold: float = RANGE_TAU) -> DataFrame:
+    """RANGE similarity query (radius search): every vector with
+    cosine ≥ τ to the query — the other fundamental ANN query type
+    next to top-k, used when the caller needs ALL sufficiently-close
+    items (dedup sweep around a new document, policy screening)
+    rather than a fixed k.
+
+    Same banded sign-LSH prefilter as `embedding_near_dup_pairs`, but
+    with a SINGLE query the bands never explode: the query's 16-bit
+    code broadcasts as one row and the ≥1-shared-band test is a
+    4-nibble xor check evaluated per corpus row — a stateless filter
+    ahead of the exact normalized dot product, no join fan-out at
+    all. Approximate by the same banding recall formula; the oracle
+    replicates the band test, so parity is exact."""
+    base = _normed_buckets(t)
+    q = base.where(F.col("vec_id") == 0).select(
+        F.col("nv").alias("qv"), F.col("bucket").alias("qb"))
+    x = F.col("bucket").bitwiseXOR(F.col("qb"))
+    band_hit = ((x.bitwiseAND(F.lit(15)) == 0)
+                | (F.shiftright(x, 4).bitwiseAND(F.lit(15)) == 0)
+                | (F.shiftright(x, 8).bitwiseAND(F.lit(15)) == 0)
+                | (F.shiftright(x, 12).bitwiseAND(F.lit(15)) == 0))
+    cand = (base.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .where(band_hit))
+    dot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (pin(cand, cos_sim=dot)
+            .where(F.col("cos_sim") >= threshold)
+            .select("vec_id", "cos_sim"))

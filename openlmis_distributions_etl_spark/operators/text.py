@@ -1046,3 +1046,36 @@ def bpe_apply_doc_tokens(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_bpe_tokens").cast("double")
                      / F.col("n_words").cast("double"))
                     .alias("symbols_per_word")))
+
+
+RZ_SHARDS = 8
+
+
+def rendezvous_shards(t: dict[str, DataFrame]) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit —
+    the consistent-hashing routing a live ingest tier uses so that
+    GROWING the shard count moves only ~1/(n+1) of the keys (modulo
+    hashing moves nearly all of them). Per shard: doc count under
+    RZ_SHARDS shards, how many of those docs would move when one
+    shard is ADDED, and the moved fraction (expect ≈ 1/(n+1)).
+
+    Zero shuffle until the final ≤n_shards-row aggregate: each doc's
+    winning shard is a row-local array_max over md5 weights (struct
+    max = lexicographic, deterministic in both engines), evaluated
+    for n and n+1 shards in one projection."""
+    def shard(n: int):
+        return F.expr(
+            f"array_max(transform(sequence(0, {n - 1}), "
+            "s -> struct(md5(CAST(concat('rz|', CAST(s AS STRING), "
+            "'|', CAST(doc_id AS STRING)) AS BINARY)) AS w, s))).s")
+    d = t["documents"].select(
+        shard(RZ_SHARDS).alias("shard"),
+        shard(RZ_SHARDS + 1).alias("shard_next"))
+    return (d.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("shard") != F.col("shard_next"))
+                       .cast("long")).alias("n_moved"))
+            .select("shard", "n_docs", "n_moved",
+                    (F.col("n_moved").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("moved_frac")))

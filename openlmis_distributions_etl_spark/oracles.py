@@ -1848,6 +1848,17 @@ ORACLES.update({
         JOIN norm b ON vec_b = b.vec_id
         WHERE {_PAIR_DOT} >= 0.3
     """,
+    # radius query: candidates sharing >=1 band with vector 0 (pairs
+    # with 0 always have vec_a = 0 since ids are positive), exact
+    # normalized dot >= tau
+    "ann_range_search": f"""
+        WITH {_PAIR_CTE}
+        SELECT vec_b AS vec_id, {_PAIR_DOT} AS cos_sim
+        FROM cand
+        JOIN norm a ON vec_a = a.vec_id
+        JOIN norm b ON vec_b = b.vec_id
+        WHERE vec_a = 0 AND {_PAIR_DOT} >= 0.15
+    """,
     "semantic_dedup_pairs": f"""
         WITH {_PAIR_CTE},
         pairs AS (
@@ -3790,6 +3801,34 @@ ORACLES.update({
                 LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM t))
                  AS median
         FROM t
+    """,
+    # rendezvous hashing: per-doc argmax of md5 weights (struct max =
+    # lexicographic, mirrored field order), moved set when a 9th
+    # shard is added
+    "rendezvous_shards": """
+        WITH w AS (
+          SELECT doc_id, s.s AS s,
+                 md5(concat('rz|', CAST(s.s AS VARCHAR), '|',
+                            CAST(doc_id AS VARCHAR))) AS w
+          FROM documents, (SELECT unnest(range(9)) AS s) s),
+        pick8 AS (
+          SELECT doc_id, MAX(struct_pack(w := w, s := s)) AS m
+          FROM w WHERE s < 8 GROUP BY doc_id),
+        pick9 AS (
+          SELECT doc_id, MAX(struct_pack(w := w, s := s)) AS m
+          FROM w GROUP BY doc_id),
+        j AS (
+          SELECT p8.doc_id,
+                 CAST(p8.m.s AS INTEGER) AS shard,
+                 CAST(p9.m.s AS INTEGER) AS shard_next
+          FROM pick8 p8 JOIN pick9 p9 USING (doc_id))
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN shard <> shard_next
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST(SUM(CASE WHEN shard <> shard_next
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS moved_frac
+        FROM j GROUP BY shard
     """,
     # grouped exact medians: per-group ROW_NUMBER rank join
     "exact_median_by_type": """

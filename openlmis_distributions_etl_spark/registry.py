@@ -215,6 +215,8 @@ _OPERATORS = {
     "exact_median_by_type": analytics.exact_median_by_type,
     "embedding_covariance": analytics.embedding_covariance,
     "dup_cluster_stats": dedup.dup_cluster_stats,
+    "ann_range_search": similarity.ann_range_search,
+    "rendezvous_shards": text.rendezvous_shards,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
     "triangle_counts": dedup.triangle_counts,
