@@ -1191,3 +1191,54 @@ def ann_range_search(t: dict[str, DataFrame],
     return (pin(cand, cos_sim=dot)
             .where(F.col("cos_sim") >= threshold)
             .select("vec_id", "cos_sim"))
+
+
+PCA_K = 8
+
+
+def pca_project8(t: dict[str, DataFrame]) -> DataFrame:
+    """PCA projection onto the top-8 principal components — the
+    dimensionality reduction an ANN serving tier runs before building
+    coarse indexes (smaller codes, decorrelated axes). The covariance
+    matrix comes from `embedding_covariance` (exact integer-quantized
+    sums, so the driver-side eigendecomposition sees IDENTICAL input
+    on every run/partitioning); numpy's 64×64 `eigh` runs on the
+    driver (microseconds — the only non-distributed step, on a
+    d×d matrix independent of corpus size), and the projection
+    matrix ships back as literals: per vector, 8 JVM dot products
+    over the mean-centered embedding, zero shuffles.
+
+    Sign convention: each eigenvector is flipped so its
+    largest-|component| entry is positive (lowest index on ties) —
+    eigenvectors are sign-ambiguous and this pins one deterministic
+    choice. Registered rows-only (eigendecomposition is not
+    SQL-expressible); semantics pinned by a pure-numpy reference test
+    asserting the projection reproduces to ≤1e-5 and that component
+    variances decrease."""
+    import numpy as np
+
+    from .analytics_bridge import covariance_matrix
+    cov, means = covariance_matrix(t)
+    w, v = np.linalg.eigh(cov)           # ascending eigenvalues
+    order = np.argsort(w)[::-1][:PCA_K]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append(vec)
+    d = len(means)
+    mean_arr = F.array(*[F.lit(float(m)) for m in means])
+    centered = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        mean_arr, lambda x, m: x - m)
+    base = pin(t["embeddings"].select("vec_id", "embedding"),
+               c=centered)
+    cols = []
+    for k, vec in enumerate(comps):
+        arr = F.array(*[F.lit(float(vec[i])) for i in range(d)])
+        cols.append(F.aggregate(
+            F.zip_with(F.col("c"), arr, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x).alias(f"pc{k}"))
+    return base.select("vec_id", *cols)

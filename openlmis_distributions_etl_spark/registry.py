@@ -216,6 +216,7 @@ _OPERATORS = {
     "embedding_covariance": analytics.embedding_covariance,
     "dup_cluster_stats": dedup.dup_cluster_stats,
     "ann_range_search": similarity.ann_range_search,
+    "pca_project8": similarity.pca_project8,
     "rendezvous_shards": text.rendezvous_shards,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,

