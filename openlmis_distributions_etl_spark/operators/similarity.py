@@ -1242,3 +1242,17 @@ def pca_project8(t: dict[str, DataFrame]) -> DataFrame:
             F.zip_with(F.col("c"), arr, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x).alias(f"pc{k}"))
     return base.select("vec_id", *cols)
+
+
+def knn_ivf_recall(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Recall@k of the TRAINED-IVF probe search against exact brute
+    force — completes the eval-harness pair (LSH already has one):
+    the number an index owner checks before narrowing nprobe. Both
+    sides are k rows, so the intersection join is a broadcast no-op;
+    the cost is the two searches."""
+    approx = knn_ivf_trained(t, k=k).select("vec_id")
+    exact = knn_bruteforce(t, k).select("vec_id")
+    return (exact.join(approx, "vec_id")
+            .agg(F.lit(k).alias("k"),
+                 F.count(F.lit(1)).cast("int").alias("n_hits"),
+                 (F.count(F.lit(1)) / k).alias("recall_at_k")))

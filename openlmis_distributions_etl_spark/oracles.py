@@ -1412,6 +1412,48 @@ ORACLES.update({
         ORDER BY cos_sim DESC, a.vec_id ASC
         LIMIT 10
     """,
+    "knn_ivf_recall": f"""
+        WITH {_KMEANS_CTES},
+        m2 AS (
+          SELECT centroid_id, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid
+          FROM b2 GROUP BY centroid_id, dim),
+        cent2 AS (
+          SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
+          FROM m2 GROUP BY centroid_id),
+        q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT centroid_id FROM cent2, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 2),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent2 c)
+          WHERE rn = 1),
+        approx AS (
+          SELECT a.vec_id
+          FROM assigned a
+          JOIN probe USING (centroid_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'q.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        exact AS (
+          SELECT vec_id FROM embeddings, q
+          WHERE vec_id <> 0
+          ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC
+          LIMIT 10)
+        SELECT 10 AS k,
+               CAST(COUNT(*) AS INTEGER) AS n_hits,
+               CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_k
+        FROM exact JOIN approx USING (vec_id)
+    """,
     "knn_batch": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv
                    FROM embeddings WHERE vec_id < 5),

@@ -217,6 +217,7 @@ _OPERATORS = {
     "dup_cluster_stats": dedup.dup_cluster_stats,
     "ann_range_search": similarity.ann_range_search,
     "pca_project8": similarity.pca_project8,
+    "knn_ivf_recall": similarity.knn_ivf_recall,
     "rendezvous_shards": text.rendezvous_shards,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,

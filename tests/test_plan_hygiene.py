@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     # (pagerank_dup_graph's per-iteration broadcast dangling scalar
     # sits behind localCheckpoint leaves, so it never shows here)
     "knn_lsh_recall",
+    "knn_ivf_recall",          # composes two pinned broadcast-query paths
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width
     "join_key_skew_audit",     # broadcast corpus-totals row
