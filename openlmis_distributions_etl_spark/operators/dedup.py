@@ -1161,11 +1161,14 @@ def triangle_counts(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).alias("deg"))
     d1 = deg.selectExpr("node AS u", "deg AS deg_u")
     d2 = deg.selectExpr("node AS v", "deg AS deg_v")
-    oriented = (sym.join(d1, "u").join(d2, "v")
-                .where((F.col("deg_u") < F.col("deg_v"))
-                       | ((F.col("deg_u") == F.col("deg_v"))
-                          & (F.col("u") < F.col("v"))))
-                .select("u", "v"))
+    # retained: the wedge self-join reads the oriented edge list on
+    # BOTH sides — uncached, the 3-shuffle orientation pipeline runs
+    # twice
+    oriented = retain(sym.join(d1, "u").join(d2, "v")
+                      .where((F.col("deg_u") < F.col("deg_v"))
+                             | ((F.col("deg_u") == F.col("deg_v"))
+                                & (F.col("u") < F.col("v"))))
+                      .select("u", "v"))
     w1 = oriented.selectExpr("u AS c0", "v AS w1")
     w2 = oriented.selectExpr("u AS c0", "v AS w2")
     wedges = w1.join(w2, "c0").where(F.col("w1") < F.col("w2"))
