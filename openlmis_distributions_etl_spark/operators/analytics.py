@@ -1403,3 +1403,45 @@ def embedding_covariance(t: dict[str, DataFrame]) -> DataFrame:
           - (F.col("sx").cast("double") / nd)
           * (F.col("sy").cast("double") / nd)) / F.lit(scale))
         .alias("cov"))
+
+
+def user_activity_gini(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini coefficient of per-user event counts — the inequality
+    number a sampling pipeline checks before user-level quotas (a few
+    hyperactive users dominating a corpus skews training). Exact:
+    per-user counts (one shuffle), a contiguous rank in ascending
+    (count, user_id) order assigned by the SAME data-proportional
+    prefix decomposition as global_row_index (`_rank_buckets` — no
+    single-task ORDER BY window over the user table), then
+    G = (2·Σ rank·count)/(n·Σ count) − (n+1)/n from exact
+    DECIMAL(38,0) sums in one deterministic double expression."""
+    from ..functions.cache import retain
+    counts = retain(t["events"]
+                    .groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("c")))
+    n = counts.count()
+    bucketed = _rank_buckets(
+        counts.withColumn("_k", F.col("c").cast("double")), n)
+    bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(wo),
+                          F.lit(0).cast("long")).alias("off"))
+    win = (Window.partitionBy("bkt")
+           .orderBy(F.asc("c"), F.asc("user_id")))
+    ranked = (bucketed.join(F.broadcast(offs), "bkt")
+              .select((F.row_number().over(win) + F.col("off"))
+                      .alias("rank"), "c"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("rank")) * dec(F.col("c"))).cast("decimal(38,0)")
+        .alias("src"),
+        F.sum("c").cast("decimal(38,0)").alias("tot"))
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n", F.col("tot").cast("bigint").alias("n_events"),
+        (F.lit(2.0) * F.col("src").cast("double")
+         / (nd * F.col("tot").cast("double"))
+         - (nd + F.lit(1.0)) / nd).alias("gini"))

@@ -1079,3 +1079,27 @@ def rendezvous_shards(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_moved").cast("double")
                      / F.col("n_docs").cast("double"))
                     .alias("moved_frac")))
+
+
+def doc_length_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Log₂-bucketed corpus length distribution — the first chart a
+    curation run looks at (truncation cliffs, boilerplate spikes).
+    The bucket is the INTEGER bit length of n_chars (length(bin(x)) −
+    1 = floor(log₂ x)) so both engines bucket by exact integer
+    arithmetic — no float log at bucket edges. One count shuffle over
+    ≤64 buckets; corpus share per bucket rides a window over the tiny
+    histogram frame."""
+    d = (t["documents"]
+         .where(F.col("n_chars") > 0)
+         .select((F.length(F.bin("n_chars")) - 1).alias("log2_bucket"),
+                 "n_chars"))
+    hist = (d.groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+    wa = Window.partitionBy()
+    return hist.select(
+        F.col("log2_bucket").cast("int").alias("log2_bucket"),
+        "n_docs", "min_chars", "max_chars",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(wa).cast("double")).alias("doc_share"))

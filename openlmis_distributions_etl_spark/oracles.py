@@ -3844,6 +3844,44 @@ ORACLES.update({
                  AS median
         FROM t
     """,
+    # exact-integer log2 bucket: length(bin(x)) - 1 on both engines
+    "doc_length_histogram": """
+        WITH d AS (
+          SELECT CAST(length(bin(n_chars)) - 1 AS INTEGER)
+                   AS log2_bucket,
+                 n_chars
+          FROM documents WHERE n_chars > 0),
+        hist AS (
+          SELECT log2_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 MIN(n_chars) AS min_chars,
+                 MAX(n_chars) AS max_chars
+          FROM d GROUP BY log2_bucket)
+        SELECT log2_bucket, n_docs, min_chars, max_chars,
+               CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
+        FROM hist
+    """,
+    # Gini from exact rank/count sums; rank = single-window luxury
+    "user_activity_gini": """
+        WITH counts AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rank
+          FROM counts),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(rank AS HUGEINT) * c) AS src,
+                 CAST(SUM(c) AS HUGEINT) AS tot
+          FROM ranked)
+        SELECT n, CAST(tot AS BIGINT) AS n_events,
+               2.0 * CAST(src AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                 AS gini
+        FROM agg
+    """,
     # rendezvous hashing: per-doc argmax of md5 weights (struct max =
     # lexicographic, mirrored field order), moved set when a 9th
     # shard is added

@@ -219,6 +219,8 @@ _OPERATORS = {
     "pca_project8": similarity.pca_project8,
     "knn_ivf_recall": similarity.knn_ivf_recall,
     "rendezvous_shards": text.rendezvous_shards,
+    "doc_length_histogram": text.doc_length_histogram,
+    "user_activity_gini": analytics.user_activity_gini,
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
     "triangle_counts": dedup.triangle_counts,
