@@ -651,3 +651,55 @@ def ks_bucket_gap_stream(events: DataFrame,
                     "bucket", "n_cur",
                     ba_map[F.col("bucket")].cast("long").alias("ba"),
                     F.lit(na).cast("long").alias("na")))
+
+
+def stream_maintain_components(edges: DataFrame, labels_path: str,
+                               checkpoint_dir: str,
+                               nodes: DataFrame | None = None):
+    """Streaming incremental connected-components maintenance: as
+    near-dup edges arrive, keep a versioned (node, component) label
+    table current — the continuous form of the nightly dedup-cluster
+    rebuild, so cluster collapse decisions lag ingest by one
+    micro-batch instead of one batch window.
+
+    The trick that makes each micro-batch cheap is STAR-EDGE
+    COMPACTION: the previous labels ARE a connectivity-preserving
+    edge set (every node → its component root), so batch N's input is
+    new-edges ∪ prior-star-edges — never the full history of raw
+    edges — and the O(log n)-round alternating-star CC re-converges
+    in a couple of rounds because the prior graph is already a star
+    forest. Labels commit to the versioned table with overwrite
+    semantics + a txn id, so checkpoint-recovery replays are no-ops
+    and readers get snapshot isolation.
+
+    ``edges``: streaming (src, dst). ``nodes``: optional static
+    universe frame (node); when given, isolated nodes keep singleton
+    labels in every version."""
+    from ..operators.dedup import connected_components
+    from ..sources.versioned import read_versioned, versions, \
+        write_versioned
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_edges = batch.selectExpr("src", "dst")
+        if versions(labels_path):
+            prior = read_versioned(spark, labels_path)
+            prior_edges = (prior.where(F.col("node") != F.col("component"))
+                           .selectExpr("node AS src", "component AS dst"))
+            edge_set = new_edges.union(prior_edges)
+            seen = prior.select("node")
+        else:
+            edge_set = new_edges
+            seen = spark.createDataFrame([], "node long")
+        universe = (nodes if nodes is not None else
+                    seen.union(edge_set.selectExpr("src AS node"))
+                    .union(edge_set.selectExpr("dst AS node"))
+                    .distinct())
+        labels = connected_components(edge_set, universe)
+        write_versioned(labels, labels_path, mode="overwrite",
+                        txn=f"cc-maint-{batch_id}")
+
+    return (edges.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

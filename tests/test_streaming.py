@@ -386,3 +386,36 @@ def test_ks_bucket_gap_stream_matches_batch(spark):
     grid = {r["bucket"]: (r["ba"], r["na"]) for r in bgrid.collect()}
     for _, row in got_counts.iterrows():
         assert grid[row["bucket"]] == (row["ba"], row["na"])
+
+
+def test_stream_maintain_components_matches_batch(spark, tmp_path):
+    """Streaming star-edge-compacted CC over two micro-batches must
+    converge to the same labels as batch connected components on the
+    full edge set — including singleton nodes from the static
+    universe."""
+    from openlmis_distributions_etl_spark.operators import dedup
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned)
+
+    t = load_tables(spark, SF0001, "documents")
+    pairs = dedup.minhash_lsh_pairs(t).selectExpr(
+        "doc_a AS src", "doc_b AS dst")
+    src_dir = tmp_path / "edges"
+    # two source files → two micro-batches under maxFilesPerTrigger=1
+    pairs.where(F.col("src") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src_dir))
+    pairs.where(F.col("src") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(str(src_dir))
+    nodes = t["documents"].selectExpr("doc_id AS node")
+    stream = (spark.readStream.schema("src long, dst long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    q = jobs.stream_maintain_components(
+        stream, str(tmp_path / "labels"), str(tmp_path / "ck"),
+        nodes=nodes)
+    assert q.awaitTermination(240), "stream did not finish in time"
+
+    got = sorted(map(tuple, read_versioned(
+        spark, str(tmp_path / "labels")).collect()))
+    want = sorted(map(tuple, dedup.connected_components(
+        pairs, nodes).collect()))
+    assert got == want and len(got) == nodes.count()
