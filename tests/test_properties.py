@@ -404,3 +404,47 @@ def test_select_kth_matches_sorted(spark, vals, kseed):
     finally:
         A.MEDIAN_FINISH_ROWS = old
         sample.unpersist()
+
+
+bpe_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(bpe_words)
+def test_bpe_train_matches_python_reference(spark, words_list):
+    """The distributed BPE trainer must reproduce a pure-Python greedy
+    trainer on arbitrary small corpora — ties, overlapping candidates
+    (aaa/abab shapes), repeated words, single-char words."""
+    import openlmis_distributions_etl_spark.operators.text as T
+    S = "\x1f"
+    docs = spark.createDataFrame(
+        [(0, " ".join(words_list))], "doc_id long, text string")
+    counts: dict[str, int] = {}
+    for w in words_list:
+        counts[w] = counts.get(w, 0) + 1
+    vocab = {w: "".join(S + c + S for c in w) for w in counts}
+    ref = []
+    for step in range(1, 7):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, rep in vocab.items():
+            syms = rep.strip(S).split(S + S)
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + counts[w]
+        if not pairs:
+            break
+        (s1, s2), cnt = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((step, s1, s2, cnt))
+        vocab = {w: rep.replace(S + s1 + S + S + s2 + S,
+                                S + s1 + s2 + S)
+                 for w, rep in vocab.items()}
+    old = T.BPE_MERGES
+    T.BPE_MERGES = 6
+    try:
+        got, _ = T._bpe_train({"documents": docs})
+    finally:
+        T.BPE_MERGES = old
+    assert got == ref, (words_list, got, ref)
