@@ -989,6 +989,13 @@ def _ksw_base_grid(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     cum = _value_ecdf(t)
     cum.persist()
     register(cum)
+    return _ks_fence_grid(cum, t["events"].sparkSession)
+
+
+def _ks_fence_grid(cum: DataFrame, spark) -> tuple[DataFrame, DataFrame]:
+    """Fence row + cumulative baseline grid from ANY ECDF frame with
+    columns (value, ca, na, fa) — shared by the hourly events monitor
+    and the per-source corpus-shape report."""
     fen = cum.agg(*[
         F.min(F.when(
             F.col("fa") >= F.expr(f"({k} * na + {KSW_BUCKETS - 1}) "
@@ -1003,7 +1010,7 @@ def _ksw_base_grid(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
             .select("ca", "na", b.alias("bucket"))
             .groupBy("bucket")
             .agg(F.sum("ca").alias("n_base"), F.max("na").alias("na")))
-    grid = (t["events"].sparkSession.range(KSW_BUCKETS)
+    grid = (spark.range(KSW_BUCKETS)
             .select(F.col("id").cast("int").alias("bucket")))
     wc = (Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, 0))
@@ -1016,7 +1023,8 @@ def _ksw_base_grid(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     return fen, bgrid
 
 
-def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame) -> DataFrame:
+def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame,
+                key: str = "hour") -> DataFrame:
     """Finishing transform shared by the batch query and the streaming
     monitor's sink: the per-hour sup gap |ba·nb − cu·na| in
     DECIMAL(38,0) (na·nb overflows bigint at 100 TB counts) with the
@@ -1034,7 +1042,7 @@ def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("bucket", "ba")))
         .alias("bam"),
         F.max("na").alias("na"))
-    per_hour = (cur_counts.groupBy("hour")
+    per_hour = (cur_counts.groupBy(key)
                 .agg(F.map_from_entries(
                     F.collect_list(F.struct("bucket", "n_cur")))
                     .alias("m"),
@@ -1055,8 +1063,8 @@ def _ksw_finish(cur_counts: DataFrame, bgrid: DataFrame) -> DataFrame:
             ELSE struct({cu2} AS cu, acc.best AS best, acc.arg AS arg)
           END)""")
     return (per_hour.crossJoin(F.broadcast(bas))
-            .select("hour", "na", "nb", fold.alias("r"))
-            .select("hour", "na", "nb",
+            .select(key, "na", "nb", fold.alias("r"))
+            .select(key, "na", "nb",
                     F.col("r.arg").cast("int").alias("at_bucket"),
                     F.col("r.best").cast("double").alias("d_num"),
                     (F.col("r.best").cast("double")
@@ -1445,3 +1453,61 @@ def user_activity_gini(t: dict[str, DataFrame]) -> DataFrame:
         (F.lit(2.0) * F.col("src").cast("double")
          / (nd * F.col("tot").cast("double"))
          - (nd + F.lit(1.0)) / nd).alias("gini"))
+
+
+def _doc_len_ecdf(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-wide ECDF of document lengths (value, ca, na, fa) —
+    same distributed prefix-sum shape as `_value_ecdf`, single
+    sample, data-proportional buckets."""
+    from ..functions.cache import retain
+    pts = retain(t["documents"]
+                 .where(F.col("n_chars").isNotNull())
+                 .select(F.col("n_chars").cast("double").alias("value"))
+                 .groupBy("value")
+                 .agg(F.count(F.lit(1)).alias("ca")))
+    n_pts = pts.count()
+    bucketed = (_rank_buckets(pts.withColumn("_k", F.col("value")),
+                              n_pts)
+                .select("value", "ca", "bkt"))
+    bt = bucketed.groupBy("bkt").agg(F.sum("ca").alias("bca"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("bca").over(wo), F.lit(0)).alias("offa"),
+        F.sum("bca").over(wt).alias("na"))
+    win = (Window.partitionBy("bkt").orderBy(F.asc("value"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (bucketed.join(F.broadcast(offs), "bkt")
+            .select("value", "ca", "na",
+                    (F.sum("ca").over(win) + F.col("offa")).alias("fa")))
+
+
+def ks_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-SOURCE corpus-shape drift: each source's document-length
+    distribution vs the whole corpus, as a sup gap over 64 rank-exact
+    length fences — the curation check that flags a feed whose length
+    profile deviates (truncated scrapes, boilerplate floods) before
+    it skews the training mix. Same grid/fold machinery as
+    `ks_windowed` (shared `_ks_fence_grid` + `_ksw_finish`), keyed by
+    source instead of hour; exact integers throughout."""
+    from ..functions.cache import register
+    cum = _doc_len_ecdf(t)
+    cum.persist()
+    register(cum)
+    fen, bgrid = _ks_fence_grid(cum, t["documents"].sparkSession)
+    b = F.lit(0)
+    for k in range(1, KSW_BUCKETS):
+        b = b + F.coalesce(
+            (F.col("value") > F.col(f"f{k}")).cast("int"), F.lit(0))
+    cur = (t["documents"]
+           .where(F.col("n_chars").isNotNull())
+           .select("source", F.col("n_chars").cast("double").alias("value"))
+           .crossJoin(F.broadcast(fen))
+           .select("source", b.alias("bucket"))
+           .groupBy("source", "bucket")
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    return _ksw_finish(cur, bgrid, key="source")

@@ -3829,8 +3829,86 @@ def _ks_windowed_sql(nb: int = 64) -> str:
     """
 
 
+def _ks_by_source_sql(nb: int = 64) -> str:
+    """Per-source corpus-shape KS twin: full-corpus length ECDF
+    fences, per-source bucket counts, same grid/cumulative/sup-gap
+    arithmetic as the hourly monitor."""
+    fences = ",\n          ".join(
+        f"MIN(CASE WHEN fa >= ({k} * na + {nb - 1}) // {nb} "
+        f"THEN value END) AS f{k}" for k in range(1, nb))
+    bucket = "\n                 + ".join(
+        f"(CASE WHEN value > f{k} THEN 1 ELSE 0 END)"
+        for k in range(1, nb))
+    return f"""
+        WITH pts AS (
+          SELECT CAST(n_chars AS DOUBLE) AS value, COUNT(*) AS ca
+          FROM documents WHERE n_chars IS NOT NULL
+          GROUP BY CAST(n_chars AS DOUBLE)),
+        cum AS (
+          SELECT value, ca, SUM(ca) OVER (ORDER BY value) AS fa
+          FROM pts),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM pts),
+        fen AS (
+          SELECT
+          {fences}
+          FROM cum, tot),
+        base AS (
+          SELECT {bucket} AS bucket,
+                 CAST(SUM(ca) AS BIGINT) AS n_base
+          FROM pts, fen
+          GROUP BY 1),
+        bgrid AS (
+          SELECT g.b AS bucket,
+                 SUM(COALESCE(base.n_base, 0)) OVER (ORDER BY g.b)
+                   AS ba
+          FROM unnest(generate_series(0, {nb - 1})) AS g(b)
+          LEFT JOIN base ON base.bucket = g.b),
+        cur AS (
+          SELECT source,
+                 {bucket.replace("value", "CAST(n_chars AS DOUBLE)")}
+                   AS bucket
+          FROM documents, fen
+          WHERE n_chars IS NOT NULL),
+        ccnt AS (
+          SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM cur GROUP BY source, bucket),
+        grid AS (
+          SELECT h.source, g.b AS bucket
+          FROM (SELECT DISTINCT source FROM cur) h,
+               unnest(generate_series(0, {nb - 1})) AS g(b)),
+        filled AS (
+          SELECT grid.source, grid.bucket,
+                 COALESCE(ccnt.n_cur, 0) AS n_cur
+          FROM grid LEFT JOIN ccnt
+            ON ccnt.source = grid.source AND ccnt.bucket = grid.bucket),
+        cw AS (
+          SELECT source, bucket,
+                 SUM(n_cur) OVER (PARTITION BY source ORDER BY bucket)
+                   AS cu,
+                 CAST(SUM(n_cur) OVER (PARTITION BY source) AS BIGINT)
+                   AS nb
+          FROM filled),
+        d AS (
+          SELECT cw.source, tot.na, cw.nb, cw.bucket,
+                 ABS(CAST(bgrid.ba AS HUGEINT) * cw.nb
+                     - CAST(cw.cu AS HUGEINT) * tot.na) AS dnum
+          FROM cw JOIN bgrid ON bgrid.bucket = cw.bucket, tot),
+        best AS (
+          SELECT source, na, nb,
+                 MAX(struct_pack(dn := dnum, nv := -bucket)) AS m
+          FROM d GROUP BY source, na, nb)
+        SELECT source, na, nb,
+               CAST(-(m.nv) AS INTEGER) AS at_bucket,
+               CAST(m.dn AS DOUBLE) AS d_num,
+               CAST(m.dn AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+        FROM best
+    """
+
+
 ORACLES.update({
     "ks_windowed": _ks_windowed_sql(64),
+    "ks_by_source": _ks_by_source_sql(64),
     # the single-node luxury: ORDER BY + OFFSET; the Spark plan's
     # bisection+top-k selection returns the identical k-th smallest
     "exact_median_value": """

@@ -210,6 +210,7 @@ _OPERATORS = {
     "dup_span_removal": dedup.dup_span_removal,
     "psi_windowed": analytics.psi_windowed,
     "ks_windowed": analytics.ks_windowed,
+    "ks_by_source": analytics.ks_by_source,
     "exact_median_value": analytics.exact_median_value,
     "exact_quantiles_value": analytics.exact_quantiles_value,
     "exact_median_by_type": analytics.exact_median_by_type,
