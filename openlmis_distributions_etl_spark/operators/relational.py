@@ -9,7 +9,7 @@ mark the dimension sides that stay small at any scale factor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -752,3 +752,73 @@ def return_rate_by_brand(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_returned") / F.col("n_lines"))
                     .alias("return_rate"),
                     "returned_revenue"))
+
+
+def weekday_revenue_seasonality(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-revenue seasonality by day of week: volume, exact-decimal
+    revenue, and each weekday's average order value indexed against
+    the whole-corpus average — the demand-shape report a distribution
+    planner uses to staff pick lines.
+
+    Weekday is pure epoch-day arithmetic ((date - 1970-01-05) % 7,
+    0 = Monday) — no locale-dependent day-name formatting, identical
+    in both engines. One map-side-combinable aggregate onto a 7-key
+    space; the index divides per-group and global decimal-exact
+    averages, so only the final two IEEE divisions are float."""
+    dow = ((F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-05").cast("date")) % 7)
+           .alias("weekday"))
+    g = (t["orders"]
+         .select(dow, "o_totalprice")
+         .groupBy("weekday")
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.sum(dec("o_totalprice")).cast("decimal(38,6)")
+              .alias("srev")))
+    wall = Window.partitionBy()
+    avg_g = F.col("srev").cast("double") / F.col("n_orders")
+    avg_all = (F.sum("srev").over(wall).cast("decimal(38,6)")
+               .cast("double")
+               / F.sum("n_orders").over(wall))
+    return g.select(
+        "weekday", "n_orders",
+        F.col("srev").cast("double").alias("revenue"),
+        avg_g.alias("avg_order_value"),
+        (avg_g / avg_all).alias("seasonality_index"))
+
+
+SHIP_DELAY_PCTS = (25, 50, 75, 90)
+
+
+def order_ship_delay_quantiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact discrete order-to-ship latency percentiles (p25/p50/p75/
+    p90 whole days) per order priority — the fulfilment-SLA report
+    where approximate sketches are not acceptable evidence.
+
+    The percentile is rank-exact integer arithmetic (min delay whose
+    cumulative line count reaches ceil(q·n/100)) over per-(priority,
+    delay) counts: the fact join shuffles co-partitioned on orderkey,
+    the aggregate collapses to a priority x bounded-days key space,
+    and every window after that runs on that tiny frame — no global
+    sort, no float percentile interpolation, engine-exact."""
+    j = (t["lineitem"].select("l_orderkey", "l_shipdate")
+         .join(t["orders"].select("o_orderkey", "o_orderpriority",
+                                  "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    c = (j.select(F.col("o_orderpriority").alias("priority"),
+                  F.datediff(F.col("l_shipdate").cast("date"),
+                             F.col("o_orderdate").cast("date"))
+                  .alias("delay"))
+         .groupBy("priority", "delay")
+         .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy("priority").orderBy("delay")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("priority")
+    cum = c.select("priority", "delay",
+                   F.sum("c").over(wcum).alias("cf"),
+                   F.sum("c").over(wall).alias("n"))
+    return (cum.groupBy("priority")
+            .agg(F.max("n").alias("n_lines"),
+                 *[F.min(F.when(
+                     F.col("cf") >= F.expr(f"({q} * n + 99) DIV 100"),
+                     F.col("delay"))).alias(f"p{q}")
+                   for q in SHIP_DELAY_PCTS]))

@@ -300,3 +300,58 @@ def daily_value_ffill(t: dict[str, DataFrame]) -> DataFrame:
                     .alias("value_ffill"),
                     F.col("obs_value").isNotNull().cast("int")
                     .alias("is_observed")))
+
+
+def cumulative_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact cumulative distinct users per calendar day — the corpus
+    growth curve ("how many unique contributors have we ever seen as
+    of day D") a training-data dashboard tracks.
+
+    COUNT(DISTINCT) under a cumulative window is quadratic; the
+    distributed shape is the first-seen trick: one groupBy(user_id)
+    min(day) shuffle (map-side combinable), then daily new-user
+    counts, then one running sum over the days-bounded frame. The
+    only window runs over ≤ O(days) rows — constant-size regardless
+    of event volume, so the plan is two aggregates at any scale."""
+    first = (t["events"]
+             .groupBy("user_id")
+             .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).alias("cum_users"))
+
+
+def twap_user_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation
+    is held until the user's next event and weighted by that holding
+    time in whole seconds — the fair "average exposure" metric where
+    a plain AVG over-counts burst periods.
+
+    One shuffle total: the lead() window partitions on user_id and the
+    follow-up aggregate groups on the same key, so Catalyst reuses the
+    window's hash distribution (no second exchange). Weighted sums run
+    in exact decimal (value decimal(18,4) x gap-seconds decimal(18,0))
+    — order-independent across partitions, bit-stable vs the oracle;
+    only the final TWAP division is IEEE double."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (t["events"]
+           .select("user_id", "ts", "event_id", "value")
+           .withColumn(
+               "w_secs",
+               (ts_us(F.lead("ts").over(w)) - ts_us(F.col("ts")))
+               / F.lit(1000000))
+           .withColumn("w_secs", F.floor("w_secs"))
+           .where(F.col("w_secs").isNotNull()))
+    agg = (seg.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_segments"),
+                F.sum("w_secs").alias("total_secs"),
+                F.sum(dec("value")
+                      * F.col("w_secs").cast("decimal(18,0)"))
+                .cast("decimal(38,4)").cast("double").alias("wsum")))
+    return (agg.where(F.col("total_secs") > 0)
+            .select("user_id", "n_segments", "total_secs",
+                    (F.col("wsum") / F.col("total_secs")
+                     .cast("double")).alias("twap_value")))

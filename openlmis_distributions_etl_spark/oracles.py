@@ -4119,3 +4119,95 @@ ORACLES.update({
         FROM members GROUP BY doc_id
     """,
 })
+
+ORACLES.update({
+    # weekday via epoch-day arithmetic from a Monday anchor — no
+    # locale-dependent day names; decimal-exact revenue, the window
+    # total stays decimal until the final IEEE divisions
+    "weekday_revenue_seasonality": """
+        WITH g AS (
+          SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-05') % 7
+                   AS weekday,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS srev
+          FROM orders GROUP BY 1)
+        SELECT weekday, n_orders,
+               CAST(srev AS DOUBLE) AS revenue,
+               CAST(srev AS DOUBLE) / n_orders AS avg_order_value,
+               (CAST(srev AS DOUBLE) / n_orders)
+                 / (CAST(CAST(SUM(srev) OVER () AS DECIMAL(38,6))
+                         AS DOUBLE)
+                    / CAST(SUM(n_orders) OVER () AS BIGINT))
+                 AS seasonality_index
+        FROM g
+    """,
+    # rank-exact discrete percentiles: min delay whose cumulative
+    # count reaches ceil(q*n/100) — identical integer arithmetic to
+    # the Spark operator, no percentile interpolation
+    "order_ship_delay_quantiles": """
+        WITH j AS (
+          SELECT o_orderpriority AS priority,
+                 (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                   AS delay
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        c AS (
+          SELECT priority, delay, COUNT(*) AS c
+          FROM j GROUP BY priority, delay),
+        cum AS (
+          SELECT priority, delay,
+                 CAST(SUM(c) OVER (PARTITION BY priority ORDER BY delay
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cf,
+                 CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT)
+                   AS n
+          FROM c)
+        SELECT priority, MAX(n) AS n_lines,
+               MIN(CASE WHEN cf >= (25 * n + 99) // 100 THEN delay END)
+                 AS p25,
+               MIN(CASE WHEN cf >= (50 * n + 99) // 100 THEN delay END)
+                 AS p50,
+               MIN(CASE WHEN cf >= (75 * n + 99) // 100 THEN delay END)
+                 AS p75,
+               MIN(CASE WHEN cf >= (90 * n + 99) // 100 THEN delay END)
+                 AS p90
+        FROM cum GROUP BY priority
+    """,
+    # first-seen trick: cumulative COUNT(DISTINCT) as a running sum of
+    # per-day first appearances
+    "cumulative_distinct_users": """
+        WITH first AS (
+          SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+          FROM events GROUP BY user_id),
+        daily AS (
+          SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM daily
+    """,
+    # holding-time weights in whole seconds (floor of the microsecond
+    # gap), weighted sum in exact decimal — order-independent
+    "twap_user_value": """
+        WITH ev AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+          FROM events),
+        seg AS (
+          SELECT user_id, value,
+                 (LEAD(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) - ts_us) // 1000000 AS w
+          FROM ev),
+        agg AS (
+          SELECT user_id,
+                 COUNT(*) AS n_segments,
+                 CAST(SUM(w) AS BIGINT) AS total_secs,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+                                * CAST(w AS DECIMAL(18,0)))
+                           AS DECIMAL(38,4)) AS DOUBLE) AS wsum
+          FROM seg WHERE w IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_segments, total_secs,
+               wsum / CAST(total_secs AS DOUBLE) AS twap_value
+        FROM agg WHERE total_secs > 0
+    """,
+})

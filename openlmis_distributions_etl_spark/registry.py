@@ -225,6 +225,12 @@ _OPERATORS = {
     "phrase_search": text.phrase_search,
     "global_row_index": analytics.global_row_index,
     "triangle_counts": dedup.triangle_counts,
+    # §2 round-5 wave 3: demand shape, SLA percentiles, corpus growth,
+    # time-weighted value
+    "weekday_revenue_seasonality": relational.weekday_revenue_seasonality,
+    "order_ship_delay_quantiles": relational.order_ship_delay_quantiles,
+    "cumulative_distinct_users": windows.cumulative_distinct_users,
+    "twap_user_value": windows.twap_user_value,
 }
 
 
