@@ -1206,3 +1206,64 @@ def dup_cluster_stats(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_docs").cast("double")
                      / F.sum("n_docs").over(wa).cast("double"))
                     .alias("doc_share")))
+
+
+TFIDF_DF_MAX = 64        # df prefix-prune: shared-term join skips
+                         # shingles in more than this many docs
+TFIDF_IDF_GRID = 1000    # idf quantization grid (milli-nats)
+TFIDF_COS_MIN = 0.6
+
+
+def tfidf_cosine_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Sparse TF-IDF cosine-similarity pairs over shingle vectors —
+    the classic IR near-dup detector that, unlike Jaccard, weighs
+    RARE shared phrasing above boilerplate.
+
+    Exactness: idf is quantized to an integer milli-nat grid
+    (floor(ln(N/df)·1000 + 0.5)), so every weight tf·idf, every dot
+    product, and every norm² is a BIGINT — order-independent sums,
+    magnitudes ≤ ~5e13 (exact through both engines' double casts);
+    only the final cosine (dot / sqrt·sqrt, all-IEEE on identical
+    operands) is float.
+
+    Scale: candidate pairs come ONLY from shingles in ≤ TFIDF_DF_MAX
+    docs (Σ df² bounded by DF_MAX·Σdf — the standard df-prune that
+    keeps a boilerplate shingle from fanning out n²); norms cover the
+    FULL vector, so the reported cosine is a lower bound that equals
+    the true cosine whenever all shared mass is in rare shingles.
+    Shapes: one (doc, shingle) tf aggregate, one df aggregate + join
+    back on the same shingle key, a df-pruned self-join, and a
+    per-pair sum — no all-pairs stage anywhere."""
+    tf = retain(
+        _with_shingles(t)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("nd"))
+    df_ = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = retain(
+        tf.join(df_, "sh")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "sh", "df",
+                (F.col("tf") * F.floor(
+                    F.log(F.col("nd") / F.col("df").cast("double"))
+                    * TFIDF_IDF_GRID + 0.5).cast("bigint")).alias("w")))
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2"))
+    idx = w.where(F.col("df") <= TFIDF_DF_MAX)
+    a, b = idx.alias("a"), idx.alias("b")
+    dots = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n2").alias("nb2"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na2").cast("double"))
+              * F.sqrt(F.col("nb2").cast("double"))))
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+            .where(F.col("cosine") >= TFIDF_COS_MIN))

@@ -1103,3 +1103,41 @@ def doc_length_histogram(t: dict[str, DataFrame]) -> DataFrame:
         "n_docs", "min_chars", "max_chars",
         (F.col("n_docs").cast("double")
          / F.sum("n_docs").over(wa).cast("double")).alias("doc_share"))
+
+
+ENTROPY_GRID = 1_000_000   # per-term quantization: micro-nat units
+
+
+def doc_token_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    repetition/diversity quality signal (low entropy = spammy or
+    template text) filter pipelines cut on.
+
+    ZERO exchanges: token counts come from in-row array ops
+    (distinct tokens → per-token multiplicity), and the entropy sum
+    runs as a row-local fold. Exactness: each term c·ln(n/c) is
+    quantized to integer micro-nats BEFORE the sum (floor(x·1e6+0.5)
+    as BIGINT), so the per-doc sum is integer arithmetic —
+    order-independent and engine-exact; H = units/1e6/n is then one
+    deterministic double expression. The ``pin`` keeps the counts
+    array a real row value so the fold doesn't re-inline the
+    distinct+filter scan per element."""
+    from ..functions import pin
+    d = (t["documents"]
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") > 0))
+    pinned = pin(d, cs=F.expr(
+        "transform(array_distinct(toks), "
+        "x -> size(filter(toks, y -> y = x)))"))
+    units = F.expr(
+        "aggregate(cs, CAST(0 AS BIGINT), (acc, c) -> acc + "
+        f"CAST(floor(c * ln(size(toks) / CAST(c AS DOUBLE)) "
+        f"* {ENTROPY_GRID} + 0.5) AS BIGINT))")
+    withu = pin(pinned, h_units=units)
+    return withu.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size("cs").alias("n_distinct_tokens"),
+        "h_units",
+        (F.col("h_units").cast("double") / ENTROPY_GRID
+         / F.size("toks")).alias("entropy_nats"))

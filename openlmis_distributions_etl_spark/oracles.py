@@ -4211,3 +4211,72 @@ ORACLES.update({
         FROM agg WHERE total_secs > 0
     """,
 })
+
+from .operators.dedup import (TFIDF_COS_MIN, TFIDF_DF_MAX,  # noqa: E402
+                              TFIDF_IDF_GRID)
+from .operators.text import ENTROPY_GRID  # noqa: E402
+
+ORACLES.update({
+    # integer milli-nat idf grid → bigint weights/dots/norms (order-
+    # independent); candidate join df-pruned exactly like the operator
+    "tfidf_cosine_pairs": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM d
+               WHERE len(toks) >= 3),
+        tf AS (
+          SELECT doc_id, unnest(shingles) AS sh FROM sh),
+        tfc AS (
+          SELECT doc_id, sh, COUNT(*) AS tf FROM tf GROUP BY doc_id, sh),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tfc),
+        dfc AS (SELECT sh, COUNT(*) AS df FROM tfc GROUP BY sh),
+        w AS (
+          SELECT doc_id, tfc.sh, df,
+                 CAST(tf AS BIGINT) * CAST(floor(
+                   ln(nd / CAST(df AS DOUBLE)) * {TFIDF_IDF_GRID} + 0.5)
+                   AS BIGINT) AS w
+          FROM tfc JOIN dfc ON tfc.sh = dfc.sh CROSS JOIN nd),
+        norms AS (
+          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE a.df <= {TFIDF_DF_MAX} AND b.df <= {TFIDF_DF_MAX}
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, dot,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))) >= {TFIDF_COS_MIN}
+    """,
+    # in-row fold, per-term integer micro-nat quantization BEFORE the
+    # sum — mirrors the Spark fold exactly
+    "doc_token_entropy": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE len({TOKS}) > 0),
+        cs AS (
+          SELECT doc_id, toks,
+                 list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x))) AS cs
+          FROM d)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(cs) AS INT) AS n_distinct_tokens,
+               CAST(list_sum(list_transform(cs, c ->
+                 CAST(floor(c * ln(len(toks) / CAST(c AS DOUBLE))
+                   * {ENTROPY_GRID} + 0.5) AS BIGINT))) AS BIGINT)
+                 AS h_units,
+               CAST(list_sum(list_transform(cs, c ->
+                 CAST(floor(c * ln(len(toks) / CAST(c AS DOUBLE))
+                   * {ENTROPY_GRID} + 0.5) AS BIGINT))) AS DOUBLE)
+                 / {ENTROPY_GRID} / len(toks) AS entropy_nats
+        FROM cs
+    """,
+})

@@ -231,6 +231,8 @@ _OPERATORS = {
     "order_ship_delay_quantiles": relational.order_ship_delay_quantiles,
     "cumulative_distinct_users": windows.cumulative_distinct_users,
     "twap_user_value": windows.twap_user_value,
+    "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
+    "doc_token_entropy": text.doc_token_entropy,
 }
 
 

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "psi_windowed",            # broadcast fence row + 10-row baseline
     "ks_windowed",             # broadcast fence row + 64-row base grid
     "ann_range_search",        # broadcast single query row (radius query)
+    "tfidf_cosine_pairs",      # broadcast corpus-size (N) singleton row
     "ks_by_source",            # broadcast fence row + 64-row base grid
     # (pagerank_dup_graph's per-iteration broadcast dangling scalar
     # sits behind localCheckpoint leaves, so it never shows here)
