@@ -1256,3 +1256,38 @@ def knn_ivf_recall(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
             .agg(F.lit(k).alias("k"),
                  F.count(F.lit(1)).cast("int").alias("n_hits"),
                  (F.count(F.lit(1)) / k).alias("recall_at_k")))
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(t: dict[str, DataFrame], k: int = KNN_GRAPH_K) -> DataFrame:
+    """Approximate k-NN GRAPH: for every vector, its top-k cosine
+    neighbors among vectors sharing its 8-plane LSH bucket — the
+    all-nodes neighbor edge list that feeds graph clustering /
+    semantic-dedup blocking, built WITHOUT the O(n²) all-pairs join.
+
+    Shape at 100 TB: one bucket self-join (candidates = Σ per-bucket
+    sizes², controlled by code length — lengthen the code to tighten
+    buckets as the corpus grows) and a per-node top-k window
+    partitioned on the source node — never a global sort. Bucket-local
+    only (no multiprobe): recall trades against candidate volume;
+    `knn_lsh_recall` is the harness that measures the same code's
+    quality. Cosine is the engine-portable in-row fold; ties break on
+    neighbor id, so edges are deterministic."""
+    assigned = retain(_with_buckets(t, N_SEARCH_PLANES))
+    a = assigned.select("bucket", F.col("vec_id").alias("src"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select("bucket", F.col("vec_id").alias("dst"),
+                        F.col("label").alias("dst_label"),
+                        F.col("embedding").alias("eb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"),
+                                          F.asc("dst"))
+    return (a.join(b, "bucket")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", "dst_label",
+                    cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("src", "dst", "dst_label", "cos_sim",
+                    F.col("rn").cast("int").alias("rank")))

@@ -4280,3 +4280,25 @@ ORACLES.update({
         FROM cs
     """,
 })
+
+ORACLES.update({
+    # same 8-plane bucket CTE as knn_lsh; per-node top-3 via
+    # ROW_NUMBER with the identical (cos DESC, dst ASC) tie-break
+    "knn_graph": f"""
+        WITH {_BUCKETS_CTE},
+        cand AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 b.label AS dst_label,
+                 {_cos('a.embedding', 'b.embedding')} AS cos_sim
+          FROM assigned a
+          JOIN assigned b USING (bucket)
+          WHERE a.vec_id <> b.vec_id)
+        SELECT src, dst, dst_label, cos_sim, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY src
+                   ORDER BY cos_sim DESC, dst ASC) AS rn
+          FROM cand)
+        WHERE rn <= 3
+    """,
+})

@@ -233,6 +233,7 @@ _OPERATORS = {
     "twap_user_value": windows.twap_user_value,
     "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
     "doc_token_entropy": text.doc_token_entropy,
+    "knn_graph": similarity.knn_graph,
 }
 
 
