@@ -1511,3 +1511,69 @@ def ks_by_source(t: dict[str, DataFrame]) -> DataFrame:
            .groupBy("source", "bucket")
            .agg(F.count(F.lit(1)).alias("n_cur")))
     return _ksw_finish(cur, bgrid, key="source")
+
+
+DECILE_KS = tuple(range(1, 10))
+
+
+def value_deciles_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact discrete decile table (d1..d9) of `value` for EVERY
+    event type in one pass — the grouped quantile report a feed
+    monitor publishes, with rank-exact integer arithmetic (d_k = min
+    value whose cumulative count reaches ceil(k·n/10)) instead of
+    sketches.
+
+    This is the GROUPED form of the distributed prefix-sum ECDF: a
+    single-window-per-group formulation would funnel each group's
+    whole value axis (≈ rows/|groups| for continuous doubles) through
+    one task at 100 TB. Here (1) per-(type, value) counts shuffle
+    once, (2) ONE grouped approx_percentile sketch yields per-type
+    fence arrays (data-proportional count from the largest group,
+    broadcast back keyed on type — fence placement only affects
+    balance, never results, because the bucket test is monotone and
+    ties never straddle buckets), (3) per-(type, bucket) totals →
+    exclusive offsets over the tiny (type × buckets) frame, (4)
+    in-bucket cumulative windows are bounded-size, and (5) nine
+    conditional mins ride in one final per-type aggregate."""
+    import math
+
+    from ..functions.cache import retain
+    pts = retain(t["events"]
+                 .where(F.col("value").isNotNull())
+                 .groupBy("event_type",
+                          F.col("value").cast("double").alias("_k"))
+                 .agg(F.count(F.lit(1)).alias("c")))
+    n_max = (pts.groupBy("event_type").count()
+             .agg(F.max("count")).collect()[0][0]) or 0
+    nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
+    nb = min(nb, PREFIX_MAX_FENCES)
+    pcts = ",".join(str(i / nb) for i in range(1, nb))
+    acc = max(10000, nb * 64)
+    fences = (pts.groupBy("event_type")
+              .agg(F.expr(f"approx_percentile(_k, array({pcts}), {acc})")
+                   .alias("_fa")))
+    bucketed = (pts.join(F.broadcast(fences), "event_type")
+                .withColumn("bkt", F.size(F.filter(
+                    "_fa", lambda x: F.col("_k") > x)))
+                .drop("_fa"))
+    bt = (bucketed.groupBy("event_type", "bkt")
+          .agg(F.sum("c").alias("bc")))
+    wo = (Window.partitionBy("event_type").orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = Window.partitionBy("event_type")
+    offs = bt.select(
+        "event_type", "bkt",
+        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"),
+        F.sum("bc").over(wt).alias("n"))
+    win = (Window.partitionBy("event_type", "bkt")
+           .orderBy(F.asc("_k"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), ["event_type", "bkt"])
+           .select("event_type", "_k", "n",
+                   (F.sum("c").over(win) + F.col("off")).alias("cf")))
+    return (cum.groupBy("event_type")
+            .agg(F.max("n").alias("n_rows"),
+                 *[F.min(F.when(
+                     F.col("cf") >= F.expr(f"({k} * n + 9) DIV 10"),
+                     F.col("_k"))).alias(f"d{k}")
+                   for k in DECILE_KS]))

@@ -1141,3 +1141,85 @@ def doc_token_entropy(t: dict[str, DataFrame]) -> DataFrame:
         "h_units",
         (F.col("h_units").cast("double") / ENTROPY_GRID
          / F.size("toks")).alias("entropy_nats"))
+
+
+PMI_VOCAB_K = 32
+PMI_MIN_PAIRS = 5
+PMI_GRID = 1_000_000
+
+
+def token_pmi_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence within
+    documents, restricted to the corpus's top-32 vocabulary — the
+    collocation statistic ("which words travel together") corpus
+    analysis and phrase-mining pipelines start from.
+
+    The vocabulary restriction is the scale bound: per-doc candidate
+    pairs are ≤ C(32,2) regardless of document length or corpus size
+    (unrestricted co-occurrence is quadratic in per-doc distinct
+    tokens). Vocab is one token-count aggregate (key space = the
+    vocabulary) collapsed to a broadcast array; the in-doc pair
+    explosion is an in-row array comprehension; pair counts are one
+    (x, y) aggregate. PMI = ln(N·c_xy / (c_x·c_y)) is quantized to
+    integer micro-nats (identical operands both engines — counts are
+    exact integers, so the ratio is the same double)."""
+    from ..functions.cache import retain
+    toks = tokens()
+    vocab = (t["documents"]
+             .select(F.explode(toks).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("token"))
+             .limit(PMI_VOCAB_K)
+             .agg(F.sort_array(F.collect_list("token")).alias("vocab")))
+    d = retain(
+        t["documents"]
+        .select("doc_id", toks.alias("toks"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.sort_array(F.array_intersect(
+            F.array_distinct(F.col("toks")), F.col("vocab")))
+            .alias("vt"))
+        .where(F.size("vt") > 0))
+    n_docs = d.agg(F.count(F.lit(1)).alias("nd"))
+    cx = (d.select(F.explode("vt").alias("x"))
+          .groupBy("x").agg(F.count(F.lit(1)).alias("cx")))
+    pairs = (d.select(F.explode(F.expr(
+        "flatten(transform(vt, (x, i) -> "
+        "transform(slice(vt, i + 2, size(vt)), y -> struct(x, y))))"))
+        .alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= PMI_MIN_PAIRS))
+    cy = cx.select(F.col("x").alias("y"), F.col("cx").alias("cy"))
+    ratio = (F.col("nd").cast("double") * F.col("cxy")
+             / (F.col("cx").cast("double") * F.col("cy")))
+    return (pairs.join(F.broadcast(cx), "x")
+            .join(F.broadcast(cy), "y")
+            .crossJoin(F.broadcast(n_docs))
+            .select("x", "y", "cxy", "cx", "cy",
+                    F.floor(F.log(ratio) * PMI_GRID + 0.5)
+                    .cast("bigint").alias("pmi_units")))
+
+
+BOTTOMK_SAMPLE_K = 64
+
+
+def bottomk_hash_sample(t: dict[str, DataFrame],
+                        k: int = BOTTOMK_SAMPLE_K,
+                        salt: str = "bk|") -> DataFrame:
+    """Exact-size deterministic uniform k-sample: the k documents with
+    the SMALLEST md5(salt|doc_id) — the bottom-k sketch that gives a
+    reproducible fixed-size sample (unlike pct-bucket sampling, whose
+    size drifts with corpus size) and composes under union (bottom-k
+    of a union = bottom-k of the parts' bottom-ks — each shard sends
+    only k rows to the coordinator).
+
+    Plan: TakeOrderedAndProject — per-partition k-row heaps, one
+    k-row merge at the driver side of the exchange; no global sort at
+    any scale."""
+    key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                .cast("binary"))
+    return (t["documents"]
+            .select("doc_id", "lang", "source",
+                    key.alias("sample_key"))
+            .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+            .limit(k))

@@ -4302,3 +4302,74 @@ ORACLES.update({
         WHERE rn <= 3
     """,
 })
+
+ORACLES.update({
+    # single-window-per-group luxury; the grouped prefix decomposition
+    # equals it because fences are monotone and ties share buckets
+    "value_deciles_by_type": """
+        WITH c AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, CAST(value AS DOUBLE)),
+        cum AS (
+          SELECT event_type, v,
+                 CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cf,
+                 CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+          FROM c)
+        SELECT event_type, MAX(n) AS n_rows,
+               MIN(CASE WHEN cf >= (1 * n + 9) // 10 THEN v END) AS d1,
+               MIN(CASE WHEN cf >= (2 * n + 9) // 10 THEN v END) AS d2,
+               MIN(CASE WHEN cf >= (3 * n + 9) // 10 THEN v END) AS d3,
+               MIN(CASE WHEN cf >= (4 * n + 9) // 10 THEN v END) AS d4,
+               MIN(CASE WHEN cf >= (5 * n + 9) // 10 THEN v END) AS d5,
+               MIN(CASE WHEN cf >= (6 * n + 9) // 10 THEN v END) AS d6,
+               MIN(CASE WHEN cf >= (7 * n + 9) // 10 THEN v END) AS d7,
+               MIN(CASE WHEN cf >= (8 * n + 9) // 10 THEN v END) AS d8,
+               MIN(CASE WHEN cf >= (9 * n + 9) // 10 THEN v END) AS d9
+        FROM cum GROUP BY event_type
+    """,
+})
+
+from .operators.text import (PMI_GRID, PMI_MIN_PAIRS,  # noqa: E402
+                             PMI_VOCAB_K, BOTTOMK_SAMPLE_K)
+
+ORACLES.update({
+    # top-32-vocab co-occurrence PMI; pair = lexicographic x < y over
+    # per-doc distinct vocab tokens, micro-nat quantized
+    "token_pmi_pairs": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM d),
+        vocab AS (
+          SELECT tk FROM (SELECT unnest(toks) AS tk FROM d)
+          GROUP BY tk
+          ORDER BY COUNT(*) DESC, tk ASC LIMIT {PMI_VOCAB_K}),
+        vt AS (SELECT doc_id, tk FROM tok JOIN vocab USING (tk)),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM vt),
+        cxs AS (SELECT tk, COUNT(*) AS cx FROM vt GROUP BY tk),
+        pairs AS (
+          SELECT a.tk AS x, b.tk AS y, COUNT(*) AS cxy
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.tk < b.tk
+          GROUP BY a.tk, b.tk
+          HAVING COUNT(*) >= {PMI_MIN_PAIRS})
+        SELECT x, y, cxy, ca.cx AS cx, cb.cx AS cy,
+               CAST(floor(ln(CAST(nd AS DOUBLE) * cxy
+                             / (CAST(ca.cx AS DOUBLE) * cb.cx))
+                          * {PMI_GRID} + 0.5) AS BIGINT) AS pmi_units
+        FROM pairs
+        JOIN cxs ca ON ca.tk = x
+        JOIN cxs cb ON cb.tk = y
+        CROSS JOIN nd
+    """,
+    "bottomk_hash_sample": f"""
+        SELECT doc_id, lang, source,
+               md5('bk|' || CAST(doc_id AS VARCHAR)) AS sample_key
+        FROM documents
+        ORDER BY sample_key ASC, doc_id ASC
+        LIMIT {BOTTOMK_SAMPLE_K}
+    """,
+})

@@ -234,6 +234,9 @@ _OPERATORS = {
     "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
     "doc_token_entropy": text.doc_token_entropy,
     "knn_graph": similarity.knn_graph,
+    "value_deciles_by_type": analytics.value_deciles_by_type,
+    "token_pmi_pairs": text.token_pmi_pairs,
+    "bottomk_hash_sample": text.bottomk_hash_sample,
 }
 
 

@@ -703,3 +703,53 @@ def stream_maintain_components(edges: DataFrame, labels_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_maintain_first_seen(events: DataFrame, out_dir: str,
+                               checkpoint_dir: str):
+    """foreachBatch maintenance of a FIRST-SEEN store (user_id →
+    earliest calendar day), the streaming half of
+    operators.windows.cumulative_distinct_users: each micro-batch
+    folds its per-user min(day) into the snapshot with min-of-mins —
+    idempotent and commutative, so checkpoint-recovery replays and
+    out-of-order batches both converge to the batch answer. The
+    corpus-growth report (daily new users, cumulative uniques) is a
+    days-bounded aggregate over this store.
+
+    State is the store itself (one row per distinct user ever seen —
+    the exact-semantics floor for this metric), not executor memory:
+    no unbounded stream-side state store, and the merge is one
+    aggregate + one co-grouped min per batch."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        seen = (batch
+                .groupBy("user_id")
+                .agg(F.min(F.date_format("ts", "yyyy-MM-dd"))
+                     .alias("day")))
+        pointer = f"{out_dir}/_CURRENT"
+        try:
+            current = read_latest_snapshot(spark, out_dir)
+            merged = (current.unionByName(seen)
+                      .groupBy("user_id")
+                      .agg(F.min("day").alias("day")))
+        except FileNotFoundError:
+            merged = seen
+        except AnalysisException as e:
+            raise RuntimeError(
+                f"first-seen store under {out_dir} unreadable; "
+                f"refusing to reset history") from e
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, pointer)
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -419,3 +419,28 @@ def test_stream_maintain_components_matches_batch(spark, tmp_path):
     want = sorted(map(tuple, dedup.connected_components(
         pairs, nodes).collect()))
     assert got == want and len(got) == nodes.count()
+
+
+def test_first_seen_store_matches_batch(spark, tmp_path):
+    events = jobs.read_events_stream(spark, SF0001)
+    store = str(tmp_path / "first_seen")
+    ck = str(tmp_path / "ck_fs")
+    q = jobs.stream_maintain_first_seen(events, store, ck)
+    assert q.awaitTermination(120)
+    snap = jobs.read_latest_snapshot(spark, store)
+    got = (snap.groupBy("day")
+           .agg(F.count(F.lit(1)).alias("new_users"))
+           .toPandas())
+    want = (windows.cumulative_distinct_users(
+        load_tables(spark, SF0001, "events"))
+        .select("day", "new_users").toPandas())
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    # replaying into the same store converges (min-of-mins idempotent)
+    ck2 = str(tmp_path / "ck_fs2")
+    q2 = jobs.stream_maintain_first_seen(
+        jobs.read_events_stream(spark, SF0001), store, ck2)
+    assert q2.awaitTermination(120)
+    again = (jobs.read_latest_snapshot(spark, store)
+             .groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+             .toPandas())
+    pd.testing.assert_frame_equal(_sorted(again), _sorted(got))
