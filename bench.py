@@ -57,6 +57,12 @@ HEADLINE = [
     "exact_median_value",
     "exact_quantiles_value",
     "ks_windowed",
+    # round-5 third wave: grouped ECDF deciles, TF-IDF pair join,
+    # LSH k-NN graph, vocab-bounded PMI
+    "value_deciles_by_type",
+    "tfidf_cosine_pairs",
+    "knn_graph",
+    "token_pmi_pairs",
 ]
 
 

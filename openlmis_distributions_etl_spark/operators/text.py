@@ -1223,3 +1223,42 @@ def bottomk_hash_sample(t: dict[str, DataFrame],
                     key.alias("sample_key"))
             .orderBy(F.asc("sample_key"), F.asc("doc_id"))
             .limit(k))
+
+
+KL_GRID = 1_000_000
+
+
+def source_lang_kl(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source KL divergence between the source's language mix and
+    the corpus-wide language mix — the feed-composition drift score
+    that flags a source suddenly shipping the wrong language blend
+    into the training mixture.
+
+    Every probability is a ratio of exact counts, and each language's
+    contribution c_sl·ln((c_sl·N)/(n_s·c_l)) is quantized to integer
+    micro-nats BEFORE the per-source sum (≤ |langs| bigints —
+    order-independent, engine-exact); KL = units/1e6/n_s is one
+    deterministic double expression. Shapes: one (source, lang)
+    count shuffle, two tiny rollups (langs / corpus total) broadcast,
+    a same-key source join — nothing scales past the source × lang
+    key space."""
+    sl = retain(t["documents"]
+                .groupBy("source", "lang")
+                .agg(F.count(F.lit(1)).alias("c_sl")))
+    ns = sl.groupBy("source").agg(F.sum("c_sl").alias("n_s"))
+    cl = sl.groupBy("lang").agg(F.sum("c_sl").alias("c_l"))
+    tot = sl.agg(F.sum("c_sl").alias("n_tot"))
+    ratio = (F.col("c_sl").cast("double") * F.col("n_tot")
+             / (F.col("n_s").cast("double") * F.col("c_l")))
+    units = (F.floor(F.col("c_sl") * F.log(ratio) * KL_GRID + 0.5)
+             .cast("bigint"))
+    return (sl.join(F.broadcast(cl), "lang")
+            .join(ns, "source")
+            .crossJoin(F.broadcast(tot))
+            .select("source", "n_s", units.alias("u"))
+            .groupBy("source")
+            .agg(F.max("n_s").alias("n_docs"),
+                 F.sum("u").alias("kl_units"))
+            .withColumn("kl_nats",
+                        F.col("kl_units").cast("double") / KL_GRID
+                        / F.col("n_docs")))

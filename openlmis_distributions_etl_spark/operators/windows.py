@@ -355,3 +355,32 @@ def twap_user_value(t: dict[str, DataFrame]) -> DataFrame:
             .select("user_id", "n_segments", "total_secs",
                     (F.col("wsum") / F.col("total_secs")
                      .cast("double")).alias("twap_value")))
+
+
+def daily_value_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily value total with a centered 7-day moving-average trend
+    and the day's ratio to trend — the seasonality-normalized volume
+    chart an ingest dashboard renders (ratio ≈ 1 means on-trend;
+    systematic weekday dips show as a stable weekly ratio pattern).
+
+    The fact scan collapses to one daily decimal-exact aggregate;
+    every window after that runs over the days-bounded frame (the
+    trend is sum/count over a ±3-row frame of EXACT decimals, so the
+    moving average is one IEEE division — no float accumulation
+    across rows). Edge days average over their available neighbors
+    (count over the same frame)."""
+    daily = (t["events"]
+             .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(dec("value")).cast("decimal(38,6)")
+                  .alias("tot_d")))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = (F.sum("tot_d").over(w7).cast("decimal(38,6)")
+             .cast("double")
+             / F.count(F.lit(1)).over(w7))
+    return (daily.select(
+        "day", "n_events",
+        F.col("tot_d").cast("double").alias("total_value"),
+        trend.alias("trend7"))
+        .withColumn("ratio_to_trend",
+                    F.col("total_value") / F.col("trend7")))

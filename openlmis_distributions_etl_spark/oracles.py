@@ -4373,3 +4373,53 @@ ORACLES.update({
         LIMIT {BOTTOMK_SAMPLE_K}
     """,
 })
+
+from .operators.text import KL_GRID  # noqa: E402
+
+ORACLES.update({
+    "daily_value_trend": f"""
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS tot_d
+          FROM events GROUP BY strftime(ts, '%Y-%m-%d'))
+        SELECT day, n_events,
+               CAST(tot_d AS DOUBLE) AS total_value,
+               CAST(CAST(SUM(tot_d) OVER w AS DECIMAL(38,6)) AS DOUBLE)
+                 / COUNT(*) OVER w AS trend7,
+               CAST(tot_d AS DOUBLE)
+                 / (CAST(CAST(SUM(tot_d) OVER w AS DECIMAL(38,6))
+                         AS DOUBLE) / COUNT(*) OVER w)
+                 AS ratio_to_trend
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+    # per-language term quantized to integer micro-nats BEFORE the
+    # per-source sum — identical operand chain to the Spark operator
+    "source_lang_kl": f"""
+        WITH sl AS (
+          SELECT source, lang, COUNT(*) AS c_sl
+          FROM documents GROUP BY source, lang),
+        ns AS (SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s
+               FROM sl GROUP BY source),
+        cl AS (SELECT lang, CAST(SUM(c_sl) AS BIGINT) AS c_l
+               FROM sl GROUP BY lang),
+        tot AS (SELECT CAST(SUM(c_sl) AS BIGINT) AS n_tot FROM sl),
+        terms AS (
+          SELECT sl.source, n_s,
+                 CAST(floor(c_sl * ln(CAST(c_sl AS DOUBLE) * n_tot
+                       / (CAST(n_s AS DOUBLE) * c_l))
+                       * {KL_GRID} + 0.5) AS BIGINT) AS u
+          FROM sl
+          JOIN cl USING (lang)
+          JOIN ns ON ns.source = sl.source
+          CROSS JOIN tot)
+        SELECT source, MAX(n_s) AS n_docs,
+               CAST(SUM(u) AS BIGINT) AS kl_units,
+               CAST(SUM(u) AS DOUBLE) / {KL_GRID} / MAX(n_s)
+                 AS kl_nats
+        FROM terms GROUP BY source
+    """,
+})

@@ -237,6 +237,8 @@ _OPERATORS = {
     "value_deciles_by_type": analytics.value_deciles_by_type,
     "token_pmi_pairs": text.token_pmi_pairs,
     "bottomk_hash_sample": text.bottomk_hash_sample,
+    "daily_value_trend": windows.daily_value_trend,
+    "source_lang_kl": text.source_lang_kl,
 }
 
 

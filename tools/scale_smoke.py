@@ -69,6 +69,15 @@ OPS = (
     "bpe_vocab_32",
     "dup_cluster_stats",
     "embedding_covariance",
+    # round-5 third wave: grouped ECDF deciles, TF-IDF pair join,
+    # LSH k-NN graph, vocab-bounded PMI, in-row entropy
+    "value_deciles_by_type",
+    "tfidf_cosine_pairs",
+    "knn_graph",
+    "token_pmi_pairs",
+    "doc_token_entropy",
+    "twap_user_value",
+    "cumulative_distinct_users",
 )
 
 
