@@ -1577,3 +1577,61 @@ def value_deciles_by_type(t: dict[str, DataFrame]) -> DataFrame:
                      F.col("cf") >= F.expr(f"({k} * n + 9) DIV 10"),
                      F.col("_k"))).alias(f"d{k}")
                    for k in DECILE_KS]))
+
+
+LORENZ_BUCKETS = 10
+
+
+def customer_revenue_lorenz(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue-concentration (Lorenz) table: customers ranked by
+    total order revenue ascending, cut into deciles, with each
+    decile's exact revenue and the cumulative revenue share — the
+    "top 10% of customers carry X% of revenue" concentration report.
+
+    Third reuse of the `_rank_buckets` prefix decomposition (after
+    abc_classification and global_row_index): contiguous ranks come
+    from data-proportional range buckets + in-bucket row_number +
+    broadcast offsets — no single-task global ORDER BY over the
+    customer table. Deciles are integer rank arithmetic
+    (floor(rank·10/n)); revenue stays exact decimal until the two
+    final IEEE divisions (share, cum share)."""
+    from ..functions.cache import retain
+    rev = retain(t["orders"]
+                 .groupBy("o_custkey")
+                 .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                      .cast("decimal(38,6)").alias("rev_d")))
+    n = rev.count()
+    bucketed = _rank_buckets(
+        rev.withColumn("_k", F.col("rev_d").cast("double")), n)
+    bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(wo),
+                          F.lit(0).cast("long")).alias("off"))
+    win = (Window.partitionBy("bkt")
+           .orderBy(F.asc("rev_d"), F.asc("o_custkey")))
+    ranked = (bucketed.join(F.broadcast(offs), "bkt")
+              .select("rev_d",
+                      (F.row_number().over(win) - 1 + F.col("off"))
+                      .alias("rank")))
+    # integer DIV, not cast-of-double: DuckDB CAST(double AS INT)
+    # rounds half-away while Spark truncates — floor division is the
+    # same operation in both engines
+    dec10 = (ranked
+             .groupBy(F.expr(f"(rank * {LORENZ_BUCKETS}) DIV {n}")
+                      .cast("int").alias("decile"))
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.sum("rev_d").cast("decimal(38,6)").alias("drev")))
+    wc = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy()
+    return dec10.select(
+        "decile", "n_customers",
+        F.col("drev").cast("double").alias("revenue"),
+        (F.col("drev").cast("double")
+         / F.sum("drev").over(wt).cast("decimal(38,6)").cast("double"))
+        .alias("rev_share"),
+        (F.sum("drev").over(wc).cast("decimal(38,6)").cast("double")
+         / F.sum("drev").over(wt).cast("decimal(38,6)").cast("double"))
+        .alias("cum_share"))

@@ -822,3 +822,48 @@ def order_ship_delay_quantiles(t: dict[str, DataFrame]) -> DataFrame:
                      F.col("cf") >= F.expr(f"({q} * n + 99) DIV 100"),
                      F.col("delay"))).alias(f"p{q}")
                    for q in SHIP_DELAY_PCTS]))
+
+
+AFFINITY_MIN_PAIRS = 2
+
+
+def part_affinity_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket part affinity: pairs of parts co-ordered in the
+    same order, with support and lift — the cross-sell/bundling
+    report a distribution planner uses to co-locate stock.
+
+    Scale shape: per-order DISTINCT part sets collapse in one
+    aggregate (order key), pairs explode IN-ROW from the sorted set
+    (≤ C(lines-per-order, 2) per order — bounded by order width, so
+    pair volume grows linearly with orders), then one (x, y) count
+    shuffle; part supports are a vocabulary-sized rollup broadcast
+    back. Lift = N·c_xy/(c_x·c_y) is one deterministic double chain
+    over exact counts."""
+    from ..functions.cache import retain
+    # retained: the per-order part sets feed the pair explosion, the
+    # part supports, and the order count — uncached, three fact scans
+    base = retain(t["lineitem"]
+                  .groupBy("l_orderkey")
+                  .agg(F.sort_array(F.collect_set("l_partkey"))
+                       .alias("ps")))
+    pairs = (
+        base.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+            .alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= AFFINITY_MIN_PAIRS))
+    cx = (base.select(F.explode("ps").alias("pkey"))
+          .groupBy("pkey").agg(F.count(F.lit(1)).alias("c")))
+    n = base.agg(F.count(F.lit(1)).alias("n_orders"))
+    ca = cx.select(F.col("pkey").alias("x"), F.col("c").alias("cx"))
+    cb = cx.select(F.col("pkey").alias("y"), F.col("c").alias("cy"))
+    return (pairs.join(ca, "x").join(cb, "y")
+            .crossJoin(F.broadcast(n))
+            .select("x", "y", "cxy", "cx", "cy",
+                    (F.col("cxy").cast("double") / F.col("n_orders"))
+                    .alias("support"),
+                    (F.col("n_orders").cast("double") * F.col("cxy")
+                     / (F.col("cx").cast("double") * F.col("cy")))
+                    .alias("lift")))

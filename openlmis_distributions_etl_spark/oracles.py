@@ -4423,3 +4423,60 @@ ORACLES.update({
         FROM terms GROUP BY source
     """,
 })
+
+from .operators.relational import AFFINITY_MIN_PAIRS  # noqa: E402
+
+ORACLES.update({
+    "part_affinity_pairs": f"""
+        WITH base AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+          FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM base),
+        cxs AS (SELECT pkey, COUNT(*) AS c FROM base GROUP BY pkey),
+        pairs AS (
+          SELECT a.pkey AS x, b.pkey AS y, COUNT(*) AS cxy
+          FROM base a JOIN base b
+            ON a.okey = b.okey AND a.pkey < b.pkey
+          GROUP BY a.pkey, b.pkey
+          HAVING COUNT(*) >= {AFFINITY_MIN_PAIRS})
+        SELECT x, y, cxy, ca.c AS cx, cb.c AS cy,
+               CAST(cxy AS DOUBLE) / n_orders AS support,
+               CAST(n_orders AS DOUBLE) * cxy
+                 / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+        FROM pairs
+        JOIN cxs ca ON ca.pkey = x
+        JOIN cxs cb ON cb.pkey = y
+        CROSS JOIN n
+    """,
+    # single ROW_NUMBER luxury; the bucket decomposition equals it
+    # because the fence test is monotone and ties share buckets
+    "customer_revenue_lorenz": """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS rev_d
+          FROM orders GROUP BY o_custkey),
+        ranked AS (
+          SELECT rev_d,
+                 ROW_NUMBER() OVER (
+                   ORDER BY rev_d ASC, o_custkey ASC) - 1 AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM rev),
+        dec10 AS (
+          SELECT CAST((rnk * 10) // n AS INT) AS decile,
+                 COUNT(*) AS n_customers,
+                 CAST(SUM(rev_d) AS DECIMAL(38,6)) AS drev
+          FROM ranked GROUP BY CAST((rnk * 10) // n AS INT))
+        SELECT decile, n_customers,
+               CAST(drev AS DOUBLE) AS revenue,
+               CAST(drev AS DOUBLE)
+                 / CAST(CAST(SUM(drev) OVER () AS DECIMAL(38,6))
+                        AS DOUBLE) AS rev_share,
+               CAST(CAST(SUM(drev) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(CAST(SUM(drev) OVER () AS DECIMAL(38,6))
+                        AS DOUBLE) AS cum_share
+        FROM dec10
+    """,
+})

@@ -239,6 +239,8 @@ _OPERATORS = {
     "bottomk_hash_sample": text.bottomk_hash_sample,
     "daily_value_trend": windows.daily_value_trend,
     "source_lang_kl": text.source_lang_kl,
+    "part_affinity_pairs": relational.part_affinity_pairs,
+    "customer_revenue_lorenz": analytics.customer_revenue_lorenz,
 }
 
 

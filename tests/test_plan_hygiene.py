@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "tfidf_cosine_pairs",      # broadcast corpus-size (N) singleton row
     "token_pmi_pairs",         # broadcast vocab array + N singleton rows
     "source_lang_kl",          # broadcast corpus-total singleton row
+    "part_affinity_pairs",     # broadcast order-count singleton row
     "ks_by_source",            # broadcast fence row + 64-row base grid
     # (pagerank_dup_graph's per-iteration broadcast dangling scalar
     # sits behind localCheckpoint leaves, so it never shows here)
