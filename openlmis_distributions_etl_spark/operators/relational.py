@@ -867,3 +867,22 @@ def part_affinity_pairs(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("n_orders").cast("double") * F.col("cxy")
                      / (F.col("cx").cast("double") * F.col("cy")))
                     .alias("lift")))
+
+
+def part_supplier_redundancy(t: dict[str, DataFrame]) -> DataFrame:
+    """Sourcing-redundancy histogram: how many parts have 1, 2, 3…
+    distinct suppliers (from observed shipments) — the supply-risk
+    report that flags single-sourced parts. Two map-side-combinable
+    aggregates over the (part, supplier) distinct pairs; output is a
+    ≤max-suppliers-row histogram with each bucket's part share."""
+    ps = (t["lineitem"]
+          .select("l_partkey", "l_suppkey").distinct()
+          .groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    hist = (ps.groupBy("n_suppliers")
+            .agg(F.count(F.lit(1)).alias("n_parts")))
+    wt = Window.partitionBy()
+    return hist.select(
+        "n_suppliers", "n_parts",
+        (F.col("n_parts").cast("double")
+         / F.sum("n_parts").over(wt)).alias("part_share"))

@@ -384,3 +384,67 @@ def daily_value_trend(t: dict[str, DataFrame]) -> DataFrame:
         trend.alias("trend7"))
         .withColumn("ratio_to_trend",
                     F.col("total_value") / F.col("trend7")))
+
+
+SESSION_PATH_LEN = 3
+SESSION_PATH_TOPK = 20
+
+
+def session_top_paths(t: dict[str, DataFrame],
+                      gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Top-20 session entry paths: the first 3 event types of every
+    session joined with '>' — the navigation-pattern report behind
+    "how do users start a session". Same gap sessionization as
+    sessionize_events with event_type carried through (no join-back),
+    the path built by an in-row ordered fold over the per-session
+    collect, and a distributed top-k (count DESC, path ASC) — the
+    only global stage is TakeOrdered over the tiny path key space."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].withColumn("ts_us", ts_us("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_join(F.slice(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     "ts_us", "event_id", "event_type"))),
+                 lambda p: p["event_type"]), 1, SESSION_PATH_LEN), ">")
+                 .alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path"))
+            .limit(SESSION_PATH_TOPK))
+
+
+def revenue_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Acquisition-cohort revenue matrix: customers grouped by their
+    FIRST order month, each cohort's active-customer count and
+    decimal-exact revenue per subsequent calendar month, with integer
+    month offsets — the retention-revenue triangle a growth report
+    renders.
+
+    Shapes: one customer-keyed aggregate for the cohort month, one
+    same-key join back onto orders (no extra wide shuffle beyond the
+    fact's customer key), one (cohort, month) rollup whose key space
+    is months² — tiny at any scale."""
+    o = t["orders"].select(
+        "o_custkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("om"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .alias("mnum"))
+    cohort = (o.groupBy("o_custkey")
+              .agg(F.min("om").alias("cohort_month"),
+                   F.min("mnum").alias("cnum")))
+    return (o.join(cohort, "o_custkey")
+            .groupBy("cohort_month",
+                     F.col("om").alias("order_month"),
+                     (F.col("mnum") - F.col("cnum"))
+                     .alias("months_since"))
+            .agg(F.count_distinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("revenue")))

@@ -4480,3 +4480,68 @@ ORACLES.update({
         FROM dec10
     """,
 })
+
+from .operators.windows import (SESSION_PATH_LEN,  # noqa: E402
+                                SESSION_PATH_TOPK)
+
+ORACLES.update({
+    "session_top_paths": f"""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        lagd AS (
+          SELECT *,
+            CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+                 WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                 ELSE 0 END AS ns
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT *, SUM(ns) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM lagd),
+        paths AS (
+          SELECT user_id, sid,
+                 array_to_string(list_slice(
+                   list(event_type ORDER BY ts_us, event_id),
+                   1, {SESSION_PATH_LEN}), '>') AS path
+          FROM sess GROUP BY user_id, sid)
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT {SESSION_PATH_TOPK}
+    """,
+    "revenue_cohorts": f"""
+        WITH o AS (
+          SELECT o_custkey, o_totalprice,
+                 strftime(o_orderdate, '%Y-%m') AS om,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                      AS INT) AS mnum
+          FROM orders),
+        c AS (
+          SELECT o_custkey, MIN(om) AS cohort_month,
+                 MIN(mnum) AS cnum
+          FROM o GROUP BY o_custkey)
+        SELECT cohort_month, om AS order_month,
+               mnum - cnum AS months_since,
+               COUNT(DISTINCT o.o_custkey) AS n_customers,
+               COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS revenue
+        FROM o JOIN c USING (o_custkey)
+        GROUP BY cohort_month, om, mnum - cnum
+    """,
+    "part_supplier_redundancy": """
+        WITH ps AS (
+          SELECT l_partkey,
+                 COUNT(DISTINCT l_suppkey) AS n_suppliers
+          FROM lineitem GROUP BY l_partkey),
+        h AS (
+          SELECT n_suppliers, COUNT(*) AS n_parts
+          FROM ps GROUP BY n_suppliers)
+        SELECT n_suppliers, n_parts,
+               CAST(n_parts AS DOUBLE) / SUM(n_parts) OVER ()
+                 AS part_share
+        FROM h
+    """,
+})

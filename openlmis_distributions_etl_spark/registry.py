@@ -241,6 +241,9 @@ _OPERATORS = {
     "source_lang_kl": text.source_lang_kl,
     "part_affinity_pairs": relational.part_affinity_pairs,
     "customer_revenue_lorenz": analytics.customer_revenue_lorenz,
+    "session_top_paths": windows.session_top_paths,
+    "revenue_cohorts": windows.revenue_cohorts,
+    "part_supplier_redundancy": relational.part_supplier_redundancy,
 }
 
 
