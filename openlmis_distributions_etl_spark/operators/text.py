@@ -1262,3 +1262,158 @@ def source_lang_kl(t: dict[str, DataFrame]) -> DataFrame:
             .withColumn("kl_nats",
                         F.col("kl_units").cast("double") / KL_GRID
                         / F.col("n_docs")))
+
+
+TEMP_ALPHA = 0.7
+TEMP_GRID = 1_000_000          # micro-units for p^alpha quantization
+TEMP_TOKEN_BUDGET = 10_000_000
+
+
+def source_temperature_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-based source mixing weights — the sampling math an
+    LLM data pipeline runs to decide how much of each source to draw:
+    w_s ∝ p_s^α (α=0.7) where p_s is the source's token share, plus
+    the implied epochs-over-the-source at a nominal token budget
+    (epochs > 1 ⇒ the mixture up-samples / repeats that source).
+
+    Exactness: p_s is a ratio of exact integer token counts; p_s^α is
+    ONE pow() call quantized to integer micro-units BEFORE the
+    normalizing sum (≤ |sources| bigints — order-independent), so the
+    weights are engine-exact. Shapes: one map-side-combinable source
+    aggregate over in-row token counts; every window runs on the
+    sources-bounded frame."""
+    per = (t["documents"]
+           .groupBy("source")
+           .agg(F.sum(F.size(tokens())).alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs")))
+    wt = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wt)
+    q = F.floor(F.pow(p, F.lit(TEMP_ALPHA)) * TEMP_GRID + 0.5) \
+         .cast("bigint")
+    withq = per.select("source", "n_docs", "n_tokens",
+                       p.alias("token_share"), q.alias("q"))
+    w = F.col("q").cast("double") / F.sum("q").over(wt)
+    return withq.select(
+        "source", "n_docs", "n_tokens", "token_share",
+        w.alias("weight"),
+        (w * F.lit(float(TEMP_TOKEN_BUDGET))
+         / F.col("n_tokens").cast("double")).alias("epochs"))
+
+
+VOCAB_CURVE_POINTS = 10
+
+
+def vocab_growth_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size and
+    token volume after each tenth of the corpus (by doc_id position) —
+    the diminishing-returns chart behind "how much new data does new
+    data buy". The cumulative COUNT(DISTINCT) that would be quadratic
+    is the first-seen trick: one word-keyed min(doc_id) aggregate,
+    words and docs bucketed into the 10 checkpoint intervals by pure
+    integer arithmetic on the broadcast (min,max) doc_id anchor, then
+    running sums over the constant 10-row frame."""
+    d = retain(t["documents"]
+               .select("doc_id", F.size(tokens()).alias("n_toks"),
+                       tokens().alias("toks")))
+    anchor = d.agg(F.min("doc_id").alias("lo"),
+                   F.max("doc_id").alias("hi"))
+    # checkpoint k (1..10) covers doc_id <= lo + (hi-lo)*k DIV 10;
+    # bucket = smallest such k = ceil(offs*10/span), INTEGER-exact
+    # (bigint DIV, never a double division that could mis-bucket on
+    # a ULP at large doc_id magnitudes)
+    def bucket(col: str) -> Column:
+        return F.greatest(F.lit(1), F.least(
+            F.lit(VOCAB_CURVE_POINTS),
+            F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+                F.expr(f"CAST((({col} - lo) * {VOCAB_CURVE_POINTS}"
+                       f" + (hi - lo) - 1) DIV (hi - lo) AS INT)"))))
+    first = (d.select(F.explode("toks").alias("w"), "doc_id")
+             .groupBy("w").agg(F.min("doc_id").alias("fd"))
+             .crossJoin(F.broadcast(anchor))
+             .groupBy(bucket("fd").alias("k"))
+             .agg(F.count(F.lit(1)).alias("new_words")))
+    toks = (d.crossJoin(F.broadcast(anchor))
+            .groupBy(bucket("doc_id").alias("k"))
+            .agg(F.sum("n_toks").alias("toks_in"),
+                 F.count(F.lit(1)).alias("docs_in")))
+    spine = (t["documents"].sparkSession
+             .range(1, VOCAB_CURVE_POINTS + 1)
+             .select(F.col("id").cast("int").alias("k")))
+    wk = (Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine
+            .join(F.broadcast(first), "k", "left")
+            .join(F.broadcast(toks), "k", "left")
+            .select("k",
+                    F.sum(F.coalesce("docs_in", F.lit(0)))
+                    .over(wk).alias("docs"),
+                    F.sum(F.coalesce("toks_in", F.lit(0)))
+                    .over(wk).alias("tokens"),
+                    F.sum(F.coalesce("new_words", F.lit(0)))
+                    .over(wk).alias("vocab")))
+
+
+def doc_ttr_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document lexical profile: token count, distinct tokens,
+    type-token ratio, average/max word length — the cheap lexical-
+    diversity features a quality classifier consumes. Entirely in-row
+    higher-order array expressions (zero shuffle, zero UDF); the only
+    doubles are single divisions of exact integers."""
+    toks = tokens()
+    lens = F.transform(toks, lambda x: F.length(x))
+    n = F.size(toks)
+    return (t["documents"]
+            .select("doc_id",
+                    n.alias("n_tokens"),
+                    F.size(F.array_distinct(toks))
+                    .alias("n_distinct"),
+                    (F.size(F.array_distinct(toks)).cast("double")
+                     / n).alias("ttr"),
+                    (F.aggregate(lens, F.lit(0).cast("bigint"),
+                                 lambda a, x: a + x).cast("double")
+                     / n).alias("avg_word_len"),
+                    F.array_max(lens).alias("max_word_len"))
+            .where(n > 0))
+
+
+ZIPF_TOPK = 1000
+ZIPF_GRID = 1_000_000
+
+
+def zipf_slope_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf-fit report over the top-1000 corpus terms: least-squares
+    slope/intercept of ln(freq) on ln(rank) — the corpus-health
+    number that flags template spam (slope far from ≈ −1). One
+    map-side-combinable term count, a distributed top-k (TakeOrdered,
+    freq DESC / term ASC), ranks + regression sums over the constant
+    1000-row frame. ln(rank) and ln(freq) are quantized to integer
+    micro-units per term BEFORE summation (DECIMAL(38,0) — exact and
+    order-independent), so slope/intercept are single deterministic
+    double expressions over exact sums."""
+    tf = (t["documents"]
+          .select(F.explode(tokens()).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.desc("c"), F.asc("w")).limit(ZIPF_TOPK))
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = tf.select(
+        "c", F.row_number().over(wr).alias("r"))
+    xq = F.floor(F.log(F.col("r").cast("double")) * ZIPF_GRID + 0.5) \
+          .cast("bigint")
+    yq = F.floor(F.log(F.col("c").cast("double")) * ZIPF_GRID + 0.5) \
+          .cast("bigint")
+    s = (ranked.select(xq.alias("x"), yq.alias("y"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    n = F.col("n").cast("double")
+    g = float(ZIPF_GRID)
+    sx = F.col("sx").cast("double") / g
+    sy = F.col("sy").cast("double") / g
+    sxy = F.col("sxy").cast("double") / (g * g)
+    sxx = F.col("sxx").cast("double") / (g * g)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        slope.alias("slope"),
+        ((sy / n) - slope * (sx / n)).alias("intercept"))

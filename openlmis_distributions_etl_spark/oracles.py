@@ -4545,3 +4545,132 @@ ORACLES.update({
         FROM h
     """,
 })
+
+from .operators.text import (TEMP_ALPHA, TEMP_GRID,  # noqa: E402
+                             TEMP_TOKEN_BUDGET, VOCAB_CURVE_POINTS,
+                             ZIPF_GRID, ZIPF_TOPK)
+
+ORACLES.update({
+    "source_temperature_weights": f"""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len({TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        q AS (
+          SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                   AS token_share,
+                 CAST(floor(pow(CAST(n_tokens AS DOUBLE)
+                     / CAST(SUM(n_tokens) OVER () AS DOUBLE),
+                     {TEMP_ALPHA}) * {TEMP_GRID} + 0.5) AS BIGINT)
+                   AS qv
+          FROM per)
+        SELECT source, n_docs, n_tokens, token_share,
+               CAST(qv AS DOUBLE) / CAST(SUM(qv) OVER () AS DOUBLE)
+                 AS weight,
+               CAST(qv AS DOUBLE) / CAST(SUM(qv) OVER () AS DOUBLE)
+                 * {float(TEMP_TOKEN_BUDGET)}
+                 / CAST(n_tokens AS DOUBLE) AS epochs
+        FROM q
+    """,
+    "vocab_growth_curve": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents),
+        anchor AS (
+          SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+        firsts AS (
+          SELECT w, MIN(doc_id) AS fd
+          FROM (SELECT unnest(toks) AS w, doc_id FROM d)
+          GROUP BY w),
+        fb AS (
+          SELECT GREATEST(1, LEAST({VOCAB_CURVE_POINTS},
+                   CASE WHEN hi = lo THEN 1 ELSE
+                     CAST(((fd - lo) * {VOCAB_CURVE_POINTS}
+                           + (hi - lo) - 1) // (hi - lo) AS INT)
+                   END)) AS k,
+                 COUNT(*) AS new_words
+          FROM firsts, anchor GROUP BY 1),
+        tb AS (
+          SELECT GREATEST(1, LEAST({VOCAB_CURVE_POINTS},
+                   CASE WHEN hi = lo THEN 1 ELSE
+                     CAST(((doc_id - lo) * {VOCAB_CURVE_POINTS}
+                           + (hi - lo) - 1) // (hi - lo) AS INT)
+                   END)) AS k,
+                 CAST(SUM(len(toks)) AS BIGINT) AS toks_in,
+                 COUNT(*) AS docs_in
+          FROM d, anchor GROUP BY 1),
+        spine AS (
+          SELECT CAST(range AS INT) AS k
+          FROM range(1, {VOCAB_CURVE_POINTS} + 1))
+        SELECT k,
+               CAST(SUM(COALESCE(docs_in, 0)) OVER w AS BIGINT)
+                 AS docs,
+               CAST(SUM(COALESCE(toks_in, 0)) OVER w AS BIGINT)
+                 AS tokens,
+               CAST(SUM(COALESCE(new_words, 0)) OVER w AS BIGINT)
+                 AS vocab
+        FROM spine LEFT JOIN fb USING (k) LEFT JOIN tb USING (k)
+        WINDOW w AS (ORDER BY k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "doc_ttr_profile": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE len({TOKS}) > 0)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS INT) AS ttr,
+               CAST(CAST(list_sum(list_transform(toks,
+                   x -> length(x))) AS BIGINT) AS DOUBLE)
+                 / CAST(len(toks) AS INT) AS avg_word_len,
+               CAST(list_max(list_transform(toks, x -> length(x)))
+                 AS INT) AS max_word_len
+        FROM d
+    """,
+    "zipf_slope_topk": f"""
+        WITH tf AS (
+          SELECT w, COUNT(*) AS c
+          FROM (SELECT unnest({TOKS}) AS w FROM documents)
+          GROUP BY w
+          ORDER BY c DESC, w ASC LIMIT {ZIPF_TOPK}),
+        r AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+          FROM tf),
+        qq AS (
+          SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * {ZIPF_GRID}
+                   + 0.5) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * {ZIPF_GRID}
+                   + 0.5) AS BIGINT) AS y
+          FROM r),
+        s AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM qq)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                   / ({float(ZIPF_GRID)} * {float(ZIPF_GRID)}))
+                - (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})
+                  * (CAST(sy AS DOUBLE) / {float(ZIPF_GRID)}))
+               / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                   / ({float(ZIPF_GRID)} * {float(ZIPF_GRID)}))
+                - (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})
+                  * (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)}))
+                 AS slope,
+               ((CAST(sy AS DOUBLE) / {float(ZIPF_GRID)})
+                  / CAST(n AS DOUBLE))
+               - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE)
+                     / ({float(ZIPF_GRID)} * {float(ZIPF_GRID)}))
+                   - (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})
+                     * (CAST(sy AS DOUBLE) / {float(ZIPF_GRID)}))
+                  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                     / ({float(ZIPF_GRID)} * {float(ZIPF_GRID)}))
+                   - (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})
+                     * (CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})))
+                 * ((CAST(sx AS DOUBLE) / {float(ZIPF_GRID)})
+                    / CAST(n AS DOUBLE)) AS intercept
+        FROM s
+    """,
+})

@@ -242,6 +242,10 @@ _OPERATORS = {
     "part_affinity_pairs": relational.part_affinity_pairs,
     "customer_revenue_lorenz": analytics.customer_revenue_lorenz,
     "session_top_paths": windows.session_top_paths,
+    "source_temperature_weights": text.source_temperature_weights,
+    "vocab_growth_curve": text.vocab_growth_curve,
+    "doc_ttr_profile": text.doc_ttr_profile,
+    "zipf_slope_topk": text.zipf_slope_topk,
     "revenue_cohorts": windows.revenue_cohorts,
     "part_supplier_redundancy": relational.part_supplier_redundancy,
 }
