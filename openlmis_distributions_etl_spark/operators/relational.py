@@ -886,3 +886,28 @@ def part_supplier_redundancy(t: dict[str, DataFrame]) -> DataFrame:
         "n_suppliers", "n_parts",
         (F.col("n_parts").cast("double")
          / F.sum("n_parts").over(wt)).alias("part_share"))
+
+
+def customer_band_migration(t: dict[str, DataFrame]) -> DataFrame:
+    """Year-over-year customer revenue-band migration matrix: each
+    customer's annual spend banded by ORDER-OF-MAGNITUDE (digit count
+    of the whole-currency part — integer-exact, no float log at band
+    edges), consecutive years joined per customer, transitions
+    counted. The churn/upsell flow chart behind revenue planning.
+
+    Shapes: one (custkey, year) aggregate off the fact, a self-join
+    co-partitioned on the SAME custkey hash (year+1 alignment adds no
+    extra distribution), and a bands×bands rollup — the matrix key
+    space is ~10×10 at any scale."""
+    cy = (t["orders"]
+          .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+          .agg(dsum("o_totalprice").alias("rev")))
+    band = F.length(F.floor(F.col("rev")).cast("bigint")
+                    .cast("string"))
+    b = cy.select("o_custkey", "yr", band.alias("band"))
+    nxt = b.select("o_custkey",
+                   (F.col("yr") - 1).alias("yr"),
+                   F.col("band").alias("to_band"))
+    return (b.join(nxt, ["o_custkey", "yr"])
+            .groupBy(F.col("band").alias("from_band"), "to_band")
+            .agg(F.count(F.lit(1)).alias("n_customers")))

@@ -448,3 +448,42 @@ def revenue_cohorts(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count_distinct("o_custkey").alias("n_customers"),
                  F.count(F.lit(1)).alias("n_orders"),
                  dsum("o_totalprice").alias("revenue")))
+
+
+def peak_hour_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Peak activity hour per event type: the hour-of-day with the
+    most events (smallest hour on ties), its count, and its share of
+    the type's traffic — the load-shaping report behind batch-window
+    scheduling. One (type, hour) count shuffle (≤ types×24 keys),
+    then ONE struct-max aggregate finds the max and its deterministic
+    arg (no second pass); the share divides exact counts."""
+    th = (t["events"]
+          .groupBy("event_type", F.hour("ts").alias("hour"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    best = (th.groupBy("event_type")
+            .agg(F.max(F.struct(F.col("n").alias("n"),
+                                (-F.col("hour")).alias("nh")))
+                 .alias("m"),
+                 F.sum("n").alias("total")))
+    return best.select(
+        "event_type",
+        (-F.col("m.nh")).alias("peak_hour"),
+        F.col("m.n").alias("peak_events"),
+        (F.col("m.n").cast("double") / F.col("total"))
+        .alias("peak_share"))
+
+
+def event_type_share_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily event-type mix: per (day, type) counts plus the type's
+    share of that day's traffic — the composition chart that catches
+    a feed silently changing shape. One (day, type) count shuffle;
+    the share window runs over the types-bounded day partition."""
+    dt = (t["events"]
+          .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                   "event_type")
+          .agg(F.count(F.lit(1)).alias("n_events")))
+    wd = Window.partitionBy("day")
+    return dt.select(
+        "day", "event_type", "n_events",
+        (F.col("n_events").cast("double")
+         / F.sum("n_events").over(wd)).alias("day_share"))

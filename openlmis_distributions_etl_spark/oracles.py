@@ -4674,3 +4674,49 @@ ORACLES.update({
         FROM s
     """,
 })
+
+ORACLES.update({
+    "peak_hour_by_type": """
+        WITH th AS (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, hour(ts)),
+        best AS (
+          SELECT event_type,
+                 MAX(struct_pack(n := n, nh := -hour)) AS m,
+                 CAST(SUM(n) AS BIGINT) AS total
+          FROM th GROUP BY event_type)
+        SELECT event_type,
+               -(m.nh) AS peak_hour,
+               m.n AS peak_events,
+               CAST(m.n AS DOUBLE) / total AS peak_share
+        FROM best
+    """,
+    "event_type_share_trend": """
+        WITH dt AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type, n_events,
+               CAST(n_events AS DOUBLE)
+                 / CAST(SUM(n_events) OVER (PARTITION BY day)
+                        AS DOUBLE) AS day_share
+        FROM dt
+    """,
+    "customer_band_migration": f"""
+        WITH cy AS (
+          SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+                 {DSUM('o_totalprice')} AS rev
+          FROM orders GROUP BY o_custkey, year(o_orderdate)),
+        b AS (
+          SELECT o_custkey, yr,
+                 CAST(length(CAST(CAST(floor(rev) AS BIGINT)
+                   AS VARCHAR)) AS INT) AS band
+          FROM cy)
+        SELECT a.band AS from_band, c.band AS to_band,
+               COUNT(*) AS n_customers
+        FROM b a JOIN b c
+          ON a.o_custkey = c.o_custkey AND c.yr = a.yr + 1
+        GROUP BY a.band, c.band
+    """,
+})

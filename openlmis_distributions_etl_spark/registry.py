@@ -246,6 +246,9 @@ _OPERATORS = {
     "vocab_growth_curve": text.vocab_growth_curve,
     "doc_ttr_profile": text.doc_ttr_profile,
     "zipf_slope_topk": text.zipf_slope_topk,
+    "peak_hour_by_type": windows.peak_hour_by_type,
+    "event_type_share_trend": windows.event_type_share_trend,
+    "customer_band_migration": relational.customer_band_migration,
     "revenue_cohorts": windows.revenue_cohorts,
     "part_supplier_redundancy": relational.part_supplier_redundancy,
 }
