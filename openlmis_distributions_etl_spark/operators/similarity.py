@@ -1291,3 +1291,73 @@ def knn_graph(t: dict[str, DataFrame], k: int = KNN_GRAPH_K) -> DataFrame:
             .where(F.col("rn") <= k)
             .select("src", "dst", "dst_label", "cos_sim",
                     F.col("rn").cast("int").alias("rank")))
+
+
+def centroid_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label centroid displacement between the two vec_id-parity
+    halves of the corpus — the embedding-drift check run between a
+    baseline batch and a refreshed batch before swapping an ANN
+    index (here the halves stand in for the two snapshots).
+
+    Exactness: each half's centroid uses the same two-level
+    order-canonical fold as label_centroids (bounded aggregation
+    state, bit-identical across engines); the L2 shift folds the 64
+    per-dim squared diffs IN DIM ORDER in-row, so every double is a
+    deterministic sequential chain. Shapes: one (half,label,dim)
+    block aggregate, a labels×dims join, a labels-bounded rollup."""
+    e = (spread(t["embeddings"])
+         .select(F.pmod("vec_id", F.lit(2)).cast("int").alias("half"),
+                 "label", "vec_id",
+                 F.posexplode(F.col("embedding")).alias("dim", "x")))
+    lvl1 = _block_sums(e, ["half", "label", "dim"])
+    cent = (lvl1.groupBy("half", "label", "dim")
+            .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+                 .alias("bs"),
+                 F.sum("nb").alias("n"))
+            .select("half", "label", "dim",
+                    (_fold_blocks() / F.col("n")).alias("c"), "n"))
+    a = cent.where(F.col("half") == 0) \
+            .select("label", "dim", F.col("c").alias("c0"),
+                    F.col("n").alias("n0"))
+    b = cent.where(F.col("half") == 1) \
+            .select("label", "dim", F.col("c").alias("c1"),
+                    F.col("n").alias("n1"))
+    j = a.join(b, ["label", "dim"]).select(
+        "label", "dim", "n0", "n1",
+        ((F.col("c0") - F.col("c1"))
+         * (F.col("c0") - F.col("c1"))).alias("d2"),
+        F.abs(F.col("c0") - F.col("c1")).alias("ad"))
+    g = (j.groupBy("label")
+         .agg(F.max("n0").alias("n0"), F.max("n1").alias("n1"),
+              F.array_sort(F.collect_list(F.struct("dim", "d2")))
+              .alias("ds"),
+              F.max("ad").alias("max_dim_shift")))
+    l2 = F.sqrt(F.aggregate(F.col("ds"), F.lit(0.0),
+                            lambda acc, s: acc + s["d2"]))
+    return g.select("label", "n0", "n1", l2.alias("l2_shift"),
+                    "max_dim_shift")
+
+
+def label_knn_purity(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-quality eval: per label, how often a vector's
+    (approximate) nearest neighbor shares its label — the k-NN
+    purity score that catches a bad embedding refresh before it
+    poisons semantic dedup. Rides the same LSH-bucketed k-NN graph
+    as `knn_graph` (no all-pairs join); the src label arrives by a
+    co-partitioned vec_id join; purity is a ratio of exact counts."""
+    g = knn_graph(t)
+    src_lab = t["embeddings"].select(F.col("vec_id").alias("src"),
+                                     F.col("label").alias("src_label"))
+    e = g.join(src_lab, "src")
+    hit = (F.col("dst_label") == F.col("src_label")).cast("int")
+    return (e.groupBy(F.col("src_label").alias("label"))
+            .agg(F.count_distinct("src").alias("n_nodes"),
+                 F.sum(F.when(F.col("rank") == 1, hit)).alias("top1_hits"),
+                 F.sum(F.when(F.col("rank") == 1, 1)).alias("top1_n"),
+                 F.sum(hit).alias("knn_hits"),
+                 F.count(F.lit(1)).alias("knn_n"))
+            .select("label", "n_nodes",
+                    (F.col("top1_hits").cast("double")
+                     / F.col("top1_n")).alias("purity_top1"),
+                    (F.col("knn_hits").cast("double")
+                     / F.col("knn_n")).alias("purity_knn")))

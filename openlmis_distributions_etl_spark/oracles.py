@@ -4720,3 +4720,67 @@ ORACLES.update({
         GROUP BY a.band, c.band
     """,
 })
+
+ORACLES.update({
+    # same two-level order-canonical fold as label_centroids, split by
+    # vec_id parity; L2 shift folds squared diffs in dim order
+    "centroid_drift": """
+        WITH e AS (
+          SELECT CAST(vec_id % 2 AS INT) AS half, label, vec_id,
+                 i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        blk AS (
+          SELECT half, label, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM e GROUP BY half, label, dim, blk),
+        cent AS (
+          SELECT half, label, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS c,
+                 CAST(SUM(nb) AS BIGINT) AS n
+          FROM blk GROUP BY half, label, dim),
+        j AS (
+          SELECT a.label, a.dim, a.n AS n0, b.n AS n1,
+                 (a.c - b.c) * (a.c - b.c) AS d2,
+                 abs(a.c - b.c) AS ad
+          FROM cent a JOIN cent b
+            ON a.label = b.label AND a.dim = b.dim
+           AND a.half = 0 AND b.half = 1)
+        SELECT label, MAX(n0) AS n0, MAX(n1) AS n1,
+               sqrt(list_sum(list(d2 ORDER BY dim))) AS l2_shift,
+               MAX(ad) AS max_dim_shift
+        FROM j GROUP BY label
+    """,
+})
+
+ORACLES.update({
+    "label_knn_purity": f"""
+        WITH {_BUCKETS_CTE},
+        cand AS (
+          SELECT a.vec_id AS src, a.label AS src_label,
+                 b.vec_id AS dst, b.label AS dst_label,
+                 {_cos('a.embedding', 'b.embedding')} AS cos_sim
+          FROM assigned a
+          JOIN assigned b USING (bucket)
+          WHERE a.vec_id <> b.vec_id),
+        g AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY src
+                     ORDER BY cos_sim DESC, dst ASC) AS rn
+            FROM cand)
+          WHERE rn <= 3)
+        SELECT src_label AS label,
+               COUNT(DISTINCT src) AS n_nodes,
+               CAST(SUM(CASE WHEN rn = 1 AND dst_label = src_label
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                 AS purity_top1,
+               CAST(SUM(CASE WHEN dst_label = src_label
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS purity_knn
+        FROM g GROUP BY src_label
+    """,
+})

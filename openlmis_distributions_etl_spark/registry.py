@@ -249,6 +249,8 @@ _OPERATORS = {
     "peak_hour_by_type": windows.peak_hour_by_type,
     "event_type_share_trend": windows.event_type_share_trend,
     "customer_band_migration": relational.customer_band_migration,
+    "centroid_drift": similarity.centroid_drift,
+    "label_knn_purity": similarity.label_knn_purity,
     "revenue_cohorts": windows.revenue_cohorts,
     "part_supplier_redundancy": relational.part_supplier_redundancy,
 }
