@@ -384,3 +384,171 @@ def clone_versioned(src: str, dst: str) -> int:
             f"{dst} already has a version 0; clone targets must be "
             "fresh paths") from e
     return 0
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """O_EXCL manifest publish (exactly one writer per version)."""
+    _log_dir(path).mkdir(parents=True, exist_ok=True)
+    target = _log_dir(path) / f"v{manifest['version']:08d}.json"
+    try:
+        with open(target, "x", encoding="utf-8") as f:
+            json.dump(manifest, f)
+    except FileExistsError as e:
+        raise VersionConflictError(
+            f"version {manifest['version']} of {path} was committed "
+            f"concurrently; re-read the table and retry") from e
+
+
+def delete_versioned(spark: SparkSession, path: str, predicate: str,
+                     base_version: int | None = None) -> dict:
+    """Row-level DELETE with FILE-PRUNED copy-on-write — the Delta
+    DELETE execution shape: (1) one scan with the predicate pushed
+    down finds WHICH files contain matching rows (driver sees only
+    distinct file names, ≤ |files|); (2) only those files are
+    rewritten without the matching rows; every untouched file is
+    carried into the new manifest BY REFERENCE — at 100 TB a
+    selective delete rewrites the few files it touches, not the
+    table. Rows where the predicate is NULL are kept (SQL DELETE
+    semantics). Untouched files keep their stats metadata.
+
+    Returns {"version", "rewritten_files", "carried_files"};
+    version is the base when no file matched (no-op, no commit)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    base = vs[-1] if base_version is None else base_version
+    m = _read_manifest(path, base)
+    files = m["files"]
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(*[f"{path}/{f}" for f in files]))
+    hit_rows = (df.where(F.expr(predicate))
+                .select(F.input_file_name().alias("f"))
+                .distinct().collect())
+    hit = {r["f"] for r in hit_rows}
+    touched = [f for f in files if any(h.endswith(f) for h in hit)]
+    if not touched:
+        return {"version": base, "rewritten_files": 0,
+                "carried_files": len(files)}
+    new_version = base + 1
+    commit_dir = f"{_DATA}/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+    keep = ~F.coalesce(F.expr(predicate), F.lit(False))
+    (spark.read.option("mergeSchema", "true")
+     .parquet(*[f"{path}/{f}" for f in touched])
+     .where(keep)
+     .write.mode("errorifexists").parquet(f"{path}/{commit_dir}"))
+    new_files = sorted(
+        f"{commit_dir}/{p.name}"
+        for p in (Path(path) / commit_dir).glob("part-*.parquet"))
+    carried = [f for f in files if f not in touched]
+    manifest = {"version": new_version, "mode": "delete",
+                "files": carried + new_files, "txn": None,
+                "predicate": predicate}
+    old_stats = m.get("stats", {})
+    if old_stats:
+        manifest["stats"] = {f: old_stats[f] for f in carried
+                             if f in old_stats}
+    _publish(path, manifest)
+    return {"version": new_version, "rewritten_files": len(touched),
+            "carried_files": len(carried)}
+
+
+# -- per-file Bloom index for point lookups ---------------------------
+
+BLOOM_IDX_BITS = 1 << 16      # 8 KB per file
+BLOOM_IDX_WORDS = BLOOM_IDX_BITS // 64
+BLOOM_IDX_K = 4
+
+
+def _bloom_idx_pos(col, j: int):
+    """Bit position j for a key value: md5-derived (engine-portable;
+    the driver-side probe recomputes it with hashlib)."""
+    from pyspark.sql import functions as F
+
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"bl{j}|"), col).cast("binary")), 1, 8),
+        16, 10).cast("long") % BLOOM_IDX_BITS)
+
+
+def _bloom_idx_pos_py(value, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"bl{j}|{value}".encode()).hexdigest()[:8]
+    return int(h, 16) % BLOOM_IDX_BITS
+
+
+def collect_bloom(spark: SparkSession, path: str, column: str,
+                  version: int | None = None) -> None:
+    """Attach a per-file Bloom filter over ``column`` to a committed
+    manifest — the point-lookup index (Delta's BLOOM FILTER INDEX /
+    Parquet bloom in spirit, stored at the manifest level so pruning
+    needs no file opens at all). ONE Spark job builds every file's
+    8 KB filter: per-(file, word) bit_or partial-aggregates map-side,
+    so the shuffle is ≤ |files|·1024 rows regardless of row count."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    version = vs[-1] if version is None else version
+    m = _read_manifest(path, version)
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(*[f"{path}/{f}" for f in m["files"]])
+          .select(F.input_file_name().alias("f"),
+                  F.col(column).cast("string").alias("v"))
+          .where(F.col("v").isNotNull()))
+    pos = df.select("f", F.explode(F.array(
+        *[_bloom_idx_pos(F.col("v"), j)
+          for j in range(BLOOM_IDX_K)])).alias("pos"))
+    words = (pos.groupBy("f", (F.col("pos") / 64).cast("long").alias("w"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(pos % 64 AS INT)))").alias("bits")))
+    dense = (words.groupBy("f")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("w", "bits"))).alias("wm"))
+             .select("f", F.expr(
+                 f"transform(sequence(0, {BLOOM_IDX_WORDS - 1}), "
+                 "i -> coalesce(wm[CAST(i AS BIGINT)], "
+                 "CAST(0 AS BIGINT)))").alias("bitmap")))
+    per_file: dict[str, list[int]] = {}
+    for r in dense.collect():
+        rel = next((f for f in m["files"] if r["f"].endswith(f)), None)
+        if rel is not None:
+            per_file[rel] = list(r["bitmap"])
+    m.setdefault("bloom", {})[column] = per_file
+    tmp = _log_dir(path) / f".v{version:08d}.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(m, f)
+    os.replace(tmp, _log_dir(path) / f"v{version:08d}.json")
+
+
+def read_versioned_point(spark: SparkSession, path: str, column: str,
+                         value, version: int | None = None) -> DataFrame:
+    """Point lookup through the manifest indexes: a file is read only
+    if (a) its Bloom filter for ``column`` has all K bits of the
+    probe value (no false negatives — a file without a filter is
+    conservatively read), and (b) its min/max stats admit the value.
+    Pruning is pure driver-side manifest metadata — a needle query on
+    a 100 TB table opens the handful of files that can contain the
+    key, with the final exact predicate pushed into the scan."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    version = vs[-1] if version is None else version
+    m = _read_manifest(path, version)
+    bloom = m.get("bloom", {}).get(column, {})
+    stats = m.get("stats", {})
+    probe = [_bloom_idx_pos_py(value, j) for j in range(BLOOM_IDX_K)]
+    keep = []
+    for f in m["files"]:
+        arr = bloom.get(f)
+        if arr is not None and not all(
+                (arr[p // 64] >> (p % 64)) & 1 for p in probe):
+            continue
+        rng = stats.get(f, {}).get(column)
+        if rng is not None and not (rng[0] <= value <= rng[1]):
+            continue
+        keep.append(f)
+    if not keep:
+        return _empty_like(spark, path, m).where(
+            F.col(column) == F.lit(value))
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{path}/{f}" for f in keep])
+            .where(F.col(column) == F.lit(value)))

@@ -501,3 +501,77 @@ def test_read_evolved_rejects_narrowing(spark, tmp_path):
     spark.createDataFrame([(3_000_000_000,)], "k bigint").write.parquet(p)
     with pytest.raises(TypeError, match="safe widening"):
         read_evolved(spark, p, StructType([StructField("k", IntegerType())]))
+
+
+def test_versioned_row_delete_prunes_files(spark, tmp_path):
+    """DELETE rewrites only the files containing matching rows; the
+    rest carry over by reference (same path in the new manifest)."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        _read_manifest, delete_versioned, read_versioned,
+        write_versioned)
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id", "user_id")
+    tbl = str(tmp_path / "vdel")
+    write_versioned(base.where("event_id < 500").repartition(2),
+                    tbl, mode="overwrite")
+    write_versioned(base.where("event_id >= 500").repartition(2),
+                    tbl, mode="append")
+    before = _read_manifest(tbl, 1)["files"]
+    # every matching row lives in the second commit's files
+    res = delete_versioned(spark, tbl, "event_id >= 900")
+    assert res["version"] == 2
+    assert res["rewritten_files"] == 2 and res["carried_files"] == 2
+    after = _read_manifest(tbl, 2)["files"]
+    carried = [f for f in after if f in before]
+    assert len(carried) == 2           # v0's files untouched
+    got = read_versioned(spark, tbl)
+    assert got.count() == 900
+    assert got.where("event_id >= 900").count() == 0
+    # time travel still sees the pre-delete snapshot
+    assert read_versioned(spark, tbl, version=1).count() == 1000
+    # no-op delete publishes nothing
+    res2 = delete_versioned(spark, tbl, "event_id >= 900")
+    assert res2["version"] == 2 and res2["rewritten_files"] == 0
+
+
+def test_versioned_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL stay."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        delete_versioned, read_versioned, write_versioned)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id INT, v DOUBLE")
+    tbl = str(tmp_path / "vdelnull")
+    write_versioned(df, tbl, mode="overwrite")
+    delete_versioned(spark, tbl, "v > 50")
+    left = {r["id"] for r in read_versioned(spark, tbl).collect()}
+    assert left == {1, 2}
+
+
+def test_versioned_bloom_point_lookup(spark, tmp_path):
+    """The per-file Bloom index prunes files for a point lookup (no
+    false negatives: the probe always finds its row)."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        collect_bloom, read_versioned_point, write_versioned)
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id", "user_id")
+    tbl = str(tmp_path / "vbloom")
+    # 4 commits of 250 ids each -> disjoint files
+    for lo in range(0, 1000, 250):
+        write_versioned(
+            base.where(f"event_id >= {lo} AND event_id < {lo + 250}")
+            .coalesce(1),
+            tbl, mode="overwrite" if lo == 0 else "append")
+    collect_bloom(spark, tbl, "event_id")
+    hit = read_versioned_point(spark, tbl, "event_id", 7)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 7
+    # pruning really happened: the planned scan reads fewer files
+    # than the table holds (bloom admits ~1 of 4 + fp tail)
+    n_files = len(hit.inputFiles())
+    assert n_files < 4
+    # absent key: usually prunes everything, never errors
+    assert read_versioned_point(spark, tbl, "event_id", 10**9) \
+        .count() == 0
