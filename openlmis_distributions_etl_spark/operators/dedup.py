@@ -1267,3 +1267,25 @@ def tfidf_cosine_pairs(t: dict[str, DataFrame]) -> DataFrame:
     return (dots.join(na, "doc_a").join(nb, "doc_b")
             .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
             .where(F.col("cosine") >= TFIDF_COS_MIN))
+
+
+def cross_source_dup_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-feed duplication matrix: MinHash-LSH near-dup pairs
+    bucketed by unordered source pair — the report that tells a
+    curation team WHICH feeds mirror each other (off-diagonal mass =
+    syndicated/scraped copies crossing sources), and so which feed
+    pairs need joint dedup before mixing. Same scale shape as
+    `semantic_dup_lang_matrix`: bucket-local LSH pair stream,
+    id-keyed source lookups per side, final rollup on the ≤|sources|²
+    key space."""
+    pairs = minhash_lsh_pairs(t)
+    src = t["documents"].select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("src_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select(F.least("src_a", "src_b").alias("source_lo"),
+                    F.greatest("src_a", "src_b").alias("source_hi"))
+            .groupBy("source_lo", "source_hi")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

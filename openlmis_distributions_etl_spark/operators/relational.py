@@ -911,3 +911,47 @@ def customer_band_migration(t: dict[str, DataFrame]) -> DataFrame:
     return (b.join(nxt, ["o_custkey", "yr"])
             .groupBy(F.col("band").alias("from_band"), "to_band")
             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def nation_trade_balance(t: dict[str, DataFrame]) -> DataFrame:
+    """Bilateral trade-balance matrix: for every unordered nation
+    pair, revenue flowing each direction (supplier nation → customer
+    nation) and the net balance — the full-matrix generalization of
+    q7's two-nation report. One fact-side shuffle builds the
+    ≤|nations|² revenue matrix (dims broadcast); the direction
+    pairing is a full-outer self-join of that TINY matrix, so the
+    balance stage costs nothing at any data scale. Revenues are
+    exact decimal sums presented as double; the balance subtracts
+    the two exact sums."""
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    m = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .where(F.col("supp_nation") != F.col("cust_nation"))
+         .groupBy("supp_nation", "cust_nation")
+         .agg(dsum_of(disc_price()).alias("rev")))
+    ab = (m.where(F.col("supp_nation") < F.col("cust_nation"))
+          .select(F.col("supp_nation").alias("nation_a"),
+                  F.col("cust_nation").alias("nation_b"),
+                  F.col("rev").alias("a_to_b_rev")))
+    ba = (m.where(F.col("supp_nation") > F.col("cust_nation"))
+          .select(F.col("cust_nation").alias("nation_a"),
+                  F.col("supp_nation").alias("nation_b"),
+                  F.col("rev").alias("b_to_a_rev")))
+    return (ab.join(ba, ["nation_a", "nation_b"], "full_outer")
+            .select("nation_a", "nation_b",
+                    F.coalesce("a_to_b_rev", F.lit(0.0))
+                    .alias("a_to_b_rev"),
+                    F.coalesce("b_to_a_rev", F.lit(0.0))
+                    .alias("b_to_a_rev"),
+                    (F.coalesce("a_to_b_rev", F.lit(0.0))
+                     - F.coalesce("b_to_a_rev", F.lit(0.0)))
+                    .alias("balance")))

@@ -487,3 +487,36 @@ def event_type_share_trend(t: dict[str, DataFrame]) -> DataFrame:
         "day", "event_type", "n_events",
         (F.col("n_events").cast("double")
          / F.sum("n_events").over(wd)).alias("day_share"))
+
+
+RETENTION_OFFSETS = (1, 7, 14, 30)
+
+
+def user_retention_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Day-N retention curve: share of ALL users active again exactly
+    N days after their first activity (N ∈ {1, 7, 14, 30}) — the
+    classic growth-accounting curve. One (user, day) distinct + one
+    user-keyed min aggregate (SAME user hash reused by the join-back),
+    offsets filtered to the 4 reported values before the tiny rollup;
+    the zero-filled spine keeps every offset present."""
+    ud = (t["events"]
+          .select("user_id", F.to_date("ts").alias("d"))
+          .distinct())
+    first = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = (ud.join(first, "user_id")
+           .select("user_id",
+                   F.datediff("d", "d0").alias("day_offset"))
+           .where(F.col("day_offset").isin(*RETENTION_OFFSETS))
+           .groupBy("day_offset")
+           .agg(F.count_distinct("user_id").alias("n_active")))
+    cohort = first.agg(F.count(F.lit(1)).alias("n_users"))
+    spine = (t["events"].sparkSession
+             .createDataFrame([(o,) for o in RETENTION_OFFSETS],
+                              "day_offset INT"))
+    return (spine.join(F.broadcast(act), "day_offset", "left")
+            .crossJoin(F.broadcast(cohort))
+            .select("day_offset",
+                    F.coalesce("n_active", F.lit(0)).alias("n_active"),
+                    "n_users",
+                    (F.coalesce("n_active", F.lit(0)).cast("double")
+                     / F.col("n_users")).alias("retention")))

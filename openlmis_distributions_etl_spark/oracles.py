@@ -4784,3 +4784,81 @@ ORACLES.update({
         FROM g GROUP BY src_label
     """,
 })
+
+from .operators.windows import RETENTION_OFFSETS  # noqa: E402
+
+ORACLES.update({
+    "cross_source_dup_matrix": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT LEAST(sa.source, sb.source) AS source_lo,
+               GREATEST(sa.source, sb.source) AS source_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN documents sa ON p.doc_a = sa.doc_id
+        JOIN documents sb ON p.doc_b = sb.doc_id
+        GROUP BY LEAST(sa.source, sb.source),
+                 GREATEST(sa.source, sb.source)
+    """,
+    "user_retention_curve": f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        fs AS (
+          SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id),
+        act AS (
+          SELECT day_offset, COUNT(DISTINCT u.user_id) AS n_active
+          FROM (SELECT ud.user_id,
+                       date_diff('day', f.d0, ud.d) AS day_offset
+                FROM ud JOIN fs f USING (user_id)) u
+          WHERE day_offset IN {RETENTION_OFFSETS!r}
+          GROUP BY day_offset),
+        cohort AS (SELECT COUNT(*) AS n_users FROM fs),
+        spine AS (
+          SELECT unnest({list(RETENTION_OFFSETS)!r}::INT[])
+            AS day_offset)
+        SELECT s.day_offset,
+               CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+               c.n_users,
+               CAST(COALESCE(a.n_active, 0) AS DOUBLE) / c.n_users
+                 AS retention
+        FROM spine s
+        LEFT JOIN act a ON s.day_offset = CAST(a.day_offset AS INT)
+        CROSS JOIN cohort c
+    """,
+    "nation_trade_balance": f"""
+        WITH m AS (
+          SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 CAST(CAST(SUM({DISC_PRICE}) AS DECIMAL(38,6))
+                      AS DOUBLE) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE sn.n_name <> cn.n_name
+          GROUP BY sn.n_name, cn.n_name),
+        ab AS (
+          SELECT supp_nation AS nation_a, cust_nation AS nation_b,
+                 rev AS a_to_b_rev
+          FROM m WHERE supp_nation < cust_nation),
+        ba AS (
+          SELECT cust_nation AS nation_a, supp_nation AS nation_b,
+                 rev AS b_to_a_rev
+          FROM m WHERE supp_nation > cust_nation)
+        SELECT nation_a, nation_b,
+               COALESCE(a_to_b_rev, 0.0) AS a_to_b_rev,
+               COALESCE(b_to_a_rev, 0.0) AS b_to_a_rev,
+               COALESCE(a_to_b_rev, 0.0) - COALESCE(b_to_a_rev, 0.0)
+                 AS balance
+        FROM ab FULL OUTER JOIN ba USING (nation_a, nation_b)
+    """,
+})

@@ -251,6 +251,9 @@ _OPERATORS = {
     "customer_band_migration": relational.customer_band_migration,
     "centroid_drift": similarity.centroid_drift,
     "label_knn_purity": similarity.label_knn_purity,
+    "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
+    "user_retention_curve": windows.user_retention_curve,
+    "nation_trade_balance": relational.nation_trade_balance,
     "revenue_cohorts": windows.revenue_cohorts,
     "part_supplier_redundancy": relational.part_supplier_redundancy,
 }
