@@ -1234,17 +1234,29 @@ def tfidf_cosine_pairs(t: dict[str, DataFrame]) -> DataFrame:
     Shapes: one (doc, shingle) tf aggregate, one df aggregate + join
     back on the same shingle key, a df-pruned self-join, and a
     per-pair sum — no all-pairs stage anywhere."""
+    # explode_OUTER on purpose (arrays are non-empty by the size>=3
+    # pre-filter): plain explode makes InferFiltersFromGenerate add a
+    # size(shingles)>0 filter that pushdown re-inlines below the
+    # exchange with every toks[i] substituted by a full re-split —
+    # O(tokens²) per doc on the pre-shuffle task (measured 3× the
+    # whole query at sf0.1)
+    # shingles travel as a 64-bit hashed LANE (xxhash64) from the
+    # first aggregate on: every downstream shuffle/join keys on a
+    # fixed-width bigint instead of a ~20-byte string — the same
+    # hashed-lane design shingle_overlap_pairs documents (collision
+    # odds ~|shingles|²/2⁶⁴, deterministic, far below any other
+    # error source at 100 TB)
     tf = retain(
         _with_shingles(t)
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .groupBy("doc_id", "sh")
+        .select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .groupBy("doc_id", F.xxhash64("sh").alias("sh64"))
         .agg(F.count(F.lit(1)).alias("tf")))
     n_docs = tf.select(F.count_distinct("doc_id").alias("nd"))
-    df_ = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    df_ = tf.groupBy("sh64").agg(F.count(F.lit(1)).alias("df"))
     w = retain(
-        tf.join(df_, "sh")
+        tf.join(df_, "sh64")
         .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "sh", "df",
+        .select("doc_id", "sh64", "df",
                 (F.col("tf") * F.floor(
                     F.log(F.col("nd") / F.col("df").cast("double"))
                     * TFIDF_IDF_GRID + 0.5).cast("bigint")).alias("w")))
@@ -1252,7 +1264,7 @@ def tfidf_cosine_pairs(t: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.col("w") * F.col("w")).alias("n2"))
     idx = w.where(F.col("df") <= TFIDF_DF_MAX)
     a, b = idx.alias("a"), idx.alias("b")
-    dots = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+    dots = (a.join(b, (F.col("a.sh64") == F.col("b.sh64"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
