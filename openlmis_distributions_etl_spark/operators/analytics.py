@@ -1635,3 +1635,250 @@ def customer_revenue_lorenz(t: dict[str, DataFrame]) -> DataFrame:
         (F.sum("drev").over(wc).cast("decimal(38,6)").cast("double")
          / F.sum("drev").over(wt).cast("decimal(38,6)").cast("double"))
         .alias("cum_share"))
+
+
+# Benford expected first-digit shares log10(1 + 1/d), baked as shortest
+# round-trip literals so Spark and DuckDB parse the SAME double (no
+# engine log10 in the plan — JVM Math vs libm differ by 1 ulp)
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_first_digit(t: dict[str, DataFrame]) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic fabricated-data / upstream-bug
+    audit on a financial fact column.
+
+    The digit is integer arithmetic end to end: totals quantize to
+    cents (floor(x·100 + 0.5), the engine-portable chain), and the
+    leading digit is the first character of the BIGINT's decimal
+    rendering — no log10 on data. One map-side-combinable aggregate
+    onto a 9-key space; expected shares join from a 9-row literal
+    table (BroadcastNLJ on a singleton-scale frame). Observed share
+    and the obs/exp ratio are single IEEE divisions."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (t["orders"]
+         .where(F.col("o_totalprice") > 0)
+         .select(digit.alias("digit"))
+         .groupBy("digit")
+         .agg(F.count(F.lit(1)).alias("n")))
+    wall = Window.partitionBy()
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    share = F.col("n").cast("double") / F.sum("n").over(wall)
+    return g.select(
+        "digit", "n",
+        share.alias("share"),
+        exp_share.alias("benford_share"),
+        (share / exp_share).alias("obs_over_expected"))
+
+
+AUTOCORR_MAX_LAG = 7
+
+
+def daily_revenue_autocorr(t: dict[str, DataFrame]) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at calendar
+    lags 1..7 — the seasonality detector a forecasting pipeline runs
+    before picking model features (lag-7 high = weekly cycle).
+
+    Exactness at scale: revenue quantizes to cents (BIGINT) so the
+    daily series is integer-exact; all correlation moments (Σx, Σy,
+    Σxy, Σx², Σy², n) accumulate in DECIMAL(38,0) — order-independent
+    exact integer sums, immune to float partial-aggregation
+    reordering — and only the final Pearson expression (two sqrt, one
+    divide) is IEEE double, an identical op chain in DuckDB. Shape:
+    one map-side-combinable groupBy onto the calendar-day key space
+    (bounded by the date range at ANY data scale), then a 7-way
+    explode + self-join of that tiny frame (broadcast)."""
+    from ..functions.cache import retain
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = retain(t["orders"]
+                   .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+                   .agg(F.sum(cents).alias("rev")))
+    lags = daily.select(
+        "d", "rev",
+        F.explode(F.array(*[F.lit(k) for k in
+                            range(1, AUTOCORR_MAX_LAG + 1)])).alias("lag"))
+    prior = daily.select(F.col("d").alias("d0"),
+                         F.col("rev").alias("rev0"))
+    # equi-join on a LEFT-side expression (date_sub(d, lag) == d0) so
+    # Catalyst hash-joins; a mixed-side condition would force a BNLJ
+    pairs = (lags.withColumn("d0", F.expr("date_sub(d, lag)"))
+             .join(F.broadcast(prior), "d0"))
+    d38 = "decimal(38,0)"
+    m = (pairs.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.sum(F.col("rev").cast(d38)).alias("sx"),
+              F.sum(F.col("rev0").cast(d38)).alias("sy"),
+              F.sum((F.col("rev").cast(d38)
+                     * F.col("rev0").cast(d38)).cast(d38)).alias("sxy"),
+              F.sum((F.col("rev").cast(d38)
+                     * F.col("rev").cast(d38)).cast(d38)).alias("sxx"),
+              F.sum((F.col("rev0").cast(d38)
+                     * F.col("rev0").cast(d38)).cast(d38)).alias("syy")))
+    n = F.col("n_pairs").cast(d38)
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38)
+    raw = (cov.cast("double")
+           / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    # moments exceed 2^53, and DECIMAL→double conversion rounding is
+    # not identical across engines there — quantize the final ratio to
+    # the declared 1e-9 grid (the repo's standard 1-ulp defense)
+    return m.select(
+        "lag", "n_pairs",
+        (F.floor(raw * 1e9 + F.lit(0.5)) / 1e9).alias("autocorr"))
+
+
+def _grouped_rank_min(pts: DataFrame,
+                      targets: dict[str, str]) -> DataFrame:
+    """Per-group order statistics over per-(event_type, _k) counts
+    `c` via the GROUPED distributed prefix-sum ECDF (the
+    value_deciles_by_type decomposition): one grouped
+    approx_percentile sketch yields data-proportional per-type fence
+    arrays (broadcast back; fence placement only affects balance —
+    the bucket test is monotone and ties never straddle buckets),
+    per-(type, bucket) totals give exclusive offsets over a tiny
+    frame, in-bucket cumulative windows stay bounded-size, and every
+    requested statistic rides one final per-type aggregate.
+
+    ``targets`` maps output column name → SQL expression over ``n``
+    (the group row count) giving the 1-based target rank; the result
+    has one row per event_type with ``n_rows`` plus, per target, the
+    MIN ``_k`` whose cumulative count reaches that rank."""
+    import math
+    n_max = (pts.groupBy("event_type").agg(F.sum("c").alias("n"))
+             .agg(F.max("n")).collect()[0][0]) or 0
+    nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
+    nb = min(nb, PREFIX_MAX_FENCES)
+    pcts = ",".join(str(i / nb) for i in range(1, nb))
+    acc = max(10000, nb * 64)
+    fences = (pts.groupBy("event_type")
+              .agg(F.expr(f"approx_percentile(_k, array({pcts}), {acc})")
+                   .alias("_fa")))
+    bucketed = (pts.join(F.broadcast(fences), "event_type")
+                .withColumn("bkt", F.size(F.filter(
+                    "_fa", lambda x: F.col("_k") > x)))
+                .drop("_fa"))
+    bt = (bucketed.groupBy("event_type", "bkt")
+          .agg(F.sum("c").alias("bc")))
+    wo = (Window.partitionBy("event_type").orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = Window.partitionBy("event_type")
+    offs = bt.select(
+        "event_type", "bkt",
+        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"),
+        F.sum("bc").over(wt).alias("n"))
+    win = (Window.partitionBy("event_type", "bkt")
+           .orderBy(F.asc("_k"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), ["event_type", "bkt"])
+           .select("event_type", "_k", "n",
+                   (F.sum("c").over(win) + F.col("off")).alias("cf")))
+    return (cum.groupBy("event_type")
+            .agg(F.max("n").alias("n_rows"),
+                 *[F.min(F.when(F.col("cf") >= F.expr(expr),
+                                F.col("_k"))).alias(name)
+                   for name, expr in targets.items()]))
+
+
+MAD_K = 4.4478   # 3 · 1.4826 as ONE literal: both engines parse the
+                 # same double; a computed 3.0*1.4826 can differ 1 ulp
+
+
+def event_value_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust per-type outlier report on `value`: median, MAD
+    (median absolute deviation), and the count/rate of rows beyond
+    3·1.4826·MAD — the outlier monitor that survives the heavy tails
+    that wreck a stddev z-score.
+
+    Two passes of the grouped prefix-sum ECDF (`_grouped_rank_min`):
+    lower median of value, then lower median of |value − med| (the
+    residual is one exact IEEE subtraction — identical in DuckDB).
+    Both medians are rank-exact (min value with cumulative count ≥
+    ⌈(n+1)/2⌉), never interpolated, so no float percentile semantics
+    leak in. The per-type stats frame is enumeration-bounded →
+    broadcast back for the final outlier count."""
+    from ..functions.cache import retain
+    ev = retain(t["events"]
+                .where(F.col("value").isNotNull())
+                .select("event_type",
+                        F.col("value").cast("double").alias("v")))
+    pts1 = (ev.groupBy("event_type", F.col("v").alias("_k"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    med = _grouped_rank_min(pts1, {"med": "(n + 1) DIV 2"})
+    resid = (ev.join(F.broadcast(med.select("event_type", "med")),
+                     "event_type")
+             .select("event_type",
+                     F.abs(F.col("v") - F.col("med")).alias("r")))
+    pts2 = (resid.groupBy("event_type", F.col("r").alias("_k"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    mad = (_grouped_rank_min(pts2, {"mad": "(n + 1) DIV 2"})
+           .select("event_type", "mad"))
+    stats = med.join(mad, "event_type")
+    flagged = (ev.join(F.broadcast(stats), "event_type")
+               .groupBy("event_type")
+               .agg(F.max("n_rows").alias("n"),
+                    F.max("med").alias("median"),
+                    F.max("mad").alias("mad"),
+                    F.sum((F.abs(F.col("v") - F.col("med"))
+                           > F.lit(MAD_K) * F.col("mad"))
+                          .cast("long")).alias("n_outliers")))
+    return flagged.select(
+        "event_type", "n", "median", "mad", "n_outliers",
+        (F.col("n_outliers").cast("double") / F.col("n"))
+        .alias("outlier_rate"))
+
+
+WINSOR_LO_RANK = "(n + 19) DIV 20"        # ceil(0.05·n)
+WINSOR_HI_RANK = "(19 * n + 19) DIV 20"   # ceil(0.95·n)
+
+
+def winsorized_value_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type winsorized mean of `value`: clip at the rank-exact
+    p5/p95 fences, then average — the robust central-tendency report
+    a feed monitor publishes next to the raw mean.
+
+    One grouped prefix-sum ECDF pass gives both fences; clipping and
+    the mean run integer-exact (values quantize to cents BIGINT via
+    the portable floor(x·100 + 0.5) chain, summed exactly — no float
+    accumulation order anywhere), with single IEEE divisions at the
+    end. The fence frame is enumeration-bounded → broadcast."""
+    from ..functions.cache import retain
+    ev = retain(t["events"]
+                .where(F.col("value").isNotNull())
+                .select("event_type",
+                        F.col("value").cast("double").alias("v")))
+    pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    fences = _grouped_rank_min(
+        pts, {"p05": WINSOR_LO_RANK, "p95": WINSOR_HI_RANK})
+    j = ev.join(F.broadcast(fences), "event_type")
+    clipped = F.least(F.greatest(F.col("v"), F.col("p05")),
+                      F.col("p95"))
+    cents = F.floor(clipped * 100 + F.lit(0.5)).cast("long")
+    raw_cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    g = (j.groupBy("event_type")
+         .agg(F.max("n_rows").alias("n"),
+              F.max("p05").alias("p05"),
+              F.max("p95").alias("p95"),
+              F.sum((F.col("v") < F.col("p05")).cast("long"))
+              .alias("n_clipped_low"),
+              F.sum((F.col("v") > F.col("p95")).cast("long"))
+              .alias("n_clipped_high"),
+              F.sum(cents).alias("wsum"),
+              F.sum(raw_cents).alias("rsum")))
+    return g.select(
+        "event_type", "n", "p05", "p95",
+        "n_clipped_low", "n_clipped_high",
+        (F.col("wsum").cast("double") / 100.0 / F.col("n"))
+        .alias("winsorized_mean"),
+        (F.col("rsum").cast("double") / 100.0 / F.col("n"))
+        .alias("raw_mean"))

@@ -520,3 +520,34 @@ def user_retention_curve(t: dict[str, DataFrame]) -> DataFrame:
                     "n_users",
                     (F.coalesce("n_active", F.lit(0)).cast("double")
                      / F.col("n_users")).alias("retention")))
+
+
+def user_interarrival_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user inter-arrival gap profile: count, mean, min, and max
+    seconds between consecutive events — the activity-cadence table
+    that feeds churn models and session-gap calibration.
+
+    One shuffle on user_id; the lag window orders by (ts, event_id)
+    so timestamp ties break deterministically. Gaps accumulate as
+    exact integer microseconds (BIGINT sums — no float accumulation
+    order), with one IEEE division per output column at the end; the
+    mean divides sum/n/1e6 in the same written order as the oracle."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    us = ts_us("ts")
+    gaps = (t["events"]
+            .select("user_id", "ts", "event_id", us.alias("us"))
+            .select("user_id",
+                    (F.col("us") - F.lag("us").over(w)).alias("gap_us"))
+            .where(F.col("gap_us").isNotNull()))
+    g = (gaps.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_gaps"),
+              F.sum("gap_us").alias("sum_us"),
+              F.min("gap_us").alias("min_us"),
+              F.max("gap_us").alias("max_us")))
+    return g.select(
+        "user_id", "n_gaps",
+        (F.col("sum_us").cast("double") / F.col("n_gaps") / 1e6)
+        .alias("avg_gap_s"),
+        (F.col("min_us").cast("double") / 1e6).alias("min_gap_s"),
+        (F.col("max_us").cast("double") / 1e6).alias("max_gap_s"))

@@ -4862,3 +4862,154 @@ ORACLES.update({
         FROM ab FULL OUTER JOIN ba USING (nation_a, nation_b)
     """,
 })
+
+ORACLES.update({
+    # integer-exact first digit via BIGINT cents rendering; expected
+    # shares are the SAME shortest-round-trip literals as the Spark
+    # operator (no engine log10 anywhere)
+    "benford_first_digit": """
+        WITH g AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                      AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        e(digit, benford_share) AS (VALUES
+          (1, 0.3010299956639812), (2, 0.17609125905568124),
+          (3, 0.12493873660829992), (4, 0.09691001300805642),
+          (5, 0.07918124604762482), (6, 0.06694678963061322),
+          (7, 0.05799194697768673), (8, 0.05115252244738129),
+          (9, 0.04575749056067514))
+        SELECT g.digit, g.n,
+               CAST(g.n AS DOUBLE) / SUM(g.n) OVER () AS share,
+               e.benford_share,
+               (CAST(g.n AS DOUBLE) / SUM(g.n) OVER ())
+                 / e.benford_share AS obs_over_expected
+        FROM g JOIN e ON g.digit = e.digit
+    """,
+    # Pearson over exact DECIMAL(38,0) moments of the BIGINT-cents
+    # daily series; only the final sqrt/divide chain is IEEE double
+    "daily_revenue_autocorr": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        pairs AS (
+          SELECT l.lag,
+                 CAST(a.rev AS DECIMAL(38,0)) AS x,
+                 CAST(b.rev AS DECIMAL(38,0)) AS y
+          FROM daily a CROSS JOIN lags l
+          JOIN daily b ON a.d = b.d + CAST(l.lag AS INT)),
+        m AS (
+          SELECT lag, COUNT(*) AS n_pairs,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM pairs GROUP BY lag)
+        SELECT CAST(lag AS INT) AS lag, n_pairs,
+               floor(CAST(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy
+                         - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+                 / (sqrt(CAST(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx
+                              - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
+                    * sqrt(CAST(CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy
+                                - sy * sy AS DECIMAL(38,0)) AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS autocorr
+        FROM m
+    """,
+    # rank-exact lower medians (min value with cum count >= (n+1)//2),
+    # residual |v - med| is one exact IEEE subtraction, threshold uses
+    # the single literal 4.4478 exactly as the Spark operator
+    "event_value_mad_outliers": """
+        WITH ev AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        r1 AS (
+          SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev),
+        med AS (
+          SELECT event_type, MAX(n) AS n,
+                 MIN(CASE WHEN rn >= (n + 1) // 2 THEN v END) AS med
+          FROM r1 GROUP BY event_type),
+        resid AS (
+          SELECT ev.event_type, abs(ev.v - med.med) AS r
+          FROM ev JOIN med ON ev.event_type = med.event_type),
+        r2 AS (
+          SELECT event_type, r,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY r) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM resid),
+        mad AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn >= (n + 1) // 2 THEN r END) AS mad
+          FROM r2 GROUP BY event_type)
+        SELECT ev.event_type, MAX(med.n) AS n,
+               MAX(med.med) AS median, MAX(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN abs(ev.v - med.med)
+                             > 4.4478 * mad.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN abs(ev.v - med.med) > 4.4478 * mad.mad
+                             THEN 1 ELSE 0 END) AS DOUBLE) / MAX(med.n)
+                 AS outlier_rate
+        FROM ev
+        JOIN med ON ev.event_type = med.event_type
+        JOIN mad ON ev.event_type = mad.event_type
+        GROUP BY ev.event_type
+    """,
+    # rank-exact p5/p95 fences, BIGINT-cents winsorized mean
+    "winsorized_value_stats": """
+        WITH ev AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev),
+        f AS (
+          SELECT event_type, MAX(n) AS n,
+                 MIN(CASE WHEN rn >= (n + 19) // 20 THEN v END) AS p05,
+                 MIN(CASE WHEN rn >= (19 * n + 19) // 20 THEN v END)
+                   AS p95
+          FROM r GROUP BY event_type)
+        SELECT ev.event_type, MAX(f.n) AS n,
+               MAX(f.p05) AS p05, MAX(f.p95) AS p95,
+               CAST(SUM(CASE WHEN ev.v < f.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN ev.v > f.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               CAST(SUM(CAST(floor(least(greatest(ev.v, f.p05), f.p95)
+                                   * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / MAX(f.n) AS winsorized_mean,
+               CAST(SUM(CAST(floor(ev.v * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 / MAX(f.n) AS raw_mean
+        FROM ev JOIN f ON ev.event_type = f.event_type
+        GROUP BY ev.event_type
+    """,
+    # exact integer-microsecond gaps; ties break on event_id exactly
+    # as the Spark window
+    "user_interarrival_stats": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+          FROM events),
+        a AS (
+          SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_us) AS sum_us,
+                 MIN(gap_us) AS min_us, MAX(gap_us) AS max_us
+          FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_gaps,
+               CAST(sum_us AS DOUBLE) / n_gaps / 1e6 AS avg_gap_s,
+               CAST(min_us AS DOUBLE) / 1e6 AS min_gap_s,
+               CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s
+        FROM a
+    """,
+})

@@ -256,6 +256,11 @@ _OPERATORS = {
     "nation_trade_balance": relational.nation_trade_balance,
     "revenue_cohorts": windows.revenue_cohorts,
     "part_supplier_redundancy": relational.part_supplier_redundancy,
+    "benford_first_digit": analytics.benford_first_digit,
+    "daily_revenue_autocorr": analytics.daily_revenue_autocorr,
+    "event_value_mad_outliers": analytics.event_value_mad_outliers,
+    "winsorized_value_stats": analytics.winsorized_value_stats,
+    "user_interarrival_stats": windows.user_interarrival_stats,
 }
 
 

@@ -70,6 +70,8 @@ BNLJ_ALLOWED = {
     "rfm_segments",
     "set_ops_customers",
     "token_countmin_topk",
+    "user_retention_curve",   # broadcast cohort-size singleton row
+    "vocab_growth_curve",     # broadcast whole-corpus totals row
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
