@@ -1301,3 +1301,55 @@ def cross_source_dup_matrix(t: dict[str, DataFrame]) -> DataFrame:
                     F.greatest("src_a", "src_b").alias("source_hi"))
             .groupBy("source_lo", "source_hi")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+IDF_MILLI_CAP = 1_000_000_000   # weight ceiling (milli-units) so the
+                                # per-doc signed sums stay far from 2^63
+                                # even at 1e9-doc corpora × 2^15 tokens
+
+
+def simhash_idf(t: dict[str, DataFrame]) -> DataFrame:
+    """IDF-weighted 60-bit SimHash: rare terms dominate the
+    fingerprint instead of stopwords — the variant production near-dup
+    systems run so boilerplate doesn't collapse distinct documents
+    onto one hash.
+
+    Integer-exact end to end: the weight is floor(1000·N/df) milli-
+    units (capped, monotone in idf — no engine ln()), each simhash bit
+    accumulates the SIGNED sum Σ w·tf·(2·bit−1) as a BIGINT (order-
+    independent), and the final hash packs 60 sign tests. Distributed
+    shape: one (doc, token) tf shuffle; the token dictionary (df,
+    weight, 60-bit md5 mask — hashed once per DISTINCT token) joins
+    back on the token key; one per-doc aggregate carries all 60 lane
+    sums map-side-combinably. Contrast simhash64's zero-shuffle
+    unweighted form (dedup.py:277): idf needs corpus df, so one
+    dictionary shuffle is the price of weighting."""
+    from ..functions.cache import retain
+    tf = retain(t["documents"]
+                .select("doc_id",
+                        F.explode(F.filter(F.split("text", " "),
+                                           lambda x: x != "")).alias("tok"))
+                .groupBy("doc_id", "tok")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = t["documents"].count()
+    mask = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
+                  16, 10).cast("long")
+    dict_ = (tf.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .select("tok", mask.alias("m"),
+                     F.least(F.expr(f"(1000 * CAST({n_docs} AS BIGINT))"
+                                    " DIV df"),
+                             F.lit(IDF_MILLI_CAP)).alias("w")))
+    j_ = tf.join(dict_, "tok")
+
+    def mask_bit(j: int) -> str:
+        shift = 4 * (14 - j // 4) + (3 - j % 4)
+        return f"(shiftright(m, {shift}) & 1)"
+
+    sums = [F.expr(f"sum((2 * {mask_bit(j)} - 1) * tf * w) AS s{j}")
+            for j in range(60)]
+    agg = j_.groupBy("doc_id").agg(*sums)
+    pack = " + ".join(
+        f"shiftleft(CAST(s{j} > 0 AS BIGINT), {j})" for j in range(60))
+    return agg.select(
+        "doc_id", F.expr(f"CAST({pack} AS BIGINT)").alias("simhash_idf"))

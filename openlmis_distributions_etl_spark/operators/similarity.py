@@ -1361,3 +1361,45 @@ def label_knn_purity(t: dict[str, DataFrame]) -> DataFrame:
                      / F.col("top1_n")).alias("purity_top1"),
                     (F.col("knn_hits").cast("double")
                      / F.col("knn_n")).alias("purity_knn")))
+
+
+COS_HIST_BINS = 10   # bin width 0.1 over [-1, 1] → bins -10..9
+
+
+def random_pair_cos_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Cosine-similarity histogram over one deterministic pseudo-
+    random partner per vector — the NULL MODEL behind near-dup and
+    ANN threshold choices ("what does cosine look like between
+    UNRELATED vectors?").
+
+    Fully distributed with zero windows and zero self-broadcast: each
+    vector derives its partner id arithmetically from its own md5
+    stream — partner = (vec_id + 1 + h mod (n−1)) mod n, guaranteed
+    ≠ vec_id for the contiguous id space the load contract pins — and
+    the pair forms through ONE hash equi-join on partner id. n is a
+    bounded setup-time scalar fetch (the repo's allowed pattern).
+    Cosine folds in-order (exact DuckDB parity); bins are
+    floor(cos·10) integer arithmetic."""
+    e = t["embeddings"].select("vec_id", "embedding")
+    n = e.count()
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("cospair:"),
+                       F.col("vec_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    left = e.select(
+        "vec_id", F.col("embedding").alias("a"),
+        ((F.col("vec_id") + 1 + F.pmod(h, F.lit(n - 1)))
+         % F.lit(n)).alias("partner"))
+    right = e.select(F.col("vec_id").alias("partner"),
+                     F.col("embedding").alias("b"))
+    pairs = left.join(right, "partner")
+    cos = cosine(F.col("a"), F.col("b"))
+    g = (pairs.select(F.floor(cos * COS_HIST_BINS)
+                      .cast("int").alias("bin"))
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n_pairs")))
+    wall = Window.partitionBy()
+    return g.select(
+        "bin", "n_pairs",
+        (F.col("n_pairs").cast("double")
+         / F.sum("n_pairs").over(wall)).alias("share"))

@@ -1417,3 +1417,37 @@ def zipf_slope_topk(t: dict[str, DataFrame]) -> DataFrame:
         F.col("n").cast("bigint").alias("n_terms"),
         slope.alias("slope"),
         ((sy / n) - slope * (sx / n)).alias("intercept"))
+
+
+BOOL_SEARCH_TERMS = 3
+
+
+def boolean_and_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval through the inverted
+    index: documents containing ALL of the corpus's top-3 tokens,
+    ranked by summed term frequency — the other half of the search
+    primitive next to `phrase_search`'s positional lookup.
+
+    Self-contained like phrase_search: the query terms are derived
+    in-plan (top-3 tokens by corpus count, count-desc/token-asc
+    deterministic tie-break, TakeOrderedAndProject). The term-
+    frequency table builds once (one doc-token shuffle); each term's
+    postings filter through the broadcast 3-row term list BEFORE the
+    per-doc conjunction, so at 100 TB the AND touches three posting
+    lists, not the corpus. The conjunction is one groupBy(doc)
+    HAVING count(*) = 3 — integer-exact scoring, no floats."""
+    tf = retain(t["documents"]
+                .select("doc_id", F.explode(tokens()).alias("tok"))
+                .groupBy("doc_id", "tok")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    top = (tf.groupBy("tok")
+           .agg(F.sum("tf").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("tok"))
+           .limit(BOOL_SEARCH_TERMS)
+           .select("tok"))
+    hits = tf.join(F.broadcast(top), "tok")
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("tf").alias("total_tf"))
+            .where(F.col("n_terms") == BOOL_SEARCH_TERMS)
+            .select("doc_id", "total_tf"))

@@ -551,3 +551,41 @@ def user_interarrival_stats(t: dict[str, DataFrame]) -> DataFrame:
         .alias("avg_gap_s"),
         (F.col("min_us").cast("double") / 1e6).alias("min_gap_s"),
         (F.col("max_us").cast("double") / 1e6).alias("max_gap_s"))
+
+
+# half-life weights 0.5^k in integer milli-units for k = 0..10 weeks;
+# older events weigh 0 — an 11-literal lookup, no engine pow() on data
+DECAY_MILLI = (1000, 500, 250, 125, 63, 31, 16, 8, 4, 2, 1)
+
+
+def decayed_user_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user exponentially time-decayed value score (7-day
+    half-life, 10-week horizon) next to the raw sum — the recency-
+    weighted engagement feature a ranking model consumes.
+
+    Integer-exact at any scale: values quantize to cents, weights are
+    the 11 baked milli-unit literals above (element_at on the age-week
+    index — no float pow in the plan), so the per-user aggregate sums
+    BIGINTs (order-independent); the only IEEE op is the final /1e5.
+    The corpus max-date anchor is a broadcast singleton row (pinned
+    BNLJ); one user-keyed aggregate does the rest."""
+    anchor = t["events"].agg(
+        F.max(F.col("ts").cast("date")).alias("d_max"))
+    weeks = F.floor(
+        F.datediff(F.col("d_max"), F.col("ts").cast("date")) / 7)
+    w = F.when(weeks >= len(DECAY_MILLI), F.lit(0)).otherwise(
+        F.element_at(F.array(*[F.lit(x) for x in DECAY_MILLI]),
+                     (weeks + 1).cast("int")))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = (t["events"]
+         .where(F.col("value").isNotNull())
+         .crossJoin(F.broadcast(anchor))
+         .select("user_id", (cents * w).alias("dm"), cents.alias("c"))
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum("dm").alias("dsum"),
+              F.sum("c").alias("rsum")))
+    return g.select(
+        "user_id", "n_events",
+        (F.col("dsum").cast("double") / 1e5).alias("decayed_value"),
+        (F.col("rsum").cast("double") / 100.0).alias("raw_value"))

@@ -5013,3 +5013,105 @@ ORACLES.update({
         FROM a
     """,
 })
+
+
+# first 15 md5 hex chars as a 60-bit bigint (mirrors Spark's
+# conv(substring(md5(x), 1, 15), 16, 10))
+def _hex15(expr: str) -> str:
+    return ("CAST(list_sum(list_transform(range(1, 16), "
+            f"i -> (strpos('0123456789abcdef', substr(md5({expr}), "
+            "CAST(i AS INT), 1)) - 1) "
+            "* (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) "
+            "AS BIGINT)")
+
+
+ORACLES.update({
+    # top-3 corpus tokens derived in-query (count desc, token asc),
+    # integer tf scoring, conjunction = HAVING COUNT(*) = 3
+    "boolean_and_search": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        top3 AS (
+          SELECT tok FROM (
+            SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+            ORDER BY cnt DESC, tok ASC LIMIT 3)),
+        hits AS (SELECT tf.* FROM tf JOIN top3 USING (tok))
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY doc_id HAVING COUNT(*) = 3
+    """,
+    # integer idf milli-weights floor(1000·N/df) capped at 1e9; signed
+    # per-bit sums over the SAME md5-nibble bit mapping as simhash64
+    "simhash_idf": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dict AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+          SELECT tok, md5(tok) AS h,
+                 least((1000 * n_docs) // df,
+                       CAST(1000000000 AS BIGINT)) AS w
+          FROM dict, nd),
+        bits AS (
+          SELECT tc.doc_id, j,
+                 ((strpos('0123456789abcdef',
+                          substr(w.h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   >> CAST(3 - (j % 4) AS INT)) & 1 AS bit,
+                 tc.tf, w.w
+          FROM tc JOIN w USING (tok), (SELECT unnest(range(60)) AS j)),
+        agg AS (
+          SELECT doc_id, j,
+                 SUM((2 * bit - 1) * tf * w) AS s
+          FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                             ELSE 0 END) AS BIGINT) AS simhash_idf
+        FROM agg GROUP BY doc_id
+    """,
+    # one deterministic md5-derived partner per vector, hash equi-join,
+    # in-order cosine fold, integer floor(cos·10) bins
+    "random_pair_cos_histogram": f"""
+        WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+        l AS (
+          SELECT vec_id, embedding AS a,
+                 (vec_id + 1
+                  + ({_hex15("'cospair:' || CAST(vec_id AS VARCHAR)")}
+                     % (n - 1))) % n AS partner
+          FROM embeddings, n),
+        pairs AS (
+          SELECT l.a, r.embedding AS b
+          FROM l JOIN embeddings r ON l.partner = r.vec_id),
+        c AS (
+          SELECT CAST(floor({_cos('a', 'b')} * 10) AS INT) AS bin
+          FROM pairs),
+        g AS (SELECT bin, COUNT(*) AS n_pairs FROM c GROUP BY bin)
+        SELECT bin, n_pairs,
+               CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER () AS share
+        FROM g
+    """,
+    # 11 baked milli-unit half-life weights, BIGINT-cents exact sums
+    "decayed_user_value": """
+        WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events),
+        e AS (
+          SELECT user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                 (d_max - CAST(ts AS DATE)) // 7 AS wk
+          FROM events, a WHERE value IS NOT NULL),
+        w AS (
+          SELECT user_id, c,
+                 CASE WHEN wk >= 11 THEN 0
+                      ELSE [1000, 500, 250, 125, 63, 31, 16, 8, 4, 2,
+                            1][CAST(wk + 1 AS INT)] END AS w
+          FROM e)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(c * w) AS BIGINT) AS DOUBLE) / 1e5
+                 AS decayed_value,
+               CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 100.0
+                 AS raw_value
+        FROM w GROUP BY user_id
+    """,
+})

@@ -261,6 +261,10 @@ _OPERATORS = {
     "event_value_mad_outliers": analytics.event_value_mad_outliers,
     "winsorized_value_stats": analytics.winsorized_value_stats,
     "user_interarrival_stats": windows.user_interarrival_stats,
+    "boolean_and_search": text.boolean_and_search,
+    "simhash_idf": dedup.simhash_idf,
+    "random_pair_cos_histogram": similarity.random_pair_cos_histogram,
+    "decayed_user_value": windows.decayed_user_value,
 }
 
 

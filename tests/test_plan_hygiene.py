@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "rfm_segments",
     "set_ops_customers",
     "token_countmin_topk",
+    "decayed_user_value",     # broadcast max-date anchor row
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
 }
