@@ -1882,3 +1882,49 @@ def winsorized_value_stats(t: dict[str, DataFrame]) -> DataFrame:
         .alias("winsorized_mean"),
         (F.col("rsum").cast("double") / 100.0 / F.col("n"))
         .alias("raw_mean"))
+
+
+CONTROL_SIGMA = 2.0
+
+
+def daily_revenue_control_chart(t: dict[str, DataFrame]) -> DataFrame:
+    """Shewhart-style control chart on daily order revenue: every day
+    with its z-score against the whole-series mean/σ and a ±2σ
+    outlier flag — the ops monitor that catches demand shocks and
+    ingest gaps by number.
+
+    Exactness: the daily series is BIGINT cents; mean/variance come
+    from exact DECIMAL(38,0) moments (n·Σx² − (Σx)², order-
+    independent), so σ is one sqrt over an exactly-agreed value. The
+    moments exceed 2^53, where DECIMAL→double conversion rounding is
+    engine-specific — the z-score therefore quantizes to the declared
+    1e-9 grid (the repo's standard 1-ulp defense) and the flag tests
+    the QUANTIZED value, keeping the flag set identical in both
+    engines except on a measure-zero boundary. Shape: one calendar-
+    bounded aggregate + a broadcast singleton stats row (pinned
+    BNLJ)."""
+    from ..functions.cache import retain
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = retain(t["orders"]
+                   .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+                   .agg(F.sum(cents).alias("rev")))
+    d38 = "decimal(38,0)"
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    n = F.col("n").cast(d38)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = ((n * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+           .cast("double")
+           / (F.col("n").cast("double") * (F.col("n") - 1)))
+    z_raw = ((F.col("rev").cast("double") - mean) / F.sqrt(var))
+    z = F.floor(z_raw * 1e9 + F.lit(0.5)) / 1e9
+    return (daily.crossJoin(F.broadcast(stats))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("d"),
+                    (F.col("rev").cast("double") / 100.0)
+                    .alias("revenue"),
+                    z.alias("zscore"),
+                    (F.abs(z) > CONTROL_SIGMA).cast("int")
+                    .alias("is_outlier")))

@@ -1155,10 +1155,23 @@ def triangle_counts(t: dict[str, DataFrame]) -> DataFrame:
     uses the naive ordered 3-join."""
     edges = retain(minhash_lsh_pairs(t)
                    .selectExpr("doc_a AS a", "doc_b AS b"))
+    sym, deg = _dup_sym_degrees(edges)
+    return _per_node_triangles(edges, sym, deg)
+
+
+def _dup_sym_degrees(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized edge list + per-node degree of the dup graph."""
     sym = (edges.selectExpr("a AS u", "b AS v")
            .union(edges.selectExpr("b AS u", "a AS v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
+    return sym, deg
+
+
+def _per_node_triangles(edges: DataFrame, sym: DataFrame,
+                        deg: DataFrame) -> DataFrame:
+    """Degree-oriented wedge-join triangle listing (see
+    triangle_counts docstring for the arboricity argument)."""
     d1 = deg.selectExpr("node AS u", "deg AS deg_u")
     d2 = deg.selectExpr("node AS v", "deg AS deg_v")
     # retained: the wedge self-join reads the oriented edge list on
@@ -1353,3 +1366,32 @@ def simhash_idf(t: dict[str, DataFrame]) -> DataFrame:
         f"shiftleft(CAST(s{j} > 0 AS BIGINT), {j})" for j in range(60))
     return agg.select(
         "doc_id", F.expr(f"CAST({pack} AS BIGINT)").alias("simhash_idf"))
+
+
+def dup_graph_clustering_coef(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph —
+    2·T/(deg·(deg−1)) — separating tight template families (cc → 1)
+    from chains of borderline matches (cc → 0), the signal behind
+    "collapse this cluster aggressively vs review it".
+
+    Composition of the shared degree-oriented triangle machinery
+    (`_per_node_triangles`, arboricity-bounded wedges — survives
+    power-law hubs) with the symmetrized degree count; nodes with
+    deg ≥ 2 and no triangles appear with cc = 0 via the left join.
+    The coefficient is ONE double expression (2.0·T/(deg·(deg−1)))
+    written identically in the oracle."""
+    edges = retain(minhash_lsh_pairs(t)
+                   .selectExpr("doc_a AS a", "doc_b AS b"))
+    sym, deg = _dup_sym_degrees(edges)
+    tri = _per_node_triangles(edges, sym, deg)
+    base = (deg.where(F.col("deg") >= 2)
+            .selectExpr("node AS doc_id", "deg AS degree"))
+    j = (base.join(tri, "doc_id", "left")
+         .select("doc_id", "degree",
+                 F.coalesce("n_triangles", F.lit(0))
+                 .alias("n_triangles")))
+    return j.select(
+        "doc_id", "degree", "n_triangles",
+        (F.lit(2.0) * F.col("n_triangles")
+         / (F.col("degree") * (F.col("degree") - 1)))
+        .alias("clustering_coef"))

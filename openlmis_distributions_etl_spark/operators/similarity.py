@@ -1403,3 +1403,44 @@ def random_pair_cos_histogram(t: dict[str, DataFrame]) -> DataFrame:
         "bin", "n_pairs",
         (F.col("n_pairs").cast("double")
          / F.sum("n_pairs").over(wall)).alias("share"))
+
+
+# 1/log2(i+1) gain weights for ranks 1..10 and their sum (ideal DCG),
+# baked as shortest-round-trip literals — no engine log2 in any plan
+NDCG_WEIGHTS = (1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+                0.38685280723454163, 0.3562071871080222,
+                0.3333333333333333, 0.31546487678572877,
+                0.3010299956639812, 0.2890648263178879)
+NDCG_IDEAL = 4.543559338088346
+
+
+def knn_lsh_ndcg(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """nDCG@k of the LSH multiprobe ANN against the exact top-k —
+    the rank-aware companion to `knn_lsh_recall` (recall treats rank
+    1 and rank 10 alike; nDCG charges misses near the top more).
+
+    Relevance is binary membership in the exact top-k; gains are the
+    baked 1/log2(rank+1) literals above, folded in rank order over a
+    sorted ≤k-element array (both engines fold lists in order — no
+    float accumulation reordering), and the ideal DCG is the same
+    baked constant in the oracle. Both sides are k-row frames, so
+    every join is a broadcast no-op; the cost is the two searches."""
+    approx = knn_lsh(t, k).select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id")))
+        .alias("rank"))
+    exact = knn_bruteforce(t, k).select("vec_id", F.lit(1).alias("rel"))
+    gains = F.array(*[F.lit(w) for w in NDCG_WEIGHTS[:k]])
+    scored = (approx.join(broadcast(exact), "vec_id", "left")
+              .select("rank", F.coalesce("rel", F.lit(0)).alias("rel")))
+    g = scored.agg(F.array_sort(F.collect_list(
+        F.struct("rank", "rel"))).alias("rr"))
+    dcg = F.aggregate(
+        F.col("rr"), F.lit(0.0),
+        lambda acc, s: acc + s["rel"] * F.element_at(gains, s["rank"]))
+    return g.select(
+        F.lit(k).alias("k"),
+        dcg.alias("dcg"),
+        F.lit(NDCG_IDEAL).alias("ideal_dcg"),
+        (dcg / F.lit(NDCG_IDEAL)).alias("ndcg"))

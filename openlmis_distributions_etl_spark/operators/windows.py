@@ -589,3 +589,30 @@ def decayed_user_value(t: dict[str, DataFrame]) -> DataFrame:
         "user_id", "n_events",
         (F.col("dsum").cast("double") / 1e5).alias("decayed_value"),
         (F.col("rsum").cast("double") / 100.0).alias("raw_value"))
+
+
+def session_bounce_rate(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event, by session-start day — the engagement-quality trend next
+    to DAU. Reuses the gap sessionizer (same single user_id shuffle),
+    rolls (user, session) up to first-event day with an integer
+    epoch-day key (start_us DIV 86400000000 — no timezone parsing),
+    and finishes with one calendar-bounded aggregate."""
+    sess = (sessionize_events(t)
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts_us").alias("start_us")))
+    day = F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"),
+                   F.expr("CAST(start_us DIV 86400000000 AS INT)")),
+        "yyyy-MM-dd")
+    g = (sess.select(day.alias("day"),
+                     (F.col("n_events") == 1).cast("long")
+                     .alias("is_bounce"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n_sessions"),
+              F.sum("is_bounce").alias("n_bounces")))
+    return g.select(
+        "day", "n_sessions", "n_bounces",
+        (F.col("n_bounces").cast("double") / F.col("n_sessions"))
+        .alias("bounce_rate"))

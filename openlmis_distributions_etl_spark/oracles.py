@@ -5115,3 +5115,143 @@ ORACLES.update({
         FROM w GROUP BY user_id
     """,
 })
+
+
+_NDCG_W = ("[1.0, 0.6309297535714575, 0.5, 0.43067655807339306, "
+           "0.38685280723454163, 0.3562071871080222, "
+           "0.3333333333333333, 0.31546487678572877, "
+           "0.3010299956639812, 0.2890648263178879]")
+
+ORACLES.update({
+    # same degree/triangle semantics as triangle_counts (orientation-
+    # independent → naive ordered 3-join is a valid oracle); the
+    # coefficient is the identical double expression
+    "dup_graph_clustering_coef": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        e AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        sym AS (
+          SELECT a AS u, b AS v FROM e
+          UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT u AS doc_id, COUNT(*) AS degree
+                FROM sym GROUP BY u),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        members AS (
+          SELECT unnest([x, y, z]) AS doc_id FROM tri),
+        tc AS (SELECT doc_id, COUNT(*) AS n_triangles
+               FROM members GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tc.n_triangles, 0) AS BIGINT)
+                 AS n_triangles,
+               2.0 * COALESCE(tc.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)) AS clustering_coef
+        FROM deg d LEFT JOIN tc USING (doc_id)
+        WHERE d.degree >= 2
+    """,
+    # binary-relevance nDCG@10 with baked 1/log2(rank+1) gains and a
+    # baked ideal-DCG constant; the gain fold runs in rank order via
+    # an ordered list aggregate (both engines fold lists in order)
+    "knn_lsh_ndcg": f"""
+        WITH {_BUCKETS_CTE},
+        qrow AS (SELECT embedding AS q, bucket AS qb
+                 FROM assigned WHERE vec_id = 0),
+        probes AS (
+          SELECT DISTINCT CASE WHEN k = -1 THEN qb
+                          ELSE xor(qb, 1 << CAST(k AS INT)) END AS bucket
+          FROM qrow, (SELECT unnest(range(-1, 8)) AS k)),
+        approx AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+                   AS rank
+          FROM (
+            SELECT a.vec_id, {_cos('a.embedding', 'qrow.q')} AS cos_sim
+            FROM assigned a
+            JOIN probes USING (bucket)
+            CROSS JOIN qrow
+            WHERE a.vec_id <> 0
+            ORDER BY cos_sim DESC, a.vec_id ASC
+            LIMIT 10)),
+        exact AS (
+          SELECT e.vec_id
+          FROM embeddings e,
+               (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0
+          ORDER BY {_cos('e.embedding', 'q.q')} DESC, e.vec_id ASC
+          LIMIT 10),
+        rels AS (
+          SELECT a.rank,
+                 CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM approx a LEFT JOIN exact x USING (vec_id)),
+        d AS (
+          SELECT list_sum(list(rel * ({_NDCG_W})[CAST(rank AS INT)]
+                               ORDER BY rank)) AS dcg
+          FROM rels)
+        SELECT CAST(10 AS INT) AS k, dcg,
+               4.543559338088346 AS ideal_dcg,
+               dcg / 4.543559338088346 AS ndcg
+        FROM d
+    """,
+    # gap sessionizer CTE shared with sessionize_events; integer
+    # epoch-day key, one calendar-bounded aggregate
+    "session_bounce_rate": f"""
+        WITH {SESSIONIZE_CTE},
+        s AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 MIN(ts_us) AS start_us
+          FROM sess GROUP BY 1, 2),
+        g AS (
+          SELECT strftime(DATE '1970-01-01'
+                   + CAST(start_us // 86400000000 AS INT),
+                   '%Y-%m-%d') AS day,
+                 COUNT(*) AS n_sessions,
+                 CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_bounces
+          FROM s GROUP BY 1)
+        SELECT day, n_sessions, n_bounces,
+               CAST(n_bounces AS DOUBLE) / n_sessions AS bounce_rate
+        FROM g
+    """,
+    # exact DECIMAL(38,0) moments; z quantized to the 1e-9 grid and
+    # the flag tests the QUANTIZED value (the autocorr 1-ulp defense)
+    "daily_revenue_control_chart": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        z AS (
+          SELECT d, rev,
+                 floor((CAST(rev AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / n)
+                       / sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                                   - s1 * s1 AS DECIMAL(38,0))
+                                   AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1)))
+                       * 1e9 + 0.5) / 1e9 AS zq
+          FROM daily, m)
+        SELECT strftime(d, '%Y-%m-%d') AS d,
+               CAST(rev AS DOUBLE) / 100.0 AS revenue,
+               zq AS zscore,
+               CAST(abs(zq) > 2.0 AS INT) AS is_outlier
+        FROM z
+    """,
+})

@@ -265,6 +265,10 @@ _OPERATORS = {
     "simhash_idf": dedup.simhash_idf,
     "random_pair_cos_histogram": similarity.random_pair_cos_histogram,
     "decayed_user_value": windows.decayed_user_value,
+    "dup_graph_clustering_coef": dedup.dup_graph_clustering_coef,
+    "knn_lsh_ndcg": similarity.knn_lsh_ndcg,
+    "session_bounce_rate": windows.session_bounce_rate,
+    "daily_revenue_control_chart": analytics.daily_revenue_control_chart,
 }
 
 

@@ -70,7 +70,9 @@ BNLJ_ALLOWED = {
     "rfm_segments",
     "set_ops_customers",
     "token_countmin_topk",
+    "daily_revenue_control_chart",  # broadcast moments singleton row
     "decayed_user_value",     # broadcast max-date anchor row
+    "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
 }
