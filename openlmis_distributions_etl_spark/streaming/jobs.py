@@ -753,3 +753,52 @@ def stream_maintain_first_seen(events: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def chi2_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming contingency-cell monitor: per (hour window,
+    event_type, user-segment) observed counts with a watermark — the
+    live half of an hourly independence dashboard (did one cohort's
+    event mix shift THIS hour?). Stateless projection + one windowed
+    count; no stream-side join and no setup-time collect.
+
+    A streaming agg cannot nest the totals pass, so expected counts
+    and the per-cell chi² term come from `chi2_cells_finish` applied
+    to the emitted counts (the psi_bucket_counts_stream contract:
+    stream emits exact counts, the consumer finishes)."""
+    from ..operators.analytics import CHI2_SEGMENTS
+    return (events
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"),
+                     F.col("event_type"),
+                     F.pmod("user_id", F.lit(CHI2_SEGMENTS))
+                     .cast("int").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:00")
+                    .alias("hour"),
+                    "event_type", "segment", "n_obs"))
+
+
+def chi2_cells_finish(cells: DataFrame) -> DataFrame:
+    """Finish the streamed contingency counts into per-cell expected
+    counts and chi² contributions WITHIN each hour: three constant-
+    size window totals over the (hour × type × segment) aggregate —
+    the same per-cell double expressions as the batch
+    chi2_event_segments, partitioned by hour."""
+    from pyspark.sql import Window
+    wr = Window.partitionBy("hour", "event_type")
+    wc = Window.partitionBy("hour", "segment")
+    wa = Window.partitionBy("hour")
+    c = cells.select(
+        "hour", "event_type", "segment", "n_obs",
+        F.sum("n_obs").over(wr).alias("row_tot"),
+        F.sum("n_obs").over(wc).alias("col_tot"),
+        F.sum("n_obs").over(wa).alias("grand"))
+    n_exp = ((F.col("row_tot").cast("double")
+              * F.col("col_tot").cast("double"))
+             / F.col("grand").cast("double"))
+    return c.select(
+        "hour", "event_type", "segment", "n_obs",
+        n_exp.alias("n_exp"),
+        ((F.col("n_obs").cast("double") - n_exp) ** 2 / n_exp)
+        .alias("chi2_cell"))

@@ -444,3 +444,31 @@ def test_first_seen_store_matches_batch(spark, tmp_path):
              .groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
              .toPandas())
     pd.testing.assert_frame_equal(_sorted(again), _sorted(got))
+
+
+def test_chi2_cells_stream_matches_batch(spark):
+    """Streamed per-(hour, type, segment) counts, finished with
+    chi2_cells_finish, must equal the same finish applied to a batch
+    groupBy of the corpus the stream replays — and within any single
+    hour the cell math must match the global chi2_event_segments
+    formula shape (same expressions, hour-partitioned)."""
+    from openlmis_distributions_etl_spark.operators.analytics import \
+        CHI2_SEGMENTS
+
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    # the finish is window functions → not allowed on a streaming DF;
+    # it runs on the SINK output (the documented consumer contract)
+    _run_available_now(jobs.chi2_cells_stream(stream),
+                       "chi2_cells", spark, "complete")
+    got = jobs.chi2_cells_finish(spark.table("chi2_cells")).toPandas()
+    batch_cells = (t["events"]
+                   .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                          "yyyy-MM-dd HH:00")
+                            .alias("hour"),
+                            F.col("event_type"),
+                            F.pmod("user_id", F.lit(CHI2_SEGMENTS))
+                            .cast("int").alias("segment"))
+                   .agg(F.count(F.lit(1)).alias("n_obs")))
+    want = jobs.chi2_cells_finish(batch_cells).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
