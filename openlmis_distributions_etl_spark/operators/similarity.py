@@ -1444,3 +1444,56 @@ def knn_lsh_ndcg(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
         dcg.alias("dcg"),
         F.lit(NDCG_IDEAL).alias("ideal_dcg"),
         (dcg / F.lit(NDCG_IDEAL)).alias("ndcg"))
+
+
+def label_centroid_silhouette(t: dict[str, DataFrame]) -> DataFrame:
+    """Centroid-variant silhouette per label: s = (b − a)/max(a, b)
+    with a = distance to the OWN label centroid and b = the nearest
+    OTHER centroid, averaged per label — the clustering-quality score
+    that says whether labels are geometrically separable before
+    anyone trains on them (full silhouette is O(n²); the centroid
+    variant is the standard scalable proxy).
+
+    Scale shape: centroids come from the exact two-level fold
+    (`label_centroids`, bit-identical across engines) and ship as
+    per-label literal arrays — the label space is enumeration-bounded,
+    so this is a bounded setup-time fetch, and every per-point
+    distance/least/ratio is then an IN-ROW fold chain (zero joins on
+    the hot path). The per-label mean reuses the order-canonical
+    block fold, so no double ever accumulates in partition order."""
+    cent = label_centroids(t).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid"]
+    labels = sorted(by_label)
+    dims = max(len(v) for v in by_label.values())
+
+    def dist_to(lab: int) -> Column:
+        arr = F.array(*[F.lit(by_label[lab][d]) for d in range(dims)])
+        d2 = F.aggregate(
+            F.zip_with(_dbl(F.col("embedding")), arr,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.sqrt(d2)
+
+    named = (spread(t["embeddings"])
+             .select("vec_id", "label",
+                     *[dist_to(lab).alias(f"d{lab}") for lab in labels]))
+    a = F.lit(None).cast("double")
+    for lab in labels:
+        a = F.when(F.col("label") == lab, F.col(f"d{lab}")).otherwise(a)
+    b = F.lit(None).cast("double")
+    for lab in labels:
+        others = [F.col(f"d{m}") for m in labels if m != lab]
+        b = F.when(F.col("label") == lab, F.least(*others)).otherwise(b)
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b))
+    pts = named.select("label", "vec_id", s.alias("x"))
+    lvl1 = _block_sums(pts, ["label"])
+    g = (lvl1.groupBy("label")
+         .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+              .alias("bs"),
+              F.sum("nb").alias("n")))
+    return g.select("label", "n",
+                    (_fold_blocks() / F.col("n"))
+                    .alias("mean_silhouette"))

@@ -616,3 +616,49 @@ def session_bounce_rate(t: dict[str, DataFrame]) -> DataFrame:
         "day", "n_sessions", "n_bounces",
         (F.col("n_bounces").cast("double") / F.col("n_sessions"))
         .alias("bounce_rate"))
+
+
+def session_type_affinity(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket affinity between event types WITHIN a session:
+    for every unordered type pair, how many sessions contain both,
+    the support, and the lift against independence — "users who
+    search in a session also purchase in it" quantified.
+
+    Session baskets are distinct (session, type) rows off the shared
+    gap sessionizer (one user shuffle); the pair join is a self-join
+    on the session key, where a basket is bounded by the event-type
+    enumeration (≤ types rows) — never a blow-up. Counts are exact
+    integers; support and lift are single double chains written
+    identically in the oracle, with the session total folded in as a
+    broadcast singleton (pinned BNLJ)."""
+    sess = sessionize_events(t)
+    basket = (sess
+              .join(t["events"].select("event_id", "event_type"),
+                    "event_id")
+              .select("user_id", "session_id", "event_type")
+              .distinct())
+    tot = basket.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    na = (basket.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_type")))
+    b2 = basket.selectExpr("user_id", "session_id",
+                           "event_type AS type_b")
+    pairs = (basket.selectExpr("user_id", "session_id",
+                               "event_type AS type_a")
+             .join(b2, ["user_id", "session_id"])
+             .where(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    j = (pairs
+         .join(F.broadcast(na.selectExpr("event_type AS type_a",
+                                         "n_type AS n_a")), "type_a")
+         .join(F.broadcast(na.selectExpr("event_type AS type_b",
+                                         "n_type AS n_b")), "type_b")
+         .crossJoin(F.broadcast(tot)))
+    return j.select(
+        "type_a", "type_b", "n_both", "n_a", "n_b", "n_sessions",
+        (F.col("n_both").cast("double") / F.col("n_sessions"))
+        .alias("support"),
+        (F.col("n_both").cast("double") * F.col("n_sessions")
+         / (F.col("n_a").cast("double") * F.col("n_b")))
+        .alias("lift"))

@@ -5255,3 +5255,90 @@ ORACLES.update({
         FROM z
     """,
 })
+
+
+_SIL_DIST = ("sqrt(list_sum(list_transform(range(1, 65), "
+             "i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)"
+             " - c.cv[CAST(i AS INT)])"
+             " * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)"
+             " - c.cv[CAST(i AS INT)]))))")
+
+ORACLES.update({
+    # centroids re-derived with the SAME two-level order-canonical
+    # fold as the label_centroids oracle (bit-identical doubles);
+    # per-point distances are the same in-order folds, min over other
+    # centroids is order-independent, label means block-fold
+    "label_centroid_silhouette": f"""
+        WITH ex AS (
+          SELECT label, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        cblk AS (
+          SELECT label, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM ex GROUP BY label, dim, blk),
+        cent AS (
+          SELECT label, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid
+          FROM cblk GROUP BY label, dim),
+        cl AS (
+          SELECT label, list(centroid ORDER BY dim) AS cv
+          FROM cent GROUP BY label),
+        d AS (
+          SELECT e.vec_id, e.label AS olabel, c.label AS clabel,
+                 {_SIL_DIST} AS dist
+          FROM embeddings e CROSS JOIN cl c),
+        ab AS (
+          SELECT vec_id, olabel AS label,
+                 MAX(CASE WHEN clabel = olabel THEN dist END) AS a,
+                 MIN(CASE WHEN clabel <> olabel THEN dist END) AS b
+          FROM d GROUP BY vec_id, olabel),
+        s AS (
+          SELECT label, vec_id,
+                 CASE WHEN greatest(a, b) = 0 THEN 0.0
+                      ELSE (b - a) / greatest(a, b) END AS x
+          FROM ab),
+        blk AS (
+          SELECT label, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM s GROUP BY 1, 2)
+        SELECT label, CAST(SUM(nb) AS BIGINT) AS n,
+               list_sum(list(bsum ORDER BY blk))
+                 / CAST(SUM(nb) AS BIGINT) AS mean_silhouette
+        FROM blk GROUP BY label
+    """,
+    # distinct (session, type) baskets off the shared sessionizer;
+    # integer-exact counts, identical double chains for support/lift
+    "session_type_affinity": f"""
+        WITH {SESSIONIZE_CTE},
+        basket AS (
+          SELECT DISTINCT s.user_id, s.session_id, e.event_type
+          FROM sess s JOIN events e USING (event_id)),
+        tot AS (
+          SELECT COUNT(*) AS n_sessions FROM (
+            SELECT DISTINCT user_id, session_id FROM basket)),
+        na AS (
+          SELECT event_type, COUNT(*) AS n_type
+          FROM basket GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_both
+          FROM basket a
+          JOIN basket b ON a.user_id = b.user_id
+                       AND a.session_id = b.session_id
+                       AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, p.n_both,
+               x.n_type AS n_a, y.n_type AS n_b, t.n_sessions,
+               CAST(p.n_both AS DOUBLE) / t.n_sessions AS support,
+               CAST(p.n_both AS DOUBLE) * t.n_sessions
+                 / (CAST(x.n_type AS DOUBLE) * y.n_type) AS lift
+        FROM pairs p
+        JOIN na x ON x.event_type = p.type_a
+        JOIN na y ON y.event_type = p.type_b
+        CROSS JOIN tot t
+    """,
+})

@@ -269,6 +269,8 @@ _OPERATORS = {
     "knn_lsh_ndcg": similarity.knn_lsh_ndcg,
     "session_bounce_rate": windows.session_bounce_rate,
     "daily_revenue_control_chart": analytics.daily_revenue_control_chart,
+    "label_centroid_silhouette": similarity.label_centroid_silhouette,
+    "session_type_affinity": windows.session_type_affinity,
 }
 
 

@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "q22_dormant_high_balance",
     "range_join_value_buckets",
     "rfm_segments",
+    "session_type_affinity",  # broadcast session-total singleton row
     "set_ops_customers",
     "token_countmin_topk",
     "daily_revenue_control_chart",  # broadcast moments singleton row
