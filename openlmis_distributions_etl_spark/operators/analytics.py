@@ -1928,3 +1928,44 @@ def daily_revenue_control_chart(t: dict[str, DataFrame]) -> DataFrame:
                     z.alias("zscore"),
                     (F.abs(z) > CONTROL_SIGMA).cast("int")
                     .alias("is_outlier")))
+
+
+QQ_GRID = tuple(range(1, 20))   # 5%..95% in 5% steps
+
+
+def value_qq_table(t: dict[str, DataFrame]) -> DataFrame:
+    """QQ table between the click and purchase value distributions:
+    rank-exact quantiles of both samples at the 5%-step grid, side by
+    side with their gap — the distribution-comparison plot behind the
+    KS statistic, as data.
+
+    One grouped prefix-sum ECDF pass (`_grouped_rank_min`) computes
+    all 19 order statistics for BOTH groups; the reshape to long form
+    explodes a 2×19 frame (constant size at any corpus scale) and the
+    final A-vs-B join is broadcast-trivial."""
+    from ..functions.cache import retain
+    ev = retain(t["events"]
+                .where(F.col("value").isNotNull()
+                       & F.col("event_type").isin(KS_GROUP_A,
+                                                  KS_GROUP_B))
+                .select("event_type",
+                        F.col("value").cast("double").alias("v")))
+    pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    qs = _grouped_rank_min(
+        pts, {f"q{k}": f"({k} * n + 19) DIV 20" for k in QQ_GRID})
+    long = qs.select(
+        "event_type",
+        F.explode(F.array(*[
+            F.struct(F.lit(5 * k).alias("pct"),
+                     F.col(f"q{k}").alias("q"))
+            for k in QQ_GRID])).alias("s")
+    ).select("event_type", "s.pct", "s.q")
+    a = (long.where(F.col("event_type") == KS_GROUP_A)
+         .select("pct", F.col("q").alias("q_click")))
+    b = (long.where(F.col("event_type") == KS_GROUP_B)
+         .select("pct", F.col("q").alias("q_purchase")))
+    return (a.join(b, "pct")
+            .select("pct", "q_click", "q_purchase",
+                    (F.col("q_purchase") - F.col("q_click"))
+                    .alias("gap")))

@@ -1451,3 +1451,90 @@ def boolean_and_search(t: dict[str, DataFrame]) -> DataFrame:
                  F.sum("tf").alias("total_tf"))
             .where(F.col("n_terms") == BOOL_SEARCH_TERMS)
             .select("doc_id", "total_tf"))
+
+
+CALIB_BIN_WIDTH = 64      # w_sum units per calibration bin
+
+
+def classifier_score_calibration(t: dict[str, DataFrame]) -> DataFrame:
+    """Calibration table for the hash-trick quality classifier: bin
+    documents by raw classifier weight-sum and report, per bin, how
+    often the independent C4-style filter battery agrees (`keep`
+    rate) — the reliability diagram that says whether the cheap
+    model's score is monotone in actual quality before it gates a
+    corpus.
+
+    Both inputs are zero-shuffle per-row projections over the same
+    scan; the bin is integer floor-division of the exact BIGINT
+    weight sum (no float binning), and the only shuffle is the final
+    bounded-key bin aggregate. Rates and means are single IEEE
+    divisions over exact integer sums."""
+    score = hashed_classifier_score(t).select("doc_id", "w_sum")
+    keep = doc_quality_filters(t).select("doc_id", "keep")
+    j = score.join(keep, "doc_id")
+    g = (j.groupBy((F.col("w_sum") - F.pmod("w_sum",
+                                            F.lit(CALIB_BIN_WIDTH)))
+                   .alias("bin_lo"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("keep").alias("n_keep"),
+              F.sum("w_sum").alias("sw")))
+    return g.select(
+        "bin_lo", "n_docs",
+        (F.col("n_keep").cast("double") / F.col("n_docs"))
+        .alias("keep_rate"),
+        (F.col("sw").cast("double") / F.col("n_docs"))
+        .alias("mean_w_sum"))
+
+
+def dup_rate_by_length(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact-duplicate rate by document-length bucket — the audit
+    that shows whether duplication concentrates in short boilerplate
+    or long mirrored pages, deciding where a dedup pass pays.
+
+    One md5 shuffle; duplicate membership is `count OVER (PARTITION
+    BY hash) > 1` (the dup_span pattern — no join-back), the length
+    bucket is integer floor-division of n_chars, and the final
+    aggregate runs on the bounded bucket key."""
+    w = Window.partitionBy("h")
+    d = (t["documents"]
+         .select("n_chars", F.md5("text").alias("h"))
+         .select((F.col("n_chars") - F.pmod("n_chars", F.lit(256)))
+                 .alias("len_bin"),
+                 (F.count(F.lit(1)).over(w) > 1).cast("long")
+                 .alias("is_dup")))
+    g = (d.groupBy("len_bin")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("is_dup").alias("n_dup_docs")))
+    return g.select(
+        "len_bin", "n_docs", "n_dup_docs",
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs"))
+        .alias("dup_rate"))
+
+
+def decontaminated_corpus_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Decontamination pass report: per source, how many documents
+    (and whitespace tokens) survive dropping everything whose
+    cross-source 3-gram contamination exceeds 50% — the before/after
+    accounting a team reviews before cutting an eval split.
+
+    Composes the shingle-dictionary contamination audit (two
+    shingle-keyed shuffles, never all-pairs) with one per-source
+    aggregate; the keep test is exact integer arithmetic
+    (2·n_contaminated ≤ n_shingles — no float threshold)."""
+    overlap = contamination_overlap(t)
+    toks_n = (t["documents"]
+              .select("doc_id", F.size(tokens()).alias("n_tokens")))
+    j = overlap.join(toks_n, "doc_id")
+    keep_i = ((F.lit(2) * F.col("n_contaminated"))
+              <= F.col("n_shingles")).cast("long")
+    g = (j.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(keep_i).alias("n_kept"),
+              F.sum("n_tokens").alias("n_tokens"),
+              F.sum(keep_i * F.col("n_tokens")).alias("n_kept_tokens")))
+    return g.select(
+        "source", "n_docs", "n_kept", "n_tokens", "n_kept_tokens",
+        (F.col("n_kept").cast("double") / F.col("n_docs"))
+        .alias("doc_keep_rate"),
+        (F.col("n_kept_tokens").cast("double") / F.col("n_tokens"))
+        .alias("token_keep_rate"))

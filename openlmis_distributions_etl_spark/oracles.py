@@ -5342,3 +5342,124 @@ ORACLES.update({
         CROSS JOIN tot t
     """,
 })
+
+
+_W_INT = ("((CAST(list_sum(list_transform(range(1, 9), "
+          "i -> (strpos('0123456789abcdef', substr(md5(x), "
+          "CAST(i AS INT), 1)) - 1) "
+          "* (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) "
+          "AS BIGINT) % 1024) * 2654435761) % 1024 - 512")
+
+ORACLES.update({
+    # same hash-trick weight function as hashed_classifier_score's
+    # oracle; integer bin via v - v mod 64 (matches Spark's pmod on
+    # non-negative-width bins for negative values too: pmod ≥ 0)
+    "classifier_score_calibration": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(toks,
+                     x -> {_W_INT})) AS BIGINT) AS w_sum
+          FROM d),
+        q AS (
+          SELECT doc_id,
+                 CAST(len(toks) >= 30
+                  AND list_sum(list_transform(toks, x -> length(x)))
+                        <= 8 * len(toks)
+                  AND len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','to','in'))) > 0
+                  AND 10 * len(list_distinct(toks)) >= len(toks)
+                  AS INT) AS keep
+          FROM d),
+        j AS (
+          SELECT s.w_sum - ((s.w_sum % 64 + 64) % 64) AS bin_lo,
+                 s.w_sum, q.keep
+          FROM s JOIN q USING (doc_id))
+        SELECT bin_lo, COUNT(*) AS n_docs,
+               CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+               CAST(CAST(SUM(w_sum) AS BIGINT) AS DOUBLE) / COUNT(*)
+                 AS mean_w_sum
+        FROM j GROUP BY bin_lo
+    """,
+    "dup_rate_by_length": """
+        WITH d AS (
+          SELECT n_chars, md5(text) AS h FROM documents),
+        m AS (
+          SELECT n_chars - ((n_chars % 256 + 256) % 256) AS len_bin,
+                 CAST(COUNT(*) OVER (PARTITION BY h) > 1 AS BIGINT)
+                   AS is_dup
+          FROM d)
+        SELECT len_bin, COUNT(*) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(CAST(SUM(is_dup) AS BIGINT) AS DOUBLE) / COUNT(*)
+                 AS dup_rate
+        FROM m GROUP BY len_bin
+    """,
+    # contamination CTE mirrors contamination_overlap's oracle; the
+    # keep test is exact integer arithmetic (2·nc ≤ ns)
+    "decontaminated_corpus_stats": f"""
+        WITH d0 AS (
+          SELECT doc_id, source, {TOKS} AS toks FROM documents),
+        d AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   range(0, len(toks) - 2),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' '
+                        || toks[i + 3]))) AS shingle
+          FROM d0 WHERE len(toks) >= 3),
+        sdict AS (
+          SELECT shingle, COUNT(DISTINCT source) AS n_sources,
+                 MIN(source) AS only_source
+          FROM d GROUP BY shingle),
+        ov AS (
+          SELECT d.doc_id, d.source,
+                 COUNT(*) AS n_shingles,
+                 SUM(CASE WHEN s.n_sources > 1
+                          OR s.only_source <> d.source
+                          THEN 1 ELSE 0 END) AS n_contaminated
+          FROM d JOIN sdict s USING (shingle)
+          GROUP BY d.doc_id, d.source),
+        tk AS (
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM d0),
+        j AS (
+          SELECT ov.source, ov.n_shingles, ov.n_contaminated,
+                 tk.n_tokens,
+                 CAST(2 * ov.n_contaminated <= ov.n_shingles
+                      AS BIGINT) AS keep_i
+          FROM ov JOIN tk USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(keep_i) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(keep_i * n_tokens) AS BIGINT) AS n_kept_tokens,
+               CAST(CAST(SUM(keep_i) AS BIGINT) AS DOUBLE) / COUNT(*)
+                 AS doc_keep_rate,
+               CAST(CAST(SUM(keep_i * n_tokens) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(n_tokens) AS BIGINT) AS token_keep_rate
+        FROM j GROUP BY source
+    """,
+    # rank-exact 5%-grid quantiles of both samples side by side
+    "value_qq_table": """
+        WITH ev AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE value IS NOT NULL
+            AND event_type IN ('click', 'purchase')),
+        r AS (
+          SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev),
+        q AS (
+          SELECT event_type, g.k * 5 AS pct,
+                 MIN(CASE WHEN rn >= (g.k * n + 19) // 20 THEN v END)
+                   AS q
+          FROM r, (SELECT unnest(range(1, 20)) AS k) g
+          GROUP BY event_type, g.k)
+        SELECT a.pct, a.q AS q_click, b.q AS q_purchase,
+               b.q - a.q AS gap
+        FROM q a JOIN q b ON a.pct = b.pct
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+})

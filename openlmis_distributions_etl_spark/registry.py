@@ -271,6 +271,10 @@ _OPERATORS = {
     "daily_revenue_control_chart": analytics.daily_revenue_control_chart,
     "label_centroid_silhouette": similarity.label_centroid_silhouette,
     "session_type_affinity": windows.session_type_affinity,
+    "classifier_score_calibration": text.classifier_score_calibration,
+    "dup_rate_by_length": text.dup_rate_by_length,
+    "decontaminated_corpus_stats": text.decontaminated_corpus_stats,
+    "value_qq_table": analytics.value_qq_table,
 }
 
 
