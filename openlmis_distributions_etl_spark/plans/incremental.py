@@ -76,3 +76,62 @@ def incremental_rollup_update(spark: SparkSession, fact_path: str,
     updated = _month_segment_rollup(affected, customer)
     return merge_upsert_versioned(spark, rollup_path, updated,
                                   ["month", "c_mktsegment"])
+
+
+def _order_customer_view(orders: DataFrame,
+                         customer: DataFrame) -> DataFrame:
+    """The maintained denormalized join view: one row per order with
+    its customer's segment and nation (N:1 join, key = o_orderkey)."""
+    return (orders
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice")
+            .join(broadcast(customer.select(
+                "c_custkey", "c_mktsegment", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+            .drop("c_custkey"))
+
+
+def init_join_view(spark: SparkSession, orders_path: str,
+                   customer_path: str, view_path: str) -> int:
+    """Materialize the orders⋈customer view from both tables'
+    current versions."""
+    return write_versioned(
+        _order_customer_view(read_versioned(spark, orders_path),
+                             read_versioned(spark, customer_path)),
+        view_path, mode="overwrite")
+
+
+def incremental_join_view_update(spark: SparkSession, orders_path: str,
+                                 customer_path: str, view_path: str,
+                                 since_orders: int,
+                                 since_customer: int) -> int:
+    """Incremental MAINTENANCE of the materialized join view — the
+    delta-join algebra a 100 TB warehouse uses instead of recomputing
+    a denormalization: rows needing refresh are (a) orders appended
+    since the last sync and (b) orders owned by customers whose rows
+    changed (the SCD case — a segment update must rewrite that
+    customer's existing view rows). Both probes read ONLY the change
+    feeds; the dimension-side fan-out resolves through one LEFT SEMI
+    join of the fact against the delta's distinct keys (never a
+    collect — the changed-customer set is data-sized, not
+    calendar-bounded). Affected rows recompute against the CURRENT
+    dimension snapshot and keyed-MERGE by o_orderkey, so the update
+    is idempotent and append-order-insensitive; re-running after any
+    interleaving converges to the full recompute (pytest pins this).
+    Deletes are out of scope (append/upsert feeds only)."""
+    d_orders = read_changes(spark, orders_path, since_orders)
+    d_cust = read_changes(spark, customer_path, since_customer)
+    orders = read_versioned(spark, orders_path)
+    customer = read_versioned(spark, customer_path)
+    changed_keys = d_cust.select("c_custkey").distinct()
+    touched = (orders
+               .join(changed_keys,
+                     F.col("o_custkey") == F.col("c_custkey"),
+                     "leftsemi")
+               .unionByName(d_orders.select(*orders.columns))
+               .dropDuplicates(["o_orderkey"]))
+    if touched.isEmpty():
+        return versions(view_path)[-1]
+    updated = _order_customer_view(touched, customer)
+    return merge_upsert_versioned(spark, view_path, updated,
+                                  ["o_orderkey"])

@@ -149,3 +149,54 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         spark, fact, rollup, customer,
         since_version=versions(fact)[-1]) == v_before
     assert versions(rollup)[-1] == v_before
+
+
+def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
+    """Delta-join maintenance must converge to the full recompute
+    under (1) fact appends, (2) dimension updates (the SCD case:
+    changed customer rows must rewrite that customer's EXISTING view
+    rows), and (3) an empty delta (no new version)."""
+    import pandas as pd
+
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        _order_customer_view, incremental_join_view_update,
+        init_join_view)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        merge_upsert_versioned, read_versioned, versions,
+        write_versioned)
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    orders, customer = t["orders"], t["customer"]
+    op = str(tmp_path / "orders")
+    cp = str(tmp_path / "customer")
+    vp = str(tmp_path / "view")
+
+    write_versioned(orders.where(F.col("o_orderkey") % 2 == 0), op)
+    write_versioned(customer, cp)
+    v_o, v_c = versions(op)[-1], versions(cp)[-1]
+    init_join_view(spark, op, cp, vp)
+
+    # fact append + SCD update on a slice of customers
+    write_versioned(orders.where(F.col("o_orderkey") % 2 == 1), op,
+                    mode="append")
+    flipped = (customer.where(F.col("c_custkey") % 5 == 0)
+               .withColumn("c_mktsegment", F.lit("FLIPPED")))
+    merge_upsert_versioned(spark, cp, flipped, ["c_custkey"])
+    incremental_join_view_update(spark, op, cp, vp, v_o, v_c)
+
+    got = (read_versioned(spark, vp).toPandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    want = (_order_customer_view(read_versioned(spark, op),
+                                 read_versioned(spark, cp)).toPandas()
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+    assert (got["c_mktsegment"] == "FLIPPED").any()
+
+    # empty delta → no new view version
+    v_before = versions(vp)[-1]
+    assert incremental_join_view_update(
+        spark, op, cp, vp, versions(op)[-1], versions(cp)[-1]) \
+        == v_before
+    assert versions(vp)[-1] == v_before
