@@ -63,6 +63,14 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "knn_graph",
     "token_pmi_pairs",
+    # round-5 fourth wave: robust stats, weighted simhash, basket
+    # affinity, silhouette eval, inverted-index AND search
+    "event_value_mad_outliers",
+    "daily_revenue_autocorr",
+    "simhash_idf",
+    "session_type_affinity",
+    "label_centroid_silhouette",
+    "boolean_and_search",
 ]
 
 

@@ -78,6 +78,29 @@ OPS = (
     "doc_token_entropy",
     "twap_user_value",
     "cumulative_distinct_users",
+    # round-5 fourth wave: robust stats (two grouped ECDF passes),
+    # weighted simhash (token-dictionary join), basket affinity,
+    # silhouette (literal-centroid hot path), AND search, dup graph
+    # clustering coef, QQ grid, decontamination
+    "event_value_mad_outliers",
+    "winsorized_value_stats",
+    "value_qq_table",
+    "simhash_idf",
+    "boolean_and_search",
+    "session_type_affinity",
+    "label_centroid_silhouette",
+    "dup_graph_clustering_coef",
+    "decontaminated_corpus_stats",
+    "dup_rate_by_length",
+    "classifier_score_calibration",
+    "random_pair_cos_histogram",
+    "daily_revenue_autocorr",
+    "user_interarrival_stats",
+    "decayed_user_value",
+    "benford_first_digit",
+    "daily_revenue_control_chart",
+    "session_bounce_rate",
+    "knn_lsh_ndcg",
 )
 
 
@@ -127,6 +150,22 @@ def main() -> None:
         vbig = part if vbig is None else vbig.unionByName(part)
     vbig.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
     print(f"events: {n_ev * n_copies} rows")
+
+    osrc = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    n_or = osrc.count()
+    obig = None
+    for i in range(n_copies):
+        # jitter totals per copy so revenue stats see a non-degenerate
+        # distribution; dates unchanged (calendar-bounded key spaces)
+        part = osrc.select(
+            (F.col("o_orderkey") + i * n_or).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") * (1.0 + i * 0.01))
+            .alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority")
+        obig = part if obig is None else obig.unionByName(part)
+    obig.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    print(f"orders: {n_or * n_copies} rows")
 
     qs = registry.queries()
     for name in OPS:
