@@ -662,3 +662,95 @@ def session_type_affinity(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("n_both").cast("double") * F.col("n_sessions")
          / (F.col("n_a").cast("double") * F.col("n_b")))
         .alias("lift"))
+
+
+def peak_concurrent_sessions(t: dict[str, DataFrame]) -> DataFrame:
+    """Max CONCURRENT sessions per day — the capacity-planning number
+    (licenses, connection pools) — via the classic sweep line: +1 at
+    each session start, −1 just after its end, running sum, max.
+
+    Sessions that span midnight contribute a carry-in to the next
+    day: carried = sessions with start before the day that are still
+    open at day start, ONE broadcast-joinable day-keyed aggregate —
+    so the per-day sweep is exact without a cross-day global order.
+    Intervals are inclusive: the −1 sits at end+1 µs and, on an exact
+    tie, applies BEFORE a +1 at the same microsecond (a session
+    starting at another's end+1 is not concurrent with it) — the
+    (us asc, delta asc) sort key, identical in the oracle. The in-day window partitions on the calendar day;
+    at extreme per-day volumes the same fence decomposition as
+    `_rank_buckets` applies (documented, not needed at gate scale)."""
+    sess = (sessionize_events(t)
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us")))
+    day_of = lambda c: F.expr(f"CAST({c} DIV 86400000000 AS BIGINT)")
+    bounds = sess.select(
+        day_of("start_us").alias("sd"), "start_us",
+        day_of("end_us").alias("ed"), "end_us")
+    starts = bounds.select(F.col("sd").alias("day"),
+                           F.col("start_us").alias("us"),
+                           F.lit(1).alias("delta"))
+    ends = bounds.select(F.col("ed").alias("day"),
+                        (F.col("end_us") + 1).alias("us"),
+                        F.lit(-1).alias("delta"))
+    # carry-in for day d: sessions that started on an earlier day and
+    # are still open at d's first microsecond; a session spanning k
+    # days contributes to each of those days' carry (explode over its
+    # day range — bounded by session duration / 1 day)
+    carry = (bounds.where(F.col("ed") > F.col("sd"))
+             .select(F.explode(F.sequence(F.col("sd") + 1,
+                                          F.col("ed"))).alias("day"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).alias("carry_in")))
+    ev = starts.unionByName(ends)
+    w = (Window.partitionBy("day")
+         .orderBy(F.asc("us"), F.asc("delta"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = ev.select("day", F.sum("delta").over(w).alias("c"))
+    peak = run.groupBy("day").agg(F.max("c").alias("peak_in_day"))
+    j = (peak.join(F.broadcast(carry), "day", "left")
+         .select("day",
+                 F.coalesce("carry_in", F.lit(0)).alias("carry_in"),
+                 "peak_in_day"))
+    return j.select(
+        F.date_format(F.date_add(F.lit("1970-01-01").cast("date"),
+                                 F.col("day").cast("int")),
+                      "yyyy-MM-dd").alias("day"),
+        "carry_in",
+        (F.col("peak_in_day") + F.col("carry_in"))
+        .alias("peak_concurrent"))
+
+
+def funnel_convert_time_quantiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Rank-exact p25/p50/p75/p90 of signup→purchase conversion time
+    (whole seconds) — the funnel-latency report where "median time to
+    convert" must be an order statistic, not a sketch.
+
+    Composes the signup→purchase funnel (per-user min aggregates, one
+    user shuffle) with the grouped prefix-sum ECDF selection
+    (`_grouped_rank_min` under a single pseudo-group — the machinery
+    keeps every in-bucket window bounded even for one group, which is
+    exactly the 100 TB case a single global sort would lose).
+    Conversion time is exact integer microseconds floored to whole
+    seconds before selection."""
+    from ..operators.analytics import _grouped_rank_min
+    conv = (funnel_signup_purchase(t)
+            .where(F.col("converted") == 1)
+            .select(F.expr("(first_purchase_after_us"
+                           " - first_signup_us) DIV 1000000")
+                    .alias("secs")))
+    pts = (conv.select(F.lit("all").alias("event_type"),
+                       F.col("secs").cast("double").alias("_k"))
+           .groupBy("event_type", "_k")
+           .agg(F.count(F.lit(1)).alias("c")))
+    qs = _grouped_rank_min(pts, {
+        "p25_s": "(n + 3) DIV 4",
+        "p50_s": "(n + 1) DIV 2",
+        "p75_s": "(3 * n + 3) DIV 4",
+        "p90_s": "(9 * n + 9) DIV 10"})
+    return qs.select(
+        F.col("n_rows").alias("n_converted"),
+        F.col("p25_s").cast("bigint").alias("p25_s"),
+        F.col("p50_s").cast("bigint").alias("p50_s"),
+        F.col("p75_s").cast("bigint").alias("p75_s"),
+        F.col("p90_s").cast("bigint").alias("p90_s"))

@@ -5463,3 +5463,76 @@ ORACLES.update({
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
     """,
 })
+
+
+ORACLES.update({
+    # sweep line with the identical (us asc, delta asc) tie rule and
+    # per-day carry-in of midnight-spanning sessions
+    "peak_concurrent_sessions": f"""
+        WITH {SESSIONIZE_CTE},
+        sp AS (
+          SELECT user_id, session_id,
+                 MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+          FROM sess GROUP BY 1, 2),
+        b AS (
+          SELECT start_us // 86400000000 AS sd, start_us,
+                 end_us // 86400000000 AS ed, end_us
+          FROM sp),
+        sweep AS (
+          SELECT sd AS day, start_us AS us, 1 AS delta FROM b
+          UNION ALL
+          SELECT ed, end_us + 1, -1 FROM b),
+        run AS (
+          SELECT day,
+                 SUM(delta) OVER (PARTITION BY day
+                                  ORDER BY us ASC, delta ASC
+                                  ROWS UNBOUNDED PRECEDING) AS c
+          FROM sweep),
+        peak AS (SELECT day, MAX(c) AS peak_in_day FROM run GROUP BY day),
+        carry AS (
+          SELECT unnest(range(sd + 1, ed + 1)) AS day
+          FROM b WHERE ed > sd),
+        cg AS (SELECT day, COUNT(*) AS carry_in FROM carry GROUP BY day)
+        SELECT strftime(DATE '1970-01-01' + CAST(p.day AS INT),
+                        '%Y-%m-%d') AS day,
+               CAST(COALESCE(cg.carry_in, 0) AS BIGINT) AS carry_in,
+               CAST(p.peak_in_day + COALESCE(cg.carry_in, 0) AS BIGINT)
+                 AS peak_concurrent
+        FROM peak p LEFT JOIN cg ON p.day = cg.day
+    """,
+    # rank-exact conversion-time order statistics over whole seconds
+    "funnel_convert_time_quantiles": """
+        WITH s AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup'
+                          THEN epoch_us(ts) END) AS first_signup_us
+          FROM events GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts))
+                   AS first_purchase_after_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > s.first_signup_us
+          GROUP BY e.user_id),
+        conv AS (
+          SELECT (p.first_purchase_after_us - s.first_signup_us)
+                   // 1000000 AS secs
+          FROM s JOIN p USING (user_id)
+          WHERE s.first_signup_us IS NOT NULL),
+        r AS (
+          SELECT secs,
+                 ROW_NUMBER() OVER (ORDER BY secs) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM conv)
+        SELECT MAX(n) AS n_converted,
+               CAST(MIN(CASE WHEN rn >= (n + 3) // 4 THEN secs END)
+                    AS BIGINT) AS p25_s,
+               CAST(MIN(CASE WHEN rn >= (n + 1) // 2 THEN secs END)
+                    AS BIGINT) AS p50_s,
+               CAST(MIN(CASE WHEN rn >= (3 * n + 3) // 4 THEN secs END)
+                    AS BIGINT) AS p75_s,
+               CAST(MIN(CASE WHEN rn >= (9 * n + 9) // 10 THEN secs END)
+                    AS BIGINT) AS p90_s
+        FROM r
+    """,
+})

@@ -802,3 +802,63 @@ def chi2_cells_finish(cells: DataFrame) -> DataFrame:
         n_exp.alias("n_exp"),
         ((F.col("n_obs").cast("double") - n_exp) ** 2 / n_exp)
         .alias("chi2_cell"))
+
+
+def stream_maintain_join_view(orders: DataFrame, orders_path: str,
+                              customer_path: str, view_path: str,
+                              checkpoint_dir: str):
+    """Streaming ingest + incremental JOIN-VIEW maintenance: each
+    micro-batch of orders (a) lands in the versioned fact
+    exactly-once (txn ledger absorbs replays) and (b) folds through
+    the delta-join algebra (plans.incremental.
+    incremental_join_view_update) so the denormalized orders⋈customer
+    view lags ingest by one micro-batch — the streaming face of
+    maintain-don't-recompute for JOINS, complementing
+    stream_maintain_rollup's aggregate case. Dimension-side SCD
+    updates land out of band (merge into the customer table); the
+    next micro-batch's update folds them in through the same code
+    path because it probes BOTH change feeds.
+
+    Idempotent in VALUE under replay: the fact append is a txn no-op
+    and affected rows recompute against current snapshots before a
+    keyed MERGE."""
+    import json
+    import os
+
+    from ..plans.incremental import (incremental_join_view_update,
+                                     init_join_view)
+    from ..sources.versioned import versions, write_versioned
+
+    # dimension-feed cursor: the customer version already folded into
+    # the view, in a marker next to the checkpoint. Losing it only
+    # re-folds history (the update is idempotent), never loses data.
+    marker = os.path.join(checkpoint_dir, "customer_cursor.json")
+
+    def _cursor() -> int:
+        try:
+            with open(marker) as f:
+                return json.load(f)["customer_version"]
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        existing = versions(orders_path)
+        base = existing[-1] if existing else None
+        write_versioned(batch, orders_path, mode="append",
+                        txn=f"join-view-{batch_id}")
+        cust_now = versions(customer_path)[-1]
+        if base is None or not versions(view_path):
+            init_join_view(spark, orders_path, customer_path, view_path)
+        else:
+            incremental_join_view_update(
+                spark, orders_path, customer_path, view_path,
+                since_orders=base, since_customer=_cursor())
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"customer_version": cust_now}, f)
+
+    return (orders.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

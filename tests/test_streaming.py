@@ -472,3 +472,48 @@ def test_chi2_cells_stream_matches_batch(spark):
                    .agg(F.count(F.lit(1)).alias("n_obs")))
     want = jobs.chi2_cells_finish(batch_cells).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_maintain_join_view_matches_batch(spark, tmp_path):
+    """Two micro-batches of orders, with an out-of-band customer SCD
+    update between them, must leave the view equal to the full
+    recompute against the final snapshots — the dimension delta folds
+    in through the customer cursor on the SECOND batch."""
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        _order_customer_view)
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        merge_upsert_versioned, read_versioned, write_versioned)
+
+    t = load_tables(spark, SF0001)
+    orders, customer = t["orders"], t["customer"]
+    cp = str(tmp_path / "customer")
+    write_versioned(customer, cp)
+    src = str(tmp_path / "src")
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = jobs.stream_maintain_join_view(
+        stream, str(tmp_path / "fact"), cp, str(tmp_path / "view"),
+        str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    # out-of-band SCD update + a second ingest file, then resume
+    flipped = (customer.where(F.col("c_custkey") % 7 == 0)
+               .withColumn("c_mktsegment", F.lit("FLIPPED")))
+    merge_upsert_versioned(spark, cp, flipped, ["c_custkey"])
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(orders.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = jobs.stream_maintain_join_view(
+        stream2, str(tmp_path / "fact"), cp, str(tmp_path / "view"),
+        str(tmp_path / "ck"))
+    q2.awaitTermination(180)
+
+    got = read_versioned(spark, str(tmp_path / "view")).toPandas()
+    want = _order_customer_view(
+        read_versioned(spark, str(tmp_path / "fact")),
+        read_versioned(spark, cp)).toPandas()
+    assert (got["c_mktsegment"] == "FLIPPED").any()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
