@@ -74,6 +74,9 @@ BNLJ_ALLOWED = {
     "daily_revenue_control_chart",  # broadcast moments singleton row
     "decayed_user_value",     # broadcast max-date anchor row
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
+    "funnel_convert_time_quantiles",  # single-pseudo-group fences:
+                                      # constant key folds to a
+                                      # broadcast-singleton join
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
 }
