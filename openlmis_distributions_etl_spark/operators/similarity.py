@@ -1497,3 +1497,30 @@ def label_centroid_silhouette(t: dict[str, DataFrame]) -> DataFrame:
     return g.select("label", "n",
                     (_fold_blocks() / F.col("n"))
                     .alias("mean_silhouette"))
+
+
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_probe_sweep(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Recall@k vs nprobe curve for the IVF index — the tuning table
+    that picks the probe budget (recall rises toward 1.0 as nprobe
+    approaches the full centroid count; at nprobe = K it IS brute
+    force, the built-in sanity anchor).
+
+    One row per probe budget; every side is a k-row frame so the
+    intersection joins are broadcast no-ops — the cost is the probed
+    scans, which is precisely what the curve is for."""
+    exact = knn_bruteforce(t, k).select("vec_id")
+    parts = []
+    for np_ in PROBE_SWEEP:
+        approx = knn_ivf(t, k, np_).select("vec_id")
+        parts.append(
+            exact.join(approx, "vec_id")
+            .agg(F.lit(np_).alias("nprobe"),
+                 F.count(F.lit(1)).cast("int").alias("n_hits"),
+                 (F.count(F.lit(1)) / k).alias("recall_at_k")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

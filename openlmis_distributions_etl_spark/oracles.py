@@ -5536,3 +5536,91 @@ ORACLES.update({
         FROM r
     """,
 })
+
+
+ORACLES.update({
+    # recall@10 per probe budget over the SAME seed-centroid IVF as
+    # knn_ivf's oracle; nprobe = 8 probes every cluster (= brute force)
+    "ivf_probe_sweep": f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings
+                   WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, label, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        exact AS (
+          SELECT vec_id FROM embeddings, q
+          WHERE vec_id <> 0
+          ORDER BY {_cos('embedding', 'q')} DESC, vec_id ASC
+          LIMIT 10),
+        p1 AS (
+          SELECT centroid_id FROM cent, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 1),
+        h1 AS (
+          SELECT a.vec_id
+          FROM assigned a JOIN p1 USING (centroid_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'q.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        r1 AS (
+          SELECT 1 AS nprobe, COUNT(*) AS n_hits
+          FROM h1 JOIN exact USING (vec_id)),
+        p2 AS (
+          SELECT centroid_id FROM cent, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 2),
+        h2 AS (
+          SELECT a.vec_id
+          FROM assigned a JOIN p2 USING (centroid_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'q.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        r2 AS (
+          SELECT 2 AS nprobe, COUNT(*) AS n_hits
+          FROM h2 JOIN exact USING (vec_id)),
+        p4 AS (
+          SELECT centroid_id FROM cent, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 4),
+        h4 AS (
+          SELECT a.vec_id
+          FROM assigned a JOIN p4 USING (centroid_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'q.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        r4 AS (
+          SELECT 4 AS nprobe, COUNT(*) AS n_hits
+          FROM h4 JOIN exact USING (vec_id)),
+        p8 AS (
+          SELECT centroid_id FROM cent, q
+          ORDER BY {_cos('cvec', 'q')} DESC, centroid_id ASC
+          LIMIT 8),
+        h8 AS (
+          SELECT a.vec_id
+          FROM assigned a JOIN p8 USING (centroid_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_cos('a.embedding', 'q.q')} DESC, a.vec_id ASC
+          LIMIT 10),
+        r8 AS (
+          SELECT 8 AS nprobe, COUNT(*) AS n_hits
+          FROM h8 JOIN exact USING (vec_id)),
+        u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+        SELECT CAST(nprobe AS INT) AS nprobe,
+               CAST(n_hits AS INT) AS n_hits,
+               n_hits / 10 AS recall_at_k
+        FROM u
+    """,
+})

@@ -8,6 +8,7 @@ bad rows instead of failing the whole 100 TB job.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StringType, StructType
 
 
@@ -128,3 +129,32 @@ def read_evolved(spark: SparkSession, paths: str | list[str],
 
     parts = [align(spark.read.parquet(p), p) for p in paths]
     return reduce(DataFrame.unionByName, parts)
+
+
+def split_malformed(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantined): rows whose
+    `_corrupt_record` is set failed the schema and carry the raw line
+    for forensics; clean rows drop the audit column. Both branches
+    are filters over the same scan — no extra read."""
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    clean = (df.where(F.col("_corrupt_record").isNull())
+             .drop("_corrupt_record"))
+    return clean, bad
+
+
+def ingest_csv_with_quarantine(spark: SparkSession, path: str,
+                               schema: StructType,
+                               quarantine_path: str,
+                               header: bool = True,
+                               delimiter: str = ",") -> DataFrame:
+    """Production CSV ingestion: PERMISSIVE parse, malformed rows
+    written to a quarantine parquet (raw line + nulled columns, so
+    the bad input is never silently dropped OR silently poured into
+    the table), clean rows returned for the pipeline. The quarantine
+    write is the only action here; the clean frame stays lazy for
+    the caller's plan."""
+    raw = read_csv(spark, path, schema, header=header,
+                   delimiter=delimiter)
+    clean, bad = split_malformed(raw)
+    (bad.write.mode("append").parquet(quarantine_path))
+    return clean

@@ -575,3 +575,35 @@ def test_versioned_bloom_point_lookup(spark, tmp_path):
     # absent key: usually prunes everything, never errors
     assert read_versioned_point(spark, tbl, "event_id", 10**9) \
         .count() == 0
+
+
+def test_csv_quarantine_ingest(spark, tmp_path):
+    """Malformed CSV rows land in the quarantine parquet with their
+    raw line; clean rows come back typed with the audit column
+    dropped — nothing silently lost or silently poured in."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from openlmis_distributions_etl_spark.sources.files import (
+        ingest_csv_with_quarantine)
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,name,qty\n"
+        "1,ok,10\n"
+        "2,bad,notanumber\n"
+        "3,ok,30\n"
+        "4,alsobad,12,EXTRA\n")
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("qty", IntegerType())])
+    qdir = str(tmp_path / "quarantine")
+    clean = ingest_csv_with_quarantine(
+        spark, str(src), schema, qdir)
+    got = sorted(r["id"] for r in clean.collect())
+    assert got == [1, 3]
+    assert "_corrupt_record" not in clean.columns
+    bad = spark.read.parquet(qdir)
+    lines = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert lines == ["2,bad,notanumber", "4,alsobad,12,EXTRA"]
