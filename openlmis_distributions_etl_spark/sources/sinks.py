@@ -132,3 +132,28 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
      .coalesce(n)
      .write.mode("overwrite").parquet(out_path))
     return n
+
+
+def write_bucketed_table(df: DataFrame, table: str, keys: list[str],
+                         n_buckets: int) -> None:
+    """Persist ``df`` as a BUCKETED parquet table (hash-bucketed and
+    sorted within buckets on ``keys``) — the co-located-join layout:
+    two tables bucketed the same way join with ZERO exchange (and
+    zero sort), because every bucket pair is already partitioned and
+    ordered on the key. At 100 TB this is THE way to amortize the
+    shuffle of a recurring big-big join into the write path once,
+    instead of paying it per query; pick n_buckets ≈ table size /
+    target partition size. The plan-shape test pins the no-Exchange
+    claim."""
+    (df.write
+     .bucketBy(n_buckets, *keys)
+     .sortBy(*keys)
+     .mode("overwrite")
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a saved (possibly bucketed) table; bucket
+    metadata flows into the planner from the catalog entry."""
+    return spark.table(table)

@@ -607,3 +607,42 @@ def test_csv_quarantine_ingest(spark, tmp_path):
     bad = spark.read.parquet(qdir)
     lines = sorted(r["_corrupt_record"] for r in bad.collect())
     assert lines == ["2,bad,notanumber", "4,alsobad,12,EXTRA"]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed the same way must hash-join (sort-merge)
+    with ZERO Exchange and zero extra Sort on the probe side — the
+    co-located-join layout the bucketed writer exists for."""
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.sinks import (
+        read_table, write_bucketed_table)
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    write_bucketed_table(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bkt_orders", ["o_custkey"], 8)
+    write_bucketed_table(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "bkt_customer", ["c_custkey"], 8)
+    try:
+        o = read_table(spark, "bkt_orders")
+        c = read_table(spark, "bkt_customer")
+        with_smj = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k) for k in with_smj}
+        for k, v in with_smj.items():
+            spark.conf.set(k, v)
+        try:
+            j = o.join(c, o["o_custkey"] == c["c_custkey"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == t["orders"].count()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
