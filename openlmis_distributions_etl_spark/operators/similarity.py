@@ -1524,3 +1524,104 @@ def ivf_probe_sweep(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _best_sub_d2(m: int) -> Column:
+    """Min over the PQ_K codes of subspace ``m``'s squared distance —
+    the per-subspace reconstruction error of the ARGMIN encoding
+    (same fold as `_pq_code_array`, keeping the distance instead of
+    the code)."""
+    scored = F.transform(
+        F.slice(F.col("book"), m * PQ_K + 1, PQ_K),
+        lambda c: _sub_d2(F.col("embedding"), m, c["cv"]))
+    return F.aggregate(scored, F.lit(float("inf")),
+                       lambda acc, d: F.least(acc, d))
+
+
+def opq_rotation_mse(t: dict[str, DataFrame]) -> DataFrame:
+    """OPQ-style rotation ahead of product quantization (Ge et al.,
+    CVPR'13, the eigen-allocation variant): rotate every embedding
+    into the PCA eigenbasis (decorrelated axes), PQ-encode the
+    rotated vectors, and report mean reconstruction error against
+    plain PQ on raw vectors — the measurement that justifies shipping
+    a rotation matrix with the index.
+
+    The rotation comes from numpy `eigh` on the EXACT integer-
+    quantized covariance (identical input on every run/partitioning;
+    d×d, driver-side microseconds) with the sign-pinned eigenvector
+    convention of `pca_project8`, and ships as ~4k baked literals in
+    ONE generated SQL expression (a Column-API build of 64 dot folds
+    costs seconds of py4j round-trips). Everything per-vector is
+    in-row (rotation matvec, two argmin encodes); the corpus means
+    use the order-canonical block fold. Registered rows-only
+    (eigendecomposition is not SQL-expressible); semantics pinned by
+    a pure-numpy reference test."""
+    import numpy as np
+
+    from .analytics_bridge import covariance_matrix
+    cov, means = covariance_matrix(t)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    comps, eig = [], []
+    for idx in order:
+        vec = v[:, idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append(vec)
+        eig.append(max(float(w[idx]), 1e-12))
+    d = len(means)
+    # eigen-allocation (the OPQ non-parametric variant): deal the
+    # eigen-directions, largest variance first, to the subspace with
+    # the smallest current log-variance product (and free capacity) —
+    # balanced subspace information instead of variance piling into
+    # subspace 0 where a PQ_K-entry codebook saturates
+    import math
+    buckets: list[list[int]] = [[] for _ in range(PQ_M)]
+    load = [0.0] * PQ_M
+    # addends shift to ≥ 0 (log λ − log λmin): every bucket ends with
+    # exactly PQ_SUBDIM dims, so the constant shift cancels and the
+    # min-load greedy balances Σ log λ (negative raw logs would
+    # invert the greedy into a runaway)
+    base_log = math.log(eig[-1])
+    for i in range(d):
+        cands = [b for b in range(PQ_M) if len(buckets[b]) < PQ_SUBDIM]
+        b = min(cands, key=lambda j: (load[j], j))
+        buckets[b].append(i)
+        load[b] += math.log(eig[i]) - base_log
+    perm = [i for b in buckets for i in b]
+    comps = [comps[i] for i in perm]
+
+    def arr_sql(xs) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+    centered_sql = (f"zip_with(transform(embedding, x -> CAST(x AS "
+                    f"DOUBLE)), {arr_sql(means)}, (x, m) -> x - m)")
+    rot_sql = "array(" + ",".join(
+        f"aggregate(zip_with(c, {arr_sql(comps[k])}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)" for k in range(d)) + ")"
+    base = pin(t["embeddings"].select("vec_id", "embedding"),
+               c=F.expr(centered_sql))
+    rotated = base.select("vec_id", F.expr(rot_sql).alias("embedding"))
+
+    def mean_recon_d2(vecs: DataFrame, label: str) -> DataFrame:
+        book = _pq_codebook({"embeddings": vecs})
+        per_vec = (vecs.crossJoin(broadcast(book))
+                   .select("vec_id",
+                           sum((_best_sub_d2(m) for m in range(PQ_M)),
+                               F.lit(0.0)).alias("x")))
+        lvl1 = _block_sums(per_vec.select(
+            F.lit("all").alias("grp"), "vec_id", "x"), ["grp"])
+        g = (lvl1.groupBy("grp")
+             .agg(F.array_sort(F.collect_list(F.struct("blk", "bsum")))
+                  .alias("bs"),
+                  F.sum("nb").alias("n")))
+        return g.select(F.col("n").alias("n_vectors"),
+                        (_fold_blocks() / F.col("n")).alias(label))
+    raw = mean_recon_d2(t["embeddings"]
+                        .select("vec_id", "embedding"), "mse_raw")
+    rot = mean_recon_d2(rotated, "mse_rotated")
+    return (raw.join(rot, "n_vectors")
+            .select("n_vectors", "mse_raw", "mse_rotated",
+                    (F.col("mse_raw") / F.col("mse_rotated"))
+                    .alias("gain")))

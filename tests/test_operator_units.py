@@ -1256,3 +1256,65 @@ def test_pca_project8_matches_numpy_reference(spark):
     # variance decreases along components
     var = got_m.var(axis=0)
     assert all(a >= b - 1e-12 for a, b in zip(var, var[1:]))
+
+
+def test_opq_rotation_mse_matches_numpy_reference(spark):
+    """The rows-only OPQ entry's semantic pin: a pure-numpy replay of
+    the eigen-allocation rotation + first-16-codebook PQ must
+    reproduce both MSEs to ~1e-6, and the rotated path must beat raw
+    PQ on this corpus (the reason the operator exists)."""
+    import math
+
+    import numpy as np
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        COV_QUANT)
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        PQ_K, PQ_M, PQ_SUBDIM, opq_rotation_mse)
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    t = load_tables(spark, SF0001)
+    row = opq_rotation_mse(t).collect()[0]
+
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in t["embeddings"].select("vec_id", "embedding")
+           .collect()}
+    ids = sorted(raw)
+    X = np.stack([raw[i] for i in ids])
+    Q = np.floor(X * COV_QUANT + 0.5) / COV_QUANT
+    mu = Q.mean(axis=0)
+    C = (Q - mu).T @ (Q - mu) / len(Q)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    comps, eig = [], []
+    for idx in order:
+        vec = v[:, idx]
+        piv = int(np.argmax(np.abs(vec)))
+        comps.append(-vec if vec[piv] < 0 else vec)
+        eig.append(max(float(w[idx]), 1e-12))
+    buckets = [[] for _ in range(PQ_M)]
+    load = [0.0] * PQ_M
+    base_log = math.log(eig[-1])
+    for i in range(len(comps)):
+        cands = [b for b in range(PQ_M) if len(buckets[b]) < PQ_SUBDIM]
+        b = min(cands, key=lambda j: (load[j], j))
+        buckets[b].append(i)
+        load[b] += math.log(eig[i]) - base_log
+    perm = [i for b in buckets for i in b]
+    R = np.stack([comps[i] for i in perm], axis=1)
+
+    def mean_pq_mse(V: np.ndarray) -> float:
+        book = V[:PQ_K]
+        tot = 0.0
+        for m in range(PQ_M):
+            sub = V[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            cb = book[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot / len(V)
+
+    want_raw = mean_pq_mse(X)
+    want_rot = mean_pq_mse((X - mu) @ R)
+    assert abs(row["mse_raw"] - want_raw) < 1e-6
+    assert abs(row["mse_rotated"] - want_rot) < 1e-5
+    assert row["mse_rotated"] < row["mse_raw"]
