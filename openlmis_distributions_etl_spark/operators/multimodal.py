@@ -236,3 +236,27 @@ def multimodal_byte_stats_arrow(t: dict[str, DataFrame]) -> DataFrame:
     payloads = spread(t["documents"]).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInArrow(gen, schema=ARROW_STATS_SCHEMA)
+
+
+def multimodal_content_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact content-hash dedup over the BINARY payload lane: sha256
+    the raw bytes (never decode), keep the smallest doc_id per digest
+    as canonical, report every group with its size — the first pass
+    any image/audio corpus runs, where byte-identical re-uploads
+    dwarf perceptual dups.
+
+    JVM-side end to end (sha2 over binary is codegen'd — the Arrow
+    lane is NOT needed for hashing); one digest-keyed shuffle, group
+    stats and the canonical pick ride the same aggregate."""
+    payloads = spread(t["documents"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    g = (payloads
+         .select("doc_id", F.sha2("payload", 256).alias("sha256"),
+                 F.length("payload").alias("nbytes"))
+         .groupBy("sha256")
+         .agg(F.min("doc_id").alias("canonical_doc_id"),
+              F.count(F.lit(1)).alias("n_copies"),
+              F.max("nbytes").alias("payload_bytes")))
+    return g.select("sha256", "canonical_doc_id", "n_copies",
+                    "payload_bytes",
+                    (F.col("n_copies") > 1).cast("int").alias("is_dup"))

@@ -5624,3 +5624,20 @@ ORACLES.update({
         FROM u
     """,
 })
+
+
+ORACLES.update({
+    # sha256 over the raw payload bytes in both engines
+    "multimodal_content_dedup": """
+        -- DuckDB sha256 takes VARCHAR and hashes its UTF-8 bytes =
+        -- Spark's sha2(encode(text,'UTF-8'), 256)
+        SELECT sha256(text) AS sha256,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_copies,
+               CAST(MAX(octet_length(encode(text))) AS INT)
+                 AS payload_bytes,
+               CAST(COUNT(*) > 1 AS INT) AS is_dup
+        FROM documents
+        GROUP BY 1
+    """,
+})
