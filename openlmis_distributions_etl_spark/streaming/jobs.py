@@ -862,3 +862,40 @@ def stream_maintain_join_view(orders: DataFrame, orders_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def bounce_sessions_stream(events: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming half of the daily bounce-rate dashboard: per-session
+    event counts from the NATIVE session_window state machine
+    (watermark-evicted), emitted as (user_id, start_us, n_events).
+    A streaming agg can't nest the daily rollup — `bounce_rate_finish`
+    runs on the sink output (the chi2_cells contract); batch-equal
+    test pins it against operators.windows.session_bounce_rate, whose
+    gap sessionizer defines identical session boundaries."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("start_us"),
+                    "n_events"))
+
+
+def bounce_rate_finish(sessions: DataFrame) -> DataFrame:
+    """Daily rollup of streamed per-session counts — the identical
+    day key and rate expressions as the batch session_bounce_rate."""
+    day = F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"),
+                   F.expr("CAST(start_us DIV 86400000000 AS INT)")),
+        "yyyy-MM-dd")
+    g = (sessions
+         .select(day.alias("day"),
+                 (F.col("n_events") == 1).cast("long").alias("is_bounce"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n_sessions"),
+              F.sum("is_bounce").alias("n_bounces")))
+    return g.select(
+        "day", "n_sessions", "n_bounces",
+        (F.col("n_bounces").cast("double") / F.col("n_sessions"))
+        .alias("bounce_rate"))

@@ -517,3 +517,17 @@ def test_stream_maintain_join_view_matches_batch(spark, tmp_path):
         read_versioned(spark, cp)).toPandas()
     assert (got["c_mktsegment"] == "FLIPPED").any()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_bounce_stream_matches_batch(spark):
+    """Streamed per-session counts, rolled up with bounce_rate_finish,
+    must equal the batch session_bounce_rate (gap sessionizer and
+    native session_window define the same 30-minute sessions)."""
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    _run_available_now(jobs.bounce_sessions_stream(stream),
+                       "bounce_sessions", spark, "complete")
+    got = jobs.bounce_rate_finish(
+        spark.table("bounce_sessions")).toPandas()
+    want = windows.session_bounce_rate(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
