@@ -448,3 +448,43 @@ def test_bpe_train_matches_python_reference(spark, words_list):
     finally:
         T.BPE_MERGES = old
     assert got == ref, (words_list, got, ref)
+
+
+mad_values = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.sampled_from([0.0, 1.0, 1.0, 2.5, 100.0, -3.75])),
+    min_size=1, max_size=30)
+
+
+@PROP
+@given(mad_values)
+def test_grouped_mad_matches_pure_python(spark, rows):
+    """event_value_mad_outliers against a pure-python lower-median/
+    MAD replay — ties, singleton groups, constant groups, negatives."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    data = [(i, BASE, hash((g, i)) % 7, g, v, "{}")
+            for i, (g, v) in enumerate(rows)]
+    t = {"events": spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")}
+    got = {r["event_type"]: r
+           for r in analytics.event_value_mad_outliers(t).collect()}
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        med = lower_median(xs)
+        resid = [abs(x - med) for x in xs]
+        mad = lower_median(resid)
+        n_out = sum(1 for r in resid if r > 4.4478 * mad)
+        r = got[g]
+        assert r["n"] == len(xs)
+        assert r["median"] == med
+        assert r["mad"] == mad
+        assert r["n_outliers"] == n_out
