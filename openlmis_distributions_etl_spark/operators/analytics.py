@@ -1952,8 +1952,11 @@ def value_qq_table(t: dict[str, DataFrame]) -> DataFrame:
                         F.col("value").cast("double").alias("v")))
     pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
            .agg(F.count(F.lit(1)).alias("c")))
-    qs = _grouped_rank_min(
-        pts, {f"q{k}": f"({k} * n + 19) DIV 20" for k in QQ_GRID})
+    # retained: the ≤|types|-row quantile frame feeds both the click
+    # and purchase branches — uncached, the whole grouped-ECDF
+    # pipeline runs twice
+    qs = retain(_grouped_rank_min(
+        pts, {f"q{k}": f"({k} * n + 19) DIV 20" for k in QQ_GRID}))
     long = qs.select(
         "event_type",
         F.explode(F.array(*[

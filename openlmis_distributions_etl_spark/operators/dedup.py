@@ -1383,6 +1383,9 @@ def dup_graph_clustering_coef(t: dict[str, DataFrame]) -> DataFrame:
     edges = retain(minhash_lsh_pairs(t)
                    .selectExpr("doc_a AS a", "doc_b AS b"))
     sym, deg = _dup_sym_degrees(edges)
+    # retained: the degree frame feeds both wedge orientation sides
+    # AND the coefficient base — uncached, the sym aggregate reruns
+    deg = retain(deg)
     tri = _per_node_triangles(edges, sym, deg)
     base = (deg.where(F.col("deg") >= 2)
             .selectExpr("node AS doc_id", "deg AS degree"))

@@ -1512,9 +1512,33 @@ def ivf_probe_sweep(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     intersection joins are broadcast no-ops — the cost is the probed
     scans, which is precisely what the curve is for."""
     exact = knn_bruteforce(t, k).select("vec_id")
+    # assignment and query-to-centroid ranks compute ONCE; each probe
+    # budget is then a prefix of the same ranked centroid list —
+    # uncached, the full argmax-assignment scan reruns per budget
+    q = _query_vector(t)
+    ranked = (_centroids(t).crossJoin(broadcast(q))
+              .select("centroid_id",
+                      cosine(F.col("cvec"), F.col("q")).alias("qc"))
+              .orderBy(F.desc("qc"), F.asc("centroid_id"))
+              .limit(max(PROBE_SWEEP))
+              .select("centroid_id",
+                      F.row_number().over(
+                          Window.orderBy(F.desc("qc"),
+                                         F.asc("centroid_id")))
+                      .alias("rank")))
+    assigned = retain(ivf_assign(t))
     parts = []
     for np_ in PROBE_SWEEP:
-        approx = knn_ivf(t, k, np_).select("vec_id")
+        probe = ranked.where(F.col("rank") <= np_).select("centroid_id")
+        approx = (assigned.join(broadcast(probe), "centroid_id")
+                  .crossJoin(broadcast(q))
+                  .where(F.col("vec_id") != QUERY_VEC_ID)
+                  .select("vec_id",
+                          cosine(F.col("embedding"), F.col("q"))
+                          .alias("cos_sim"))
+                  .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                  .limit(k)
+                  .select("vec_id"))
         parts.append(
             exact.join(approx, "vec_id")
             .agg(F.lit(np_).alias("nprobe"),

@@ -631,12 +631,16 @@ def session_type_affinity(t: dict[str, DataFrame]) -> DataFrame:
     integers; support and lift are single double chains written
     identically in the oracle, with the session total folded in as a
     broadcast singleton (pinned BNLJ)."""
+    from ..functions.cache import retain
     sess = sessionize_events(t)
-    basket = (sess
-              .join(t["events"].select("event_id", "event_type"),
-                    "event_id")
-              .select("user_id", "session_id", "event_type")
-              .distinct())
+    # retained: the basket feeds the session total, both per-type
+    # counts, and BOTH sides of the pair self-join — uncached, the
+    # sessionize + distinct pipeline runs four times
+    basket = retain(sess
+                    .join(t["events"].select("event_id", "event_type"),
+                          "event_id")
+                    .select("user_id", "session_id", "event_type")
+                    .distinct())
     tot = basket.select("user_id", "session_id").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions"))
     na = (basket.groupBy("event_type")

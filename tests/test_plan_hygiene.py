@@ -74,6 +74,8 @@ BNLJ_ALLOWED = {
     "daily_revenue_control_chart",  # broadcast moments singleton row
     "decayed_user_value",     # broadcast max-date anchor row
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
+    "ivf_probe_sweep",        # broadcast query-vector + probe-prefix rows
+    "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
     "funnel_convert_time_quantiles",  # single-pseudo-group fences:
                                       # constant key folds to a
                                       # broadcast-singleton join
