@@ -1972,3 +1972,51 @@ def value_qq_table(t: dict[str, DataFrame]) -> DataFrame:
             .select("pct", "q_click", "q_purchase",
                     (F.col("q_purchase") - F.col("q_click"))
                     .alias("gap")))
+
+
+def revenue_changepoint(t: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM changepoint scan over daily order revenue: the day T
+    maximizing |Σ_{i≤T}(x_i − μ)| — the classic "when did the level
+    shift" detector behind demand-shock and ingest-gap triage.
+
+    Integer-exact argmax: the centered cumulative sum scales by n
+    (C_T = n·Σ_{i≤T}x_i − T·Σx, DECIMAL(38,0)) so μ never becomes a
+    float; the winner is a lexicographic struct-max (|C| desc,
+    earliest day on ties) decided entirely in exact arithmetic, and
+    only the reported statistic converts to double (<2^53 at gate
+    scales — exact; the 1e-9 defense applies beyond). The daily frame
+    is calendar-bounded, so its ordered window is scale-free; one
+    aggregate ends the plan."""
+    from ..functions.cache import retain
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = retain(t["orders"]
+                   .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+                   .agg(F.sum(cents).alias("rev")))
+    d38 = "decimal(38,0)"
+    tot = daily.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("rev").cast(d38)).alias("s1"))
+    w = (Window.orderBy(F.asc("d"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (daily
+           .select("d",
+                   F.sum(F.col("rev").cast(d38)).over(w).alias("cs"),
+                   F.row_number().over(Window.orderBy(F.asc("d")))
+                   .alias("t"))
+           .crossJoin(F.broadcast(tot))
+           .select("d", "n",
+                   (F.col("n").cast(d38) * F.col("cs")
+                    - F.col("t").cast(d38) * F.col("s1")).cast(d38)
+                   .alias("c")))
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    best = cum.agg(
+        F.max("n").alias("n_days"),
+        F.max(F.struct(F.abs(F.col("c")).alias("a"),
+                       (-epoch_day).alias("negday"),
+                       F.col("c").alias("c"))).alias("b"))
+    return best.select(
+        F.date_format(F.date_add(F.lit("1970-01-01").cast("date"),
+                                 (-F.col("b.negday")).cast("int")),
+                      "yyyy-MM-dd").alias("changepoint_day"),
+        "n_days",
+        (F.col("b.c").cast("double")
+         / F.col("n_days") / 100.0).alias("cusum_dollars"))

@@ -5641,3 +5641,38 @@ ORACLES.update({
         GROUP BY 1
     """,
 })
+
+
+ORACLES.update({
+    # integer-exact CUSUM argmax (|C| desc, earliest day), the same
+    # n-scaled DECIMAL(38,0) arithmetic as the Spark plan
+    "revenue_changepoint": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1
+          FROM daily),
+        cum AS (
+          SELECT d,
+                 SUM(CAST(rev AS DECIMAL(38,0)))
+                   OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cs,
+                 ROW_NUMBER() OVER (ORDER BY d) AS t
+          FROM daily),
+        c AS (
+          SELECT cum.d, tot.n,
+                 CAST(CAST(tot.n AS DECIMAL(38,0)) * cum.cs
+                      - CAST(cum.t AS DECIMAL(38,0)) * tot.s1
+                      AS DECIMAL(38,0)) AS c
+          FROM cum, tot)
+        SELECT strftime(d, '%Y-%m-%d') AS changepoint_day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(c AS DOUBLE) / n / 100.0 AS cusum_dollars
+        FROM c
+        ORDER BY abs(c) DESC, d ASC
+        LIMIT 1
+    """,
+})
