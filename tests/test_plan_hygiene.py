@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "q11_important_parts",
     "q22_dormant_high_balance",
     "range_join_value_buckets",
+    "revenue_changepoint",    # broadcast (n, Σx) totals singleton row
     "rfm_segments",
     "session_type_affinity",  # broadcast session-total singleton row
     "set_ops_customers",
