@@ -39,3 +39,27 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
          .parquet(out_dir))
     return {"n_shards": n_shards,
             "n_docs": spark.read.parquet(out_dir).count()}
+
+
+def export_jsonl_shards(spark: SparkSession, sf_dir: str, out_dir: str,
+                        n_shards: int = 8,
+                        max_records_per_file: int = 0) -> dict:
+    """JSONL flavor of the training export — the interchange format
+    most LLM data loaders and labeling tools actually consume: the
+    same deterministic shuffle order, one gzip-free JSON object per
+    line, shard directories streamable in sequence. Optional
+    ``max_records_per_file`` caps rows per file inside a shard via
+    Spark's writer option (size-targeted files without a second
+    pass). Returns {"n_shards", "n_docs"}."""
+    t = load_tables(spark, sf_dir, "documents")
+    order = deterministic_shuffle(t, n_shards=n_shards)
+    docs = t["documents"].select("doc_id", "text", "lang", "source")
+    laid = (order.join(docs, "doc_id")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "pos"))
+    writer = laid.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(out_dir)
+    n_docs = spark.read.json(f"{out_dir}").count()
+    return {"n_shards": n_shards, "n_docs": n_docs}

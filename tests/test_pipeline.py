@@ -200,3 +200,34 @@ def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
         spark, op, cp, vp, versions(op)[-1], versions(cp)[-1]) \
         == v_before
     assert versions(vp)[-1] == v_before
+
+
+def test_export_jsonl_shards(spark, tmp_path):
+    """JSONL export: every doc appears exactly once, shard dirs are
+    dense, lines are valid JSON carrying the payload columns, and
+    maxRecordsPerFile caps file sizes."""
+    import json
+    from pathlib import Path
+
+    from openlmis_distributions_etl_spark.plans.shards import (
+        export_jsonl_shards)
+
+    out = str(tmp_path / "jsonl")
+    res = export_jsonl_shards(spark, "/root/testdata/sf0.001", out,
+                              n_shards=4, max_records_per_file=20)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert res == {"n_shards": 4, "n_docs": n_docs}
+    shard_dirs = sorted(Path(out).glob("shard=*"))
+    assert [d.name for d in shard_dirs] == [f"shard={k}" for k in range(4)]
+    seen = set()
+    for d in shard_dirs:
+        for f in d.glob("part-*.json"):
+            lines = f.read_text().splitlines()
+            assert len(lines) <= 20
+            for line in lines:
+                row = json.loads(line)
+                assert {"doc_id", "text", "lang",
+                        "source", "pos"} <= set(row)
+                seen.add(row["doc_id"])
+    assert len(seen) == n_docs
