@@ -309,7 +309,15 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
                  "1, 15), 16, 10) AS BIGINT))")
     d = pin(spread(t["documents"]).select("doc_id", "text"),
             masks=F.expr(masks_sql))
+    return _simhash_from_masks(d, "simhash", "simhash64")
 
+
+def _simhash_from_masks(d: DataFrame, out_col: str,
+                        guard_name: str) -> DataFrame:
+    """Shared 60-bit sign-sum machinery over a pinned ``masks``
+    (array<bigint> of 60-bit md5 masks) column: 15 lane-packed HOF
+    folds, per-bit majority, overflow guard — see simhash64 for the
+    derivation. Returns (doc_id, <out_col>)."""
     def mask_bit(j: int) -> str:
         shift = 4 * (14 - j // 4) + (3 - j % 4)
         return f"(shiftright(m, {shift}) & 1)"
@@ -339,11 +347,11 @@ def simhash64(t: dict[str, DataFrame]) -> DataFrame:
             terms.append(f"IF(2 * {cnt} > n, "
                          f"CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))")
     simhash = " + ".join(terms)
-    guard_msg = (f"simhash64: document exceeds {MAX_DOC_TOKENS - 1} "
+    guard_msg = (f"{guard_name}: document exceeds {MAX_DOC_TOKENS - 1} "
                  "tokens; lane counters would overflow — raise "
                  "LANE_BITS")
     guarded = (f"CASE WHEN n < {MAX_DOC_TOKENS} THEN ({simhash}) "
-               f"ELSE raise_error('{guard_msg}') END AS simhash")
+               f"ELSE raise_error('{guard_msg}') END AS {out_col}")
     return summed.selectExpr("doc_id", guarded)
 
 

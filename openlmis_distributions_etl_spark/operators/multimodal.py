@@ -260,3 +260,34 @@ def multimodal_content_dedup(t: dict[str, DataFrame]) -> DataFrame:
     return g.select("sha256", "canonical_doc_id", "n_copies",
                     "payload_bytes",
                     (F.col("n_copies") > 1).cast("int").alias("is_dup"))
+
+
+def payload_simhash(t: dict[str, DataFrame]) -> DataFrame:
+    """Byte-level 60-bit SimHash over the BINARY payload lane: hash
+    every overlapping 4-byte shingle (via the hex rendering — one
+    byte = two hex chars, never decoded), majority-vote the bits —
+    the cheap near-dup tier for blobs where exact sha256 misses
+    files that differ by a few metadata bytes.
+
+    Reuses the zero-shuffle lane-fold machinery of the text simhash
+    (dedup._simhash_from_masks): the shingle masks stay as an in-row
+    array, 15 packed HOF folds, overflow-guarded — one
+    embarrassingly-parallel map over payloads, no Arrow lane (hex/md5
+    are codegen'd)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import pin, spread
+    from .dedup import _simhash_from_masks
+    # sequence() errors on stop < start with a positive step, so the
+    # short-payload (<4 bytes) case returns a typed empty array; the
+    # shared machinery then drops those docs like the oracle's range
+    masks_sql = (
+        "IF(length(hex(payload)) >= 8, "
+        "transform(sequence(1, length(hex(payload)) - 7, 2), "
+        "i -> CAST(conv(substring(md5(substring(hex(payload), i, 8)), "
+        "1, 15), 16, 10) AS BIGINT)), "
+        "CAST(array() AS ARRAY<BIGINT>))")
+    payloads = spread(t["documents"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = pin(payloads, masks=F.expr(masks_sql))
+    return _simhash_from_masks(d, "payload_simhash", "payload_simhash")

@@ -5676,3 +5676,34 @@ ORACLES.update({
         LIMIT 1
     """,
 })
+
+
+ORACLES.update({
+    # byte 4-gram (8 hex chars, step 2) simhash over the payload hex
+    # rendering; same md5-nibble bit mapping as simhash64
+    "payload_simhash": """
+        WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        tok AS (
+          SELECT doc_id, substr(h, CAST(i AS INT), 8) AS tok
+          FROM d, unnest(range(1, len(h) - 7 + 1, 2)) AS u(i)),
+        tc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        th AS (SELECT doc_id, md5(tok) AS mh, cnt FROM tc),
+        bits AS (
+          SELECT doc_id, j,
+                 ((strpos('0123456789abcdef',
+                          substr(mh, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   >> CAST(3 - (j % 4) AS INT)) & 1 AS bit,
+                 cnt
+          FROM th, (SELECT unnest(range(60)) AS j)),
+        agg AS (
+          SELECT doc_id, j, SUM((2 * bit - 1) * cnt) AS s
+          FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                             ELSE 0 END) AS BIGINT) AS payload_simhash
+        FROM agg GROUP BY doc_id
+    """,
+})
