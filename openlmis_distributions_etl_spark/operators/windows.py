@@ -758,3 +758,38 @@ def funnel_convert_time_quantiles(t: dict[str, DataFrame]) -> DataFrame:
         F.col("p50_s").cast("bigint").alias("p50_s"),
         F.col("p75_s").cast("bigint").alias("p75_s"),
         F.col("p90_s").cast("bigint").alias("p90_s"))
+
+
+ENTROPY_GRID_UB = 1_000_000   # micro-nat quantization (text.py pattern)
+
+
+def user_behavior_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the
+    behavioral-diversity feature (0 = single-action bots, high =
+    broad engagement) churn and abuse models consume.
+
+    One (user, type) count shuffle; per-user totals ride a window
+    over the bounded type space. Each c·ln(n/c) term quantizes to
+    integer micro-nats BEFORE summing (the doc_token_entropy
+    pattern), so the per-user sum is order-independent integer
+    arithmetic and H = units/1e6/n is one deterministic double."""
+    c = (t["events"]
+         .groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("c")))
+    wu = Window.partitionBy("user_id")
+    withn = c.select(
+        "user_id", "c",
+        F.sum("c").over(wu).alias("n"),
+        F.count(F.lit(1)).over(wu).alias("n_types"))
+    units = F.floor(F.col("c")
+                    * F.log(F.col("n") / F.col("c").cast("double"))
+                    * ENTROPY_GRID_UB + F.lit(0.5)).cast("long")
+    g = (withn.select("user_id", "n", "n_types", units.alias("u"))
+         .groupBy("user_id")
+         .agg(F.max("n").alias("n_events"),
+              F.max("n_types").alias("n_types"),
+              F.sum("u").alias("units")))
+    return g.select(
+        "user_id", "n_events", "n_types",
+        (F.col("units").cast("double") / ENTROPY_GRID_UB
+         / F.col("n_events")).alias("entropy"))

@@ -5707,3 +5707,29 @@ ORACLES.update({
         FROM agg GROUP BY doc_id
     """,
 })
+
+
+ORACLES.update({
+    # micro-nat-quantized per-term entropy, integer sums per user
+    "user_behavior_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (
+          SELECT user_id, c,
+                 SUM(c) OVER (PARTITION BY user_id) AS n,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_types
+          FROM c),
+        u AS (
+          SELECT user_id, n, n_types,
+                 CAST(floor(c * ln(n / CAST(c AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) AS u
+          FROM n)
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(MAX(n_types) AS BIGINT) AS n_types,
+               CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / 1000000
+                 / MAX(n) AS entropy
+        FROM u GROUP BY user_id
+    """,
+})
