@@ -955,3 +955,44 @@ def nation_trade_balance(t: dict[str, DataFrame]) -> DataFrame:
                     (F.coalesce("a_to_b_rev", F.lit(0.0))
                      - F.coalesce("b_to_a_rev", F.lit(0.0)))
                     .alias("balance")))
+
+
+WILSON_Z = 1.96
+ONTIME_DAYS = 30
+
+
+def supplier_ontime_wilson(t: dict[str, DataFrame]) -> DataFrame:
+    """Supplier on-time-ship reliability ranked by the WILSON lower
+    confidence bound — the statistically honest ranking when
+    suppliers have wildly different shipment counts (a 3/3 supplier
+    must not outrank a 96/100 one; the raw rate says it does, the
+    lower bound says otherwise).
+
+    On-time = shipped within 30 days of order date (integer date
+    arithmetic). One fact-fact equi-join on the order key and one
+    supplier-keyed count aggregate produce exact (k, n); the Wilson
+    bound is a fixed chain of IEEE ops (sqrt correctly rounded, z a
+    shared literal) written identically in the oracle."""
+    j = (t["lineitem"]
+         .select("l_orderkey", "l_suppkey", "l_shipdate")
+         .join(t["orders"].select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    ontime = (F.datediff(F.col("l_shipdate").cast("date"),
+                         F.col("o_orderdate").cast("date"))
+              <= ONTIME_DAYS).cast("long")
+    g = (j.groupBy("l_suppkey")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(ontime).alias("k")))
+    z = F.lit(WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2n = z * z / n
+    lower = ((p + z2n / 2
+              - z * F.sqrt(p * (1 - p) / n + z2n / (4 * n)))
+             / (1 + z2n))
+    return g.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("n").alias("n_shipments"),
+        F.col("k").alias("n_ontime"),
+        p.alias("ontime_rate"),
+        lower.alias("wilson_lower"))

@@ -5733,3 +5733,35 @@ ORACLES.update({
         FROM u GROUP BY user_id
     """,
 })
+
+
+ORACLES.update({
+    # identical Wilson-lower-bound IEEE chain; on-time = shipped
+    # within 30 days of order date (integer date arithmetic)
+    "supplier_ontime_wilson": """
+        WITH j AS (
+          SELECT l.l_suppkey,
+                 CASE WHEN CAST(l.l_shipdate AS DATE)
+                           - CAST(o.o_orderdate AS DATE) <= 30
+                      THEN 1 ELSE 0 END AS ontime
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        g AS (
+          SELECT l_suppkey AS suppkey, COUNT(*) AS n,
+                 CAST(SUM(ontime) AS BIGINT) AS k
+          FROM j GROUP BY 1)
+        SELECT suppkey, n AS n_shipments, k AS n_ontime,
+               CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ontime_rate,
+               ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96 / CAST(n AS DOUBLE)) / 2
+                 - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                               * (1 - CAST(k AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                               / CAST(n AS DOUBLE)
+                               + (1.96 * 1.96 / CAST(n AS DOUBLE))
+                                 / (4 * CAST(n AS DOUBLE))))
+                / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+                 AS wilson_lower
+        FROM g
+    """,
+})
