@@ -36,6 +36,12 @@ FLAGSHIPS = (
     "dup_span_stats",
     "bpe_merge_pairs",
     "doc_chunks",
+    "event_value_mad_outliers",
+    "simhash_idf",
+    "peak_concurrent_sessions",
+    "session_type_affinity",
+    "dup_graph_clustering_coef",
+    "revenue_changepoint",
 )
 
 
