@@ -899,3 +899,44 @@ def bounce_rate_finish(sessions: DataFrame) -> DataFrame:
         "day", "n_sessions", "n_bounces",
         (F.col("n_bounces").cast("double") / F.col("n_sessions"))
         .alias("bounce_rate"))
+
+
+def benford_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming Benford monitor: per (hour window, first significant
+    digit of `value`) counts, watermarked — the live fraud/ingest-bug
+    tripwire (a feed whose digit mix jumps away from Benford this
+    hour gets flagged before it lands). Digit extraction is the same
+    integer BIGINT-cents chain as the batch benford_first_digit;
+    stateless projection + one windowed count. Expected-share
+    comparison is one broadcast of nine literals in the consumer
+    (`benford_finish`)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    return (events
+            .where(F.col("value").isNotNull() & (F.col("value") > 0))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"),
+                     digit.alias("digit"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:00")
+                    .alias("hour"),
+                    "digit", "n"))
+
+
+def benford_finish(counts: DataFrame) -> DataFrame:
+    """Per-hour shares and obs/expected ratios from the streamed
+    digit counts (the post-sink finish contract); expectations are
+    the same shortest-round-trip literals as the batch operator."""
+    from pyspark.sql import Window
+
+    from ..operators.analytics import BENFORD_EXPECTED
+    wh = Window.partitionBy("hour")
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    share = F.col("n").cast("double") / F.sum("n").over(wh)
+    return counts.select(
+        "hour", "digit", "n",
+        share.alias("share"),
+        exp_share.alias("benford_share"),
+        (share / exp_share).alias("obs_over_expected"))

@@ -531,3 +531,23 @@ def test_bounce_stream_matches_batch(spark):
         spark.table("bounce_sessions")).toPandas()
     want = windows.session_bounce_rate(t).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_benford_stream_matches_batch(spark):
+    """Streamed hourly digit counts, finished post-sink, must equal
+    the same digit/window math computed in batch."""
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    _run_available_now(jobs.benford_counts_stream(stream),
+                       "benford_counts", spark, "complete")
+    got = jobs.benford_finish(spark.table("benford_counts")).toPandas()
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    batch = (t["events"]
+             .where(F.col("value").isNotNull() & (F.col("value") > 0))
+             .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                    "yyyy-MM-dd HH:00").alias("hour"),
+                      F.substring(cents.cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = jobs.benford_finish(batch).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
