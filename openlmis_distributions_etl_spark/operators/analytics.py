@@ -1754,6 +1754,12 @@ def _grouped_rank_min(pts: DataFrame,
     has one row per event_type with ``n_rows`` plus, per target, the
     MIN ``_k`` whose cumulative count reaches that rank."""
     import math
+
+    from ..functions.cache import retain
+    # retained: the points frame feeds the size probe, the fence
+    # sketch, AND the bucket pipeline — uncached it recomputes (and
+    # rescans its input) three times per call
+    pts = retain(pts)
     n_max = (pts.groupBy("event_type").agg(F.sum("c").alias("n"))
              .agg(F.max("n")).collect()[0][0]) or 0
     nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
