@@ -5765,3 +5765,61 @@ ORACLES.update({
         FROM g
     """,
 })
+
+
+ORACLES.update({
+    # one row per rule in the standard orders load-gate suite; the
+    # UNION mirrors run_expectations' rule order and arithmetic
+    "orders_expectations": """
+        WITH u AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0)
+                      AS BIGINT) AS v
+          FROM (SELECT o_orderkey, COUNT(*) AS c
+                FROM orders GROUP BY o_orderkey)),
+        fk AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN
+                (SELECT c_custkey FROM customer
+                 WHERE c_custkey IS NOT NULL))
+        SELECT 0 AS rule_id, 'not_null' AS rule,
+               'o_orderkey' AS "column",
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    = 0 AS INT) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 1, 'unique', 'o_orderkey', v, CAST(v = 0 AS INT) FROM u
+        UNION ALL
+        SELECT 2, 'not_null', 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                        END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 3, 'range', 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice < 0.0
+                             OR o_totalprice > 1e9
+                             OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice < 0.0
+                             OR o_totalprice > 1e9
+                             OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 4, 'in_set', 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                             OR o_orderstatus IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                             OR o_orderstatus IS NULL
+                             THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 5, 'fk', 'o_custkey', v, CAST(v = 0 AS INT) FROM fk
+    """,
+})

@@ -231,3 +231,28 @@ def test_export_jsonl_shards(spark, tmp_path):
                         "source", "pos"} <= set(row)
                 seen.add(row["doc_id"])
     assert len(seen) == n_docs
+
+
+def test_expectations_catch_planted_violations(spark):
+    """Each rule kind must count its planted violations exactly."""
+    from openlmis_distributions_etl_spark.plans.expectations import (
+        run_expectations)
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "F"), (1, -5.0, "X"), (2, None, "O"), (None, 3.0, "F")],
+        "k long, price double, status string")
+    dim = spark.createDataFrame([(1,)], "id long")
+    rules = [
+        ("not_null", "k"),
+        ("unique", "k"),
+        ("range", "price", 0.0, 100.0),
+        ("in_set", "status", ("F", "O")),
+        ("fk", "k", "dim", "id"),
+    ]
+    got = {(r["rule"], r["column"]): r["n_violations"]
+           for r in run_expectations(df, rules, {"dim": dim}).collect()}
+    assert got[("not_null", "k")] == 1
+    assert got[("unique", "k")] == 1       # second row with k=1
+    assert got[("range", "price")] == 2    # -5.0 and NULL
+    assert got[("in_set", "status")] == 1  # 'X'
+    assert got[("fk", "k")] == 1           # k=2 absent from dim
