@@ -77,9 +77,6 @@ BNLJ_ALLOWED = {
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
     "ivf_probe_sweep",        # broadcast query-vector + probe-prefix rows
     "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
-    "funnel_convert_time_quantiles",  # single-pseudo-group fences:
-                                      # constant key folds to a
-                                      # broadcast-singleton join
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
 }
