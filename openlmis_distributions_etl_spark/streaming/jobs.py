@@ -940,3 +940,35 @@ def benford_finish(counts: DataFrame) -> DataFrame:
         share.alias("share"),
         exp_share.alias("benford_share"),
         (share / exp_share).alias("obs_over_expected"))
+
+
+def stream_gate_expectations(orders: DataFrame, rules, table_path: str,
+                             quarantine_path: str, checkpoint_dir: str,
+                             dims: dict | None = None):
+    """Streaming load gate: every micro-batch runs the declarative
+    expectation suite (plans.expectations — one scan-bounded pass);
+    a batch with ANY failing rule diverts WHOLE to a quarantine
+    parquet (with batch_id and the failing rules for forensics)
+    instead of landing — the all-or-nothing promotion contract a
+    warehouse ingest uses so a poisoned feed never contaminates the
+    serving table. Clean batches append to the versioned table
+    exactly-once (txn ledger)."""
+    from ..plans.expectations import run_expectations
+    from ..sources.versioned import write_versioned
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        report = run_expectations(batch, rules, dims or {})
+        failing = [f"{r['rule']}:{r['column']}"
+                   for r in report.collect() if not r["passed"]]
+        if failing:
+            (batch.withColumn("_batch_id", F.lit(batch_id))
+             .withColumn("_failed_rules", F.lit(",".join(failing)))
+             .write.mode("append").parquet(quarantine_path))
+        else:
+            write_versioned(batch, table_path, mode="append",
+                            txn=f"exp-gate-{batch_id}")
+
+    return (orders.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

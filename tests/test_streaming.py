@@ -551,3 +551,38 @@ def test_benford_stream_matches_batch(spark):
              .agg(F.count(F.lit(1)).alias("n")))
     want = jobs.benford_finish(batch).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_gate_expectations_quarantines_bad_batch(spark, tmp_path):
+    """A micro-batch with a planted violation must divert whole to
+    quarantine (with the failing rule named); the clean batch must
+    land in the versioned table."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned)
+
+    t = load_tables(spark, SF0001)
+    orders = t["orders"]
+    good = orders.where(F.col("o_orderkey") % 2 == 0)
+    bad = (orders.where(F.col("o_orderkey") % 2 == 1)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 101 == 1,
+                              F.lit(-1.0))
+                       .otherwise(F.col("o_totalprice"))))
+    src = str(tmp_path / "src")
+    good.coalesce(1).write.parquet(src)
+    bad.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rules = [("not_null", "o_orderkey"),
+             ("range", "o_totalprice", 0.0, 1e9)]
+    q = jobs.stream_gate_expectations(
+        stream, rules, str(tmp_path / "table"),
+        str(tmp_path / "quarantine"), str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    landed = read_versioned(spark, str(tmp_path / "table"))
+    assert landed.count() == good.count()
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert quar.count() == bad.count()
+    assert quar.select("_failed_rules").distinct().collect()[0][0] \
+        == "range:o_totalprice"
