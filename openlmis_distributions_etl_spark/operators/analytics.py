@@ -2026,3 +2026,46 @@ def revenue_changepoint(t: dict[str, DataFrame]) -> DataFrame:
         "n_days",
         (F.col("b.c").cast("double")
          / F.col("n_days") / 100.0).alias("cusum_dollars"))
+
+
+def benford_chi2_by_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Benford deviation PER ORDER PRIORITY: the chi-squared distance
+    of each priority band's first-digit mix from the Benford
+    expectation — localizing WHICH feed segment drifted, where the
+    corpus-level audit only says "something did".
+
+    Counts shuffle once onto the (priority × 9) key space; the
+    chi-squared sum folds its nine per-digit terms IN DIGIT ORDER
+    over a sorted in-row array (cross-engine float sums need a pinned
+    order), with expectations the same shortest-round-trip literals
+    as benford_first_digit."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (t["orders"]
+         .where(F.col("o_totalprice") > 0)
+         .groupBy("o_orderpriority", digit.alias("digit"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    wall = Window.partitionBy("o_orderpriority")
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    cells = g.select(
+        "o_orderpriority", "digit", "n",
+        F.sum("n").over(wall).alias("total"),
+        exp_share.alias("e"))
+    dev = F.col("n") - F.col("e") * F.col("total")
+    # dev * dev, NOT dev ** 2: Column.__pow__ compiles to POWER()
+    # (Math.pow), which is not the correctly-rounded multiply
+    term = dev * dev / (F.col("e") * F.col("total"))
+    folded = (cells
+              .select("o_orderpriority", "total",
+                      F.struct("digit", term.alias("t")).alias("s"))
+              .groupBy("o_orderpriority")
+              .agg(F.max("total").alias("n_orders"),
+                   F.array_sort(F.collect_list("s")).alias("ts")))
+    chi2 = F.aggregate(F.col("ts"), F.lit(0.0),
+                       lambda acc, s: acc + s["t"])
+    return folded.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        chi2.alias("benford_chi2"))

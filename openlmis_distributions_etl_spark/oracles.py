@@ -5823,3 +5823,37 @@ ORACLES.update({
         SELECT 5, 'fk', 'o_custkey', v, CAST(v = 0 AS INT) FROM fk
     """,
 })
+
+
+ORACLES.update({
+    # same literals and the same digit-ordered fold for the chi² sum
+    "benford_chi2_by_priority": """
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                      AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2),
+        e(digit, e) AS (VALUES
+          (1, 0.3010299956639812), (2, 0.17609125905568124),
+          (3, 0.12493873660829992), (4, 0.09691001300805642),
+          (5, 0.07918124604762482), (6, 0.06694678963061322),
+          (7, 0.05799194697768673), (8, 0.05115252244738129),
+          (9, 0.04575749056067514)),
+        cells AS (
+          -- VALUES literals bind as DECIMAL in DuckDB; cast to DOUBLE
+          -- so e*total is IEEE math like Spark's, not exact decimal
+          SELECT g.o_orderpriority, g.digit, g.n,
+                 CAST(e.e AS DOUBLE) AS e,
+                 SUM(g.n) OVER (PARTITION BY g.o_orderpriority)
+                   AS total
+          FROM g JOIN e ON g.digit = e.digit)
+        SELECT o_orderpriority AS priority,
+               CAST(MAX(total) AS BIGINT) AS n_orders,
+               list_sum(list(
+                 (n - e * total) * (n - e * total) / (e * total)
+                 ORDER BY digit)) AS benford_chi2
+        FROM cells GROUP BY o_orderpriority
+    """,
+})
