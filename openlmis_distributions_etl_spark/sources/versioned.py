@@ -174,6 +174,24 @@ def vacuum_versioned(path: str, keep_versions: int = 1) -> dict:
             "removed_files": removed_files}
 
 
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per committed version, ascending —
+    (version, mode, txn, n_files, n_files_added vs the previous
+    manifest) — the audit view every table format exposes; pure
+    manifest reads, no data files touched."""
+    out = []
+    prev: set[str] = set()
+    for v in versions(path):
+        m = _read_manifest(path, v)
+        cur = set(m["files"])
+        out.append({"version": v, "mode": m.get("mode"),
+                    "txn": m.get("txn"),
+                    "n_files": len(cur),
+                    "n_files_added": len(cur - prev)})
+        prev = cur
+    return out
+
+
 def _file_stats(table_path: str, rel_file: str,
                 stat_cols: tuple[str, ...]) -> dict:
     """Per-file min/max from the parquet footer (driver-side metadata

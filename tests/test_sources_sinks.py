@@ -646,3 +646,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_table_history_tracks_commits(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        merge_upsert_versioned, table_history, write_versioned)
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    p = str(tmp_path / "tbl")
+    write_versioned(t["region"], p, txn="load-1")
+    write_versioned(t["region"], p, mode="append", txn="load-2")
+    merge_upsert_versioned(spark, p, t["region"], ["r_regionkey"])
+    h = table_history(p)
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert h[0]["txn"] == "load-1" and h[0]["mode"] == "append"
+    assert h[1]["n_files"] > h[0]["n_files"]          # append grows
+    assert h[1]["n_files_added"] == h[1]["n_files"] - h[0]["n_files"]
+    assert h[2]["mode"] == "overwrite"                 # merge rewrites
