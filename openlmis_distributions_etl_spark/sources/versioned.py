@@ -87,6 +87,23 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     existing = versions(path)
+    # schema evolution contract: an append may ADD columns (readers
+    # see typed NULLs for old files via mergeSchema) but may not
+    # CHANGE a shared column's type — that would silently corrupt
+    # every existing file's reads, so it fails loudly here
+    if mode == "append" and existing:
+        prev = _read_manifest(path, existing[-1]).get("schema")
+        if prev is not None:
+            prev_types = {f["name"]: f["type"]
+                          for f in json.loads(prev)["fields"]}
+            for f in json.loads(df.schema.json())["fields"]:
+                if (f["name"] in prev_types
+                        and f["type"] != prev_types[f["name"]]):
+                    raise TypeError(
+                        f"schema evolution: column {f['name']!r} "
+                        f"changes type {prev_types[f['name']]!r} -> "
+                        f"{f['type']!r}; only ADDING columns is a "
+                        "safe widening")
     if txn is not None:
         for v in existing:
             if _read_manifest(path, v).get("txn") == txn:
@@ -113,7 +130,8 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
         # O_EXCL publish: exactly one writer can commit this version
         with open(manifest, "x", encoding="utf-8") as f:
             json.dump({"version": new_version, "mode": mode,
-                       "files": files, "txn": txn}, f)
+                       "files": files, "txn": txn,
+                       "schema": df.schema.json()}, f)
     except FileExistsError as e:
         raise VersionConflictError(
             f"version {new_version} of {path} was committed concurrently; "
@@ -132,7 +150,8 @@ def read_versioned(spark: SparkSession, path: str,
         version = vs[-1]
     elif version not in vs:
         raise ValueError(f"version {version} not in {vs}")
-    files = _read_manifest(path, version)["files"]
+    m = _read_manifest(path, version)
+    files = m["files"]
     # mergeSchema: additive schema evolution — a version whose appends
     # carry new columns reads as the union schema, with older files
     # null-filling the new columns (footer-level merge, no data rewrite)

@@ -664,3 +664,27 @@ def test_table_history_tracks_commits(spark, tmp_path):
     assert h[1]["n_files"] > h[0]["n_files"]          # append grows
     assert h[1]["n_files_added"] == h[1]["n_files"] - h[0]["n_files"]
     assert h[2]["mode"] == "overwrite"                 # merge rewrites
+
+
+def test_versioned_schema_evolution_contract(spark, tmp_path):
+    """Appending with an ADDED column widens (old rows read as typed
+    NULLs); appending with a CHANGED column type fails loudly."""
+    import pytest
+
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, write_versioned)
+
+    p = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    write_versioned(a, p)
+    b = spark.createDataFrame([(2, "y", 9.5)],
+                              "id long, name string, score double")
+    write_versioned(b, p, mode="append")
+    got = read_versioned(spark, p)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    bad = spark.createDataFrame([(3, 7)], "id long, name long")
+    with pytest.raises(TypeError, match="changes type"):
+        write_versioned(bad, p, mode="append")
