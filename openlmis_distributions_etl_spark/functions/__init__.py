@@ -110,3 +110,38 @@ def ts_us(c: Column | str) -> Column:
 def month_key(c: Column | str) -> Column:
     """Calendar-month bucket as a portable 'yyyy-MM' string."""
     return F.date_format(_col(c), "yyyy-MM")
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Register the engine's vector/text helpers as SQL-callable
+    functions so the `spark.sql` front-end can use them inline:
+
+      cosine_sim(a, b)   — in-order fold cosine over float arrays
+      l2_norm_sql(a)     — L2 norm, same fold
+      stable_bucket(s,n) — deterministic md5 bucket in [0, n)
+
+    Implemented as SQL-expression UDFs via one CREATE FUNCTION each
+    (JVM-evaluated, codegen-friendly — NOT Python UDFs)."""
+    defs = {
+        "cosine_sim": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(a ARRAY<FLOAT>, "
+            "b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
+            "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * "
+            "CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v) / "
+            "(sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)) * "
+            "sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)))"),
+        "l2_norm_sql": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION l2_norm_sql(a "
+            "ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
+            "sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"),
+        "stable_bucket": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION stable_bucket(s STRING, "
+            "n INT) RETURNS INT RETURN "
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) % n AS INT)"),
+    }
+    for ddl in defs.values():
+        spark.sql(ddl)
+    return sorted(defs)

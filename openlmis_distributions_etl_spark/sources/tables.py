@@ -193,3 +193,16 @@ class LazyTables(dict):
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return LazyTables(spark, sf_dir, use)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   *names: str) -> list[str]:
+    """SQL front-end: register every table (or the named subset) as a
+    temp view — after this, `spark.sql("SELECT ... FROM orders JOIN
+    customer ...")` works against the contract-checked, timestamp-
+    normalized source layer (NOT a raw parquet read, which would trip
+    the TIMESTAMP(NANOS) layout). Returns the registered names."""
+    t = load_tables(spark, sf_dir, *names)
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    return sorted(t)

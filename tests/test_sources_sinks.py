@@ -688,3 +688,38 @@ def test_versioned_schema_evolution_contract(spark, tmp_path):
     bad = spark.createDataFrame([(3, 7)], "id long, name long")
     with pytest.raises(TypeError, match="changes type"):
         write_versioned(bad, p, mode="append")
+
+
+def test_sql_frontend_views_and_functions(spark):
+    """register_views + register_sql_functions make ad-hoc spark.sql
+    work against the normalized source layer with the engine's vector
+    helpers inline; cosine_sim must agree with the DataFrame-side
+    cosine fold bit-for-bit."""
+    from openlmis_distributions_etl_spark.functions import (
+        register_sql_functions)
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        cosine)
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.tables import (
+        register_views)
+
+    assert "events" in register_views(spark, "/root/testdata/sf0.001")
+    assert register_sql_functions(spark) == [
+        "cosine_sim", "l2_norm_sql", "stable_bucket"]
+    # ad-hoc SQL over a normalized view (ts readable as timestamp)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'").collect()[0]["n"]
+    assert n > 0
+    got = spark.sql(
+        "SELECT e.vec_id, cosine_sim(e.embedding, q.embedding) AS cs "
+        "FROM embeddings e, (SELECT embedding FROM embeddings "
+        "WHERE vec_id = 0) q WHERE e.vec_id = 7").collect()[0]["cs"]
+    t = load_tables(spark, "/root/testdata/sf0.001", "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    want = (e.where(F.col("vec_id") == 7).crossJoin(q)
+            .select(cosine(F.col("embedding"), F.col("q")).alias("cs"))
+            .collect()[0]["cs"])
+    assert got == want
