@@ -1,0 +1,52 @@
+"""Partition-order invariance: the repo's float-determinism claims
+(block folds, quantized terms, exact decimal moments) mean every
+query's VALUES are identical under different shuffle partitioning —
+not merely close. This battery re-runs the float-sensitive operators
+with spark.sql.shuffle.partitions flipped between a prime and the
+default and asserts collected results are exactly equal."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF0001
+
+from openlmis_distributions_etl_spark import registry
+
+# operators whose outputs contain floats produced by the repo's
+# determinism machinery (order-canonical folds, quantized terms,
+# exact decimal moments) — the ones a partition change would expose
+FLOAT_SENSITIVE = (
+    "label_centroids",
+    "embedding_dim_stats",
+    "label_centroid_silhouette",
+    "bm25_scores",
+    "doc_token_entropy",
+    "user_behavior_entropy",
+    "benford_chi2_by_priority",
+    "daily_revenue_autocorr",
+    "event_value_mad_outliers",
+    "tfidf_cosine_pairs",
+    "knn_lsh_ndcg",
+    "twap_user_value",
+)
+
+
+def _rows(spark, name):
+    df = registry.queries()[name](spark, SF0001)
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_partition_invariant(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        a = _rows(spark, name)
+        spark.conf.set(key, saved)
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set(key, saved)
+    assert a == b, f"{name}: results differ across shuffle partitioning"
