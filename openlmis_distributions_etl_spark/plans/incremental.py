@@ -135,3 +135,28 @@ def incremental_join_view_update(spark: SparkSession, orders_path: str,
     updated = _order_customer_view(touched, customer)
     return merge_upsert_versioned(spark, view_path, updated,
                                   ["o_orderkey"])
+
+
+def build_daily_user_sketches(events: DataFrame) -> DataFrame:
+    """Per-day HLL sketches of the active-user set, as a BINARY
+    column — the re-aggregatable form of COUNT(DISTINCT): a 100 TB
+    pipeline stores these tiny sketches once and answers distinct
+    users over ANY date range by merging them, never rescanning raw
+    events. One map-side-combinable aggregate (Datasketches HLL,
+    Spark 3.5+ built-ins — JVM-side, no Python)."""
+    return (events
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.hll_sketch_agg("user_id").alias("user_sketch"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def monthly_distinct_from_sketches(daily: DataFrame) -> DataFrame:
+    """Roll daily sketches to months by LOSSLESS union-merge
+    (identical registers to sketching the month directly — pinned by
+    test) and estimate distinct users per month; the merge reads the
+    sketch table, not the events."""
+    return (daily
+            .groupBy(F.substring("day", 1, 7).alias("month"))
+            .agg(F.hll_sketch_estimate(
+                     F.hll_union_agg("user_sketch")).alias("dau_est"),
+                 F.sum("n_events").alias("n_events")))

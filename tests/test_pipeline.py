@@ -256,3 +256,29 @@ def test_expectations_catch_planted_violations(spark):
     assert got[("range", "price")] == 2    # -5.0 and NULL
     assert got[("in_set", "status")] == 1  # 'X'
     assert got[("fk", "k")] == 1           # k=2 absent from dim
+
+
+def test_sketch_rollup_is_lossless_and_accurate(spark):
+    """Merging daily HLL sketches to months must give EXACTLY the
+    estimate of sketching each month directly (union-merge is
+    lossless), and land within 5% of the exact distinct count."""
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        build_daily_user_sketches, monthly_distinct_from_sketches)
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", "events")
+    ev = t["events"]
+    daily = build_daily_user_sketches(ev)
+    got = {r["month"]: r["dau_est"]
+           for r in monthly_distinct_from_sketches(daily).collect()}
+    direct = {r["month"]: r["est"] for r in
+              ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).alias("est"))
+              .collect()}
+    assert got == direct          # lossless merge: identical registers
+    exact = {r["month"]: r["n"] for r in
+             ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for m, n in exact.items():
+        assert abs(got[m] - n) <= max(1, 0.05 * n), (m, got[m], n)
