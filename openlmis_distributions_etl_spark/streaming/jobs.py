@@ -972,3 +972,47 @@ def stream_gate_expectations(orders: DataFrame, rules, table_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_maintain_user_sketches(events: DataFrame, sketch_path: str,
+                                  checkpoint_dir: str):
+    """Streaming maintenance of the daily user-HLL sketch table: each
+    micro-batch sketches ITS rows per day and union-merges into the
+    stored sketches (read-modify-write keyed MERGE on the versioned
+    table) — the truly incremental distinct-count path: no raw-event
+    rescan, state per day is one tiny binary register set, and any
+    date-range distinct query reads only sketches
+    (plans.incremental.monthly_distinct_from_sketches). Estimates are
+    register-identical to batch-building the sketches from all rows
+    (HLL union is lossless; the batch-equal test pins it)."""
+    from ..plans.incremental import build_daily_user_sketches
+    from ..sources.versioned import (merge_upsert_versioned,
+                                     read_versioned, versions,
+                                     write_versioned)
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = build_daily_user_sketches(batch)
+        if not versions(sketch_path):
+            write_versioned(delta, sketch_path,
+                            txn=f"sketch-{batch_id}")
+            return
+        cur = read_versioned(spark, sketch_path)
+        merged = (delta.alias("d")
+                  .join(cur.alias("c"), "day", "left")
+                  .select(
+                      "day",
+                      F.when(F.col("c.user_sketch").isNull(),
+                             F.col("d.user_sketch"))
+                      .otherwise(F.hll_union("d.user_sketch",
+                                             "c.user_sketch"))
+                      .alias("user_sketch"),
+                      (F.col("d.n_events")
+                       + F.coalesce("c.n_events", F.lit(0)))
+                      .alias("n_events")))
+        merge_upsert_versioned(spark, sketch_path, merged, ["day"])
+
+    return (events.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

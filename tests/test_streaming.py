@@ -586,3 +586,27 @@ def test_stream_gate_expectations_quarantines_bad_batch(spark, tmp_path):
     assert quar.count() == bad.count()
     assert quar.select("_failed_rules").distinct().collect()[0][0] \
         == "range:o_totalprice"
+
+
+def test_stream_user_sketches_match_batch(spark, tmp_path):
+    """Streamed sketch maintenance must leave per-day (and rolled-up
+    monthly) estimates identical to batch-building the sketches over
+    all events — HLL union is lossless."""
+    from openlmis_distributions_etl_spark.plans.incremental import (
+        build_daily_user_sketches, monthly_distinct_from_sketches)
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned)
+
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    q = jobs.stream_maintain_user_sketches(
+        stream, str(tmp_path / "sketches"), str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    stored = read_versioned(spark, str(tmp_path / "sketches"))
+    got = {r["month"]: (r["dau_est"], r["n_events"]) for r in
+           monthly_distinct_from_sketches(stored).collect()}
+    want = {r["month"]: (r["dau_est"], r["n_events"]) for r in
+            monthly_distinct_from_sketches(
+                build_daily_user_sketches(t["events"])).collect()}
+    assert got == want
