@@ -996,3 +996,47 @@ def supplier_ontime_wilson(t: dict[str, DataFrame]) -> DataFrame:
         F.col("k").alias("n_ontime"),
         p.alias("ontime_rate"),
         lower.alias("wilson_lower"))
+
+
+def mom_delta_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month revenue-change CONTRIBUTION analysis: for
+    every month, how much of the total delta each market segment
+    drove — the "what moved the number" decomposition an analyst
+    asks for right after seeing the growth chart.
+
+    Exact decimal end to end: per-(month, segment) revenue sums in
+    DECIMAL, lags and deltas stay decimal (segment deltas provably
+    sum to the month delta), and only the final share division is
+    IEEE. One broadcast dim join + one aggregate onto the bounded
+    (month × segment) key space; lags ride calendar-bounded windows."""
+    from pyspark.sql import Window
+
+    from ..functions import month_key
+    g = (t["orders"]
+         .join(F.broadcast(t["customer"]
+                           .select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy(month_key("o_orderdate").alias("month"),
+                  "c_mktsegment")
+         .agg(F.sum(dec("o_totalprice")).cast("decimal(38,6)")
+              .alias("rev")))
+    ws = Window.partitionBy("c_mktsegment").orderBy("month")
+    seg = g.select(
+        "month", "c_mktsegment", "rev",
+        (F.col("rev") - F.coalesce(F.lag("rev").over(ws),
+                                   F.lit(0).cast("decimal(38,6)")))
+        .cast("decimal(38,6)").alias("seg_delta"))
+    wm = Window.partitionBy("month")
+    return (seg.select(
+        "month", "c_mktsegment",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("seg_delta").cast("double").alias("seg_delta"),
+        F.sum("seg_delta").over(wm).cast("decimal(38,6)")
+        .alias("_tot"))
+        .select("month", "c_mktsegment", "revenue", "seg_delta",
+                F.col("_tot").cast("double").alias("month_delta"),
+                F.when(F.col("_tot") != 0,
+                       F.col("seg_delta")
+                       / F.col("_tot").cast("double"))
+                .otherwise(F.lit(None).cast("double"))
+                .alias("delta_share")))

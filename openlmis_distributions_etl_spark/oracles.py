@@ -5857,3 +5857,38 @@ ORACLES.update({
         FROM cells GROUP BY o_orderpriority
     """,
 })
+
+
+ORACLES.update({
+    # decimal-exact per-segment MoM deltas; only the share divides
+    "mom_delta_by_segment": f"""
+        WITH g AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 c_mktsegment,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      AS DECIMAL(38,6)) AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        seg AS (
+          SELECT month, c_mktsegment, rev,
+                 CAST(rev - COALESCE(LAG(rev) OVER (
+                        PARTITION BY c_mktsegment ORDER BY month),
+                      CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS seg_delta
+          FROM g),
+        m AS (
+          SELECT month, c_mktsegment, rev, seg_delta,
+                 CAST(SUM(seg_delta) OVER (PARTITION BY month)
+                      AS DECIMAL(38,6)) AS tot
+          FROM seg)
+        SELECT month, c_mktsegment,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(seg_delta AS DOUBLE) AS seg_delta,
+               CAST(tot AS DOUBLE) AS month_delta,
+               CASE WHEN tot <> 0
+                    THEN CAST(seg_delta AS DOUBLE)
+                         / CAST(tot AS DOUBLE)
+                    ELSE NULL END AS delta_share
+        FROM m
+    """,
+})
