@@ -793,3 +793,32 @@ def user_behavior_entropy(t: dict[str, DataFrame]) -> DataFrame:
         "user_id", "n_events", "n_types",
         (F.col("units").cast("double") / ENTROPY_GRID_UB
          / F.col("n_events")).alias("entropy"))
+
+
+def event_rate_spikes(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly event-RATE spike detection per type under a Poisson
+    null: flag hours whose count exceeds mean + 3·√mean of that
+    type's hourly history — the volume-anomaly tripwire (retry
+    storms, scraper bursts, dead feeds flag on the rate before any
+    value statistic moves).
+
+    Counts and their per-type sums stay exact integers; the mean is
+    a single rational (sum/hours) and the threshold one sqrt — the
+    flag compares count (exact) against that one deterministic
+    double. Two bounded-key aggregates (hour × type, then type);
+    the spike test is flag = n > μ + 3√μ written identically in the
+    oracle."""
+    hours = (t["events"]
+             .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                    "yyyy-MM-dd HH:00").alias("hour"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("event_type")
+    stats = hours.select(
+        "hour", "event_type", "n",
+        (F.sum("n").over(wt).cast("double")
+         / F.count(F.lit(1)).over(wt)).alias("mu"))
+    return stats.select(
+        "hour", "event_type", "n", "mu",
+        (F.col("n") > F.col("mu") + 3 * F.sqrt(F.col("mu")))
+        .cast("int").alias("is_spike"))

@@ -5892,3 +5892,24 @@ ORACLES.update({
         FROM m
     """,
 })
+
+
+ORACLES.update({
+    # same Poisson-null threshold chain: mu = sum/hours (one
+    # rational), flag n > mu + 3*sqrt(mu)
+    "event_rate_spikes": """
+        WITH h AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                   AS hour,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT hour, event_type, n,
+                 CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type) AS mu
+          FROM h)
+        SELECT hour, event_type, n, mu,
+               CAST(n > mu + 3 * sqrt(mu) AS INT) AS is_spike
+        FROM s
+    """,
+})

@@ -589,3 +589,29 @@ def read_versioned_point(spark: SparkSession, path: str, column: str,
     return (spark.read.option("mergeSchema", "true")
             .parquet(*[f"{path}/{f}" for f in keep])
             .where(F.col(column) == F.lit(value)))
+
+
+def optimize_versioned(spark: SparkSession, path: str,
+                       zorder_cols: list[str] | None = None,
+                       target_files: int = 4,
+                       keep_versions: int = 2) -> dict:
+    """One-call table maintenance (the nightly OPTIMIZE job): rewrite
+    the current snapshot into ``target_files`` files — Z-order
+    clustered when ``zorder_cols`` is given, plain coalesce otherwise
+    — then VACUUM history down to ``keep_versions``. Compaction and
+    clustering are the same rewrite (both publish one new version),
+    so small-file cleanup is free whenever clustering runs. Returns
+    {"version", "n_files_before", "n_files_after", plus the vacuum
+    counters}."""
+    before = len(_read_manifest(path, versions(path)[-1])["files"])
+    if zorder_cols:
+        v = zorder_rewrite(spark, path, zorder_cols,
+                           target_files=target_files)
+    else:
+        df = read_versioned(spark, path).coalesce(target_files)
+        v = write_versioned(df, path, mode="overwrite")
+    after = len(_read_manifest(path, v)["files"])
+    out = vacuum_versioned(path, keep_versions=keep_versions)
+    out.update({"version": v, "n_files_before": before,
+                "n_files_after": after})
+    return out

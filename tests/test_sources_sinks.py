@@ -723,3 +723,28 @@ def test_sql_frontend_views_and_functions(spark):
             .select(cosine(F.col("embedding"), F.col("q")).alias("cs"))
             .collect()[0]["cs"])
     assert got == want
+
+
+def test_optimize_versioned_compacts_and_vacuums(spark, tmp_path):
+    """OPTIMIZE: many-file table → target_files files in one new
+    version; expired versions' orphan files removed; data identical."""
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        optimize_versioned, read_versioned, table_history,
+        write_versioned)
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    p = str(tmp_path / "tbl")
+    # 5 fragmented appends
+    for i in range(5):
+        write_versioned(
+            t["orders"].where(F.col("o_orderkey") % 5 == i)
+            .repartition(4), p, mode="append")
+    want = read_versioned(spark, p).count()
+    res = optimize_versioned(spark, p, zorder_cols=None,
+                             target_files=2, keep_versions=1)
+    assert res["n_files_before"] >= 20
+    assert res["n_files_after"] == 2
+    assert res["removed_files"] > 0
+    assert read_versioned(spark, p).count() == want
+    assert [h["version"] for h in table_history(p)] == [res["version"]]
