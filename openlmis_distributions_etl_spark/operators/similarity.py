@@ -1649,3 +1649,35 @@ def opq_rotation_mse(t: dict[str, DataFrame]) -> DataFrame:
             .select("n_vectors", "mse_raw", "mse_rotated",
                     (F.col("mse_raw") / F.col("mse_rotated"))
                     .alias("gain")))
+
+
+def centroid_distance_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise Euclidean distances between label centroids (upper
+    triangle, a < b) — the confusion-geometry map: close centroids
+    predict which labels a classifier will mix up, and which merges a
+    taxonomy cleanup should consider.
+
+    Centroids come from the exact two-level fold (bit-identical
+    across engines); the L×L pair space is enumeration-bounded, so
+    the self-join is broadcast-trivial, and each distance is one
+    in-row fold over the two centroid arrays in dim order."""
+    cent = retain(label_centroids(t)
+                  .groupBy("label")
+                  .agg(F.expr("transform(array_sort("
+                              "collect_list(struct(dim, centroid))), "
+                              "p -> p.centroid)").alias("cv"),
+                       F.max("n").alias("n")))
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("cv").alias("ca"),
+                    F.col("n").alias("n_a"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("cv").alias("cb"),
+                    F.col("n").alias("n_b"))
+    pairs = a.join(broadcast(b),
+                   F.col("label_a") < F.col("label_b"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return pairs.select("label_a", "label_b", "n_a", "n_b",
+                        F.sqrt(d2).alias("dist"))

@@ -5913,3 +5913,36 @@ ORACLES.update({
         FROM s
     """,
 })
+
+
+ORACLES.update({
+    # centroids via the same two-level fold; in-order distance folds
+    "centroid_distance_matrix": """
+        WITH ex AS (
+          SELECT label, vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        cblk AS (
+          SELECT label, dim, vec_id // 256 AS blk,
+                 list_sum(list(x ORDER BY vec_id)) AS bsum,
+                 COUNT(*) AS nb
+          FROM ex GROUP BY label, dim, blk),
+        cent AS (
+          SELECT label, dim,
+                 list_sum(list(bsum ORDER BY blk))
+                   / CAST(SUM(nb) AS BIGINT) AS centroid,
+                 CAST(SUM(nb) AS BIGINT) AS n
+          FROM cblk GROUP BY label, dim),
+        cl AS (
+          SELECT label, list(centroid ORDER BY dim) AS cv,
+                 MAX(n) AS n
+          FROM cent GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n AS n_a, b.n AS n_b,
+               sqrt(list_sum(list_transform(range(1, 65),
+                 i -> (a.cv[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+                      * (a.cv[CAST(i AS INT)]
+                         - b.cv[CAST(i AS INT)])))) AS dist
+        FROM cl a JOIN cl b ON a.label < b.label
+    """,
+})

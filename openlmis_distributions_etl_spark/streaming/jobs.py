@@ -1016,3 +1016,36 @@ def stream_maintain_user_sketches(events: DataFrame, sketch_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def rate_spike_stream(events: DataFrame, history: DataFrame) -> DataFrame:
+    """Streaming twin of operators.windows.event_rate_spikes: per-type
+    Poisson thresholds (μ + 3·√μ) derive ONCE at setup from the
+    static history (tiny bounded-key collect, the PSI-fences pattern)
+    and ship as a literal map; the hot path is a stateless projection
+    + one watermarked windowed count with a per-row threshold
+    comparison — no stream-side join, no extra state."""
+    from ..operators.windows import event_rate_spikes
+    stats = (event_rate_spikes({"events": history})
+             .groupBy("event_type").agg(F.max("mu").alias("mu"))
+             .collect())
+    if not stats:
+        raise ValueError("rate_spike_stream: empty history — "
+                         "per-type Poisson baselines are undefined")
+    thr = F.create_map(*[F.lit(x) for r in stats
+                         for x in (r["event_type"],
+                                   r["mu"] + 3 * (r["mu"] ** 0.5))])
+    mu = F.create_map(*[F.lit(x) for r in stats
+                        for x in (r["event_type"], r["mu"])])
+    return (events
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:00")
+                    .alias("hour"),
+                    "event_type", "n",
+                    F.element_at(mu, F.col("event_type")).alias("mu"),
+                    (F.col("n") > F.element_at(
+                        thr, F.col("event_type"))).cast("int")
+                    .alias("is_spike")))

@@ -610,3 +610,17 @@ def test_stream_user_sketches_match_batch(spark, tmp_path):
             monthly_distinct_from_sketches(
                 build_daily_user_sketches(t["events"])).collect()}
     assert got == want
+
+
+def test_rate_spike_stream_matches_batch(spark):
+    """Streamed hourly spike flags with history = the replayed corpus
+    must equal the batch detector (same thresholds, same counts) —
+    modulo the threshold shipping as a literal (python float ** 0.5
+    == sqrt; both correctly rounded)."""
+    t = load_tables(spark, SF0001, "events")
+    stream = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.rate_spike_stream(stream, t["events"]),
+        "rate_spikes", spark, "complete")
+    want = windows.event_rate_spikes(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
