@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "session_type_affinity",  # broadcast session-total singleton row
     "set_ops_customers",
     "token_countmin_topk",
+    "centroid_distance_matrix",  # label-enumeration (L x L) pair join
+                                 # on an inequality — broadcast tiny
     "daily_revenue_control_chart",  # broadcast moments singleton row
     "decayed_user_value",     # broadcast max-date anchor row
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
