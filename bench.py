@@ -71,6 +71,12 @@ HEADLINE = [
     "session_type_affinity",
     "label_centroid_silhouette",
     "boolean_and_search",
+    # round-5 fifth wave: sweep-line concurrency, CUSUM changepoint,
+    # binary-lane simhash, expectations gate
+    "peak_concurrent_sessions",
+    "revenue_changepoint",
+    "payload_simhash",
+    "orders_expectations",
 ]
 
 

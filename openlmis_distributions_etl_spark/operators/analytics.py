@@ -1523,60 +1523,21 @@ def value_deciles_by_type(t: dict[str, DataFrame]) -> DataFrame:
     value whose cumulative count reaches ceil(k·n/10)) instead of
     sketches.
 
-    This is the GROUPED form of the distributed prefix-sum ECDF: a
+    This is the GROUPED form of the distributed prefix-sum ECDF,
+    delegated to the shared `_grouped_rank_min` helper: a
     single-window-per-group formulation would funnel each group's
     whole value axis (≈ rows/|groups| for continuous doubles) through
-    one task at 100 TB. Here (1) per-(type, value) counts shuffle
-    once, (2) ONE grouped approx_percentile sketch yields per-type
-    fence arrays (data-proportional count from the largest group,
-    broadcast back keyed on type — fence placement only affects
-    balance, never results, because the bucket test is monotone and
-    ties never straddle buckets), (3) per-(type, bucket) totals →
-    exclusive offsets over the tiny (type × buckets) frame, (4)
-    in-bucket cumulative windows are bounded-size, and (5) nine
-    conditional mins ride in one final per-type aggregate."""
-    import math
-
-    from ..functions.cache import retain
-    pts = retain(t["events"]
-                 .where(F.col("value").isNotNull())
-                 .groupBy("event_type",
-                          F.col("value").cast("double").alias("_k"))
-                 .agg(F.count(F.lit(1)).alias("c")))
-    n_max = (pts.groupBy("event_type").count()
-             .agg(F.max("count")).collect()[0][0]) or 0
-    nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
-    nb = min(nb, PREFIX_MAX_FENCES)
-    pcts = ",".join(str(i / nb) for i in range(1, nb))
-    acc = max(10000, nb * 64)
-    fences = (pts.groupBy("event_type")
-              .agg(F.expr(f"approx_percentile(_k, array({pcts}), {acc})")
-                   .alias("_fa")))
-    bucketed = (pts.join(F.broadcast(fences), "event_type")
-                .withColumn("bkt", F.size(F.filter(
-                    "_fa", lambda x: F.col("_k") > x)))
-                .drop("_fa"))
-    bt = (bucketed.groupBy("event_type", "bkt")
-          .agg(F.sum("c").alias("bc")))
-    wo = (Window.partitionBy("event_type").orderBy(F.asc("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1))
-    wt = Window.partitionBy("event_type")
-    offs = bt.select(
-        "event_type", "bkt",
-        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"),
-        F.sum("bc").over(wt).alias("n"))
-    win = (Window.partitionBy("event_type", "bkt")
-           .orderBy(F.asc("_k"))
-           .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (bucketed.join(F.broadcast(offs), ["event_type", "bkt"])
-           .select("event_type", "_k", "n",
-                   (F.sum("c").over(win) + F.col("off")).alias("cf")))
-    return (cum.groupBy("event_type")
-            .agg(F.max("n").alias("n_rows"),
-                 *[F.min(F.when(
-                     F.col("cf") >= F.expr(f"({k} * n + 9) DIV 10"),
-                     F.col("_k"))).alias(f"d{k}")
-                   for k in DECILE_KS]))
+    one task at 100 TB; the helper's data-proportional per-type fence
+    arrays (two-level past PREFIX_MAX_FENCES) keep every in-bucket
+    window bounded, and the nine conditional mins ride one final
+    per-type aggregate."""
+    pts = (t["events"]
+           .where(F.col("value").isNotNull())
+           .groupBy("event_type",
+                    F.col("value").cast("double").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    return _grouped_rank_min(
+        pts, {f"d{k}": f"({k} * n + 9) DIV 10" for k in DECILE_KS})
 
 
 LORENZ_BUCKETS = 10
@@ -1752,7 +1713,17 @@ def _grouped_rank_min(pts: DataFrame,
     ``targets`` maps output column name → SQL expression over ``n``
     (the group row count) giving the 1-based target rank; the result
     has one row per event_type with ``n_rows`` plus, per target, the
-    MIN ``_k`` whose cumulative count reaches that rank."""
+    MIN ``_k`` whose cumulative count reaches that rank.
+
+    Like `_rank_buckets`, the decomposition RECURSES one level past
+    PREFIX_MAX_FENCES: coarse per-group fences split each group's
+    axis ~sqrt(nb) ways, then ONE second grouped sketch keyed on
+    (group, coarse bucket) refines to nb total — so a single giant
+    group (> fences·target rows, ~4G distinct values) no longer
+    collapses the in-bucket window onto >4M-row tasks. The level-1
+    frame is retained so Catalyst never inlines the lambda-bearing
+    `_b1` column across the grouping/join branches (the
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND hazard SURVEY documents)."""
     import math
 
     from ..functions.cache import retain
@@ -1763,16 +1734,38 @@ def _grouped_rank_min(pts: DataFrame,
     n_max = (pts.groupBy("event_type").agg(F.sum("c").alias("n"))
              .agg(F.max("n")).collect()[0][0]) or 0
     nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
-    nb = min(nb, PREFIX_MAX_FENCES)
-    pcts = ",".join(str(i / nb) for i in range(1, nb))
-    acc = max(10000, nb * 64)
-    fences = (pts.groupBy("event_type")
-              .agg(F.expr(f"approx_percentile(_k, array({pcts}), {acc})")
-                   .alias("_fa")))
-    bucketed = (pts.join(F.broadcast(fences), "event_type")
-                .withColumn("bkt", F.size(F.filter(
-                    "_fa", lambda x: F.col("_k") > x)))
-                .drop("_fa"))
+
+    def fence_pcts(m: int) -> str:
+        return ",".join(str(i / m) for i in range(1, m))
+
+    def grouped_fences(frame: DataFrame, keys: list[str], m: int,
+                       out: str) -> DataFrame:
+        acc = max(10000, m * 64)
+        return (frame.groupBy(*keys)
+                .agg(F.expr(f"approx_percentile(_k, "
+                            f"array({fence_pcts(m)}), {acc})")
+                     .alias(out)))
+
+    if nb <= PREFIX_MAX_FENCES:
+        fences = grouped_fences(pts, ["event_type"], nb, "_fa")
+        bucketed = (pts.join(F.broadcast(fences), "event_type")
+                    .withColumn("bkt", F.size(F.filter(
+                        "_fa", lambda x: F.col("_k") > x)))
+                    .drop("_fa"))
+    else:
+        nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
+        nb2 = math.ceil(nb / nb1)
+        f1 = grouped_fences(pts, ["event_type"], nb1, "_fa")
+        lvl1 = retain(pts.join(F.broadcast(f1), "event_type")
+                      .withColumn("_b1", F.size(F.filter(
+                          "_fa", lambda x: F.col("_k") > x)))
+                      .drop("_fa"))
+        f2 = grouped_fences(lvl1, ["event_type", "_b1"], nb2, "_fb")
+        bucketed = (lvl1.join(F.broadcast(f2), ["event_type", "_b1"])
+                    .withColumn("bkt", F.col("_b1") * nb2
+                                + F.size(F.filter(
+                                    "_fb", lambda x: F.col("_k") > x)))
+                    .drop("_fb", "_b1"))
     bt = (bucketed.groupBy("event_type", "bkt")
           .agg(F.sum("c").alias("bc")))
     wo = (Window.partitionBy("event_type").orderBy(F.asc("bkt"))

@@ -1161,6 +1161,51 @@ def test_global_row_index_exact_under_two_level_buckets(spark, monkeypatch):
     assert got == {doc: i for i, (_, doc) in enumerate(want)}
 
 
+def test_grouped_rank_min_two_level_exact(spark, monkeypatch):
+    """The GROUPED prefix-sum ECDF must recurse past PREFIX_MAX_FENCES
+    like _rank_buckets: one giant group no longer collapses onto the
+    per-group fence ceiling, and rank selection stays EXACT under the
+    two-level split (fence placement only affects balance)."""
+    from openlmis_distributions_etl_spark.operators import analytics as A
+    rows, vals = [], {}
+    # group a: 900 distinct values; group b: 400 values over 97
+    # distinct (exercises the c > 1 multiplicity path)
+    for g, (n, mul, mod) in {"a": (900, 37, 997),
+                             "b": (400, 91, 97)}.items():
+        vs = [((i * mul) % mod) * 1.0 for i in range(n)]
+        vals[g] = sorted(vs)
+        rows += [(g, v) for v in vs]
+    pts = (spark.createDataFrame(rows, "event_type string, _k double")
+           .groupBy("event_type", "_k")
+           .agg(F.count(F.lit(1)).alias("c")))
+    targets = {"med": "(n + 1) DIV 2", "p90": "(9 * n + 9) DIV 10"}
+    for target_rows, max_fences, label in (
+            (1_000_000, 1024, "single"), (25, 6, "two-level")):
+        monkeypatch.setattr(A, "PREFIX_TARGET_ROWS", target_rows)
+        monkeypatch.setattr(A, "PREFIX_MAX_FENCES", max_fences)
+        got = {r["event_type"]: r for r in
+               A._grouped_rank_min(pts, targets).collect()}
+        for g, vs in vals.items():
+            n = len(vs)
+            assert got[g]["n_rows"] == n, label
+            assert got[g]["med"] == vs[(n + 1) // 2 - 1], label
+            assert got[g]["p90"] == vs[(9 * n + 9) // 10 - 1], label
+
+
+def test_value_deciles_two_level_matches_single(spark, monkeypatch):
+    """End-to-end pin: value_deciles_by_type (now on the shared
+    grouped helper) returns identical deciles under the two-level
+    fence split as under the parity-pinned single-level path."""
+    from openlmis_distributions_etl_spark.operators import analytics as A
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001)
+    want = sorted(tuple(r) for r in A.value_deciles_by_type(t).collect())
+    monkeypatch.setattr(A, "PREFIX_TARGET_ROWS", 50)
+    monkeypatch.setattr(A, "PREFIX_MAX_FENCES", 7)
+    got = sorted(tuple(r) for r in A.value_deciles_by_type(t).collect())
+    assert got == want
+
+
 def test_chi2_segments_pmod_matches_oracle_on_negative_ids(spark):
     """Spark pmod vs DuckDB % diverge on negative dividends; the
     oracle now uses ((x % 3) + 3) % 3. Pin equality on a frame that
