@@ -77,6 +77,13 @@ HEADLINE = [
     "revenue_changepoint",
     "payload_simhash",
     "orders_expectations",
+    # round-5 sixth wave: graph peeling, mergeable KMV sketch,
+    # positional co-occurrence, decayed trend, seasonal residuals
+    "kcore_dup_graph",
+    "kmv_distinct_users",
+    "skipgram_pairs",
+    "ewma_daily_revenue",
+    "seasonal_residual_outliers",
 ]
 
 

@@ -2062,3 +2062,57 @@ def benford_chi2_by_priority(t: dict[str, DataFrame]) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         "n_orders",
         chi2.alias("benford_chi2"))
+
+
+KMV_K = 512
+KMV_HEX_DIGITS = 13          # 52 bits — every value an exact BIGINT
+KMV_SPACE = 1 << (4 * KMV_HEX_DIGITS)
+
+
+def _hex_prefix_value(col: str) -> str:
+    """Portable SQL text (same in Spark and DuckDB) turning the first
+    KMV_HEX_DIGITS chars of a lowercase md5 hex string into its
+    integer value: instr over the digit alphabet, scaled by exact
+    powers of 16. 13 digits = 52 bits, so the value is a clean BIGINT
+    in both engines with no unsigned/overflow edge."""
+    # every multiplier casts to BIGINT explicitly: small powers of 16
+    # parse as INT literals and (digit · 16^7) overflows 32-bit under
+    # Spark's ANSI arithmetic
+    terms = [
+        f"(instr('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (KMV_HEX_DIGITS - 1 - i)} AS BIGINT)"
+        for i in range(KMV_HEX_DIGITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def kmv_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch: the K smallest
+    distinct salted-md5 values over user_id, and the classic
+    (K−1)/F(h_K) cardinality estimate — the third mergeable distinct
+    sketch next to HLL (hll_partitioned_union) and exact distinct:
+    two KMV states merge by 'union, keep K smallest', so per-shard /
+    per-day sketches of K rows each roll up losslessly, the property
+    a 1000-executor nightly union needs.
+
+    Plan shape: the salted hash collapses to distinct via one
+    map-side-combinable aggregate (cardinality = users, not events),
+    then TakeOrderedAndProject keeps K rows per partition and merges
+    once — no global sort. The only doubles are the final estimate's
+    multiply/divide, written identically in the oracle; ties at the
+    K boundary break on the full hex string."""
+    h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+              .cast("binary"))
+    hx = t["events"].select(h.alias("hx")).distinct()
+    v = hx.select("hx", F.expr(_hex_prefix_value("hx")).alias("v"))
+    bottom = v.orderBy(F.asc("v"), F.asc("hx")).limit(KMV_K)
+    agg = bottom.agg(F.count(F.lit(1)).alias("n_seen"),
+                     F.max("v").alias("vk"))
+    return agg.select(
+        F.lit(KMV_K).cast("int").alias("k"),
+        "n_seen", "vk",
+        F.when(F.col("n_seen") < KMV_K,
+               F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE))
+                   / F.col("vk"))
+        .alias("est_distinct"))

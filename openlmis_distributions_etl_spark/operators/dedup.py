@@ -1406,3 +1406,55 @@ def dup_graph_clustering_coef(t: dict[str, DataFrame]) -> DataFrame:
         (F.lit(2.0) * F.col("n_triangles")
          / (F.col("degree") * (F.col("degree") - 1)))
         .alias("clustering_coef"))
+
+
+KCORE_KS = (2, 3)      # cores reported (k=2 drops pendant chains,
+                       # k=3 keeps only densely-matched families)
+KCORE_ROUNDS = 8       # fixed peeling rounds — the query's SEMANTICS
+
+
+def kcore_dup_graph(t: dict[str, DataFrame]) -> DataFrame:
+    """K-core summary of the near-dup graph: for each k in KCORE_KS,
+    the node/edge counts surviving KCORE_ROUNDS rounds of degree
+    peeling (drop nodes with degree < k, recompute, repeat) — the
+    standard "is this cluster a dense template family or a fragile
+    chain of borderline matches" density report; the 2-core strips
+    pendant chains, the 3-core keeps only mutually-corroborated dups.
+
+    Semantics are DEFINED as exactly KCORE_ROUNDS peeling rounds (the
+    DuckDB oracle unrolls the identical rounds), which makes the
+    result deterministic without a data-dependent convergence probe;
+    on dup graphs the peel stabilizes in a handful of rounds because
+    clusters are dense, and extra rounds past the fixpoint are no-ops.
+
+    Scale shape: each round is two semi-joins of the symmetrized edge
+    list against the surviving-node set (broadcast — the set only
+    shrinks) plus one map-side-combinable degree count; lineage is
+    cut per round (`_truncate_lineage`, the CC lesson) so the plan
+    stays flat at any round count. No all-pairs anything — the edge
+    list is the LSH candidate set, linear in true duplicates."""
+    edges = retain(minhash_lsh_pairs(t)
+                   .selectExpr("doc_a AS a", "doc_b AS b"))
+    sym, _ = _dup_sym_degrees(edges)
+    sym = retain(sym)
+    out = None
+    for k in KCORE_KS:
+        alive = sym.select(F.col("u").alias("node")).distinct()
+        for _ in range(KCORE_ROUNDS):
+            deg = (sym
+                   .join(alive.selectExpr("node AS u"), "u", "left_semi")
+                   .join(alive.selectExpr("node AS v"), "v", "left_semi")
+                   .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+            alive = _truncate_lineage(
+                deg.where(F.col("d") >= k)
+                .select(F.col("u").alias("node")))
+        nn = alive.agg(F.count(F.lit(1)).alias("n_core_nodes"))
+        ne = (edges
+              .join(alive.selectExpr("node AS a"), "a", "left_semi")
+              .join(alive.selectExpr("node AS b"), "b", "left_semi")
+              .agg(F.count(F.lit(1)).alias("n_core_edges")))
+        row = (nn.crossJoin(ne)
+               .select(F.lit(k).cast("int").alias("k"),
+                       "n_core_nodes", "n_core_edges"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1040,3 +1040,64 @@ def mom_delta_by_segment(t: dict[str, DataFrame]) -> DataFrame:
                        / F.col("_tot").cast("double"))
                 .otherwise(F.lit(None).cast("double"))
                 .alias("delta_share")))
+
+
+SEASONAL_Z_MILLI = 2000        # |z| > 2.0 flags an outlier
+
+
+def seasonal_residual_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekday-adjusted daily-revenue outliers: each day's revenue is
+    compared against ITS WEEKDAY's mean (the complement of
+    weekday_revenue_seasonality — after the Monday/Sunday shape is
+    removed, what still sticks out?), flagging days beyond 2σ of
+    their weekday's residual spread.
+
+    Exact integer residuals: with per-weekday count n and cent-sum S,
+    the scaled residual d = n·x − S is a DECIMAL(38,0) (uniform scale
+    within a weekday, so the σ comparison is scale-free); Σd² per
+    weekday stays decimal-exact, and the z-score is ONE double chain
+    d/√(Σd²/n) quantized to milli-units via the floor(x·1000 + 0.5)
+    convention — identical text in the oracle. Weekday is epoch-day
+    arithmetic from the 1970-01-05 Monday anchor (dates are all
+    post-1970, so % 7 agrees across engines). Shapes: one
+    calendar-bounded daily rollup, a 7-row broadcast join, a 7-key
+    re-aggregate, a second 7-row broadcast join."""
+    from ..functions.cache import retain
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    eday = F.datediff(F.col("o_orderdate").cast("date"),
+                      F.lit("1970-01-05").cast("date")).cast("bigint")
+    daily = (t["orders"]
+             .select(eday.alias("eday"), cents.alias("rc"))
+             .groupBy("eday").agg(F.sum("rc").alias("rc")))
+    daily = retain(daily.withColumn(
+        "weekday", (F.col("eday") % 7).cast("int")))
+    ws = (daily.groupBy("weekday")
+          .agg(F.count(F.lit(1)).alias("n_w"),
+               F.sum("rc").alias("s_w")))
+    # precisions sized so every decimal op stays under the 38-digit
+    # ceiling BOTH engines enforce (DuckDB rejects wider products at
+    # bind time): 9+19-digit operands → 28-digit product, residual
+    # cast to 19 digits so d·d is exactly 38
+    d_expr = (F.col("n_w").cast("decimal(9,0)")
+              * F.col("rc").cast("decimal(19,0)")
+              - F.col("s_w").cast("decimal(28,0)"))
+    resid = retain(daily.join(F.broadcast(ws), "weekday")
+                   .withColumn("d", d_expr.cast("decimal(19,0)")))
+    sd2 = (resid.groupBy("weekday")
+           .agg(F.sum(F.col("d") * F.col("d"))
+                .cast("decimal(38,0)").alias("sd2")))
+    z = F.when(F.col("sd2") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(F.col("d").cast("double")
+                / F.sqrt(F.col("sd2").cast("double") / F.col("n_w"))
+                * 1000 + F.lit(0.5)).cast("bigint"))
+    day = F.date_format(
+        F.date_add(F.lit("1970-01-05").cast("date"),
+                   F.col("eday").cast("int")), "yyyy-MM-dd")
+    return (resid.join(F.broadcast(sd2), "weekday")
+            .select(day.alias("day"),
+                    F.col("weekday"),
+                    (F.col("rc").cast("double") / 100.0)
+                    .alias("revenue"),
+                    z.alias("milli_z"),
+                    (F.abs(z) > SEASONAL_Z_MILLI).alias("is_outlier")))

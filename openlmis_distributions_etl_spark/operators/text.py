@@ -1538,3 +1538,39 @@ def decontaminated_corpus_stats(t: dict[str, DataFrame]) -> DataFrame:
         .alias("doc_keep_rate"),
         (F.col("n_kept_tokens").cast("double") / F.col("n_tokens"))
         .alias("token_keep_rate"))
+
+
+SKIPGRAM_MIN_COUNT = 3
+SKIPGRAM_TOP_K = 100
+
+
+def skipgram_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Positional skip-gram co-occurrence: ordered token pairs at gap
+    1 and 2 (the word2vec-style context window a tokenizer/embedding
+    pipeline counts), with corpus counts, pruned to pairs seen ≥
+    SKIPGRAM_MIN_COUNT times and the TOP_K strongest — the positional
+    complement to token_pmi_pairs' doc-level co-occurrence.
+
+    Pair generation is IN-ROW (one transform over a 1..len−gap index
+    sequence per gap — no posexplode self-join, so the shuffle
+    carries pairs, linear in corpus tokens, not positions²); one
+    (x, y, gap) count aggregate map-side combines, and the final
+    TOP_K is TakeOrderedAndProject on the unique (cnt desc, x, y,
+    gap) key — deterministic at the rank boundary, no global sort."""
+    d = (t["documents"]
+         .select(tokens().alias("tk"))
+         .where(F.size("tk") >= 2))
+    gap_arrays = [F.expr(
+        f"CASE WHEN size(tk) > {g} THEN "
+        f"transform(sequence(1, size(tk) - {g}), "
+        f"i -> named_struct('x', element_at(tk, i), "
+        f"'y', element_at(tk, i + {g}), 'gap', {g})) "
+        f"ELSE array() END") for g in (1, 2)]
+    pairs = (d.select(F.explode(F.concat(*gap_arrays)).alias("p"))
+             .select("p.x", "p.y", F.col("p.gap").cast("int").alias("gap")))
+    c = (pairs.groupBy("x", "y", "gap")
+         .agg(F.count(F.lit(1)).alias("cnt"))
+         .where(F.col("cnt") >= SKIPGRAM_MIN_COUNT))
+    return (c.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"),
+                      F.asc("gap"))
+            .limit(SKIPGRAM_TOP_K))

@@ -822,3 +822,61 @@ def event_rate_spikes(t: dict[str, DataFrame]) -> DataFrame:
         "hour", "event_type", "n", "mu",
         (F.col("n") > F.col("mu") + 3 * F.sqrt(F.col("mu")))
         .cast("int").alias("is_spike"))
+
+
+# α·(1−α)^lag at α = 0.2 over a 31-day kernel, in integer micro-units
+# — baked literals, so both engines multiply the SAME integers and no
+# float pow ever enters a plan
+EWMA_MICRO = tuple(int(round(0.2 * 0.8 ** lag * 1e6))
+                   for lag in range(31))
+
+
+def ewma_daily_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily order revenue with its exponentially-weighted trailing
+    average (α = 0.2, 31-day truncated kernel) — the smoothed demand
+    trend a forecast monitor plots against raw dailies. Calendar gaps
+    contribute zero (lag is calendar days, not row offsets), so the
+    smoothing is well-defined over sparse order histories.
+
+    Integer-exact: revenues quantize to cents, kernel weights are the
+    31 baked micro-unit literals above, and each day's weighted sum
+    accumulates DECIMAL(38,0) products (cents × micro-weight — bigint
+    would overflow at 100 TB daily volumes); the only IEEE ops are
+    the two final divisions. Shape: one calendar-bounded daily
+    rollup, an in-row 31-way kernel explode (≤31× a ~thousands-row
+    frame — nothing scales with the fact table past the rollup), one
+    target-day re-aggregate, one same-key join."""
+    from ..functions.cache import retain
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    eday = F.datediff(F.col("o_orderdate").cast("date"),
+                      F.lit("1970-01-01").cast("date")).cast("bigint")
+    # retained: the daily frame feeds the kernel explode AND the
+    # final join — uncached the orders rollup runs twice
+    daily = retain(t["orders"]
+                   .select(eday.alias("eday"), cents.alias("rc"))
+                   .groupBy("eday").agg(F.sum("rc").alias("rc")))
+    lw = F.explode(F.array(*[
+        F.struct(F.lit(lag).cast("bigint").alias("lag"),
+                 F.lit(w).cast("bigint").alias("wt"))
+        for lag, w in enumerate(EWMA_MICRO)])).alias("lw")
+    # operand precisions chosen so the product width (26 + 7 = 33)
+    # stays under both engines' 38-digit decimal ceiling — DuckDB
+    # REJECTS a multiply whose result width would exceed 38, so a
+    # blanket decimal(38,0) cast is not portable
+    contrib = (daily.select("eday", "rc", lw)
+               .select((F.col("eday") + F.col("lw.lag")).alias("tday"),
+                       (F.col("rc").cast("decimal(26,0)")
+                        * F.col("lw.wt").cast("decimal(7,0)"))
+                       .alias("x")))
+    g = (contrib.groupBy("tday")
+         .agg(F.sum("x").cast("decimal(38,0)").alias("wsum")))
+    day = F.date_format(
+        F.date_add(F.lit("1970-01-01").cast("date"),
+                   F.col("eday").cast("int")), "yyyy-MM-dd")
+    return (daily.join(g, daily["eday"] == g["tday"])
+            .select(day.alias("day"),
+                    (F.col("rc").cast("double") / 100.0)
+                    .alias("revenue"),
+                    (F.col("wsum").cast("double") / 100000000.0)
+                    .alias("ewma")))

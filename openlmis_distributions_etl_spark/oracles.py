@@ -5946,3 +5946,170 @@ ORACLES.update({
         FROM cl a JOIN cl b ON a.label < b.label
     """,
 })
+
+
+from .operators.dedup import KCORE_KS, KCORE_ROUNDS  # noqa: E402
+
+
+def _kcore_sql() -> str:
+    # unrolls the SAME fixed peeling rounds as the Spark loop: round
+    # r keeps nodes whose degree among round-(r-1) survivors ≥ k.
+    # Every multiply-referenced CTE is MATERIALIZED — DuckDB inlines
+    # plain CTEs, and each round referencing its predecessor twice
+    # would otherwise expand the whole LSH pipeline 2^rounds times
+    # (observed as a too-many-open-files parquet storm)
+    blocks = [
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+        "a_all AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)",
+    ]
+    selects = []
+    for k in KCORE_KS:
+        prev = "a_all"
+        for r in range(1, KCORE_ROUNDS + 1):
+            cte = f"a{k}_{r}"
+            blocks.append(
+                f"{cte} AS MATERIALIZED (SELECT u AS node FROM sym "
+                f"JOIN {prev} x ON x.node = sym.u "
+                f"JOIN {prev} y ON y.node = sym.v "
+                f"GROUP BY u HAVING COUNT(*) >= {k})")
+            prev = cte
+        selects.append(
+            f"SELECT CAST({k} AS INTEGER) AS k, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {prev}) "
+            f"AS n_core_nodes, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e "
+            f"JOIN {prev} x ON x.node = e.a "
+            f"JOIN {prev} y ON y.node = e.b) AS n_core_edges")
+    return (f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        """ + ",\n        ".join(blocks) + "\n        "
+        + "\n        UNION ALL ".join(selects))
+
+
+ORACLES.update({
+    "kcore_dup_graph": _kcore_sql(),
+})
+
+
+from .operators.analytics import (KMV_K, KMV_SPACE,  # noqa: E402
+                                  _hex_prefix_value)
+from .operators.relational import SEASONAL_Z_MILLI  # noqa: E402
+from .operators.text import (SKIPGRAM_MIN_COUNT,  # noqa: E402
+                             SKIPGRAM_TOP_K)
+from .operators.windows import EWMA_MICRO  # noqa: E402
+
+_EWMA_VALUES = ", ".join(f"({lag}, {w})"
+                         for lag, w in enumerate(EWMA_MICRO))
+
+ORACLES.update({
+    # identical hex-prefix integerization + tie-break on the full hex
+    # string; estimate arithmetic written with the same literals
+    "kmv_distinct_users": f"""
+        WITH h AS (
+          SELECT DISTINCT md5('kmv|' || CAST(user_id AS VARCHAR)) AS hx
+          FROM events),
+        v AS (SELECT hx, {_hex_prefix_value('hx')} AS v FROM h),
+        bottom AS (
+          SELECT * FROM v ORDER BY v ASC, hx ASC LIMIT {KMV_K}),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                       MAX(v) AS vk
+                FROM bottom)
+        SELECT CAST({KMV_K} AS INTEGER) AS k, n_seen, vk,
+               CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} * {float(KMV_SPACE)} / vk
+               END AS est_distinct
+        FROM agg
+    """,
+    # gap-g pairs from positional indexing over the same tokens; the
+    # unique (cnt desc, x, y, gap) sort key pins the rank boundary
+    "skipgram_pairs": f"""
+        WITH d AS (
+          SELECT {TOKS} AS tk FROM documents),
+        pg AS (
+          SELECT tk[i] AS x, tk[i + 1] AS y, 1 AS gap
+          FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+          UNION ALL
+          SELECT tk[i], tk[i + 2], 2
+          FROM d, unnest(generate_series(1, len(tk) - 2)) AS u(i))
+        SELECT x, y, CAST(gap AS INTEGER) AS gap,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pg GROUP BY x, y, gap
+        HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
+        ORDER BY cnt DESC, x ASC, y ASC, gap ASC
+        LIMIT {SKIPGRAM_TOP_K}
+    """,
+    # same baked micro-weights, same 26+7-digit decimal product
+    "ewma_daily_revenue": f"""
+        WITH daily AS (
+          SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                      AS BIGINT) AS eday,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rc
+          FROM orders GROUP BY 1),
+        w(lag, wt) AS (VALUES {_EWMA_VALUES}),
+        contrib AS (
+          SELECT d.eday + w.lag AS tday,
+                 CAST(d.rc AS DECIMAL(26,0))
+                   * CAST(w.wt AS DECIMAL(7,0)) AS x
+          FROM daily d CROSS JOIN w),
+        g AS (
+          SELECT tday, CAST(SUM(x) AS DECIMAL(38,0)) AS wsum
+          FROM contrib GROUP BY tday)
+        SELECT strftime(DATE '1970-01-01' + CAST(d.eday AS INT),
+                        '%Y-%m-%d') AS day,
+               CAST(d.rc AS DOUBLE) / 100.0 AS revenue,
+               CAST(g.wsum AS DOUBLE) / 100000000.0 AS ewma
+        FROM daily d JOIN g ON g.tday = d.eday
+    """,
+    # same scaled-residual integers, same milli-z double chain
+    "seasonal_residual_outliers": f"""
+        WITH daily AS (
+          SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-05'
+                      AS BIGINT) AS eday,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rc
+          FROM orders GROUP BY 1),
+        dw AS (
+          SELECT eday, rc, CAST(eday % 7 AS INTEGER) AS weekday
+          FROM daily),
+        ws AS (
+          SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_w,
+                 SUM(rc) AS s_w
+          FROM dw GROUP BY weekday),
+        resid AS (
+          SELECT dw.eday, dw.rc, dw.weekday, ws.n_w,
+                 CAST(CAST(ws.n_w AS DECIMAL(9,0))
+                        * CAST(dw.rc AS DECIMAL(19,0))
+                      - CAST(ws.s_w AS DECIMAL(28,0))
+                      AS DECIMAL(19,0)) AS d
+          FROM dw JOIN ws ON ws.weekday = dw.weekday),
+        sd AS (
+          SELECT weekday, CAST(SUM(d * d) AS DECIMAL(38,0)) AS sd2
+          FROM resid GROUP BY weekday),
+        z AS (
+          SELECT r.*, sd.sd2,
+                 CASE WHEN sd.sd2 = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(CAST(r.d AS DOUBLE)
+                             / sqrt(CAST(sd.sd2 AS DOUBLE) / r.n_w)
+                             * 1000 + 0.5) AS BIGINT)
+                 END AS milli_z
+          FROM resid r JOIN sd ON sd.weekday = r.weekday)
+        SELECT strftime(DATE '1970-01-05' + CAST(eday AS INT),
+                        '%Y-%m-%d') AS day,
+               weekday,
+               CAST(rc AS DOUBLE) / 100.0 AS revenue,
+               milli_z,
+               abs(milli_z) > {SEASONAL_Z_MILLI} AS is_outlier
+        FROM z
+    """,
+})
