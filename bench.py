@@ -84,6 +84,12 @@ HEADLINE = [
     "skipgram_pairs",
     "ewma_daily_revenue",
     "seasonal_residual_outliers",
+    # round-5 seventh wave: robust trim, attribution, 3-itemsets,
+    # sliding distinct
+    "trimmed_mean_by_type",
+    "linear_touch_attribution",
+    "part_triple_affinity",
+    "rolling_7d_active_users",
 ]
 
 

@@ -2116,3 +2116,61 @@ def kmv_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
         .otherwise(F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE))
                    / F.col("vk"))
         .alias("est_distinct"))
+
+
+TRIM_LO_RANK = "n DIV 10 + 1"       # first kept rank (k = n DIV 10)
+TRIM_HI_RANK = "n - n DIV 10"       # last kept rank
+
+
+def trimmed_mean_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type 10% TRIMMED mean of `value`: drop the k = ⌊n/10⌋
+    lowest- and highest-RANKED rows, average the middle n−2k — the
+    companion to `winsorized_value_stats` (which CLIPS those tails
+    instead of dropping them); together they bracket how much of the
+    raw mean is tail-driven.
+
+    Rank-exact without any per-row global rank: one grouped
+    prefix-sum ECDF pass (`_grouped_rank_min`) yields the fence
+    values at ranks k+1 and n−k, then ONE conditional aggregate
+    reconstructs the trimmed sum from distinct-value arithmetic —
+    interior values sum fully, and the two fence values contribute
+    exactly (cf(lo)−k) and (n−k−cnt_lt(hi)) copies, the tie-exact
+    rank intersection. Sums run in cents BIGINT (the portable
+    floor(x·100+0.5) grid — no float accumulation order), single
+    IEEE division at the end; the degenerate lo==hi fence (whole
+    middle is one value) takes the closed form (n−2k)·lo. Fences are
+    enumeration-bounded per type → broadcast."""
+    from ..functions.cache import retain
+    ev = retain(t["events"]
+                .where(F.col("value").isNotNull())
+                .select("event_type",
+                        F.col("value").cast("double").alias("v")))
+    pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    fences = _grouped_rank_min(
+        pts, {"lo": TRIM_LO_RANK, "hi": TRIM_HI_RANK})
+    j = ev.join(F.broadcast(fences), "event_type")
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    g = (j.groupBy("event_type")
+         .agg(F.max("n_rows").alias("n"),
+              F.max("lo").alias("lo"),
+              F.max("hi").alias("hi"),
+              F.sum(F.when((F.col("v") > F.col("lo"))
+                           & (F.col("v") < F.col("hi")), cents)
+                    .otherwise(F.lit(0).cast("long"))).alias("mid"),
+              F.sum((F.col("v") <= F.col("lo")).cast("long"))
+              .alias("cf_lo"),
+              F.sum((F.col("v") < F.col("hi")).cast("long"))
+              .alias("lt_hi")))
+    kk = F.expr("n DIV 10")
+    c_lo = F.floor(F.col("lo") * 100 + F.lit(0.5)).cast("long")
+    c_hi = F.floor(F.col("hi") * 100 + F.lit(0.5)).cast("long")
+    kept = F.col("n") - 2 * kk
+    tsum = F.when(
+        F.col("lo") < F.col("hi"),
+        F.col("mid") + (F.col("cf_lo") - kk) * c_lo
+        + (F.col("n") - kk - F.col("lt_hi")) * c_hi
+    ).otherwise(kept * c_lo)
+    return g.select(
+        "event_type", "n", kk.alias("k_trim"), "lo", "hi",
+        (tsum.cast("double") / 100.0 / kept).alias("trimmed_mean"))

@@ -1101,3 +1101,54 @@ def seasonal_residual_outliers(t: dict[str, DataFrame]) -> DataFrame:
                     .alias("revenue"),
                     z.alias("milli_z"),
                     (F.abs(z) > SEASONAL_Z_MILLI).alias("is_outlier")))
+
+
+TRIPLE_MIN_SUPPORT = 2
+
+
+def part_triple_affinity(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket 3-ITEMSETS: part triples co-ordered in the same
+    order with support ≥ TRIPLE_MIN_SUPPORT and a triple lift vs
+    item independence — one level up from `part_affinity_pairs`,
+    the bundle report pair lift can't see (three items can pair
+    freely yet never co-occur as a bundle).
+
+    Scale shape: per-order DISTINCT part sets collapse in one order-
+    key aggregate, triples explode IN-ROW from the sorted set
+    (≤ C(lines-per-order, 3) per order — order width is bounded, so
+    triple volume is linear in orders, never |parts|³), one
+    (x, y, z) count shuffle with the support filter pushed into the
+    aggregate's HAVING, and catalog-bounded item supports broadcast
+    back. Lift = n²·c3/(cx·cy·cz) is one deterministic double chain
+    over exact counts, written identically in the oracle."""
+    from ..functions.cache import retain
+    base = retain(t["lineitem"]
+                  .groupBy("l_orderkey")
+                  .agg(F.sort_array(F.collect_set("l_partkey"))
+                       .alias("ps")))
+    triples = (
+        base.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            " flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
+            "  transform(slice(ps, i + j + 3, size(ps)), "
+            "            z -> struct(x, y, z))))))"))
+            .alias("p"))
+        .select("p.x", "p.y", "p.z")
+        .groupBy("x", "y", "z").agg(F.count(F.lit(1)).alias("c3"))
+        .where(F.col("c3") >= TRIPLE_MIN_SUPPORT))
+    cx = (base.select(F.explode("ps").alias("pkey"))
+          .groupBy("pkey").agg(F.count(F.lit(1)).alias("c")))
+    n = base.agg(F.count(F.lit(1)).alias("n_orders"))
+    ca = cx.select(F.col("pkey").alias("x"), F.col("c").alias("cx"))
+    cb = cx.select(F.col("pkey").alias("y"), F.col("c").alias("cy"))
+    cc = cx.select(F.col("pkey").alias("z"), F.col("c").alias("cz"))
+    return (triples.join(ca, "x").join(cb, "y").join(cc, "z")
+            .crossJoin(F.broadcast(n))
+            .select("x", "y", "z", "c3", "cx", "cy", "cz",
+                    (F.col("c3").cast("double") / F.col("n_orders"))
+                    .alias("support"),
+                    (F.col("n_orders").cast("double")
+                     * F.col("n_orders") * F.col("c3")
+                     / (F.col("cx").cast("double") * F.col("cy")
+                        * F.col("cz")))
+                    .alias("lift")))

@@ -880,3 +880,92 @@ def ewma_daily_revenue(t: dict[str, DataFrame]) -> DataFrame:
                     .alias("revenue"),
                     (F.col("wsum").cast("double") / 100000000.0)
                     .alias("ewma")))
+
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000   # 7-day lookback
+
+
+def linear_touch_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase's revenue is
+    split equally across that user's clicks in the preceding 7 days,
+    rolled up per click-day — the marketing-credit complement to
+    `asof_purchase_attribution` (which gives the LAST touch 100%).
+
+    Credit is integer-exact: purchase cents DIV n_touches per click,
+    with the remainder assigned to the MOST RECENT click (ts DESC,
+    event_id ASC — deterministic), so credited cents sum exactly to
+    attributed revenue in any partition order and the oracle is pure
+    integer arithmetic.
+
+    Scale shape: one equi-join on user_id (per-user purchase×click
+    fanout, bounded by the 7-day window — never a cross join), one
+    window keyed on the purchase id for (n_touches, recency rank),
+    one final day rollup. All shuffles are keyed; the fact is
+    filtered to two event types at the scan."""
+    ev = t["events"]
+    pur = (ev.where((F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull())
+           .select("user_id", F.col("event_id").alias("p_id"),
+                   ts_us("ts").alias("p_us"),
+                   F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    clk = (ev.where(F.col("event_type") == "click")
+           .select("user_id", F.col("event_id").alias("c_id"),
+                   ts_us("ts").alias("c_us"),
+                   F.date_format("ts", "yyyy-MM-dd").alias("day")))
+    j = (pur.join(clk, "user_id")
+         .where((F.col("c_us") < F.col("p_us"))
+                & (F.col("c_us") >= F.col("p_us") - ATTR_WINDOW_US)))
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.desc("c_us"),
+                                            F.asc("c_id"))
+    cred = (j.withColumn("n_touch", F.count(F.lit(1)).over(wn))
+            .withColumn("rk", F.row_number().over(wr))
+            .withColumn(
+                "credit",
+                F.expr("cents DIV n_touch")
+                + F.when(F.col("rk") == 1, F.expr("cents % n_touch"))
+                .otherwise(F.lit(0).cast("long"))))
+    return (cred.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_credited_clicks"),
+                 F.count_distinct("p_id").alias("n_purchases"),
+                 F.sum("credit").alias("credited_cents"))
+            .select("day", "n_credited_clicks", "n_purchases",
+                    "credited_cents",
+                    (F.col("credited_cents").cast("double") / 100.0)
+                    .alias("credited_value")))
+
+
+ROLLING_DAU_DAYS = 7
+
+
+def rolling_7d_active_users(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT trailing-7-day active users for every observed day —
+    the stickiness denominator (DAU/WAU) `daily_active_users` can't
+    produce, computed WITHOUT a window-distinct (which no engine can
+    do partially): each distinct (user, day) pair explodes IN-ROW to
+    the ≤7 target days it covers, so the plan is one bounded 7×
+    fan-out + one day-keyed distinct count — linear, shuffle keyed
+    on day, no per-user ordering anywhere. Same-day DAU rides the
+    same aggregate as a conditional distinct."""
+    ud = (t["events"]
+          .select("user_id",
+                  F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+                  .alias("eday"))
+          .distinct())
+    spine = ud.select(F.col("eday").alias("tday")).distinct()
+    covered = ud.select(
+        "user_id", "eday",
+        F.explode(F.sequence(
+            F.col("eday"),
+            F.col("eday") + (ROLLING_DAU_DAYS - 1))).alias("tday"))
+    return (covered.join(spine, "tday", "left_semi")
+            .groupBy("tday")
+            .agg(F.count_distinct("user_id").alias("rolling_7d_users"),
+                 F.count_distinct(
+                     F.when(F.col("eday") == F.col("tday"),
+                            F.col("user_id"))).alias("dau"))
+            .select(F.date_format(
+                F.expr("date_add(DATE '1970-01-01', CAST(tday AS INT))"),
+                "yyyy-MM-dd").alias("day"),
+                "rolling_7d_users", "dau"))

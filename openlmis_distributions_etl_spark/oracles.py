@@ -6113,3 +6113,145 @@ ORACLES.update({
         FROM z
     """,
 })
+
+ORACLES.update({
+    # identical fence ranks, cents grid, and tie-exact boundary-copy
+    # arithmetic; the degenerate lo==hi fence takes the closed form
+    "trimmed_mean_by_type": """
+        WITH c AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, CAST(value AS DOUBLE)),
+        cum AS (
+          SELECT event_type, v,
+                 CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cf,
+                 CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+          FROM c),
+        f AS (
+          SELECT event_type, MAX(n) AS n,
+                 MIN(CASE WHEN cf >= n // 10 + 1 THEN v END) AS lo,
+                 MIN(CASE WHEN cf >= n - n // 10 THEN v END) AS hi
+          FROM cum GROUP BY event_type),
+        e AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL),
+        g AS (
+          SELECT e.event_type, MAX(f.n) AS n,
+                 MAX(f.lo) AS lo, MAX(f.hi) AS hi,
+                 CAST(SUM(CASE WHEN e.v > f.lo AND e.v < f.hi
+                   THEN CAST(floor(e.v * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS mid,
+                 CAST(SUM(CASE WHEN e.v <= f.lo THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cf_lo,
+                 CAST(SUM(CASE WHEN e.v < f.hi THEN 1 ELSE 0 END)
+                   AS BIGINT) AS lt_hi
+          FROM e JOIN f USING (event_type) GROUP BY e.event_type)
+        SELECT event_type, n, n // 10 AS k_trim, lo, hi,
+               CAST(CASE WHEN lo < hi
+                 THEN mid
+                   + (cf_lo - n // 10)
+                     * CAST(floor(lo * 100 + 0.5) AS BIGINT)
+                   + (n - n // 10 - lt_hi)
+                     * CAST(floor(hi * 100 + 0.5) AS BIGINT)
+                 ELSE (n - 2 * (n // 10))
+                   * CAST(floor(lo * 100 + 0.5) AS BIGINT)
+               END AS DOUBLE) / 100.0 / (n - 2 * (n // 10))
+               AS trimmed_mean
+        FROM g
+    """,
+})
+
+ORACLES.update({
+    # same integer cents DIV/remainder split, same recency tie-break
+    "linear_touch_attribution": """
+        WITH pur AS (
+          SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        clk AS (
+          SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+                 strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.p_id, p.cents, c.c_id, c.c_us, c.day
+          FROM pur p JOIN clk c ON c.user_id = p.user_id
+          WHERE c.c_us < p.p_us
+            AND c.c_us >= p.p_us - 604800000000),
+        r AS (
+          SELECT *,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+                 ROW_NUMBER() OVER (PARTITION BY p_id
+                   ORDER BY c_us DESC, c_id ASC) AS rk
+          FROM j),
+        cred AS (
+          SELECT day, p_id,
+                 cents // n_touch
+                 + CASE WHEN rk = 1 THEN cents % n_touch ELSE 0 END
+                 AS credit
+          FROM r)
+        SELECT day,
+               COUNT(*) AS n_credited_clicks,
+               COUNT(DISTINCT p_id) AS n_purchases,
+               CAST(SUM(credit) AS BIGINT) AS credited_cents,
+               CAST(CAST(SUM(credit) AS BIGINT) AS DOUBLE) / 100.0
+                 AS credited_value
+        FROM cred GROUP BY day
+    """,
+})
+
+from .operators.relational import TRIPLE_MIN_SUPPORT  # noqa: E402
+
+ORACLES.update({
+    # same sorted-triple generation (x < y < z), same double chain
+    "part_triple_affinity": f"""
+        WITH base AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+          FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM base),
+        cxs AS (SELECT pkey, COUNT(*) AS c FROM base GROUP BY pkey),
+        tri AS (
+          SELECT a.pkey AS x, b.pkey AS y, c.pkey AS z,
+                 COUNT(*) AS c3
+          FROM base a
+          JOIN base b ON b.okey = a.okey AND a.pkey < b.pkey
+          JOIN base c ON c.okey = a.okey AND b.pkey < c.pkey
+          GROUP BY a.pkey, b.pkey, c.pkey
+          HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT})
+        SELECT x, y, z, CAST(c3 AS BIGINT) AS c3,
+               CAST(ca.c AS BIGINT) AS cx,
+               CAST(cb.c AS BIGINT) AS cy,
+               CAST(cc.c AS BIGINT) AS cz,
+               CAST(c3 AS DOUBLE) / n_orders AS support,
+               CAST(n_orders AS DOUBLE) * n_orders * c3
+                 / (CAST(ca.c AS DOUBLE) * cb.c * cc.c) AS lift
+        FROM tri
+        JOIN cxs ca ON ca.pkey = x
+        JOIN cxs cb ON cb.pkey = y
+        JOIN cxs cc ON cc.pkey = z
+        CROSS JOIN n
+    """,
+})
+
+ORACLES.update({
+    # same trailing-window coverage, expressed as a range join
+    "rolling_7d_active_users": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS eday
+          FROM events),
+        days AS (SELECT DISTINCT eday FROM ud)
+        SELECT strftime(DATE '1970-01-01' + CAST(d.eday AS INT),
+                        '%Y-%m-%d') AS day,
+               COUNT(DISTINCT u.user_id) AS rolling_7d_users,
+               COUNT(DISTINCT CASE WHEN u.eday = d.eday
+                              THEN u.user_id END) AS dau
+        FROM days d
+        JOIN ud u ON u.eday BETWEEN d.eday - 6 AND d.eday
+        GROUP BY d.eday
+    """,
+})

@@ -1049,3 +1049,74 @@ def rate_spike_stream(events: DataFrame, history: DataFrame) -> DataFrame:
                     (F.col("n") > F.element_at(
                         thr, F.col("event_type"))).cast("int")
                     .alias("is_spike")))
+
+
+def lsh_band_gate_stream(new_docs: DataFrame,
+                         snapshot: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup candidate gate — the MinHash-LSH twin of
+    `bloom_gate_stream` (which gates EXACT content dups): the static
+    snapshot's LSH band keys fold ONCE at stream setup into the 8 KB
+    Bloom literal, and every incoming doc computes its 16-hash
+    MinHash signature IN-ROW (the same universal-hash arithmetic as
+    `minhash_signatures` — whole-stage codegen, no UDF) and probes
+    its 4 band keys against the bitmap. Zero joins, zero streaming
+    state, plain append mode.
+
+    A flagged doc shares (modulo Bloom's ~2e-8 FP rate) a full band
+    with some snapshot doc — exactly `minhash_lsh_pairs`' candidate
+    criterion across the new×old frontier; an unflagged doc is
+    GUARANTEED fresh (banding and Bloom are both one-sided, so no
+    false negatives). Downstream only the flagged trickle pays the
+    exact pair verify; the firehose passes untouched. Docs too short
+    to shingle can't band-match and gate through unflagged."""
+    from ..functions import pin
+    from ..operators.dedup import (BANDS, MINHASH_AB, MINHASH_P,
+                                   N_HASHES, SHINGLE, _bands,
+                                   _shingles, bloom_bitmap,
+                                   bloom_hit_sql, minhash_signatures,
+                                   tokens)
+
+    rows = N_HASHES // BANDS
+    # --- static side, once at setup: snapshot band keys → Bloom ---
+    snap_bands = (_bands(minhash_signatures({"documents": snapshot}))
+                  .select(F.md5(F.concat(
+                      F.col("band_id").cast("string"), F.lit("|"),
+                      F.col("band_val")).cast("binary"))
+                      .alias("text_hash"))
+                  .distinct())
+    bits = bloom_bitmap(snap_bands).first()["bitmap"]
+    bitmap_lit = "array(" + ",".join(f"{b}L" for b in bits) + ")"
+
+    # --- stream side: in-row signature + band-key Bloom probes ---
+    d = (new_docs
+         .select("doc_id", "lang", "source", tokens().alias("toks"))
+         .withColumn("shingles",
+                     F.when(F.size("toks") >= SHINGLE,
+                            _shingles(F.col("toks")))
+                     .otherwise(F.expr("CAST(array() AS array<string>)"))))
+    xs = F.expr(
+        "transform(array_distinct(shingles), "
+        "s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 7), "
+        "16, 10) AS BIGINT))")
+    pinned = pin(d.select("doc_id", "lang", "source", "shingles"),
+                 xs=xs)
+    sigs = [
+        f"array_min(transform(xs, x -> pmod({a} * x + {b}, "
+        f"{MINHASH_P}))) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)]
+    sig = pinned.selectExpr("doc_id", "lang", "source",
+                            "size(shingles) AS n_shingles", *sigs)
+    withbands = sig
+    hits = []
+    for j in range(BANDS):
+        val = F.concat_ws(
+            "|", *[F.col(f"h{j * rows + r}") for r in range(rows)])
+        withbands = withbands.withColumn(
+            f"_bh{j}",
+            F.md5(F.concat(F.lit(f"{j}|"), val).cast("binary")))
+        hits.append(f"({bloom_hit_sql(f'_bh{j}')})")
+    probe = withbands.withColumn("bitmap", F.expr(bitmap_lit))
+    flag = F.expr(" OR ".join(hits)) & (F.col("n_shingles") > 0)
+    return (probe
+            .select("doc_id", "lang", "source",
+                    flag.alias("is_near_dup_candidate")))

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "token_pmi_pairs",         # broadcast vocab array + N singleton rows
     "source_lang_kl",          # broadcast corpus-total singleton row
     "part_affinity_pairs",     # broadcast order-count singleton row
+    "part_triple_affinity",    # broadcast order-count singleton row
     "ks_by_source",            # broadcast fence row + 64-row base grid
     # (pagerank_dup_graph's per-iteration broadcast dangling scalar
     # sits behind localCheckpoint leaves, so it never shows here)
@@ -81,7 +82,6 @@ BNLJ_ALLOWED = {
     "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
-    "kcore_dup_graph",        # broadcast (nodes x edges) count rows
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

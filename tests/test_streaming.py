@@ -624,3 +624,33 @@ def test_rate_spike_stream_matches_batch(spark):
         "rate_spikes", spark, "complete")
     want = windows.event_rate_spikes(t).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_lsh_band_gate_stream_matches_batch(spark):
+    """The streaming LSH band gate must flag exactly the docs that
+    share a full MinHash band with the snapshot (the batch candidate
+    criterion across the new×old frontier), and pass the rest as
+    guaranteed-fresh. Deterministic end-to-end, so set equality."""
+    from openlmis_distributions_etl_spark.operators import dedup
+
+    t = load_tables(spark, SF0001, "documents")
+    snapshot = t["documents"].where(F.pmod("doc_id", F.lit(5)) != 0)
+    incoming = t["documents"].where(F.pmod("doc_id", F.lit(5)) == 0)
+    stream = (jobs.read_documents_stream(spark, SF0001)
+              .where(F.pmod("doc_id", F.lit(5)) == 0))
+    got = _run_available_now(
+        jobs.lsh_band_gate_stream(stream, snapshot),
+        "lsh_band_gate", spark, "append")
+    # batch twin: incoming docs sharing any (band_id, band_val)
+    bn = (dedup._bands(dedup.minhash_signatures({"documents": incoming}))
+          .select("doc_id", "band_id", "band_val"))
+    bo = (dedup._bands(dedup.minhash_signatures({"documents": snapshot}))
+          .select("band_id", "band_val").distinct())
+    want_flagged = {r["doc_id"] for r in
+                    bn.join(bo, ["band_id", "band_val"], "left_semi")
+                    .select("doc_id").distinct().collect()}
+    all_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    got_flagged = set(got[got["is_near_dup_candidate"]]["doc_id"])
+    assert set(got["doc_id"]) == all_ids
+    assert got_flagged == want_flagged
+    assert 0 < len(want_flagged) < len(all_ids)
