@@ -90,6 +90,10 @@ HEADLINE = [
     "linear_touch_attribution",
     "part_triple_affinity",
     "rolling_7d_active_users",
+    # round-5 eighth wave: distributed-rank concentration stats +
+    # vocabulary planning
+    "customer_spend_gini",
+    "vocab_coverage_curve",
 ]
 
 

@@ -2174,3 +2174,59 @@ def trimmed_mean_by_type(t: dict[str, DataFrame]) -> DataFrame:
     return g.select(
         "event_type", "n", kk.alias("k_trim"), "lo", "hi",
         (tsum.cast("double") / 100.0 / kept).alias("trimmed_mean"))
+
+
+def customer_spend_gini(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the standard
+    revenue-concentration summary ("what share of revenue rides on
+    the whale accounts") via the rank formulation
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending.
+
+    The global rank is the distributed prefix-sum decomposition
+    (`_rank_buckets`, data-proportional bucket count): per-customer
+    cents spend is range-bucketed on its double image (monotone, so
+    bucket order refines the global order and cents TIES never
+    straddle buckets), bucket counts give exclusive rank offsets
+    over the constant-size bucket frame, and the in-bucket
+    `row_number` is bounded by PREFIX_TARGET_ROWS at any scale —
+    no single ORDER BY window ever sees the full customer set.
+
+    Exactness: Σ i·xᵢ is invariant to tie ordering (a tie block
+    contributes x·Σranks whatever the permutation), so the oracle's
+    single ROW_NUMBER window agrees with the decomposition
+    bit-for-bit; both sums accumulate in DECIMAL(38,0) (order-free),
+    and the Gini itself is ONE double expression over exact
+    integers, written identically in the oracle."""
+    from ..functions.cache import retain
+    spend = retain(
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long")).alias("cents"))
+        .withColumn("_k", F.col("cents").cast("double")))
+    n = spend.count()
+    b = _rank_buckets(spend, n)
+    bt = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off"))
+    win = Window.partitionBy("bkt").orderBy(F.asc("cents"),
+                                            F.asc("o_custkey"))
+    ranked = (b.join(F.broadcast(offs), "bkt")
+              .withColumn("rnk", F.col("off") + F.row_number().over(win)))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+        F.sum((F.col("rnk").cast("decimal(19,0)") * F.col("cents"))
+              .cast("decimal(38,0)")).alias("rs"))
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("rs")
+           - (F.col("n_customers") + F.lit(1)).cast("decimal(38,0)")
+           * F.col("tot"))
+    return g.select(
+        "n_customers",
+        F.col("tot").cast("long").alias("total_cents"),
+        (num.cast("double")
+         / (F.col("n_customers").cast("double")
+            * F.col("tot").cast("double"))).alias("gini"))

@@ -1152,3 +1152,49 @@ def part_triple_affinity(t: dict[str, DataFrame]) -> DataFrame:
                      / (F.col("cx").cast("double") * F.col("cy")
                         * F.col("cz")))
                     .alias("lift")))
+
+
+def nation_supplier_hhi(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation supplier-concentration HHI over shipped quantity —
+    the sourcing-risk dual of `part_supplier_redundancy`: a nation
+    whose supply is one mega-supplier (HHI → 1) is one failure away
+    from a stock-out even when `part_supplier_redundancy` looks
+    healthy part-by-part.
+
+    HHI = Σₛ (qₛ/Q)² computed exactly as Σ qₛ² / Q²: quantities ride
+    the portable cents grid into BIGINT, squares and sums accumulate
+    in DECIMAL(38,0) (order-free), and both the HHI and the top-1
+    share are single double expressions over exact integers,
+    identical in the oracle.
+
+    Scale shape: the fact aggregates FIRST on l_suppkey alone
+    (map-side-combinable, one shuffle keyed on the supplier — never
+    a composite fact shuffle), then the supplier→nation mapping and
+    nation names join broadcast onto the supplier-bounded aggregate,
+    and the final nation rollup is a 25-key map-side-combinable
+    aggregate over supplier-count rows."""
+    per_supp = (t["lineitem"]
+                .groupBy("l_suppkey")
+                .agg(F.sum(F.floor(F.col("l_quantity") * 100
+                                   + F.lit(0.5)).cast("long"))
+                     .alias("q")))
+    j = (per_supp
+         .join(broadcast(t["supplier"].select("s_suppkey",
+                                              "s_nationkey")),
+               per_supp["l_suppkey"] == F.col("s_suppkey"))
+         .join(broadcast(t["nation"].select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    g = (j.groupBy("n_name")
+         .agg(F.count(F.lit(1)).alias("n_suppliers"),
+              F.sum(F.col("q").cast("decimal(38,0)")).alias("qt"),
+              F.sum((F.col("q").cast("decimal(19,0)") * F.col("q"))
+                    .cast("decimal(38,0)")).alias("ss"),
+              F.max("q").alias("qmax")))
+    return g.select(
+        "n_name", "n_suppliers",
+        F.col("qt").cast("long").alias("total_qty_cents"),
+        (F.col("ss").cast("double")
+         / (F.col("qt").cast("double") * F.col("qt").cast("double")))
+        .alias("hhi"),
+        (F.col("qmax").cast("double") / F.col("qt").cast("double"))
+        .alias("top_share"))

@@ -1574,3 +1574,102 @@ def skipgram_pairs(t: dict[str, DataFrame]) -> DataFrame:
     return (c.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"),
                       F.asc("gap"))
             .limit(SKIPGRAM_TOP_K))
+
+
+TRUNC_CTXS = (128, 512, 2048)
+
+
+def doc_truncation_loss(t: dict[str, DataFrame]) -> DataFrame:
+    """Context-length truncation report: for each candidate training
+    context length L, how many documents overflow and what share of
+    corpus tokens a hard truncate-at-L would throw away — the number
+    that decides between truncating, chunking (`doc_chunks`), and
+    packing (`sequence_packing`).
+
+    ONE map-side-combinable aggregate computes every per-L
+    conditional sum (kept = Σ min(tok, L), lost = Σ max(tok − L, 0),
+    overflow doc count) in a single pass over per-doc token counts;
+    the per-L rows then unstack IN-ROW from that singleton via
+    `stack` — no second scan, no shuffle beyond the one aggregate.
+    All counts exact BIGINTs; loss_share is one double division."""
+    toks = tokens()
+    d = t["documents"].select(F.size(toks).cast("long").alias("nt"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tok_total")]
+    for L in TRUNC_CTXS:
+        aggs += [
+            F.sum((F.col("nt") > L).cast("long")).alias(f"over_{L}"),
+            F.sum(F.greatest(F.col("nt") - L, F.lit(0).cast("long")))
+            .alias(f"lost_{L}")]
+    g = d.agg(*aggs)
+    stack = ", ".join(
+        f"{L}, over_{L}, lost_{L}" for L in TRUNC_CTXS)
+    return (g.selectExpr(
+        "n_docs", "tok_total",
+        f"stack({len(TRUNC_CTXS)}, {stack}) AS (ctx_len, "
+        "n_docs_truncated, tokens_lost)")
+        .select(F.col("ctx_len").cast("int").alias("ctx_len"),
+                "n_docs", "n_docs_truncated", "tok_total",
+                "tokens_lost",
+                (F.col("tok_total") - F.col("tokens_lost"))
+                .alias("tokens_kept"),
+                (F.col("tokens_lost").cast("double")
+                 / F.col("tok_total").cast("double"))
+                .alias("loss_share")))
+
+
+VOCAB_COVERAGE_KS = (100, 1_000, 10_000)
+
+
+def vocab_coverage_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Vocabulary coverage curve: the share of all corpus tokens
+    covered by the top-k most frequent words, k ∈ {100, 1k, 10k} —
+    the tokenizer-budget planning number (how big a word-level vocab
+    must be before <unk> mass is negligible).
+
+    The global frequency rank is the distributed prefix-sum
+    decomposition (`_rank_buckets` on the NEGATED count, so bucket
+    order is count-descending and count TIES never straddle
+    buckets): bucket row-counts give exclusive rank offsets over the
+    constant-size bucket frame and the in-bucket `row_number`
+    (count desc, token asc — the oracle's exact tie-break) is
+    bounded per task at any vocabulary size — no single ORDER BY
+    window over the (at web scale, billions-row) vocabulary. Each
+    k's covered-token mass is a conditional sum in ONE final
+    aggregate; rank·count sums are exact BIGINTs and coverage is a
+    single double division."""
+    from ..operators.analytics import _rank_buckets
+    vocab = retain(
+        t["documents"]
+        .select(F.explode(tokens()).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_k", -F.col("cnt").cast("double")))
+    nv = vocab.count()
+    b = _rank_buckets(vocab, nv)
+    bt = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off"))
+    win = Window.partitionBy("bkt").orderBy(F.desc("cnt"),
+                                            F.asc("token"))
+    ranked = (b.join(F.broadcast(offs), "bkt")
+              .withColumn("rnk",
+                          F.col("off") + F.row_number().over(win)))
+    aggs = [F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("cnt").alias("tok_total")]
+    for k in VOCAB_COVERAGE_KS:
+        aggs.append(F.sum(F.when(F.col("rnk") <= k, F.col("cnt"))
+                          .otherwise(F.lit(0).cast("long")))
+                    .alias(f"cov_{k}"))
+    g = ranked.agg(*aggs)
+    stack = ", ".join(f"{k}, cov_{k}" for k in VOCAB_COVERAGE_KS)
+    return (g.selectExpr(
+        "vocab_size", "tok_total",
+        f"stack({len(VOCAB_COVERAGE_KS)}, {stack}) "
+        "AS (k, covered_tokens)")
+        .select(F.col("k").cast("int").alias("k"),
+                "vocab_size", "tok_total", "covered_tokens",
+                (F.col("covered_tokens").cast("double")
+                 / F.col("tok_total").cast("double"))
+                .alias("coverage")))

@@ -6255,3 +6255,105 @@ ORACLES.update({
         GROUP BY d.eday
     """,
 })
+
+from .operators.text import TRUNC_CTXS, VOCAB_COVERAGE_KS  # noqa: E402
+
+ORACLES.update({
+    # rank formulation with the same cents grid; SUM(rn*cents) is
+    # tie-invariant so the single window agrees with the decomposition
+    "customer_spend_gini": """
+        WITH s AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey),
+        r AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+          FROM s)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(2 * SUM(CAST(rn AS HUGEINT) * cents)
+                    - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(cents) AS DOUBLE)) AS gini
+        FROM r
+    """,
+    # same cents grid, exact integer squares, identical double chain
+    "nation_supplier_hhi": """
+        WITH q AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY l_suppkey),
+        g AS (
+          SELECT n.n_name,
+                 COUNT(*) AS n_suppliers,
+                 SUM(CAST(q.q AS HUGEINT)) AS qt,
+                 SUM(CAST(q.q AS HUGEINT) * q.q) AS ss,
+                 MAX(q.q) AS qmax
+          FROM q
+          JOIN supplier s ON s.s_suppkey = q.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY n.n_name)
+        SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               CAST(qt AS BIGINT) AS total_qty_cents,
+               CAST(ss AS DOUBLE)
+               / (CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE)) AS hhi,
+               CAST(qmax AS DOUBLE) / CAST(qt AS DOUBLE) AS top_share
+        FROM g
+    """,
+})
+
+ORACLES.update({
+    # one conditional-sum pass per L, unstacked via UNION ALL
+    "doc_truncation_loss": f"""
+        WITH d AS (
+          SELECT CAST(len({TOKS}) AS BIGINT) AS nt FROM documents),
+        g AS (
+          SELECT COUNT(*) AS n_docs, SUM(nt) AS tok_total,
+                 {", ".join(
+                     f"SUM(CASE WHEN nt > {L} THEN 1 ELSE 0 END) "
+                     f"AS over_{L}, "
+                     f"SUM(CASE WHEN nt > {L} THEN nt - {L} "
+                     f"ELSE 0 END) AS lost_{L}"
+                     for L in TRUNC_CTXS)}
+          FROM d)
+        {" UNION ALL ".join(
+            f"SELECT CAST({L} AS INTEGER) AS ctx_len, "
+            f"CAST(n_docs AS BIGINT) AS n_docs, "
+            f"CAST(over_{L} AS BIGINT) AS n_docs_truncated, "
+            f"CAST(tok_total AS BIGINT) AS tok_total, "
+            f"CAST(lost_{L} AS BIGINT) AS tokens_lost, "
+            f"CAST(tok_total - lost_{L} AS BIGINT) AS tokens_kept, "
+            f"CAST(lost_{L} AS DOUBLE) / CAST(tok_total AS DOUBLE) "
+            f"AS loss_share FROM g"
+            for L in TRUNC_CTXS)}
+    """,
+    # identical (cnt DESC, token ASC) tie-break rank
+    "vocab_coverage_curve": f"""
+        WITH v AS (
+          SELECT token, COUNT(*) AS cnt
+          FROM (SELECT unnest({TOKS}) AS token FROM documents)
+          GROUP BY token),
+        r AS (
+          SELECT cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                   AS rnk
+          FROM v),
+        g AS (
+          SELECT COUNT(*) AS vocab_size, SUM(cnt) AS tok_total,
+                 {", ".join(
+                     f"SUM(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) "
+                     f"AS cov_{k}" for k in VOCAB_COVERAGE_KS)}
+          FROM r)
+        {" UNION ALL ".join(
+            f"SELECT CAST({k} AS INTEGER) AS k, "
+            f"CAST(vocab_size AS BIGINT) AS vocab_size, "
+            f"CAST(tok_total AS BIGINT) AS tok_total, "
+            f"CAST(cov_{k} AS BIGINT) AS covered_tokens, "
+            f"CAST(cov_{k} AS DOUBLE) / CAST(tok_total AS DOUBLE) "
+            f"AS coverage FROM g"
+            for k in VOCAB_COVERAGE_KS)}
+    """,
+})

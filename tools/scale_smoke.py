@@ -101,6 +101,14 @@ OPS = (
     "daily_revenue_control_chart",
     "session_bounce_rate",
     "knn_lsh_ndcg",
+    # round-5 waves 7-8: robust trim, attribution, sliding distinct,
+    # rank-machinery concentration stats, tokenizer planning
+    "trimmed_mean_by_type",
+    "linear_touch_attribution",
+    "rolling_7d_active_users",
+    "customer_spend_gini",
+    "doc_truncation_loss",
+    "vocab_coverage_curve",
 )
 
 
