@@ -6357,3 +6357,33 @@ ORACLES.update({
             for k in VOCAB_COVERAGE_KS)}
     """,
 })
+
+ORACLES.update({
+    # identical lower-median rank, integer-day gaps
+    "order_gap_median_by_segment": """
+        WITH g AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_orderdate AS DATE)
+                   - LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)
+                   AS BIGINT) AS gap
+          FROM orders),
+        j AS (
+          SELECT c.c_mktsegment AS segment, g.gap
+          FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+          WHERE g.gap IS NOT NULL),
+        r AS (
+          SELECT segment, gap,
+                 ROW_NUMBER() OVER (PARTITION BY segment
+                                    ORDER BY gap) AS rn,
+                 COUNT(*) OVER (PARTITION BY segment) AS n,
+                 SUM(gap) OVER (PARTITION BY segment) AS gs
+          FROM j)
+        SELECT segment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(MIN(CASE WHEN rn >= (n + 1) // 2 THEN gap END)
+                 AS BIGINT) AS median_gap_days,
+               CAST(MAX(gs) AS DOUBLE) / MAX(n) AS mean_gap_days
+        FROM r GROUP BY segment
+    """,
+})

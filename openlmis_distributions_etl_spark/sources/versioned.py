@@ -615,3 +615,51 @@ def optimize_versioned(spark: SparkSession, path: str,
     out.update({"version": v, "n_files_before": before,
                 "n_files_after": after})
     return out
+
+
+def diff_versions(spark: SparkSession, path: str, v_from: int,
+                  v_to: int, keys: list[str]) -> DataFrame:
+    """Row-level semantic diff between two snapshots of a versioned
+    table: one row per changed key with change_type ∈ {'inserted',
+    'deleted', 'updated'} — the audit view behind "what did last
+    night's pipeline actually change" and the input to downstream
+    incremental consumers that predate the change feed.
+
+    MANIFEST-PRUNED: a data file carried by reference between the two
+    manifests contributes byte-identical rows to both sides, so only
+    files present in exactly ONE manifest are scanned — at 100 TB a
+    diff across a selective delete/upsert reads the few rewritten
+    files, never the table. Within the scanned slice, rows that moved
+    files unchanged (copy-on-write rewrites) cancel via an xxhash64
+    row fingerprint over the non-key columns (column order pinned by
+    name sort, both sides same engine). ``keys`` must be unique per
+    snapshot (the table's logical primary key).
+
+    Shape: two pruned scans → one full-outer equi-join on the key
+    (hash-partitioned on the same key both sides) → one projection.
+    No window, no driver data."""
+    from pyspark.sql import functions as F
+
+    ma, mb = _read_manifest(path, v_from), _read_manifest(path, v_to)
+    fa, fb = set(ma["files"]), set(mb["files"])
+    only_a, only_b = sorted(fa - fb), sorted(fb - fa)
+
+    def side(files: list[str], manifest: dict) -> DataFrame:
+        if not files:
+            base = _empty_like(spark, path, manifest)
+        else:
+            base = (spark.read.option("mergeSchema", "true")
+                    .parquet(*[f"{path}/{f}" for f in files]))
+        non_key = sorted(c for c in base.columns if c not in keys)
+        return base.select(
+            *keys,
+            F.xxhash64(*[F.col(c) for c in non_key]).alias("_h"))
+
+    a = side(only_a, ma).withColumnsRenamed({"_h": "_ha"})
+    b = side(only_b, mb).withColumnsRenamed({"_h": "_hb"})
+    j = a.join(b, keys, "full_outer")
+    ct = (F.when(F.col("_ha").isNull(), F.lit("inserted"))
+          .when(F.col("_hb").isNull(), F.lit("deleted"))
+          .when(F.col("_ha") != F.col("_hb"), F.lit("updated")))
+    return (j.select(*keys, ct.alias("change_type"))
+            .where(F.col("change_type").isNotNull()))

@@ -1120,3 +1120,69 @@ def lsh_band_gate_stream(new_docs: DataFrame,
     return (probe
             .select("doc_id", "lang", "source",
                     flag.alias("is_near_dup_candidate")))
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table (continuous
+    vector-ingest shape). Same layout-robust directory/bare-file
+    handling as `read_documents_stream`."""
+    import os
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return (reader.option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir))
+
+
+def ivf_assign_stream(embeddings: DataFrame,
+                      centroids: DataFrame) -> DataFrame:
+    """Streaming IVF cell routing — the ingest half of the ANN
+    serving stack: every arriving vector is assigned to its
+    max-cosine centroid so it can be appended to the right posting
+    list without rebuilding the index.
+
+    The trained centroid table folds ONCE at stream setup into an
+    in-row SQL literal (K structs of (id, vec, norm), centroid_id
+    order — double literals round-trip exactly, so scores are
+    bit-identical to the batch `ivf_assign` argmax fold and the
+    first-strict-max tie-break matches). The stream side is a pure
+    stateless projection: zero joins, zero state, append mode — the
+    same per-row codegen'd argmax whatever the micro-batch size.
+    Batch twin: operators.similarity.ivf_assign (tested equal)."""
+    from ..functions import pin
+    from ..operators.similarity import _centroid_array, dot, l2_norm
+
+    row = _centroid_array(centroids).first()["cents"]
+    parts = []
+    for s in row:
+        vec = ",".join(f"CAST({float(x)!r} AS DOUBLE)"
+                       for x in s["cvec"])
+        parts.append(
+            f"named_struct('centroid_id', CAST({s['centroid_id']} "
+            f"AS BIGINT), 'cvec', array({vec}), "
+            f"'cn', CAST({float(s['cn'])!r} AS DOUBLE))")
+    cents = F.expr("array(" + ",".join(parts) + ")")
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (dot(F.col("embedding"), c["cvec"])
+             / (F.col("en") * c["cn"])).alias("s"),
+            c["centroid_id"].alias("cid")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-2.0).cast("double").alias("s"),
+                 F.lit(-1).cast("long").alias("cid")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
+    return (pin(embeddings, en=l2_norm(F.col("embedding")))
+            .select("vec_id", "label",
+                    best["cid"].alias("centroid_id")))

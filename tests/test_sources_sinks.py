@@ -748,3 +748,57 @@ def test_optimize_versioned_compacts_and_vacuums(spark, tmp_path):
     assert res["removed_files"] > 0
     assert read_versioned(spark, p).count() == want
     assert [h["version"] for h in table_history(p)] == [res["version"]]
+
+
+def test_diff_versions_gdpr_erasure_story(spark, tmp_path):
+    """Snapshot diff across a user-erasure delete: only the erased
+    user's rows appear (as 'deleted'), files shared by both manifests
+    are never scanned, and time travel still serves the pre-erasure
+    snapshot until vacuum."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        delete_versioned, diff_versions, read_versioned,
+        write_versioned)
+
+    t = load_tables(spark, SF0001, "events")
+    base = t["events"].select("event_id", "user_id", "value")
+    tbl = str(tmp_path / "vgdpr")
+    write_versioned(base.where("event_id < 500").repartition(2),
+                    tbl, mode="overwrite")
+    write_versioned(base.where("event_id >= 500").repartition(2),
+                    tbl, mode="append")
+    victim = base.where("event_id >= 500").select("user_id").first()[0]
+    n_victim = base.where(f"user_id = {victim}").count()
+    res = delete_versioned(spark, tbl, f"user_id = {victim}")
+    assert res["version"] == 2
+
+    d = diff_versions(spark, tbl, 1, 2, keys=["event_id"])
+    rows = d.collect()
+    assert all(r["change_type"] == "deleted" for r in rows)
+    assert len(rows) == n_victim
+    erased_ids = {r["event_id"] for r in rows}
+    want_ids = {r["event_id"] for r in
+                base.where(f"user_id = {victim}").collect()}
+    assert erased_ids == want_ids
+    # time travel: pre-erasure snapshot still has the user
+    old = read_versioned(spark, tbl, version=1)
+    assert old.where(f"user_id = {victim}").count() == n_victim
+    assert (read_versioned(spark, tbl)
+            .where(f"user_id = {victim}").count()) == 0
+
+
+def test_diff_versions_update_and_insert(spark, tmp_path):
+    """Upserts surface as 'updated' (key in both, payload changed)
+    and 'inserted'; copy-on-write rows that moved files unchanged
+    cancel out of the diff."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        diff_versions, merge_upsert_versioned, write_versioned)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id INT, v DOUBLE")
+    tbl = str(tmp_path / "vdiffup")
+    write_versioned(df.repartition(1), tbl, mode="overwrite")
+    upd = spark.createDataFrame([(2, 99.0), (9, 90.0)], "id INT, v DOUBLE")
+    merge_upsert_versioned(spark, tbl, upd, key_cols=["id"])
+    d = {r["id"]: r["change_type"]
+         for r in diff_versions(spark, tbl, 0, 1, keys=["id"]).collect()}
+    assert d == {2: "updated", 9: "inserted"}

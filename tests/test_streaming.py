@@ -654,3 +654,24 @@ def test_lsh_band_gate_stream_matches_batch(spark):
     assert set(got["doc_id"]) == all_ids
     assert got_flagged == want_flagged
     assert 0 < len(want_flagged) < len(all_ids)
+
+
+def test_ivf_assign_stream_matches_batch(spark):
+    """Streaming IVF routing must assign every vector to the same
+    centroid as the batch argmax (literal-folded centroids are
+    round-trip-exact doubles, same fold, same tie-break)."""
+    from openlmis_distributions_etl_spark.operators import similarity
+
+    t = load_tables(spark, SF0001, "embeddings")
+    m = similarity.kmeans_centroids(t)
+    cents = m.groupBy("centroid_id").agg(F.expr(
+        "transform(array_sort(collect_list(struct(dim, centroid))), "
+        "p -> p.centroid)").alias("cvec"))
+    stream = jobs.read_embeddings_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.ivf_assign_stream(stream, cents), "ivf_assign", spark,
+        "append")
+    want = (similarity._argmax_assign(
+        t["embeddings"].select("vec_id", "label", "embedding"), cents)
+        .select("vec_id", "label", "centroid_id").toPandas())
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
