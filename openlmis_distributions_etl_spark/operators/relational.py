@@ -1244,3 +1244,45 @@ def order_gap_median_by_segment(t: dict[str, DataFrame]) -> DataFrame:
             .select("segment", "n_gaps", "median_gap_days",
                     (F.col("gap_sum").cast("double") / F.col("n_gaps"))
                     .alias("mean_gap_days")))
+
+
+def discount_quantity_corr_by_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-brand Pearson correlation between line discount and
+    quantity — the price-sensitivity screen ("do deeper discounts
+    move more units for this brand?") merchandising runs before a
+    promo calendar.
+
+    Same exact-moment discipline as `stats_correlation`, GROUPED:
+    both variables ride integer grids (discount in basis points,
+    quantity in centi-units — exact), the five moment sums
+    accumulate map-side-combinably in DECIMAL(38,0) (order-free),
+    and the correlation is ONE double expression over those exact
+    integers, written identically in the oracle. One fact shuffle
+    keyed on the brand (brand space is catalog-bounded), part dim
+    broadcast."""
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+        .cast("long").alias("x"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long").alias("y"))
+    j = li.join(broadcast(t["part"].select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (j.groupBy("p_brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(d("x")).alias("sx"),
+              F.sum(d("y")).alias("sy"),
+              F.sum((F.col("x").cast("decimal(19,0)") * F.col("y"))
+                    .cast("decimal(38,0)")).alias("sxy"),
+              F.sum((F.col("x").cast("decimal(19,0)") * F.col("x"))
+                    .cast("decimal(38,0)")).alias("sxx"),
+              F.sum((F.col("y").cast("decimal(19,0)") * F.col("y"))
+                    .cast("decimal(38,0)")).alias("syy")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = ((sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+    return m.select("p_brand", "n", corr.alias("corr_discount_qty"))

@@ -6387,3 +6387,35 @@ ORACLES.update({
         FROM r GROUP BY segment
     """,
 })
+
+ORACLES.update({
+    # identical integer grids, exact HUGEINT moments, one double chain
+    "discount_quantity_corr_by_brand": """
+        WITH li AS (
+          SELECT p.p_brand,
+                 CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)
+                   AS x,
+                 CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        m AS (
+          SELECT p_brand, COUNT(*) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM li GROUP BY p_brand)
+        SELECT p_brand, CAST(n AS BIGINT) AS n,
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               AS corr_discount_qty
+        FROM m
+    """,
+})

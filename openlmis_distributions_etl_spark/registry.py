@@ -308,6 +308,8 @@ _OPERATORS = {
     # §2.A round-5 ninth wave: repeat-purchase cadence (grouped
     # rank-exact median over lag gaps)
     "order_gap_median_by_segment": relational.order_gap_median_by_segment,
+    "discount_quantity_corr_by_brand":
+        relational.discount_quantity_corr_by_brand,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,

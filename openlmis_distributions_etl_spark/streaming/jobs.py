@@ -1186,3 +1186,91 @@ def ivf_assign_stream(embeddings: DataFrame,
     return (pin(embeddings, en=l2_norm(F.col("embedding")))
             .select("vec_id", "label",
                     best["cid"].alias("centroid_id")))
+
+
+def rolling_7d_active_users_stream(events: DataFrame,
+                                   watermark: str = "8 days") -> DataFrame:
+    """Streaming EXACT trailing-7-day actives — the WAU/stickiness
+    denominator maintained continuously: each event explodes IN-ROW
+    to the ≤7 target days it covers (the batch
+    `rolling_7d_active_users` decomposition — bounded 7× fan-out, no
+    per-user ordering), the covered (user, target-day) pairs dedup
+    against watermark-bounded state, and a 1-day tumbling window
+    counts them.
+
+    The watermark rides the TARGET-day timestamp (up to 6 days ahead
+    of the event's own time), so the default delay is 8 days: 7 days
+    of forward coverage + a day of event lateness — state is
+    O(7 · daily actives), never history. A target day only finalizes
+    once the watermark passes it, i.e. once every event that could
+    cover it has arrived. Batch twin:
+    operators.windows.rolling_7d_active_users (tested equal on the
+    observed-day spine)."""
+    ud = events.select(
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+        .alias("eday"))
+    cov = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("eday"), F.col("eday") + 6))
+        .alias("tday"))
+        .withColumn(
+            "tts",
+            F.expr("CAST(date_add(DATE '1970-01-01', CAST(tday AS "
+                   "INT)) AS TIMESTAMP)")))
+    return (cov
+            .withWatermark("tts", watermark)
+            .dropDuplicates(["user_id", "tday"])
+            .groupBy(F.window("tts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("rolling_7d_users"))
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                    "rolling_7d_users"))
+
+
+def stream_maintain_band_index(docs: DataFrame, out_dir: str,
+                               checkpoint_dir: str):
+    """foreachBatch maintenance of the LSH BAND INDEX — the
+    incremental half of the near-dup stack: each micro-batch of
+    documents contributes its distinct MinHash (band_id, band_val)
+    keys, folded into a versioned snapshot by union-distinct
+    (idempotent and commutative, so checkpoint replay and
+    out-of-order batches converge — the first-seen-store contract).
+    `lsh_band_gate_stream` rebuilds its Bloom literal from this store
+    instead of re-scanning the whole historical corpus at every
+    stream (re)start: setup cost becomes O(distinct band keys), and
+    the store is exactly the index a batch backfill would build.
+
+    State lives in the store (one row per distinct band key — the
+    exact-semantics floor), never in executor memory; the per-batch
+    merge is one distinct + one union-distinct."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import _bands, minhash_signatures
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bands = (_bands(minhash_signatures({"documents": batch}))
+                 .select("band_id", "band_val").distinct())
+        pointer = f"{out_dir}/_CURRENT"
+        try:
+            current = read_latest_snapshot(spark, out_dir)
+            merged = current.unionByName(bands).distinct()
+        except FileNotFoundError:
+            merged = bands
+        except AnalysisException as e:
+            raise RuntimeError(
+                f"band-index store under {out_dir} unreadable; "
+                f"refusing to reset the index") from e
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, pointer)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -675,3 +675,45 @@ def test_ivf_assign_stream_matches_batch(spark):
         t["embeddings"].select("vec_id", "label", "embedding"), cents)
         .select("vec_id", "label", "centroid_id").toPandas())
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_rolling_7d_active_users_stream_matches_batch(spark):
+    """On the observed-day spine the streaming trailing-7d count must
+    equal the batch operator exactly (same in-row coverage explode,
+    watermark-bounded dedup state)."""
+    events = jobs.read_events_stream(spark, SF0001)
+    got = _run_available_now(
+        jobs.rolling_7d_active_users_stream(events), "rolling_wau",
+        spark, "complete")
+    want = (windows.rolling_7d_active_users(
+        load_tables(spark, SF0001, "events"))
+        .select("day", "rolling_7d_users").toPandas())
+    got = got[got["day"].isin(set(want["day"]))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_band_index_store_matches_batch(spark, tmp_path):
+    """The incrementally-maintained band index must equal the batch
+    band-key set of the replayed corpus, and replaying into the same
+    store must be a no-op (union-distinct idempotent)."""
+    from openlmis_distributions_etl_spark.operators import dedup
+
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "band_index")
+    ck = str(tmp_path / "ck_bi")
+    q = jobs.stream_maintain_band_index(docs, store, ck)
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    t = load_tables(spark, SF0001, "documents")
+    want = sorted(map(tuple, (
+        dedup._bands(dedup.minhash_signatures(t))
+        .select("band_id", "band_val").distinct().collect())))
+    assert got == want
+    q2 = jobs.stream_maintain_band_index(
+        jobs.read_documents_stream(spark, SF0001), store,
+        str(tmp_path / "ck_bi2"))
+    assert q2.awaitTermination(120)
+    again = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    assert again == got
