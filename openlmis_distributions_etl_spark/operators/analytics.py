@@ -1804,32 +1804,44 @@ def event_value_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
     Both medians are rank-exact (min value with cumulative count ≥
     ⌈(n+1)/2⌉), never interpolated, so no float percentile semantics
     leak in. The per-type stats frame is enumeration-bounded →
-    broadcast back for the final outlier count."""
+    broadcast back for the final outlier count.
+
+    EVERYTHING after the first aggregate runs in DISTINCT-VALUE
+    space: the raw events frame is scanned exactly once (into the
+    per-(type, value) count points), and the residual points, the
+    MAD pass, and the final outlier count all derive from those
+    counts — |v − med| is a function of the value alone, so mapping
+    the POINTS through it (merging counts that collide) is row-for-
+    row equivalent to mapping every event, at a fraction of the
+    width whenever values repeat (always, once values land on a
+    finite grid — the 100 TB case)."""
     from ..functions.cache import retain
-    ev = retain(t["events"]
-                .where(F.col("value").isNotNull())
-                .select("event_type",
-                        F.col("value").cast("double").alias("v")))
-    pts1 = (ev.groupBy("event_type", F.col("v").alias("_k"))
-            .agg(F.count(F.lit(1)).alias("c")))
+    pts1 = retain(t["events"]
+                  .where(F.col("value").isNotNull())
+                  .select("event_type",
+                          F.col("value").cast("double").alias("_k"))
+                  .groupBy("event_type", "_k")
+                  .agg(F.count(F.lit(1)).alias("c")))
     med = _grouped_rank_min(pts1, {"med": "(n + 1) DIV 2"})
-    resid = (ev.join(F.broadcast(med.select("event_type", "med")),
-                     "event_type")
-             .select("event_type",
-                     F.abs(F.col("v") - F.col("med")).alias("r")))
-    pts2 = (resid.groupBy("event_type", F.col("r").alias("_k"))
-            .agg(F.count(F.lit(1)).alias("c")))
+    pts2 = (pts1.join(F.broadcast(med.select("event_type", "med")),
+                      "event_type")
+            .select("event_type",
+                    F.abs(F.col("_k") - F.col("med")).alias("_k"), "c")
+            .groupBy("event_type", "_k")
+            .agg(F.sum("c").alias("c")))
     mad = (_grouped_rank_min(pts2, {"mad": "(n + 1) DIV 2"})
            .select("event_type", "mad"))
     stats = med.join(mad, "event_type")
-    flagged = (ev.join(F.broadcast(stats), "event_type")
+    flagged = (pts1.join(F.broadcast(stats), "event_type")
                .groupBy("event_type")
                .agg(F.max("n_rows").alias("n"),
                     F.max("med").alias("median"),
                     F.max("mad").alias("mad"),
-                    F.sum((F.abs(F.col("v") - F.col("med"))
-                           > F.lit(MAD_K) * F.col("mad"))
-                          .cast("long")).alias("n_outliers")))
+                    F.sum(F.when(
+                        F.abs(F.col("_k") - F.col("med"))
+                        > F.lit(MAD_K) * F.col("mad"), F.col("c"))
+                        .otherwise(F.lit(0).cast("long")))
+                    .alias("n_outliers")))
     return flagged.select(
         "event_type", "n", "median", "mad", "n_outliers",
         (F.col("n_outliers").cast("double") / F.col("n"))
@@ -1849,31 +1861,38 @@ def winsorized_value_stats(t: dict[str, DataFrame]) -> DataFrame:
     the mean run integer-exact (values quantize to cents BIGINT via
     the portable floor(x·100 + 0.5) chain, summed exactly — no float
     accumulation order anywhere), with single IEEE divisions at the
-    end. The fence frame is enumeration-bounded → broadcast."""
+    end. The fence frame is enumeration-bounded → broadcast.
+
+    Like `event_value_mad_outliers`, everything after the first
+    aggregate runs in DISTINCT-VALUE space (the clipped-cents sum is
+    count-weighted per point — term-for-term equal to summing every
+    event); the raw events frame is scanned exactly once."""
     from ..functions.cache import retain
-    ev = retain(t["events"]
-                .where(F.col("value").isNotNull())
-                .select("event_type",
-                        F.col("value").cast("double").alias("v")))
-    pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
-           .agg(F.count(F.lit(1)).alias("c")))
+    pts = retain(t["events"]
+                 .where(F.col("value").isNotNull())
+                 .select("event_type",
+                         F.col("value").cast("double").alias("_k"))
+                 .groupBy("event_type", "_k")
+                 .agg(F.count(F.lit(1)).alias("c")))
     fences = _grouped_rank_min(
         pts, {"p05": WINSOR_LO_RANK, "p95": WINSOR_HI_RANK})
-    j = ev.join(F.broadcast(fences), "event_type")
+    j = (pts.withColumnRenamed("_k", "v")
+         .join(F.broadcast(fences), "event_type"))
     clipped = F.least(F.greatest(F.col("v"), F.col("p05")),
                       F.col("p95"))
     cents = F.floor(clipped * 100 + F.lit(0.5)).cast("long")
     raw_cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    zero = F.lit(0).cast("long")
     g = (j.groupBy("event_type")
          .agg(F.max("n_rows").alias("n"),
               F.max("p05").alias("p05"),
               F.max("p95").alias("p95"),
-              F.sum((F.col("v") < F.col("p05")).cast("long"))
-              .alias("n_clipped_low"),
-              F.sum((F.col("v") > F.col("p95")).cast("long"))
-              .alias("n_clipped_high"),
-              F.sum(cents).alias("wsum"),
-              F.sum(raw_cents).alias("rsum")))
+              F.sum(F.when(F.col("v") < F.col("p05"), F.col("c"))
+                    .otherwise(zero)).alias("n_clipped_low"),
+              F.sum(F.when(F.col("v") > F.col("p95"), F.col("c"))
+                    .otherwise(zero)).alias("n_clipped_high"),
+              F.sum(cents * F.col("c")).alias("wsum"),
+              F.sum(raw_cents * F.col("c")).alias("rsum")))
     return g.select(
         "event_type", "n", "p05", "p95",
         "n_clipped_low", "n_clipped_high",
@@ -2141,27 +2160,35 @@ def trimmed_mean_by_type(t: dict[str, DataFrame]) -> DataFrame:
     middle is one value) takes the closed form (n−2k)·lo. Fences are
     enumeration-bounded per type → broadcast."""
     from ..functions.cache import retain
-    ev = retain(t["events"]
-                .where(F.col("value").isNotNull())
-                .select("event_type",
-                        F.col("value").cast("double").alias("v")))
-    pts = (ev.groupBy("event_type", F.col("v").alias("_k"))
-           .agg(F.count(F.lit(1)).alias("c")))
+    # distinct-value space throughout: events scanned once into the
+    # per-(type, value) count points; the fence pass AND the trimmed-
+    # sum reconstruction both run over the points (each value's cents
+    # contribution weighted by its count — term-for-term equal to
+    # summing every event)
+    pts = retain(t["events"]
+                 .where(F.col("value").isNotNull())
+                 .select("event_type",
+                         F.col("value").cast("double").alias("_k"))
+                 .groupBy("event_type", "_k")
+                 .agg(F.count(F.lit(1)).alias("c")))
     fences = _grouped_rank_min(
         pts, {"lo": TRIM_LO_RANK, "hi": TRIM_HI_RANK})
-    j = ev.join(F.broadcast(fences), "event_type")
+    j = (pts.withColumnRenamed("_k", "v")
+         .join(F.broadcast(fences), "event_type"))
     cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    zero = F.lit(0).cast("long")
     g = (j.groupBy("event_type")
          .agg(F.max("n_rows").alias("n"),
               F.max("lo").alias("lo"),
               F.max("hi").alias("hi"),
               F.sum(F.when((F.col("v") > F.col("lo"))
-                           & (F.col("v") < F.col("hi")), cents)
-                    .otherwise(F.lit(0).cast("long"))).alias("mid"),
-              F.sum((F.col("v") <= F.col("lo")).cast("long"))
-              .alias("cf_lo"),
-              F.sum((F.col("v") < F.col("hi")).cast("long"))
-              .alias("lt_hi")))
+                           & (F.col("v") < F.col("hi")),
+                           cents * F.col("c"))
+                    .otherwise(zero)).alias("mid"),
+              F.sum(F.when(F.col("v") <= F.col("lo"), F.col("c"))
+                    .otherwise(zero)).alias("cf_lo"),
+              F.sum(F.when(F.col("v") < F.col("hi"), F.col("c"))
+                    .otherwise(zero)).alias("lt_hi")))
     kk = F.expr("n DIV 10")
     c_lo = F.floor(F.col("lo") * 100 + F.lit(0.5)).cast("long")
     c_hi = F.floor(F.col("hi") * 100 + F.lit(0.5)).cast("long")
