@@ -1681,3 +1681,95 @@ def centroid_distance_matrix(t: dict[str, DataFrame]) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     return pairs.select("label_a", "label_b", "n_a", "n_b",
                         F.sqrt(d2).alias("dist"))
+
+
+def pca_explained_variance(t: dict[str, DataFrame]) -> DataFrame:
+    """Spectral audit of the embedding space: the full eigenvalue
+    spectrum of the covariance matrix as an explained-variance table
+    (per-component share, cumulative share) plus the participation
+    ratio (Σλ)²/Σλ² — the effective dimensionality number that tells
+    you whether 64 nominal dims are really 9 (anisotropy /
+    representation-collapse check, and the "how many PCA dims does
+    the coarse index need" planning input).
+
+    The DATA pass is `embedding_covariance` (distributed,
+    integer-quantized exact cells — bit-identical across runs and
+    partitionings); the eigendecomposition runs driver-side on the
+    d×d matrix (constant size, independent of corpus scale — the
+    pca_project8 contract). Registered rows-only (eigensolvers are
+    not SQL-expressible); semantics pinned by a numpy property test
+    (Σλ = trace to 1e-9, reconstruction ‖C − VΛVᵀ‖∞ ≤ 1e-9,
+    spectrum descending)."""
+    import numpy as np
+
+    from .analytics_bridge import covariance_matrix
+    cov, _ = covariance_matrix(t)
+    w = np.linalg.eigvalsh(cov)[::-1]          # descending
+    tot = float(w.sum())
+    pr = float(w.sum() ** 2 / (w ** 2).sum())
+    spark = t["embeddings"].sparkSession
+    cum = 0.0
+    rows = []
+    for i, lam in enumerate(w):
+        cum += float(lam)
+        rows.append((i, float(lam), float(lam) / tot, cum / tot, pr))
+    return spark.createDataFrame(
+        rows, "component INT, eigenvalue DOUBLE, var_share DOUBLE, "
+              "cum_var_share DOUBLE, participation_ratio DOUBLE")
+
+
+INT8_CAND = 50
+
+
+def knn_int8_rerank(t: dict[str, DataFrame], k: int = TOP_K,
+                    cand: int = INT8_CAND) -> DataFrame:
+    """Two-stage CASCADE serving: int8 coarse scoring prefilters the
+    corpus to `cand` candidates, exact float cosine reranks the
+    survivors to top-k — the memory-bandwidth pattern every
+    production ANN tier runs (scan 1-byte codes, touch full floats
+    only for the shortlist).
+
+    The per-dim [lo, hi] ranges reduce in one tiny aggregate and
+    broadcast as ONE sorted array row; both the corpus vectors and
+    the query quantize IN-ROW with the `embedding_quantize_int8`
+    formula (floor arithmetic — exact in doubles, so codes are
+    bit-identical across engines). The coarse score is an exact
+    BIGINT integer dot over codes (no float order hazard), the
+    shortlist is TakeOrdered on (score desc, vec_id), and only the
+    `cand` survivors pay the exact double cosine. Candidate-boundary
+    ties are pinned by vec_id on both engines."""
+    e = retain(spread(t["embeddings"])
+               .select("vec_id", "label", "embedding"))
+    ex = (e.select(F.posexplode("embedding").alias("dim", "x"))
+          .select("dim", F.col("x").cast("double").alias("x")))
+    rng = (ex.groupBy("dim")
+           .agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    rh = rng.agg(F.array_sort(
+        F.collect_list(F.struct("dim", "lo", "hi"))).alias("rh"))
+    code = (
+        "transform({col}, (x, i) -> CASE WHEN element_at(rh, i + 1).hi"
+        " = element_at(rh, i + 1).lo THEN 0 ELSE CAST(least(255.0D, "
+        "floor((CAST(x AS DOUBLE) - element_at(rh, i + 1).lo) * 255.0D"
+        " / (element_at(rh, i + 1).hi - element_at(rh, i + 1).lo))) "
+        "- 128 AS INT) END)")
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("qv")))
+    coarse = (e.where(F.col("vec_id") != QUERY_VEC_ID)
+              .crossJoin(broadcast(rh))
+              .crossJoin(broadcast(q))
+              .withColumn("vc", F.expr(code.format(col="embedding")))
+              .withColumn("qc", F.expr(code.format(col="qv")))
+              .withColumn("cs", F.aggregate(
+                  F.zip_with("vc", "qc",
+                             lambda a, b: a.cast("long") * b),
+                  F.lit(0).cast("long"), lambda acc, x: acc + x))
+              .select("vec_id", "label", "embedding", "qv", "cs"))
+    shortlist = (coarse
+                 .orderBy(F.desc("cs"), F.asc("vec_id"))
+                 .limit(cand))
+    return (shortlist
+            .select("vec_id", "label",
+                    cosine(F.col("embedding"), F.col("qv"))
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))

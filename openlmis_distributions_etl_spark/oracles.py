@@ -6419,3 +6419,42 @@ ORACLES.update({
         FROM m
     """,
 })
+
+from .operators.similarity import INT8_CAND  # noqa: E402
+
+ORACLES.update({
+    # identical int8 grid, exact integer coarse dot, same tie-breaks
+    "knn_int8_rerank": f"""
+        WITH ex AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings),
+        dims AS (
+          SELECT dim, MIN(CAST(x AS DOUBLE)) AS lo,
+                 MAX(CAST(x AS DOUBLE)) AS hi
+          FROM ex GROUP BY dim),
+        codes AS (
+          SELECT e.vec_id, e.dim,
+                 CASE WHEN d.hi = d.lo THEN 0
+                      ELSE CAST(least(255.0, floor(
+                        (CAST(e.x AS DOUBLE) - d.lo) * 255.0
+                        / (d.hi - d.lo))) - 128 AS INTEGER)
+                 END AS code
+          FROM ex e JOIN dims d USING (dim)),
+        qc AS (SELECT dim, code FROM codes WHERE vec_id = 0),
+        coarse AS (
+          SELECT c.vec_id,
+                 SUM(CAST(c.code AS BIGINT) * q.code) AS cs
+          FROM codes c JOIN qc q USING (dim)
+          WHERE c.vec_id <> 0
+          GROUP BY c.vec_id
+          ORDER BY cs DESC, c.vec_id ASC
+          LIMIT {INT8_CAND}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               {_cos('e.embedding', 'qv')} AS cos_sim
+        FROM coarse JOIN embeddings e USING (vec_id), q
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+})

@@ -310,6 +310,10 @@ _OPERATORS = {
     "order_gap_median_by_segment": relational.order_gap_median_by_segment,
     "discount_quantity_corr_by_brand":
         relational.discount_quantity_corr_by_brand,
+    # §2.F round-5 eleventh wave: embedding-space spectral audit
+    # (rows-only: driver-side eigensolver on the d x d covariance)
+    "pca_explained_variance": similarity.pca_explained_variance,
+    "knn_int8_rerank": similarity.knn_int8_rerank,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,

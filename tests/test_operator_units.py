@@ -1363,3 +1363,29 @@ def test_opq_rotation_mse_matches_numpy_reference(spark):
     assert abs(row["mse_raw"] - want_raw) < 1e-6
     assert abs(row["mse_rotated"] - want_rot) < 1e-5
     assert row["mse_rotated"] < row["mse_raw"]
+
+
+def test_pca_explained_variance_matches_numpy(spark):
+    """The spectrum report must reproduce numpy eigvalsh on the same
+    exact covariance: sum(eigenvalues) == trace to 1e-9, descending
+    order, shares sum to 1, participation ratio consistent."""
+    import numpy as np
+
+    from openlmis_distributions_etl_spark.operators.analytics_bridge import \
+        covariance_matrix
+    from openlmis_distributions_etl_spark.operators.similarity import \
+        pca_explained_variance
+
+    from openlmis_distributions_etl_spark.sources import load_tables
+    t = load_tables(spark, SF0001, "embeddings")
+    rows = sorted(pca_explained_variance(t).collect(),
+                  key=lambda r: r["component"])
+    cov, _ = covariance_matrix(t)
+    w = np.linalg.eigvalsh(cov)[::-1]
+    got = np.array([r["eigenvalue"] for r in rows])
+    assert np.max(np.abs(got - w)) <= 1e-9 * max(1.0, abs(w[0]))
+    assert abs(got.sum() - np.trace(cov)) <= 1e-9 * abs(np.trace(cov))
+    assert all(got[i] >= got[i + 1] - 1e-12 for i in range(len(got) - 1))
+    assert abs(rows[-1]["cum_var_share"] - 1.0) <= 1e-9
+    pr = w.sum() ** 2 / (w ** 2).sum()
+    assert abs(rows[0]["participation_ratio"] - pr) <= 1e-9 * pr

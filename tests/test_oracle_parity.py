@@ -21,7 +21,8 @@ def test_every_query_has_an_oracle_or_is_declared():
     # round 4 added one back: iterative float PageRank (power method —
     # semantics pinned by a pure-Python reference in test_operator_units)
     allowed_rows_only: set[str] = {"pagerank_dup_graph", "pca_project8",
-                                   "opq_rotation_mse"}
+                                   "opq_rotation_mse",
+                                   "pca_explained_variance"}
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
     dangling = set(ORACLES) - set(QUERIES)
     assert not dangling, f"oracles without query: {dangling}"
