@@ -1492,3 +1492,73 @@ def kcore_dup_graph(t: dict[str, DataFrame]) -> DataFrame:
                     .alias("n_core_nodes"),
                     F.coalesce("n_core_edges", F.lit(0).cast("long"))
                     .alias("n_core_edges")))
+
+
+TOP_SPANS_K = 20
+
+
+def top_repeated_spans(t: dict[str, DataFrame]) -> DataFrame:
+    """The most-duplicated 16-token windows corpus-wide, with their
+    TEXT — the template/boilerplate detection report read before
+    deciding what `dup_span_removal` should cut (a hash count says
+    "something repeats"; this says WHAT).
+
+    Scale shape: the shared per-doc window-hash generation
+    (`_dup_spans`' transform — one pass, no per-window re-tokenize),
+    ONE count aggregate on the 16-byte hash that also keeps the
+    lexicographically-first (doc, position) exemplar as a struct-min
+    (no join-back, no second shuffle), TakeOrdered top-K on
+    (count desc, hash) — never a global sort — and the 20-row
+    exemplar frame broadcast-joins back to the tokenized docs to
+    slice the actual span text."""
+    w = DUP_SPAN_W
+    d = retain(_all_docs_tokenized(t).where(F.col("n") >= w))
+    wh = (d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, n - {w} + 1), "
+            f"p -> struct(p AS p, md5(array_join(slice(toks, p, {w}), "
+            f"' ')) AS h))")).alias("ph"))
+        .select("doc_id", F.col("ph.p").alias("p"),
+                F.col("ph.h").alias("h")))
+    top = (wh.groupBy("h")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "p")).alias("ex"))
+           .where(F.col("n_occurrences") >= 2)
+           .orderBy(F.desc("n_occurrences"), F.asc("h"))
+           .limit(TOP_SPANS_K)
+           .select("h", "n_occurrences", "n_docs",
+                   F.col("ex.doc_id").alias("example_doc"),
+                   F.col("ex.p").alias("example_pos")))
+    return (F.broadcast(top)
+            .join(d, top["example_doc"] == d["doc_id"])
+            .select("h", "n_occurrences", "n_docs", "example_doc",
+                    "example_pos",
+                    F.expr(f"array_join(slice(toks, example_pos, {w}),"
+                           f" ' ')").alias("span_text")))
+
+
+def source_cross_dup_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-duplication flow BETWEEN sources: for every unordered
+    source pair, how many LSH near-dup pairs straddle it — the
+    "feed B is mostly re-posts of feed A" matrix that decides which
+    source the canonical copy should keep (same shape as
+    `semantic_dup_lang_matrix`, on the MinHash graph and the source
+    axis).
+
+    One pair frame (the shared banded LSH join — never all-pairs),
+    two doc_id-keyed equi-joins to attach sources, sources sorted
+    in-row to collapse direction, one count shuffle on the
+    sources²-bounded key."""
+    pairs = minhash_lsh_pairs(t)
+    src = t["documents"].select("doc_id", "source")
+    j = (pairs
+         .join(src.selectExpr("doc_id AS doc_a", "source AS sa"),
+               "doc_a")
+         .join(src.selectExpr("doc_id AS doc_b", "source AS sb"),
+               "doc_b"))
+    return (j.select(F.least("sa", "sb").alias("source_x"),
+                     F.greatest("sa", "sb").alias("source_y"))
+            .groupBy("source_x", "source_y")
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs")))

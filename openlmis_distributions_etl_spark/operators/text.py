@@ -1673,3 +1673,35 @@ def vocab_coverage_curve(t: dict[str, DataFrame]) -> DataFrame:
                 (F.col("covered_tokens").cast("double")
                  / F.col("tok_total").cast("double"))
                 .alias("coverage")))
+
+
+ZIPF_TOP = 50
+
+
+def token_zipf_table(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf's-law audit WITHOUT logs: the top-50 tokens with rank,
+    count, and the rank·count product — for natural text the product
+    is roughly constant (Zipf exponent ≈ 1), and a flat or bimodal
+    product column is the corpus-health smell (template spam, OCR
+    noise, wrong tokenization) caught before training. Integer-exact
+    everywhere (no cross-engine log/float hazard); the share divides
+    two exact integers once.
+
+    Scale shape: one vocab-bounded count aggregate, top-50 via
+    TakeOrdered on (count desc, token asc) — no global sort, no
+    vocab-wide window; the rank window runs over the 50 collected
+    survivors only."""
+    vocab = (t["documents"]
+             .select(F.explode(tokens()).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = vocab.agg(F.sum("cnt").alias("tok_total"))
+    top = (vocab.orderBy(F.desc("cnt"), F.asc("token"))
+           .limit(ZIPF_TOP))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (top.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "token", "cnt",
+                    (F.col("rank") * F.col("cnt")).alias("rank_x_cnt"),
+                    (F.col("cnt").cast("double")
+                     / F.col("tok_total").cast("double"))
+                    .alias("share")))

@@ -6458,3 +6458,87 @@ ORACLES.update({
         LIMIT 10
     """,
 })
+
+from .operators.dedup import TOP_SPANS_K  # noqa: E402
+from .operators.text import ZIPF_TOP  # noqa: E402
+
+ORACLES.update({
+    # same window hashes; struct-min exemplar == (min doc, min p in it)
+    "top_repeated_spans": f"""
+        WITH d AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 16),
+        pos AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(1, n - 15)) AS p
+          FROM d),
+        wh AS (
+          SELECT doc_id, p,
+                 md5(array_to_string(toks[p : p + 15], ' ')) AS h
+          FROM pos),
+        agg AS (
+          SELECT h, COUNT(*) AS n_occurrences,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 MIN(doc_id) AS example_doc
+          FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+        ex AS (
+          SELECT a.h, a.n_occurrences, a.n_docs, a.example_doc,
+                 MIN(w.p) AS example_pos
+          FROM agg a
+          JOIN wh w ON w.h = a.h AND w.doc_id = a.example_doc
+          GROUP BY a.h, a.n_occurrences, a.n_docs, a.example_doc),
+        top AS (
+          SELECT * FROM ex
+          ORDER BY n_occurrences DESC, h ASC LIMIT {TOP_SPANS_K})
+        SELECT t.h, CAST(t.n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               t.example_doc, CAST(t.example_pos AS BIGINT)
+                 AS example_pos,
+               array_to_string(
+                 d.toks[t.example_pos : t.example_pos + 15], ' ')
+                 AS span_text
+        FROM top t JOIN d ON d.doc_id = t.example_doc
+    """,
+    # same banded candidate pairs, unordered source key
+    "source_cross_dup_matrix": f'''
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT least(da.source, db.source) AS source_x,
+               greatest(da.source, db.source) AS source_y,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY least(da.source, db.source),
+                 greatest(da.source, db.source)
+    ''',
+    # identical (cnt DESC, token ASC) rank + integer product
+    "token_zipf_table": f"""
+        WITH v AS (
+          SELECT token, COUNT(*) AS cnt
+          FROM (SELECT unnest({TOKS}) AS token FROM documents)
+          GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS tok_total FROM v),
+        r AS (
+          SELECT token, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                   AS rank
+          FROM v)
+        SELECT CAST(rank AS INTEGER) AS rank, token,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(rank * cnt AS BIGINT) AS rank_x_cnt,
+               CAST(cnt AS DOUBLE) / CAST(tok_total AS DOUBLE)
+                 AS share
+        FROM r, tot
+        WHERE rank <= {ZIPF_TOP}
+    """,
+})

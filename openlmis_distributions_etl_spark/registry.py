@@ -314,6 +314,11 @@ _OPERATORS = {
     # (rows-only: driver-side eigensolver on the d x d covariance)
     "pca_explained_variance": similarity.pca_explained_variance,
     "knn_int8_rerank": similarity.knn_int8_rerank,
+    # §2.E/G round-5 twelfth wave: template-span report, cross-source
+    # dup-flow matrix, log-free Zipf audit
+    "top_repeated_spans": dedup.top_repeated_spans,
+    "source_cross_dup_matrix": dedup.source_cross_dup_matrix,
+    "token_zipf_table": text.token_zipf_table,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
+    "token_zipf_table",       # broadcast corpus-total singleton row
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
