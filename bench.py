@@ -94,6 +94,14 @@ HEADLINE = [
     # vocabulary planning
     "customer_spend_gini",
     "vocab_coverage_curve",
+    # round-5 waves 9-12: cadence median, grouped Pearson, ANN
+    # cascade, span/source dup reports, Zipf audit
+    "order_gap_median_by_segment",
+    "discount_quantity_corr_by_brand",
+    "knn_int8_rerank",
+    "top_repeated_spans",
+    "source_cross_dup_matrix",
+    "token_zipf_table",
 ]
 
 

@@ -109,6 +109,13 @@ OPS = (
     "customer_spend_gini",
     "doc_truncation_loss",
     "vocab_coverage_curve",
+    # round-5 waves 11-12: ANN cascade, spectral audit, span/source
+    # dup reports, Zipf audit
+    "knn_int8_rerank",
+    "pca_explained_variance",
+    "top_repeated_spans",
+    "source_cross_dup_matrix",
+    "token_zipf_table",
 )
 
 
