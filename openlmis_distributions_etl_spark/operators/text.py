@@ -1705,3 +1705,65 @@ def token_zipf_table(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("cnt").cast("double")
                      / F.col("tok_total").cast("double"))
                     .alias("share")))
+
+
+PACK_CTXS = (128, 512, 2048)
+
+
+def packing_efficiency_by_ctx(t: dict[str, DataFrame]) -> DataFrame:
+    """Concat-then-chunk packing efficiency per candidate context
+    length: for each (lang stream, L), how many training sequences
+    the stream fills and what padding share the FINAL partial
+    sequence wastes — the ctx-length planning table read next to
+    `doc_truncation_loss` (truncate) and `sequence_packing` (the
+    per-pack audit at one L). n_seq = ⌈T/L⌉ and padding = n_seq·L − T
+    are pure integer arithmetic over one per-lang token-total
+    aggregate; per-L rows unstack in-row."""
+    d = (t["documents"]
+         .select("lang", F.size(tokens()).cast("long").alias("nt"))
+         .groupBy("lang").agg(F.sum("nt").alias("tok")))
+    exprs = []
+    for L in PACK_CTXS:
+        exprs.append(f"{L}, (tok + {L} - 1) DIV {L}, "
+                     f"((tok + {L} - 1) DIV {L}) * {L} - tok")
+    return (d.selectExpr(
+        "lang", "tok",
+        f"stack({len(PACK_CTXS)}, {', '.join(exprs)}) "
+        "AS (ctx_len, n_sequences, pad_tokens)")
+        .select("lang", F.col("ctx_len").cast("int").alias("ctx_len"),
+                F.col("tok").alias("stream_tokens"),
+                "n_sequences", "pad_tokens",
+                (F.col("tok").cast("double")
+                 / (F.col("n_sequences") * F.col("ctx_len"))
+                 .cast("double")).alias("efficiency")))
+
+
+def langid_margin_hist(t: dict[str, DataFrame]) -> DataFrame:
+    """Language-ID confidence histogram: per (score margin, correct?)
+    cell, how many documents — margin = best marker score minus
+    second-best (integer, from `doc_langid`'s stopword profile), the
+    triage number that says whether low-confidence predictions are
+    the ones going wrong. In-row sorted score array gives the margin
+    (scores are small ints — exact); one ≤(margins × 2)-key
+    aggregate."""
+    toks = tokens()
+    d = t["documents"].select("doc_id", "lang", toks.alias("toks"))
+    scored = d.select(
+        "doc_id", "lang",
+        *[_count_in(F.col("toks"), m).alias(f"score_{lang}")
+          for lang, m in sorted(LANG_MARKERS.items())])
+    arr = F.array_sort(F.array(
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)]))
+    n = len(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}")
+                        for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("unk")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    m = scored.select(
+        (F.element_at(arr, n) - F.element_at(arr, n - 1))
+        .alias("margin"),
+        (pred == F.col("lang")).alias("is_correct"))
+    return (m.groupBy("margin", "is_correct")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

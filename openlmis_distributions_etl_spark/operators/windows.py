@@ -969,3 +969,26 @@ def rolling_7d_active_users(t: dict[str, DataFrame]) -> DataFrame:
                 F.expr("date_add(DATE '1970-01-01', CAST(tday AS INT))"),
                 "yyyy-MM-dd").alias("day"),
                 "rolling_7d_users", "dau"))
+
+
+def events_hourly_heatmap(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekday × hour activity heatmap over the event stream (the
+    traffic-shape matrix behind capacity planning and anomaly
+    eyeballing): event count, exact-cents value, and distinct users
+    per cell. Weekday is pure epoch-day arithmetic ((date −
+    1970-01-05) % 7, 0 = Monday — no locale day names); one
+    map-side-combinable aggregate onto a ≤168-key space."""
+    ev = t["events"]
+    dow = ((F.datediff(F.col("ts").cast("date"),
+                       F.lit("1970-01-05").cast("date")) % 7)
+           .alias("weekday"))
+    hour = F.hour("ts").alias("hour")
+    return (ev.select(dow, hour, "user_id",
+                      F.coalesce(
+                          F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long"), F.lit(0).cast("long"))
+                      .alias("cents"))
+            .groupBy("weekday", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("value_cents")))

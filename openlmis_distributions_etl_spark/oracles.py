@@ -6542,3 +6542,65 @@ ORACLES.update({
         WHERE rank <= {ZIPF_TOP}
     """,
 })
+
+from .operators.text import PACK_CTXS  # noqa: E402
+
+ORACLES.update({
+    # same epoch-day weekday arithmetic, exact cents
+    "events_hourly_heatmap": """
+        SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7
+                 AS INTEGER) AS weekday,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(COALESCE(
+                 CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+                 AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # pure integer ceil-div arithmetic per (lang, L)
+    "packing_efficiency_by_ctx": f"""
+        WITH d AS (
+          SELECT lang,
+                 CAST(SUM(len({TOKS})) AS BIGINT) AS tok
+          FROM documents GROUP BY lang)
+        {" UNION ALL ".join(
+            f"SELECT lang, CAST({L} AS INTEGER) AS ctx_len, "
+            f"tok AS stream_tokens, "
+            f"CAST((tok + {L} - 1) // {L} AS BIGINT) AS n_sequences, "
+            f"CAST(((tok + {L} - 1) // {L}) * {L} - tok AS BIGINT) "
+            f"AS pad_tokens, "
+            f"CAST(tok AS DOUBLE) "
+            f"/ CAST(((tok + {L} - 1) // {L}) * {L} AS DOUBLE) "
+            f"AS efficiency FROM d"
+            for L in PACK_CTXS)}
+    """,
+    # same integer margin and argmax tie-break as doc_langid
+    "langid_margin_hist": f"""
+        WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_score(lang)} AS score_{lang}"
+                            for lang in _LANGS)}
+          FROM t),
+        b AS (
+          SELECT *,
+                 greatest(score_de, score_en, score_es, score_fr,
+                          score_zh) AS best,
+                 list_sort([score_de, score_en, score_es, score_fr,
+                            score_zh]) AS arr
+          FROM s),
+        m AS (
+          SELECT CAST(arr[{len(_LANGS)}] - arr[{len(_LANGS) - 1}]
+                   AS INTEGER) AS margin,
+                 (CASE {" ".join(
+                     f"WHEN best > 0 AND score_{lang} = best "
+                     f"THEN '{lang}'" for lang in _LANGS)}
+                  ELSE 'unk' END) = lang AS is_correct
+          FROM b)
+        SELECT margin, is_correct,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM m GROUP BY margin, is_correct
+    """,
+})

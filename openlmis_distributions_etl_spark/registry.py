@@ -319,6 +319,11 @@ _OPERATORS = {
     "top_repeated_spans": dedup.top_repeated_spans,
     "source_cross_dup_matrix": dedup.source_cross_dup_matrix,
     "token_zipf_table": text.token_zipf_table,
+    # §2.C/G round-5 thirteenth wave: traffic heatmap, ctx packing
+    # planner, lang-ID confidence histogram
+    "events_hourly_heatmap": windows.events_hourly_heatmap,
+    "packing_efficiency_by_ctx": text.packing_efficiency_by_ctx,
+    "langid_margin_hist": text.langid_margin_hist,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
