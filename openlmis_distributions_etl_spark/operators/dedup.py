@@ -1562,3 +1562,56 @@ def source_cross_dup_matrix(t: dict[str, DataFrame]) -> DataFrame:
                      F.greatest("sa", "sb").alias("source_y"))
             .groupBy("source_x", "source_y")
             .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+
+
+SPLIT_TEST_PCT = 20
+
+
+def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Train/test split WITHOUT near-dup leakage: the split unit is
+    the connected COMPONENT of the near-dup graph, not the document —
+    a doc and its near-duplicates always land on the same side, so
+    the test set can't be memorized via a training-set twin (the
+    eval-contamination failure mode `contamination_overlap` audits
+    after the fact; this prevents it by construction).
+
+    Assignment is the md5-bucket primitive on the COMPONENT id
+    (deterministic_sample's portable hash — stable across runs,
+    engines, cluster sizes): bucket < SPLIT_TEST_PCT → test. Output
+    is one row per document with its component, bucket, and split —
+    the split manifest a training job joins against. Costs the CC
+    labels (log-round star contraction) + one in-row hash; no
+    additional shuffle."""
+    comp = dedup_components(t)
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ccsplit|"),
+                       F.col("component").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    return (comp
+            .withColumn("bucket", bucket)
+            .select("doc_id", "component", "bucket",
+                    F.when(F.col("bucket") < SPLIT_TEST_PCT,
+                           F.lit("test")).otherwise(F.lit("train"))
+                    .alias("split")))
+
+
+def split_leakage_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """The proof obligation for `leakage_safe_split`: count near-dup
+    pairs by (split_a, split_b) cell — the cross-split cells MUST be
+    zero (every LSH pair lives inside one component, and components
+    never straddle splits). Run after any split-rule change; a
+    doc-hash split (the naive rule) shows non-zero off-diagonals on
+    the same corpus. One pair frame + two id-keyed attaches + a
+    3-key count."""
+    split = leakage_safe_split(t).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(t)
+    j = (pairs
+         .join(split.selectExpr("doc_id AS doc_a", "split AS sp_a"),
+               "doc_a")
+         .join(split.selectExpr("doc_id AS doc_b", "split AS sp_b"),
+               "doc_b"))
+    return (j.select(F.least("sp_a", "sp_b").alias("split_x"),
+                     F.greatest("sp_a", "sp_b").alias("split_y"))
+            .groupBy("split_x", "split_y")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

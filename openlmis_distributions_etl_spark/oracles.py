@@ -6604,3 +6604,66 @@ ORACLES.update({
         FROM m GROUP BY margin, is_correct
     """,
 })
+
+from .operators.dedup import SPLIT_TEST_PCT  # noqa: E402
+
+_CC_PAIRS_CTE = f'''{SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src),
+        labels AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component
+          FROM documents d
+          LEFT JOIN comp c ON d.doc_id = c.node)'''
+
+ORACLES.update({
+    # components CTE + the portable md5 bucket on the component id
+    "leakage_safe_split": f'''
+        WITH RECURSIVE {_CC_PAIRS_CTE}
+        SELECT doc_id, component,
+               CAST({_HEX8_TO_INT(
+                   "'ccsplit|' || CAST(component AS VARCHAR)")}
+                    % 100 AS INT) AS bucket,
+               CASE WHEN CAST({_HEX8_TO_INT(
+                   "'ccsplit|' || CAST(component AS VARCHAR)")}
+                    % 100 AS INT) < {SPLIT_TEST_PCT}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM labels
+    ''',
+    # every cross-split cell must be zero by construction
+    "split_leakage_audit": f'''
+        WITH RECURSIVE {_CC_PAIRS_CTE},
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN CAST({_HEX8_TO_INT(
+                     "'ccsplit|' || CAST(component AS VARCHAR)")}
+                      % 100 AS INT) < {SPLIT_TEST_PCT}
+                      THEN 'test' ELSE 'train' END AS split
+          FROM labels)
+        SELECT least(a.split, b.split) AS split_x,
+               greatest(a.split, b.split) AS split_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+        GROUP BY least(a.split, b.split), greatest(a.split, b.split)
+    ''',
+})

@@ -324,6 +324,9 @@ _OPERATORS = {
     "events_hourly_heatmap": windows.events_hourly_heatmap,
     "packing_efficiency_by_ctx": text.packing_efficiency_by_ctx,
     "langid_margin_hist": text.langid_margin_hist,
+    # §2.E round-5 fourteenth wave: leakage-safe splitting
+    "leakage_safe_split": dedup.leakage_safe_split,
+    "split_leakage_audit": dedup.split_leakage_audit,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,

@@ -1274,3 +1274,68 @@ def stream_maintain_band_index(docs: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def _merge_token_counts(batch: DataFrame, batch_id: int,
+                        out_dir: str) -> None:
+    """One exactly-once sum-merge commit of a micro-batch into the
+    token-count store. Module-level so the replay test can invoke it
+    directly; see stream_maintain_token_counts for the contract."""
+    import os
+    from pathlib import Path
+
+    from ..operators.text import tokens
+
+    spark = batch.sparkSession
+    cnt = (batch.select(F.explode(tokens()).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    existing = sorted(
+        int(p.name[1:]) for p in Path(out_dir).glob("v*")
+        if p.is_dir() and p.name[1:].isdigit())
+    if existing and max(existing) > batch_id:
+        raise RuntimeError(
+            f"token-count store {out_dir} already holds version "
+            f"v{max(existing)} > incoming batch {batch_id} (fresh "
+            f"checkpoint against an existing store?) — refusing to "
+            f"reset or double-count; use a new store or keep the "
+            f"original checkpoint")
+    prior = [v for v in existing if v < batch_id]
+    if prior:
+        base = spark.read.parquet(f"{out_dir}/v{prior[-1]:020d}")
+        merged = (base.unionByName(cnt)
+                  .groupBy("token").agg(F.sum("cnt").alias("cnt")))
+    else:
+        merged = cnt
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
+
+
+def stream_maintain_token_counts(docs: DataFrame, out_dir: str,
+                                 checkpoint_dir: str):
+    """foreachBatch maintenance of the exact TOKEN-COUNT store — the
+    streaming producer behind `token_freq_topk` / `token_zipf_table`:
+    each micro-batch aggregates its token counts (vocab-bounded) and
+    folds them into the snapshot by sum-merge.
+
+    Addition is commutative/associative but NOT idempotent (unlike
+    the first-seen store's min-merge), so exactly-once comes from
+    REBASING: batch b always merges into the newest snapshot with
+    version < b — a batch replayed after a crash (even one that
+    crashed after publishing but before the checkpoint committed)
+    rebuilds the same v{b} from the same base instead of
+    double-counting. A restart from a FRESH checkpoint against an
+    existing store fails loudly rather than silently resetting.
+    State is the vocabulary itself — the exact-semantics floor for
+    exact counts — never executor memory."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _merge_token_counts(batch, batch_id, out_dir)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

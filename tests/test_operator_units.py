@@ -1389,3 +1389,17 @@ def test_pca_explained_variance_matches_numpy(spark):
     assert abs(rows[-1]["cum_var_share"] - 1.0) <= 1e-9
     pr = w.sum() ** 2 / (w ** 2).sum()
     assert abs(rows[0]["participation_ratio"] - pr) <= 1e-9 * pr
+
+
+def test_leakage_safe_split_has_zero_cross_split_pairs(spark):
+    """The whole point of component-keyed splitting: no LSH near-dup
+    pair may straddle train/test."""
+    from openlmis_distributions_etl_spark.operators.dedup import \
+        split_leakage_audit
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    t = load_tables(spark, SF0001, "documents")
+    cells = {(r["split_x"], r["split_y"]): r["n_pairs"]
+             for r in split_leakage_audit(t).collect()}
+    assert cells.get(("test", "train"), 0) == 0
+    assert sum(cells.values()) > 0    # the graph isn't trivially empty

@@ -717,3 +717,52 @@ def test_band_index_store_matches_batch(spark, tmp_path):
     again = sorted(map(tuple, jobs.read_latest_snapshot(
         spark, store).collect()))
     assert again == got
+
+
+def test_token_count_store_matches_batch(spark, tmp_path):
+    """The incrementally-maintained token counts must equal the batch
+    vocabulary counts of the replayed corpus."""
+    from openlmis_distributions_etl_spark.operators.text import tokens
+
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "tok_counts")
+    q = jobs.stream_maintain_token_counts(
+        docs, store, str(tmp_path / "ck_tc"))
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    t = load_tables(spark, SF0001, "documents")
+    want = sorted(map(tuple, (
+        t["documents"].select(F.explode(tokens()).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect())))
+    assert got == want
+
+
+def test_token_count_store_replay_is_exactly_once(spark, tmp_path):
+    """Replaying the LAST batch (the crash-between-publish-and-
+    checkpoint window) must rebuild the same snapshot, not double-
+    count; a fresh-checkpoint batch-0 restart against the store must
+    fail loudly."""
+    import pytest as _pytest
+
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "tok_counts_r")
+    q = jobs.stream_maintain_token_counts(
+        docs, store, str(tmp_path / "ck_tcr"))
+    assert q.awaitTermination(120)
+    before = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    # replay the last committed batch directly (same batch_id)
+    from pathlib import Path
+    last = max(int(p.name[1:]) for p in Path(store).glob("v*")
+               if p.is_dir())
+    t = load_tables(spark, SF0001, "documents")
+    jobs._merge_token_counts(t["documents"], last, store)
+    after = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    assert after == before
+    # fresh checkpoint restarting BEHIND the store head: refuse
+    jobs._merge_token_counts(t["documents"], last + 1, store)
+    with _pytest.raises(RuntimeError, match="refusing"):
+        jobs._merge_token_counts(t["documents"], last, store)
