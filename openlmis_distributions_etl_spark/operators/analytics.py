@@ -2257,3 +2257,42 @@ def customer_spend_gini(t: dict[str, DataFrame]) -> DataFrame:
         (num.cast("double")
          / (F.col("n_customers").cast("double")
             * F.col("tot").cast("double"))).alias("gini"))
+
+
+def hll_event_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch-algebra distinct OVERLAP: distinct users who both
+    clicked AND purchased, estimated by inclusion–exclusion over HLL
+    sketches (|A∩B| ≈ est(A) + est(B) − est(A∪B)) next to the exact
+    intersection — the re-aggregatable audience-overlap pattern where
+    per-segment sketches are stored once and any pairwise overlap is
+    three estimates, never a raw re-scan.
+
+    Verified the `hll_partitioned_union` way: the exact count is
+    checked bit-for-bit and each engine's own estimate must land
+    inside the envelope (sketch internals aren't cross-engine
+    portable; the accuracy contract is — inclusion–exclusion
+    compounds three sketch errors, hence the wider 15%+5 band)."""
+    a, b = "click", "purchase"
+    ev = t["events"].where(F.col("event_type").isin(a, b)).select(
+        "event_type", "user_id")
+    ua = ev.where(F.col("event_type") == a).select("user_id")
+    ub = ev.where(F.col("event_type") == b).select("user_id")
+    exact = (ua.distinct().join(ub.distinct(), "user_id", "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_exact_overlap")))
+    ests = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("event_type") == a,
+                                    F.col("user_id")))).alias("ea"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("event_type") == b,
+                                    F.col("user_id")))).alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id")).alias("eu"))
+    return (exact.crossJoin(F.broadcast(ests))
+            .select(
+                "n_exact_overlap",
+                ((F.abs(F.col("ea") + F.col("eb") - F.col("eu")
+                        - F.col("n_exact_overlap")))
+                 <= (F.lit(5.0)
+                     + 0.15 * F.col("n_exact_overlap").cast("double")))
+                .cast("int").alias("ok_est")))

@@ -1615,3 +1615,30 @@ def split_leakage_audit(t: dict[str, DataFrame]) -> DataFrame:
                      F.greatest("sp_a", "sp_b").alias("split_y"))
             .groupBy("split_x", "split_y")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def semantic_dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality-aware canonical selection for SEMANTIC clusters: the
+    `dedup_keep_best` policy (highest `doc_quality_score`, doc_id
+    tie-break) applied to the embedding near-dup components instead
+    of the MinHash ones — the curation step that keeps the cleanest
+    member of each paraphrase/translation family, where text-hash
+    dedup sees nothing to collapse. Same scale shape: one id-keyed
+    quality join + one window on the component key; the CC machinery
+    is shared."""
+    from pyspark.sql import Window
+
+    from .text import doc_quality_score
+
+    comp = semantic_dedup_components(t)
+    q = doc_quality_score(t).select("doc_id", "quality_score")
+    j = comp.join(q, "doc_id")
+    wp = Window.partitionBy("component")
+    wo = wp.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (j.select("component", "doc_id", "quality_score",
+                     F.row_number().over(wo).alias("rn"),
+                     F.count(F.lit(1)).over(wp).alias("n_members"))
+            .where(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("best_doc_id"),
+                    F.col("quality_score").alias("best_quality"),
+                    "n_members"))

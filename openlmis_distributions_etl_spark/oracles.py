@@ -6667,3 +6667,78 @@ ORACLES.update({
         GROUP BY least(a.split, b.split), greatest(a.split, b.split)
     ''',
 })
+
+ORACLES.update({
+    # semantic CC CTE + the keep-best quality tail
+    "semantic_dedup_keep_best": f'''
+        WITH RECURSIVE {_PAIR_CTE},
+        vpairs AS (
+          SELECT vec_a AS doc_a, vec_b AS doc_b
+          FROM cand
+          JOIN norm a ON vec_a = a.vec_id
+          JOIN norm b ON vec_b = b.vec_id
+          WHERE {_PAIR_DOT} >= 0.3),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM vpairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        q AS (
+          SELECT doc_id,
+                 (n_distinct / n_tokens) * 0.4
+                   + (1.0 - n_stop / n_tokens) * 0.4
+                   + least(n_tokens / 100.0, 1.0) * 0.2 AS quality_score
+          FROM (SELECT doc_id,
+                       CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                       CAST(len(list_distinct({TOKS})) AS INTEGER)
+                         AS n_distinct,
+                       CAST(len(list_filter({TOKS},
+                            x -> x IN ('the', 'a', 'of', 'and', 'to',
+                                       'in'))) AS INTEGER) AS n_stop
+                FROM documents)),
+        ranked AS (
+          SELECT l.component, l.doc_id, q.quality_score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l.component
+                   ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.component) AS n_members
+          FROM labeled l JOIN q ON l.doc_id = q.doc_id)
+        SELECT component, doc_id AS best_doc_id,
+               quality_score AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    ''',
+    # exact intersection bit-checked; the engine's own HLL
+    # inclusion-exclusion estimate must land in the envelope
+    "hll_event_overlap": """
+        WITH ua AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click'),
+        ub AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_overlap
+          FROM ua WHERE user_id IN (SELECT user_id FROM ub)),
+        ests AS (
+          SELECT approx_count_distinct(CASE WHEN event_type = 'click'
+                   THEN user_id END) AS ea,
+                 approx_count_distinct(CASE WHEN event_type = 'purchase'
+                   THEN user_id END) AS eb,
+                 approx_count_distinct(user_id) AS eu
+          FROM events WHERE event_type IN ('click', 'purchase'))
+        SELECT n_exact_overlap,
+               CAST(abs(CAST(ea AS DOUBLE) + eb - eu
+                        - n_exact_overlap)
+                    <= 5.0 + 0.15 * CAST(n_exact_overlap AS DOUBLE)
+                 AS INTEGER) AS ok_est
+        FROM exact, ests
+    """,
+})

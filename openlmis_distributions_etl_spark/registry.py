@@ -327,6 +327,10 @@ _OPERATORS = {
     # §2.E round-5 fourteenth wave: leakage-safe splitting
     "leakage_safe_split": dedup.leakage_safe_split,
     "split_leakage_audit": dedup.split_leakage_audit,
+    # §2.A/E round-5 fifteenth wave: sketch-algebra overlap, semantic
+    # canonical selection
+    "hll_event_overlap": analytics.hll_event_overlap,
+    "semantic_dedup_keep_best": dedup.semantic_dedup_keep_best,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,

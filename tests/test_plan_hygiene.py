@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "knn_pq_adc",
     "matryoshka_prefix_eval",  # broadcast query row per prefix width
     "join_key_skew_audit",     # broadcast corpus-totals row
+    "hll_event_overlap",       # broadcast 3-estimate singleton row
     "knn_int8_rerank",         # broadcast range row + query row
     "knn_pq_refine",
     "knn_ivf_pq",
