@@ -1773,3 +1773,18 @@ def knn_int8_rerank(t: dict[str, DataFrame], k: int = TOP_K,
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
+
+
+def knn_int8_recall(t: dict[str, DataFrame],
+                    k: int = TOP_K) -> DataFrame:
+    """Recall@k of the int8 cascade against exact brute force — the
+    eval harness run before trusting the cascade's candidate budget
+    (the `knn_lsh_recall` contract, for the quantized path). Both
+    sides are k rows; the intersection join is a broadcast no-op."""
+    approx = knn_int8_rerank(t, k).select("vec_id")
+    exact = knn_bruteforce(t, k).select("vec_id")
+    return (exact.join(approx, "vec_id")
+            .agg(F.lit(k).alias("k"),
+                 F.count(F.lit(1)).cast("int").alias("n_hits"),
+                 (F.count(F.lit(1)).cast("double") / k)
+                 .alias("recall_at_k")))

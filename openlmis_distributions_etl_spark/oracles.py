@@ -6742,3 +6742,48 @@ ORACLES.update({
         FROM exact, ests
     """,
 })
+
+ORACLES.update({
+    # cascade oracle reused as a CTE; intersection with exact top-k
+    "knn_int8_recall": f"""
+        WITH ex AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings),
+        dims AS (
+          SELECT dim, MIN(CAST(x AS DOUBLE)) AS lo,
+                 MAX(CAST(x AS DOUBLE)) AS hi
+          FROM ex GROUP BY dim),
+        codes AS (
+          SELECT e.vec_id, e.dim,
+                 CASE WHEN d.hi = d.lo THEN 0
+                      ELSE CAST(least(255.0, floor(
+                        (CAST(e.x AS DOUBLE) - d.lo) * 255.0
+                        / (d.hi - d.lo))) - 128 AS INTEGER)
+                 END AS code
+          FROM ex e JOIN dims d USING (dim)),
+        qc AS (SELECT dim, code FROM codes WHERE vec_id = 0),
+        coarse AS (
+          SELECT c.vec_id,
+                 SUM(CAST(c.code AS BIGINT) * q.code) AS cs
+          FROM codes c JOIN qc q USING (dim)
+          WHERE c.vec_id <> 0
+          GROUP BY c.vec_id
+          ORDER BY cs DESC, c.vec_id ASC
+          LIMIT {INT8_CAND}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        approx AS (
+          SELECT e.vec_id
+          FROM coarse JOIN embeddings e USING (vec_id), q
+          ORDER BY {_cos('e.embedding', 'qv')} DESC, e.vec_id ASC
+          LIMIT 10),
+        exact AS (
+          SELECT vec_id FROM embeddings, q
+          WHERE vec_id <> 0
+          ORDER BY {_cos('embedding', 'qv')} DESC, vec_id ASC
+          LIMIT 10)
+        SELECT 10 AS k, CAST(COUNT(*) AS INT) AS n_hits,
+               CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_k
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
+    """,
+})

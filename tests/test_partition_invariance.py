@@ -29,6 +29,13 @@ FLOAT_SENSITIVE = (
     "tfidf_cosine_pairs",
     "knn_lsh_ndcg",
     "twap_user_value",
+    # round-5 waves 7-15 float-bearing additions
+    "trimmed_mean_by_type",
+    "customer_spend_gini",
+    "discount_quantity_corr_by_brand",
+    "nation_supplier_hhi",
+    "knn_int8_rerank",
+    "vocab_coverage_curve",
 )
 
 

@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "join_key_skew_audit",     # broadcast corpus-totals row
     "hll_event_overlap",       # broadcast 3-estimate singleton row
     "knn_int8_rerank",         # broadcast range row + query row
+    "knn_int8_recall",         # composes two pinned broadcast paths
     "knn_pq_refine",
     "knn_ivf_pq",
     "pq_codebook_trained",
