@@ -1339,3 +1339,110 @@ def stream_maintain_token_counts(docs: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def stream_linear_attribution(events: DataFrame, out_dir: str,
+                              checkpoint_dir: str):
+    """foreachBatch streaming twin of `linear_touch_attribution`:
+    each micro-batch credits its PURCHASES against a maintained
+    CLICK-HISTORY store (plus the batch's own earlier clicks), using
+    the same integer-cents DIV split with the remainder pinned to the
+    most recent click. Credits land under credits/v{batch}; the click
+    store keeps only the trailing 7 days relative to the newest event
+    seen (state is O(7-day click volume), never history), rebased per
+    batch for exactly-once (the token-count-store discipline — a
+    replayed batch rebuilds its own version from the pre-batch base).
+
+    Ordering contract (documented, tested): a click that ARRIVES
+    after the micro-batch containing its purchase cannot credit it —
+    credits are assigned exactly once, when the purchase is
+    processed, against everything ingested so far. Under in-order
+    ingestion (the file-source and watermarked-kafka shapes) this
+    equals the batch operator."""
+    import os
+    from pathlib import Path
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        clicks_new = (batch.where(F.col("event_type") == "click")
+                      .select("user_id",
+                              F.col("event_id").alias("c_id"),
+                              F.unix_micros("ts").alias("c_us"),
+                              F.date_format("ts", "yyyy-MM-dd")
+                              .alias("day")))
+        existing = sorted(
+            int(p.name[1:]) for p in
+            Path(f"{out_dir}/clicks").glob("v*")
+            if p.is_dir() and p.name[1:].isdigit())
+        if existing and max(existing) > batch_id:
+            raise RuntimeError(
+                f"attribution store {out_dir} already holds version "
+                f"v{max(existing)} > incoming batch {batch_id} — "
+                f"refusing to reset or double-credit")
+        prior = [v for v in existing if v < batch_id]
+        if prior:
+            base = spark.read.parquet(
+                f"{out_dir}/clicks/v{prior[-1]:020d}")
+            clicks = base.unionByName(clicks_new)
+        else:
+            clicks = clicks_new
+        pur = (batch.where((F.col("event_type") == "purchase")
+                           & F.col("value").isNotNull())
+               .select("user_id", F.col("event_id").alias("p_id"),
+                       F.unix_micros("ts").alias("p_us"),
+                       F.floor(F.col("value") * 100 + F.lit(0.5))
+                       .cast("long").alias("cents")))
+        j = (pur.join(clicks, "user_id")
+             .where((F.col("c_us") < F.col("p_us"))
+                    & (F.col("c_us") >= F.col("p_us")
+                       - ATTR_WINDOW_US)))
+        from pyspark.sql import Window as W
+        wn = W.partitionBy("p_id")
+        wr = W.partitionBy("p_id").orderBy(F.desc("c_us"),
+                                           F.asc("c_id"))
+        cred = (j.withColumn("n_touch", F.count(F.lit(1)).over(wn))
+                .withColumn("rk", F.row_number().over(wr))
+                .withColumn(
+                    "credit",
+                    F.expr("cents DIV n_touch")
+                    + F.when(F.col("rk") == 1,
+                             F.expr("cents % n_touch"))
+                    .otherwise(F.lit(0).cast("long")))
+                .select("day", "p_id", "c_id", "credit"))
+        cred.write.mode("overwrite").parquet(
+            f"{out_dir}/credits/v{batch_id:020d}")
+        # retention: keep only the trailing window behind the newest
+        # event time seen (purchases credit strictly-earlier clicks)
+        hi = (clicks.agg(F.max("c_us")).collect()[0][0] or 0)
+        pur_hi = (pur.agg(F.max("p_us")).collect()[0][0] or 0)
+        hi = max(hi, pur_hi)
+        kept = clicks.where(F.col("c_us") >= hi - ATTR_WINDOW_US)
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/clicks/v{batch_id:020d}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"v{batch_id:020d}")
+        os.replace(tmp, f"{out_dir}/_CURRENT")
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_attribution_credits(spark: SparkSession,
+                             out_dir: str) -> DataFrame:
+    """Day-rollup view over every committed credits version — the
+    same shape as the batch `linear_touch_attribution` output."""
+    cred = spark.read.parquet(f"{out_dir}/credits/v*")
+    return (cred.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_credited_clicks"),
+                 F.count_distinct("p_id").alias("n_purchases"),
+                 F.sum("credit").alias("credited_cents"))
+            .select("day", "n_credited_clicks", "n_purchases",
+                    "credited_cents",
+                    (F.col("credited_cents").cast("double") / 100.0)
+                    .alias("credited_value")))

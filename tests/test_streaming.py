@@ -766,3 +766,18 @@ def test_token_count_store_replay_is_exactly_once(spark, tmp_path):
     jobs._merge_token_counts(t["documents"], last + 1, store)
     with _pytest.raises(RuntimeError, match="refusing"):
         jobs._merge_token_counts(t["documents"], last, store)
+
+
+def test_stream_linear_attribution_matches_batch(spark, tmp_path):
+    """Under in-order ingestion the streamed credits day-rollup must
+    equal the batch linear_touch_attribution exactly (same integer
+    cents split, same recency remainder)."""
+    events = jobs.read_events_stream(spark, SF0001)
+    store = str(tmp_path / "attr")
+    q = jobs.stream_linear_attribution(
+        events, store, str(tmp_path / "ck_attr"))
+    assert q.awaitTermination(120)
+    got = jobs.read_attribution_credits(spark, store).toPandas()
+    want = (windows.linear_touch_attribution(
+        load_tables(spark, SF0001, "events")).toPandas())
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
