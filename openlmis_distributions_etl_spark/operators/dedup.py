@@ -1642,3 +1642,69 @@ def semantic_dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
             .select("component", F.col("doc_id").alias("best_doc_id"),
                     F.col("quality_score").alias("best_quality"),
                     "n_members"))
+
+
+LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def lsh_band_sweep(t: dict[str, DataFrame]) -> DataFrame:
+    """Empirical LSH S-curve sweep: the SAME 16-hash signatures
+    re-banded as (2 bands × 8 rows), (4×4), (8×2), with per-config
+    candidate-pair volume and the mean estimated Jaccard over those
+    candidates — the measurement behind choosing a banding (more
+    bands ⇒ higher recall, lower precision; the sweep shows the
+    tradeoff on YOUR corpus instead of the textbook curve).
+
+    One signature computation (retained) feeds all three configs;
+    each config is the standard banded self-join with the pair
+    emitted at its FIRST matching band (no distinct over the
+    candidate stream — the minhash_lsh_pairs discipline); per-pair
+    signature-slot agreement gives the Jaccard estimate in-row; a
+    3-key aggregate finishes. Never all-pairs at any config."""
+    sig = retain(minhash_signatures(t))
+    hs = [f"h{j}" for j in range(N_HASHES)]
+    out = None
+    for bands, rows in LSH_SWEEP_CONFIGS:
+        parts = []
+        for b in range(bands):
+            val = F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            parts.append(sig.select(
+                "doc_id", *hs, F.lit(b).alias("band_id"),
+                val.alias("band_val")))
+        banded = reduce(DataFrame.unionAll, parts)
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(h).alias(f"a_{h}") for h in hs],
+            "band_id", "band_val")
+        b_ = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(h).alias(f"b_{h}") for h in hs],
+            "band_id", "band_val")
+        first_band = F.lit(None).cast("int")
+        # first band (lowest id) on which the two signatures agree
+        fb = None
+        for bi in reversed(range(bands)):
+            agree = reduce(
+                lambda x, y: x & y,
+                [F.col(f"a_h{bi * rows + r}")
+                 == F.col(f"b_h{bi * rows + r}") for r in range(rows)])
+            fb = (F.when(agree, F.lit(bi))
+                  if fb is None else F.when(agree, F.lit(bi))
+                  .otherwise(fb))
+        matches = sum(
+            (F.col(f"a_{h}") == F.col(f"b_{h}")).cast("int")
+            for h in hs)
+        pairs = (a.join(b_, ["band_id", "band_val"])
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .where(F.col("band_id") == fb)
+                 .select((matches.cast("double") / N_HASHES)
+                         .alias("est_jaccard")))
+        row = pairs.agg(
+            F.lit(bands).cast("int").alias("n_bands"),
+            F.lit(rows).cast("int").alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(F.floor(F.col("est_jaccard") * 10000 + F.lit(0.5))
+                  .cast("long")).alias("est_jaccard_bp_sum"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -6787,3 +6787,44 @@ ORACLES.update({
         FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
     """,
 })
+
+from .operators.dedup import LSH_SWEEP_CONFIGS  # noqa: E402
+
+
+def _sweep_block(bands: int, rows: int) -> str:
+    sel = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " AS band_val FROM sig"
+        for b in range(bands))
+    matches = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(16))
+    return f"""
+        SELECT CAST({bands} AS INTEGER) AS n_bands,
+               CAST({rows} AS INTEGER) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(COALESCE(SUM(CAST(floor(
+                 (CAST(m AS DOUBLE) / 16) * 10000 + 0.5) AS BIGINT)),
+                 0) AS BIGINT) AS est_jaccard_bp_sum
+        FROM (
+          SELECT p.doc_a, p.doc_b, ({matches}) AS m
+          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ({sel}) a
+                JOIN ({sel}) b
+                  ON a.band_id = b.band_id
+                 AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id) p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b)"""
+
+
+ORACLES.update({
+    # same signatures; pair SET per config equals the
+    # first-matching-band emission; bp-quantized integer mean sum
+    "lsh_band_sweep": f"""
+        WITH {SIG_CTE}
+        {" UNION ALL ".join(_sweep_block(b, r)
+                            for b, r in LSH_SWEEP_CONFIGS)}
+    """,
+})

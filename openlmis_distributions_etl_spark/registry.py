@@ -332,6 +332,7 @@ _OPERATORS = {
     "hll_event_overlap": analytics.hll_event_overlap,
     "semantic_dedup_keep_best": dedup.semantic_dedup_keep_best,
     "knn_int8_recall": similarity.knn_int8_recall,
+    "lsh_band_sweep": dedup.lsh_band_sweep,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
