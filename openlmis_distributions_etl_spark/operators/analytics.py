@@ -2254,9 +2254,12 @@ def customer_spend_gini(t: dict[str, DataFrame]) -> DataFrame:
     return g.select(
         "n_customers",
         F.col("tot").cast("long").alias("total_cents"),
-        (num.cast("double")
-         / (F.col("n_customers").cast("double")
-            * F.col("tot").cast("double"))).alias("gini"))
+        # NULL for the degenerate all-zero-spend corpus (the oracle's
+        # x/0 would be engine-defined; neither side should emit it)
+        F.when(F.col("tot") != 0,
+               num.cast("double")
+               / (F.col("n_customers").cast("double")
+                  * F.col("tot").cast("double"))).alias("gini"))
 
 
 def hll_event_overlap(t: dict[str, DataFrame]) -> DataFrame:

@@ -488,3 +488,69 @@ def test_grouped_mad_matches_pure_python(spark, rows):
         assert r["median"] == med
         assert r["mad"] == mad
         assert r["n_outliers"] == n_out
+
+
+trim_values = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.sampled_from([0.0, 1.0, 1.0, 2.5, 2.5, 7.25,
+                               100.0, -3.75])),
+    min_size=1, max_size=40)
+
+
+@PROP
+@given(trim_values)
+def test_trimmed_mean_matches_pure_python(spark, rows):
+    """trimmed_mean_by_type against a pure-python sort-and-slice
+    replay — tie blocks at the fences, k = 0 groups, constant
+    groups, negatives, and the degenerate lo == hi fence."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    data = [(i, BASE, hash((g, i)) % 7, g, v, "{}")
+            for i, (g, v) in enumerate(rows)]
+    t = {"events": spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")}
+    got = {r["event_type"]: r
+           for r in analytics.trimmed_mean_by_type(t).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        xs = sorted(xs)
+        n = len(xs)
+        k = n // 10
+        kept = xs[k:n - k]
+        want = (sum(round(x * 100) for x in kept) / 100.0
+                / len(kept))
+        r = got[g]
+        assert r["n"] == n and r["k_trim"] == k
+        assert abs(r["trimmed_mean"] - want) < 1e-12, (g, xs)
+
+
+gini_values = st.lists(
+    st.sampled_from([0.0, 1.0, 1.0, 2.5, 10.0, 100.0]),
+    min_size=1, max_size=30)
+
+
+@PROP
+@given(gini_values)
+def test_gini_matches_pure_python(spark, spends):
+    """customer_spend_gini against the textbook rank formula on a
+    synthetic orders table — ties, singletons, all-equal inputs."""
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    data = [(i, i, "O", v, BASE, "1-URGENT")
+            for i, v in enumerate(spends)]
+    t = {"orders": spark.createDataFrame(
+        data, "o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")}
+    r = analytics.customer_spend_gini(t).collect()[0]
+    cents = sorted(round(v * 100) for v in spends)
+    n, tot = len(cents), sum(cents)
+    s = sum((i + 1) * c for i, c in enumerate(cents))
+    want = (2 * s - (n + 1) * tot) / (n * tot) if tot else None
+    assert r["n_customers"] == n
+    assert r["total_cents"] == tot
+    if tot:
+        assert abs(r["gini"] - want) < 1e-12, (spends, r["gini"], want)
