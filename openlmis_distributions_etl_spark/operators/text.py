@@ -1767,3 +1767,27 @@ def langid_margin_hist(t: dict[str, DataFrame]) -> DataFrame:
         (pred == F.col("lang")).alias("is_correct"))
     return (m.groupBy("margin", "is_correct")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def doc_sentence_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document sentence statistics (count, mean tokens per
+    sentence, longest sentence) on a [.!?]+ splitter — the
+    readability/boilerplate signal next to `doc_quality_score`
+    (machine-generated text shows degenerate sentence-length
+    distributions). Pure per-row projection: one regex split, one
+    in-row transform over the sentence array, integer-exact counts
+    with a single final division."""
+    sents = F.expr(
+        "filter(transform(split(text, '[.!?]+'), "
+        "s -> size(filter(split(s, ' '), x -> x != ''))), n -> n > 0)")
+    d = t["documents"].select("doc_id", sents.alias("sl"))
+    return d.select(
+        "doc_id",
+        F.size("sl").alias("n_sentences"),
+        F.expr("aggregate(sl, 0, (a, x) -> a + x)")
+        .alias("sent_tokens"),
+        F.coalesce(F.array_max("sl"), F.lit(0)).alias("max_sentence"),
+        F.when(F.size("sl") > 0,
+               F.expr("aggregate(sl, 0, (a, x) -> a + x)")
+               .cast("double") / F.size("sl"))
+        .alias("mean_sentence_tokens"))

@@ -6828,3 +6828,61 @@ ORACLES.update({
                             for b, r in LSH_SWEEP_CONFIGS)}
     """,
 })
+
+ORACLES.update({
+    # same [.!?]+ split, same non-empty-token sentence filter
+    "doc_sentence_stats": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   s -> len(list_filter(string_split(s, ' '),
+                            x -> x <> ''))), n -> n > 0) AS sl
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(sl) AS INTEGER) AS n_sentences,
+               CAST(COALESCE(list_sum(sl), 0) AS INTEGER)
+                 AS sent_tokens,
+               CAST(COALESCE(list_max(sl), 0) AS INTEGER)
+                 AS max_sentence,
+               CASE WHEN len(sl) > 0
+                    THEN CAST(COALESCE(list_sum(sl), 0) AS DOUBLE)
+                         / len(sl) END AS mean_sentence_tokens
+        FROM d
+    """,
+})
+
+ORACLES.update({
+    # naive pair join IS the banded result by pigeonhole (dist<=3
+    # implies a shared 15-bit band out of 4)
+    "payload_simhash_pairs": """
+        WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        tok AS (
+          SELECT doc_id, substr(h, CAST(i AS INT), 8) AS tok
+          FROM d, unnest(range(1, len(h) - 7 + 1, 2)) AS u(i)),
+        tc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        th AS (SELECT doc_id, md5(tok) AS mh, cnt FROM tc),
+        bits AS (
+          SELECT doc_id, j,
+                 ((strpos('0123456789abcdef',
+                          substr(mh, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   >> CAST(3 - (j % 4) AS INT)) & 1 AS bit,
+                 cnt
+          FROM th, (SELECT unnest(range(60)) AS j)),
+        agg AS (
+          SELECT doc_id, j, SUM((2 * bit - 1) * cnt) AS s
+          FROM bits GROUP BY 1, 2),
+        ps AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0
+                               THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                               ELSE 0 END) AS BIGINT) AS sh
+          FROM agg GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM ps a JOIN ps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+})

@@ -333,6 +333,8 @@ _OPERATORS = {
     "semantic_dedup_keep_best": dedup.semantic_dedup_keep_best,
     "knn_int8_recall": similarity.knn_int8_recall,
     "lsh_band_sweep": dedup.lsh_band_sweep,
+    "doc_sentence_stats": text.doc_sentence_stats,
+    "payload_simhash_pairs": multimodal.payload_simhash_pairs,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
