@@ -1788,3 +1788,27 @@ def knn_int8_recall(t: dict[str, DataFrame],
                  F.count(F.lit(1)).cast("int").alias("n_hits"),
                  (F.count(F.lit(1)).cast("double") / k)
                  .alias("recall_at_k")))
+
+
+def ivf_cluster_purity(t: dict[str, DataFrame]) -> DataFrame:
+    """Clustering-quality audit against the labels: per-IVF-cell
+    PURITY (share of the cell's majority label) — the external
+    validation run next to `ivf_cluster_stats`' balance check before
+    trusting the coarse quantizer (a low-purity cell mixes semantic
+    neighborhoods, so probes leak irrelevant vectors). Exact integer
+    counts end-to-end; the majority is a struct-max with a label
+    tie-break; one division per cell at the end."""
+    a = ivf_assign(t).select("centroid_id", "label")
+    cells = (a.groupBy("centroid_id", "label")
+             .agg(F.count(F.lit(1)).alias("c")))
+    g = (cells.groupBy("centroid_id")
+         .agg(F.sum("c").alias("n_vectors"),
+              F.max(F.struct(F.col("c").alias("c"),
+                             (-F.col("label")).alias("nl")))
+              .alias("mx")))
+    return g.select(
+        "centroid_id", "n_vectors",
+        (-F.col("mx.nl")).cast("int").alias("majority_label"),
+        F.col("mx.c").alias("majority_count"),
+        (F.col("mx.c").cast("double") / F.col("n_vectors"))
+        .alias("purity"))

@@ -6886,3 +6886,34 @@ ORACLES.update({
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
 })
+
+ORACLES.update({
+    # same assignment CTE; majority = max (count, -label) struct order
+    "ivf_cluster_purity": f"""
+        WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, label, centroid_id FROM (
+            SELECT e.vec_id, e.label, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        cells AS (
+          SELECT centroid_id, label, COUNT(*) AS c
+          FROM assigned GROUP BY centroid_id, label),
+        ranked AS (
+          SELECT centroid_id, label, c,
+                 SUM(c) OVER (PARTITION BY centroid_id) AS n_vectors,
+                 ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM cells)
+        SELECT centroid_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+               CAST(label AS INTEGER) AS majority_label,
+               CAST(c AS BIGINT) AS majority_count,
+               CAST(c AS DOUBLE) / n_vectors AS purity
+        FROM ranked WHERE rn = 1
+    """,
+})

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "doc_tfidf_top_terms",
     "hybrid_search_rrf",
     "ivf_cluster_stats",
+    "ivf_cluster_purity",      # broadcast centroid-array row (assign)
     "kmeans_centroids",
     "knn_batch",
     "knn_bruteforce",
