@@ -6917,3 +6917,54 @@ ORACLES.update({
         FROM ranked WHERE rn = 1
     """,
 })
+
+from .plans.curation import PLAN_CTX  # noqa: E402
+
+ORACLES.update({
+    # keep-best CTE + component split + token budget arithmetic
+    "training_corpus_plan": f'''
+        WITH RECURSIVE {_CC_PAIRS_CTE},
+        q AS (
+          SELECT doc_id,
+                 (n_distinct / n_tokens) * 0.4
+                   + (1.0 - n_stop / n_tokens) * 0.4
+                   + least(n_tokens / 100.0, 1.0) * 0.2 AS quality_score
+          FROM (SELECT doc_id,
+                       CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                       CAST(len(list_distinct({TOKS})) AS INTEGER)
+                         AS n_distinct,
+                       CAST(len(list_filter({TOKS},
+                            x -> x IN ('the', 'a', 'of', 'and', 'to',
+                                       'in'))) AS INTEGER) AS n_stop
+                FROM documents)),
+        ranked AS (
+          SELECT l.component, l.doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l.component
+                   ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+          FROM labels l JOIN q ON l.doc_id = q.doc_id),
+        best AS (
+          SELECT component, doc_id FROM ranked WHERE rn = 1),
+        sp AS (
+          SELECT b.doc_id,
+                 CASE WHEN CAST({_HEX8_TO_INT(
+                     "'ccsplit|' || CAST(component AS VARCHAR)")}
+                      % 100 AS INT) < {SPLIT_TEST_PCT}
+                      THEN 'test' ELSE 'train' END AS split
+          FROM best b),
+        dtok AS (
+          SELECT doc_id, lang, CAST(len({TOKS}) AS BIGINT) AS nt
+          FROM documents),
+        g AS (
+          SELECT sp.split, d.lang, COUNT(*) AS n_docs,
+                 CAST(SUM(d.nt) AS BIGINT) AS tokens
+          FROM sp JOIN dtok d USING (doc_id)
+          GROUP BY sp.split, d.lang)
+        SELECT split, lang, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+               CAST((tokens + {PLAN_CTX} - 1) // {PLAN_CTX} AS BIGINT)
+                 AS n_sequences,
+               CAST(((tokens + {PLAN_CTX} - 1) // {PLAN_CTX})
+                 * {PLAN_CTX} - tokens AS BIGINT) AS pad_tokens
+        FROM g
+    ''',
+})

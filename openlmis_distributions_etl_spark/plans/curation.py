@@ -66,3 +66,46 @@ def run_curation(spark, sf_dir: str, out_dir: str) -> dict[str, str]:
     curated = curation_pipeline(t)
     write_partitioned_parquet(curated, out, partition_by=["lang", "split"])
     return {"curated_documents": out}
+
+
+PLAN_CTX = 2048
+
+
+def training_corpus_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """The end-to-end corpus BUILD SHEET, composed from the suite's
+    verified pieces: near-dup clusters collapse to their highest-
+    quality member (`dedup_keep_best` policy) → the canonical docs
+    take the LEAKAGE-SAFE split (md5 bucket on the dup-graph
+    COMPONENT, so a canonical doc and any surviving near-relatives
+    can never straddle train/test) → per (split, lang) the sheet
+    reports docs, exact token budget, and the 2048-ctx sequence/
+    padding arithmetic — the one table a pretraining run is
+    provisioned from.
+
+    Scale shape: the CC labels are the iterative shared machinery;
+    everything after is one id-keyed join plus a (split, lang)-
+    bounded aggregate with integer ceil-div arithmetic."""
+    from ..operators.dedup import SPLIT_TEST_PCT, dedup_keep_best
+
+    best = dedup_keep_best(t)
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ccsplit|"),
+                       F.col("component").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    split = (F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+             .otherwise(F.lit("train")))
+    docs = t["documents"].select(
+        "doc_id", "lang", F.size(tokens()).cast("long").alias("nt"))
+    j = (best.select(F.col("best_doc_id").alias("doc_id"),
+                     split.alias("split"))
+         .join(docs, "doc_id"))
+    L = PLAN_CTX
+    g = (j.groupBy("split", "lang")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("nt").alias("tokens")))
+    nseq = F.expr(f"(tokens + {L} - 1) DIV {L}")
+    return g.select(
+        "split", "lang", "n_docs", "tokens",
+        nseq.alias("n_sequences"),
+        (nseq * L - F.col("tokens")).alias("pad_tokens"))
