@@ -102,6 +102,11 @@ HEADLINE = [
     "top_repeated_spans",
     "source_cross_dup_matrix",
     "token_zipf_table",
+    # round-5 waves 14-19: composed corpus plan, banding sweep,
+    # binary near-dup pairs
+    "training_corpus_plan",
+    "lsh_band_sweep",
+    "payload_simhash_pairs",
 ]
 
 

@@ -663,3 +663,32 @@ def diff_versions(spark: SparkSession, path: str, v_from: int,
           .when(F.col("_ha") != F.col("_hb"), F.lit("updated")))
     return (j.select(*keys, ct.alias("change_type"))
             .where(F.col("change_type").isNotNull()))
+
+
+def restore_versioned(path: str, version: int) -> int:
+    """RESTORE (Delta-style rollback): publish a NEW version whose
+    file list is exactly the target version's — history is preserved
+    (the bad versions stay time-travelable for forensics) and the
+    operation is metadata-only: no data files move, the new manifest
+    references the old files. Returns the new version number.
+    Fails loudly if the target's files have been vacuumed away."""
+    vs = versions(path)
+    if version not in vs:
+        raise ValueError(f"version {version} not in {vs}")
+    m = _read_manifest(path, version)
+    for f in m["files"]:
+        if not (Path(path) / f).exists():
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: data file {f} was "
+                f"vacuumed; restore targets must be within the "
+                f"retention window")
+    new_version = vs[-1] + 1
+    manifest = {"version": new_version, "mode": "restore",
+                "files": list(m["files"]), "txn": None,
+                "restored_from": version}
+    if "stats" in m:
+        manifest["stats"] = m["stats"]
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    _publish(path, manifest)
+    return new_version

@@ -802,3 +802,34 @@ def test_diff_versions_update_and_insert(spark, tmp_path):
     d = {r["id"]: r["change_type"]
          for r in diff_versions(spark, tbl, 0, 1, keys=["id"]).collect()}
     assert d == {2: "updated", 9: "inserted"}
+
+
+def test_restore_versioned_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE publishes a new version referencing the old files —
+    the bad version stays time-travelable, nothing is copied, and a
+    restore to a vacuumed version fails loudly."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        _read_manifest, read_versioned, restore_versioned,
+        vacuum_versioned, write_versioned)
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id INT, v DOUBLE")
+    tbl = str(tmp_path / "vrestore")
+    write_versioned(df.repartition(1), tbl, mode="overwrite")
+    bad = spark.createDataFrame([(999, -1.0)], "id INT, v DOUBLE")
+    write_versioned(bad.repartition(1), tbl, mode="append")
+    assert read_versioned(spark, tbl).count() == 101
+    new_v = restore_versioned(tbl, 0)
+    assert new_v == 2
+    assert read_versioned(spark, tbl).count() == 100
+    # metadata-only: restored manifest references v0's files
+    assert (_read_manifest(tbl, 2)["files"]
+            == _read_manifest(tbl, 0)["files"])
+    # the bad version remains for forensics
+    assert read_versioned(spark, tbl, version=1).count() == 101
+    # vacuum keeps only the live version's files; restore to the
+    # now-dangling v1 must refuse
+    vacuum_versioned(tbl, keep_versions=1)
+    import pytest as _pytest
+    with _pytest.raises((FileNotFoundError, Exception)):
+        restore_versioned(tbl, 1)
