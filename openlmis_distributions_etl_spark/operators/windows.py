@@ -992,3 +992,47 @@ def events_hourly_heatmap(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.count_distinct("user_id").alias("n_users"),
                  F.sum("cents").alias("value_cents")))
+
+
+def cohort_ltv_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative lifetime value per signup cohort: for each
+    (cohort day, days-since-first-seen) cell, purchase revenue that
+    age contributed and the cohort's running cumulative cents — the
+    payback-period curve marketing reads next to `cohort_retention`.
+
+    One user-keyed aggregate pins each user's first-seen day, the
+    purchase attach reuses the SAME user hash (co-partitioned), the
+    (cohort, age) rollup is calendar²-bounded, and the running sum
+    windows over one cohort's ≤calendar-length row set — exact
+    BIGINT cents end-to-end, one division for the per-user value."""
+    ev = t["events"].select(
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+        .alias("eday"),
+        "event_type", "value")
+    first = (ev.groupBy("user_id")
+             .agg(F.min("eday").alias("cday")))
+    pur = (ev.where((F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull())
+           .select("user_id", "eday",
+                   F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    cohort_sizes = first.groupBy("cday").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    cells = (pur.join(first, "user_id")
+             .groupBy("cday", (F.col("eday") - F.col("cday"))
+                      .alias("age_days"))
+             .agg(F.sum("cents").alias("cents"),
+                  F.count(F.lit(1)).alias("n_purchases")))
+    w = (Window.partitionBy("cday").orderBy("age_days")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cells
+            .join(F.broadcast(cohort_sizes), "cday")
+            .select(
+                F.expr("date_add(DATE '1970-01-01', "
+                       "CAST(cday AS INT))").cast("string")
+                .alias("cohort_day"),
+                "age_days", "n_purchases", "cents",
+                F.sum("cents").over(w).alias("cum_cents"),
+                (F.sum("cents").over(w).cast("double") / 100.0
+                 / F.col("cohort_users")).alias("cum_value_per_user")))

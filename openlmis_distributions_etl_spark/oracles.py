@@ -6968,3 +6968,46 @@ ORACLES.update({
         FROM g
     ''',
 })
+
+ORACLES.update({
+    # same epoch-day cohorting, exact cents, same running frame
+    "cohort_ltv_curve": """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS eday,
+                 event_type, value
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(eday) AS cday FROM ev GROUP BY user_id),
+        sizes AS (
+          SELECT cday, COUNT(*) AS cohort_users
+          FROM first GROUP BY cday),
+        pur AS (
+          SELECT user_id, eday,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM ev
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        cells AS (
+          SELECT f.cday, p.eday - f.cday AS age_days,
+                 CAST(SUM(p.cents) AS BIGINT) AS cents,
+                 COUNT(*) AS n_purchases
+          FROM pur p JOIN first f USING (user_id)
+          GROUP BY f.cday, p.eday - f.cday)
+        SELECT CAST(DATE '1970-01-01' + CAST(c.cday AS INT)
+                 AS VARCHAR) AS cohort_day,
+               c.age_days,
+               CAST(c.n_purchases AS BIGINT) AS n_purchases,
+               c.cents,
+               CAST(SUM(c.cents) OVER (PARTITION BY c.cday
+                 ORDER BY c.age_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents,
+               CAST(CAST(SUM(c.cents) OVER (PARTITION BY c.cday
+                 ORDER BY c.age_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS DOUBLE) / 100.0 / s.cohort_users
+                 AS cum_value_per_user
+        FROM cells c JOIN sizes s USING (cday)
+    """,
+})

@@ -337,6 +337,7 @@ _OPERATORS = {
     "payload_simhash_pairs": multimodal.payload_simhash_pairs,
     "ivf_cluster_purity": similarity.ivf_cluster_purity,
     "training_corpus_plan": curation.training_corpus_plan,
+    "cohort_ltv_curve": windows.cohort_ltv_curve,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
