@@ -116,6 +116,18 @@ OPS = (
     "top_repeated_spans",
     "source_cross_dup_matrix",
     "token_zipf_table",
+    # round-5 waves 13-20: packing planner, sentence stats, splits,
+    # banding sweep, binary pairs, purity, composed plan, LTV
+    "packing_efficiency_by_ctx",
+    "doc_sentence_stats",
+    "leakage_safe_split",
+    "split_leakage_audit",
+    "lsh_band_sweep",
+    "payload_simhash_pairs",
+    "ivf_cluster_purity",
+    "training_corpus_plan",
+    "cohort_ltv_curve",
+    "events_hourly_heatmap",
 )
 
 
