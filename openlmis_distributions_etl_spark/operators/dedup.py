@@ -1708,3 +1708,26 @@ def lsh_band_sweep(t: dict[str, DataFrame]) -> DataFrame:
                   .cast("long")).alias("est_jaccard_bp_sum"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def dup_graph_degree_hist(t: dict[str, DataFrame]) -> DataFrame:
+    """Degree distribution of the near-dup graph — the first chart
+    read off any graph (power-law hubs here mean template families;
+    a long degree-1 tail means pair noise), completing the
+    graph-stats battery next to triangles / clustering coefficient /
+    k-core / PageRank. Isolated docs count as degree 0 via one
+    anti-joined corpus count. Two map-side-combinable aggregates
+    over the shared symmetric edge frame; output bounded by the max
+    degree."""
+    edges = minhash_lsh_pairs(t).selectExpr("doc_a AS a", "doc_b AS b")
+    _, deg = _dup_sym_degrees(edges)
+    hist = (deg.groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
+    iso = (t["documents"].select(F.col("doc_id").alias("node"))
+           .join(deg.select("node"), "node", "left_anti")
+           .agg(F.lit(0).cast("long").alias("deg"),
+                F.count(F.lit(1)).alias("n_nodes")))
+    return (hist.unionByName(iso)
+            .where(F.col("n_nodes") > 0)
+            .select(F.col("deg").cast("long").alias("degree"),
+                    "n_nodes"))

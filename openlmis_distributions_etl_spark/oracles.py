@@ -7011,3 +7011,36 @@ ORACLES.update({
         FROM cells c JOIN sizes s USING (cday)
     """,
 })
+
+ORACLES.update({
+    # same banded pairs; isolated docs enter at degree 0
+    "dup_graph_degree_hist": f'''
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+        sym AS (
+          SELECT doc_a AS u FROM pairs
+          UNION ALL
+          SELECT doc_b AS u FROM pairs),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+        hist AS (
+          SELECT CAST(deg AS BIGINT) AS degree,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM deg GROUP BY deg),
+        iso AS (
+          SELECT CAST(0 AS BIGINT) AS degree,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM documents
+          WHERE doc_id NOT IN (SELECT node FROM deg))
+        SELECT * FROM hist
+        UNION ALL
+        SELECT * FROM iso WHERE n_nodes > 0
+    ''',
+})
