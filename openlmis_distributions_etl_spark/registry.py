@@ -406,7 +406,11 @@ _DRIVER_SAMPLED = frozenset((
 ))
 
 def queries() -> dict[str, QueryFn]:
-    ordered = ([n for n in _OPERATORS if n not in _DRIVER_SAMPLED]
+    # never-driver-sampled queries enumerate FIRST, newest first
+    # (insertion order reversed), so a prefix-sampling correctness
+    # gate exercises the least-covered operators each round
+    fresh = [n for n in _OPERATORS if n not in _DRIVER_SAMPLED]
+    ordered = (list(reversed(fresh))
                + [n for n in _OPERATORS if n in _DRIVER_SAMPLED])
     return {name: _wrap(_OPERATORS[name]) for name in ordered}
 
