@@ -752,11 +752,17 @@ def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
     Scale: one id-keyed join + one window on the component key; the
     iterative CC cost is shared machinery, everything after it is
     cluster-count-sized."""
+    return _keep_best(dedup_components(t), t)
+
+
+def _keep_best(comp: DataFrame, t: dict[str, DataFrame]) -> DataFrame:
+    """THE canonical-selection policy (highest doc_quality_score,
+    doc_id tie-break) over any (doc_id, component) frame — shared by
+    the MinHash and semantic paths so the policy cannot diverge."""
     from pyspark.sql import Window
 
     from .text import doc_quality_score
 
-    comp = dedup_components(t)
     q = doc_quality_score(t).select("doc_id", "quality_score")
     j = comp.join(q, "doc_id")
     wp = Window.partitionBy("component")
@@ -1567,6 +1573,21 @@ def source_cross_dup_matrix(t: dict[str, DataFrame]) -> DataFrame:
 SPLIT_TEST_PCT = 20
 
 
+def component_split(col: str = "component"):
+    """(bucket, split) expressions for the leakage-safe rule: md5
+    bucket of the dup-graph COMPONENT id, bucket < SPLIT_TEST_PCT →
+    test. THE single definition — leakage_safe_split, the audit, and
+    the training-corpus build sheet all call this, so the rule cannot
+    drift between the manifest and its consumers."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ccsplit|"), F.col(col).cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+    split = (F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return bucket, split
+
+
 def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
     """Train/test split WITHOUT near-dup leakage: the split unit is
     the connected COMPONENT of the near-dup graph, not the document —
@@ -1583,17 +1604,9 @@ def leakage_safe_split(t: dict[str, DataFrame]) -> DataFrame:
     labels (log-round star contraction) + one in-row hash; no
     additional shuffle."""
     comp = dedup_components(t)
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("ccsplit|"),
-                       F.col("component").cast("string"))
-              .cast("binary")), 1, 8), 16, 10)
-        .cast("long") % 100).cast("int")
-    return (comp
-            .withColumn("bucket", bucket)
-            .select("doc_id", "component", "bucket",
-                    F.when(F.col("bucket") < SPLIT_TEST_PCT,
-                           F.lit("test")).otherwise(F.lit("train"))
-                    .alias("split")))
+    bucket, split = component_split()
+    return comp.select("doc_id", "component", bucket.alias("bucket"),
+                       split.alias("split"))
 
 
 def split_leakage_audit(t: dict[str, DataFrame]) -> DataFrame:
@@ -1623,25 +1636,10 @@ def semantic_dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
     tie-break) applied to the embedding near-dup components instead
     of the MinHash ones — the curation step that keeps the cleanest
     member of each paraphrase/translation family, where text-hash
-    dedup sees nothing to collapse. Same scale shape: one id-keyed
-    quality join + one window on the component key; the CC machinery
-    is shared."""
-    from pyspark.sql import Window
-
-    from .text import doc_quality_score
-
-    comp = semantic_dedup_components(t)
-    q = doc_quality_score(t).select("doc_id", "quality_score")
-    j = comp.join(q, "doc_id")
-    wp = Window.partitionBy("component")
-    wo = wp.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    return (j.select("component", "doc_id", "quality_score",
-                     F.row_number().over(wo).alias("rn"),
-                     F.count(F.lit(1)).over(wp).alias("n_members"))
-            .where(F.col("rn") == 1)
-            .select("component", F.col("doc_id").alias("best_doc_id"),
-                    F.col("quality_score").alias("best_quality"),
-                    "n_members"))
+    dedup sees nothing to collapse. Same scale shape (the shared
+    `_keep_best` body): one id-keyed quality join + one window on
+    the component key; the CC machinery is shared."""
+    return _keep_best(semantic_dedup_components(t), t)
 
 
 LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
@@ -1681,7 +1679,6 @@ def lsh_band_sweep(t: dict[str, DataFrame]) -> DataFrame:
             F.col("doc_id").alias("doc_b"),
             *[F.col(h).alias(f"b_{h}") for h in hs],
             "band_id", "band_val")
-        first_band = F.lit(None).cast("int")
         # first band (lowest id) on which the two signatures agree
         fb = None
         for bi in reversed(range(bands)):
@@ -1704,8 +1701,10 @@ def lsh_band_sweep(t: dict[str, DataFrame]) -> DataFrame:
             F.lit(bands).cast("int").alias("n_bands"),
             F.lit(rows).cast("int").alias("rows_per_band"),
             F.count(F.lit(1)).alias("n_candidate_pairs"),
-            F.sum(F.floor(F.col("est_jaccard") * 10000 + F.lit(0.5))
-                  .cast("long")).alias("est_jaccard_bp_sum"))
+            F.coalesce(
+                F.sum(F.floor(F.col("est_jaccard") * 10000
+                              + F.lit(0.5)).cast("long")),
+                F.lit(0).cast("long")).alias("est_jaccard_bp_sum"))
         out = row if out is None else out.unionByName(row)
     return out
 

@@ -85,16 +85,10 @@ def training_corpus_plan(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: the CC labels are the iterative shared machinery;
     everything after is one id-keyed join plus a (split, lang)-
     bounded aggregate with integer ceil-div arithmetic."""
-    from ..operators.dedup import SPLIT_TEST_PCT, dedup_keep_best
+    from ..operators.dedup import component_split, dedup_keep_best
 
     best = dedup_keep_best(t)
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("ccsplit|"),
-                       F.col("component").cast("string"))
-              .cast("binary")), 1, 8), 16, 10)
-        .cast("long") % 100).cast("int")
-    split = (F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
-             .otherwise(F.lit("train")))
+    _, split = component_split()
     docs = t["documents"].select(
         "doc_id", "lang", F.size(tokens()).cast("long").alias("nt"))
     j = (best.select(F.col("best_doc_id").alias("doc_id"),

@@ -1200,8 +1200,11 @@ def rolling_7d_active_users_stream(events: DataFrame,
 
     The watermark rides the TARGET-day timestamp (up to 6 days ahead
     of the event's own time), so the default delay is 8 days: 7 days
-    of forward coverage + a day of event lateness — state is
-    O(7 · daily actives), never history. A target day only finalizes
+    of forward coverage + a day of event lateness — and the dedup
+    KEYS include that watermarked timestamp (tts is 1:1 with the
+    target day), which is what lets Spark EVICT dedup state as the
+    watermark passes: state is O(7 · daily actives), never history.
+    A target day only finalizes
     once the watermark passes it, i.e. once every event that could
     cover it has arrived. Batch twin:
     operators.windows.rolling_7d_active_users (tested equal on the
@@ -1220,7 +1223,7 @@ def rolling_7d_active_users_stream(events: DataFrame,
                    "INT)) AS TIMESTAMP)")))
     return (cov
             .withWatermark("tts", watermark)
-            .dropDuplicates(["user_id", "tday"])
+            .dropDuplicates(["user_id", "tts"])
             .groupBy(F.window("tts", "1 day").alias("w"))
             .agg(F.count(F.lit(1)).alias("rolling_7d_users"))
             .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
@@ -1276,8 +1279,33 @@ def stream_maintain_band_index(docs: DataFrame, out_dir: str,
             .start())
 
 
+def _check_lineage(out_dir: str, lineage: str | None) -> None:
+    """Refuse to merge into a store owned by a DIFFERENT checkpoint
+    lineage: non-idempotent merges (sum, credit) would double-count
+    or silently reset if a fresh checkpoint replayed history into an
+    existing store. First writer stamps _LINEAGE; later merges must
+    match. Direct calls (tests, backfills) pass lineage=None and are
+    governed by the version-head guard alone."""
+    from pathlib import Path
+
+    if lineage is None:
+        return
+    lp = Path(out_dir) / "_LINEAGE"
+    if lp.exists():
+        if lp.read_text(encoding="utf-8") != lineage:
+            raise RuntimeError(
+                f"store {out_dir} belongs to checkpoint lineage "
+                f"{lp.read_text(encoding='utf-8')!r}, not {lineage!r} "
+                f"— a fresh checkpoint replaying history would "
+                f"double-count or reset; use a new store")
+    else:
+        lp.parent.mkdir(parents=True, exist_ok=True)
+        lp.write_text(lineage, encoding="utf-8")
+
+
 def _merge_token_counts(batch: DataFrame, batch_id: int,
-                        out_dir: str) -> None:
+                        out_dir: str,
+                        lineage: str | None = None) -> None:
     """One exactly-once sum-merge commit of a micro-batch into the
     token-count store. Module-level so the replay test can invoke it
     directly; see stream_maintain_token_counts for the contract."""
@@ -1286,6 +1314,7 @@ def _merge_token_counts(batch: DataFrame, batch_id: int,
 
     from ..operators.text import tokens
 
+    _check_lineage(out_dir, lineage)
     spark = batch.sparkSession
     cnt = (batch.select(F.explode(tokens()).alias("token"))
            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
@@ -1333,7 +1362,8 @@ def stream_maintain_token_counts(docs: DataFrame, out_dir: str,
     exact counts — never executor memory."""
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        _merge_token_counts(batch, batch_id, out_dir)
+        _merge_token_counts(batch, batch_id, out_dir,
+                            lineage=checkpoint_dir)
 
     return (docs.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint_dir)
@@ -1366,6 +1396,7 @@ def stream_linear_attribution(events: DataFrame, out_dir: str,
     from pathlib import Path
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        _check_lineage(out_dir, checkpoint_dir)
         spark = batch.sparkSession
         clicks_new = (batch.where(F.col("event_type") == "click")
                       .select("user_id",

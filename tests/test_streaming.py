@@ -781,3 +781,29 @@ def test_stream_linear_attribution_matches_batch(spark, tmp_path):
     want = (windows.linear_touch_attribution(
         load_tables(spark, SF0001, "events")).toPandas())
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_token_count_store_refuses_foreign_lineage(spark, tmp_path):
+    """A stream with a DIFFERENT checkpoint may not merge into an
+    existing store — even at equal version head (the silent-reset
+    hole a head-only guard leaves open)."""
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "tok_counts_l")
+    q = jobs.stream_maintain_token_counts(
+        docs, store, str(tmp_path / "ck_a"))
+    assert q.awaitTermination(120)
+    before = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    q2 = jobs.stream_maintain_token_counts(
+        jobs.read_documents_stream(spark, SF0001), store,
+        str(tmp_path / "ck_b"))
+    import pyspark.errors
+    try:
+        finished = q2.awaitTermination(120)
+        # the batch must have failed, not silently merged
+        assert not finished or q2.exception() is not None
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    after = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    assert after == before
