@@ -807,3 +807,27 @@ def test_token_count_store_refuses_foreign_lineage(spark, tmp_path):
     after = sorted(map(tuple, jobs.read_latest_snapshot(
         spark, store).collect()))
     assert after == before
+
+
+def test_attribution_store_refuses_foreign_lineage(spark, tmp_path):
+    """The attribution store shares the lineage stamp: a stream with
+    a different checkpoint must refuse, leaving credits unchanged."""
+    events = jobs.read_events_stream(spark, SF0001)
+    store = str(tmp_path / "attr_l")
+    q = jobs.stream_linear_attribution(
+        events, store, str(tmp_path / "ck_a1"))
+    assert q.awaitTermination(120)
+    before = _sorted(jobs.read_attribution_credits(
+        spark, store).toPandas())
+    q2 = jobs.stream_linear_attribution(
+        jobs.read_events_stream(spark, SF0001), store,
+        str(tmp_path / "ck_a2"))
+    import pyspark.errors
+    try:
+        finished = q2.awaitTermination(120)
+        assert not finished or q2.exception() is not None
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    after = _sorted(jobs.read_attribution_credits(
+        spark, store).toPandas())
+    pd.testing.assert_frame_equal(after, before)
