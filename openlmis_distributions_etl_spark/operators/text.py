@@ -1791,3 +1791,55 @@ def doc_sentence_stats(t: dict[str, DataFrame]) -> DataFrame:
                F.expr("aggregate(sl, 0, (a, x) -> a + x)")
                .cast("double") / F.size("sl"))
         .alias("mean_sentence_tokens"))
+
+
+SYSTEMATIC_TICKS = 100
+
+
+def token_budget_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic SYSTEMATIC sampling proportional to size: lay
+    the corpus out on its cumulative token axis (doc_id order) and
+    keep every document whose token interval contains a multiple of
+    T = ⌊total/100⌋ — the RNG-free probability-proportional-to-size
+    draw (longer docs proportionally likelier, ~100 docs out at any
+    corpus size) used to build calibration/eval subsets that match
+    the corpus's TOKEN mass, where uniform doc sampling skews short.
+
+    The cumulative axis is the distributed prefix sum
+    (`_rank_buckets` on doc_id — unique, so buckets are exact):
+    per-bucket token totals give exclusive weight offsets over the
+    constant-size bucket frame, the in-bucket running sum is bounded
+    per task, and tick-crossing is pure integer arithmetic
+    (cum_before DIV T < cum_after DIV T), identical in the oracle."""
+    from ..operators.analytics import _rank_buckets
+
+    d = retain(t["documents"]
+               .select("doc_id", "lang", "source",
+                       F.size(tokens()).cast("long").alias("nt"))
+               .withColumn("_k", F.col("doc_id").cast("double")))
+    n = d.count()
+    b = _rank_buckets(d, n)
+    bt = b.groupBy("bkt").agg(F.sum("nt").alias("bw"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("bw").over(wo), F.lit(0).cast("long"))
+        .alias("woff"),
+        F.sum("bw").over(wt).alias("wtot"))
+    run = (Window.partitionBy("bkt").orderBy(F.asc("doc_id"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    j = (b.join(F.broadcast(offs), "bkt")
+         .withColumn("cum_after",
+                     F.col("woff") + F.sum("nt").over(run))
+         .withColumn("cum_before", F.col("cum_after") - F.col("nt"))
+         .withColumn("tick", F.greatest(
+             F.lit(1).cast("long"),
+             F.expr(f"wtot DIV {SYSTEMATIC_TICKS}"))))
+    return (j.where(F.expr("cum_before DIV tick")
+                    < F.expr("cum_after DIV tick"))
+            .select("doc_id", "lang", "source", "nt",
+                    "cum_before", "cum_after"))

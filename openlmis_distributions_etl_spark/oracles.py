@@ -7044,3 +7044,30 @@ ORACLES.update({
         SELECT * FROM iso WHERE n_nodes > 0
     ''',
 })
+
+from .operators.text import SYSTEMATIC_TICKS  # noqa: E402
+
+ORACLES.update({
+    # single-window cumulative axis, same integer tick-crossing
+    "token_budget_sample": f"""
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 CAST(len({TOKS}) AS BIGINT) AS nt
+          FROM documents),
+        c AS (
+          SELECT *,
+                 CAST(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_after,
+                 CAST(SUM(nt) OVER () AS BIGINT) AS wtot
+          FROM d)
+        SELECT doc_id, lang, source, nt,
+               CAST(cum_after - nt AS BIGINT) AS cum_before,
+               cum_after
+        FROM c
+        WHERE (cum_after - nt)
+              // greatest(1, wtot // {SYSTEMATIC_TICKS})
+              < cum_after
+              // greatest(1, wtot // {SYSTEMATIC_TICKS})
+    """,
+})

@@ -339,6 +339,7 @@ _OPERATORS = {
     "training_corpus_plan": curation.training_corpus_plan,
     "cohort_ltv_curve": windows.cohort_ltv_curve,
     "dup_graph_degree_hist": dedup.dup_graph_degree_hist,
+    "token_budget_sample": text.token_budget_sample,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
