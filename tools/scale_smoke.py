@@ -128,6 +128,8 @@ OPS = (
     "training_corpus_plan",
     "cohort_ltv_curve",
     "events_hourly_heatmap",
+    "dup_graph_degree_hist",
+    "token_budget_sample",
 )
 
 
