@@ -42,6 +42,15 @@ FLAGSHIPS = (
     "session_type_affinity",
     "dup_graph_clustering_coef",
     "revenue_changepoint",
+    # round-5 final waves
+    "customer_spend_gini",
+    "knn_int8_rerank",
+    "trimmed_mean_by_type",
+    "leakage_safe_split",
+    "training_corpus_plan",
+    "token_budget_sample",
+    "lsh_band_sweep",
+    "rolling_7d_active_users",
 )
 
 
