@@ -2227,39 +2227,64 @@ def customer_spend_gini(t: dict[str, DataFrame]) -> DataFrame:
     from ..functions.cache import retain
     spend = retain(
         t["orders"]
-        .groupBy("o_custkey")
+        .groupBy(F.col("o_custkey").alias("unit_id"))
         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                   .cast("long")).alias("cents"))
-        .withColumn("_k", F.col("cents").cast("double")))
-    n = spend.count()
-    b = _rank_buckets(spend, n)
+                   .cast("long")).alias("w")))
+    return _gini_from_weights(spend).select(
+        F.col("n_units").alias("n_customers"),
+        F.col("total_w").alias("total_cents"), "gini")
+
+
+def _gini_from_weights(units: DataFrame) -> DataFrame:
+    """THE rank-formulation Gini over a (unit_id, w) frame — the
+    distributed decomposition customer_spend_gini documents, shared
+    so the spend and engagement variants cannot drift. Emits one row
+    (n_units, total_w, gini); gini is NULL on an all-zero total."""
+    from ..functions.cache import retain
+    units = retain(units.withColumn("_k", F.col("w").cast("double")))
+    n = units.count()
+    b = _rank_buckets(units, n)
     bt = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
     offs = bt.select(
         "bkt",
         F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off"))
-    win = Window.partitionBy("bkt").orderBy(F.asc("cents"),
-                                            F.asc("o_custkey"))
+    win = Window.partitionBy("bkt").orderBy(F.asc("w"),
+                                            F.asc("unit_id"))
     ranked = (b.join(F.broadcast(offs), "bkt")
               .withColumn("rnk", F.col("off") + F.row_number().over(win)))
     g = ranked.agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
-        F.sum((F.col("rnk").cast("decimal(19,0)") * F.col("cents"))
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("tot"),
+        F.sum((F.col("rnk").cast("decimal(19,0)") * F.col("w"))
               .cast("decimal(38,0)")).alias("rs"))
     num = (F.lit(2).cast("decimal(38,0)") * F.col("rs")
-           - (F.col("n_customers") + F.lit(1)).cast("decimal(38,0)")
+           - (F.col("n_units") + F.lit(1)).cast("decimal(38,0)")
            * F.col("tot"))
     return g.select(
-        "n_customers",
-        F.col("tot").cast("long").alias("total_cents"),
-        # NULL for the degenerate all-zero-spend corpus (the oracle's
+        "n_units",
+        F.col("tot").cast("long").alias("total_w"),
+        # NULL for the degenerate all-zero-weight input (the oracle's
         # x/0 would be engine-defined; neither side should emit it)
         F.when(F.col("tot") != 0,
                num.cast("double")
-               / (F.col("n_customers").cast("double")
+               / (F.col("n_units").cast("double")
                   * F.col("tot").cast("double"))).alias("gini"))
+
+
+def user_activity_gini(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini coefficient of per-user EVENT COUNTS — the engagement-
+    concentration twin of `customer_spend_gini` ("is the feed a few
+    power users or a broad base?"); one user-keyed count aggregate
+    feeding the shared distributed rank-formulation
+    (`_gini_from_weights`), weights already exact integers."""
+    counts = (t["events"]
+              .groupBy(F.col("user_id").alias("unit_id"))
+              .agg(F.count(F.lit(1)).alias("w")))
+    return _gini_from_weights(counts).select(
+        F.col("n_units").alias("n_users"),
+        F.col("total_w").alias("total_events"), "gini")
 
 
 def hll_event_overlap(t: dict[str, DataFrame]) -> DataFrame:
