@@ -2273,20 +2273,6 @@ def _gini_from_weights(units: DataFrame) -> DataFrame:
                   * F.col("tot").cast("double"))).alias("gini"))
 
 
-def user_activity_gini(t: dict[str, DataFrame]) -> DataFrame:
-    """Gini coefficient of per-user EVENT COUNTS — the engagement-
-    concentration twin of `customer_spend_gini` ("is the feed a few
-    power users or a broad base?"); one user-keyed count aggregate
-    feeding the shared distributed rank-formulation
-    (`_gini_from_weights`), weights already exact integers."""
-    counts = (t["events"]
-              .groupBy(F.col("user_id").alias("unit_id"))
-              .agg(F.count(F.lit(1)).alias("w")))
-    return _gini_from_weights(counts).select(
-        F.col("n_units").alias("n_users"),
-        F.col("total_w").alias("total_events"), "gini")
-
-
 def hll_event_overlap(t: dict[str, DataFrame]) -> DataFrame:
     """Sketch-algebra distinct OVERLAP: distinct users who both
     clicked AND purchased, estimated by inclusion–exclusion over HLL

@@ -7071,23 +7071,3 @@ ORACLES.update({
               // greatest(1, wtot // {SYSTEMATIC_TICKS})
     """,
 })
-
-ORACLES.update({
-    # same rank formulation over integer event counts
-    "user_activity_gini": """
-        WITH s AS (
-          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w
-          FROM events GROUP BY user_id),
-        r AS (
-          SELECT w,
-                 ROW_NUMBER() OVER (ORDER BY w, user_id) AS rn
-          FROM s)
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(SUM(w) AS BIGINT) AS total_events,
-               CAST(2 * SUM(CAST(rn AS HUGEINT) * w)
-                    - (COUNT(*) + 1) * SUM(w) AS DOUBLE)
-               / (CAST(COUNT(*) AS DOUBLE)
-                  * CAST(SUM(w) AS DOUBLE)) AS gini
-        FROM r
-    """,
-})

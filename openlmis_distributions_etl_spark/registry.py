@@ -340,7 +340,6 @@ _OPERATORS = {
     "cohort_ltv_curve": windows.cohort_ltv_curve,
     "dup_graph_degree_hist": dedup.dup_graph_degree_hist,
     "token_budget_sample": text.token_budget_sample,
-    "user_activity_gini": analytics.user_activity_gini,
     "kmv_distinct_users": analytics.kmv_distinct_users,
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
