@@ -360,11 +360,38 @@ def _wrap(fn) -> QueryFn:
 
 
 # Names the driver's correctness sampler has ALREADY drawn (union of
-# CORRECTNESS_r01-r04). The r4 sample drew only from the registry
-# prefix, so queries() enumerates the 90+ never-sampled operators
-# FIRST - rotating driver exposure onto the newer waves while every
+# CORRECTNESS_r01-r05). The sampler draws from the registry prefix,
+# so queries() enumerates the never-sampled operators FIRST -
+# rotating driver exposure onto the least-covered waves while every
 # entry stays in the registry either way.
 _DRIVER_SAMPLED = frozenset((
+    # -- CORRECTNESS_r05 (all 50 green) --
+    "benford_chi2_by_priority", "centroid_distance_matrix",
+    "cohort_ltv_curve", "customer_spend_gini",
+    "discount_quantity_corr_by_brand", "doc_sentence_stats",
+    "doc_truncation_loss", "dup_graph_degree_hist",
+    "event_rate_spikes", "events_hourly_heatmap",
+    "ewma_daily_revenue", "funnel_convert_time_quantiles",
+    "hll_event_overlap", "ivf_cluster_purity",
+    "ivf_probe_sweep", "kcore_dup_graph",
+    "kmv_distinct_users", "knn_int8_recall",
+    "knn_int8_rerank", "langid_margin_hist",
+    "leakage_safe_split", "linear_touch_attribution",
+    "lsh_band_sweep", "mom_delta_by_segment",
+    "multimodal_content_dedup", "nation_supplier_hhi",
+    "opq_rotation_mse", "order_gap_median_by_segment",
+    "orders_expectations", "packing_efficiency_by_ctx",
+    "part_triple_affinity", "payload_simhash",
+    "payload_simhash_pairs", "pca_explained_variance",
+    "peak_concurrent_sessions", "revenue_changepoint",
+    "rolling_7d_active_users", "seasonal_residual_outliers",
+    "semantic_dedup_keep_best", "skipgram_pairs",
+    "source_cross_dup_matrix", "split_leakage_audit",
+    "supplier_ontime_wilson", "token_budget_sample",
+    "token_zipf_table", "top_repeated_spans",
+    "training_corpus_plan", "trimmed_mean_by_type",
+    "user_behavior_entropy", "vocab_coverage_curve",
+    # -- CORRECTNESS_r01-r04 --
     "anti_join_inactive_customers", "approx_distinct_events",
     "asof_purchase_attribution", "bigram_lm_top_successor",
     "conditional_agg_returns", "contamination_overlap",
