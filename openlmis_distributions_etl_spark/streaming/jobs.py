@@ -465,15 +465,13 @@ def countmin_cells_stream(docs: DataFrame) -> DataFrame:
     return cells.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def zscore_gate_stream(events: DataFrame, history: DataFrame,
-                       z: float = 3.0) -> DataFrame:
-    """Streaming anomaly gate: incoming events test their value
-    against per-type mean/std derived ONCE (at stream setup) from the
-    static history's exact decimal moment sums — the same stats as the
-    batch `event_value_zscores`, shipped to executors as a tiny
-    literal map, so flagging is a stateless per-row projection (no
-    join, no state store; at 100 TB/day this is map-only work).
-    Passes through only |z| > threshold rows — the alert stream."""
+def _zscore_setup(history: DataFrame, z: float = 3.0):
+    """Build the per-type mean/std literal map from a static history
+    snapshot (exact decimal moment sums — the same stats as the batch
+    `event_value_zscores`) and return a stateless flagging projection:
+    apply(frame) passes through only |z| > threshold rows. The shared
+    body behind the setup-time-literal gate and the self-updating
+    foreachBatch monitor."""
     from ..functions import dec
     ev = history.select("event_type", dec("value").alias("x"))
     m = (ev.groupBy("event_type")
@@ -492,10 +490,29 @@ def zscore_gate_stream(events: DataFrame, history: DataFrame,
                         for x in (r["event_type"], r["sd"])])
     zcol = (F.col("value") - mu[F.col("event_type")]) \
         / sd[F.col("event_type")]
-    return (events
-            .select("event_id", "event_type", "value", "ts",
-                    zcol.alias("zscore"))
-            .where(F.abs(F.col("zscore")) > z))
+
+    def apply(frame: DataFrame) -> DataFrame:
+        return (frame
+                .select("event_id", "event_type", "value", "ts",
+                        zcol.alias("zscore"))
+                .where(F.abs(F.col("zscore")) > z))
+
+    return rows, apply
+
+
+def zscore_gate_stream(events: DataFrame, history: DataFrame,
+                       z: float = 3.0) -> DataFrame:
+    """Streaming anomaly gate: incoming events test their value
+    against per-type mean/std derived ONCE (at stream setup) from the
+    static history's exact decimal moment sums (`_zscore_setup`),
+    shipped to executors as a tiny literal map, so flagging is a
+    stateless per-row projection (no join, no state store; at
+    100 TB/day this is map-only work). Passes through only |z| >
+    threshold rows — the alert stream. For a long-lived stream whose
+    baseline itself is maintained, use
+    stream_drift_monitor_self_updating."""
+    _, apply = _zscore_setup(history, z)
+    return apply(events)
 
 
 def sample_gate_stream(docs: DataFrame, pct: int = 10,
@@ -550,25 +567,18 @@ def stream_maintain_rollup(orders: DataFrame, fact_path: str,
             .start())
 
 
-def psi_bucket_counts_stream(events: DataFrame,
-                             history: DataFrame) -> DataFrame:
-    """Streaming drift monitor: bucket incoming current-sample events
-    against baseline decile fences derived ONCE (at stream setup)
-    from the static history, and count per (hour window, bucket) with
-    a watermark — the live half of the PSI dashboard whose batch twin
-    is operators.analytics.psi_windowed.
-
-    The fences and per-bucket baseline counts are rank-exact decile
-    statistics from the shared distributed-ECDF core; they ship to
-    executors as literals (the zscore-gate pattern: tiny setup-time
-    collect, then the hot path is a stateless projection + one
-    windowed count — no stream-side join, no extra state beyond the
-    windowed aggregate). Emits (hour, bucket, n_cur, n_base, p_base);
-    per-window totals and the PSI term are one window function away
-    in the consumer (a streaming agg cannot nest a second agg)."""
-    from ..operators.analytics import (KS_GROUP_A, KS_GROUP_B,
-                                       PSI_BUCKETS, _psi_fences,
-                                       _value_ecdf)
+def _psi_setup(history: DataFrame):
+    """Build the PSI baseline literals from a static history snapshot:
+    rank-exact decile fences + per-bucket baseline counts via the
+    shared distributed-ECDF core (one tiny setup-time collect).
+    Returns (fences, bucket_expr, annotate) where `bucket_expr` is the
+    literal-folded decile projection for a value column and
+    `annotate(grid)` attaches the (n_base, p_base) baseline-share
+    literals to any (hour, bucket, n_cur) grid — the shared body
+    behind the setup-time-literal stream and the self-updating
+    foreachBatch monitor."""
+    from ..operators.analytics import (KS_GROUP_A, PSI_BUCKETS,
+                                       _psi_fences, _value_ecdf)
     cum = _value_ecdf({"events": history})
     fen = _psi_fences(cum)
     frow = fen.collect()[0]
@@ -577,7 +587,7 @@ def psi_bucket_counts_stream(events: DataFrame,
         # fences are NULL iff the baseline sample is empty (na = 0):
         # with na ≥ 1 every rank threshold ceil(k·na/10) is reached
         raise ValueError(
-            "psi_bucket_counts_stream: history contains no baseline "
+            "psi baseline: history contains no baseline "
             f"'{KS_GROUP_A}' events with non-null value — decile "
             "fences are undefined; provide a non-empty baseline")
     b = F.lit(0)
@@ -592,19 +602,83 @@ def psi_bucket_counts_stream(events: DataFrame,
     n_base = F.create_map(*[F.lit(x) for r in base
                             for x in (r["bucket"], r["n_base"])])
     na = float(base[0]["na"])
-    return (events
+
+    def annotate(grid: DataFrame) -> DataFrame:
+        return grid.select(
+            "hour", "bucket", "n_cur",
+            n_base[F.col("bucket")].cast("long").alias("n_base"),
+            (n_base[F.col("bucket")].cast("double")
+             / F.lit(na)).alias("p_base"))
+
+    return fences, b, annotate
+
+
+def psi_bucket_counts_stream(events: DataFrame,
+                             history: DataFrame) -> DataFrame:
+    """Streaming drift monitor: bucket incoming current-sample events
+    against baseline decile fences derived ONCE (at stream setup)
+    from the static history, and count per (hour window, bucket) with
+    a watermark — the live half of the PSI dashboard whose batch twin
+    is operators.analytics.psi_windowed.
+
+    The fences and per-bucket baseline counts are rank-exact decile
+    statistics from the shared distributed-ECDF core (`_psi_setup`);
+    they ship to executors as literals (the zscore-gate pattern: tiny
+    setup-time collect, then the hot path is a stateless projection +
+    one windowed count — no stream-side join, no extra state beyond
+    the windowed aggregate). Emits (hour, bucket, n_cur, n_base,
+    p_base); per-window totals and the PSI term are one window
+    function away in the consumer (a streaming agg cannot nest a
+    second agg). For a LONG-LIVED stream whose baseline itself is
+    maintained, use stream_drift_monitor_self_updating — this shape
+    keeps its fences frozen for the stream's lifetime."""
+    from ..operators.analytics import KS_GROUP_B
+    _, bucket_expr, annotate = _psi_setup(history)
+    grid = (events
             .where((F.col("event_type") == KS_GROUP_B)
                    & F.col("value").isNotNull())
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"),
-                     b.alias("bucket"))
+                     bucket_expr.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_cur"))
             .select(F.date_format(F.col("win.start"),
                                   "yyyy-MM-dd HH:00").alias("hour"),
-                    "bucket", "n_cur",
-                    n_base[F.col("bucket")].cast("long").alias("n_base"),
-                    (n_base[F.col("bucket")].cast("double")
-                     / F.lit(na)).alias("p_base")))
+                    "bucket", "n_cur"))
+    return annotate(grid)
+
+
+def _ks_setup(history: DataFrame):
+    """Build the windowed-KS baseline literals from a static history
+    snapshot: the 63 rank-exact 1/64-quantile fences plus the
+    per-bucket cumulative baseline counts (a 64-row grid) via the
+    shared _ksw_base_grid core. Returns (fences, bucket_expr,
+    annotate) with annotate(grid) attaching the (ba, na) literals —
+    the shared body behind the setup-time-literal stream and the
+    self-updating foreachBatch monitor."""
+    from ..operators.analytics import KSW_BUCKETS, _ksw_base_grid
+    fen, bgrid = _ksw_base_grid({"events": history})
+    frow = fen.collect()[0]
+    fences = [frow[f"f{k}"] for k in range(1, KSW_BUCKETS)]
+    if any(f is None for f in fences):
+        raise ValueError(
+            "ks baseline: history contains no baseline "
+            "events with non-null value — fences are undefined; "
+            "provide a non-empty baseline")
+    grows = bgrid.collect()
+    ba_map = F.create_map(*[F.lit(x) for r in grows
+                            for x in (r["bucket"], r["ba"])])
+    na = int(grows[0]["na"])
+    b = F.lit(0)
+    for fk in fences:
+        b = b + (F.col("value") > F.lit(fk)).cast("int")
+
+    def annotate(grid: DataFrame) -> DataFrame:
+        return grid.select(
+            "hour", "bucket", "n_cur",
+            ba_map[F.col("bucket")].cast("long").alias("ba"),
+            F.lit(na).cast("long").alias("na"))
+
+    return fences, b, annotate
 
 
 def ks_bucket_gap_stream(events: DataFrame,
@@ -615,42 +689,146 @@ def ks_bucket_gap_stream(events: DataFrame,
 
     At stream setup the static history yields the baseline's 63
     rank-exact 1/64-quantile fences and the per-bucket cumulative
-    baseline counts (a 64-row grid) via the shared _ksw_base_grid
-    core; both ship to executors as literals, so the hot path is a
+    baseline counts (a 64-row grid) via the shared `_ks_setup` core;
+    both ship to executors as literals, so the hot path is a
     stateless bucket projection + ONE watermarked windowed count —
     no stream-side join, no state beyond the windowed aggregate.
     Emits (hour, bucket, n_cur, ba, na); the per-hour grid fill,
     cumulative counts and sup-gap are one _ksw_finish call away in
-    the consumer (a streaming agg cannot nest the second window)."""
-    from ..operators.analytics import (KS_GROUP_B, KSW_BUCKETS,
-                                       _ksw_base_grid)
-    fen, bgrid = _ksw_base_grid({"events": history})
-    frow = fen.collect()[0]
-    fences = [frow[f"f{k}"] for k in range(1, KSW_BUCKETS)]
-    if any(f is None for f in fences):
-        raise ValueError(
-            "ks_bucket_gap_stream: history contains no baseline "
-            "events with non-null value — fences are undefined; "
-            "provide a non-empty baseline")
-    grows = bgrid.collect()
-    ba_map = F.create_map(*[F.lit(x) for r in grows
-                            for x in (r["bucket"], r["ba"])])
-    na = int(grows[0]["na"])
-    b = F.lit(0)
-    for fk in fences:
-        b = b + (F.col("value") > F.lit(fk)).cast("int")
-    return (events
+    the consumer (a streaming agg cannot nest the second window).
+    For a long-lived stream whose baseline itself is maintained, use
+    stream_drift_monitor_self_updating."""
+    from ..operators.analytics import KS_GROUP_B
+    _, bucket_expr, annotate = _ks_setup(history)
+    grid = (events
             .where((F.col("event_type") == KS_GROUP_B)
                    & F.col("value").isNotNull())
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("win"),
-                     b.alias("bucket"))
+                     bucket_expr.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_cur"))
             .select(F.date_format(F.col("win.start"),
                                   "yyyy-MM-dd HH:00").alias("hour"),
-                    "bucket", "n_cur",
-                    ba_map[F.col("bucket")].cast("long").alias("ba"),
-                    F.lit(na).cast("long").alias("na")))
+                    "bucket", "n_cur"))
+    return annotate(grid)
+
+
+def stream_drift_monitor_self_updating(events: DataFrame,
+                                       baseline_path: str,
+                                       out_dir: str,
+                                       checkpoint_dir: str,
+                                       kind: str = "psi",
+                                       z: float = 3.0):
+    """Drift monitor whose baseline REFRESHES from a maintained
+    versioned store instead of freezing at stream setup — the
+    long-lived-stream form of psi_bucket_counts_stream /
+    ks_bucket_gap_stream / zscore_gate_stream, which fold their
+    fences as setup-time literals and therefore keep serving STALE
+    fences after the baseline store advances (e.g. a nightly history
+    append) unless the stream is torn down and rebuilt.
+
+    foreachBatch discipline: each micro-batch reads the baseline
+    store's HEAD VERSION (an O(1) directory listing of the txn log,
+    no data scan); when the head has advanced past the cached
+    version, the fence/moment literals are rebuilt from the new
+    snapshot via the shared `_psi_setup` / `_ks_setup` /
+    `_zscore_setup` cores — so a baseline refresh costs one ECDF
+    pass per ADVANCE, not per batch, and the hot path stays the
+    same literal-folded stateless projection as the frozen-fence
+    streams. Output rows land in a versioned store (txn ledger
+    absorbs checkpoint-recovery replays) tagged with the
+    `baseline_version` that bucketed them, so a dashboard can tell
+    which fence generation produced each window's counts and a
+    replayed batch keeps its ORIGINAL generation (the txn no-op
+    preserves first-commit rows even if the baseline advanced
+    between failure and recovery).
+
+    kinds — "psi": per-(hour, bucket) current counts + baseline
+    shares (finish with psi_monitor_finish); "ks": per-(hour,
+    bucket) counts + cumulative baseline grid (finish with
+    analytics._ksw_finish per generation); "zscore": the flagged
+    |z|>threshold alert rows."""
+    from ..operators.analytics import KS_GROUP_B
+    from ..sources.versioned import (read_versioned, versions,
+                                     write_versioned)
+    if kind not in ("psi", "ks", "zscore"):
+        raise ValueError(f"unknown drift monitor kind {kind!r}")
+    cache: dict = {"version": None, "apply": None}
+
+    def _rebuild(spark, head: int) -> None:
+        hist = read_versioned(spark, baseline_path)
+        if kind == "zscore":
+            _, apply = _zscore_setup(hist, z)
+        else:
+            setup = _psi_setup if kind == "psi" else _ks_setup
+            _, bucket_expr, annotate = setup(hist)
+
+            def apply(frame: DataFrame,
+                      _b=bucket_expr, _a=annotate) -> DataFrame:
+                grid = (frame
+                        .where((F.col("event_type") == KS_GROUP_B)
+                               & F.col("value").isNotNull())
+                        .groupBy(F.date_format(
+                            F.date_trunc("hour", "ts"),
+                            "yyyy-MM-dd HH:00").alias("hour"),
+                            _b.alias("bucket"))
+                        .agg(F.count(F.lit(1)).alias("n_cur")))
+                return _a(grid)
+        cache["version"] = head
+        cache["apply"] = apply
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        _check_lineage(out_dir, checkpoint_dir)
+        spark = batch.sparkSession
+        heads = versions(baseline_path)
+        if not heads:
+            raise ValueError(
+                f"drift monitor baseline store {baseline_path} is "
+                "empty — seed it (write_versioned) before starting")
+        if cache["version"] != heads[-1]:
+            _rebuild(spark, heads[-1])
+        out = (cache["apply"](batch)
+               .withColumn("baseline_version",
+                           F.lit(cache["version"]).cast("int")))
+        write_versioned(out, out_dir, mode="append",
+                        txn=f"drift-{kind}-{batch_id}")
+
+    return (events.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_drift_monitor(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All appended monitor rows (every batch, every baseline
+    generation) from the versioned output store."""
+    from ..sources.versioned import read_versioned
+    return read_versioned(spark, out_dir)
+
+
+def psi_monitor_finish(counts: DataFrame) -> DataFrame:
+    """Fold the appended per-batch PSI monitor partials into the
+    per-(hour, baseline generation) drift report: sum the per-batch
+    (hour, bucket) current counts (a window may span micro-batches),
+    then attach per-window totals and the same quantized PSI term as
+    the batch psi_windowed — per generation, because counts bucketed
+    under different fences are not mergeable."""
+    from pyspark.sql import Window
+
+    from ..operators.analytics import _psi_quantized_term
+    agg = (counts.groupBy("hour", "baseline_version", "bucket")
+           .agg(F.sum("n_cur").alias("n_cur"),
+                F.max("n_base").alias("n_base"),
+                F.max("p_base").alias("p_base")))
+    win = agg.withColumn(
+        "nb_win", F.sum("n_cur").over(
+            Window.partitionBy("hour", "baseline_version")))
+    pb = F.col("n_cur").cast("double") / F.col("nb_win").cast("double")
+    pa = F.col("p_base")
+    return win.select(
+        "hour", "baseline_version", "bucket", "n_cur", "nb_win",
+        "n_base", "p_base", pb.alias("p_cur"),
+        _psi_quantized_term(pa, pb).alias("psi_term"))
 
 
 def stream_maintain_components(edges: DataFrame, labels_path: str,

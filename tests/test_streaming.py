@@ -831,3 +831,142 @@ def test_attribution_store_refuses_foreign_lineage(spark, tmp_path):
     after = _sorted(jobs.read_attribution_credits(
         spark, store).toPandas())
     pd.testing.assert_frame_equal(after, before)
+
+
+def _feed_events(df, src_dir, name: str) -> None:
+    """Land a normalized events slice as a new BARE-FILE file-source
+    input (the file stream source does not recurse into directory
+    layouts under its basePath)."""
+    import shutil
+    from pathlib import Path
+
+    stage = Path(src_dir) / f"_stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    part = next(stage.glob("part-*.parquet"))
+    shutil.move(str(part), f"{src_dir}/{name}")
+    shutil.rmtree(stage)
+
+
+def test_drift_monitor_self_updating_psi_refreshes_fences(spark, tmp_path):
+    """The self-updating PSI monitor must (a) bucket each batch with
+    the fences of the baseline store's CURRENT head, (b) rebuild the
+    literals when the store advances between batches, and (c) pin
+    each generation's output equal to a fresh batch baseline built
+    from that snapshot — the staleness gap the frozen-fence stream
+    documents."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, write_versioned)
+
+    ev = load_tables(spark, SF0001, "events")["events"]
+    hist1 = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    hist2 = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    base_path = str(tmp_path / "baseline")
+    write_versioned(hist1, base_path)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    part_a = ev.where(F.pmod("event_id", F.lit(4)) == 1)
+    part_b = ev.where(F.pmod("event_id", F.lit(4)) == 3)
+    _feed_events(part_a, src, "events.parquet")
+
+    out = str(tmp_path / "monitor")
+    ck = str(tmp_path / "ck_drift")
+    q = jobs.stream_drift_monitor_self_updating(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        base_path, out, ck, kind="psi")
+    assert q.awaitTermination(120)
+
+    # baseline advances between batches; only part_b is new input
+    write_versioned(hist2, base_path, mode="append")
+    _feed_events(part_b, src, "events_b.parquet")
+    q2 = jobs.stream_drift_monitor_self_updating(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        base_path, out, ck, kind="psi")
+    assert q2.awaitTermination(120)
+
+    got = jobs.read_drift_monitor(spark, out).toPandas()
+    vers = sorted(got["baseline_version"].unique())
+    assert len(vers) == 2, f"expected two fence generations, got {vers}"
+
+    # the refresh must be non-vacuous: the two snapshots' decile
+    # fences differ
+    fences1, _, _ = jobs._psi_setup(hist1)
+    full = read_versioned(spark, base_path)
+    fences2, _, _ = jobs._psi_setup(full)
+    assert fences1 != fences2
+
+    def want_grid(cur, hist):
+        _, bucket_expr, annotate = jobs._psi_setup(hist)
+        grid = (cur.where((F.col("event_type") == "purchase")
+                          & F.col("value").isNotNull())
+                .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                       "yyyy-MM-dd HH:00").alias("hour"),
+                         bucket_expr.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_cur")))
+        return annotate(grid).toPandas()
+
+    got_v1 = got[got["baseline_version"] == vers[0]] \
+        .drop(columns=["baseline_version"])
+    got_v2 = got[got["baseline_version"] == vers[1]] \
+        .drop(columns=["baseline_version"])
+    pd.testing.assert_frame_equal(
+        _sorted(got_v1), _sorted(want_grid(part_a, hist1)))
+    pd.testing.assert_frame_equal(
+        _sorted(got_v2), _sorted(want_grid(part_b, full)))
+
+    # the finished report carries one PSI term per (hour, generation)
+    fin = jobs.psi_monitor_finish(
+        jobs.read_drift_monitor(spark, out)).toPandas()
+    assert set(fin.columns) >= {"hour", "baseline_version", "bucket",
+                                "psi_term"}
+
+
+def test_drift_monitor_self_updating_zscore_refreshes_moments(
+        spark, tmp_path):
+    """The zscore kind must flag each batch against the CURRENT
+    baseline's per-type moments — rows processed after a baseline
+    append are scored by the grown history, equal to a fresh batch
+    gate on that snapshot."""
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, write_versioned)
+
+    ev = load_tables(spark, SF0001, "events")["events"]
+    hist1 = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    hist2 = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    base_path = str(tmp_path / "baseline_z")
+    write_versioned(hist1, base_path)
+
+    src = tmp_path / "zsrc"
+    src.mkdir()
+    part_a = ev.where(F.pmod("event_id", F.lit(4)) == 1)
+    part_b = ev.where(F.pmod("event_id", F.lit(4)) == 3)
+    _feed_events(part_a, src, "events.parquet")
+
+    out = str(tmp_path / "zmon")
+    ck = str(tmp_path / "ck_z")
+    z = 2.0
+    q = jobs.stream_drift_monitor_self_updating(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        base_path, out, ck, kind="zscore", z=z)
+    assert q.awaitTermination(120)
+    write_versioned(hist2, base_path, mode="append")
+    _feed_events(part_b, src, "events_b.parquet")
+    q2 = jobs.stream_drift_monitor_self_updating(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        base_path, out, ck, kind="zscore", z=z)
+    assert q2.awaitTermination(120)
+
+    got = jobs.read_drift_monitor(spark, out).toPandas()
+    vers = sorted(got["baseline_version"].unique())
+    assert len(vers) == 2
+    full = read_versioned(spark, base_path)
+    _, apply1 = jobs._zscore_setup(hist1, z)
+    _, apply2 = jobs._zscore_setup(full, z)
+    want_a = apply1(part_a).toPandas()
+    want_b = apply2(part_b).toPandas()
+    got_v1 = got[got["baseline_version"] == vers[0]] \
+        .drop(columns=["baseline_version"])
+    got_v2 = got[got["baseline_version"] == vers[1]] \
+        .drop(columns=["baseline_version"])
+    pd.testing.assert_frame_equal(_sorted(got_v1), _sorted(want_a))
+    pd.testing.assert_frame_equal(_sorted(got_v2), _sorted(want_b))
