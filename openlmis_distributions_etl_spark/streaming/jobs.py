@@ -1554,24 +1554,53 @@ ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
 
 def stream_linear_attribution(events: DataFrame, out_dir: str,
                               checkpoint_dir: str):
-    """foreachBatch streaming twin of `linear_touch_attribution`:
-    each micro-batch credits its PURCHASES against a maintained
-    CLICK-HISTORY store (plus the batch's own earlier clicks), using
-    the same integer-cents DIV split with the remainder pinned to the
-    most recent click. Credits land under credits/v{batch}; the click
-    store keeps only the trailing 7 days relative to the newest event
-    seen (state is O(7-day click volume), never history), rebased per
-    batch for exactly-once (the token-count-store discipline — a
-    replayed batch rebuilds its own version from the pre-batch base).
+    """foreachBatch streaming twin of `linear_touch_attribution`,
+    LATE-DATA-CORRECT: each micro-batch credits purchases against a
+    maintained click-history store using the same integer-cents DIV
+    split (remainder pinned to the most recent click), and when a
+    click ARRIVES AFTER the micro-batch that processed its purchase,
+    the purchase's credit split is REBASED — the old rows are
+    retracted (mult = -1 delta rows) and the recomputed split is
+    re-emitted, so the summed credit ledger converges to the batch
+    operator under out-of-order delivery (no in-order contract).
 
-    Ordering contract (documented, tested): a click that ARRIVES
-    after the micro-batch containing its purchase cannot credit it —
-    credits are assigned exactly once, when the purchase is
-    processed, against everything ingested so far. Under in-order
-    ingestion (the file-source and watermarked-kafka shapes) this
-    equals the batch operator."""
+    Stores, all rebased per batch for exactly-once (a replayed batch
+    rebuilds its own version from the pre-batch base):
+      clicks/v{b}     trailing 2×WINDOW of clicks (a purchase may
+                      itself arrive WINDOW late and still need its
+                      full look-back of clicks)
+      purchases/v{b}  trailing WINDOW of purchases (only these can
+                      still gain late clicks)
+      cur/v{b}        the CURRENT credit rows of retained purchases
+                      (what a rebase must retract)
+      credits/v{b}    append-only signed delta ledger (mult = +1 new
+                      credit row, -1 retraction); the day rollup
+                      nets per (day, p_id, c_id) pair
+
+    State is O(window volume), never history. Disorder contract: an
+    event arriving more than WINDOW of EVENT TIME behind the
+    ingestion frontier may find its counterpart expired (the usual
+    watermark bound); within the bound the ledger nets to the batch
+    answer regardless of arrival order (tested: clicks delivered a
+    batch after their purchases)."""
     import os
     from pathlib import Path
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    cur_schema = StructType([
+        StructField("day", StringType()),
+        StructField("p_id", LongType()),
+        StructField("c_id", LongType()),
+        StructField("credit", LongType()),
+    ])
+    pur_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("p_id", LongType()),
+        StructField("p_us", LongType()),
+        StructField("cents", LongType()),
+    ])
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         _check_lineage(out_dir, checkpoint_dir)
@@ -1592,19 +1621,35 @@ def stream_linear_attribution(events: DataFrame, out_dir: str,
                 f"v{max(existing)} > incoming batch {batch_id} — "
                 f"refusing to reset or double-credit")
         prior = [v for v in existing if v < batch_id]
-        if prior:
-            base = spark.read.parquet(
-                f"{out_dir}/clicks/v{prior[-1]:020d}")
-            clicks = base.unionByName(clicks_new)
-        else:
-            clicks = clicks_new
-        pur = (batch.where((F.col("event_type") == "purchase")
-                           & F.col("value").isNotNull())
-               .select("user_id", F.col("event_id").alias("p_id"),
-                       F.unix_micros("ts").alias("p_us"),
-                       F.floor(F.col("value") * 100 + F.lit(0.5))
-                       .cast("long").alias("cents")))
-        j = (pur.join(clicks, "user_id")
+
+        def _load(sub: str, schema) -> DataFrame:
+            if prior:
+                return spark.read.parquet(
+                    f"{out_dir}/{sub}/v{prior[-1]:020d}")
+            return spark.createDataFrame([], schema)
+
+        clicks = _load("clicks", clicks_new.schema) \
+            .unionByName(clicks_new)
+        pur_new = (batch.where((F.col("event_type") == "purchase")
+                               & F.col("value").isNotNull())
+                   .select("user_id", F.col("event_id").alias("p_id"),
+                           F.unix_micros("ts").alias("p_us"),
+                           F.floor(F.col("value") * 100 + F.lit(0.5))
+                           .cast("long").alias("cents")))
+        pur_base = _load("purchases", pur_schema)
+        cur_base = _load("cur", cur_schema)
+
+        # affected = this batch's purchases + stored purchases that
+        # gain at least one NEW click (the late-arrival rebase set)
+        gained = (pur_base.join(
+            clicks_new.select("user_id", "c_us"), "user_id")
+            .where((F.col("c_us") < F.col("p_us"))
+                   & (F.col("c_us") >= F.col("p_us")
+                      - ATTR_WINDOW_US))
+            .select("user_id", "p_id", "p_us", "cents").distinct())
+        affected = pur_new.unionByName(gained)
+
+        j = (affected.join(clicks, "user_id")
              .where((F.col("c_us") < F.col("p_us"))
                     & (F.col("c_us") >= F.col("p_us")
                        - ATTR_WINDOW_US)))
@@ -1612,25 +1657,46 @@ def stream_linear_attribution(events: DataFrame, out_dir: str,
         wn = W.partitionBy("p_id")
         wr = W.partitionBy("p_id").orderBy(F.desc("c_us"),
                                            F.asc("c_id"))
-        cred = (j.withColumn("n_touch", F.count(F.lit(1)).over(wn))
-                .withColumn("rk", F.row_number().over(wr))
-                .withColumn(
-                    "credit",
-                    F.expr("cents DIV n_touch")
-                    + F.when(F.col("rk") == 1,
-                             F.expr("cents % n_touch"))
-                    .otherwise(F.lit(0).cast("long")))
-                .select("day", "p_id", "c_id", "credit"))
-        cred.write.mode("overwrite").parquet(
+        new_rows = (j.withColumn("n_touch", F.count(F.lit(1)).over(wn))
+                    .withColumn("rk", F.row_number().over(wr))
+                    .withColumn(
+                        "credit",
+                        F.expr("cents DIV n_touch")
+                        + F.when(F.col("rk") == 1,
+                                 F.expr("cents % n_touch"))
+                        .otherwise(F.lit(0).cast("long")))
+                    .select("day", "p_id", "c_id", "credit"))
+        # rows the rebase supersedes: current credit rows of affected
+        # purchases (batch-new purchases have none by construction)
+        old_rows = cur_base.join(
+            affected.select("p_id").distinct(), "p_id", "semi")
+        delta = (new_rows.withColumn("mult", F.lit(1))
+                 .unionByName(old_rows
+                              .withColumn("credit", -F.col("credit"))
+                              .withColumn("mult", F.lit(-1))))
+        delta.write.mode("overwrite").parquet(
             f"{out_dir}/credits/v{batch_id:020d}")
-        # retention: keep only the trailing window behind the newest
-        # event time seen (purchases credit strictly-earlier clicks)
-        hi = (clicks.agg(F.max("c_us")).collect()[0][0] or 0)
-        pur_hi = (pur.agg(F.max("p_us")).collect()[0][0] or 0)
-        hi = max(hi, pur_hi)
-        kept = clicks.where(F.col("c_us") >= hi - ATTR_WINDOW_US)
-        kept.write.mode("overwrite").parquet(
-            f"{out_dir}/clicks/v{batch_id:020d}")
+
+        # retention fences off the ingestion frontier (max event time
+        # seen across both stores and this batch)
+        hi = max(
+            clicks.agg(F.max("c_us")).collect()[0][0] or 0,
+            pur_new.agg(F.max("p_us")).collect()[0][0] or 0,
+            pur_base.agg(F.max("p_us")).collect()[0][0] or 0)
+        clicks.where(F.col("c_us") >= hi - 2 * ATTR_WINDOW_US) \
+            .write.mode("overwrite").parquet(
+                f"{out_dir}/clicks/v{batch_id:020d}")
+        pur_keep = (pur_base.unionByName(pur_new)
+                    .where(F.col("p_us") > hi - ATTR_WINDOW_US))
+        pur_keep.write.mode("overwrite").parquet(
+            f"{out_dir}/purchases/v{batch_id:020d}")
+        cur_next = (cur_base
+                    .join(affected.select("p_id").distinct(),
+                          "p_id", "anti")
+                    .unionByName(new_rows)
+                    .join(pur_keep.select("p_id"), "p_id", "semi"))
+        cur_next.write.mode("overwrite").parquet(
+            f"{out_dir}/cur/v{batch_id:020d}")
         tmp = f"{out_dir}/_CURRENT.tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(f"v{batch_id:020d}")
@@ -1644,10 +1710,16 @@ def stream_linear_attribution(events: DataFrame, out_dir: str,
 
 def read_attribution_credits(spark: SparkSession,
                              out_dir: str) -> DataFrame:
-    """Day-rollup view over every committed credits version — the
+    """Day-rollup view over the signed delta ledger — nets each
+    (day, p_id, c_id) pair first (a rebased pair carries a +1 and a
+    -1 row whose credits cancel), then rolls up per day into the
     same shape as the batch `linear_touch_attribution` output."""
     cred = spark.read.parquet(f"{out_dir}/credits/v*")
-    return (cred.groupBy("day")
+    net = (cred.groupBy("day", "p_id", "c_id")
+           .agg(F.sum("mult").alias("m"),
+                F.sum("credit").alias("credit"))
+           .where(F.col("m") > 0))
+    return (net.groupBy("day")
             .agg(F.count(F.lit(1)).alias("n_credited_clicks"),
                  F.count_distinct("p_id").alias("n_purchases"),
                  F.sum("credit").alias("credited_cents"))
