@@ -107,6 +107,8 @@ HEADLINE = [
     "training_corpus_plan",
     "lsh_band_sweep",
     "payload_simhash_pairs",
+    # round-6: exact suffix-rank LRS (iterative; ~8 doubling rounds)
+    "longest_repeated_substring",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Exact longest-repeated-substring via DISTRIBUTED suffix ranks.
+
+The real ExactSubstr: `dup_span_stats` detects duplicated FIXED
+16-token windows; this module finds the longest token sequence that
+occurs >= 2 times anywhere in the corpus (same or different docs,
+overlapping allowed) EXACTLY and at arbitrary length, the
+Manber-Myers prefix-doubling suffix-array construction re-expressed
+as DataFrame rounds:
+
+  level j holds, for every suffix (doc_id, pos), the EXACT dense
+  rank of its length-2^j prefix (shorter suffixes padded with a
+  sentinel, so equal rank <=> equal padded prefix). Level j+1 ranks
+  the pair (r_j[pos], r_j[pos + 2^j]) - the classic doubling step -
+  where the shifted rank is a per-doc window `lead`, not a join
+  (suffixes never cross document boundaries, so everything about a
+  doubling round is doc-partitioned except the rank assignment).
+
+Rank assignment is the repo's distributed prefix decomposition
+(`_rank_buckets`, analytics.py): range-bucket a double proxy of the
+sort key data-proportionally (equal keys never straddle), dense_rank
+inside bounded buckets, and offset by the per-bucket exclusive
+count-distinct prefix over the tiny bucket frame. NO global
+single-task ORDER BY at any point; each doubling round is one
+bounded-window shuffle + one broadcast join over n suffix rows, and
+there are at most ceil(log2(max doc tokens)) rounds - doc-bounded
+(<= ~15 for 32k-token docs), NOT corpus-bounded, because suffixes
+stop at document ends.
+
+The answer is then read off the classic way: the maximum LCP over
+ALL suffix pairs is attained by a pair ADJACENT in suffix-rank
+order, and the LCP of one pair is recovered by descending the
+retained levels (add 2^j and advance when level-j ranks at the
+current offset match - log-many broadcast-free equi-joins over the
+n-1 adjacent pairs). Identical full suffixes (rank ties at the top
+level) contribute their suffix length directly.
+
+Known scale consideration (documented, not a correctness issue): the
+doubling round buckets on r1 alone (a double can't pack two 44-bit
+ranks losslessly), so a hyper-frequent rank-1 prefix concentrates
+its pair rows in one bucket. Equal pairs still never straddle -
+results are exact - but a 100 TB deployment with Zipfian tokens
+would swap in a two-level (r1-fences, then per-heavy-r1 r2-fences)
+bucketer for balance. The fraction r2/(n+1) folded into the proxy
+key spreads same-r1 rows while doubles can still resolve it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from ..functions.cache import retain
+from .analytics import _rank_buckets
+from .dedup import _all_docs_tokenized, _truncate_lineage
+
+LRS_SCHEMA = StructType([
+    StructField("lrs_tokens", LongType()),
+    StructField("n_occurrences", LongType()),
+    StructField("n_docs", LongType()),
+    StructField("lrs_text", StringType()),
+])
+
+
+def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
+                            proxy: F.Column) -> DataFrame:
+    """Append exact global dense rank ``r`` (1-based, contiguous) of
+    ``okey`` to ``df`` without a global sort.
+
+    ``proxy`` must be a double that is (a) EQUAL for equal okey
+    (equal keys share a bucket - fences test ``_k > f``) and
+    (b) monotone non-decreasing in okey order wherever doubles can
+    resolve it (fence placement then only affects balance). Dense
+    rank = in-bucket dense_rank + exclusive prefix of per-bucket
+    count-distinct over the tiny (ceil(n/4M)-row) bucket frame."""
+    b = _rank_buckets(df.withColumn("_k", proxy), n)
+    win = Window.partitionBy("bkt").orderBy(*okey)
+    per = b.groupBy("bkt").agg(F.count_distinct(*okey).alias("_nd"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per.select(
+        "bkt", F.coalesce(F.sum("_nd").over(wo),
+                          F.lit(0).cast("long")).alias("_base"))
+    return (b.withColumn("_dr", F.dense_rank().over(win))
+            .join(F.broadcast(offs), "bkt")
+            .withColumn("r", (F.col("_base") + F.col("_dr"))
+                        .cast("long"))
+            .drop("_k", "_dr", "_base", "bkt"))
+
+
+def _suffix_levels(t: dict[str, DataFrame]):
+    """Build the doubling rank levels. Returns (docs, levels, n_suf)
+    where docs = (doc_id, toks, n), levels[j] = (doc_id, n, pos, r)
+    with r the dense rank of the length-2^j padded prefix, and the
+    last level is a total suffix order (ties only between IDENTICAL
+    full suffixes). Driver actions per round are 1-row aggregates."""
+    d = retain(_all_docs_tokenized(t))
+    stats = d.agg(F.sum("n").alias("ns"),
+                  F.max("n").alias("ml")).collect()[0]
+    n_suf, maxlen = int(stats["ns"] or 0), int(stats["ml"] or 0)
+    if n_suf == 0:
+        return d, [], 0
+    pos = d.select(
+        "doc_id", "n",
+        F.posexplode("toks").alias("pos", "tok"))
+    # level 0: any CONSISTENT total order on tokens works for a
+    # suffix array (adjacency-maximizes-LCP holds for any alphabet
+    # order), so order by (xxhash64, token) - the hash double keeps
+    # the bucketer balanced for arbitrarily large vocabularies, the
+    # token tiebreak keeps the rank injective on distinct tokens.
+    lvl0 = _dense_rank_distributed(
+        pos.withColumn("_h", F.xxhash64("tok")),
+        n_suf, [F.col("_h"), F.col("tok")],
+        F.col("_h").cast("double"),
+    ).select("doc_id", "n", "pos", "r")
+    levels = [_truncate_lineage(lvl0)]
+    width = 1
+    while width < maxlen:
+        prev = levels[-1]
+        # all ranks distinct -> suffix order is already total
+        if int(prev.agg(F.max("r")).collect()[0][0]) == n_suf:
+            break
+        wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        pair = prev.select(
+            "doc_id", "n", "pos", F.col("r").alias("r1"),
+            F.coalesce(F.lead("r", width).over(wdoc),
+                       F.lit(0).cast("long")).alias("r2"))
+        nxt = _dense_rank_distributed(
+            pair, n_suf, [F.col("r1"), F.col("r2")],
+            F.col("r1").cast("double")
+            + F.col("r2").cast("double") / F.lit(float(n_suf + 1)),
+        ).select("doc_id", "n", "pos", "r")
+        levels.append(_truncate_lineage(nxt))
+        width *= 2
+    return d, levels, n_suf
+
+
+def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
+    """One row per DISTINCT maximal repeated token sequence:
+    (lrs_tokens, n_occurrences, n_docs, lrs_text) where lrs_tokens is
+    the corpus-wide maximum length of any token sequence occurring
+    >= 2 times (positions counted with overlap), n_occurrences the
+    occurrence count of THIS sequence and n_docs the distinct docs
+    holding it. Empty result iff the corpus has no repeat at all.
+
+    Exact at any scale: ranks are exact dense ranks, the max-LCP
+    candidates are the adjacent-pair descents plus identical-suffix
+    rank groups, and the reporting pass re-keys every eligible
+    window of the winning length by the rank tuple of its binary
+    block decomposition (blocks never overrun a document, so rank
+    equality is exactly content equality - no hashing anywhere)."""
+    d, levels, n_suf = _suffix_levels(t)
+    spark = t["documents"].sparkSession
+    if not levels:
+        return spark.createDataFrame([], LRS_SCHEMA)
+    top = levels[-1]
+    slen = (F.col("n") - F.col("pos")).cast("long")
+
+    # one representative per top-level rank group; identical full
+    # suffixes (cnt >= 2) repeat at their whole length
+    gw = Window.partitionBy("r").orderBy("doc_id", "pos")
+    g = (top.withColumn("rk", F.row_number().over(gw))
+         .withColumn("cnt", F.count(F.lit(1))
+                     .over(Window.partitionBy("r"))))
+    reps = retain(_truncate_lineage(
+        g.where(F.col("rk") == 1)
+        .select("doc_id", "pos", "n", "r", "cnt")))
+    dup_l = (reps.where(F.col("cnt") >= 2)
+             .agg(F.max(slen)).collect()[0][0]) or 0
+
+    # adjacent rank pairs (dense ranks are contiguous), then the
+    # level-descent LCP: add 2^j and advance while level-j ranks at
+    # the current offset agree; the final off is capped by both
+    # suffix lengths (an equal PADDED block means equal-to-end)
+    a = reps.select(F.col("doc_id").alias("da"),
+                    F.col("pos").alias("pa"),
+                    F.col("n").alias("na"), "r")
+    b = reps.select(F.col("doc_id").alias("db"),
+                    F.col("pos").alias("pb"),
+                    F.col("n").alias("nb"),
+                    (F.col("r") - 1).alias("r"))
+    cur = (a.join(b, "r")
+           .select("da", "pa", "na", "db", "pb", "nb",
+                   F.lit(0).cast("long").alias("off")))
+    for j in range(len(levels) - 1, -1, -1):
+        lv, w = levels[j], 1 << j
+        ra = lv.select(F.col("doc_id").alias("_ad"),
+                       F.col("pos").alias("_ap"),
+                       F.col("r").alias("_ar"))
+        rb = lv.select(F.col("doc_id").alias("_bd"),
+                       F.col("pos").alias("_bp"),
+                       F.col("r").alias("_br"))
+        step = cur.join(
+            ra, (F.col("da") == F.col("_ad"))
+            & (F.col("_ap") == F.col("pa") + F.col("off")), "left")
+        step = step.join(
+            rb, (F.col("db") == F.col("_bd"))
+            & (F.col("_bp") == F.col("pb") + F.col("off")), "left")
+        hit = F.col("_ar").isNotNull() & (F.col("_ar") == F.col("_br"))
+        cur = _truncate_lineage(step.select(
+            "da", "pa", "na", "db", "pb", "nb",
+            F.when(hit, F.col("off") + w)
+            .otherwise(F.col("off")).alias("off")))
+    lcp = F.least(F.col("off"), F.col("na") - F.col("pa"),
+                  F.col("nb") - F.col("pb"))
+    adj_l = (cur.agg(F.max(lcp)).collect()[0][0]) or 0
+
+    lmax = int(max(dup_l, adj_l))
+    if lmax == 0:
+        return spark.createDataFrame([], LRS_SCHEMA)
+
+    # report: key every eligible window of length lmax by the rank
+    # tuple of lmax's binary block decomposition (exact identity),
+    # group, keep the repeated ones, rebuild the text from one
+    # representative's token slice
+    keyed = top.where(F.col("pos") + F.lit(lmax) <= F.col("n")) \
+               .select("doc_id", "pos")
+    keycols, off = [], 0
+    for j in range(len(levels) - 1, -1, -1):
+        if not (lmax >> j) & 1:
+            continue
+        kc = f"k{j}"
+        lv = levels[j].select(F.col("doc_id").alias("_d"),
+                              F.col("pos").alias("_q"),
+                              F.col("r").alias(kc))
+        keyed = (keyed.join(
+            lv, (F.col("doc_id") == F.col("_d"))
+            & (F.col("_q") == F.col("pos") + off))
+            .drop("_d", "_q"))
+        keycols.append(kc)
+        off += 1 << j
+    grp = (keyed.groupBy(*keycols)
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "pos")).alias("rep"))
+           .where(F.col("n_occurrences") >= 2))
+    return (grp.join(d, grp["rep.doc_id"] == d["doc_id"])
+            .select(F.lit(lmax).cast("long").alias("lrs_tokens"),
+                    F.col("n_occurrences").cast("long")
+                    .alias("n_occurrences"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.array_join(
+                        F.slice("toks", F.col("rep.pos") + 1,
+                                F.lit(lmax)), " ").alias("lrs_text"))
+            .orderBy("lrs_text"))

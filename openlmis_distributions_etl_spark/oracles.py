@@ -7071,3 +7071,36 @@ ORACLES.update({
               // greatest(1, wtot // {SYSTEMATIC_TICKS})
     """,
 })
+
+ORACLES.update({
+    # brute-force twin of the distributed suffix-rank LRS: enumerate
+    # EVERY token window of every length (feasible at oracle SFs),
+    # keep the repeated ones, report the distinct sequences at the
+    # maximum repeated length
+    "longest_repeated_substring": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> x <> '') AS toks
+          FROM documents),
+        starts AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(1, len(toks) + 1)) AS s
+          FROM d),
+        wins AS (
+          SELECT doc_id, CAST(L AS BIGINT) AS L,
+                 array_to_string(toks[s : s + L - 1], ' ') AS seq
+          FROM (SELECT doc_id, toks, s,
+                       unnest(range(1, n - s + 2)) AS L
+                FROM starts)),
+        reps AS (
+          SELECT L, seq, COUNT(*) AS n_occurrences,
+                 COUNT(DISTINCT doc_id) AS n_docs
+          FROM wins GROUP BY L, seq HAVING COUNT(*) >= 2),
+        mx AS (SELECT max(L) AS lmax FROM reps)
+        SELECT r.L AS lrs_tokens, r.n_occurrences, r.n_docs,
+               r.seq AS lrs_text
+        FROM reps r JOIN mx ON r.L = mx.lmax
+        ORDER BY lrs_text
+    """,
+})

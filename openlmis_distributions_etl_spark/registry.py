@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.cache import release_retained
 from .operators import (analytics, asof, dedup, multimodal, relational,
-                        similarity, text, windows)
+                        similarity, suffix, text, windows)
 from .plans import curation, expectations, star
 from .sources import load_tables
 
@@ -344,6 +344,10 @@ _OPERATORS = {
     "skipgram_pairs": text.skipgram_pairs,
     "ewma_daily_revenue": windows.ewma_daily_revenue,
     "seasonal_residual_outliers": relational.seasonal_residual_outliers,
+    # §2.G round-6 twentieth wave: exact suffix-rank LRS (the real
+    # ExactSubstr — arbitrary-length exact repeats, not 16-token
+    # windows)
+    "longest_repeated_substring": suffix.longest_repeated_substring,
 }
 
 

@@ -554,3 +554,38 @@ def test_gini_matches_pure_python(spark, spends):
     assert r["total_cents"] == tot
     if tot:
         assert abs(r["gini"] - want) < 1e-12, (spends, r["gini"], want)
+
+
+LRS_PROP = settings(max_examples=4, deadline=None, derandomize=True,
+                    suppress_health_check=list(HealthCheck))
+
+
+@LRS_PROP
+@given(docs_strategy)
+def test_longest_repeated_substring_matches_bruteforce(spark,
+                                                       token_lists):
+    """Random tiny-alphabet corpora (repeats everywhere, including
+    overlapping self-repeats and identical whole docs): the
+    suffix-rank LRS equals a brute-force enumeration of every window
+    of every length — same max length, same distinct sequences, same
+    per-sequence occurrence and doc counts."""
+    from collections import defaultdict
+
+    from openlmis_distributions_etl_spark.operators import suffix
+    t = {"documents": _docs_df(spark, token_lists)}
+    got = sorted(
+        (r["lrs_tokens"], r["n_occurrences"], r["n_docs"],
+         r["lrs_text"])
+        for r in suffix.longest_repeated_substring(t).collect())
+
+    occ = defaultdict(list)
+    for doc_id, toks in enumerate(token_lists):
+        for p in range(len(toks)):
+            for ln in range(1, len(toks) - p + 1):
+                occ[" ".join(toks[p:p + ln])].append(doc_id)
+    reps = {s: v for s, v in occ.items() if len(v) >= 2}
+    lmax = max((s.count(" ") + 1 for s in reps), default=0)
+    want = sorted(
+        (lmax, len(v), len(set(v)), s)
+        for s, v in reps.items() if s.count(" ") + 1 == lmax)
+    assert got == want
