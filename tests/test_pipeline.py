@@ -282,3 +282,62 @@ def test_sketch_rollup_is_lossless_and_accurate(spark):
              .agg(F.count_distinct("user_id").alias("n")).collect()}
     for m, n in exact.items():
         assert abs(got[m] - n) <= max(1, 0.05 * n), (m, got[m], n)
+
+
+def test_ivf_maintenance_triggers_and_pins_retrain(spark, tmp_path):
+    """The IVF serving loop: publish Lloyd centroids versioned, audit
+    health against the live snapshot, retrain ONLY when a fence
+    breaks — and when it does, the republished centroids and the
+    assignments under them are EXACTLY a from-scratch retrain on the
+    perturbed snapshot (the deterministic-trainer contract)."""
+    from openlmis_distributions_etl_spark.functions import spread
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        _argmax_assign, kmeans_centroids)
+    from openlmis_distributions_etl_spark.plans import ivf
+    from openlmis_distributions_etl_spark.sources import load_tables
+    from openlmis_distributions_etl_spark.sources.versioned import (
+        read_versioned, versions)
+
+    emb = load_tables(spark, SF0001, "embeddings")["embeddings"]
+    store = str(tmp_path / "ivf_store")
+    ivf.train_and_publish(spark, emb, store)
+
+    # clean snapshot: all fences hold, no retrain, version unchanged
+    n_v0 = len(versions(store))
+    r = ivf.maintain_ivf(spark, emb, store)
+    assert r["retrained"] is False and r["reasons"] == []
+    assert len(versions(store)) == n_v0
+
+    # drift: 40% of vectors collapse onto vector 0's embedding — the
+    # cell that absorbs them breaches the 25% jumbo fence
+    v0 = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    pert = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 5 < 2,
+               F.array(*[F.lit(float(x)) for x in v0]))
+        .otherwise(F.col("embedding")))
+    r2 = ivf.maintain_ivf(spark, pert, store)
+    assert r2["retrained"] is True
+    assert "jumbo_cell" in r2["reasons"]
+    assert len(versions(store)) > n_v0
+
+    # pinned equality with a from-scratch retrain on the snapshot
+    pub = sorted(
+        tuple(x) for x in read_versioned(spark, store).collect())
+    scratch = sorted(
+        tuple(x) for x in kmeans_centroids({"embeddings": pert})
+        .select("centroid_id", "dim", "centroid", "n").collect())
+    assert pub == scratch
+
+    a_pub = _argmax_assign(
+        spread(pert).select("vec_id", "embedding"),
+        ivf._centroid_arrays(read_versioned(spark, store)))
+    a_scr = _argmax_assign(
+        spread(pert).select("vec_id", "embedding"),
+        ivf._centroid_arrays(
+            kmeans_centroids({"embeddings": pert})
+            .select("centroid_id", "dim", "centroid", "n")))
+    assert (sorted(map(tuple, a_pub.select("vec_id", "centroid_id")
+                       .collect()))
+            == sorted(map(tuple, a_scr.select("vec_id", "centroid_id")
+                          .collect())))
