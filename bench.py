@@ -109,6 +109,29 @@ HEADLINE = [
     "payload_simhash_pairs",
     # round-6: exact suffix-rank LRS (iterative; ~8 doubling rounds)
     "longest_repeated_substring",
+    # round-6 tail sweep: every operator family gets at least one
+    # timed representative (verdict r5 item 6)
+    "q9_profit_by_nation_year",
+    "supplier_ontime_wilson",
+    "nation_supplier_hhi",
+    "benford_chi2_by_priority",
+    "winsorized_value_stats",
+    "hll_event_overlap",
+    "global_row_index",
+    "funnel_convert_time_quantiles",
+    "cohort_ltv_curve",
+    "user_behavior_entropy",
+    "knn_ivf_pq",
+    "ivf_probe_sweep",
+    "semantic_dedup_keep_best",
+    "leakage_safe_split",
+    "sequence_packing",
+    "bm25_scores",
+    "multimodal_content_dedup",
+    "doc_sentence_stats",
+    # round-6: graph-index ANN (navigable index build + beam search)
+    "beam_graph_edges",
+    "knn_beam",
 ]
 
 

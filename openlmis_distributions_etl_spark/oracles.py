@@ -7104,3 +7104,86 @@ ORACLES.update({
         ORDER BY lrs_text
     """,
 })
+
+
+def _beam_edges_sql() -> str:
+    """Navigable-graph CTE body (after _BUCKETS_CTE) ending at
+    `edges` — mirrors operators/similarity.py beam_graph_edges:
+    bucket-local top-3 cosine edges + Hamming-1 bucket-rep long
+    edges, distinct-unioned."""
+    return f"""
+        cand_e AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 {_cos('a.embedding', 'b.embedding')} AS cs
+          FROM assigned a JOIN assigned b USING (bucket)
+          WHERE a.vec_id <> b.vec_id),
+        local_e AS (
+          SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (
+              PARTITION BY src ORDER BY cs DESC, dst ASC) AS rn
+            FROM cand_e) WHERE rn <= 3),
+        reps AS (SELECT bucket, MIN(vec_id) AS rep
+                 FROM assigned GROUP BY bucket),
+        long_e AS (
+          SELECT a.vec_id AS src, r.rep AS dst
+          FROM (SELECT vec_id, bucket FROM assigned) a
+          CROSS JOIN (SELECT unnest(range(8)) AS bit) bits
+          JOIN reps r
+            ON CAST(r.bucket AS BIGINT)
+               = xor(CAST(a.bucket AS BIGINT), 1 << bit)
+          WHERE a.vec_id <> r.rep),
+        edges AS (SELECT DISTINCT src, dst FROM
+          (SELECT * FROM local_e UNION ALL SELECT * FROM long_e))"""
+
+
+def _beam_visited_sql(hops: int = 8, bw: int = 16) -> str:
+    """Fixed-hop ef-search unroll (after `edges`): each hop is
+    beam{i} = top-ef of visited{i-1}, neighbor pull through `edges`,
+    candidates scored from the shared `scored` table — the exact
+    loop operators/similarity.py knn_beam runs, as CTE stages."""
+    head = f""",
+        qb AS (SELECT embedding AS q FROM embeddings
+               WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, label, {_cos('embedding', 'q')} AS qs
+          FROM embeddings, qb WHERE vec_id <> 0),
+        visited0 AS (
+          SELECT vec_id, label, qs FROM scored
+          WHERE vec_id IN (1, 2, 3, 4))"""
+    hop_ctes = []
+    for i in range(1, hops + 1):
+        hop_ctes.append(f""",
+        beam{i} AS (SELECT vec_id FROM visited{i - 1}
+                    ORDER BY qs DESC, vec_id ASC LIMIT {bw}),
+        nbrs{i} AS (SELECT DISTINCT e.dst AS vec_id
+                    FROM edges e JOIN beam{i} b ON e.src = b.vec_id
+                    WHERE e.dst <> 0),
+        visited{i} AS (SELECT DISTINCT vec_id, label, qs FROM (
+          SELECT * FROM visited{i - 1}
+          UNION ALL
+          SELECT s.vec_id, s.label, s.qs
+          FROM scored s JOIN nbrs{i} USING (vec_id)))""")
+    return head + "".join(hop_ctes)
+
+
+ORACLES.update({
+    "beam_graph_edges": f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}
+        SELECT src, dst FROM edges
+    """,
+    "knn_beam": f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()}
+        SELECT vec_id, label, qs AS cos_sim
+        FROM visited8 ORDER BY qs DESC, vec_id ASC LIMIT 10
+    """,
+    "knn_beam_recall": f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()},
+        approx AS (SELECT vec_id FROM visited8
+                   ORDER BY qs DESC, vec_id ASC LIMIT 10),
+        exact AS (SELECT vec_id FROM scored
+                  ORDER BY qs DESC, vec_id ASC LIMIT 10)
+        SELECT 10 AS k, CAST(COUNT(*) AS INT) AS n_hits,
+               COUNT(*) / 10 AS recall_at_k
+        FROM exact JOIN approx USING (vec_id)
+    """,
+})

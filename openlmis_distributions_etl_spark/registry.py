@@ -348,6 +348,11 @@ _OPERATORS = {
     # ExactSubstr — arbitrary-length exact repeats, not 16-token
     # windows)
     "longest_repeated_substring": suffix.longest_repeated_substring,
+    # §2.F round-6: graph-index ANN (HNSW-style navigable beam
+    # search — index build, search, recall harness)
+    "beam_graph_edges": similarity.beam_graph_edges,
+    "knn_beam": similarity.knn_beam,
+    "knn_beam_recall": similarity.knn_beam_recall,
 }
 
 

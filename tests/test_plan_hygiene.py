@@ -82,6 +82,10 @@ BNLJ_ALLOWED = {
     "daily_revenue_control_chart",  # broadcast moments singleton row
     "decayed_user_value",     # broadcast max-date anchor row
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
+    "beam_graph_edges",       # broadcast 8-row bit-flip dim
+    # (knn_beam's broadcast query/frontier joins sit behind
+    # localCheckpoint leaves, so they never show in the final plan)
+    "knn_beam_recall",        # composes two pinned broadcast paths
     "ivf_probe_sweep",        # broadcast query-vector + probe-prefix rows
     "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
     "user_retention_curve",   # broadcast cohort-size singleton row
