@@ -2310,3 +2310,72 @@ def hll_event_overlap(t: dict[str, DataFrame]) -> DataFrame:
                  <= (F.lit(5.0)
                      + 0.15 * F.col("n_exact_overlap").cast("double")))
                 .cast("int").alias("ok_est")))
+
+
+def mann_whitney_value_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Whitney U / rank-sum drift test between the click and
+    purchase `value` samples — the NONPARAMETRIC companion to
+    `ks_drift_value` (KS looks at the max ECDF gap; U integrates the
+    whole ordering: auc = P(click value > purchase value) with ties
+    counted half). Exactness: tie-averaged ranks come DOUBLED so
+    every intermediate is an integer — for a tied group of size g
+    after `prior` smaller observations, 2·avgrank = 2·prior + g + 1
+    — summed in DECIMAL(38,0) (rank sums reach n² at 100 TB, past
+    bigint), and the final U/auc divisions are the only floats.
+    Rides the shared `_value_ecdf` distributed prefix sum: per-
+    distinct-value counts, bounded-bucket cumulatives, no global
+    sort."""
+    ecdf = _value_ecdf(t)
+    prior = (F.col("fa") - F.col("ca") + F.col("fb") - F.col("cb"))
+    grp = F.col("ca") + F.col("cb")
+    r2 = (F.col("ca").cast("decimal(38,0)")
+          * (2 * prior + grp + 1).cast("decimal(38,0)"))
+    agg = ecdf.agg(F.sum(r2).alias("r2"),
+                   F.max("na").alias("na"), F.max("nb").alias("nb"))
+    u2 = (F.col("r2").cast("double")
+          - (F.col("na").cast("decimal(38,0)")
+             * (F.col("na") + 1).cast("decimal(38,0)")).cast("double"))
+    return agg.select(
+        F.col("na").alias("n_click"), F.col("nb").alias("n_purchase"),
+        (u2 * 0.5).alias("u_click"),
+        (u2 * 0.5 / (F.col("na").cast("double")
+                     * F.col("nb").cast("double"))).alias("auc"))
+
+
+def spearman_daily_rank_corr(t: dict[str, DataFrame]) -> DataFrame:
+    """Spearman rank correlation between the DAILY order count and
+    daily revenue series — the monotone-association audit (Pearson
+    on values is hostage to heavy tails; ranks aren't). Ranks are
+    tie-averaged and DOUBLED (2·avgrank = 2·rank_min + cnt − 1) so
+    every sum in the Pearson-on-ranks formula is an exact bigint
+    (Spearman is affine-invariant, so the doubling cancels); the
+    single sqrt/division at the end is the only float. The ranked
+    frame is DATE-BOUNDED (one row per order date, ~2.5k for a
+    7-year fact at any corpus scale), so the unpartitioned rank
+    windows are the date_dim family's documented bounded-frame
+    pattern, not a data-sized global sort."""
+    from ..functions import dsum
+    d = (t["orders"].groupBy("o_orderdate")
+         .agg(F.count(F.lit(1)).alias("x"),
+              dsum("o_totalprice").alias("rev")))
+
+    def r2(col: str) -> F.Column:
+        wr = Window.orderBy(F.asc(col))
+        wc = Window.partitionBy(col)
+        return (2 * F.rank().over(wr)
+                + F.count(F.lit(1)).over(wc) - 1).cast("long")
+
+    ranked = d.select(r2("x").alias("rx"), r2("rev").alias("ry"))
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return a.select(F.col("n").alias("n_days"),
+                    (num.cast("double") / den).alias("spearman_rho"))

@@ -345,3 +345,22 @@ def payload_simhash_pairs(t: dict[str, DataFrame],
                         F.col("b.payload_simhash")))
                 .alias("hamming")))
     return cand.where(F.col("hamming") <= max_dist)
+
+
+def payload_magic_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Magic-byte census over the BINARY payload lane: group blobs by
+    their leading two bytes (hex) — the container-format inventory
+    (JPEG FF D8, PNG 89 50, RIFF 52 49, ...) a multimodal ingest
+    runs BEFORE routing payloads to decoders, entirely JVM-side (hex
+    + substring over binary are codegen'd; no decode, no Arrow
+    lane). One map-side-combinable aggregate onto a <=65k-key
+    space."""
+    payloads = spread(t["documents"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (payloads
+            .select(F.upper(F.hex(F.expr("substring(payload, 1, 2)")))
+                    .alias("magic_hex"),
+                    F.length("payload").alias("nbytes"))
+            .groupBy("magic_hex")
+            .agg(F.count(F.lit(1)).alias("n_payloads"),
+                 F.sum("nbytes").alias("total_bytes")))

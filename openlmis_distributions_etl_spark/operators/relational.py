@@ -1286,3 +1286,37 @@ def discount_quantity_corr_by_brand(t: dict[str, DataFrame]) -> DataFrame:
     corr = ((sxy - sx * sy / n)
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
     return m.select("p_brand", "n", corr.alias("corr_discount_qty"))
+
+
+def orders_skyline_2d(t: dict[str, DataFrame]) -> DataFrame:
+    """SKYLINE (Pareto frontier) of orders on (o_orderdate max,
+    o_totalprice max) — "the biggest recent orders no other order
+    beats on both axes", the multi-criteria shortlist operator
+    (Börzsönyi et al., ICDE'01) relational engines ship as SKYLINE
+    OF. An order survives iff no other order is at least as late AND
+    at least as expensive with one strict.
+
+    2D skylines reduce to a prefix max: per DISTINCT date take the
+    day max price, suffix-max it over strictly later dates (the
+    date frame is date-bounded — one row per order date, ~2.5k for a
+    7-year fact at ANY corpus scale, so the unpartitioned window is
+    the date_dim bounded-frame pattern), broadcast the ~2.5k-row
+    fence table back, and keep orders equal to their day max and
+    strictly above every later day's max. One scan + one broadcast
+    join; never a pairwise dominance join."""
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_totalprice")
+    per_day = (o.groupBy("o_orderdate")
+               .agg(F.max("o_totalprice").alias("day_max")))
+    w = (Window.orderBy(F.desc("o_orderdate"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    fences = per_day.select(
+        "o_orderdate", "day_max",
+        F.max("day_max").over(w).alias("later_max"))
+    return (o.join(F.broadcast(fences), "o_orderdate")
+            .where((F.col("o_totalprice") == F.col("day_max"))
+                   & (F.col("later_max").isNull()
+                      | (F.col("o_totalprice") > F.col("later_max"))))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    "o_totalprice"))

@@ -1923,3 +1923,30 @@ def knn_beam_recall(t: dict[str, DataFrame],
             .agg(F.lit(k).alias("k"),
                  F.count(F.lit(1)).cast("int").alias("n_hits"),
                  (F.count(F.lit(1)) / k).alias("recall_at_k")))
+
+
+def knn_beam_ndcg(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """nDCG@k of the graph beam search against the exact top-k — the
+    rank-aware companion to `knn_beam_recall` (same contract as
+    `knn_lsh_ndcg`: binary relevance, baked 1/log2(rank+1) gain
+    literals folded in rank order, ideal DCG a shared constant).
+    Both sides are k-row frames; the cost is the searches."""
+    approx = knn_beam(t, k).select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id")))
+        .alias("rank"))
+    exact = knn_bruteforce(t, k).select("vec_id", F.lit(1).alias("rel"))
+    gains = F.array(*[F.lit(w) for w in NDCG_WEIGHTS[:k]])
+    scored = (approx.join(broadcast(exact), "vec_id", "left")
+              .select("rank", F.coalesce("rel", F.lit(0)).alias("rel")))
+    g = scored.agg(F.array_sort(F.collect_list(
+        F.struct("rank", "rel"))).alias("rr"))
+    dcg = F.aggregate(
+        F.col("rr"), F.lit(0.0),
+        lambda acc, s: acc + s["rel"] * F.element_at(gains, s["rank"]))
+    return g.select(
+        F.lit(k).alias("k"),
+        dcg.alias("dcg"),
+        F.lit(NDCG_IDEAL).alias("ideal_dcg"),
+        (dcg / F.lit(NDCG_IDEAL)).alias("ndcg"))

@@ -1897,3 +1897,50 @@ def token_budget_sample(t: dict[str, DataFrame]) -> DataFrame:
                     < F.expr("cum_after DIV tick"))
             .select("doc_id", "lang", "source", "nt",
                     "cum_before", "cum_after"))
+
+
+def tokenizer_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
+    """Tokenizer FERTILITY by language — BPE symbols per whitespace
+    word for each lang after the 32 learned merges — the fairness
+    number multilingual-tokenizer reports lead with (a vocab trained
+    on the dominant language fragments the others; fertility is the
+    per-lang cost multiplier). Training is the shared delta-recount
+    loop (`_bpe_train`, vocabulary-sized); applying it is one
+    |vocab|-row symbol-count join against the exploded corpus and a
+    languages-bounded aggregate."""
+    _, vocab = _bpe_train(t)
+    syms = F.split(F.expr("btrim(rep, chr(31))"),
+                   _BPE_SEP + _BPE_SEP, -1)
+    wsym = vocab.select("w", F.size(syms).alias("n_sym"))
+    docw = t["documents"].select("lang", F.explode(tokens()).alias("w"))
+    return (docw.join(wsym, "w")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("n_bpe_tokens"))
+            .select("lang", "n_words", "n_bpe_tokens",
+                    (F.col("n_bpe_tokens").cast("double")
+                     / F.col("n_words").cast("double"))
+                    .alias("symbols_per_word")))
+
+
+def winnowing_pair_candidates(t: dict[str, DataFrame],
+                              min_shared: int = 2) -> DataFrame:
+    """Shift-tolerant near-dup CANDIDATE PAIRS from the winnowing
+    fingerprints: docs sharing >= 2 selected (k-gram-hash) prints —
+    the plagiarism/local-overlap blocking step `winnowing_fingerprints`
+    exists to feed (guarantee: any shared substring of length
+    >= k + w - 1 produces a shared print, so true local overlaps
+    can't be missed at the blocking stage). One print-keyed
+    self-join on DISTINCT (doc, fp) — the same output-driven shape
+    as the LSH band join: k docs sharing a print cost k² pair rows
+    for THAT print only, and the n_shared >= 2 gate drops the
+    singleton-collision noise before anything downstream runs."""
+    fp = (winnowing_fingerprints(t)
+          .select("doc_id", "fp").distinct())
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

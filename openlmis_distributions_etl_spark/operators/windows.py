@@ -1036,3 +1036,64 @@ def cohort_ltv_curve(t: dict[str, DataFrame]) -> DataFrame:
                 F.sum("cents").over(w).alias("cum_cents"),
                 (F.sum("cents").over(w).cast("double") / 100.0
                  / F.col("cohort_users")).alias("cum_value_per_user")))
+
+
+LIFECYCLE_DORMANT_DAYS = 30
+LIFECYCLE_CHURN_DAYS = 60
+
+
+def user_lifecycle_stages(t: dict[str, DataFrame]) -> DataFrame:
+    """Lifecycle census over the event stream: every user classified
+    against the INGESTION FRONTIER (max event time — the anchor a
+    pipeline without wall-clock access must use) as `new` (first
+    seen within 30 days), else `churned` (silent for 60+), else
+    `dormant` (silent for 30+), else `active` — the four-bucket
+    health report behind retention dashboards. One user-keyed
+    min/max aggregate + a broadcast single-row anchor + a ≤4-key
+    count; precedence is explicit (new wins, then churned, then
+    dormant) so the buckets partition the user base exactly."""
+    ev = t["events"].select("user_id", ts_us("ts").alias("us"))
+    anchor = ev.agg(F.max("us").alias("hi"))
+    per = ev.groupBy("user_id").agg(F.min("us").alias("first_us"),
+                                    F.max("us").alias("last_us"))
+    day_us = 86_400 * 1_000_000
+    stage = (
+        F.when(F.col("first_us")
+               >= F.col("hi") - LIFECYCLE_DORMANT_DAYS * day_us,
+               "new")
+        .when(F.col("last_us")
+              < F.col("hi") - LIFECYCLE_CHURN_DAYS * day_us,
+              "churned")
+        .when(F.col("last_us")
+              < F.col("hi") - LIFECYCLE_DORMANT_DAYS * day_us,
+              "dormant")
+        .otherwise("active"))
+    return (per.crossJoin(F.broadcast(anchor))
+            .select(stage.alias("stage"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def time_to_third_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Purchase-cadence depth signal: for every user with >= 3
+    purchases, the exact microsecond timestamps of the first and
+    third and the whole days between them — the "how fast do buyers
+    become repeat buyers" curve feeding LTV models. One user-keyed
+    window (rn over purchases, event_id tie-break), conditional
+    min/max collapse, integer microsecond arithmetic end to end."""
+    p = (t["events"].where(F.col("event_type") == "purchase")
+         .select("user_id", ts_us("ts").alias("us"), "event_id"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = p.withColumn("rn", F.row_number().over(w))
+    return (r.where(F.col("rn") <= 3)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("np"),
+                 F.min(F.when(F.col("rn") == 1, F.col("us")))
+                 .alias("first_purchase_us"),
+                 F.min(F.when(F.col("rn") == 3, F.col("us")))
+                 .alias("third_purchase_us"))
+            .where(F.col("np") >= 3)
+            .select("user_id", "first_purchase_us",
+                    "third_purchase_us",
+                    F.expr("(third_purchase_us - first_purchase_us) "
+                           "DIV 86400000000").alias("days_to_third")))

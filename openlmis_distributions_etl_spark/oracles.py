@@ -7187,3 +7187,196 @@ ORACLES.update({
         FROM exact JOIN approx USING (vec_id)
     """,
 })
+
+
+ORACLES.update({
+    # tie-averaged ranks doubled to integers, DECIMAL(38,0) rank sum
+    "mann_whitney_value_drift": """
+        WITH c AS (
+          SELECT CAST(value AS DOUBLE) AS v,
+                 SUM(CASE WHEN event_type = 'click'
+                     THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS cb
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND value IS NOT NULL
+          GROUP BY CAST(value AS DOUBLE)),
+        cum AS (
+          SELECT ca, cb,
+                 CAST(SUM(ca + cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - (ca + cb) AS BIGINT) AS prior
+          FROM c),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                       CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        r AS (SELECT SUM(CAST(ca AS DECIMAL(38,0))
+                  * CAST(2 * prior + ca + cb + 1
+                         AS DECIMAL(38,0))) AS r2
+              FROM cum)
+        SELECT na AS n_click, nb AS n_purchase,
+               (CAST(r2 AS DOUBLE)
+                - CAST(CAST(na AS DECIMAL(38,0)) * (na + 1)
+                       AS DOUBLE)) * 0.5 AS u_click,
+               (CAST(r2 AS DOUBLE)
+                - CAST(CAST(na AS DECIMAL(38,0)) * (na + 1)
+                       AS DOUBLE)) * 0.5
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc
+        FROM r, tot
+    """,
+    # doubled tie-averaged ranks -> exact bigint Pearson sums
+    "spearman_daily_rank_corr": """
+        WITH d AS (
+          SELECT o_orderdate, CAST(COUNT(*) AS BIGINT) AS x,
+                 SUM(o_totalprice) AS rev
+          FROM orders GROUP BY o_orderdate),
+        rk AS (
+          SELECT CAST(2 * RANK() OVER (ORDER BY x ASC)
+                      + COUNT(*) OVER (PARTITION BY x) - 1
+                      AS BIGINT) AS rx,
+                 CAST(2 * RANK() OVER (ORDER BY rev ASC)
+                      + COUNT(*) OVER (PARTITION BY rev) - 1
+                      AS BIGINT) AS ry
+          FROM d),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(rx) AS BIGINT) AS sx,
+                     CAST(SUM(ry) AS BIGINT) AS sy,
+                     CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+                     CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                     CAST(SUM(ry * ry) AS BIGINT) AS syy
+              FROM rk)
+        SELECT n AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))
+               AS spearman_rho
+        FROM a
+    """,
+    # 2D skyline = per-date max + suffix max over later dates
+    "orders_skyline_2d": """
+        WITH pd AS (
+          SELECT o_orderdate, MAX(o_totalprice) AS day_max
+          FROM orders GROUP BY o_orderdate),
+        f AS (
+          SELECT o_orderdate, day_max,
+                 MAX(day_max) OVER (ORDER BY o_orderdate DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS later_max
+          FROM pd)
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_totalprice
+        FROM orders o JOIN f USING (o_orderdate)
+        WHERE o.o_totalprice = f.day_max
+          AND (f.later_max IS NULL OR o.o_totalprice > f.later_max)
+    """,
+})
+
+
+ORACLES.update({
+    # frontier-anchored lifecycle partition; precedence new > churned
+    # > dormant > active, 30/60-day microsecond fences
+    "user_lifecycle_stages": """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events),
+        anchor AS (SELECT MAX(us) AS hi FROM ev),
+        per AS (
+          SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us
+          FROM ev GROUP BY user_id)
+        SELECT CASE
+                 WHEN first_us >= hi - 30 * 86400000000 THEN 'new'
+                 WHEN last_us < hi - 60 * 86400000000 THEN 'churned'
+                 WHEN last_us < hi - 30 * 86400000000 THEN 'dormant'
+                 ELSE 'active' END AS stage,
+               COUNT(*) AS n_users
+        FROM per, anchor
+        GROUP BY 1
+    """,
+    "time_to_third_purchase": """
+        WITH p AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events WHERE event_type = 'purchase')
+        SELECT user_id,
+               MIN(CASE WHEN rn = 1 THEN us END) AS first_purchase_us,
+               MIN(CASE WHEN rn = 3 THEN us END) AS third_purchase_us,
+               (MIN(CASE WHEN rn = 3 THEN us END)
+                - MIN(CASE WHEN rn = 1 THEN us END))
+               // 86400000000 AS days_to_third
+        FROM p WHERE rn <= 3
+        GROUP BY user_id
+        HAVING COUNT(*) >= 3
+    """,
+})
+
+
+def _bpe_fertility_sql(k: int = 32) -> str:
+    """Per-language fertility twin: the unrolled k-step training
+    chain, word -> symbol-count lookup, languages-bounded rollup."""
+    sep = "chr(31)"
+    chain = _bpe_vocab_sql(k)
+    chain = chain[:chain.rindex("SELECT CAST(1 AS INTEGER)")
+                  - len("\n        ")]
+    return f"""{chain},
+        wsym AS (
+          SELECT w, len(string_split(trim(rep, {sep}),
+                                     {sep} || {sep})) AS n_sym
+          FROM v{k}),
+        docw AS (
+          SELECT lang, unnest({TOKS}) AS w FROM documents)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS symbols_per_word
+        FROM docw JOIN wsym USING (w)
+        GROUP BY lang
+    """
+
+
+ORACLES.update({
+    "tokenizer_fertility_by_lang": _bpe_fertility_sql(32),
+    "winnowing_pair_candidates": f"""
+        WITH wfp AS ({ORACLES["winnowing_fingerprints"]}),
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM d a JOIN d b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    """,
+    "knn_beam_ndcg": f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()},
+        approx AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY qs DESC, vec_id ASC)
+                   AS rank
+          FROM (SELECT vec_id, qs FROM visited8
+                ORDER BY qs DESC, vec_id ASC LIMIT 10)),
+        exact AS (SELECT vec_id FROM scored
+                  ORDER BY qs DESC, vec_id ASC LIMIT 10),
+        rels AS (
+          SELECT a.rank,
+                 CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS rel
+          FROM approx a LEFT JOIN exact x USING (vec_id)),
+        dd AS (
+          SELECT list_sum(list(rel * ({_NDCG_W})[CAST(rank AS INT)]
+                               ORDER BY rank)) AS dcg
+          FROM rels)
+        SELECT CAST(10 AS INT) AS k, dcg,
+               4.543559338088346 AS ideal_dcg,
+               dcg / 4.543559338088346 AS ndcg
+        FROM dd
+    """,
+    "payload_magic_types": """
+        WITH p AS (SELECT encode(text) AS payload FROM documents)
+        SELECT upper(left(hex(payload), 4)) AS magic_hex,
+               COUNT(*) AS n_payloads,
+               CAST(SUM(octet_length(payload)) AS BIGINT)
+                 AS total_bytes
+        FROM p GROUP BY 1
+    """,
+})

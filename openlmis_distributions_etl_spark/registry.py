@@ -353,6 +353,19 @@ _OPERATORS = {
     "beam_graph_edges": similarity.beam_graph_edges,
     "knn_beam": similarity.knn_beam,
     "knn_beam_recall": similarity.knn_beam_recall,
+    # §2.A round-6: skyline + rank statistics
+    "orders_skyline_2d": relational.orders_skyline_2d,
+    "mann_whitney_value_drift": analytics.mann_whitney_value_drift,
+    "spearman_daily_rank_corr": analytics.spearman_daily_rank_corr,
+    # §2.C round-6: lifecycle census + purchase cadence depth
+    "user_lifecycle_stages": windows.user_lifecycle_stages,
+    "time_to_third_purchase": windows.time_to_third_purchase,
+    # §2.E/F/G/H round-6: tokenizer fairness, winnowing blocking,
+    # rank-aware beam eval, magic-byte census
+    "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
+    "winnowing_pair_candidates": text.winnowing_pair_candidates,
+    "knn_beam_ndcg": similarity.knn_beam_ndcg,
+    "payload_magic_types": multimodal.payload_magic_types,
 }
 
 

@@ -83,6 +83,8 @@ BNLJ_ALLOWED = {
     "decayed_user_value",     # broadcast max-date anchor row
     "knn_lsh_ndcg",           # broadcast query-vector row (via knn_lsh)
     "beam_graph_edges",       # broadcast 8-row bit-flip dim
+    "knn_beam_ndcg",          # composes pinned broadcast paths
+    "user_lifecycle_stages",  # broadcast frontier-anchor singleton row
     # (knn_beam's broadcast query/frontier joins sit behind
     # localCheckpoint leaves, so they never show in the final plan)
     "knn_beam_recall",        # composes two pinned broadcast paths
