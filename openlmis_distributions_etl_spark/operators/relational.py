@@ -1303,8 +1303,21 @@ def orders_skyline_2d(t: dict[str, DataFrame]) -> DataFrame:
     the date_dim bounded-frame pattern), broadcast the ~2.5k-row
     fence table back, and keep orders equal to their day max and
     strictly above every later day's max. One scan + one broadcast
-    join; never a pairwise dominance join."""
-    o = t["orders"].select("o_orderkey", "o_orderdate", "o_totalprice")
+    join; never a pairwise dominance join. The core is shared with
+    the streaming frontier maintenance (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)))."""
+    return (_skyline_2d(t["orders"]
+                        .select("o_orderkey", "o_orderdate",
+                                "o_totalprice"))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    "o_totalprice"))
+
+
+def _skyline_2d(o: DataFrame) -> DataFrame:
+    """Shared skyline core over (o_orderkey, o_orderdate,
+    o_totalprice): see orders_skyline_2d for the decomposition."""
     per_day = (o.groupBy("o_orderdate")
                .agg(F.max("o_totalprice").alias("day_max")))
     w = (Window.orderBy(F.desc("o_orderdate"))
@@ -1316,7 +1329,23 @@ def orders_skyline_2d(t: dict[str, DataFrame]) -> DataFrame:
             .where((F.col("o_totalprice") == F.col("day_max"))
                    & (F.col("later_max").isNull()
                       | (F.col("o_totalprice") > F.col("later_max"))))
-            .select("o_orderkey",
-                    F.date_format("o_orderdate", "yyyy-MM-dd")
-                    .alias("orderdate"),
-                    "o_totalprice"))
+            .select("o_orderkey", "o_orderdate", "o_totalprice"))
+
+
+def priority_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-priority TRANSITION MATRIX: for every customer's
+    consecutive order pairs (date order, orderkey tie-break), how
+    often priority p follows priority q — the Markov-style loyalty/
+    escalation signal sequence mining starts from (exactly the
+    `event_transitions` shape applied to the orders fact). One
+    customer-keyed window lag + a ≤25-key count aggregate."""
+    o = t["orders"].select("o_custkey", "o_orderdate", "o_orderkey",
+                           "o_orderpriority")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    j = o.select(
+        F.lag("o_orderpriority").over(w).alias("from_priority"),
+        F.col("o_orderpriority").alias("to_priority"))
+    return (j.where(F.col("from_priority").isNotNull())
+            .groupBy("from_priority", "to_priority")
+            .agg(F.count(F.lit(1)).alias("n_transitions")))

@@ -1950,3 +1950,57 @@ def knn_beam_ndcg(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
         dcg.alias("dcg"),
         F.lit(NDCG_IDEAL).alias("ideal_dcg"),
         (dcg / F.lit(NDCG_IDEAL)).alias("ndcg"))
+
+
+OUTLIER_TOP_K = 20
+
+
+def embedding_outliers_diag(t: dict[str, DataFrame],
+                            k: int = OUTLIER_TOP_K) -> DataFrame:
+    """Embedding OUTLIERS by diagonal Mahalanobis distance: quantize
+    components to the covariance grid (exact integer per-dim n, Σq,
+    Σq² — order-free at any partitioning), derive per-dim mean/std
+    once, then score every vector with Σ((q_i − μ_i)/σ_i)² where
+    each dim's term is quantized to integer micro-units BEFORE the
+    sum (the PSI/entropy discipline: float work happens per (vector,
+    dim) identically in both engines, the SUM is integers). Top-k by
+    (score DESC, vec_id ASC) — the corpus-quality gate that catches
+    corrupt/degenerate vectors before they poison centroids or PQ
+    codebooks. One stats scan + one broadcast-stats scoring scan +
+    TakeOrdered."""
+    from .analytics import COV_QUANT
+    q = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {COV_QUANT}.0 + 0.5) AS BIGINT))")
+    e = pin(spread(t["embeddings"]).select("vec_id", "embedding"),
+            q=q)
+    dims = (e.select(F.explode(F.expr(
+        "transform(sequence(0, size(q) - 1), "
+        "i -> struct(i AS i, q[i] AS qi))")).alias("p"))
+        .groupBy(F.col("p.i").alias("i"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("p.qi").cast("decimal(38,0)").alias("sx"),
+             F.sum(F.expr("p.qi * p.qi")).cast("decimal(38,0)")
+             .alias("sxx")))
+    nd = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / nd
+    var = F.col("sxx").cast("double") / nd - mu * mu
+    stats = (dims.select("i", mu.alias("mu"),
+                         F.sqrt(var).alias("sd"))
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("i", "mu", "sd"))).alias("ms")))
+    units = F.expr(
+        "aggregate(sequence(0, size(q) - 1), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc + CASE WHEN ms[i].sd > 0 THEN "
+        "CAST(floor(((CAST(q[i] AS DOUBLE) - ms[i].mu) / ms[i].sd) "
+        "* ((CAST(q[i] AS DOUBLE) - ms[i].mu) / ms[i].sd) "
+        f"* {COV_QUANT}.0 + 0.5) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)")
+    scored = (e.crossJoin(broadcast(stats))
+              .select("vec_id", units.alias("score_units")))
+    return (scored
+            .orderBy(F.desc("score_units"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", "score_units",
+                    (F.col("score_units").cast("double")
+                     / COV_QUANT).alias("maha_diag_sq")))

@@ -1944,3 +1944,84 @@ def winnowing_pair_candidates(t: dict[str, DataFrame],
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def doc_char_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution —
+    the gibberish/binary-spill detector that token entropy can't see
+    (a doc of unique made-up words has high token entropy but normal
+    char entropy; base64 blobs and keyboard mash invert that).
+    Same machinery as `doc_token_entropy`: in-row distinct+count
+    arrays, per-term c·ln(n/c) quantized to integer micro-nats
+    BEFORE the sum (order-free, engine-exact), one deterministic
+    double at the end. ZERO exchanges."""
+    from ..functions import pin
+    d = (t["documents"]
+         .select("doc_id", F.split("text", "").alias("cs0"))
+         .where(F.size("cs0") > 0))
+    pinned = pin(d, cnts=F.expr(
+        "transform(array_distinct(cs0), "
+        "x -> size(filter(cs0, y -> y = x)))"))
+    units = F.expr(
+        "aggregate(cnts, CAST(0 AS BIGINT), (acc, c) -> acc + "
+        f"CAST(floor(c * ln(size(cs0) / CAST(c AS DOUBLE)) "
+        f"* {ENTROPY_GRID} + 0.5) AS BIGINT))")
+    withu = pin(pinned, h_units=units)
+    return withu.select(
+        "doc_id",
+        F.size("cs0").alias("n_chars"),
+        F.size("cnts").alias("n_distinct_chars"),
+        "h_units",
+        (F.col("h_units").cast("double") / ENTROPY_GRID
+         / F.size("cs0")).alias("entropy_nats"))
+
+
+def doc_script_mix(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document SCRIPT census: counts of ascii letters, digits,
+    CJK ideographs, and whitespace, plus the mixed-script flag — the
+    routing signal multilingual curation branches on (a "latin" doc
+    full of CJK is mislabeled; heavy digit share is tables/logs).
+    Four codegen'd regexp_replace length-diffs per row, zero
+    exchanges, byte-identical classes in both engines (literal
+    character ranges, no locale classes)."""
+    def n_of(pattern: str) -> F.Column:
+        # count = length kept by the keep-class (no lower(): case
+        # folding is engine-specific for exotic code points; the
+        # classes are explicit literal ranges instead)
+        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    d = t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (F.length("text") - n_of("[^a-zA-Z]")).alias("n_latin"),
+        (F.length("text") - n_of("[^0-9]")).alias("n_digit"),
+        (F.length("text") - n_of("[^一-鿿]")).alias("n_cjk"),
+        (F.length("text") - n_of("[^ ]")).alias("n_space"))
+    return d.select(
+        "*",
+        ((F.col("n_latin") > 0) & (F.col("n_cjk") > 0))
+        .cast("int").alias("is_mixed_script"))
+
+
+TEMPLATE_PREFIX_TOKENS = 8
+
+
+def template_prefix_groups(t: dict[str, DataFrame]) -> DataFrame:
+    """Boilerplate-template detection by SHARED PREFIX: documents
+    opening with the same first 8 tokens (headers, scraped nav
+    bars, licence stubs) grouped with counts and a canonical
+    exemplar — the cheap complement to `dup_span_stats` (which
+    requires 16-token repeats ANYWHERE, this pins position 0 where
+    templates live). One prefix-keyed shuffle; k docs sharing a
+    prefix cost k rows."""
+    w = TEMPLATE_PREFIX_TOKENS
+    d = (t["documents"]
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") >= w)
+         .select("doc_id",
+                 F.array_join(F.slice("toks", 1, w), " ")
+                 .alias("prefix")))
+    return (d.groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("exemplar_doc_id"))
+            .where(F.col("n_docs") >= 2))

@@ -7380,3 +7380,107 @@ ORACLES.update({
         FROM p GROUP BY 1
     """,
 })
+
+
+ORACLES.update({
+    "doc_char_entropy": f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, '') AS cs0
+          FROM documents WHERE len(string_split(text, '')) > 0),
+        cs AS (
+          SELECT doc_id, cs0,
+                 list_transform(list_distinct(cs0),
+                   x -> len(list_filter(cs0, y -> y = x))) AS cnts
+          FROM d)
+        SELECT doc_id,
+               CAST(len(cs0) AS INT) AS n_chars,
+               CAST(len(cnts) AS INT) AS n_distinct_chars,
+               CAST(list_sum(list_transform(cnts, c ->
+                 CAST(floor(c * ln(len(cs0) / CAST(c AS DOUBLE))
+                   * {ENTROPY_GRID} + 0.5) AS BIGINT))) AS BIGINT)
+                 AS h_units,
+               CAST(list_sum(list_transform(cnts, c ->
+                 CAST(floor(c * ln(len(cs0) / CAST(c AS DOUBLE))
+                   * {ENTROPY_GRID} + 0.5) AS BIGINT))) AS DOUBLE)
+                 / {ENTROPY_GRID} / len(cs0) AS entropy_nats
+        FROM cs
+    """,
+    "doc_script_mix": """
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(
+                 text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_latin,
+               CAST(length(text) - length(regexp_replace(
+                 text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+               CAST(length(text) - length(regexp_replace(
+                 text, '[^一-鿿]', '', 'g')) AS INT) AS n_cjk,
+               CAST(length(text) - length(regexp_replace(
+                 text, '[^ ]', '', 'g')) AS INT) AS n_space,
+               CAST(CASE WHEN length(text) - length(regexp_replace(
+                      text, '[^a-zA-Z]', '', 'g')) > 0
+                     AND length(text) - length(regexp_replace(
+                      text, '[^一-鿿]', '', 'g')) > 0
+                    THEN 1 ELSE 0 END AS INT) AS is_mixed_script
+        FROM documents
+    """,
+    "template_prefix_groups": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE len({TOKS}) >= 8)
+        SELECT array_to_string(toks[1:8], ' ') AS prefix,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS exemplar_doc_id
+        FROM d GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    "priority_transition_matrix": """
+        WITH j AS (
+          SELECT LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+                   AS from_priority,
+                 o_orderpriority AS to_priority
+          FROM orders)
+        SELECT from_priority, to_priority,
+               COUNT(*) AS n_transitions
+        FROM j WHERE from_priority IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "embedding_outliers_diag": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS q
+          FROM embeddings),
+        pervec AS (
+          SELECT vec_id, i - 1 AS i, q[CAST(i AS INT)] AS qi
+          FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        dims AS (
+          SELECT i, COUNT(*) AS n,
+                 CAST(SUM(qi) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(qi * qi) AS DECIMAL(38,0)) AS sxx
+          FROM pervec GROUP BY i),
+        stats AS (
+          SELECT i,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS sd
+          FROM dims),
+        terms AS (
+          SELECT d.vec_id,
+                 CASE WHEN s.sd > 0 THEN
+                   CAST(floor(((CAST(d.qi AS DOUBLE) - s.mu) / s.sd)
+                     * ((CAST(d.qi AS DOUBLE) - s.mu) / s.sd)
+                     * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END AS u
+          FROM pervec d JOIN stats s USING (i)),
+        sc AS (SELECT vec_id, CAST(SUM(u) AS BIGINT) AS score_units
+               FROM terms GROUP BY vec_id)
+        SELECT vec_id, score_units,
+               CAST(score_units AS DOUBLE) / 1000000.0
+                 AS maha_diag_sq
+        FROM sc ORDER BY score_units DESC, vec_id ASC LIMIT 20
+    """,
+})

@@ -366,6 +366,13 @@ _OPERATORS = {
     "winnowing_pair_candidates": text.winnowing_pair_candidates,
     "knn_beam_ndcg": similarity.knn_beam_ndcg,
     "payload_magic_types": multimodal.payload_magic_types,
+    # §2.A/F/G round-6 wave 23: char/script curation signals,
+    # priority sequences, embedding outlier gate, template prefixes
+    "doc_char_entropy": text.doc_char_entropy,
+    "doc_script_mix": text.doc_script_mix,
+    "template_prefix_groups": text.template_prefix_groups,
+    "priority_transition_matrix": relational.priority_transition_matrix,
+    "embedding_outliers_diag": similarity.embedding_outliers_diag,
 }
 
 

@@ -1300,10 +1300,12 @@ def lsh_band_gate_stream(new_docs: DataFrame,
                     flag.alias("is_near_dup_candidate")))
 
 
-def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_embeddings_stream(spark: SparkSession, sf_dir: str,
+                           glob: str | None = None) -> DataFrame:
     """File-source stream over the embeddings table (continuous
     vector-ingest shape). Same layout-robust directory/bare-file
-    handling as `read_documents_stream`."""
+    handling as `read_documents_stream`; pass ``glob`` (e.g.
+    "*.parquet") for multi-file ingest directories."""
     import os
 
     from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
@@ -1316,9 +1318,10 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     path = f"{sf_dir}/embeddings.parquet"
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
+    if glob is None and os.path.isdir(path):
         return reader.parquet(path)
-    return (reader.option("pathGlobFilter", "embeddings.parquet")
+    return (reader.option("pathGlobFilter",
+                          glob or "embeddings.parquet")
             .parquet(sf_dir))
 
 
@@ -1727,3 +1730,203 @@ def read_attribution_credits(spark: SparkSession,
                     "credited_cents",
                     (F.col("credited_cents").cast("double") / 100.0)
                     .alias("credited_value")))
+
+
+def stream_ivf_health_monitor(embeddings: DataFrame,
+                              centroids: DataFrame, out_dir: str,
+                              checkpoint_dir: str):
+    """foreachBatch maintenance of the IVF index-health store — the
+    streaming detector half of the plans/ivf.py serving loop (the
+    batch `maintain_ivf` is the actor that retrains from the full
+    snapshot; a stream can detect drift but doesn't retain vectors
+    to retrain from). Each arriving vector routes through the
+    zero-state `ivf_assign_stream` literal-centroid argmax; the
+    micro-batch's (centroid_id, label) counts sum-merge into the
+    cells store with the token-count-store REBASE discipline
+    (non-idempotent sum ⇒ batch b always merges into the newest
+    version < b; fresh checkpoints against an existing store fail
+    loudly), and each commit also writes triggers/v{b}: the cells
+    breaching the jumbo-share / purity / empty fences AS OF that
+    batch, version-stamped so the maintenance actor knows which
+    snapshot fired. State is (k × labels) counters — never
+    vectors."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _merge_ivf_cells(batch, batch_id, out_dir,
+                         centroids, lineage=checkpoint_dir)
+
+    assigned = ivf_assign_stream(embeddings, centroids)
+    return (assigned.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def _merge_ivf_cells(batch: DataFrame, batch_id: int, out_dir: str,
+                     centroids: DataFrame,
+                     lineage: str | None = None) -> None:
+    """One exactly-once sum-merge commit of a micro-batch's assigned
+    cells + the fence evaluation over the merged store. Module-level
+    so the replay test can invoke it directly."""
+    import os
+    from pathlib import Path
+
+    from ..plans.ivf import IVF_MAX_SHARE, IVF_MIN_PURITY
+
+    _check_lineage(out_dir, lineage)
+    spark = batch.sparkSession
+    cnt = (batch.groupBy("centroid_id", "label")
+           .agg(F.count(F.lit(1)).alias("c")))
+    existing = sorted(
+        int(p.name[1:]) for p in Path(out_dir).glob("cells/v*")
+        if p.is_dir() and p.name[1:].isdigit())
+    if existing and max(existing) > batch_id:
+        raise RuntimeError(
+            f"ivf-health store {out_dir} already holds version "
+            f"v{max(existing)} > incoming batch {batch_id} — "
+            f"refusing to reset or double-count")
+    prior = [v for v in existing if v < batch_id]
+    if prior:
+        base = spark.read.parquet(
+            f"{out_dir}/cells/v{prior[-1]:020d}")
+        merged = (base.unionByName(cnt)
+                  .groupBy("centroid_id", "label")
+                  .agg(F.sum("c").alias("c")))
+    else:
+        merged = cnt
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(
+        f"{out_dir}/cells/{version}")
+    health = _ivf_health_from_cells(
+        spark.read.parquet(f"{out_dir}/cells/{version}"), centroids)
+    trig = health.select(
+        "centroid_id",
+        F.when(F.col("n_vectors") == 0, "empty_cell")
+        .when(F.col("share") > IVF_MAX_SHARE, "jumbo_cell")
+        .when(F.col("purity") < IVF_MIN_PURITY, "impure_cell")
+        .alias("reason")).where(F.col("reason").isNotNull())
+    trig.withColumn("version", F.lit(batch_id).cast("long")) \
+        .write.mode("overwrite").parquet(
+            f"{out_dir}/triggers/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
+
+
+def _ivf_health_from_cells(cells: DataFrame,
+                           centroids: DataFrame) -> DataFrame:
+    """(centroid_id, label, c) counts -> the plans/ivf.ivf_health
+    report shape (centroid_id, n_vectors, share, majority_count,
+    purity) including empty cells — so store-derived health is
+    directly comparable to the batch audit."""
+    from pyspark.sql import Window
+
+    g = (cells.groupBy("centroid_id")
+         .agg(F.sum("c").alias("n_vectors"),
+              F.max("c").alias("majority_count")))
+    out = (centroids.select("centroid_id").distinct()
+           .join(g, "centroid_id", "left")
+           .select("centroid_id",
+                   F.coalesce("n_vectors", F.lit(0).cast("long"))
+                   .alias("n_vectors"),
+                   F.coalesce("majority_count",
+                              F.lit(0).cast("long"))
+                   .alias("majority_count")))
+    w = F.sum("n_vectors").over(Window.partitionBy())
+    return out.select(
+        "centroid_id", "n_vectors",
+        (F.col("n_vectors") / w).alias("share"),
+        "majority_count",
+        F.when(F.col("n_vectors") > 0,
+               F.col("majority_count").cast("double")
+               / F.col("n_vectors")).alias("purity"))
+
+
+def read_ivf_health(spark: SparkSession, out_dir: str,
+                    centroids: DataFrame) -> DataFrame:
+    """Health report from the committed store head (the _CURRENT
+    pointer) — same shape as plans/ivf.ivf_health on the full
+    snapshot (tested equal)."""
+    with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+        head = f.read().strip()
+    cells = spark.read.parquet(f"{out_dir}/cells/{head}")
+    return _ivf_health_from_cells(cells, centroids)
+
+
+def read_ivf_triggers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fence breaches as of the committed head: (centroid_id,
+    reason, version)."""
+    with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+        head = f.read().strip()
+    return spark.read.parquet(f"{out_dir}/triggers/{head}")
+
+
+def stream_maintain_skyline(orders: DataFrame, out_dir: str,
+                            checkpoint_dir: str):
+    """foreachBatch maintenance of the 2D order SKYLINE frontier —
+    the streaming face of `orders_skyline_2d`, exploiting the
+    skyline's merge law: skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)), so each micro-batch reduces to its own (tiny)
+    frontier and re-skylines against the stored one. State is the
+    frontier itself — at most one order per distinct date with
+    strictly decreasing prices, so date-bounded — never order
+    history. Rebased per batch for exactly-once (replay rebuilds the
+    same version from the pre-batch base; the merge is idempotent on
+    top of that since skylining is)."""
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        _merge_skyline(batch, batch_id, out_dir,
+                       lineage=checkpoint_dir)
+
+    return (orders.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def _merge_skyline(batch: DataFrame, batch_id: int, out_dir: str,
+                   lineage: str | None = None) -> None:
+    """One exactly-once frontier-merge commit. Module-level so the
+    replay test can invoke it directly."""
+    import os
+    from pathlib import Path
+
+    from ..operators.relational import _skyline_2d
+
+    _check_lineage(out_dir, lineage)
+    spark = batch.sparkSession
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+    cand = _skyline_2d(batch.select(*cols))
+    existing = sorted(
+        int(p.name[1:]) for p in Path(out_dir).glob("v*")
+        if p.is_dir() and p.name[1:].isdigit())
+    if existing and max(existing) > batch_id:
+        raise RuntimeError(
+            f"skyline store {out_dir} already holds version "
+            f"v{max(existing)} > incoming batch {batch_id} — "
+            f"refusing to reset")
+    prior = [v for v in existing if v < batch_id]
+    if prior:
+        base = spark.read.parquet(f"{out_dir}/v{prior[-1]:020d}")
+        merged = _skyline_2d(base.unionByName(cand))
+    else:
+        merged = cand
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
+
+
+def read_skyline(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed frontier, in the batch `orders_skyline_2d`
+    output shape (orderdate formatted)."""
+    with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+        head = f.read().strip()
+    cur = spark.read.parquet(f"{out_dir}/{head}")
+    return cur.select("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("orderdate"),
+                      "o_totalprice")

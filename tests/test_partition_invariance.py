@@ -36,6 +36,12 @@ FLOAT_SENSITIVE = (
     "nation_supplier_hhi",
     "knn_int8_rerank",
     "vocab_coverage_curve",
+    # round-6 float-bearing additions
+    "mann_whitney_value_drift",
+    "spearman_daily_rank_corr",
+    "knn_beam",
+    "knn_beam_ndcg",
+    "tokenizer_fertility_by_lang",
 )
 
 

@@ -1011,3 +1011,97 @@ def test_stream_linear_attribution_out_of_order_clicks(spark, tmp_path):
     # already-processed purchases (at least one rebase happened)
     cred = spark.read.parquet(f"{store}/credits/v*")
     assert cred.where(F.col("mult") == -1).count() > 0
+
+
+def test_stream_ivf_health_monitor_matches_batch_audit(spark, tmp_path):
+    """The streaming detector half of the IVF serving loop: cell
+    counts sum-merged across micro-batches must yield EXACTLY the
+    batch `ivf_health` report on the full snapshot, clean data fires
+    no triggers, and a drift batch that collapses vectors onto one
+    cell fires a version-stamped jumbo trigger."""
+    from openlmis_distributions_etl_spark.operators import similarity
+    from openlmis_distributions_etl_spark.plans import ivf
+
+    t = load_tables(spark, SF0001, "embeddings")
+    emb = t["embeddings"]
+    m = similarity.kmeans_centroids(t)
+    cents = m.groupBy("centroid_id").agg(F.expr(
+        "transform(array_sort(collect_list(struct(dim, centroid))), "
+        "p -> p.centroid)").alias("cvec"))
+
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    store = str(tmp_path / "ivf_health")
+    ck = str(tmp_path / "ck_ivf_health")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    _feed_events(half_a, src, "embeddings.parquet")
+    q = jobs.stream_ivf_health_monitor(
+        jobs.read_embeddings_stream(spark, str(src), glob="*.parquet"),
+        cents, store, ck)
+    assert q.awaitTermination(120)
+    _feed_events(half_b, src, "embeddings_b.parquet")
+    q2 = jobs.stream_ivf_health_monitor(
+        jobs.read_embeddings_stream(spark, str(src), glob="*.parquet"),
+        cents, store, ck)
+    assert q2.awaitTermination(120)
+
+    got = jobs.read_ivf_health(spark, store, cents).toPandas()
+    want = ivf.ivf_health(emb, cents).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    assert jobs.read_ivf_triggers(spark, store).count() == 0
+
+    # drift: a third batch collapses 200 copies onto vector 0's
+    # embedding — the absorbing cell breaches the jumbo fence
+    v0 = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    drift = (spark.range(10_000, 10_200)
+             .select(F.col("id").alias("vec_id"),
+                     F.array(*[F.lit(float(x)) for x in v0])
+                     .cast("array<float>").alias("embedding"),
+                     F.lit(0).cast("int").alias("label")))
+    _feed_events(drift, src, "embeddings_c.parquet")
+    q3 = jobs.stream_ivf_health_monitor(
+        jobs.read_embeddings_stream(spark, str(src), glob="*.parquet"),
+        cents, store, ck)
+    assert q3.awaitTermination(120)
+    trig = jobs.read_ivf_triggers(spark, store).toPandas()
+    assert "jumbo_cell" in set(trig["reason"])
+    assert set(trig["version"]) == {2}
+
+
+def test_stream_maintain_skyline_matches_batch(spark, tmp_path):
+    """The streamed frontier after two micro-batches must equal the
+    batch orders_skyline_2d over the full fact (the skyline merge
+    law: sk(A∪B) = sk(sk(A) ∪ sk(B))), and a replayed batch must
+    rebuild the same head (rebase + idempotent merge)."""
+    from openlmis_distributions_etl_spark.operators.relational import (
+        orders_skyline_2d)
+
+    t = load_tables(spark, SF0001)
+    orders = t["orders"]
+    src = str(tmp_path / "sk_src")
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "sk_store")
+    q = jobs.stream_maintain_skyline(stream, store,
+                                     str(tmp_path / "sk_ck"))
+    q.awaitTermination(180)
+
+    got = jobs.read_skyline(spark, store).toPandas()
+    want = orders_skyline_2d(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    # crash-replay: re-running the LAST batch id against the store
+    # rebuilds the same head from the pre-batch base
+    head_before = sorted(map(tuple, got.itertuples(index=False)))
+    jobs._merge_skyline(
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderdate", "o_totalprice"), 1,
+        store)
+    again = jobs.read_skyline(spark, store).toPandas()
+    assert sorted(map(tuple, again.itertuples(index=False))) \
+        == head_before

@@ -130,6 +130,19 @@ OPS = (
     "events_hourly_heatmap",
     "dup_graph_degree_hist",
     "token_budget_sample",
+    # round-6: suffix-rank LRS, graph ANN, skyline, rank stats,
+    # lifecycle, fertility, winnowing pairs, magic census
+    "longest_repeated_substring",
+    "beam_graph_edges",
+    "knn_beam",
+    "orders_skyline_2d",
+    "mann_whitney_value_drift",
+    "spearman_daily_rank_corr",
+    "user_lifecycle_stages",
+    "time_to_third_purchase",
+    "tokenizer_fertility_by_lang",
+    "winnowing_pair_candidates",
+    "payload_magic_types",
 )
 
 
