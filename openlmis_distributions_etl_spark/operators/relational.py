@@ -1349,3 +1349,62 @@ def priority_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
     return (j.where(F.col("from_priority").isNotNull())
             .groupBy("from_priority", "to_priority")
             .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+def late_delivery_root_cause(t: dict[str, DataFrame],
+                             late_days: int = 90) -> DataFrame:
+    """Late-shipment ROOT-CAUSE matrix: per (order priority, return
+    flag) cell, the late-ship share (> ``late_days`` after the order
+    date — the q12 lateness rule; this schema has no shipmode/
+    receiptdate) and its LIFT over the global late rate — the
+    drill-down a fulfilment team runs when the aggregate late rate
+    moves. Exact integer counts; the global rate joins back as a
+    broadcast singleton; one (priority × flag)-bounded aggregate."""
+    li = (t["lineitem"]
+          .join(t["orders"].select(
+              F.col("o_orderkey").alias("l_orderkey"),
+              "o_orderpriority", "o_orderdate"), "l_orderkey")
+          .select("o_orderpriority", "l_returnflag",
+                  (F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr(f"INTERVAL {late_days} DAYS"))
+                  .cast("long").alias("late")))
+    cells = (li.groupBy("o_orderpriority", "l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum("late").alias("n_late")))
+    tot = li.agg(F.count(F.lit(1)).alias("n_all"),
+                 F.sum("late").alias("late_all"))
+    rate = F.col("n_late").cast("double") / F.col("n_items")
+    grate = F.col("late_all").cast("double") / F.col("n_all")
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("o_orderpriority", "l_returnflag", "n_items",
+                    "n_late", rate.alias("late_rate"),
+                    (rate / grate).alias("lift")))
+
+
+def supplier_part_price_spread(t: dict[str, DataFrame],
+                               k: int = 25) -> DataFrame:
+    """Procurement ARBITRAGE report: the k parts with the widest
+    relative spread of realized per-unit price ACROSS SUPPLIERS —
+    where renegotiation money lives. Per (part, supplier) the exact
+    decimal unit price sums fold first (Σ extendedprice / Σ qty per
+    supplier — decimal-exact numerators), then a part-keyed min/max
+    over the per-supplier rates; (max − min)/min, TakeOrdered top-k,
+    n_suppliers >= 2 so the spread is real."""
+    li = t["lineitem"].select("l_partkey", "l_suppkey",
+                              "l_extendedprice", "l_quantity")
+    per_sup = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(dsum("l_extendedprice").alias("ext"),
+                    dsum("l_quantity").alias("qty")))
+    rate = F.col("ext") / F.col("qty")
+    g = (per_sup.select("l_partkey", rate.alias("unit_price"))
+         .groupBy("l_partkey")
+         .agg(F.count(F.lit(1)).alias("n_suppliers"),
+              F.min("unit_price").alias("min_price"),
+              F.max("unit_price").alias("max_price")))
+    spread = ((F.col("max_price") - F.col("min_price"))
+              / F.col("min_price"))
+    return (g.where(F.col("n_suppliers") >= 2)
+            .select("l_partkey", "n_suppliers", "min_price",
+                    "max_price", spread.alias("rel_spread"))
+            .orderBy(F.desc("rel_spread"), F.asc("l_partkey"))
+            .limit(k))

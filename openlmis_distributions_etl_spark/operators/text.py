@@ -1924,19 +1924,30 @@ def tokenizer_fertility_by_lang(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def winnowing_pair_candidates(t: dict[str, DataFrame],
-                              min_shared: int = 2) -> DataFrame:
+                              min_shared: int = 2,
+                              max_group: int = 50) -> DataFrame:
     """Shift-tolerant near-dup CANDIDATE PAIRS from the winnowing
     fingerprints: docs sharing >= 2 selected (k-gram-hash) prints —
     the plagiarism/local-overlap blocking step `winnowing_fingerprints`
     exists to feed (guarantee: any shared substring of length
     >= k + w - 1 produces a shared print, so true local overlaps
-    can't be missed at the blocking stage). One print-keyed
-    self-join on DISTINCT (doc, fp) — the same output-driven shape
-    as the LSH band join: k docs sharing a print cost k² pair rows
-    for THAT print only, and the n_shared >= 2 gate drops the
-    singleton-collision noise before anything downstream runs."""
+    can't be missed at the blocking stage — unless the print is
+    boilerplate, see the cap). One print-keyed self-join on DISTINCT
+    (doc, fp), the LSH band-join shape — and like every blocking
+    join it needs a HOT-GROUP CAP: a print shared by thousands of
+    docs is a stop-gram (tiny-vocab corpora and boilerplate headers
+    produce them), carries no discriminative signal, and would emit
+    k² pair rows. Prints held by more than ``max_group`` docs are
+    dropped BEFORE the join (one count pass), bounding pair output
+    at prints × max_group² — the 10× scale smoke is what caught the
+    uncapped quadratic. The n_shared >= 2 gate then drops
+    singleton-collision noise."""
     fp = (winnowing_fingerprints(t)
           .select("doc_id", "fp").distinct())
+    w = Window.partitionBy("fp")
+    fp = (fp.withColumn("_g", F.count(F.lit(1)).over(w))
+          .where((F.col("_g") >= 2) & (F.col("_g") <= max_group))
+          .drop("_g"))
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     return (a.join(b, "fp")

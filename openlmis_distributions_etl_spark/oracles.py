@@ -7339,7 +7339,13 @@ ORACLES.update({
     "tokenizer_fertility_by_lang": _bpe_fertility_sql(32),
     "winnowing_pair_candidates": f"""
         WITH wfp AS ({ORACLES["winnowing_fingerprints"]}),
-        d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+        d0 AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        d AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   COUNT(*) OVER (PARTITION BY fp) AS g
+            FROM d0)
+          WHERE g BETWEEN 2 AND 50)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                COUNT(*) AS n_shared
         FROM d a JOIN d b USING (fp)
@@ -7482,5 +7488,76 @@ ORACLES.update({
                CAST(score_units AS DOUBLE) / 1000000.0
                  AS maha_diag_sq
         FROM sc ORDER BY score_units DESC, vec_id ASC LIMIT 20
+    """,
+})
+
+
+ORACLES.update({
+    "late_delivery_root_cause": """
+        WITH li AS (
+          SELECT o.o_orderpriority, l.l_returnflag,
+                 CASE WHEN l.l_shipdate > o.o_orderdate
+                      + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+          FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey),
+        cells AS (
+          SELECT o_orderpriority, l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(late) AS BIGINT) AS n_late
+          FROM li GROUP BY 1, 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                       CAST(SUM(late) AS BIGINT) AS late_all
+                FROM li)
+        SELECT o_orderpriority, l_returnflag, n_items, n_late,
+               CAST(n_late AS DOUBLE) / n_items AS late_rate,
+               (CAST(n_late AS DOUBLE) / n_items)
+                 / (CAST(late_all AS DOUBLE) / n_all) AS lift
+        FROM cells, tot
+    """,
+    "supplier_part_price_spread": f"""
+        WITH per_sup AS (
+          SELECT l_partkey, l_suppkey,
+                 {DSUM('l_extendedprice')} AS ext,
+                 {DSUM('l_quantity')} AS qty
+          FROM lineitem GROUP BY 1, 2),
+        g AS (
+          SELECT l_partkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                 MIN(ext / qty) AS min_price,
+                 MAX(ext / qty) AS max_price
+          FROM per_sup GROUP BY 1)
+        SELECT l_partkey, n_suppliers, min_price, max_price,
+               (max_price - min_price) / min_price AS rel_spread
+        FROM g WHERE n_suppliers >= 2
+        ORDER BY rel_spread DESC, l_partkey ASC LIMIT 25
+    """,
+    "events_anomaly_days": """
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS eday,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        d2 AS (
+          SELECT eday, n_events,
+                 CAST(((eday - 4) % 7 + 7) % 7 AS INT) AS weekday
+          FROM daily),
+        base AS (
+          SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n_events) AS BIGINT) AS s1,
+                 CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+          FROM d2 GROUP BY 1),
+        fences AS (
+          SELECT weekday,
+                 CAST(s1 AS DOUBLE) / n_days AS mu,
+                 sqrt(CAST(s2 AS DOUBLE) / n_days
+                      - (CAST(s1 AS DOUBLE) / n_days)
+                        * (CAST(s1 AS DOUBLE) / n_days)) AS sd
+          FROM base)
+        SELECT strftime(DATE '1970-01-01'
+                 + TO_DAYS(CAST(eday AS INT)), '%Y-%m-%d') AS day,
+               weekday, n_events, mu,
+               (CAST(n_events AS DOUBLE) - mu) / sd AS z_score
+        FROM d2 JOIN fences USING (weekday)
+        WHERE sd > 0 AND abs((CAST(n_events AS DOUBLE) - mu) / sd) > 1.4
     """,
 })

@@ -373,6 +373,11 @@ _OPERATORS = {
     "template_prefix_groups": text.template_prefix_groups,
     "priority_transition_matrix": relational.priority_transition_matrix,
     "embedding_outliers_diag": similarity.embedding_outliers_diag,
+    # §2.A/C round-6 wave 24: fulfilment drill-down, procurement
+    # spread, seasonality-aware anomaly days
+    "late_delivery_root_cause": relational.late_delivery_root_cause,
+    "supplier_part_price_spread": relational.supplier_part_price_spread,
+    "events_anomaly_days": windows.events_anomaly_days,
 }
 
 

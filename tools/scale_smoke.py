@@ -143,6 +143,9 @@ OPS = (
     "tokenizer_fertility_by_lang",
     "winnowing_pair_candidates",
     "payload_magic_types",
+    "late_delivery_root_cause",
+    "supplier_part_price_spread",
+    "events_anomaly_days",
 )
 
 
@@ -208,6 +211,22 @@ def main() -> None:
         obig = part if obig is None else obig.unionByName(part)
     obig.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
     print(f"orders: {n_or * n_copies} rows")
+
+    lsrc = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    n_li = lsrc.count()
+    lbig = None
+    for i in range(n_copies):
+        # keys offset in lockstep with orders so the FK join holds
+        part = lsrc.select(
+            (F.col("l_orderkey") + i * n_or).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            (F.col("l_extendedprice") * (1.0 + i * 0.01))
+            .alias("l_extendedprice"),
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate")
+        lbig = part if lbig is None else lbig.unionByName(part)
+    lbig.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    print(f"lineitem: {n_li * n_copies} rows")
 
     qs = registry.queries()
     for name in OPS:
