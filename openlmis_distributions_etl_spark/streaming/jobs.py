@@ -1930,3 +1930,77 @@ def read_skyline(spark: SparkSession, out_dir: str) -> DataFrame:
                       F.date_format("o_orderdate", "yyyy-MM-dd")
                       .alias("orderdate"),
                       "o_totalprice")
+
+
+def stream_maintain_lifecycle(events: DataFrame, out_dir: str,
+                              checkpoint_dir: str):
+    """foreachBatch maintenance of the USER-LIFECYCLE store
+    (user_id → first_us, last_us) — the streaming half of
+    `user_lifecycle_stages`: each micro-batch folds its per-user
+    min/max event time into the snapshot with min-of-mins /
+    max-of-maxes — IDEMPOTENT and commutative (the first-seen-store
+    discipline: replays and out-of-order batches converge), so no
+    rebase ledger is needed. `read_lifecycle_stages` finishes the
+    store into the batch report shape against the store's own
+    frontier. State is one row per distinct user — the exact floor
+    for this metric."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        seen = (batch.select("user_id", F.unix_micros("ts").alias("us"))
+                .groupBy("user_id")
+                .agg(F.min("us").alias("first_us"),
+                     F.max("us").alias("last_us")))
+        try:
+            current = read_latest_snapshot(spark, out_dir)
+            merged = (current.unionByName(seen)
+                      .groupBy("user_id")
+                      .agg(F.min("first_us").alias("first_us"),
+                           F.max("last_us").alias("last_us")))
+        except FileNotFoundError:
+            merged = seen
+        except AnalysisException as e:
+            raise RuntimeError(
+                f"lifecycle store under {out_dir} unreadable; "
+                f"refusing to reset history") from e
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, f"{out_dir}/_CURRENT")
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_lifecycle_stages(spark: SparkSession,
+                          out_dir: str) -> DataFrame:
+    """Finish the lifecycle store into the batch
+    `user_lifecycle_stages` report (stage, n_users) against the
+    store's own ingestion frontier — same fences, same precedence."""
+    from ..operators.windows import (LIFECYCLE_CHURN_DAYS,
+                                     LIFECYCLE_DORMANT_DAYS)
+    per = read_latest_snapshot(spark, out_dir)
+    anchor = per.agg(F.max("last_us").alias("hi"))
+    day_us = 86_400 * 1_000_000
+    stage = (
+        F.when(F.col("first_us")
+               >= F.col("hi") - LIFECYCLE_DORMANT_DAYS * day_us,
+               "new")
+        .when(F.col("last_us")
+              < F.col("hi") - LIFECYCLE_CHURN_DAYS * day_us,
+              "churned")
+        .when(F.col("last_us")
+              < F.col("hi") - LIFECYCLE_DORMANT_DAYS * day_us,
+              "dormant")
+        .otherwise("active"))
+    return (per.crossJoin(F.broadcast(anchor))
+            .select(stage.alias("stage"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))

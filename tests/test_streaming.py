@@ -1105,3 +1105,38 @@ def test_stream_maintain_skyline_matches_batch(spark, tmp_path):
     again = jobs.read_skyline(spark, store).toPandas()
     assert sorted(map(tuple, again.itertuples(index=False))) \
         == head_before
+
+
+def test_stream_lifecycle_store_matches_batch(spark, tmp_path):
+    """Min/max-merged lifecycle store across OUT-OF-ORDER micro-
+    batches must finish to exactly the batch user_lifecycle_stages
+    report (idempotent merge: re-running the last batch leaves the
+    head unchanged)."""
+    from openlmis_distributions_etl_spark.operators.windows import (
+        user_lifecycle_stages)
+
+    t = load_tables(spark, SF0001, "events")
+    ev = t["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    src = tmp_path / "lc_src"
+    src.mkdir()
+    store = str(tmp_path / "lc_store")
+    ck = str(tmp_path / "lc_ck")
+    # LATE half first: the store's frontier moves backwards-safe
+    _feed_events(ev.where(F.col("ts") >= F.lit(mid)), src,
+                 "events.parquet")
+    q = jobs.stream_maintain_lifecycle(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        store, ck)
+    assert q.awaitTermination(120)
+    _feed_events(ev.where(F.col("ts") < F.lit(mid)), src,
+                 "events_b.parquet")
+    q2 = jobs.stream_maintain_lifecycle(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        store, ck)
+    assert q2.awaitTermination(120)
+
+    got = jobs.read_lifecycle_stages(spark, store).toPandas()
+    want = user_lifecycle_stages(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
