@@ -2379,3 +2379,48 @@ def spearman_daily_rank_corr(t: dict[str, DataFrame]) -> DataFrame:
                     - F.col("sy") * F.col("sy")).cast("double"))
     return a.select(F.col("n").alias("n_days"),
                     (num.cast("double") / den).alias("spearman_rho"))
+
+
+def customer_spend_decile_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer-value DECILE profile: customers ranked by exact
+    lifetime spend (orders fact), cut into 10 equal-population bands
+    (band = idx·10 DIV n on the distributed row index — the
+    `_rank_buckets` prefix decomposition, NO single-task global
+    sort), then per decile the population, exact decimal spend, its
+    corpus share, and the mean — the table behind "the top decile
+    is 40% of revenue" slides. Ties break (spend DESC, custkey ASC)
+    so the cut is deterministic."""
+    from ..functions import dec
+    from ..functions.cache import retain
+    cust = retain(t["orders"]
+                  .groupBy("o_custkey")
+                  .agg(F.sum(dec("o_totalprice")).alias("spend")))
+    n = cust.count()
+    bucketed = (_rank_buckets(
+        cust.withColumn("_k", -F.col("spend").cast("double")), n)
+        .select("o_custkey", "spend", "bkt"))
+    bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(wo),
+                          F.lit(0).cast("long")).alias("off"))
+    win = (Window.partitionBy("bkt")
+           .orderBy(F.desc("spend"), F.asc("o_custkey")))
+    idx = (F.row_number().over(win) - 1 + F.col("off")).cast("long")
+    ranked = (bucketed.join(F.broadcast(offs), "bkt")
+              .select("o_custkey", "spend", idx.alias("idx")))
+    dec10 = F.expr(f"idx * 10 DIV {n}").cast("int")
+    tot = ranked.agg(
+        F.sum("spend").cast("decimal(38,6)").alias("tot"))
+    return (ranked.select(dec10.alias("decile"), "spend")
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("spend").cast("decimal(38,6)").alias("d_spend"))
+            .crossJoin(F.broadcast(tot))
+            .select("decile", "n_customers",
+                    F.col("d_spend").cast("double").alias("total_spend"),
+                    (F.col("d_spend").cast("double")
+                     / F.col("tot").cast("double")).alias("spend_share"),
+                    (F.col("d_spend").cast("double")
+                     / F.col("n_customers")).alias("avg_spend")))

@@ -1141,3 +1141,26 @@ def events_anomaly_days(t: dict[str, DataFrame]) -> DataFrame:
                 .alias("day"),
                 "weekday", "n_events", "mu",
                 z.alias("z_score")))
+
+
+def user_active_day_streaks(t: dict[str, DataFrame]) -> DataFrame:
+    """Longest CONSECUTIVE-DAY activity streak per user (plus total
+    active days and streak count) — the engagement-habit metric
+    behind retention scoring. Classic gaps-and-islands on the
+    distinct (user, epoch-day) grid: island id = eday − row_number
+    (consecutive days share it), one user-keyed shuffle, per-user
+    rollup; all integer arithmetic."""
+    ud = (t["events"]
+          .select("user_id",
+                  F.expr("datediff(CAST(ts AS DATE), "
+                         "DATE '1970-01-01')").alias("eday"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("eday")
+    isl = ud.withColumn(
+        "grp", F.col("eday") - F.row_number().over(w))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("max_streak_days"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.sum("len").alias("n_active_days")))

@@ -7561,3 +7561,58 @@ ORACLES.update({
         WHERE sd > 0 AND abs((CAST(n_events AS DOUBLE) - mu) / sd) > 1.4
     """,
 })
+
+
+ORACLES.update({
+    "user_active_day_streaks": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(ts AS DATE)) AS eday
+          FROM events),
+        isl AS (
+          SELECT user_id,
+                 eday - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY eday) AS grp
+          FROM ud),
+        streaks AS (
+          SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id,
+               MAX(len) AS max_streak_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM streaks GROUP BY user_id
+    """,
+    # distributed row index -> idx*10 DIV n decile cut (NOT NTILE:
+    # same formula both engines, rank-machinery-compatible)
+    "customer_spend_decile_profile": """
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(38,6)) AS spend
+          FROM orders GROUP BY o_custkey),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+        ranked AS (
+          SELECT spend,
+                 CAST(ROW_NUMBER() OVER (ORDER BY spend DESC,
+                                         o_custkey ASC) - 1
+                      AS BIGINT) AS idx
+          FROM cust),
+        dd AS (
+          SELECT CAST(idx * 10 // n AS INT) AS decile, spend
+          FROM ranked, n),
+        tot AS (SELECT CAST(SUM(spend) AS DECIMAL(38,6)) AS tot
+                FROM cust)
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(spend) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS total_spend,
+               CAST(CAST(SUM(spend) AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(tot AS DOUBLE) AS spend_share,
+               CAST(CAST(SUM(spend) AS DECIMAL(38,6)) AS DOUBLE)
+                 / COUNT(*) AS avg_spend
+        FROM dd, tot
+        GROUP BY decile, tot
+    """,
+})

@@ -378,6 +378,10 @@ _OPERATORS = {
     "late_delivery_root_cause": relational.late_delivery_root_cause,
     "supplier_part_price_spread": relational.supplier_part_price_spread,
     "events_anomaly_days": windows.events_anomaly_days,
+    # §2.A/C round-6 wave 25: streaks, value deciles
+    "user_active_day_streaks": windows.user_active_day_streaks,
+    "customer_spend_decile_profile":
+        analytics.customer_spend_decile_profile,
 }
 
 

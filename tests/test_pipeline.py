@@ -341,3 +341,60 @@ def test_ivf_maintenance_triggers_and_pins_retrain(spark, tmp_path):
                        .collect()))
             == sorted(map(tuple, a_scr.select("vec_id", "centroid_id")
                           .collect())))
+
+
+def test_export_wds_shards_streams_shuffle_order(spark, tmp_path):
+    """WebDataset export: every doc lands exactly once as a
+    (.txt, .json) member pair, member order inside each tar replays
+    the deterministic-shuffle position order, and a second export
+    produces BYTE-IDENTICAL tars (fixed headers, stable keys)."""
+    import hashlib
+    import json
+    import tarfile
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        deterministic_shuffle)
+    from openlmis_distributions_etl_spark.plans.shards import (
+        export_wds_shards)
+    from openlmis_distributions_etl_spark.sources import load_tables
+
+    out = str(tmp_path / "wds")
+    res = export_wds_shards(spark, SF0001, out, n_shards=4)
+    assert res["n_files"] == 4
+
+    t = load_tables(spark, SF0001, "documents")
+    want = {r["doc_id"]: r for r in t["documents"].collect()}
+    order = {(r["shard"], r["doc_id"]): r["pos"]
+             for r in deterministic_shuffle(t, n_shards=4).collect()}
+    seen = set()
+    import pathlib
+    for p in sorted(pathlib.Path(out).glob("*.tar")):
+        shard = int(p.stem.split("-")[1])
+        positions = []
+        with tarfile.open(p) as tf:
+            members = tf.getmembers()
+            assert len(members) % 2 == 0
+            for m in members:
+                assert (m.mtime, m.uid, m.gid) == (0, 0, 0)
+            for i in range(0, len(members), 2):
+                m_txt, m_json = members[i], members[i + 1]
+                key = int(m_txt.name.split(".")[0])
+                assert m_txt.name == f"{key:012d}.txt"
+                meta = json.loads(
+                    tf.extractfile(m_json).read().decode())
+                assert meta["doc_id"] == key
+                body = tf.extractfile(m_txt).read().decode()
+                assert body == want[key]["text"]
+                assert meta["lang"] == want[key]["lang"]
+                positions.append(order[(shard, key)])
+                seen.add(key)
+        assert positions == sorted(positions)
+    assert seen == set(want)
+
+    out2 = str(tmp_path / "wds2")
+    export_wds_shards(spark, SF0001, out2, n_shards=4)
+    for p in sorted(pathlib.Path(out).glob("*.tar")):
+        h1 = hashlib.sha256(p.read_bytes()).hexdigest()
+        h2 = hashlib.sha256(
+            (pathlib.Path(out2) / p.name).read_bytes()).hexdigest()
+        assert h1 == h2

@@ -86,6 +86,7 @@ BNLJ_ALLOWED = {
     "knn_beam_ndcg",          # composes pinned broadcast paths
     "embedding_outliers_diag",  # broadcast per-dim stats singleton row
     "late_delivery_root_cause",  # broadcast global-rate singleton row
+    "customer_spend_decile_profile",  # broadcast corpus-total row
     "user_lifecycle_stages",  # broadcast frontier-anchor singleton row
     # (knn_beam's broadcast query/frontier joins sit behind
     # localCheckpoint leaves, so they never show in the final plan)
