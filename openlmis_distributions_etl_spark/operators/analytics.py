@@ -2424,3 +2424,34 @@ def customer_spend_decile_profile(t: dict[str, DataFrame]) -> DataFrame:
                      / F.col("tot").cast("double")).alias("spend_share"),
                     (F.col("d_spend").cast("double")
                      / F.col("n_customers")).alias("avg_spend")))
+
+
+CUME_PROBES = (0.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0)
+
+
+def cume_dist_value_probes(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact cumulative distribution of event `value` at a FIXED
+    probe grid, per event type — the calibration-curve table
+    (P(value <= p)) monitoring compares release-over-release, as a
+    pure conditional-count aggregate: one map-side-combinable pass,
+    (types × probes)-bounded output, no windows, no sort, exact
+    integer counts with one final division."""
+    ev = (t["events"].where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, p in enumerate(CUME_PROBES):
+        aggs.append(F.sum((F.col("value") <= F.lit(p)).cast("long"))
+                    .alias(f"c{i}"))
+    g = ev.groupBy("event_type").agg(*aggs)
+    rows = []
+    for i, p in enumerate(CUME_PROBES):
+        rows.append(F.struct(
+            F.lit(p).alias("probe"),
+            F.col(f"c{i}").alias("n_le"),
+            (F.col(f"c{i}").cast("double") / F.col("n"))
+            .alias("cume_dist")))
+    return (g.select("event_type", "n",
+                     F.explode(F.array(*rows)).alias("s"))
+            .select("event_type", F.col("s.probe").alias("probe"),
+                    F.col("s.n_le").alias("n_le"), "n",
+                    F.col("s.cume_dist").alias("cume_dist")))

@@ -1408,3 +1408,19 @@ def supplier_part_price_spread(t: dict[str, DataFrame],
                     "max_price", spread.alias("rel_spread"))
             .orderBy(F.desc("rel_spread"), F.asc("l_partkey"))
             .limit(k))
+
+
+def monthly_status_mix(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-status mix per month (share of O/F/P within each month,
+    exact counts + one division) — the fulfilment-backlog trend
+    line; months-bounded key space, one map-side-combinable pass."""
+    from ..functions import month_key
+    g = (t["orders"]
+         .groupBy(month_key("o_orderdate").alias("month"),
+                  "o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.partitionBy("month")
+    return g.select(
+        "month", "o_orderstatus", "n_orders",
+        (F.col("n_orders").cast("double")
+         / F.sum("n_orders").over(w)).alias("status_share"))

@@ -2004,3 +2004,36 @@ def embedding_outliers_diag(t: dict[str, DataFrame],
             .select("vec_id", "score_units",
                     (F.col("score_units").cast("double")
                      / COV_QUANT).alias("maha_diag_sq")))
+
+
+def pq_code_utilization(t: dict[str, DataFrame]) -> DataFrame:
+    """PQ codebook HEALTH audit: per subquantizer, how many of its 16
+    codes are actually used, the population of the hottest code, and
+    the assignment entropy (micro-nat-quantized integer terms — the
+    engine-portable discipline) — dead or collapsed codes mean the
+    codebook wastes bits and ADC distances lose resolution (the PQ
+    analogue of ivf_cluster_stats' balance check). One (m, code)
+    count on top of the zero-shuffle encoder; the finish is a
+    PQ_M-bounded rollup."""
+    counts = (pq_codes(t)
+              .groupBy("m", "code")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("m")
+    per = counts.select(
+        "m", "c",
+        F.sum("c").over(w).alias("n"),
+        F.max("c").over(w).alias("top"))
+    units = F.floor(
+        F.col("c") * F.log(F.col("n").cast("double")
+                           / F.col("c").cast("double"))
+        * 1_000_000 + F.lit(0.5)).cast("long")
+    return (per.withColumn("u", units)
+            .groupBy("m")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_codes_used"),
+                 F.max("top").alias("top_code_count"),
+                 F.max("n").alias("n_vectors"),
+                 F.sum("u").alias("h_units"))
+            .select("m", "n_codes_used", "top_code_count",
+                    "n_vectors",
+                    (F.col("h_units").cast("double") / 1_000_000
+                     / F.col("n_vectors")).alias("code_entropy_nats")))

@@ -7616,3 +7616,70 @@ ORACLES.update({
         GROUP BY decile, tot
     """,
 })
+
+
+ORACLES.update({
+    # composes the pq_codes twin; entropy terms micro-nat-quantized
+    "pq_code_utilization": f"""
+        WITH pq AS ({ORACLES['pq_codes']}),
+        counts AS (
+          SELECT m, code, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pq GROUP BY m, code),
+        per AS (
+          SELECT m, c,
+                 CAST(SUM(c) OVER (PARTITION BY m) AS BIGINT) AS n,
+                 CAST(MAX(c) OVER (PARTITION BY m) AS BIGINT) AS top
+          FROM counts),
+        u AS (
+          SELECT m, c, n, top,
+                 CAST(floor(c * ln(CAST(n AS DOUBLE)
+                                   / CAST(c AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS uu
+          FROM per)
+        SELECT m, CAST(COUNT(*) AS INT) AS n_codes_used,
+               MAX(top) AS top_code_count,
+               MAX(n) AS n_vectors,
+               CAST(SUM(uu) AS DOUBLE) / 1000000 / MAX(n)
+                 AS code_entropy_nats
+        FROM u GROUP BY m
+    """,
+    "cume_dist_value_probes": """
+        WITH ev AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL),
+        g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN value <= 75.0 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                 CAST(SUM(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                 CAST(SUM(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS c6
+          FROM ev GROUP BY event_type)
+        SELECT event_type, p.probe,
+               CASE p.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                        WHEN 3 THEN c3 WHEN 4 THEN c4 WHEN 5 THEN c5
+                        ELSE c6 END AS n_le,
+               n,
+               CAST(CASE p.i WHEN 0 THEN c0 WHEN 1 THEN c1
+                             WHEN 2 THEN c2 WHEN 3 THEN c3
+                             WHEN 4 THEN c4 WHEN 5 THEN c5
+                             ELSE c6 END AS DOUBLE) / n AS cume_dist
+        FROM g, (VALUES (0, 0.0), (1, 25.0), (2, 50.0), (3, 75.0),
+                        (4, 100.0), (5, 150.0), (6, 200.0))
+             AS p(i, probe)
+    """,
+    "monthly_status_mix": """
+        WITH g AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1, 2)
+        SELECT month, o_orderstatus, n_orders,
+               CAST(n_orders AS DOUBLE)
+                 / SUM(n_orders) OVER (PARTITION BY month)
+                 AS status_share
+        FROM g
+    """,
+})

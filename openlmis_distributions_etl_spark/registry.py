@@ -382,6 +382,11 @@ _OPERATORS = {
     "user_active_day_streaks": windows.user_active_day_streaks,
     "customer_spend_decile_profile":
         analytics.customer_spend_decile_profile,
+    # §2.A/F round-6 wave 26: PQ health, calibration probes,
+    # status-mix trend
+    "pq_code_utilization": similarity.pq_code_utilization,
+    "cume_dist_value_probes": analytics.cume_dist_value_probes,
+    "monthly_status_mix": relational.monthly_status_mix,
 }
 
 

@@ -87,6 +87,7 @@ BNLJ_ALLOWED = {
     "embedding_outliers_diag",  # broadcast per-dim stats singleton row
     "late_delivery_root_cause",  # broadcast global-rate singleton row
     "customer_spend_decile_profile",  # broadcast corpus-total row
+    "pq_code_utilization",    # broadcast PQ codebook row (via pq_codes)
     "user_lifecycle_stages",  # broadcast frontier-anchor singleton row
     # (knn_beam's broadcast query/frontier joins sit behind
     # localCheckpoint leaves, so they never show in the final plan)

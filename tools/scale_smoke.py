@@ -146,6 +146,11 @@ OPS = (
     "late_delivery_root_cause",
     "supplier_part_price_spread",
     "events_anomaly_days",
+    "user_active_day_streaks",
+    "customer_spend_decile_profile",
+    "pq_code_utilization",
+    "cume_dist_value_probes",
+    "monthly_status_mix",
 )
 
 
