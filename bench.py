@@ -132,6 +132,14 @@ HEADLINE = [
     # round-6: graph-index ANN (navigable index build + beam search)
     "beam_graph_edges",
     "knn_beam",
+    # round-6 waves 22-26: skyline, rank stats, curation signals,
+    # deciles, PQ health
+    "orders_skyline_2d",
+    "mann_whitney_value_drift",
+    "doc_char_entropy",
+    "embedding_outliers_diag",
+    "customer_spend_decile_profile",
+    "user_active_day_streaks",
 ]
 
 
