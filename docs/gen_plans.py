@@ -48,6 +48,14 @@ FLAGSHIPS = (
     "trimmed_mean_by_type",
     "leakage_safe_split",
     "training_corpus_plan",
+    # round-6 flagships
+    "longest_repeated_substring",
+    "beam_graph_edges",
+    "knn_beam",
+    "orders_skyline_2d",
+    "mann_whitney_value_drift",
+    "customer_spend_decile_profile",
+    "embedding_outliers_diag",
     "token_budget_sample",
     "lsh_band_sweep",
     "rolling_7d_active_users",
