@@ -2455,3 +2455,45 @@ def cume_dist_value_probes(t: dict[str, DataFrame]) -> DataFrame:
             .select("event_type", F.col("s.probe").alias("probe"),
                     F.col("s.n_le").alias("n_le"), "n",
                     F.col("s.cume_dist").alias("cume_dist")))
+
+
+BITMAP_LANE = 62   # bits per word: DuckDB's 1<<63 overflows signed
+
+
+def audience_bitmap_intersection(t: dict[str, DataFrame]) -> DataFrame:
+    """Audience overlap via a BITMAP INDEX: each audience (click
+    users, purchase users) compresses to one 62-bit word per
+    user-id block (bit_or of shifted bits — the roaring-bitmap idea
+    in its dense form), and intersection / union / Jaccard are then
+    bit_count folds over a full-outer word join — the audience-
+    overlap engine ad/analytics stacks use where re-shuffling raw
+    user ids per question would dominate. Exact integers end to end;
+    state per audience is |users| / 62 words. The exact-distinct
+    cross-check (n_both vs a COUNT(DISTINCT) intersection) is pinned
+    by the oracle."""
+    ev = (t["events"]
+          .where(F.col("event_type").isin("click", "purchase"))
+          .select("event_type", "user_id").distinct())
+    words = (ev.select(
+        "event_type",
+        F.expr(f"user_id DIV {BITMAP_LANE}").alias("blk"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+               f"int(user_id % {BITMAP_LANE}))").alias("bit"))
+        .groupBy("event_type", "blk")
+        .agg(F.expr("bit_or(bit)").alias("w")))
+    a = (words.where(F.col("event_type") == "click")
+         .select("blk", F.col("w").alias("wa")))
+    b = (words.where(F.col("event_type") == "purchase")
+         .select("blk", F.col("w").alias("wb")))
+    j = a.join(b, "blk", "full")
+    za = F.coalesce(F.col("wa"), F.lit(0).cast("long"))
+    zb = F.coalesce(F.col("wb"), F.lit(0).cast("long"))
+    agg = j.agg(
+        F.sum(F.bit_count(za)).alias("n_click"),
+        F.sum(F.bit_count(zb)).alias("n_purchase"),
+        F.sum(F.bit_count(za.bitwiseAND(zb))).alias("n_both"),
+        F.sum(F.bit_count(za.bitwiseOR(zb))).alias("n_either"))
+    return agg.select(
+        "n_click", "n_purchase", "n_both", "n_either",
+        (F.col("n_both").cast("double") / F.col("n_either"))
+        .alias("jaccard"))

@@ -7683,3 +7683,33 @@ ORACLES.update({
         FROM g
     """,
 })
+
+
+ORACLES.update({
+    # dense bitmap words (62-bit lanes), popcount folds; the n_both
+    # column doubles as an exact-distinct intersection cross-check
+    "audience_bitmap_intersection": """
+        WITH ev AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        words AS (
+          SELECT event_type, user_id // 62 AS blk,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST(user_id % 62 AS INT)) AS w
+          FROM ev GROUP BY 1, 2),
+        a AS (SELECT blk, w AS wa FROM words
+              WHERE event_type = 'click'),
+        b AS (SELECT blk, w AS wb FROM words
+              WHERE event_type = 'purchase'),
+        j AS (
+          SELECT COALESCE(a.wa, 0) AS wa, COALESCE(b.wb, 0) AS wb
+          FROM a FULL OUTER JOIN b USING (blk))
+        SELECT CAST(SUM(bit_count(wa)) AS BIGINT) AS n_click,
+               CAST(SUM(bit_count(wb)) AS BIGINT) AS n_purchase,
+               CAST(SUM(bit_count(wa & wb)) AS BIGINT) AS n_both,
+               CAST(SUM(bit_count(wa | wb)) AS BIGINT) AS n_either,
+               CAST(SUM(bit_count(wa & wb)) AS DOUBLE)
+                 / SUM(bit_count(wa | wb)) AS jaccard
+        FROM j
+    """,
+})

@@ -387,6 +387,9 @@ _OPERATORS = {
     "pq_code_utilization": similarity.pq_code_utilization,
     "cume_dist_value_probes": analytics.cume_dist_value_probes,
     "monthly_status_mix": relational.monthly_status_mix,
+    # §2.A round-6 wave 27: bitmap-index audience overlap
+    "audience_bitmap_intersection":
+        analytics.audience_bitmap_intersection,
 }
 
 

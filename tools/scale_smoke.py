@@ -151,6 +151,7 @@ OPS = (
     "pq_code_utilization",
     "cume_dist_value_probes",
     "monthly_status_mix",
+    "audience_bitmap_intersection",
 )
 
 
