@@ -1403,3 +1403,91 @@ def test_leakage_safe_split_has_zero_cross_split_pairs(spark):
              for r in split_leakage_audit(t).collect()}
     assert cells.get(("test", "train"), 0) == 0
     assert sum(cells.values()) > 0    # the graph isn't trivially empty
+
+
+def test_orders_skyline_ties_and_dominance(spark):
+    """Two identical maxima on one date both survive; equal price on
+    a strictly later date dominates the earlier one; a cheap recent
+    order survives only if nothing later is >= it."""
+    from openlmis_distributions_etl_spark.operators.relational import (
+        orders_skyline_2d)
+    rows = [
+        (1, "2024-01-01", 100.0),  # dominated by 3 (later, higher)
+        (2, "2024-01-02", 100.0),  # dominated by 3
+        (3, "2024-01-03", 100.0),  # skyline (latest of the 100s)
+        (4, "2024-01-03", 100.0),  # tie with 3 on BOTH axes: kept
+        (5, "2024-01-02", 150.0),  # skyline (highest price)
+        (6, "2024-01-04", 50.0),   # skyline (latest date)
+        (7, "2024-01-04", 40.0),   # dominated by 6 (same date, less)
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.date.fromisoformat(d), v) for k, d, v in rows],
+        "o_orderkey long, o_orderdate date, o_totalprice double")
+    got = sorted(r["o_orderkey"] for r in
+                 orders_skyline_2d({"orders": df}).collect())
+    assert got == [3, 4, 5, 6]
+
+
+def test_user_lifecycle_precedence_new_wins(spark):
+    """A user first seen within 30 days is `new` even if also active;
+    the churn fence needs >60 days of silence; buckets partition."""
+    from openlmis_distributions_etl_spark.operators.windows import (
+        user_lifecycle_stages)
+    base = dt.datetime(2024, 6, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # anchor user: active now, first seen long ago -> active
+        (1, 10, base - 200 * day), (2, 10, base),
+        # new: first seen 5 days before the frontier
+        (3, 20, base - 5 * day),
+        # dormant: last seen 40 days ago, first seen long ago
+        (4, 30, base - 300 * day), (5, 30, base - 40 * day),
+        # churned: last seen 90 days ago
+        (6, 40, base - 400 * day), (7, 40, base - 90 * day),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, u, ts in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    got = {r["stage"]: r["n_users"] for r in
+           user_lifecycle_stages({"events": df}).collect()}
+    assert got == {"active": 1, "new": 1, "dormant": 1, "churned": 1}
+
+
+def test_user_active_day_streaks_islands(spark):
+    """Days 1,2,3 + 5 + 7,8 -> max streak 3, three islands, six
+    active days (duplicate events on one day count once)."""
+    from openlmis_distributions_etl_spark.operators.windows import (
+        user_active_day_streaks)
+    base = dt.datetime(2024, 6, 1)
+    days = [1, 2, 2, 3, 5, 7, 8]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=d), 1, "view", 1.0, "{}")
+         for i, d in enumerate(days)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    r = user_active_day_streaks({"events": df}).collect()[0]
+    assert (r["max_streak_days"], r["n_streaks"],
+            r["n_active_days"]) == (3, 3, 6)
+
+
+def test_audience_bitmap_matches_set_arithmetic(spark):
+    """Cross-block user ids (incl. multiples of the 62-bit lane) must
+    reproduce exact set intersection/union counts."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        audience_bitmap_intersection)
+    base = dt.datetime(2024, 6, 1)
+    clicks = [0, 1, 61, 62, 124, 500]
+    purch = [1, 61, 63, 124, 999]
+    rows = ([(u, "click") for u in clicks]
+            + [(u, "purchase") for u in purch]
+            + [(0, "click")])           # duplicate event, same user
+    df = spark.createDataFrame(
+        [(i, base, u, ty, 1.0, "{}")
+         for i, (u, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    r = audience_bitmap_intersection({"events": df}).collect()[0]
+    a, b = set(clicks), set(purch)
+    assert (r["n_click"], r["n_purchase"], r["n_both"], r["n_either"]) \
+        == (len(a), len(b), len(a & b), len(a | b))
