@@ -2004,3 +2004,78 @@ def read_lifecycle_stages(spark: SparkSession,
             .select(stage.alias("stage"))
             .groupBy("stage")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def stream_maintain_audience_bitmaps(events: DataFrame, out_dir: str,
+                                     checkpoint_dir: str):
+    """foreachBatch maintenance of the AUDIENCE BITMAP store — the
+    streaming half of `audience_bitmap_intersection`: each
+    micro-batch folds its (event_type, user-block) 62-bit words into
+    the snapshot with bit_or-of-bit_ors — IDEMPOTENT and commutative
+    (the first-seen-store discipline: replays and out-of-order
+    batches converge, no rebase ledger). State is |users|/62 words
+    per audience; the overlap report is a popcount fold over the
+    store head, batch-equal by construction."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.analytics import BITMAP_LANE
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        words = (batch
+                 .where(F.col("event_type").isin("click", "purchase"))
+                 .select("event_type",
+                         F.expr(f"user_id DIV {BITMAP_LANE}")
+                         .alias("blk"),
+                         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                f"int(user_id % {BITMAP_LANE}))")
+                         .alias("bit"))
+                 .groupBy("event_type", "blk")
+                 .agg(F.expr("bit_or(bit)").alias("w")))
+        try:
+            current = read_latest_snapshot(spark, out_dir)
+            merged = (current.unionByName(words)
+                      .groupBy("event_type", "blk")
+                      .agg(F.expr("bit_or(w)").alias("w")))
+        except FileNotFoundError:
+            merged = words
+        except AnalysisException as e:
+            raise RuntimeError(
+                f"bitmap store under {out_dir} unreadable; "
+                f"refusing to reset history") from e
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+        tmp = f"{out_dir}/_CURRENT.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, f"{out_dir}/_CURRENT")
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_audience_overlap(spark: SparkSession,
+                          out_dir: str) -> DataFrame:
+    """Finish the bitmap store head into the batch
+    `audience_bitmap_intersection` report shape."""
+    words = read_latest_snapshot(spark, out_dir)
+    a = (words.where(F.col("event_type") == "click")
+         .select("blk", F.col("w").alias("wa")))
+    b = (words.where(F.col("event_type") == "purchase")
+         .select("blk", F.col("w").alias("wb")))
+    j = a.join(b, "blk", "full")
+    za = F.coalesce(F.col("wa"), F.lit(0).cast("long"))
+    zb = F.coalesce(F.col("wb"), F.lit(0).cast("long"))
+    agg = j.agg(
+        F.sum(F.bit_count(za)).alias("n_click"),
+        F.sum(F.bit_count(zb)).alias("n_purchase"),
+        F.sum(F.bit_count(za.bitwiseAND(zb))).alias("n_both"),
+        F.sum(F.bit_count(za.bitwiseOR(zb))).alias("n_either"))
+    return agg.select(
+        "n_click", "n_purchase", "n_both", "n_either",
+        (F.col("n_both").cast("double") / F.col("n_either"))
+        .alias("jaccard"))

@@ -1140,3 +1140,34 @@ def test_stream_lifecycle_store_matches_batch(spark, tmp_path):
     got = jobs.read_lifecycle_stages(spark, store).toPandas()
     want = user_lifecycle_stages(t).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_audience_bitmaps_match_batch(spark, tmp_path):
+    """bit_or-merged audience bitmaps across out-of-order micro-
+    batches finish to exactly the batch intersection report, and a
+    replayed batch leaves the head unchanged (idempotent merge)."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        audience_bitmap_intersection)
+
+    t = load_tables(spark, SF0001, "events")
+    ev = t["events"]
+    src = tmp_path / "bm_src"
+    src.mkdir()
+    store = str(tmp_path / "bm_store")
+    ck = str(tmp_path / "bm_ck")
+    _feed_events(ev.where(F.col("user_id") % 2 == 1), src,
+                 "events.parquet")
+    q = jobs.stream_maintain_audience_bitmaps(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        store, ck)
+    assert q.awaitTermination(120)
+    _feed_events(ev.where(F.col("user_id") % 2 == 0), src,
+                 "events_b.parquet")
+    q2 = jobs.stream_maintain_audience_bitmaps(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        store, ck)
+    assert q2.awaitTermination(120)
+
+    got = jobs.read_audience_overlap(spark, store).toPandas()
+    want = audience_bitmap_intersection(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
