@@ -364,3 +364,65 @@ def payload_magic_types(t: dict[str, DataFrame]) -> DataFrame:
             .groupBy("magic_hex")
             .agg(F.count(F.lit(1)).alias("n_payloads"),
                  F.sum("nbytes").alias("total_bytes")))
+
+
+CDC_W = 8        # rolling-hash window (bytes)
+CDC_MASK = 63    # boundary when h % 64 == 0 -> ~64-byte avg chunks
+CDC_BASE = 257
+CDC_MOD = 1_000_000_007
+
+
+def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Content-defined-chunking dedup audit over the BINARY payload
+    lane (the rsync/LBFS/backup-storage technique): a Karp-Rabin
+    rolling hash over each payload's bytes places chunk boundaries
+    wherever h % 64 == 0, so INSERTIONS only reshuffle the chunks
+    they touch (fixed-size blocks would shift every later block —
+    the reason storage dedup is content-defined). Chunks are hashed
+    and counted corpus-wide: the report is total vs distinct chunk
+    bytes and the dedup ratio a chunk store would achieve.
+
+    All chunking is in-row HOF work over the hex rendering (the
+    winnowing machinery's discipline — exact bigint rolling hash,
+    pin()ned arrays so Catalyst evaluates each stage once); the only
+    shuffle is the chunk-hash count, k duplicate chunks cost k
+    rows."""
+    from ..functions import pin, spread
+    p = (spread(t["documents"])
+         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+         .where(F.length("payload") >= CDC_W))
+    p = pin(p, hx=F.hex("payload"))
+    p = pin(p.select("doc_id", "hx"), codes=F.expr(
+        "transform(sequence(1, length(hx) DIV 2), i -> "
+        "CAST(conv(substring(hx, 2*i - 1, 2), 16, 10) AS BIGINT))"))
+    # rolling hash at byte i (1-based, i >= W): fold of the last W
+    # bytes; boundary AFTER byte i where h % (MASK+1) == 0
+    p = pin(p, bnd=F.expr(
+        f"filter(transform(sequence({CDC_W}, size(codes)), i -> "
+        f"IF(aggregate(sequence(i - {CDC_W} + 1, i), "
+        f"CAST(0 AS BIGINT), (acc, j) -> "
+        f"(acc * {CDC_BASE} + codes[j - 1]) % {CDC_MOD}) "
+        f"% {CDC_MASK + 1} = 0, i, -1)), x -> x > 0)"))
+    # chunk spans: boundaries plus the payload end (dedup'd in case
+    # the last byte is itself a boundary)
+    p = pin(p, ends=F.expr(
+        "array_distinct(concat(bnd, array(size(codes))))"))
+    chunks = (p.select("doc_id", "hx", F.expr(
+        "transform(ends, (e, j) -> struct("
+        "IF(j = 0, 0, ends[j - 1]) AS lo, e AS hi))").alias("spans"))
+        .select("doc_id", "hx", F.explode("spans").alias("s"))
+        .select("doc_id",
+                (F.col("s.hi") - F.col("s.lo")).alias("clen"),
+                F.md5(F.expr(
+                    "substring(hx, 2*s.lo + 1, 2*(s.hi - s.lo))"))
+                .alias("ch")))
+    g = (chunks.groupBy("ch")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.max("clen").alias("clen")))
+    return g.agg(
+        F.sum("n").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("n") * F.col("clen")).alias("total_bytes"),
+        F.sum(F.col("clen")).alias("distinct_bytes"),
+        (F.lit(1.0) - F.sum(F.col("clen")).cast("double")
+         / F.sum(F.col("n") * F.col("clen"))).alias("dedup_ratio"))

@@ -7713,3 +7713,61 @@ ORACLES.update({
         FROM j
     """,
 })
+
+
+ORACLES.update({
+    # Karp-Rabin content-defined chunk boundaries mirrored list-wise
+    "payload_cdc_dedup_stats": """
+        WITH p AS (
+          SELECT doc_id, hex(encode(text)) AS hx FROM documents
+          WHERE octet_length(encode(text)) >= 8),
+        c AS (
+          SELECT doc_id, hx,
+                 list_transform(range(1, length(hx) // 2 + 1), i ->
+                   CAST(('0x' || substring(hx, CAST(2*i - 1 AS INT),
+                                           2))::INT64 AS BIGINT))
+                   AS codes
+          FROM p),
+        b AS (
+          SELECT doc_id, hx, codes,
+                 list_filter(
+                   list_transform(range(8, len(codes) + 1), i ->
+                     CASE WHEN list_reduce(
+                            codes[CAST(i - 8 + 1 AS INT)
+                                  : CAST(i AS INT)],
+                            (acc, x) -> (acc * 257 + x)
+                                        % 1000000007)
+                          % 64 = 0
+                     THEN i ELSE -1 END), x -> x > 0) AS bnd
+          FROM c),
+        e AS (
+          SELECT doc_id, hx,
+                 list_sort(list_distinct(
+                   list_append(bnd, len(codes)))) AS ends
+          FROM b),
+        spans AS (
+          SELECT doc_id, hx,
+                 unnest(list_transform(range(1, len(ends) + 1), j ->
+                   struct_pack(
+                     lo := CASE WHEN j = 1 THEN 0
+                                ELSE ends[CAST(j - 1 AS INT)] END,
+                     hi := ends[CAST(j AS INT)]))) AS s
+          FROM e),
+        chunks AS (
+          SELECT CAST(s.hi - s.lo AS BIGINT) AS clen,
+                 md5(substring(hx, CAST(2*s.lo + 1 AS INT),
+                               CAST(2*(s.hi - s.lo) AS INT))) AS ch
+          FROM spans),
+        g AS (
+          SELECT ch, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(clen) AS BIGINT) AS clen
+          FROM chunks GROUP BY ch)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(SUM(n * clen) AS BIGINT) AS total_bytes,
+               CAST(SUM(clen) AS BIGINT) AS distinct_bytes,
+               1.0 - CAST(SUM(clen) AS DOUBLE) / SUM(n * clen)
+                 AS dedup_ratio
+        FROM g
+    """,
+})

@@ -390,6 +390,8 @@ _OPERATORS = {
     # §2.A round-6 wave 27: bitmap-index audience overlap
     "audience_bitmap_intersection":
         analytics.audience_bitmap_intersection,
+    # §2.H round-6 wave 27: content-defined-chunking dedup audit
+    "payload_cdc_dedup_stats": multimodal.payload_cdc_dedup_stats,
 }
 
 

@@ -152,6 +152,7 @@ OPS = (
     "cume_dist_value_probes",
     "monthly_status_mix",
     "audience_bitmap_intersection",
+    "payload_cdc_dedup_stats",
 )
 
 
