@@ -64,7 +64,8 @@ LRS_SCHEMA = StructType([
 
 
 def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
-                            proxy: F.Column) -> DataFrame:
+                            proxy: F.Column,
+                            dense_max: int | None = None) -> DataFrame:
     """Append exact global dense rank ``r`` (1-based, contiguous) of
     ``okey`` to ``df`` without a global sort.
 
@@ -73,8 +74,22 @@ def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
     (b) monotone non-decreasing in okey order wherever doubles can
     resolve it (fence placement then only affects balance). Dense
     rank = in-bucket dense_rank + exclusive prefix of per-bucket
-    count-distinct over the tiny (ceil(n/4M)-row) bucket frame."""
-    b = _rank_buckets(df.withColumn("_k", proxy), n)
+    count-distinct over the tiny (ceil(n/4M)-row) bucket frame.
+
+    ``dense_max``: when the LEADING okey column is already a dense
+    1..dense_max rank (every doubling round after the first), fences
+    are pure arithmetic - bkt = (r1 - 1) DIV ceil(dense_max / nb) -
+    equal keys trivially share a bucket, bucket order is the rank
+    order, and the per-round approx_percentile sketch job (a full
+    scan + a driver collect) disappears entirely."""
+    if dense_max is not None:
+        import math
+        nb = max(16, math.ceil(n / 4_000_000))
+        width = max(1, math.ceil(dense_max / nb))
+        b = df.withColumn(
+            "bkt", F.expr(f"int((r1 - 1) DIV {width})"))
+    else:
+        b = _rank_buckets(df.withColumn("_k", proxy), n)
     win = Window.partitionBy("bkt").orderBy(*okey)
     per = b.groupBy("bkt").agg(F.count_distinct(*okey).alias("_nd"))
     wo = (Window.orderBy(F.asc("bkt"))
@@ -118,18 +133,22 @@ def _suffix_levels(t: dict[str, DataFrame]):
     width = 1
     while width < maxlen:
         prev = levels[-1]
-        # all ranks distinct -> suffix order is already total
-        if int(prev.agg(F.max("r")).collect()[0][0]) == n_suf:
+        # one bounded action per round: the max rank both drives the
+        # all-distinct early exit AND parameterizes the arithmetic
+        # bucketing of the next round (dense keys need no sketch)
+        mx = int(prev.agg(F.max("r")).collect()[0][0])
+        if mx == n_suf:
             break
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
         pair = prev.select(
             "doc_id", "n", "pos", F.col("r").alias("r1"),
             F.coalesce(F.lead("r", width).over(wdoc),
                        F.lit(0).cast("long")).alias("r2"))
+        # r1 is the PREVIOUS round's dense rank (1..mx), so fences
+        # are arithmetic - no percentile sketch job per round
         nxt = _dense_rank_distributed(
             pair, n_suf, [F.col("r1"), F.col("r2")],
-            F.col("r1").cast("double")
-            + F.col("r2").cast("double") / F.lit(float(n_suf + 1)),
+            F.col("r1").cast("double"), dense_max=mx,
         ).select("doc_id", "n", "pos", "r")
         levels.append(_truncate_lineage(nxt))
         width *= 2
