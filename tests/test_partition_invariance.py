@@ -42,6 +42,9 @@ FLOAT_SENSITIVE = (
     "knn_beam",
     "knn_beam_ndcg",
     "tokenizer_fertility_by_lang",
+    "customer_spend_decile_profile",
+    "payload_cdc_dedup_stats",
+    "embedding_outliers_diag",
 )
 
 
