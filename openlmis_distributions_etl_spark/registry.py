@@ -408,11 +408,37 @@ def _wrap(fn) -> QueryFn:
 
 
 # Names the driver's correctness sampler has ALREADY drawn (union of
-# CORRECTNESS_r01-r05). The sampler draws from the registry prefix,
+# CORRECTNESS_r01-r06). The sampler draws from the registry prefix,
 # so queries() enumerates the never-sampled operators FIRST -
 # rotating driver exposure onto the least-covered waves while every
 # entry stays in the registry either way.
 _DRIVER_SAMPLED = frozenset((
+    # -- CORRECTNESS_r06 (all 50 green) --
+    "audience_bitmap_intersection", "beam_graph_edges",
+    "benford_first_digit", "boolean_and_search",
+    "classifier_score_calibration", "cume_dist_value_probes",
+    "customer_spend_decile_profile", "daily_revenue_autocorr",
+    "daily_revenue_control_chart", "decayed_user_value",
+    "decontaminated_corpus_stats", "doc_char_entropy",
+    "doc_script_mix", "dup_graph_clustering_coef",
+    "dup_rate_by_length", "embedding_outliers_diag",
+    "event_value_mad_outliers", "events_anomaly_days",
+    "knn_beam", "knn_beam_ndcg",
+    "knn_beam_recall", "knn_lsh_ndcg",
+    "label_centroid_silhouette", "late_delivery_root_cause",
+    "longest_repeated_substring", "mann_whitney_value_drift",
+    "monthly_status_mix", "nation_trade_balance",
+    "orders_skyline_2d", "part_supplier_redundancy",
+    "payload_cdc_dedup_stats", "payload_magic_types",
+    "pq_code_utilization", "priority_transition_matrix",
+    "random_pair_cos_histogram", "revenue_cohorts",
+    "session_bounce_rate", "session_type_affinity",
+    "simhash_idf", "spearman_daily_rank_corr",
+    "supplier_part_price_spread", "template_prefix_groups",
+    "time_to_third_purchase", "tokenizer_fertility_by_lang",
+    "user_active_day_streaks", "user_interarrival_stats",
+    "user_lifecycle_stages", "value_qq_table",
+    "winnowing_pair_candidates", "winsorized_value_stats",
     # -- CORRECTNESS_r05 (all 50 green) --
     "benford_chi2_by_priority", "centroid_distance_matrix",
     "cohort_ltv_curve", "customer_spend_gini",
