@@ -370,6 +370,10 @@ CDC_W = 8        # rolling-hash window (bytes)
 CDC_MASK = 63    # boundary when h % 64 == 0 -> ~64-byte avg chunks
 CDC_BASE = 257
 CDC_MOD = 1_000_000_007
+# outgoing-byte weight BASE^(W-1) mod MOD: the term subtracted when
+# the window slides one byte right (keeps the scan O(len), not
+# O(len*W))
+CDC_BW1 = pow(CDC_BASE, CDC_W - 1, CDC_MOD)
 
 
 def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
@@ -396,13 +400,24 @@ def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
         "transform(sequence(1, length(hx) DIV 2), i -> "
         "CAST(conv(substring(hx, 2*i - 1, 2), 16, 10) AS BIGINT))"))
     # rolling hash at byte i (1-based, i >= W): fold of the last W
-    # bytes; boundary AFTER byte i where h % (MASK+1) == 0
+    # bytes; boundary AFTER byte i where h % (MASK+1) == 0. ONE
+    # aggregate pass maintains the window hash incrementally —
+    # sliding right drops codes[i-W] (weight BASE^(W-1), precomputed)
+    # and folds codes[i] in; pmod renormalizes after the subtraction.
+    # O(len) expression work per payload (the old per-position W-byte
+    # refold was O(len*W)); the recurrence reproduces the canonical
+    # per-step-mod fold bit-for-bit, so boundaries are unchanged.
+    _step = (f"pmod((acc.h - IF(i > {CDC_W}, "
+             f"codes[i - {CDC_W + 1}] * {CDC_BW1}L, 0L)) "
+             f"* {CDC_BASE} + codes[i - 1], {CDC_MOD})")
     p = pin(p, bnd=F.expr(
-        f"filter(transform(sequence({CDC_W}, size(codes)), i -> "
-        f"IF(aggregate(sequence(i - {CDC_W} + 1, i), "
-        f"CAST(0 AS BIGINT), (acc, j) -> "
-        f"(acc * {CDC_BASE} + codes[j - 1]) % {CDC_MOD}) "
-        f"% {CDC_MASK + 1} = 0, i, -1)), x -> x > 0)"))
+        f"aggregate(sequence(1, size(codes)), "
+        f"struct(CAST(0 AS BIGINT) AS h, "
+        f"CAST(array() AS ARRAY<INT>) AS b), "
+        f"(acc, i) -> struct({_step} AS h, "
+        f"IF(i >= {CDC_W} AND {_step} % {CDC_MASK + 1} = 0, "
+        f"concat(acc.b, array(i)), acc.b) AS b), "
+        f"acc -> acc.b)"))
     # chunk spans: boundaries plus the payload end (dedup'd in case
     # the last byte is itself a boundary)
     p = pin(p, ends=F.expr(
