@@ -34,14 +34,20 @@ current offset match - log-many broadcast-free equi-joins over the
 n-1 adjacent pairs). Identical full suffixes (rank ties at the top
 level) contribute their suffix length directly.
 
-Known scale consideration (documented, not a correctness issue): the
-doubling round buckets on r1 alone (a double can't pack two 44-bit
-ranks losslessly), so a hyper-frequent rank-1 prefix concentrates
-its pair rows in one bucket. Equal pairs still never straddle -
-results are exact - but a 100 TB deployment with Zipfian tokens
-would swap in a two-level (r1-fences, then per-heavy-r1 r2-fences)
-bucketer for balance. The fraction r2/(n+1) folded into the proxy
-key spreads same-r1 rows while doubles can still resolve it.
+Skew posture (the round-6 caveat, now closed): the doubling round's
+arithmetic r1 bucketer gets a SECOND level - the per-round rank
+census (one map-side-combinable aggregate whose driver result is
+bounded by n / bucket-target rows) reports the r1 values whose
+groups exceed the per-bucket target, each such value is isolated
+into its own fence range, and its rows are sub-bucketed by r2
+ranges (equal (r1, r2) pairs share a sub-bucket by construction, so
+exactness is untouched - only balance moves). A Zipfian
+hyper-frequent rank-1 prefix therefore spreads over ~group/target
+buckets instead of landing one hot window task. Level 0 never had
+the problem to begin with: token ranks are assigned on the DISTINCT
+vocabulary frame (vocab-bounded, trivially balanced) and joined
+back to positions - an AQE-skew-splittable equi-join, not a window
+over the hot token's row block.
 """
 
 from __future__ import annotations
@@ -63,9 +69,59 @@ LRS_SCHEMA = StructType([
 ])
 
 
+def _doubling_buckets(df: DataFrame, n: int, dense_max: int,
+                      heavy: list[tuple[int, int]] | None) -> DataFrame:
+    """Bucket a doubling-round pair frame (columns r1, r2) for the
+    distributed dense-rank assignment. Base level: arithmetic r1
+    fences - bkt = (r1 - 1) DIV ceil(dense_max / nb) - equal keys
+    trivially share a bucket and bucket order is rank order. Second
+    level (``heavy`` = [(r1_value, row_count)] from the per-round
+    rank census): every r1 value whose group exceeds the per-bucket
+    target is ISOLATED - within its coarse range, unit u orders
+    [below h1] h1 [h1..h2] h2 ... [above hk] (2j - is_heavy, monotone
+    in r1) - and its rows sub-bucket by r2 DIV w2 with w2 sized so
+    the value spreads over ~count/target buckets. Equal (r1, r2)
+    pairs always share (B, u, c3); bucket structs order
+    lexicographically = key order, so exactness is untouched and a
+    Zipfian hot rank costs balance nothing."""
+    import math
+    nb = max(16, math.ceil(n / 4_000_000))
+    width = max(1, math.ceil(dense_max / nb))
+    target = max(1, math.ceil(n / nb))
+    hv = sorted((h, c) for h, c in (heavy or []) if c > target)
+    if not hv:
+        return df.withColumn(
+            "bkt", F.expr(f"int((r1 - 1) DIV {width})"))
+    from collections import defaultdict
+    bmap: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for h, c in hv:
+        bmap[(h - 1) // width].append(
+            (h, max(1, math.ceil(c / target))))
+    spark = df.sparkSession
+    hdf = spark.createDataFrame(
+        [(int(bb), [h for h, _ in v], [m for _, m in v])
+         for bb, v in sorted(bmap.items())],
+        "B long, hv array<bigint>, hm array<int>")
+    j = (df.withColumn("B", F.expr(f"(r1 - 1) DIV {width}"))
+         .join(F.broadcast(hdf), "B", "left"))
+    u = F.expr("IF(hv IS NULL, 0, "
+               "size(filter(hv, x -> x <= r1)) * 2 "
+               "- IF(array_contains(hv, r1), 1, 0))")
+    c3 = F.expr(
+        f"IF(hv IS NOT NULL AND array_contains(hv, r1), "
+        f"int(r2 DIV int(ceil(({dense_max} + 1) / "
+        f"hm[size(filter(hv, x -> x <= r1)) - 1]))), 0)")
+    return (j.withColumn("bkt", F.struct(F.col("B").alias("b1"),
+                                         u.alias("b2"),
+                                         c3.alias("b3")))
+            .drop("B", "hv", "hm"))
+
+
 def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
                             proxy: F.Column,
-                            dense_max: int | None = None) -> DataFrame:
+                            dense_max: int | None = None,
+                            heavy: list[tuple[int, int]] | None = None,
+                            ) -> DataFrame:
     """Append exact global dense rank ``r`` (1-based, contiguous) of
     ``okey`` to ``df`` without a global sort.
 
@@ -78,16 +134,11 @@ def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
 
     ``dense_max``: when the LEADING okey column is already a dense
     1..dense_max rank (every doubling round after the first), fences
-    are pure arithmetic - bkt = (r1 - 1) DIV ceil(dense_max / nb) -
-    equal keys trivially share a bucket, bucket order is the rank
-    order, and the per-round approx_percentile sketch job (a full
-    scan + a driver collect) disappears entirely."""
+    are pure arithmetic (no percentile sketch job), and ``heavy``
+    (the per-round rank census) adds the second bucket level that
+    spreads over-target r1 groups by r2 - see _doubling_buckets."""
     if dense_max is not None:
-        import math
-        nb = max(16, math.ceil(n / 4_000_000))
-        width = max(1, math.ceil(dense_max / nb))
-        b = df.withColumn(
-            "bkt", F.expr(f"int((r1 - 1) DIV {width})"))
+        b = _doubling_buckets(df, n, dense_max, heavy)
     else:
         b = _rank_buckets(df.withColumn("_k", proxy), n)
     win = Window.partitionBy("bkt").orderBy(*okey)
@@ -121,22 +172,52 @@ def _suffix_levels(t: dict[str, DataFrame]):
         F.posexplode("toks").alias("pos", "tok"))
     # level 0: any CONSISTENT total order on tokens works for a
     # suffix array (adjacency-maximizes-LCP holds for any alphabet
-    # order), so order by (xxhash64, token) - the hash double keeps
-    # the bucketer balanced for arbitrarily large vocabularies, the
-    # token tiebreak keeps the rank injective on distinct tokens.
-    lvl0 = _dense_rank_distributed(
-        pos.withColumn("_h", F.xxhash64("tok")),
-        n_suf, [F.col("_h"), F.col("tok")],
-        F.col("_h").cast("double"),
-    ).select("doc_id", "n", "pos", "r")
+    # order), so order by (xxhash64, token). Ranks are assigned on
+    # the DISTINCT vocabulary frame - vocab-bounded work, no bucket
+    # can go hot however skewed the corpus - then joined back onto
+    # positions (equi-join on the token; a hyper-frequent token is a
+    # skewed JOIN key, which AQE splits, not a window hot spot).
+    vocab = retain(pos.select("tok").distinct()
+                   .withColumn("_h", F.xxhash64("tok")))
+    n_vocab = vocab.count()
+    vr = _dense_rank_distributed(
+        vocab, n_vocab, [F.col("_h"), F.col("tok")],
+        F.col("_h").cast("double"))
+    lvl0 = (pos.join(vr.select("tok", "r"), "tok")
+            .select("doc_id", "n", "pos", "r"))
     levels = [_truncate_lineage(lvl0)]
+    # per-bucket row target of the doubling bucketer (mirrors
+    # _dense_rank_distributed's nb formula): the rank census below
+    # reports groups above it so they can be sub-bucketed by r2
+    import math
+    nb = max(16, math.ceil(n_suf / 4_000_000))
+    target = max(1, math.ceil(n_suf / nb))
     width = 1
+    need_census = True
     while width < maxlen:
         prev = levels[-1]
-        # one bounded action per round: the max rank both drives the
-        # all-distinct early exit AND parameterizes the arithmetic
-        # bucketing of the next round (dense keys need no sketch)
-        mx = int(prev.agg(F.max("r")).collect()[0][0])
+        # one bounded action per round: the max rank (drives the
+        # all-distinct early exit AND the arithmetic fences), plus -
+        # only while skew is still live - the rank census reporting
+        # over-target groups (bounded by n/target entries) for the
+        # two-level bucketer. Rank groups REFINE monotonically (a
+        # round-j+1 group is a subset of a round-j group), so the
+        # first empty census proves every later round is balanced
+        # too and the loop decays to the cheap 1-row max aggregate.
+        if need_census:
+            s = (prev.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+                 .agg(F.max("r").alias("mx"),
+                      F.collect_list(
+                          F.when(F.col("c") > target,
+                                 F.struct("r", "c"))).alias("hv"))
+                 .collect()[0])
+            mx = int(s["mx"])
+            heavy = [(int(x["r"]), int(x["c"]))
+                     for x in (s["hv"] or [])]
+            need_census = bool(heavy)
+        else:
+            mx = int(prev.agg(F.max("r")).collect()[0][0])
+            heavy = []
         if mx == n_suf:
             break
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -148,7 +229,7 @@ def _suffix_levels(t: dict[str, DataFrame]):
         # are arithmetic - no percentile sketch job per round
         nxt = _dense_rank_distributed(
             pair, n_suf, [F.col("r1"), F.col("r2")],
-            F.col("r1").cast("double"), dense_max=mx,
+            F.col("r1").cast("double"), dense_max=mx, heavy=heavy,
         ).select("doc_id", "n", "pos", "r")
         levels.append(_truncate_lineage(nxt))
         width *= 2

@@ -589,3 +589,94 @@ def test_longest_repeated_substring_matches_bruteforce(spark,
         (lmax, len(v), len(set(v)), s)
         for s, v in reps.items() if s.count(" ") + 1 == lmax)
     assert got == want
+
+# hyper-frequent token: ~half of all positions are 'a' - the Zipfian
+# shape that makes one rank group exceed the per-bucket target, so
+# the doubling bucketer's second level (per-heavy-r1 r2 sub-fences)
+# is exercised end-to-end even at test scale (target = ceil(n/16))
+zipf_docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("aaabc")), min_size=4, max_size=40),
+    min_size=2, max_size=10)
+
+
+@LRS_PROP
+@given(zipf_docs_strategy)
+def test_lrs_hyper_frequent_token_matches_bruteforce(spark,
+                                                     token_lists):
+    """Two-level bucketer path: a ~60%-frequency token concentrates
+    rank groups far past the per-bucket target, so the per-round
+    census isolates them and sub-buckets by r2 - results must stay
+    bit-identical to brute force."""
+    from collections import defaultdict
+
+    from openlmis_distributions_etl_spark.operators import suffix
+    t = {"documents": _docs_df(spark, token_lists)}
+    got = sorted(
+        (r["lrs_tokens"], r["n_occurrences"], r["n_docs"],
+         r["lrs_text"])
+        for r in suffix.longest_repeated_substring(t).collect())
+
+    occ = defaultdict(list)
+    for doc_id, toks in enumerate(token_lists):
+        for p in range(len(toks)):
+            for ln in range(1, len(toks) - p + 1):
+                occ[" ".join(toks[p:p + ln])].append(doc_id)
+    reps = {s: v for s, v in occ.items() if len(v) >= 2}
+    lmax = max((s.count(" ") + 1 for s in reps), default=0)
+    want = sorted(
+        (lmax, len(v), len(set(v)), s)
+        for s, v in reps.items() if s.count(" ") + 1 == lmax)
+    assert got == want
+
+
+def test_doubling_buckets_spread_heavy_rank(spark):
+    """Direct bound check on the two-level bucketer: a rank group
+    holding half the frame must spread over ~count/target buckets,
+    every bucket staying within target + the largest EQUAL-pair
+    group (equal keys legitimately share a bucket), and the heavy
+    path's dense ranks must equal the single-level path's."""
+    import pyspark.sql.functions as F
+
+    from openlmis_distributions_etl_spark.operators import suffix
+
+    n, hot = 4000, 2000
+    rows = ([(1, 1 + (i % 500)) for i in range(hot)]
+            + [(2 + i % 37, i % 61) for i in range(n - hot)])
+    df = spark.createDataFrame(rows, "r1 long, r2 long")
+    dense_max = 40
+    # census exactly as _suffix_levels computes it
+    import math
+    nb = max(16, math.ceil(n / 4_000_000))
+    target = max(1, math.ceil(n / nb))          # 250
+    heavy = [(r, c) for r, c in
+             [(int(x["r1"]), int(x["c"])) for x in
+              df.groupBy("r1").agg(F.count(F.lit(1)).alias("c"))
+              .collect()] if c > target]
+    assert any(r == 1 and c == hot for r, c in heavy)
+
+    b = suffix._doubling_buckets(df, n, dense_max, heavy)
+    sizes = {tuple(r["bkt"]) if not isinstance(r["bkt"], int)
+             else r["bkt"]: r["c"]
+             for r in b.groupBy("bkt")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    hot_buckets = [k for k, v in sizes.items()
+                   if isinstance(k, tuple) and k[1] % 2 == 1]
+    assert len(hot_buckets) >= hot // target  # spread, not one task
+    max_eq = max(
+        r["c"] for r in df.groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).alias("c")).collect())
+    for k, v in sizes.items():
+        assert v <= target + max_eq, (k, v, target, max_eq)
+
+    # exactness: heavy-path ranks == single-level ranks
+    okey = [F.col("r1"), F.col("r2")]
+    proxy = F.col("r1").cast("double")
+    base = {(r["r1"], r["r2"]): r["r"] for r in
+            suffix._dense_rank_distributed(
+                df, n, okey, proxy, dense_max=dense_max)
+            .select("r1", "r2", "r").distinct().collect()}
+    two = {(r["r1"], r["r2"]): r["r"] for r in
+           suffix._dense_rank_distributed(
+               df, n, okey, proxy, dense_max=dense_max, heavy=heavy)
+           .select("r1", "r2", "r").distinct().collect()}
+    assert base == two
