@@ -2006,19 +2006,40 @@ def read_lifecycle_stages(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+# delta chain length at which the bitmap store folds itself into a
+# fresh full snapshot (amortizes compaction to 1/K of batches while
+# the head read stays a K-way union of key-disjoint-ish small files)
+BITMAP_COMPACT_EVERY = 8
+
+
+def _read_bitmap_state(spark: SparkSession, out_dir: str,
+                       parts: list[str]) -> DataFrame:
+    """Fold a bitmap-store manifest (base snapshot + delta chain)
+    into the head state. Sound for ANY interleaving because bit_or
+    is idempotent, commutative and associative — a delta is just the
+    batch's own words, never a read-modify-write image."""
+    frames = [spark.read.parquet(f"{out_dir}/{p}") for p in parts]
+    head = frames[0]
+    for fr in frames[1:]:
+        head = head.unionByName(fr)
+    return (head.groupBy("event_type", "blk")
+            .agg(F.expr("bit_or(w)").alias("w")))
+
+
 def stream_maintain_audience_bitmaps(events: DataFrame, out_dir: str,
                                      checkpoint_dir: str):
     """foreachBatch maintenance of the AUDIENCE BITMAP store — the
-    streaming half of `audience_bitmap_intersection`: each
-    micro-batch folds its (event_type, user-block) 62-bit words into
-    the snapshot with bit_or-of-bit_ors — IDEMPOTENT and commutative
-    (the first-seen-store discipline: replays and out-of-order
-    batches converge, no rebase ledger). State is |users|/62 words
-    per audience; the overlap report is a popcount fold over the
-    store head, batch-equal by construction."""
+    streaming half of `audience_bitmap_intersection`, as a KEYED
+    MERGE: because bit_or is idempotent/commutative/associative,
+    each micro-batch appends ONLY its own touched
+    (event_type, user-block) 62-bit words as a DELTA version — per-
+    batch write volume is proportional to the blocks the batch
+    touched, not the |users|/62-word snapshot — and the head is the
+    bit_or fold of the manifest (base + delta chain), compacted into
+    a fresh full snapshot every BITMAP_COMPACT_EVERY batches.
+    Replays rewrite the same delta (same batch_id) and re-OR the
+    same bits; out-of-order batches commute — no rebase ledger."""
     import os
-
-    from pyspark.errors import AnalysisException
 
     from ..operators.analytics import BITMAP_LANE
 
@@ -2034,22 +2055,31 @@ def stream_maintain_audience_bitmaps(events: DataFrame, out_dir: str,
                          .alias("bit"))
                  .groupBy("event_type", "blk")
                  .agg(F.expr("bit_or(bit)").alias("w")))
+        version = f"v{batch_id:020d}"
         try:
-            current = read_latest_snapshot(spark, out_dir)
-            merged = (current.unionByName(words)
+            with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+                parts = f.read().split()
+        except FileNotFoundError:
+            parts = []
+        # a replayed batch_id must not duplicate its manifest entry
+        # (the delta itself is overwritten in place; bit_or would
+        # absorb a duplicate anyway, this keeps the chain honest)
+        parts = [p for p in parts if p != version]
+        if len(parts) >= BITMAP_COMPACT_EVERY:
+            merged = (_read_bitmap_state(spark, out_dir, parts)
+                      .unionByName(words)
                       .groupBy("event_type", "blk")
                       .agg(F.expr("bit_or(w)").alias("w")))
-        except FileNotFoundError:
-            merged = words
-        except AnalysisException as e:
-            raise RuntimeError(
-                f"bitmap store under {out_dir} unreadable; "
-                f"refusing to reset history") from e
-        version = f"v{batch_id:020d}"
-        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+            merged.write.mode("overwrite") \
+                .parquet(f"{out_dir}/{version}")
+            parts = [version]
+        else:
+            words.write.mode("overwrite") \
+                .parquet(f"{out_dir}/{version}")
+            parts = parts + [version]
         tmp = f"{out_dir}/_CURRENT.tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(version)
+            f.write("\n".join(parts))
         os.replace(tmp, f"{out_dir}/_CURRENT")
 
     return (events.writeStream.foreachBatch(merge)
@@ -2061,8 +2091,12 @@ def stream_maintain_audience_bitmaps(events: DataFrame, out_dir: str,
 def read_audience_overlap(spark: SparkSession,
                           out_dir: str) -> DataFrame:
     """Finish the bitmap store head into the batch
-    `audience_bitmap_intersection` report shape."""
-    words = read_latest_snapshot(spark, out_dir)
+    `audience_bitmap_intersection` report shape (folding the base +
+    delta manifest; a legacy single-version pointer reads the
+    same)."""
+    with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+        parts = f.read().split()
+    words = _read_bitmap_state(spark, out_dir, parts)
     a = (words.where(F.col("event_type") == "click")
          .select("blk", F.col("w").alias("wa")))
     b = (words.where(F.col("event_type") == "purchase")

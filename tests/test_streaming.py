@@ -1171,3 +1171,71 @@ def test_stream_audience_bitmaps_match_batch(spark, tmp_path):
     got = jobs.read_audience_overlap(spark, store).toPandas()
     want = audience_bitmap_intersection(t).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    # keyed MERGE, not snapshot rewrite: the second batch's version
+    # dir holds ONLY the blocks that batch touched (a delta), not
+    # the folded |users|/62-word state
+    import os
+    with open(f"{store}/_CURRENT", encoding="utf-8") as f:
+        parts = f.read().split()
+    assert len(parts) == 2, parts
+    delta2 = spark.read.parquet(f"{store}/{parts[1]}")
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        BITMAP_LANE)
+    touched2 = (ev.where((F.col("user_id") % 2 == 0)
+                         & F.col("event_type").isin(
+                             "click", "purchase"))
+                .select("event_type",
+                        F.expr(f"user_id DIV {BITMAP_LANE}")
+                        .alias("blk")).distinct().count())
+    assert delta2.count() == touched2
+    head = sorted(map(tuple, jobs._read_bitmap_state(
+        spark, store, parts).collect()))
+
+    # replay (fresh checkpoint, same files): deltas re-OR the same
+    # bits and the manifest stays duplicate-free - head unchanged
+    q3 = jobs.stream_maintain_audience_bitmaps(
+        jobs.read_events_stream(spark, str(src), glob="*.parquet"),
+        store, str(tmp_path / "bm_ck_replay"))
+    assert q3.awaitTermination(120)
+    with open(f"{store}/_CURRENT", encoding="utf-8") as f:
+        parts2 = f.read().split()
+    assert len(parts2) == len(set(parts2))
+    head2 = sorted(map(tuple, jobs._read_bitmap_state(
+        spark, store, parts2).collect()))
+    assert head2 == head
+    got2 = jobs.read_audience_overlap(spark, store).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got2), _sorted(want))
+
+
+def test_stream_audience_bitmaps_compaction(spark, tmp_path,
+                                            monkeypatch):
+    """Once the delta chain reaches BITMAP_COMPACT_EVERY the store
+    folds into one full snapshot and the head is unchanged."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        audience_bitmap_intersection)
+
+    monkeypatch.setattr(jobs, "BITMAP_COMPACT_EVERY", 2)
+    t = load_tables(spark, SF0001, "events")
+    ev = t["events"]
+    src = tmp_path / "bmc_src"
+    src.mkdir()
+    store = str(tmp_path / "bmc_store")
+    ck = str(tmp_path / "bmc_ck")
+    # the stream source probes {src}/events.parquet for its schema,
+    # so the first feed must carry that exact name
+    for i, fname in enumerate(["events.parquet", "events_b.parquet",
+                               "events_c.parquet"]):
+        _feed_events(ev.where(F.col("user_id") % 3 == i), src, fname)
+        q = jobs.stream_maintain_audience_bitmaps(
+            jobs.read_events_stream(spark, str(src),
+                                    glob="*.parquet"),
+            store, ck)
+        assert q.awaitTermination(120)
+    with open(f"{store}/_CURRENT", encoding="utf-8") as f:
+        parts = f.read().split()
+    # batch 0 + batch 1 deltas hit the chain cap, batch 2 compacted
+    assert len(parts) == 1, parts
+    got = jobs.read_audience_overlap(spark, store).toPandas()
+    want = audience_bitmap_intersection(t).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
