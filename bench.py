@@ -132,6 +132,8 @@ HEADLINE = [
     # round-6: graph-index ANN (navigable index build + beam search)
     "beam_graph_edges",
     "knn_beam",
+    # round-7: batch beam serving shape
+    "knn_beam_batch",
     # round-6 waves 22-26: skyline, rank stats, curation signals,
     # deciles, PQ health
     "orders_skyline_2d",

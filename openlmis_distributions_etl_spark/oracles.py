@@ -5195,8 +5195,9 @@ ORACLES.update({
                  CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
           FROM approx a LEFT JOIN exact x USING (vec_id)),
         d AS (
-          SELECT list_sum(list(rel * ({_NDCG_W})[CAST(rank AS INT)]
-                               ORDER BY rank)) AS dcg
+          SELECT list_reduce(list(CAST(rel * ({_NDCG_W})[CAST(rank AS INT)]
+                                    AS DOUBLE)
+                               ORDER BY rank), (x, y) -> x + y) AS dcg
           FROM rels)
         SELECT CAST(10 AS INT) AS k, dcg,
                4.543559338088346 AS ideal_dcg,
@@ -7109,8 +7110,9 @@ ORACLES.update({
 def _beam_edges_sql() -> str:
     """Navigable-graph CTE body (after _BUCKETS_CTE) ending at
     `edges` — mirrors operators/similarity.py beam_graph_edges:
-    bucket-local top-3 cosine edges + Hamming-1 bucket-rep long
-    edges, distinct-unioned."""
+    bucket-local top-3 cosine edges kept bidirectional + Hamming-1
+    long edges to each bucket's 3 lowest-vec_id representatives,
+    distinct-unioned."""
     return f"""
         cand_e AS (
           SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -7122,8 +7124,11 @@ def _beam_edges_sql() -> str:
             SELECT src, dst, ROW_NUMBER() OVER (
               PARTITION BY src ORDER BY cs DESC, dst ASC) AS rn
             FROM cand_e) WHERE rn <= 3),
-        reps AS (SELECT bucket, MIN(vec_id) AS rep
-                 FROM assigned GROUP BY bucket),
+        reps AS (
+          SELECT bucket, vec_id AS rep FROM (
+            SELECT bucket, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY bucket ORDER BY vec_id ASC) AS rn
+            FROM assigned) WHERE rn <= 3),
         long_e AS (
           SELECT a.vec_id AS src, r.rep AS dst
           FROM (SELECT vec_id, bucket FROM assigned) a
@@ -7133,10 +7138,12 @@ def _beam_edges_sql() -> str:
                = xor(CAST(a.bucket AS BIGINT), 1 << bit)
           WHERE a.vec_id <> r.rep),
         edges AS (SELECT DISTINCT src, dst FROM
-          (SELECT * FROM local_e UNION ALL SELECT * FROM long_e))"""
+          (SELECT src, dst FROM local_e
+           UNION ALL SELECT dst AS src, src AS dst FROM local_e
+           UNION ALL SELECT src, dst FROM long_e))"""
 
 
-def _beam_visited_sql(hops: int = 8, bw: int = 16) -> str:
+def _beam_visited_sql(hops: int = 8, bw: int = 32) -> str:
     """Fixed-hop ef-search unroll (after `edges`): each hop is
     beam{i} = top-ef of visited{i-1}, neighbor pull through `edges`,
     candidates scored from the shared `scored` table — the exact
@@ -7166,17 +7173,27 @@ def _beam_visited_sql(hops: int = 8, bw: int = 16) -> str:
     return head + "".join(hop_ctes)
 
 
+def _materialize(sql: str) -> str:
+    """Mark the multi-referenced beam CTEs MATERIALIZED: DuckDB
+    inlines CTE references by default, so the 8-hop unroll would
+    otherwise rebuild the edge graph (bucket self-join) and the
+    score table once per hop — 100×+ on the batch variant."""
+    for n in ("assigned", "edges", "scored", "scoredb"):
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
 ORACLES.update({
     "beam_graph_edges": f"""
         WITH {_BUCKETS_CTE},{_beam_edges_sql()}
         SELECT src, dst FROM edges
     """,
-    "knn_beam": f"""
+    "knn_beam": _materialize(f"""
         WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()}
         SELECT vec_id, label, qs AS cos_sim
         FROM visited8 ORDER BY qs DESC, vec_id ASC LIMIT 10
-    """,
-    "knn_beam_recall": f"""
+    """),
+    "knn_beam_recall": _materialize(f"""
         WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()},
         approx AS (SELECT vec_id FROM visited8
                    ORDER BY qs DESC, vec_id ASC LIMIT 10),
@@ -7185,7 +7202,75 @@ ORACLES.update({
         SELECT 10 AS k, CAST(COUNT(*) AS INT) AS n_hits,
                COUNT(*) / 10 AS recall_at_k
         FROM exact JOIN approx USING (vec_id)
-    """,
+    """),
+})
+
+
+def _beam_batch_visited_sql(hops: int = 8, bw: int = 32) -> str:
+    """Batch fixed-hop ef-search unroll (after `edges`): all queries
+    (vec_id < 5) walk simultaneously, every stage keyed by
+    (qid, vec_id) with per-qid ROW_NUMBER windows — the exact loop
+    operators/similarity.py knn_beam_batch runs, as CTE stages."""
+    head = """,
+        qset AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id < 5),
+        scoredb AS (
+          SELECT q.qid, e.vec_id, e.label,
+                 {cos} AS qs
+          FROM embeddings e CROSS JOIN qset q
+          WHERE e.vec_id <> q.qid),
+        bvisited0 AS (
+          SELECT qid, vec_id, label, qs FROM scoredb
+          WHERE vec_id IN (1, 2, 3, 4, 5) AND vec_id <> qid)""" \
+        .format(cos=_cos('e.embedding', 'q.qv'))
+    hop_ctes = []
+    for i in range(1, hops + 1):
+        hop_ctes.append(f""",
+        bbeam{i} AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY qs DESC, vec_id ASC) AS rn
+          FROM bvisited{i - 1}) WHERE rn <= {bw}),
+        bnbrs{i} AS (SELECT DISTINCT b.qid, e.dst AS vec_id
+                     FROM edges e JOIN bbeam{i} b ON e.src = b.vec_id
+                     WHERE e.dst <> b.qid),
+        bvisited{i} AS (SELECT DISTINCT qid, vec_id, label, qs FROM (
+          SELECT * FROM bvisited{i - 1}
+          UNION ALL
+          SELECT s.qid, s.vec_id, s.label, s.qs
+          FROM scoredb s JOIN bnbrs{i} USING (qid, vec_id)))""")
+    return head + "".join(hop_ctes)
+
+
+ORACLES.update({
+    "knn_beam_batch": _materialize(f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}
+        {_beam_batch_visited_sql()}
+        SELECT qid, vec_id, label, qs AS cos_sim,
+               CAST(rn AS INT) AS rnk
+        FROM (SELECT qid, vec_id, label, qs, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY qs DESC, vec_id ASC) AS rn
+              FROM bvisited8)
+        WHERE rn <= 3
+    """),
+    "knn_beam_batch_recall": _materialize(f"""
+        WITH {_BUCKETS_CTE},{_beam_edges_sql()}
+        {_beam_batch_visited_sql()},
+        bapprox AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY qs DESC, vec_id ASC) AS rn
+            FROM bvisited8) WHERE rn <= 3),
+        bexact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY qs DESC, vec_id ASC) AS rn
+            FROM scoredb) WHERE rn <= 3)
+        SELECT x.qid, 3 AS k,
+               CAST(COUNT(a.vec_id) AS INT) AS n_hits,
+               COUNT(a.vec_id) / 3 AS recall_at_k
+        FROM bexact x LEFT JOIN bapprox a USING (qid, vec_id)
+        GROUP BY x.qid
+    """),
 })
 
 
@@ -7353,7 +7438,7 @@ ORACLES.update({
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
     """,
-    "knn_beam_ndcg": f"""
+    "knn_beam_ndcg": _materialize(f"""
         WITH {_BUCKETS_CTE},{_beam_edges_sql()}{_beam_visited_sql()},
         approx AS (
           SELECT vec_id,
@@ -7369,14 +7454,15 @@ ORACLES.update({
                    AS rel
           FROM approx a LEFT JOIN exact x USING (vec_id)),
         dd AS (
-          SELECT list_sum(list(rel * ({_NDCG_W})[CAST(rank AS INT)]
-                               ORDER BY rank)) AS dcg
+          SELECT list_reduce(list(CAST(rel * ({_NDCG_W})[CAST(rank AS INT)]
+                                    AS DOUBLE)
+                               ORDER BY rank), (x, y) -> x + y) AS dcg
           FROM rels)
         SELECT CAST(10 AS INT) AS k, dcg,
                4.543559338088346 AS ideal_dcg,
                dcg / 4.543559338088346 AS ndcg
         FROM dd
-    """,
+    """),
     "payload_magic_types": """
         WITH p AS (SELECT encode(text) AS payload FROM documents)
         SELECT upper(left(hex(payload), 4)) AS magic_hex,

@@ -392,6 +392,11 @@ _OPERATORS = {
         analytics.audience_bitmap_intersection,
     # §2.H round-6 wave 27: content-defined-chunking dedup audit
     "payload_cdc_dedup_stats": multimodal.payload_cdc_dedup_stats,
+    # §2.F round-7: batch beam search (the graph tier's serving
+    # shape - all queries walk the index simultaneously) + its
+    # per-query recall harness
+    "knn_beam_batch": similarity.knn_beam_batch,
+    "knn_beam_batch_recall": similarity.knn_beam_batch_recall,
 }
 
 

@@ -41,6 +41,9 @@ FLOAT_SENSITIVE = (
     "spearman_daily_rank_corr",
     "knn_beam",
     "knn_beam_ndcg",
+    # round-7 batch beam (same cosine chain, batch-keyed)
+    "knn_beam_batch",
+    "knn_beam_batch_recall",
     "tokenizer_fertility_by_lang",
     "customer_spend_decile_profile",
     "payload_cdc_dedup_stats",

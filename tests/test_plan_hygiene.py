@@ -92,6 +92,8 @@ BNLJ_ALLOWED = {
     # (knn_beam's broadcast query/frontier joins sit behind
     # localCheckpoint leaves, so they never show in the final plan)
     "knn_beam_recall",        # composes two pinned broadcast paths
+    "knn_beam_batch_recall",  # broadcast 5-row query set on the
+                              # exact side (the knn_batch pattern)
     "ivf_probe_sweep",        # broadcast query-vector + probe-prefix rows
     "opq_rotation_mse",       # broadcast PQ codebook row (×2 encodes)
     "user_retention_curve",   # broadcast cohort-size singleton row
