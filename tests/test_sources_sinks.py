@@ -854,7 +854,7 @@ def _norm(rows):
               for x in r) for r in rows)
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_avro_roundtrip_no_jar(spark, tmp_path, codec):
     """The spec-derived no-jar Avro lane: nullable unions, unicode,
     binary, int/long/double/boolean survive a write->read round-trip
@@ -926,3 +926,205 @@ def test_avro_rejects_bad_magic_and_missing_column(spark, tmp_path):
     with pytest.raises(Exception, match="not in avro writer schema"):
         A.read_avro(spark, out, StructType(
             [StructField("zz", LongType())])).collect()
+
+
+def test_snappy_codec_pure_python_units():
+    """The pure-python snappy pair: the literal-only encoder round-
+    trips through the full decoder, and the decoder replays REAL
+    compressor output — hand-assembled tag streams with 1-byte and
+    2-byte-offset copies, including the overlapping RLE copy
+    (offset < length) the spec calls out."""
+    from openlmis_distributions_etl_spark.sources.avro import (
+        _snappy_compress_literals, _snappy_decompress)
+
+    for data in [b"", b"x", b"hello world" * 50, bytes(range(256)) * 300]:
+        assert _snappy_decompress(_snappy_compress_literals(data)) == data
+
+    # varint(11), literal(5) "abcde", copy-1byte(len 5, off 5),
+    # literal(1) "!" -> "abcdeabcde!"
+    hand = bytes([11, (5 - 1) << 2]) + b"abcde" \
+        + bytes([((5 - 4) << 2) | 1 | (0 << 5), 5]) + bytes([0]) + b"!"
+    assert _snappy_decompress(hand) == b"abcdeabcde!"
+
+    # overlapping copy: literal "ab", then len-6 copy at offset 2 ->
+    # "ab" + "ababab" (RLE semantics); 2-byte-offset form (tag&3==2)
+    hand2 = bytes([8, (2 - 1) << 2]) + b"ab" \
+        + bytes([((6 - 1) << 2) | 2]) + (2).to_bytes(2, "little")
+    assert _snappy_decompress(hand2) == b"abababab"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bad copy offset"):
+        _snappy_decompress(bytes([4, ((4 - 4) << 2) | 1, 9]))
+
+
+def test_avro_roundtrip_logical_and_nested(spark, tmp_path):
+    """Round 7 scope: date / timestamp-micros / decimal logical
+    types and nested array / map / struct survive write->read under
+    the snappy codec (UTC session tz pins the instant semantics)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql.types import (ArrayType, DateType, DecimalType,
+                                   MapType, StructField, StructType,
+                                   TimestampType)
+
+    from openlmis_distributions_etl_spark.sources import avro as A
+
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("d", DateType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("amt", DecimalType(12, 2), True),
+        StructField("xs", ArrayType(LongType(), True), True),
+        StructField("kv", MapType(StringType(), LongType(), True),
+                    True),
+        StructField("st", StructType([
+            StructField("a", LongType(), True),
+            StructField("b", StringType(), True)]), True),
+    ])
+    rows = [
+        (1, dt.date(2024, 2, 29), dt.datetime(2024, 1, 2, 3, 4, 5,
+                                              123456),
+         Decimal("12345.67"), [1, 2, None], {"k1": 7, "k2": None},
+         (10, "deep")),
+        (2, None, None, Decimal("-0.01"), [], {}, (None, None)),
+        (3, dt.date(1969, 12, 31), dt.datetime(1969, 12, 31, 23, 59,
+                                               59, 999999),
+         None, None, None, None),
+    ]
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(rows, schema).repartition(2)
+        out = str(tmp_path / "logical")
+        A.write_avro_files(df, out, codec="snappy")
+        back = A.read_avro(spark, out, schema)
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, df.collect()))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_avro_hand_assembled_logical_nested_snappy(spark, tmp_path):
+    """Interop pin INDEPENDENT of our writer, round-7 scope: a
+    snappy-coded container with date + timestamp-micros + decimal +
+    array<long> + map<string,long> + nested record + enum + fixed,
+    every byte hand-assembled from the public spec (block-encoded
+    collections use a NEGATIVE count + byte size, the skippable
+    form real writers emit)."""
+    import datetime as dt
+    import json
+    import zlib
+    from decimal import Decimal
+
+    from pyspark.sql.types import (ArrayType, DateType, DecimalType,
+                                   MapType, StructField, StructType,
+                                   TimestampType)
+
+    from openlmis_distributions_etl_spark.sources import avro as A
+    from openlmis_distributions_etl_spark.sources.avro import (
+        _snappy_compress_literals)
+
+    schema_json = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {"type": "int",
+                                   "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType":
+                                        "timestamp-micros"}},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 9, "scale": 2}},
+            {"name": "xs", "type": {"type": "array",
+                                    "items": "long"}},
+            {"name": "kv", "type": {"type": "map",
+                                    "values": "long"}},
+            {"name": "st", "type": {"type": "record", "name": "s",
+                                    "fields": [
+                                        {"name": "a",
+                                         "type": "long"}]}},
+            {"name": "en", "type": {"type": "enum", "name": "e",
+                                    "symbols": ["RED", "BLUE"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f",
+                                    "size": 3}},
+        ]}).encode()
+    sync = b"fedcba9876543210"
+
+    def zz(v: int) -> bytes:
+        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1 | 1)
+        out = bytearray()
+        while True:
+            b, u = u & 0x7F, u >> 7
+            out.append(b | 0x80 if u else b)
+            if not u:
+                return bytes(out)
+
+    # one record: d=19723 days (2024-01-01), ts=1704153600000000us,
+    # amt=bytes of 1234 (12.34), xs=[5,-6] via NEGATIVE block count
+    # -2 + byte size, kv={"a":1}, st={a:9}, en=BLUE(1), fx=b"XYZ"
+    xs_items = zz(5) + zz(-6)
+    kv_items = zz(1) + b"a" + zz(1)
+    payload = (zz(19723) + zz(1704153600000000)
+               + zz(2) + (1234).to_bytes(2, "big")
+               + zz(-2) + zz(len(xs_items)) + xs_items + zz(0)
+               + zz(1) + kv_items + zz(0)
+               + zz(9)
+               + zz(1)
+               + b"XYZ")
+    comp = (_snappy_compress_literals(payload)
+            + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big"))
+    blob = (b"Obj\x01" + zz(2)
+            + zz(11) + b"avro.schema" + zz(len(schema_json))
+            + schema_json
+            + zz(10) + b"avro.codec" + zz(6) + b"snappy"
+            + zz(0) + sync
+            + zz(1) + zz(len(comp)) + comp + sync)
+    p = tmp_path / "hand7"
+    p.mkdir()
+    (p / "f.avro").write_bytes(blob)
+
+    spark_schema = StructType([
+        StructField("d", DateType()),
+        StructField("ts", TimestampType()),
+        StructField("amt", DecimalType(9, 2)),
+        StructField("xs", ArrayType(LongType())),
+        StructField("kv", MapType(StringType(), LongType())),
+        StructField("st", StructType([StructField("a", LongType())])),
+        StructField("en", StringType()),
+        StructField("fx", StringType()),
+    ])
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = A.read_avro(
+            spark, str(p), spark_schema,
+        ).selectExpr("d", "ts", "amt", "xs", "kv", "st", "en",
+                     "CAST(fx AS STRING) AS fx").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert len(got) == 1
+    r = got[0]
+    assert r["d"] == dt.date(2024, 1, 1)
+    assert r["ts"] == dt.datetime(2024, 1, 2, 0, 0, 0)
+    assert r["amt"] == Decimal("12.34")
+    assert r["xs"] == [5, -6]
+    assert r["kv"] == {"a": 1}
+    assert r["st"]["a"] == 9
+    assert r["en"] == "BLUE"
+    assert r["fx"] == "XYZ"
+
+
+def test_avro_snappy_crc_mismatch_is_loud(spark, tmp_path):
+    from openlmis_distributions_etl_spark.sources import avro as A
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    out = str(tmp_path / "crc")
+    A.write_avro_files(df.repartition(1), out, codec="snappy")
+    import pathlib
+    f = next(pathlib.Path(out).glob("*.avro"))
+    raw = bytearray(f.read_bytes())
+    raw[-18] ^= 0xFF     # flip a CRC byte (last 4 before 16B sync)
+    f.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="CRC mismatch"):
+        A.read_avro(spark, out, StructType(
+            [StructField("a", LongType())])).collect()
