@@ -142,6 +142,14 @@ HEADLINE = [
     "embedding_outliers_diag",
     "customer_spend_decile_profile",
     "user_active_day_streaks",
+    # round-7 wave 1: corpus-LM quality, Gopher rule battery, robust
+    # trend tests, single-pass label cohesion
+    "unigram_logprob_quality",
+    "gopher_ngram_fractions",
+    "gopher_quality_rules",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "intra_inter_cosine_gap",
 ]
 
 

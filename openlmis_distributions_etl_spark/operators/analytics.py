@@ -2497,3 +2497,88 @@ def audience_bitmap_intersection(t: dict[str, DataFrame]) -> DataFrame:
         "n_click", "n_purchase", "n_both", "n_either",
         (F.col("n_both").cast("double") / F.col("n_either"))
         .alias("jaccard"))
+
+
+# round-7 wave 1: robust trend estimation over the daily revenue series
+
+
+def _daily_rev_cents(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily order revenue in integer cents: quantize BEFORE the sum
+    (the daily_revenue_autocorr convention) so the per-day series is
+    exact integer arithmetic at any partitioning. The frame is
+    calendar-bounded — a 100 TB orders table still folds onto a few
+    thousand day keys via map-side combine."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (t["orders"]
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(F.sum(cents).alias("rev")))
+
+
+def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (rev_j − rev_i)/(day_j − day_i), i < j — the
+    slope estimator with a 29% breakdown point that one promo-day
+    outlier can't bend (public: Sen 1968, JASA 63).
+
+    Scale shape: the slope cloud is quadratic only in the CALENDAR
+    span (a few thousand days regardless of data volume), built by a
+    broadcast self-join of the tiny daily frame; each slope is ONE
+    IEEE division of exact integers (cents Δ / day Δ) so both engines
+    produce bit-identical doubles. The median over the ~n²/2 slope
+    points runs through the distributed grouped-ECDF selector
+    (`_grouped_rank_min`) — rank-exact lower median, no
+    interpolation, no global sort."""
+    from ..functions.cache import retain
+    daily = retain(_daily_rev_cents(t))
+    later = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    slopes = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
+              .select(((F.col("rev2") - F.col("rev")).cast("double")
+                       / F.datediff("d2", "d").cast("double"))
+                      .alias("_k")))
+    pts = (slopes.groupBy("_k").agg(F.count(F.lit(1)).alias("c"))
+           .select(F.lit("all").alias("event_type"), "_k", "c"))
+    med = _grouped_rank_min(pts, {"ts_slope": "(n + 1) DIV 2"})
+    meta = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (med.select(F.col("n_rows").alias("n_pairs"), "ts_slope")
+            .crossJoin(F.broadcast(meta))
+            .select("n_days", "n_pairs", "ts_slope"))
+
+
+def mann_kendall_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily revenue: S =
+    Σ_{i<j} sign(rev_j − rev_i), Kendall's tau-a, and the
+    normal-approximation z-score (tie-free variance formula; the
+    tied-pair count is reported so a reader can see when the
+    correction would matter) — the nonparametric "is revenue actually
+    trending" gate that needs no distribution assumption.
+
+    Same calendar-bounded broadcast pair cloud as Theil–Sen; the
+    entire statistic is integer counting until the final tau/z
+    expression, which is floor-gridded to 1e-9 in BOTH engines (the
+    daily_revenue_autocorr convention) so the one sqrt/divide chain
+    compares exactly."""
+    from ..functions.cache import retain
+    daily = retain(_daily_rev_cents(t))
+    later = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    sgn = F.signum((F.col("rev2") - F.col("rev")).cast("double"))
+    pairs = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
+             .select(sgn.alias("sgn")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("sgn") > 0).cast("long")).alias("n_concordant"),
+        F.sum((F.col("sgn") < 0).cast("long")).alias("n_discordant"),
+        F.sum((F.col("sgn") == 0).cast("long")).alias("n_tied"))
+    meta = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    g = agg.crossJoin(F.broadcast(meta))
+    s = F.col("n_concordant") - F.col("n_discordant")
+    n = F.col("n_days").cast("double")
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    var0 = n * (n - 1) * (2 * n + 5) / F.lit(18.0)
+    z = (F.when(s > 0, (s.cast("double") - 1) / F.sqrt(var0))
+         .when(s < 0, (s.cast("double") + 1) / F.sqrt(var0))
+         .otherwise(F.lit(0.0)))
+    return g.select(
+        "n_days", "n_pairs", s.alias("s_stat"),
+        "n_concordant", "n_discordant", "n_tied",
+        grid(s.cast("double") / (n * (n - 1) / F.lit(2.0))).alias("tau"),
+        grid(z).alias("z_score"))

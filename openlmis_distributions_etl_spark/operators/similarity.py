@@ -2140,3 +2140,74 @@ def pq_code_utilization(t: dict[str, DataFrame]) -> DataFrame:
                     "n_vectors",
                     (F.col("h_units").cast("double") / 1_000_000
                      / F.col("n_vectors")).alias("code_entropy_nats")))
+
+
+# round-7 wave 1: single-pass intra/inter label cohesion audit
+
+COS_GRID = 1_000_000   # unit-vector component quantization
+
+
+def intra_inter_cosine_gap(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label embedding cohesion WITHOUT a pairwise join: average
+    intra-label pairwise cosine vs average cosine to every vector
+    OUTSIDE the label, from label-level unit-vector sums — the
+    ‖Σu‖² identity (Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u_i‖²) turns an
+    O(N²·d) pair cloud into ONE O(N·d) pass plus label-count-sized
+    arithmetic. This is the audit that tells a curation run whether
+    its labels are semantically tight enough to drive semantic dedup.
+
+    Exactness: each unit vector quantizes to integer micro-units
+    per component (floor(x/‖x‖·1e6 + 0.5), row-local IEEE chain, both
+    engines identical), so every cross-row sum is exact integer
+    arithmetic — the (label, dim) sums, the per-row self-dots, and
+    the DECIMAL(38,0) squares — and the final cosines are single
+    double expressions over exact integers. The reported cosines are
+    those of the QUANTIZED units (≤1e-4 from the float value, stated
+    in the column names' _q suffix-free contract here)."""
+    rows = pin(spread(t["embeddings"])
+               .select("label", "vec_id", "embedding"),
+               nrm=l2_norm(F.col("embedding")))
+    q = F.transform(
+        _dbl(F.col("embedding")),
+        lambda x: F.floor(x / F.col("nrm")
+                          * COS_GRID + F.lit(0.5)).cast("long"))
+    pinned = pin(rows.select("label", "vec_id", q.alias("qv")),
+                 qq=F.expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
+    per_label = retain(
+        pinned.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("qq").alias("qq")))
+    dims = (pinned
+            .select("label", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.sum("x").alias("s")))
+    dims = retain(dims)
+    d38 = "decimal(38,0)"
+    own = (dims.groupBy("label")
+           .agg(F.sum((F.col("s").cast(d38) * F.col("s")).cast(d38))
+                .alias("own_ss")))
+    glob = (dims.groupBy("dim")
+            .agg(F.sum("s").alias("gs")))
+    cross = (dims.join(broadcast(glob), "dim")
+             .groupBy("label")
+             .agg(F.sum((F.col("s").cast(d38)
+                         * (F.col("gs") - F.col("s"))).cast(d38))
+                  .alias("cross_ss")))
+    tot = per_label.agg(F.sum("n").alias("n_total"))
+    g = (per_label.join(own, "label").join(cross, "label")
+         .crossJoin(broadcast(tot)))
+    nd = F.col("n").cast("double")
+    grid2 = float(COS_GRID) * float(COS_GRID)
+    intra = F.when(
+        F.col("n") > 1,
+        (F.col("own_ss") - F.col("qq")).cast("double")
+        / (nd * (nd - 1)) / grid2)
+    inter = F.when(
+        F.col("n") < F.col("n_total"),
+        F.col("cross_ss").cast("double")
+        / (nd * (F.col("n_total") - F.col("n")).cast("double")) / grid2)
+    return g.select(
+        "label", F.col("n").alias("n_vecs"),
+        intra.alias("intra_avg_cos"),
+        inter.alias("inter_avg_cos"),
+        (intra - inter).alias("cos_gap"))

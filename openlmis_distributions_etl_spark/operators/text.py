@@ -2036,3 +2036,199 @@ def template_prefix_groups(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("exemplar_doc_id"))
             .where(F.col("n_docs") >= 2))
+
+
+# round-7 wave 1: corpus-LM quality scoring + the Gopher repetition /
+# quality rule battery (Rae et al. 2021 §A1.1, public arXiv:2112.11446)
+
+LOGPROB_GRID = 1_000_000   # per-token quantization: micro-nat units
+
+
+def unigram_logprob_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet-style quality proxy: per-document mean negative
+    log-likelihood under the CORPUS unigram LM (low mean-NLL = made
+    of common tokens = typical text; high = rare-token noise).
+
+    Two passes, both shuffle-light: per-doc (token, count) pairs come
+    from IN-ROW array ops (distinct tokens only — the frame is
+    vocab-per-doc sized, far smaller than the exploded token stream),
+    the corpus frequency table is one map-side-combinable groupBy on
+    the token key, and the total-token scalar rides a broadcast
+    1-row frame (never a driver collect). Each token type's NLL
+    ln(total/tf) quantizes to integer micro-nats BEFORE the per-doc
+    sum (the doc_token_entropy convention), so the sum is exact
+    integer arithmetic — partial-aggregation order can't perturb it —
+    and engines match bit-for-bit. At 100 TB the frequency table is
+    vocab-bounded (≪ corpus), so the pairs→freq join broadcasts."""
+    from ..functions import pin
+    from ..functions.cache import retain
+    d = (t["documents"]
+         .select("doc_id", tokens().alias("toks"))
+         .where(F.size("toks") > 0))
+    pairs = retain(
+        pin(d, pr=F.expr(
+            "transform(array_distinct(toks), x -> "
+            "struct(x AS tok, size(filter(toks, y -> y = x)) AS c))"))
+        .select("doc_id", F.size("toks").alias("n_tokens"),
+                F.explode("pr").alias("p"))
+        .select("doc_id", "n_tokens",
+                F.col("p.tok").alias("tok"), F.col("p.c").alias("c")))
+    freq = retain(pairs.groupBy("tok")
+                  .agg(F.sum("c").cast("long").alias("tf")))
+    total = freq.agg(F.sum("tf").cast("long").alias("total"))
+    scored = (pairs
+              .join(F.broadcast(freq), "tok")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  "doc_id", "n_tokens",
+                  (F.col("c").cast("long")
+                   * F.floor(F.log(F.col("total").cast("double")
+                                   / F.col("tf").cast("double"))
+                             * LOGPROB_GRID + F.lit(0.5)).cast("long"))
+                  .alias("u")))
+    return (scored.groupBy("doc_id", "n_tokens")
+            .agg(F.sum("u").alias("nll_units"))
+            .select("doc_id", "n_tokens", "nll_units",
+                    (F.col("nll_units") / F.lit(float(LOGPROB_GRID))
+                     / F.col("n_tokens")).alias("mean_nll")))
+
+
+def gopher_ngram_fractions(t: dict[str, DataFrame]) -> DataFrame:
+    """The Gopher repetition-rule signals per document: the char
+    fraction covered by the single most-frequent word 2-gram and
+    3-gram, and the char mass of all DUPLICATED word 5-grams
+    (count ≥ 2) over the doc length — the filters that catch
+    boilerplate loops and spam keyword stuffing.
+
+    ZERO exchanges: n-grams, their counts, and the maxima are all
+    in-row array folds over the token list (the doc_token_entropy
+    shape), so the op is a pure map at any scale. Tie-break for "the
+    most frequent n-gram" is deterministic: max count first, then
+    max char length among the tied grams (array_max over a
+    (count, len) struct orders lexicographically by field). The
+    dup-5-gram mass is the simple per-occurrence sum (the public
+    Gopher appendix's overlap-aware variant needs positional
+    interval union; the sum is its documented upper bound)."""
+    from ..functions import pin
+
+    def grams(n: int) -> str:
+        joined = ", ".join(f"toks[i + {j}]" for j in range(n))
+        return (f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> concat_ws(' ', {joined}))")
+
+    def top_mass(col: str) -> F.Column:
+        # max (count, char-len) over distinct grams -> count * len
+        best = F.expr(
+            f"array_max(transform(array_distinct({col}), g -> "
+            f"struct(size(filter({col}, x -> x = g)) AS c, "
+            f"length(g) AS l)))")
+        return (best["c"] * best["l"]).cast("long")
+
+    def dup_mass(col: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(array_distinct({col}), g -> "
+            f"struct(size(filter({col}, x -> x = g)) AS c, "
+            f"length(g) AS l)), 0L, (acc, s) -> "
+            f"acc + IF(s.c >= 2, CAST(s.c AS BIGINT) * s.l, 0L))")
+
+    d = (t["documents"]
+         .select("doc_id", F.length("text").alias("n_chars"),
+                 tokens().alias("toks"))
+         .where(F.size("toks") >= 5))
+    pinned = pin(d,
+                 g2=F.expr(grams(2)), g3=F.expr(grams(3)),
+                 g5=F.expr(grams(5)))
+    return pinned.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (top_mass("g2") / F.col("n_chars")).alias("top2_frac"),
+        (top_mass("g3") / F.col("n_chars")).alias("top3_frac"),
+        (dup_mass("g5") / F.col("n_chars")).alias("dup5_frac"))
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2      # distinct stopword types present
+GOPHER_MIN_ALPHA_RATIO = 0.8  # tokens containing >= 1 alpha char
+
+
+def gopher_quality_rules(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-SOURCE pass rates for the Gopher document-quality rules:
+    word-count bounds, mean-word-length bounds, minimum distinct
+    stopwords, and minimum alphabetic-token ratio — the gate table a
+    curation run reads to decide which crawl sources need manual
+    review before training.
+
+    One in-row rule evaluation (pure map) + one map-side-combinable
+    groupBy on the enumeration-bounded source key. Mean word length
+    uses the exact integer pair (char mass, token count) and compares
+    via cross-multiplication — no division, no float threshold
+    wobble."""
+    toks = tokens()
+    d = t["documents"].select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.expr("aggregate(filter(split(text, ' '), x -> x != ''), "
+               "0L, (a, x) -> a + length(x))").alias("char_mass"),
+        F.size(F.array_distinct(
+            F.filter(toks, lambda x: x.isin(*STOPWORDS_EN))))
+        .alias("n_stop_types"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+        .alias("n_alpha"))
+    rules = d.select(
+        "source",
+        ((F.col("n_tok") >= GOPHER_MIN_WORDS)
+         & (F.col("n_tok") <= GOPHER_MAX_WORDS))
+        .cast("int").alias("p_words"),
+        ((F.col("char_mass") >= GOPHER_MIN_MEAN_LEN * F.col("n_tok"))
+         & (F.col("char_mass") <= GOPHER_MAX_MEAN_LEN * F.col("n_tok")))
+        .cast("int").alias("p_meanlen"),
+        (F.col("n_stop_types") >= GOPHER_MIN_STOPWORDS)
+        .cast("int").alias("p_stop"),
+        (F.col("n_alpha") * 10 >= F.col("n_tok") * 8)
+        .cast("int").alias("p_alpha"))
+    agg = rules.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p_words").alias("pass_words"),
+        F.sum("p_meanlen").alias("pass_meanlen"),
+        F.sum("p_stop").alias("pass_stopwords"),
+        F.sum("p_alpha").alias("pass_alpha"),
+        F.sum(F.col("p_words") * F.col("p_meanlen")
+              * F.col("p_stop") * F.col("p_alpha")).alias("pass_all"))
+    return agg.select(
+        "*", (F.col("pass_all") / F.col("n_docs")).alias("pass_rate"))
+
+
+def hapax_share_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source hapax-legomena profile: vocabulary size, the count
+    of tokens seen exactly once in that source, their share of the
+    vocabulary, and the total token mass — the lexical-diversity
+    fingerprint that separates organic text (hapax-heavy) from
+    template spam (hapax-poor) when deciding source weights.
+
+    Same two-stage shape as unigram_logprob_quality: in-row per-doc
+    (token, count) pairs (distinct-token sized), then ONE grouped
+    aggregate onto the (source, token) key — fully map-side
+    combinable, no skew (vocab keys are near-uniform)."""
+    from ..functions import pin
+    d = (t["documents"]
+         .select("source", tokens().alias("toks"))
+         .where(F.size("toks") > 0))
+    pairs = (pin(d, pr=F.expr(
+        "transform(array_distinct(toks), x -> "
+        "struct(x AS tok, size(filter(toks, y -> y = x)) AS c))"))
+        .select("source", F.explode("pr").alias("p"))
+        .select("source", F.col("p.tok").alias("tok"),
+                F.col("p.c").alias("c")))
+    tf = (pairs.groupBy("source", "tok")
+          .agg(F.sum("c").cast("long").alias("tf")))
+    return (tf.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab_size"),
+                 F.sum((F.col("tf") == 1).cast("long"))
+                 .alias("hapax_count"),
+                 F.sum("tf").alias("token_mass"))
+            .select("source", "vocab_size", "hapax_count", "token_mass",
+                    (F.col("hapax_count") / F.col("vocab_size"))
+                    .alias("hapax_share")))

@@ -7857,3 +7857,222 @@ ORACLES.update({
         FROM g
     """,
 })
+
+# -- round-7 wave 1: corpus-LM quality, Gopher rule battery, robust
+# trend tests, single-pass label-cohesion audit ------------------------
+
+_G_NGRAMS = {
+    n: ("list_transform(range(1, len(toks) - %d + 2), i -> concat_ws(' ', %s))"
+        % (n, ", ".join(f"toks[i + {j}]" for j in range(n))))
+    for n in (2, 3, 5)
+}
+
+
+def _g_cnts(col: str) -> str:
+    return (f"list_transform(list_distinct({col}), "
+            f"x -> len(list_filter({col}, y -> y = x)))")
+
+
+def _g_top_mass(col: str) -> str:
+    # max count, then max char length among the count-tied grams
+    return (
+        f"CAST(list_max({_g_cnts(col)}) AS BIGINT) * "
+        f"CAST(list_max(list_transform(list_filter(list_distinct({col}), "
+        f"x -> len(list_filter({col}, y -> y = x)) = list_max({_g_cnts(col)})), "
+        f"x -> length(x))) AS BIGINT)")
+
+
+def _g_dup_mass(col: str) -> str:
+    return (
+        f"COALESCE(CAST(list_sum(list_transform(list_distinct({col}), "
+        f"x -> CASE WHEN len(list_filter({col}, y -> y = x)) >= 2 "
+        f"THEN CAST(len(list_filter({col}, y -> y = x)) AS BIGINT) * length(x) "
+        f"ELSE 0 END)) AS BIGINT), 0)")
+
+
+_DAILY_REV = """
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+          FROM orders GROUP BY 1"""
+
+ORACLES.update({
+    "unigram_logprob_quality": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                   WHERE len({TOKS}) > 0),
+        p AS (
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, u.tok AS tok,
+                 CAST(len(list_filter(toks, y -> y = u.tok)) AS BIGINT) AS c
+          FROM d, unnest(list_distinct(toks)) AS u(tok)),
+        f AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tf FROM p GROUP BY tok),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM f)
+        SELECT doc_id, n_tokens,
+               CAST(SUM(c * CAST(floor(ln(CAST((SELECT total FROM tot) AS DOUBLE)
+                     / CAST(tf AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS nll_units,
+               CAST(SUM(c * CAST(floor(ln(CAST((SELECT total FROM tot) AS DOUBLE)
+                     / CAST(tf AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) / 1000000.0 / n_tokens AS mean_nll
+        FROM p JOIN f USING (tok)
+        GROUP BY doc_id, n_tokens
+    """,
+    "gopher_ngram_fractions": f"""
+        WITH d AS (
+          SELECT doc_id, CAST(length(text) AS INT) AS n_chars, {TOKS} AS toks
+          FROM documents WHERE len({TOKS}) >= 5),
+        g AS (
+          SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+                 {_G_NGRAMS[2]} AS g2, {_G_NGRAMS[3]} AS g3,
+                 {_G_NGRAMS[5]} AS g5
+          FROM d)
+        SELECT doc_id, n_tokens,
+               {_g_top_mass('g2')} / n_chars AS top2_frac,
+               {_g_top_mass('g3')} / n_chars AS top3_frac,
+               {_g_dup_mass('g5')} / n_chars AS dup5_frac
+        FROM g
+    """,
+    "gopher_quality_rules": f"""
+        WITH d AS (
+          SELECT source,
+                 CAST(len({TOKS}) AS INT) AS n_tok,
+                 COALESCE(CAST(list_sum(list_transform({TOKS},
+                   x -> CAST(length(x) AS BIGINT))) AS BIGINT), 0) AS char_mass,
+                 CAST(len(list_distinct(list_filter({TOKS},
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))))
+                   AS INT) AS n_stop_types,
+                 CAST(len(list_filter({TOKS},
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha
+          FROM documents),
+        r AS (
+          SELECT source,
+            CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 1 ELSE 0 END AS p_words,
+            CASE WHEN char_mass >= 3.0 * n_tok AND char_mass <= 10.0 * n_tok
+                 THEN 1 ELSE 0 END AS p_meanlen,
+            CASE WHEN n_stop_types >= 2 THEN 1 ELSE 0 END AS p_stop,
+            CASE WHEN n_alpha * 10 >= n_tok * 8 THEN 1 ELSE 0 END AS p_alpha
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p_words) AS BIGINT) AS pass_words,
+               CAST(SUM(p_meanlen) AS BIGINT) AS pass_meanlen,
+               CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
+               CAST(SUM(p_alpha) AS BIGINT) AS pass_alpha,
+               CAST(SUM(p_words * p_meanlen * p_stop * p_alpha) AS BIGINT)
+                 AS pass_all,
+               CAST(SUM(p_words * p_meanlen * p_stop * p_alpha) AS BIGINT)
+                 / CAST(COUNT(*) AS BIGINT) AS pass_rate
+        FROM r GROUP BY source
+    """,
+    "hapax_share_by_source": f"""
+        WITH d AS (SELECT source, {TOKS} AS toks FROM documents
+                   WHERE len({TOKS}) > 0),
+        p AS (
+          SELECT source, u.tok AS tok,
+                 CAST(len(list_filter(toks, y -> y = u.tok)) AS BIGINT) AS c
+          FROM d, unnest(list_distinct(toks)) AS u(tok)),
+        tf AS (SELECT source, tok, CAST(SUM(c) AS BIGINT) AS tf
+               FROM p GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax_count,
+               CAST(SUM(tf) AS BIGINT) AS token_mass,
+               CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS BIGINT) AS hapax_share
+        FROM tf GROUP BY source
+    """,
+    "theil_sen_daily_trend": f"""
+        WITH daily AS ({_DAILY_REV}),
+        p AS (
+          SELECT CAST(b.rev - a.rev AS DOUBLE)
+                 / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+          FROM daily a JOIN daily b ON b.d > a.d)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               (SELECT slope FROM p ORDER BY slope
+                LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM p))
+                 AS ts_slope
+        FROM p
+    """,
+    "mann_kendall_trend": f"""
+        WITH daily AS ({_DAILY_REV}),
+        p AS (
+          SELECT CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+          FROM daily a JOIN daily b ON b.d > a.d),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_concordant,
+                 CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discordant,
+                 CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tied
+          FROM p),
+        meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        SELECT n_days, n_pairs,
+               n_concordant - n_discordant AS s_stat,
+               n_concordant, n_discordant, n_tied,
+               floor(CAST(n_concordant - n_discordant AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                    / 2.0) * 1e9 + 0.5) / 1e9 AS tau,
+               floor(CASE
+                 WHEN n_concordant - n_discordant > 0 THEN
+                   (CAST(n_concordant - n_discordant AS DOUBLE) - 1)
+                   / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                          * (2 * CAST(n_days AS DOUBLE) + 5) / 18.0)
+                 WHEN n_concordant - n_discordant < 0 THEN
+                   (CAST(n_concordant - n_discordant AS DOUBLE) + 1)
+                   / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                          * (2 * CAST(n_days AS DOUBLE) + 5) / 18.0)
+                 ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS z_score
+        FROM m, meta
+    """,
+    "intra_inter_cosine_gap": f"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE)
+                     / sqrt({DOT_Q.format(a='embedding', b='embedding')})
+                     * 1000000 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        rowsq AS (
+          SELECT label, CAST(list_sum(list_transform(qv, v -> v * v))
+                   AS BIGINT) AS qq, qv
+          FROM q),
+        e AS (SELECT label, i - 1 AS dim, qv[CAST(i AS INT)] AS x
+              FROM rowsq, (SELECT unnest(range(1, 65)) AS i)),
+        s AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS s
+              FROM e GROUP BY 1, 2),
+        own AS (SELECT label,
+                  SUM(CAST(CAST(s AS DECIMAL(38,0)) * s AS DECIMAL(38,0)))
+                    AS own_ss
+                FROM s GROUP BY 1),
+        g AS (SELECT dim, CAST(SUM(s) AS BIGINT) AS gs FROM s GROUP BY 1),
+        cr AS (SELECT s.label,
+                 SUM(CAST(CAST(s.s AS DECIMAL(38,0)) * (g.gs - s.s)
+                   AS DECIMAL(38,0))) AS cross_ss
+               FROM s JOIN g USING (dim) GROUP BY 1),
+        c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(qq) AS BIGINT) AS qq
+              FROM rowsq GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        SELECT c.label, c.n AS n_vecs,
+          CASE WHEN c.n > 1 THEN
+            CAST(own.own_ss - c.qq AS DOUBLE)
+              / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1)) / 1e12
+          END AS intra_avg_cos,
+          CASE WHEN c.n < tot.n_total THEN
+            CAST(cr.cross_ss AS DOUBLE)
+              / (CAST(c.n AS DOUBLE) * CAST(tot.n_total - c.n AS DOUBLE))
+              / 1e12
+          END AS inter_avg_cos,
+          CASE WHEN c.n > 1 THEN
+            CAST(own.own_ss - c.qq AS DOUBLE)
+              / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1)) / 1e12
+          END - CASE WHEN c.n < tot.n_total THEN
+            CAST(cr.cross_ss AS DOUBLE)
+              / (CAST(c.n AS DOUBLE) * CAST(tot.n_total - c.n AS DOUBLE))
+              / 1e12
+          END AS cos_gap
+        FROM c JOIN own USING (label) JOIN cr USING (label)
+        CROSS JOIN tot
+    """,
+})

@@ -397,6 +397,19 @@ _OPERATORS = {
     # per-query recall harness
     "knn_beam_batch": similarity.knn_beam_batch,
     "knn_beam_batch_recall": similarity.knn_beam_batch_recall,
+    # §2.G round-7 wave 1: corpus-LM quality scoring + the Gopher
+    # repetition / quality rule battery (arXiv:2112.11446 §A1.1)
+    "unigram_logprob_quality": text.unigram_logprob_quality,
+    "gopher_ngram_fractions": text.gopher_ngram_fractions,
+    "gopher_quality_rules": text.gopher_quality_rules,
+    "hapax_share_by_source": text.hapax_share_by_source,
+    # §2.A/C round-7 wave 1: robust trend tests on the daily
+    # revenue series (Theil-Sen slope, Mann-Kendall S/tau/z)
+    "theil_sen_daily_trend": analytics.theil_sen_daily_trend,
+    "mann_kendall_trend": analytics.mann_kendall_trend,
+    # §2.F round-7 wave 1: single-pass intra/inter label cohesion
+    # via the ||sum of unit vectors||^2 identity (no pairwise join)
+    "intra_inter_cosine_gap": similarity.intra_inter_cosine_gap,
 }
 
 

@@ -1491,3 +1491,155 @@ def test_audience_bitmap_matches_set_arithmetic(spark):
     a, b = set(clicks), set(purch)
     assert (r["n_click"], r["n_purchase"], r["n_both"], r["n_either"]) \
         == (len(a), len(b), len(a & b), len(a | b))
+
+
+# -- round-7 wave 1 -----------------------------------------------------
+
+
+def _orders_rev(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+
+
+def test_theil_sen_resists_outlier(spark):
+    """A perfectly linear daily series (+2 cents/day) with ONE
+    blown-out day still reports the clean slope: the outlier bends
+    only n-1 of the ~n^2/2 pairwise slopes, and the median ignores
+    them."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        theil_sen_daily_trend)
+    rows = [(i, dt.date(2024, 1, 1 + i), 1.00 + 0.02 * i)
+            for i in range(9)]
+    rows.append((99, dt.date(2024, 1, 15), 1000.0))  # promo-day spike
+    out = theil_sen_daily_trend({"orders": _orders_rev(spark, rows)})
+    r = out.collect()[0]
+    assert r["n_days"] == 10
+    assert r["n_pairs"] == 45
+    assert r["ts_slope"] == 2.0   # cents/day
+
+
+def test_mann_kendall_strictly_increasing(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        mann_kendall_trend)
+    rows = [(i, dt.date(2024, 1, 1 + i), 1.0 + i) for i in range(6)]
+    out = mann_kendall_trend({"orders": _orders_rev(spark, rows)})
+    r = out.collect()[0]
+    assert r["n_days"] == 6 and r["n_pairs"] == 15
+    assert r["s_stat"] == 15 and r["n_discordant"] == 0
+    assert r["tau"] == 1.0
+    assert r["z_score"] > 2.0   # significant upward trend
+
+
+def test_mann_kendall_all_tied_is_zero(spark):
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        mann_kendall_trend)
+    rows = [(i, dt.date(2024, 1, 1 + i), 5.0) for i in range(4)]
+    r = mann_kendall_trend({"orders": _orders_rev(spark, rows)}).collect()[0]
+    assert r["s_stat"] == 0 and r["n_tied"] == 6
+    assert r["tau"] == 0.0 and r["z_score"] == 0.0
+
+
+def test_gopher_rules_crafted_docs(spark):
+    """One doc per failure mode, one clean doc: the per-source pass
+    counters attribute each rule exactly."""
+    long_ok = " ".join(["the", "and"] + ["word"] * 60)
+    short = "the and tiny"                          # fails word count
+    no_stop = " ".join(["word"] * 60)               # fails stopwords
+    rows = [
+        (1, long_ok, "en", "web", len(long_ok)),
+        (2, short, "en", "web", len(short)),
+        (3, no_stop, "en", "web", len(no_stop)),
+    ]
+    out = text.gopher_quality_rules({"documents": _docs(spark, rows)})
+    r = out.collect()[0]
+    assert r["n_docs"] == 3
+    assert r["pass_words"] == 2       # doc 2 too short
+    assert r["pass_stopwords"] == 2   # doc 3 has none
+    assert r["pass_alpha"] == 3
+    assert r["pass_all"] == 1 and r["pass_rate"] == pytest.approx(1 / 3)
+
+
+def test_gopher_ngram_top2_fraction(spark):
+    """'a b a b a b': top 2-gram 'a b' occurs 3x (len 3), doc is 11
+    chars -> top2_frac = 9/11; no 5-gram repeats -> dup5_frac = 0."""
+    txt = "a b a b a b"
+    out = text.gopher_ngram_fractions(
+        {"documents": _docs(spark, [(1, txt, "en", "web", len(txt))])})
+    r = out.collect()[0]
+    assert r["top2_frac"] == pytest.approx(9 / 11)
+    assert r["dup5_frac"] == 0.0
+
+
+def test_gopher_ngram_tie_breaks_by_char_length(spark):
+    """Two 2-grams tied on count: the CHAR-LONGER one defines the
+    fraction (deterministic tie-break)."""
+    txt = "aa bb cc aa bb cc"   # 'aa bb' x2, 'bb cc' x2, 'cc aa' x1
+    out = text.gopher_ngram_fractions(
+        {"documents": _docs(spark, [(1, txt, "en", "web", len(txt))])})
+    r = out.collect()[0]
+    # tied grams are both 5 chars -> mass 10 over 17 chars
+    assert r["top2_frac"] == pytest.approx(10 / 17)
+
+
+def test_unigram_logprob_rare_token_scores_higher(spark):
+    from openlmis_distributions_etl_spark.operators.text import (
+        unigram_logprob_quality)
+    common = " ".join(["the"] * 10)
+    rare = " ".join(["the"] * 9 + ["xylophone"])
+    rows = [(1, common, "en", "web", len(common)),
+            (2, rare, "en", "web", len(rare))]
+    out = {r["doc_id"]: r for r in unigram_logprob_quality(
+        {"documents": _docs(spark, rows)}).collect()}
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]
+    # doc 1 is all corpus-common tokens: nll = ln(20/19) per token
+    import math
+    unit = math.floor(math.log(20 / 19) * 1_000_000 + 0.5)
+    assert out[1]["nll_units"] == 10 * unit
+
+
+def test_hapax_share_counts(spark):
+    rows = [(1, "aa aa bb", "en", "s1", 8),
+            (2, "bb cc", "en", "s1", 5),
+            (3, "dd", "en", "s2", 2)]
+    out = {r["source"]: r for r in text.hapax_share_by_source(
+        {"documents": _docs(spark, rows)}).collect()}
+    s1 = out["s1"]
+    assert s1["vocab_size"] == 3            # aa bb cc
+    assert s1["hapax_count"] == 1           # cc (aa x2, bb x2)
+    assert s1["token_mass"] == 5
+    assert s1["hapax_share"] == pytest.approx(1 / 3)
+    assert out["s2"]["hapax_share"] == 1.0
+
+
+def test_cosine_gap_matches_numpy_pairwise(spark):
+    """The ||sum||^2 identity reproduces the brute-force average of
+    pairwise quantized-unit dot products, exactly."""
+    import numpy as np
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        COS_GRID, intra_inter_cosine_gap)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(9, 16)).astype("float32")
+    labels = [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(9)],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           intra_inter_cosine_gap({"embeddings": df}).collect()}
+    # numpy reference on the SAME quantization
+    q = np.empty((9, 16), dtype=np.int64)
+    for i in range(9):
+        v = vecs[i].astype(np.float64)
+        n = np.sqrt(np.sum(v * v))
+        q[i] = np.floor(v / n * COS_GRID + 0.5).astype(np.int64)
+    lab = np.array(labels)
+    for l in (0, 1, 2):
+        own = q[lab == l]
+        other = q[lab != l]
+        intra = sum(float(own[i] @ own[j])
+                    for i in range(3) for j in range(3) if i != j)
+        intra /= 3 * 2 * float(COS_GRID) ** 2
+        inter = sum(float(a @ b) for a in own for b in other)
+        inter /= 3 * 6 * float(COS_GRID) ** 2
+        assert out[l]["intra_avg_cos"] == pytest.approx(intra, abs=1e-12)
+        assert out[l]["inter_avg_cos"] == pytest.approx(inter, abs=1e-12)
+        assert out[l]["cos_gap"] == pytest.approx(intra - inter, abs=1e-12)

@@ -48,6 +48,13 @@ FLOAT_SENSITIVE = (
     "customer_spend_decile_profile",
     "payload_cdc_dedup_stats",
     "embedding_outliers_diag",
+    # round-7 wave 1: quantized corpus-LM NLL, broadcast pair-cloud
+    # trend tests, integer-quantized label-cohesion sums
+    "unigram_logprob_quality",
+    "gopher_ngram_fractions",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "intra_inter_cosine_gap",
 )
 
 
