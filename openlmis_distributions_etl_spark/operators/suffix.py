@@ -8,12 +8,19 @@ Manber-Myers prefix-doubling suffix-array construction re-expressed
 as DataFrame rounds:
 
   level j holds, for every suffix (doc_id, pos), the EXACT dense
-  rank of its length-2^j prefix (shorter suffixes padded with a
+  rank of its length-4^j prefix (shorter suffixes padded with a
   sentinel, so equal rank <=> equal padded prefix). Level j+1 ranks
-  the pair (r_j[pos], r_j[pos + 2^j]) - the classic doubling step -
-  where the shifted rank is a per-doc window `lead`, not a join
-  (suffixes never cross document boundaries, so everything about a
-  doubling round is doc-partitioned except the rank assignment).
+  the 4-tuple (r_j[p], r_j[p+4^j], r_j[p+2*4^j], r_j[p+3*4^j]) -
+  prefix QUADRUPLING, the radix-4 Manber-Myers step (equal tuples
+  <=> equal length-4^(j+1) padded prefixes, the same argument as
+  doubling) - where the shifted ranks are per-doc window `lead`s,
+  not joins (suffixes never cross document boundaries, so
+  everything about a round is doc-partitioned except the rank
+  assignment). Radix 4 because every round pays width-independent
+  fixed costs (a doc-keyed window shuffle, a rank shuffle, a census
+  action, a lineage truncation): ceil(log4 maxlen) rounds instead
+  of ceil(log2 maxlen) nearly halves the wall clock, and the two
+  extra lead() columns ride the same window shuffle.
 
 Rank assignment is the repo's distributed prefix decomposition
 (`_rank_buckets`, analytics.py): range-bucket a double proxy of the
@@ -23,16 +30,18 @@ count-distinct prefix over the tiny bucket frame. NO global
 single-task ORDER BY at any point; each doubling round is one
 bounded-window shuffle + one broadcast join over n suffix rows, and
 there are at most ceil(log2(max doc tokens)) rounds - doc-bounded
-(<= ~15 for 32k-token docs), NOT corpus-bounded, because suffixes
-stop at document ends.
+(<= ~8 radix-4 rounds for 32k-token docs), NOT corpus-bounded,
+because suffixes stop at document ends.
 
 The answer is then read off the classic way: the maximum LCP over
 ALL suffix pairs is attained by a pair ADJACENT in suffix-rank
 order, and the LCP of one pair is recovered by descending the
-retained levels (add 2^j and advance when level-j ranks at the
-current offset match - log-many broadcast-free equi-joins over the
-n-1 adjacent pairs). Identical full suffixes (rank ties at the top
-level) contribute their suffix length directly.
+retained levels (advance 0..3 consecutive width-4^j blocks while
+level-j ranks at the running offset match; the three candidate
+block positions are fixed at level entry, so all six lookups ride
+ONE (doc, pos) equi-join of an exploded request frame per level).
+Identical full suffixes (rank ties at the top level) contribute
+their suffix length directly.
 
 Skew posture (the round-6 caveat, now closed): the doubling round's
 arithmetic r1 bucketer gets a SECOND level - the per-round rank
@@ -158,9 +167,20 @@ def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
 def _suffix_levels(t: dict[str, DataFrame]):
     """Build the doubling rank levels. Returns (docs, levels, n_suf)
     where docs = (doc_id, toks, n), levels[j] = (doc_id, n, pos, r)
-    with r the dense rank of the length-2^j padded prefix, and the
+    with r the dense rank of the length-4^j padded prefix, and the
     last level is a total suffix order (ties only between IDENTICAL
-    full suffixes). Driver actions per round are 1-row aggregates."""
+    full suffixes). Driver actions per round are 1-row aggregates.
+
+    QUADRUPLING, not doubling: each round ranks the 4-tuple
+    (r[p], r[p+w], r[p+2w], r[p+3w]) — the radix-4 variant of
+    Manber–Myers (same exactness argument: equal tuples ⇔ equal
+    length-4w padded prefixes) — so a maxlen-L corpus needs
+    ceil(log4 L) rounds instead of ceil(log2 L). Every round carries
+    fixed costs independent of width (one doc-keyed window shuffle,
+    one rank-assignment shuffle, one census action, one lineage
+    truncation), so halving the round count nearly halves the
+    operator's wall clock; the extra two lead() columns ride the
+    SAME window shuffle for free."""
     d = retain(_all_docs_tokenized(t))
     stats = d.agg(F.sum("n").alias("ns"),
                   F.max("n").alias("ml")).collect()[0]
@@ -221,18 +241,27 @@ def _suffix_levels(t: dict[str, DataFrame]):
         if mx == n_suf:
             break
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        zero = F.lit(0).cast("long")
         pair = prev.select(
             "doc_id", "n", "pos", F.col("r").alias("r1"),
-            F.coalesce(F.lead("r", width).over(wdoc),
-                       F.lit(0).cast("long")).alias("r2"))
+            F.coalesce(F.lead("r", width).over(wdoc), zero).alias("r2"),
+            F.coalesce(F.lead("r", 2 * width).over(wdoc),
+                       zero).alias("r3"),
+            F.coalesce(F.lead("r", 3 * width).over(wdoc),
+                       zero).alias("r4"))
         # r1 is the PREVIOUS round's dense rank (1..mx), so fences
-        # are arithmetic - no percentile sketch job per round
+        # are arithmetic - no percentile sketch job per round. The
+        # two-level bucketer still keys on (r1, r2) only: equal
+        # 4-tuples agree on (r1, r2) a fortiori, so equal keys never
+        # straddle buckets - the extra tuple arms refine only the
+        # in-bucket dense_rank order.
         nxt = _dense_rank_distributed(
-            pair, n_suf, [F.col("r1"), F.col("r2")],
+            pair, n_suf,
+            [F.col("r1"), F.col("r2"), F.col("r3"), F.col("r4")],
             F.col("r1").cast("double"), dense_max=mx, heavy=heavy,
         ).select("doc_id", "n", "pos", "r")
         levels.append(_truncate_lineage(nxt))
-        width *= 2
+        width *= 4
     return d, levels, n_suf
 
 
@@ -247,7 +276,7 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
     Exact at any scale: ranks are exact dense ranks, the max-LCP
     candidates are the adjacent-pair descents plus identical-suffix
     rank groups, and the reporting pass re-keys every eligible
-    window of the winning length by the rank tuple of its binary
+    window of the winning length by the rank tuple of its base-4
     block decomposition (blocks never overrun a document, so rank
     equality is exactly content equality - no hashing anywhere)."""
     d, levels, n_suf = _suffix_levels(t)
@@ -270,9 +299,10 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
              .agg(F.max(slen)).collect()[0][0]) or 0
 
     # adjacent rank pairs (dense ranks are contiguous), then the
-    # level-descent LCP: add 2^j and advance while level-j ranks at
-    # the current offset agree; the final off is capped by both
-    # suffix lengths (an equal PADDED block means equal-to-end)
+    # level-descent LCP: advance 0..3 width-4^j blocks per level
+    # while level-j ranks at the running offset agree; the final off
+    # is capped by both suffix lengths (an equal PADDED block means
+    # equal-to-end)
     a = reps.select(F.col("doc_id").alias("da"),
                     F.col("pos").alias("pa"),
                     F.col("n").alias("na"), "r")
@@ -283,25 +313,70 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
     cur = (a.join(b, "r")
            .select("da", "pa", "na", "db", "pb", "nb",
                    F.lit(0).cast("long").alias("off")))
-    for j in range(len(levels) - 1, -1, -1):
-        lv, w = levels[j], 1 << j
-        ra = lv.select(F.col("doc_id").alias("_ad"),
-                       F.col("pos").alias("_ap"),
-                       F.col("r").alias("_ar"))
-        rb = lv.select(F.col("doc_id").alias("_bd"),
-                       F.col("pos").alias("_bp"),
-                       F.col("r").alias("_br"))
-        step = cur.join(
-            ra, (F.col("da") == F.col("_ad"))
-            & (F.col("_ap") == F.col("pa") + F.col("off")), "left")
-        step = step.join(
-            rb, (F.col("db") == F.col("_bd"))
-            & (F.col("_bp") == F.col("pb") + F.col("off")), "left")
-        hit = F.col("_ar").isNotNull() & (F.col("_ar") == F.col("_br"))
-        cur = _truncate_lineage(step.select(
+    # base-4 descent, skipping the TOP level (adjacent reps hold
+    # DISTINCT top ranks by construction, so the top comparison can
+    # never hit). At level j a pair may advance 0..3 consecutive
+    # width-4^j blocks; the three block positions are fixed by the
+    # level-entry offset, so all SIX lookups (3 per side) ride ONE
+    # (doc, pos) equi-join of an exploded request frame + one
+    # regroup - two shuffles per level instead of six join passes.
+    #
+    # POTENTIAL PRUNING: only the MAXIMUM lcp is wanted, so a pair
+    # whose best reachable value - min(off + remaining level
+    # capacity, either suffix length) - is below the best value
+    # already guaranteed (the identical-suffix dup_l, or the running
+    # max off realized by some surviving pair) can never change the
+    # answer and is dropped. The pair REALIZING the max always
+    # survives (its potential >= its final lcp >= the threshold), so
+    # lmax is exact; everything pruned was provably <= lmax. In a
+    # near-duplicate-heavy corpus dup_l alone collapses the pair
+    # cloud before the first (most expensive) level.
+    keys = ["da", "pa", "na", "db", "pb", "nb", "off"]
+    cap_len = F.least(F.col("na") - F.col("pa"),
+                      F.col("nb") - F.col("pb"))
+    best = 0
+    if len(levels) >= 2:
+        full_cap = 4 ** (len(levels) - 1) - 1
+        cur = cur.where(F.least(F.col("off") + full_cap, cap_len)
+                        >= max(best, int(dup_l)))
+    for j in range(len(levels) - 2, -1, -1):
+        lv, w = levels[j], 4 ** j
+        side_a = F.col("s") < 3
+        i = (F.col("s") % 3).cast("long")
+        lk = (cur.select(*keys,
+                         F.explode(F.expr("array(0, 1, 2, 3, 4, 5)"))
+                         .alias("s"))
+              .select(*keys, "s",
+                      F.when(side_a, F.col("da"))
+                      .otherwise(F.col("db")).alias("_d"),
+                      (F.when(side_a, F.col("pa"))
+                       .otherwise(F.col("pb"))
+                       + F.col("off") + i * w).alias("_p")))
+        lvk = lv.select(F.col("doc_id").alias("_d"),
+                        F.col("pos").alias("_p"),
+                        F.col("r").alias("_r"))
+        g = (lk.join(lvk, ["_d", "_p"], "left")
+             .groupBy(*keys)
+             .agg(*[F.max(F.when(F.col("s") == k, F.col("_r")))
+                    .alias(f"x{k}") for k in range(6)]))
+        m0 = F.col("x0").isNotNull() & (F.col("x0") == F.col("x3"))
+        m1 = F.col("x1").isNotNull() & (F.col("x1") == F.col("x4"))
+        m2 = F.col("x2").isNotNull() & (F.col("x2") == F.col("x5"))
+        adv = (F.when(m0, F.when(m1, F.when(m2, 3).otherwise(2))
+                      .otherwise(1)).otherwise(0)).cast("long")
+        cur = retain(_truncate_lineage(g.select(
             "da", "pa", "na", "db", "pb", "nb",
-            F.when(hit, F.col("off") + w)
-            .otherwise(F.col("off")).alias("off")))
+            (F.col("off") + adv * w).alias("off"))))
+        # realized lower bound must be CAPPED by the suffix lengths:
+        # a matched partially-padded block overshoots off past the
+        # true lcp (equal padding = equal-to-end), and an uncapped
+        # best could prune the pair realizing the actual maximum
+        best = int(cur.agg(F.max(F.least(F.col("off"), cap_len)))
+                   .collect()[0][0] or 0)
+        if j > 0:
+            rem = 4 ** j - 1   # capacity of the remaining levels
+            cur = cur.where(F.least(F.col("off") + rem, cap_len)
+                            >= max(best, int(dup_l)))
     lcp = F.least(F.col("off"), F.col("na") - F.col("pa"),
                   F.col("nb") - F.col("pb"))
     adj_l = (cur.agg(F.max(lcp)).collect()[0][0]) or 0
@@ -311,25 +386,27 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
         return spark.createDataFrame([], LRS_SCHEMA)
 
     # report: key every eligible window of length lmax by the rank
-    # tuple of lmax's binary block decomposition (exact identity),
+    # tuple of lmax's base-4 block decomposition (exact identity),
     # group, keep the repeated ones, rebuild the text from one
     # representative's token slice
     keyed = top.where(F.col("pos") + F.lit(lmax) <= F.col("n")) \
                .select("doc_id", "pos")
     keycols, off = [], 0
+    # base-4 block decomposition: digit d_j in 0..3 consecutive
+    # width-4^j blocks per level, greedy from the widest level
     for j in range(len(levels) - 1, -1, -1):
-        if not (lmax >> j) & 1:
-            continue
-        kc = f"k{j}"
-        lv = levels[j].select(F.col("doc_id").alias("_d"),
-                              F.col("pos").alias("_q"),
-                              F.col("r").alias(kc))
-        keyed = (keyed.join(
-            lv, (F.col("doc_id") == F.col("_d"))
-            & (F.col("_q") == F.col("pos") + off))
-            .drop("_d", "_q"))
-        keycols.append(kc)
-        off += 1 << j
+        digit = (lmax >> (2 * j)) & 3
+        for rep_i in range(digit):
+            kc = f"k{j}_{rep_i}"
+            lv = levels[j].select(F.col("doc_id").alias("_d"),
+                                  F.col("pos").alias("_q"),
+                                  F.col("r").alias(kc))
+            keyed = (keyed.join(
+                lv, (F.col("doc_id") == F.col("_d"))
+                & (F.col("_q") == F.col("pos") + off))
+                .drop("_d", "_q"))
+            keycols.append(kc)
+            off += 1 << (2 * j)
     grp = (keyed.groupBy(*keycols)
            .agg(F.count(F.lit(1)).alias("n_occurrences"),
                 F.count_distinct("doc_id").alias("n_docs"),
