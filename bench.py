@@ -150,6 +150,10 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "mann_kendall_trend",
     "intra_inter_cosine_gap",
+    # round-7 wave 2
+    "mmr_diversified_topk",
+    "dsir_importance_weights",
+    "poisson_bootstrap_ci",
 ]
 
 

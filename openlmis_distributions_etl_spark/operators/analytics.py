@@ -2582,3 +2582,65 @@ def mann_kendall_trend(t: dict[str, DataFrame]) -> DataFrame:
         "n_concordant", "n_discordant", "n_tied",
         grid(s.cast("double") / (n * (n - 1) / F.lit(2.0))).alias("tau"),
         grid(z).alias("z_score"))
+
+
+# round-7 wave 2: distributed uncertainty via the Poisson bootstrap
+
+PB_REPS = 64                    # bootstrap replicates
+PB_GRID = 1_000_000             # md5-uniform resolution (ppm)
+PB_VGRID = 10_000               # value quantization (1e-4 units)
+# P(Poisson(1) <= k) in ppm, k = 0..6 — fixed literals in BOTH
+# engines, so the replicate weights are pure integer comparisons
+PB_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def poisson_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the POISSON bootstrap (Chamandy et al. 2012, the resampling scheme
+    built for map-reduce: per-row independent Poisson(1) weights need
+    no global n and stream in one pass). One row out: the full-sample
+    mean and the exact 2.5%/97.5% order statistics of PB_REPS
+    replicate means.
+
+    Determinism/exactness: the per-(row, replicate) uniform is an
+    md5-derived integer in [0, 1e6) (the deterministic_sample
+    convention), weights are integer comparisons against fixed
+    Poisson-CDF literals, values quantize to 1e-4 units BEFORE
+    summing (integer partial aggregation — partition-order free), and
+    each replicate mean is one double expression over exact integers.
+    Scale: the explode is a bounded ×PB_REPS map (no shuffle until
+    the PB_REPS-key aggregate, which map-side combines to nothing)."""
+    ev = (t["events"]
+          .where(F.col("value").isNotNull())
+          .select("event_id",
+                  F.floor(F.col("value") * PB_VGRID + F.lit(0.5))
+                  .cast("long").alias("vu")))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("pb|"), F.col("b").cast("string"),
+                       F.lit("|"), F.col("event_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % PB_GRID)
+    w = sum((u >= F.lit(c)).cast("int") for c in PB_CDF_PPM)
+    reps = (ev.select(
+        "event_id", "vu",
+        F.explode(F.array(*[F.lit(b) for b in range(PB_REPS)]))
+        .alias("b"))
+        .select("b", "vu", w.cast("long").alias("w")))
+    means = (reps.groupBy("b")
+             .agg(F.sum(F.col("w") * F.col("vu")).alias("swv"),
+                  F.sum("w").alias("sw"))
+             .select("b", (F.col("swv") / F.lit(float(PB_VGRID))
+                           / F.col("sw")).alias("m")))
+    k_lo = max(1, -(-25 * PB_REPS // 1000))        # ceil(0.025·B)
+    k_hi = -(-975 * PB_REPS // 1000)               # ceil(0.975·B)
+    wm = Window.orderBy(F.asc("m"), F.asc("b"))
+    ranked = means.select("m", F.row_number().over(wm).alias("rk"))
+    ci = (ranked.agg(
+        F.max(F.when(F.col("rk") == k_lo, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == k_hi, F.col("m"))).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_reps")))
+    full = ev.agg(F.count(F.lit(1)).alias("n_rows"),
+                  (F.sum("vu") / F.lit(float(PB_VGRID))
+                   / F.count(F.lit(1))).alias("mean_value"))
+    return (full.crossJoin(F.broadcast(ci))
+            .select("n_rows", "mean_value", "n_reps", "ci_lo", "ci_hi"))

@@ -2211,3 +2211,61 @@ def intra_inter_cosine_gap(t: dict[str, DataFrame]) -> DataFrame:
         intra.alias("intra_avg_cos"),
         inter.alias("inter_avg_cos"),
         (intra - inter).alias("cos_gap"))
+
+
+# round-7 wave 2: diversified serving (maximal marginal relevance)
+
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3    # explicit literal: 1.0 - 0.7 is NOT the double 0.3
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    greedy-select MMR_K results from the exact top-MMR_POOL cosine
+    pool, each step picking argmax of λ·rel(q, d) − (1−λ)·max
+    similarity to the already-selected set — the serving-side
+    diversifier that stops near-duplicate neighbors from filling the
+    result page.
+
+    Scale shape: the only corpus-sized work is the brute-force pool
+    top-k (map-side score + distributed TakeOrdered); the greedy loop
+    runs entirely on the retained POOL frame (≤ MMR_POOL rows), so
+    each of the K−1 steps is a left-anti + broadcast pairwise-cosine
+    + 1-row TakeOrdered over a constant-size frame. Ties break
+    (score desc, vec_id asc) — deterministic; every cosine is the
+    repo's left-fold dot chain, and the MMR combine is one fixed
+    double expression (0.7·rel − 0.3·max_sim) mirrored in DuckDB."""
+    e = spread(t["embeddings"])
+    pool = retain(
+        e.crossJoin(broadcast(_query_vector(t)))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding",
+                cosine(F.col("embedding"), F.col("q")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL))
+    lam = F.lit(MMR_LAMBDA)
+    chosen = (pool.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+              .select("vec_id", "label", "embedding", "rel",
+                      F.lit(1).alias("rank"),
+                      F.col("rel").alias("mmr_score")))
+    for step in range(2, MMR_K + 1):
+        sel = chosen.select(F.col("vec_id").alias("svid"),
+                            F.col("embedding").alias("semb"))
+        pick = (pool.join(chosen.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(broadcast(sel))
+                .select("vec_id", "label", "embedding", "rel",
+                        cosine(F.col("embedding"), F.col("semb"))
+                        .alias("sim"))
+                .groupBy("vec_id", "label", "embedding", "rel")
+                .agg(F.max("sim").alias("max_sim"))
+                .select("vec_id", "label", "embedding", "rel",
+                        F.lit(step).alias("rank"),
+                        (lam * F.col("rel")
+                         - F.lit(MMR_MU) * F.col("max_sim"))
+                        .alias("mmr_score"))
+                .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+                .limit(1))
+        chosen = chosen.unionByName(pick)
+    return chosen.select("rank", "vec_id", "label", "rel", "mmr_score")

@@ -2232,3 +2232,73 @@ def hapax_share_by_source(t: dict[str, DataFrame]) -> DataFrame:
             .select("source", "vocab_size", "hapax_count", "token_mass",
                     (F.col("hapax_count") / F.col("vocab_size"))
                     .alias("hapax_share")))
+
+
+# round-7 wave 2: DSIR importance weights (Xie et al. 2023,
+# arXiv:2302.03169 - hashed n-gram importance resampling)
+
+DSIR_BUCKETS = 10_000
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Data Selection via Importance Resampling: per-document log
+    importance weight log(p_target(x)/p_raw(x)) under hashed-BIGRAM
+    unigram-bag models of a target slice (lang = 'en' here, standing
+    in for 'looks like the high-quality reference corpus') vs the raw
+    corpus — the public DSIR recipe for choosing pretraining data
+    that matches a target distribution.
+
+    Model: bigrams hash into DSIR_BUCKETS buckets (md5-derived, the
+    deterministic_sample convention); both bucket distributions get
+    add-one smoothing. Per-bucket log-ratio terms quantize to integer
+    micro-nats BEFORE the per-doc sum (the doc_token_entropy
+    discipline), so cross-row arithmetic is exact integers.
+
+    Scale: per-doc (bucket, count) pairs come from IN-ROW array ops;
+    both frequency tables aggregate onto the BOUNDED bucket key space
+    (map-side combine collapses everything to ≤ DSIR_BUCKETS rows)
+    and broadcast back — no corpus-sized shuffle anywhere."""
+    from ..functions import pin
+    from ..functions.cache import retain
+    bg = ("transform(sequence(0, size(toks) - 2), i -> "
+          "pmod(cast(conv(substring(md5(cast(concat('dsir|', toks[i], "
+          "' ', toks[i + 1]) AS binary)), 1, 8), 16, 10) AS bigint), "
+          f"{DSIR_BUCKETS}))")
+    d = (t["documents"]
+         .select("doc_id", "lang", tokens().alias("toks"))
+         .where(F.size("toks") >= 2))
+    pairs = retain(
+        pin(pin(d, bgs=F.expr(bg)),
+            pr=F.expr("transform(array_distinct(bgs), x -> "
+                      "struct(x AS bkt, size(filter(bgs, y -> y = x)) "
+                      "AS c))"))
+        .select("doc_id", "lang", F.explode("pr").alias("p"))
+        .select("doc_id", "lang", F.col("p.bkt").alias("bkt"),
+                F.col("p.c").alias("c")))
+    raw = (pairs.groupBy("bkt")
+           .agg(F.sum("c").cast("long").alias("cr")))
+    tgt = (pairs.where(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("bkt").agg(F.sum("c").cast("long").alias("ct")))
+    # smoothed per-bucket log-ratio table: bounded by DSIR_BUCKETS
+    # rows, built once, broadcast to the per-doc sum
+    prof = retain(
+        raw.join(tgt, "bkt", "left")
+        .select("bkt", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+    tot = prof.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lam = (prof.crossJoin(F.broadcast(tot))
+           .select("bkt", F.floor(
+               (F.log((F.col("ct") + 1).cast("double")
+                      / (F.col("nt") + DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double")
+                        / (F.col("nr") + DSIR_BUCKETS).cast("double")))
+               * LOGPROB_GRID + F.lit(0.5)).cast("long").alias("lam")))
+    scored = (pairs.join(F.broadcast(lam), "bkt")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("c").cast("long") * F.col("lam"))
+                   .alias("liw_units")))
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "liw_units",
+        (F.col("liw_units") / F.lit(float(LOGPROB_GRID)))
+        .alias("log_importance_weight"))

@@ -8076,3 +8076,115 @@ ORACLES.update({
         CROSS JOIN tot
     """,
 })
+
+# -- round-7 wave 2: MMR serving, Poisson bootstrap, DSIR weights ------
+
+_PB_U = (_HEX8_TO_INT(
+    "'pb|' || CAST(b.b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)")
+    + " % 1000000")
+_PB_W = " + ".join(
+    f"CASE WHEN {_PB_U} >= {c} THEN 1 ELSE 0 END"
+    for c in (367879, 735759, 919699, 981012, 996340, 999406, 999917))
+
+
+def _mmr_step(step: int) -> str:
+    prev = f"s{step - 1}"
+    cos = _cos('p.embedding', 's.embedding')
+    return f"""
+        p{step} AS (
+          SELECT p.vec_id, p.label, p.embedding, p.rel,
+                 CAST({step} AS INT) AS rank,
+                 0.7 * p.rel - 0.3 * MAX({cos}) AS mmr_score
+          FROM pool p, {prev} s
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+          GROUP BY p.vec_id, p.label, p.embedding, p.rel
+          ORDER BY mmr_score DESC, p.vec_id ASC LIMIT 1),
+        s{step} AS (SELECT * FROM {prev} UNION ALL
+                    SELECT * FROM p{step})"""
+
+
+ORACLES.update({
+    "mmr_diversified_topk": f"""
+        WITH pool AS (
+          SELECT e.vec_id, e.label, e.embedding,
+                 {_cos('e.embedding', 'qv.q')} AS rel
+          FROM embeddings e,
+               (SELECT embedding AS q FROM embeddings
+                WHERE vec_id = 0) qv
+          WHERE e.vec_id <> 0
+          ORDER BY rel DESC, e.vec_id ASC LIMIT 20),
+        s1 AS (
+          SELECT vec_id, label, embedding, rel, CAST(1 AS INT) AS rank,
+                 rel AS mmr_score
+          FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        {",".join(_mmr_step(k) for k in range(2, 6))}
+        SELECT rank, vec_id, label, rel, mmr_score FROM s5
+    """,
+    "poisson_bootstrap_ci": f"""
+        WITH ev AS (
+          SELECT event_id,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        reps AS (
+          SELECT b.b AS b, ev.vu AS vu,
+                 CAST({_PB_W} AS BIGINT) AS w
+          FROM ev, (SELECT unnest(range(0, 64)) AS b) b),
+        means AS (
+          SELECT b, CAST(SUM(w * vu) AS BIGINT) / 10000.0
+                    / CAST(SUM(w) AS BIGINT) AS m
+          FROM reps GROUP BY b),
+        ranked AS (
+          SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS rk
+          FROM means),
+        ci AS (
+          SELECT MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+                 MAX(CASE WHEN rk = 63 THEN m END) AS ci_hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_reps
+          FROM ranked)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_rows,
+               (SELECT CAST(SUM(vu) AS BIGINT) / 10000.0 / COUNT(*)
+                FROM ev) AS mean_value,
+               n_reps, ci_lo, ci_hi
+        FROM ci
+    """,
+    "dsir_importance_weights": f"""
+        WITH d AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents
+                   WHERE len({TOKS}) >= 2),
+        bg AS (
+          -- outer lambda var must NOT be `i`: _HEX8_TO_INT's inner
+          -- list_transform binds `i` and would shadow it
+          SELECT doc_id, lang,
+                 list_transform(range(1, len(toks)), g ->
+                   {_HEX8_TO_INT("'dsir|' || toks[CAST(g AS INT)] || ' ' || toks[CAST(g AS INT) + 1]")}
+                   % 10000) AS bgs
+          FROM d),
+        p AS (
+          SELECT doc_id, lang, u.bkt AS bkt,
+                 CAST(len(list_filter(bgs, y -> y = u.bkt)) AS BIGINT)
+                   AS c
+          FROM bg, unnest(list_distinct(bgs)) AS u(bkt)),
+        raw AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS cr
+                FROM p GROUP BY bkt),
+        tgt AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS ct
+                FROM p WHERE lang = 'en' GROUP BY bkt),
+        prof AS (SELECT raw.bkt AS bkt, cr, COALESCE(ct, 0) AS ct
+                 FROM raw LEFT JOIN tgt USING (bkt)),
+        tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                       CAST(SUM(ct) AS BIGINT) AS nt FROM prof),
+        lam AS (
+          SELECT bkt,
+                 CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                               / CAST(nt + 10000 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE)
+                                  / CAST(nr + 10000 AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS lam
+          FROM prof, tot)
+        SELECT p.doc_id, p.lang,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c * lam) AS BIGINT) AS liw_units,
+               CAST(SUM(c * lam) AS BIGINT) / 1000000.0
+                 AS log_importance_weight
+        FROM p JOIN lam USING (bkt)
+        GROUP BY p.doc_id, p.lang
+    """,
+})

@@ -410,6 +410,13 @@ _OPERATORS = {
     # §2.F round-7 wave 1: single-pass intra/inter label cohesion
     # via the ||sum of unit vectors||^2 identity (no pairwise join)
     "intra_inter_cosine_gap": similarity.intra_inter_cosine_gap,
+    # §2.F round-7 wave 2: diversified serving (MMR greedy rerank)
+    "mmr_diversified_topk": similarity.mmr_diversified_topk,
+    # §2.A round-7 wave 2: map-reduce-native uncertainty (Poisson
+    # bootstrap CI for the mean event value)
+    "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
+    # §2.G round-7 wave 2: DSIR hashed-bigram importance weights
+    "dsir_importance_weights": text.dsir_importance_weights,
 }
 
 

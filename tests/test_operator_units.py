@@ -1643,3 +1643,93 @@ def test_cosine_gap_matches_numpy_pairwise(spark):
         assert out[l]["intra_avg_cos"] == pytest.approx(intra, abs=1e-12)
         assert out[l]["inter_avg_cos"] == pytest.approx(inter, abs=1e-12)
         assert out[l]["cos_gap"] == pytest.approx(intra - inter, abs=1e-12)
+
+
+# -- round-7 wave 2 -----------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_clone(spark):
+    """Pool = {a, a-clone, c-orthogonal}: plain top-2 would return the
+    clone at rank 2; MMR must rank the diverse vector second (the
+    clone's max-sim-to-selected penalty ~1.0 crushes its score)."""
+    import numpy as np
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        MMR_LAMBDA, MMR_MU, mmr_diversified_topk)
+    dim = 8
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.sqrt((v * v).sum())).astype(np.float32)
+
+    q = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    a = unit([0.98, 0.2, 0, 0, 0, 0, 0, 0])       # rel ~.980
+    ac = unit([0.979, 0.204, 0, 0, 0, 0, 0, 0])   # near-clone of a
+    c = unit([0.93, -0.367, 0, 0, 0, 0, 0, 0])    # rel ~.930, diverse
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in q], 0),
+         (1, [float(x) for x in a], 1),
+         (2, [float(x) for x in ac], 1),
+         (3, [float(x) for x in c], 2)],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["rank"]: r for r in
+           mmr_diversified_topk({"embeddings": df}).collect()}
+    assert out[1]["vec_id"] == 1          # best relevance first
+    assert out[2]["vec_id"] == 3          # diversity beats the clone
+    assert out[3]["vec_id"] == 2
+    # score formula pinned against numpy for the rank-2 pick
+    qa, qc = q.astype(np.float64), c.astype(np.float64)
+    rel_c = float(qa @ qc / (np.linalg.norm(qa) * np.linalg.norm(qc)))
+    aa = a.astype(np.float64)
+    sim_ca = float(aa @ qc / (np.linalg.norm(aa) * np.linalg.norm(qc)))
+    want = MMR_LAMBDA * rel_c - MMR_MU * sim_ca
+    assert out[2]["mmr_score"] == pytest.approx(want, abs=1e-12)
+
+
+def test_poisson_bootstrap_matches_python_replication(spark):
+    """The whole chain (md5 uniforms, CDF-threshold weights, replicate
+    means, order-statistic CI) replicated in pure python on a tiny
+    frame — equality is exact, not approximate."""
+    import hashlib
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        PB_CDF_PPM, PB_GRID, PB_REPS, PB_VGRID, poisson_bootstrap_ci)
+    rows = [(i, TS, 1, "view", 1.0 + 0.37 * i, "{}") for i in range(40)]
+    out = poisson_bootstrap_ci({"events": _events(spark, rows)}).collect()[0]
+    vus = {i: int((1.0 + 0.37 * i) * PB_VGRID + 0.5) for i in range(40)}
+    means = []
+    for b in range(PB_REPS):
+        swv = sw = 0
+        for i, vu in vus.items():
+            u = int(hashlib.md5(f"pb|{b}|{i}".encode())
+                    .hexdigest()[:8], 16) % PB_GRID
+            w = sum(u >= c for c in PB_CDF_PPM)
+            swv += w * vu
+            sw += w
+        means.append(swv / PB_VGRID / sw)
+    srt = sorted(means)
+    assert out["n_rows"] == 40 and out["n_reps"] == PB_REPS
+    assert out["mean_value"] == sum(vus.values()) / PB_VGRID / 40
+    assert out["ci_lo"] == srt[1]    # rank 2 of 64 (lower 2.5%)
+    assert out["ci_hi"] == srt[62]   # rank 63 of 64 (upper 97.5%)
+    assert out["ci_lo"] <= out["mean_value"] <= out["ci_hi"]
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """Docs built from the target slice's bigram inventory must score
+    a higher log importance weight than docs built from off-target
+    bigrams."""
+    from openlmis_distributions_etl_spark.operators.text import (
+        dsir_importance_weights)
+    en = "alpha beta gamma delta alpha beta gamma delta"
+    de = "eins zwei drei vier eins zwei drei vier"
+    rows = [(1, en, "en", "web", len(en)),
+            (2, en, "en", "web", len(en)),
+            (3, de, "de", "web", len(de)),
+            (4, en, "de", "web", len(en)),   # en-like text, raw-only lang
+            (5, de, "en", "web", len(de))]   # de-like text inside target
+    out = {r["doc_id"]: r for r in dsir_importance_weights(
+        {"documents": _docs(spark, rows)}).collect()}
+    # doc 4's text matches the target bigram profile -> higher weight
+    # than doc 3's pure off-target text
+    assert out[4]["log_importance_weight"] > out[3]["log_importance_weight"]
+    assert out[1]["log_importance_weight"] > out[3]["log_importance_weight"]

@@ -55,6 +55,11 @@ FLOAT_SENSITIVE = (
     "theil_sen_daily_trend",
     "mann_kendall_trend",
     "intra_inter_cosine_gap",
+    # round-7 wave 2: MMR cosine chain, bootstrap replicate means,
+    # DSIR quantized log-ratio sums
+    "mmr_diversified_topk",
+    "poisson_bootstrap_ci",
+    "dsir_importance_weights",
 )
 
 
