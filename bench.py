@@ -154,6 +154,10 @@ HEADLINE = [
     "mmr_diversified_topk",
     "dsir_importance_weights",
     "poisson_bootstrap_ci",
+    # round-7 wave 3
+    "welch_ttest_values",
+    "weighted_sample_docs",
+    "purchase_gap_survival",
 ]
 
 

@@ -2644,3 +2644,124 @@ def poisson_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
                    / F.count(F.lit(1))).alias("mean_value"))
     return (full.crossJoin(F.broadcast(ci))
             .select("n_rows", "mean_value", "n_reps", "ci_lo", "ci_hi"))
+
+
+# round-7 wave 3: parametric A/B testing + survival analysis
+
+WELCH_A = "purchase"
+WELCH_B = "view"
+WELCH_VGRID = 10_000
+
+
+def welch_ttest_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    distributions (the parametric complement to
+    mann_whitney_value_drift): t statistic and Welch–Satterthwaite
+    degrees of freedom from per-group moments.
+
+    Exactness: values quantize to 1e-4 units, all moments accumulate
+    as integer/decimal sums (partition-order free), and t/df are one
+    deterministic double chain over those exact integers, floor-
+    gridded to 1e-9 in both engines. One map-side-combinable
+    2-key aggregate — no shuffle pressure at any scale."""
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * WELCH_VGRID + F.lit(0.5)).cast("long")
+    g = (t["events"]
+         .where(F.col("value").isNotNull()
+                & F.col("event_type").isin(WELCH_A, WELCH_B))
+         .select("event_type", vu.alias("vu"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("vu").cast(d38).alias("s"),
+              F.sum((F.col("vu").cast(d38) * F.col("vu")).cast(d38))
+              .alias("sxx")))
+    a = g.where(F.col("event_type") == WELCH_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("sxx").alias("sxxa"))
+    b = g.where(F.col("event_type") == WELCH_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("sxx").alias("sxxb"))
+    j = a.crossJoin(F.broadcast(b))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    gg = float(WELCH_VGRID)
+
+    def mean(s, n):
+        return s.cast("double") / gg / n.cast("double")
+
+    def var(sxx, s, n):
+        nd = n.cast("double")
+        m = mean(s, n)
+        return (sxx.cast("double") / (gg * gg) - nd * m * m) / (nd - 1)
+
+    ma, mb = mean(F.col("sa"), F.col("na")), mean(F.col("sb"), F.col("nb"))
+    va = var(F.col("sxxa"), F.col("sa"), F.col("na"))
+    vb = var(F.col("sxxb"), F.col("sb"), F.col("nb"))
+    qa = va / F.col("na").cast("double")
+    qb = vb / F.col("nb").cast("double")
+    tstat = (ma - mb) / F.sqrt(qa + qb)
+    df = ((qa + qb) * (qa + qb)
+          / (qa * qa / (F.col("na").cast("double") - 1)
+             + qb * qb / (F.col("nb").cast("double") - 1)))
+    return j.select(
+        "na", "nb", grid(ma).alias("mean_a"), grid(mb).alias("mean_b"),
+        grid(tstat).alias("t_stat"), grid(df).alias("welch_df"))
+
+
+SURV_EVENT = "purchase"
+
+
+def purchase_gap_survival(t: dict[str, DataFrame]) -> DataFrame:
+    """Kaplan–Meier survival curve of the DAYS-to-next-purchase gap:
+    per user, consecutive purchase gaps are observed events; each
+    user's time from last purchase to the corpus frontier is a
+    right-CENSORED observation. Output one row per distinct event
+    time (whole days): at-risk count, event count, and the KM
+    survival estimate S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) — the
+    repeat-purchase retention curve read the way clinicians read
+    time-to-relapse.
+
+    Scale shape: gaps come from one user-keyed window; the KM grid is
+    CALENDAR-BOUNDED (distinct whole-day gaps), so the risk table is
+    a tiny frame and the cumulative product folds IN-ROW over the
+    day-sorted struct array — a sequential left fold evaluated
+    identically by DuckDB (list ordering fixed by array_sort), no
+    cross-row float accumulation anywhere."""
+    us = 86_400_000_000
+    p = (t["events"]
+         .where(F.col("event_type") == SURV_EVENT)
+         .select("user_id", F.unix_micros("ts").alias("ts_us")))
+    frontier = p.agg(F.max("ts_us").alias("fr"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = (p.select("user_id", "ts_us",
+                     F.lead("ts_us").over(w).alias("nxt"))
+            .crossJoin(F.broadcast(frontier))
+            .select(
+                # integer DIV, never a double divide: a float quotient
+                # landing epsilon under a whole day would truncate
+                # differently across engines
+                (F.coalesce(F.col("nxt"), F.col("fr"))
+                 - F.col("ts_us")).alias("du"),
+                F.col("nxt").isNotNull().cast("int").alias("observed"))
+            .select(F.expr(f"du DIV {us}").alias("gd"), "observed"))
+    risk = (gaps.groupBy("gd")
+            .agg(F.sum("observed").alias("d"),
+                 F.count(F.lit(1)).alias("c")))
+    # at-risk at time gd = all observations with gap >= gd: suffix sum
+    # over the calendar-bounded grid (single bounded window)
+    wg = Window.orderBy(F.desc("gd")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tbl = (risk.select("gd", "d", F.sum("c").over(wg).alias("n_risk"))
+           .where(F.col("d") > 0))
+    folded = tbl.agg(F.array_sort(
+        F.collect_list(F.struct("gd", "d", "n_risk"))).alias("rows"))
+    surv = folded.select(F.explode(F.expr(
+        """
+        transform(rows, (r, i) ->
+          struct(r.gd AS gd, r.n_risk AS n_risk, r.d AS d,
+                 aggregate(slice(rows, 1, i + 1), CAST(1.0 AS DOUBLE),
+                   (acc, x) -> acc * (CAST(1.0 AS DOUBLE)
+                                      - CAST(x.d AS DOUBLE)
+                                      / CAST(x.n_risk AS DOUBLE)))
+                 AS survival))
+        """)).alias("s"))
+    return surv.select("s.gd", "s.n_risk", "s.d", "s.survival")

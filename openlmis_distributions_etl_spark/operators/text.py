@@ -2239,6 +2239,12 @@ def hapax_share_by_source(t: dict[str, DataFrame]) -> DataFrame:
 
 DSIR_BUCKETS = 10_000
 DSIR_TARGET_LANG = "en"
+# hashed-bigram bucket ids for a `toks` array column (shared by the
+# batch scorer and the streaming gate so both lanes hash identically)
+DSIR_BG_EXPR = ("transform(sequence(0, size(toks) - 2), i -> "
+                "pmod(cast(conv(substring(md5(cast(concat('dsir|', "
+                "toks[i], ' ', toks[i + 1]) AS binary)), 1, 8), 16, 10) "
+                f"AS bigint), {DSIR_BUCKETS}))")
 
 
 def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
@@ -2261,10 +2267,7 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
     and broadcast back — no corpus-sized shuffle anywhere."""
     from ..functions import pin
     from ..functions.cache import retain
-    bg = ("transform(sequence(0, size(toks) - 2), i -> "
-          "pmod(cast(conv(substring(md5(cast(concat('dsir|', toks[i], "
-          "' ', toks[i + 1]) AS binary)), 1, 8), 16, 10) AS bigint), "
-          f"{DSIR_BUCKETS}))")
+    bg = DSIR_BG_EXPR
     d = (t["documents"]
          .select("doc_id", "lang", tokens().alias("toks"))
          .where(F.size("toks") >= 2))
@@ -2302,3 +2305,40 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id", "lang", "n_bigrams", "liw_units",
         (F.col("liw_units") / F.lit(float(LOGPROB_GRID)))
         .alias("log_importance_weight"))
+
+
+# round-7 wave 3: weighted reservoir sampling (Efraimidis-Spirakis)
+
+AES_K = 50
+AES_GRID = 1_000_000          # md5-uniform resolution
+AES_KEY_GRID = 1e12           # ln(u)/w quantization
+
+
+def weighted_sample_docs(t: dict[str, DataFrame],
+                         k: int = AES_K) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement via the
+    Efraimidis–Spirakis A-ES keys (2006): each doc draws a
+    deterministic md5 uniform u and keeps key = ln(u)/w (equivalent
+    to u^(1/w)); the global top-k keys are the sample — longer
+    documents (w = n_chars) proportionally likelier, reproducible
+    across runs/engines/cluster sizes, and mergeable (top-k of keys
+    distributes as a TakeOrdered, the one-pass distributed weighted
+    reservoir).
+
+    Keys quantize to integer 1e-12 units before the ordering (the
+    micro-nat discipline: both engines' ln agree to well under a
+    quantum, and the tie-break (key desc, doc_id asc) is total), so
+    membership is engine-exact."""
+    u_ppm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("aes|"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % AES_GRID) + 1      # (0, 1e6] - never ln(0)
+    key = F.floor(
+        F.log(u_ppm.cast("double") / AES_GRID)
+        / F.col("n_chars").cast("double") * AES_KEY_GRID
+        + F.lit(0.5)).cast("long")
+    return (t["documents"]
+            .select("doc_id", "source", "n_chars",
+                    u_ppm.alias("u_ppm"), key.alias("key_units"))
+            .orderBy(F.desc("key_units"), F.asc("doc_id"))
+            .limit(k))

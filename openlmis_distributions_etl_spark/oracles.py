@@ -8188,3 +8188,110 @@ ORACLES.update({
         GROUP BY p.doc_id, p.lang
     """,
 })
+
+# -- round-7 wave 3: Welch t-test, A-ES weighted sample, KM survival ---
+
+_W_VU = "CAST(floor(value * 10000 + 0.5) AS BIGINT)"
+
+
+def _w_mean(s: str, n: str) -> str:
+    return f"(CAST({s} AS DOUBLE) / 10000.0 / CAST({n} AS DOUBLE))"
+
+
+def _w_var(sxx: str, s: str, n: str) -> str:
+    m = _w_mean(s, n)
+    return (f"((CAST({sxx} AS DOUBLE) / 100000000.0"
+            f" - CAST({n} AS DOUBLE) * {m} * {m})"
+            f" / (CAST({n} AS DOUBLE) - 1))")
+
+
+_W_QA = f"({_w_var('sxxa', 'sa', 'na')} / CAST(na AS DOUBLE))"
+_W_QB = f"({_w_var('sxxb', 'sb', 'nb')} / CAST(nb AS DOUBLE))"
+
+
+def _grid9(x: str) -> str:
+    return f"floor(({x}) * 1e9 + 0.5) / 1e9"
+
+
+ORACLES.update({
+    "welch_ttest_values": f"""
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM({_W_VU}) AS DECIMAL(38,0)) AS s,
+                 SUM(CAST(CAST({_W_VU} AS DECIMAL(38,0)) * {_W_VU}
+                     AS DECIMAL(38,0))) AS sxx
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+          GROUP BY event_type),
+        j AS (
+          SELECT a.n AS na, a.s AS sa, a.sxx AS sxxa,
+                 b.n AS nb, b.s AS sb, b.sxx AS sxxb
+          FROM (SELECT * FROM g WHERE event_type = 'purchase') a,
+               (SELECT * FROM g WHERE event_type = 'view') b)
+        SELECT na, nb,
+               {_grid9(_w_mean('sa', 'na'))} AS mean_a,
+               {_grid9(_w_mean('sb', 'nb'))} AS mean_b,
+               {_grid9(f"({_w_mean('sa', 'na')} - {_w_mean('sb', 'nb')})"
+                       f" / sqrt({_W_QA} + {_W_QB})")} AS t_stat,
+               {_grid9(f"(({_W_QA} + {_W_QB}) * ({_W_QA} + {_W_QB}))"
+                       f" / ({_W_QA} * {_W_QA} / (CAST(na AS DOUBLE) - 1)"
+                       f"    + {_W_QB} * {_W_QB} / (CAST(nb AS DOUBLE) - 1))"
+                       )} AS welch_df
+        FROM j
+    """,
+    "weighted_sample_docs": f"""
+        WITH k AS (
+          SELECT doc_id, source, n_chars,
+                 ({_HEX8_TO_INT("'aes|' || CAST(doc_id AS VARCHAR)")}
+                  % 1000000) + 1 AS u_ppm
+          FROM documents)
+        SELECT doc_id, source, n_chars, u_ppm,
+               CAST(floor(ln(CAST(u_ppm AS DOUBLE) / 1000000)
+                 / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+                 AS key_units
+        FROM k
+        ORDER BY key_units DESC, doc_id ASC
+        LIMIT 50
+    """,
+    "purchase_gap_survival": """
+        WITH p AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase'),
+        fr AS (SELECT MAX(ts_us) AS fr FROM p),
+        g AS (
+          SELECT user_id, ts_us,
+                 LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   AS nxt
+          FROM p),
+        gaps AS (
+          SELECT (COALESCE(nxt, fr.fr) - ts_us) // 86400000000 AS gd,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS observed
+          FROM g, fr),
+        risk AS (
+          SELECT gd, CAST(SUM(observed) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM gaps GROUP BY gd),
+        tbl AS (
+          SELECT gd, d,
+                 CAST(SUM(c) OVER (ORDER BY gd DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+          FROM risk),
+        folded AS (
+          SELECT list(struct_pack(gd := gd, d := d, n_risk := n_risk)
+                      ORDER BY gd) AS rows
+          FROM tbl WHERE d > 0)
+        SELECT rows[CAST(i AS INT)].gd AS gd,
+               rows[CAST(i AS INT)].n_risk AS n_risk,
+               rows[CAST(i AS INT)].d AS d,
+               list_reduce(
+                 list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(list_slice(rows, 1, CAST(i AS INT)),
+                     x -> CAST(1.0 AS DOUBLE)
+                          - CAST(x.d AS DOUBLE)
+                          / CAST(x.n_risk AS DOUBLE))),
+                 (a, b) -> a * b) AS survival
+        FROM folded, (SELECT unnest(range(1, 100000)) AS i)
+        WHERE i <= len(rows)
+    """,
+})

@@ -417,6 +417,11 @@ _OPERATORS = {
     "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
     # §2.G round-7 wave 2: DSIR hashed-bigram importance weights
     "dsir_importance_weights": text.dsir_importance_weights,
+    # §2.A round-7 wave 3: parametric A/B test + KM survival curve
+    "welch_ttest_values": analytics.welch_ttest_values,
+    "purchase_gap_survival": analytics.purchase_gap_survival,
+    # §2.G round-7 wave 3: Efraimidis-Spirakis weighted sampling
+    "weighted_sample_docs": text.weighted_sample_docs,
 }
 
 

@@ -2113,3 +2113,80 @@ def read_audience_overlap(spark: SparkSession,
         "n_click", "n_purchase", "n_both", "n_either",
         (F.col("n_both").cast("double") / F.col("n_either"))
         .alias("jaccard"))
+
+
+def _dsir_profile(history: DataFrame) -> list[int]:
+    """Train the DSIR hashed-bigram log-ratio profile from a static
+    history snapshot: the same smoothed λ(bucket) table the batch
+    `dsir_importance_weights` builds (micro-nat-quantized integers),
+    densified to a DSIR_BUCKETS-long python list where buckets the
+    history never produced get the cr=ct=0 smoothed default — the
+    value the add-one model assigns any unseen bucket, so the stream
+    can score bigrams the training corpus never hashed."""
+    import math
+
+    from ..operators.text import (DSIR_BG_EXPR, DSIR_BUCKETS,
+                                  DSIR_TARGET_LANG, LOGPROB_GRID, tokens)
+    from ..functions import pin
+    d = (history.select("lang", tokens().alias("toks"))
+         .where(F.size("toks") >= 2))
+    pairs = (pin(pin(d, bgs=F.expr(DSIR_BG_EXPR)),
+                 pr=F.expr("transform(array_distinct(bgs), x -> "
+                           "struct(x AS bkt, size(filter(bgs, y -> y = x))"
+                           " AS c))"))
+             .select("lang", F.explode("pr").alias("p"))
+             .select("lang", F.col("p.bkt").alias("bkt"),
+                     F.col("p.c").alias("c")))
+    prof = (pairs.groupBy("bkt")
+            .agg(F.sum("c").cast("long").alias("cr"),
+                 F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG,
+                              F.col("c")).otherwise(0))
+                 .cast("long").alias("ct"))
+            .collect())
+    nr = sum(r["cr"] for r in prof)
+    nt = sum(r["ct"] for r in prof)
+
+    def lam(cr: int, ct: int) -> int:
+        return math.floor(
+            (math.log((ct + 1) / (nt + DSIR_BUCKETS))
+             - math.log((cr + 1) / (nr + DSIR_BUCKETS)))
+            * LOGPROB_GRID + 0.5)
+
+    arr = [lam(0, 0)] * DSIR_BUCKETS
+    for r in prof:
+        arr[int(r["bkt"])] = lam(int(r["cr"]), int(r["ct"]))
+    return arr
+
+
+def dsir_gate_stream(docs: DataFrame, history: DataFrame,
+                     threshold: float = 0.0) -> DataFrame:
+    """Streaming DSIR admission gate: score every incoming document's
+    log importance weight (target-vs-raw hashed-bigram model, Xie et
+    al. 2023) against a profile trained ONCE from the static history
+    snapshot, and pass only docs at or above the threshold — the
+    "keep what looks like the reference corpus" ingest filter.
+
+    The λ table ships as ONE dense array literal (DSIR_BUCKETS
+    integers, ~80 KB inside the serialized plan), so scoring is a
+    fully STATELESS in-row fold: hash bigrams (the exact expression
+    the batch scorer uses), sum element_at(λ, bucket) — no join, no
+    explode, no state store, no watermark; replay-safe and map-only
+    at any ingest rate. Scores equal the batch operator's on the same
+    profile corpus bit-for-bit (integer micro-nat sums)."""
+    from ..operators.text import DSIR_BG_EXPR, LOGPROB_GRID, tokens
+    from ..functions import pin
+    lam = F.lit(_dsir_profile(history))
+    d = pin(docs.select("doc_id", "lang", tokens().alias("toks"))
+            .where(F.size("toks") >= 2),
+            bgs=F.expr(DSIR_BG_EXPR))
+    units = F.aggregate(
+        F.col("bgs"), F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(lam, (b + 1).cast("int")))
+    scored = d.select(
+        "doc_id", "lang",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        units.alias("liw_units"))
+    return (scored
+            .select("*", (F.col("liw_units") / F.lit(float(LOGPROB_GRID)))
+                    .alias("log_importance_weight"))
+            .where(F.col("log_importance_weight") >= threshold))

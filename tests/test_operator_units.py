@@ -1733,3 +1733,93 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     # than doc 3's pure off-target text
     assert out[4]["log_importance_weight"] > out[3]["log_importance_weight"]
     assert out[1]["log_importance_weight"] > out[3]["log_importance_weight"]
+
+
+# -- round-7 wave 3 -----------------------------------------------------
+
+
+def test_welch_ttest_matches_textbook_formula(spark):
+    """Hand-computed Welch t and df on two tiny samples (quantized to
+    the operator's 1e-4 grid, gridded to 1e-9 like the operator)."""
+    import math
+    a_vals = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b_vals = [8.0, 7.5, 9.5, 8.5]
+    rows = ([(i, TS, 1, "purchase", v, "{}")
+             for i, v in enumerate(a_vals)]
+            + [(100 + i, TS, 1, "view", v, "{}")
+               for i, v in enumerate(b_vals)])
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        welch_ttest_values)
+    r = welch_ttest_values({"events": _events(spark, rows)}).collect()[0]
+
+    def stats(vs):
+        q = [int(v * 10000 + 0.5) / 10000 for v in vs]
+        n = len(q)
+        m = sum(q) / n
+        var = sum((x - m) ** 2 for x in q) / (n - 1)
+        return n, m, var
+
+    na, ma, va = stats(a_vals)
+    nb, mb, vb = stats(b_vals)
+    qa, qb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(qa + qb)
+    df = (qa + qb) ** 2 / (qa * qa / (na - 1) + qb * qb / (nb - 1))
+    assert (r["na"], r["nb"]) == (5, 4)
+    assert r["t_stat"] == pytest.approx(t, abs=2e-9)
+    assert r["welch_df"] == pytest.approx(df, abs=2e-9)
+    assert r["t_stat"] > 2.0     # clearly separated samples
+
+
+def test_km_survival_textbook_curve(spark):
+    """Classic KM hand example: users with observed gaps {2, 2, 5}
+    and one censored-at-3 user. Risk sets: t=2 -> n=4, d=2 ->
+    S=0.5; t=5 -> n=1, d=1 -> S=0."""
+    import datetime as dt
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: purchases at d0, d2 -> observed gap 2, then censored
+        (1, TS, 1, "purchase", 1.0, "{}"),
+        (2, TS + 2 * day, 1, "purchase", 1.0, "{}"),
+        # user 2: d0, d2 (gap 2), second censored
+        (3, TS, 2, "purchase", 1.0, "{}"),
+        (4, TS + 2 * day, 2, "purchase", 1.0, "{}"),
+        # user 3: d0, d5 (gap 5) - frontier is d5, so censored gap 0
+        (5, TS, 3, "purchase", 1.0, "{}"),
+        (6, TS + 5 * day, 3, "purchase", 1.0, "{}"),
+        # user 4: single purchase at d2 -> censored gap 3
+        (7, TS + 2 * day, 4, "purchase", 1.0, "{}"),
+    ]
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        purchase_gap_survival)
+    got = {r["gd"]: r for r in purchase_gap_survival(
+        {"events": _events(spark, rows)}).collect()}
+    # observed gaps: 2 (x2), 5; censored: u1@3, u2@3, u3@0, u4@3
+    # risk at 2 = gaps >= 2 -> {2,2,5,3,3,3} = 6; S(2) = 1 - 2/6
+    assert got[2]["n_risk"] == 6 and got[2]["d"] == 2
+    assert got[2]["survival"] == pytest.approx(2 / 3, abs=1e-12)
+    # risk at 5 = {5} -> 1; S(5) = (1 - 2/6)(1 - 1/1) = 0
+    assert got[5]["n_risk"] == 1 and got[5]["d"] == 1
+    assert got[5]["survival"] == pytest.approx(0.0, abs=1e-12)
+    assert set(got) == {2, 5}
+
+
+def test_weighted_sample_matches_python_replication(spark):
+    """A-ES keys replicated in python (md5 uniforms, ln(u)/w,
+    1e-12-unit quantization): identical membership and order."""
+    import hashlib
+    import math
+    rows = [(i, "x " * (10 + 7 * (i % 13)), "en", "web",
+             10 + 7 * (i % 13)) for i in range(200)]
+    from openlmis_distributions_etl_spark.operators.text import (
+        weighted_sample_docs)
+    got = [(r["doc_id"], r["key_units"]) for r in weighted_sample_docs(
+        {"documents": _docs(spark, rows)}, k=20).collect()]
+
+    def key(doc_id, w):
+        u = int(hashlib.md5(f"aes|{doc_id}".encode())
+                .hexdigest()[:8], 16) % 1_000_000 + 1
+        return math.floor(math.log(u / 1_000_000) / w * 1e12 + 0.5)
+
+    want = sorted(((i, key(i, 10 + 7 * (i % 13))) for i in range(200)),
+                  key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want

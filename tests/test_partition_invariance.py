@@ -60,6 +60,11 @@ FLOAT_SENSITIVE = (
     "mmr_diversified_topk",
     "poisson_bootstrap_ci",
     "dsir_importance_weights",
+    # round-7 wave 3: moment-chain t-test, ln-quantized A-ES keys,
+    # in-row KM survival fold
+    "welch_ttest_values",
+    "weighted_sample_docs",
+    "purchase_gap_survival",
 )
 
 

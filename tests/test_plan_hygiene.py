@@ -99,6 +99,16 @@ BNLJ_ALLOWED = {
     "user_retention_curve",   # broadcast cohort-size singleton row
     "vocab_growth_curve",     # broadcast whole-corpus totals row
     "token_zipf_table",       # broadcast corpus-total singleton row
+    # round-7 wave 1/2 pinned broadcast singletons / bounded clouds
+    "unigram_logprob_quality",   # broadcast corpus-total singleton row
+    "theil_sen_daily_trend",     # calendar-bounded broadcast pair cloud
+    "mann_kendall_trend",        # calendar-bounded broadcast pair cloud
+    "intra_inter_cosine_gap",    # broadcast n_total singleton row
+    "mmr_diversified_topk",      # broadcast query row + pool-size set
+    "poisson_bootstrap_ci",      # broadcast 1-row CI frame
+    "dsir_importance_weights",   # broadcast corpus-totals singleton row
+    "welch_ttest_values",        # broadcast 1-row group-B moments
+    "purchase_gap_survival",     # broadcast 1-row censoring frontier
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

@@ -1239,3 +1239,29 @@ def test_stream_audience_bitmaps_compaction(spark, tmp_path,
     got = jobs.read_audience_overlap(spark, store).toPandas()
     want = audience_bitmap_intersection(t).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_dsir_gate_stream_matches_batch(spark):
+    """Streaming DSIR gate (λ profile trained on the same corpus it
+    then scores) passes exactly the docs whose BATCH importance
+    weight clears the threshold, with bit-identical scores — the
+    in-row array-literal fold equals the batch broadcast-join sum."""
+    from openlmis_distributions_etl_spark.operators import text
+
+    t = load_tables(spark, SF0001, "documents")
+    batch = text.dsir_importance_weights(t)
+    # synthetic langs share one vocabulary, so absolute weights sit
+    # below 0 here; gate at the batch median to guarantee a real
+    # split either side of the threshold
+    thr = batch.approxQuantile("log_importance_weight", [0.5], 0.0)[0]
+    got = _run_available_now(
+        jobs.dsir_gate_stream(jobs.read_documents_stream(spark, SF0001),
+                              t["documents"], threshold=thr),
+        "dsir_gate", spark, "append")
+    want = (batch
+            .where(F.col("log_importance_weight") >= thr)
+            .select("doc_id", "lang", "n_bigrams", "liw_units",
+                    "log_importance_weight")).toPandas()
+    n_all = batch.count()
+    assert 0 < len(want) < n_all, "median threshold must split the corpus"
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
