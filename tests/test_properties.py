@@ -680,3 +680,156 @@ def test_doubling_buckets_spread_heavy_rank(spark):
                df, n, okey, proxy, dense_max=dense_max, heavy=heavy)
            .select("r1", "r2", "r").distinct().collect()}
     assert base == two
+
+
+# -- round-7: randomized batteries for the exactly-rational new ops ----
+
+daily_series_strategy = st.lists(
+    st.tuples(st.integers(0, 60),              # day offset
+              st.integers(1, 100_000)),        # order cents
+    min_size=2, max_size=40).filter(
+        lambda rows: len({d for d, _ in rows}) >= 2)
+
+
+def _orders_df(spark, rows):
+    data = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=d), c / 100.0)
+            for i, (d, c) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "o_orderkey long, o_orderdate date, o_totalprice double")
+
+
+def _daily_cents(rows):
+    daily = {}
+    for d, c in rows:
+        daily[d] = daily.get(d, 0) + c
+    return sorted(daily.items())
+
+
+@PROP
+@given(daily_series_strategy)
+def test_theil_sen_matches_python(spark, rows):
+    """Lower median of all pairwise slopes, computed brute-force in
+    python on the same integer-cent daily series — exact equality
+    (each slope is one IEEE division of exact integers)."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        theil_sen_daily_trend)
+    r = theil_sen_daily_trend(
+        {"orders": _orders_df(spark, rows)}).collect()[0]
+    daily = _daily_cents(rows)
+    slopes = sorted(
+        (daily[j][1] - daily[i][1]) / (daily[j][0] - daily[i][0])
+        for i in range(len(daily)) for j in range(i + 1, len(daily)))
+    assert r["n_days"] == len(daily)
+    assert r["n_pairs"] == len(slopes)
+    assert r["ts_slope"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+@PROP
+@given(daily_series_strategy)
+def test_mann_kendall_matches_python(spark, rows):
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        mann_kendall_trend)
+    r = mann_kendall_trend(
+        {"orders": _orders_df(spark, rows)}).collect()[0]
+    daily = _daily_cents(rows)
+    n = len(daily)
+    s = conc = disc = tie = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dv = daily[j][1] - daily[i][1]
+            conc += dv > 0
+            disc += dv < 0
+            tie += dv == 0
+    s = conc - disc
+    assert (r["n_days"], r["s_stat"]) == (n, s)
+    assert (r["n_concordant"], r["n_discordant"], r["n_tied"]) == \
+        (conc, disc, tie)
+    tau = math.floor(s / (n * (n - 1) / 2.0) * 1e9 + 0.5) / 1e9
+    assert r["tau"] == tau
+    var0 = n * (n - 1) * (2 * n + 5) / 18.0
+    z = ((s - 1) / math.sqrt(var0) if s > 0
+         else (s + 1) / math.sqrt(var0) if s < 0 else 0.0)
+    assert r["z_score"] == math.floor(z * 1e9 + 0.5) / 1e9
+
+
+purchases_strategy = st.lists(
+    st.tuples(st.integers(0, 4),               # user_id
+              st.integers(0, 30)),             # day
+    min_size=2, max_size=30).filter(
+        lambda rows: len(set(rows)) == len(rows))
+
+
+@PROP
+@given(purchases_strategy)
+def test_km_survival_matches_python(spark, rows):
+    """Kaplan-Meier vs a python reference: same gaps (observed +
+    frontier-censored), same risk sets, same sequential product."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        purchase_gap_survival)
+    data = [(i, BASE + dt.timedelta(days=d), uid, "purchase", 1.0, "{}")
+            for i, (uid, d) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["gd"]: (r["n_risk"], r["d"], r["survival"])
+           for r in purchase_gap_survival({"events": df}).collect()}
+
+    frontier = max(d for _, d in rows)
+    gaps = []
+    by_user: dict[int, list[int]] = {}
+    for uid, d in rows:
+        by_user.setdefault(uid, []).append(d)
+    for days in by_user.values():
+        days.sort()
+        for a, b in zip(days, days[1:]):
+            gaps.append((b - a, 1))
+        gaps.append((frontier - days[-1], 0))
+    want = {}
+    surv = 1.0
+    for gd in sorted({g for g, o in gaps if o}):
+        n_risk = sum(1 for g, _ in gaps if g >= gd)
+        d_cnt = sum(1 for g, o in gaps if g == gd and o)
+        surv = surv * (1.0 - d_cnt / n_risk)
+        want[gd] = (n_risk, d_cnt, surv)
+    assert got == want
+
+
+gopher_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "b", "ccc", "dd"]),
+             min_size=5, max_size=30),
+    min_size=1, max_size=8)
+
+
+@PROP
+@given(gopher_docs_strategy)
+def test_gopher_fractions_match_python(spark, token_lists):
+    from collections import Counter
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        gopher_ngram_fractions)
+    t = {"documents": _docs_df(spark, token_lists)}
+    got = {r["doc_id"]: (r["top2_frac"], r["top3_frac"], r["dup5_frac"])
+           for r in gopher_ngram_fractions(t).collect()}
+    for i, toks in enumerate(token_lists):
+        n_chars = len(" ".join(toks))
+
+        def grams(n):
+            return [" ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)]
+
+        def top_mass(gs):
+            c = Counter(gs)
+            mx = max(c.values())
+            best_len = max(len(g) for g, k in c.items() if k == mx)
+            return mx * best_len
+
+        def dup_mass(gs):
+            c = Counter(gs)
+            return sum(k * len(g) for g, k in c.items() if k >= 2)
+
+        want = (top_mass(grams(2)) / n_chars,
+                top_mass(grams(3)) / n_chars,
+                dup_mass(grams(5)) / n_chars)
+        assert got[i] == want, (i, got[i], want)
