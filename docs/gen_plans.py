@@ -59,6 +59,14 @@ FLAGSHIPS = (
     "token_budget_sample",
     "lsh_band_sweep",
     "rolling_7d_active_users",
+    # round-7 flagships
+    "unigram_logprob_quality",
+    "intra_inter_cosine_gap",
+    "mmr_diversified_topk",
+    "dsir_importance_weights",
+    "theil_sen_daily_trend",
+    "purchase_gap_survival",
+    "poisson_bootstrap_ci",
 )
 
 

@@ -2603,9 +2603,10 @@ def poisson_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
     replicate means.
 
     Determinism/exactness: the per-(row, replicate) uniform is an
-    md5-derived integer in [0, 1e6) (the deterministic_sample
-    convention), weights are integer comparisons against fixed
-    Poisson-CDF literals, values quantize to 1e-4 units BEFORE
+    md5-derived integer in [0, 1e6) — one md5 per (row, group-of-4)
+    whose 32 hex chars split into four 8-hex uniforms, replicate
+    b = 4·group + segment — weights are integer comparisons against
+    fixed Poisson-CDF literals, values quantize to 1e-4 units BEFORE
     summing (integer partial aggregation — partition-order free), and
     each replicate mean is one double expression over exact integers.
     Scale: the explode is a bounded ×PB_REPS map (no shuffle until
@@ -2615,17 +2616,25 @@ def poisson_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
           .select("event_id",
                   F.floor(F.col("value") * PB_VGRID + F.lit(0.5))
                   .cast("long").alias("vu")))
-    u = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("pb|"), F.col("b").cast("string"),
-                       F.lit("|"), F.col("event_id").cast("string"))
-              .cast("binary")), 1, 8), 16, 10)
-        .cast("long") % PB_GRID)
-    w = sum((u >= F.lit(c)).cast("int") for c in PB_CDF_PPM)
-    reps = (ev.select(
+    # ONE md5 feeds FOUR replicates: its 32 hex chars split into four
+    # 8-hex uniforms (md5's avalanche makes the segments independent),
+    # so the hot path hashes PB_REPS/4 times per row, not PB_REPS
+    groups = (ev.select(
         "event_id", "vu",
-        F.explode(F.array(*[F.lit(b) for b in range(PB_REPS)]))
-        .alias("b"))
-        .select("b", "vu", w.cast("long").alias("w")))
+        F.explode(F.array(*[F.lit(g) for g in range(PB_REPS // 4)]))
+        .alias("g"))
+        .select("vu", "g", F.md5(F.concat(
+            F.lit("pb|"), F.col("g").cast("string"),
+            F.lit("|"), F.col("event_id").cast("string"))
+            .cast("binary")).alias("h")))
+    u = (F.conv(F.expr("substring(h, s * 8 + 1, 8)"), 16, 10)
+         .cast("long") % PB_GRID)
+    w = sum((u >= F.lit(c)).cast("int") for c in PB_CDF_PPM)
+    reps = (groups.select(
+        "vu", "g", "h",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s"))
+        .select((F.col("g") * 4 + F.col("s")).alias("b"), "vu",
+                w.cast("long").alias("w")))
     means = (reps.groupBy("b")
              .agg(F.sum(F.col("w") * F.col("vu")).alias("swv"),
                   F.sum("w").alias("sw"))

@@ -8079,9 +8079,14 @@ ORACLES.update({
 
 # -- round-7 wave 2: MMR serving, Poisson bootstrap, DSIR weights ------
 
-_PB_U = (_HEX8_TO_INT(
-    "'pb|' || CAST(b.b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)")
-    + " % 1000000")
+# one md5 per (row, group-of-4); segment sg in 0..3 slices 8 hex chars
+_PB_SEG = ("substr(md5('pb|' || CAST(g.g AS VARCHAR) || '|' "
+           "|| CAST(event_id AS VARCHAR)), CAST(s.sg * 8 + 1 AS INT), 8)")
+_PB_U = ("CAST(list_sum(list_transform(range(1, 9), "
+         f"i -> (strpos('0123456789abcdef', substr({_PB_SEG}, "
+         "CAST(i AS INT), 1)) - 1) "
+         "* (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS BIGINT)"
+         " % 1000000")
 _PB_W = " + ".join(
     f"CASE WHEN {_PB_U} >= {c} THEN 1 ELSE 0 END"
     for c in (367879, 735759, 919699, 981012, 996340, 999406, 999917))
@@ -8126,9 +8131,10 @@ ORACLES.update({
                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
           FROM events WHERE value IS NOT NULL),
         reps AS (
-          SELECT b.b AS b, ev.vu AS vu,
+          SELECT g.g * 4 + s.sg AS b, ev.vu AS vu,
                  CAST({_PB_W} AS BIGINT) AS w
-          FROM ev, (SELECT unnest(range(0, 64)) AS b) b),
+          FROM ev, (SELECT unnest(range(0, 16)) AS g) g,
+               (SELECT unnest(range(0, 4)) AS sg) s),
         means AS (
           SELECT b, CAST(SUM(w * vu) AS BIGINT) / 10000.0
                     / CAST(SUM(w) AS BIGINT) AS m

@@ -1698,10 +1698,11 @@ def test_poisson_bootstrap_matches_python_replication(spark):
     vus = {i: int((1.0 + 0.37 * i) * PB_VGRID + 0.5) for i in range(40)}
     means = []
     for b in range(PB_REPS):
+        g, seg = b // 4, b % 4
         swv = sw = 0
         for i, vu in vus.items():
-            u = int(hashlib.md5(f"pb|{b}|{i}".encode())
-                    .hexdigest()[:8], 16) % PB_GRID
+            h = hashlib.md5(f"pb|{g}|{i}".encode()).hexdigest()
+            u = int(h[8 * seg:8 * seg + 8], 16) % PB_GRID
             w = sum(u >= c for c in PB_CDF_PPM)
             swv += w * vu
             sw += w
