@@ -158,6 +158,9 @@ HEADLINE = [
     "welch_ttest_values",
     "weighted_sample_docs",
     "purchase_gap_survival",
+    # round-7 wave 4
+    "payload_chunk_overlap_pairs",
+    "functional_dependency_audit",
 ]
 
 

@@ -2774,3 +2774,50 @@ def purchase_gap_survival(t: dict[str, DataFrame]) -> DataFrame:
                  AS survival))
         """)).alias("s"))
     return surv.select("s.gd", "s.n_risk", "s.d", "s.survival")
+
+
+# round-7 wave 4: approximate functional-dependency profiling
+
+FD_CANDIDATES = (
+    # (name, table, lhs, rhs)
+    ("orders_cust_to_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem_order_to_status", "lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem_part_to_supp", "lineitem", "l_partkey", "l_suppkey"),
+    ("customer_nation_to_segment", "customer",
+     "c_nationkey", "c_mktsegment"),
+)
+
+
+def functional_dependency_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Approximate functional-dependency profiling (the
+    Metanome/data-profiling g3 measure, public: Kivinen & Mannila
+    1995): for each candidate FD lhs → rhs, the share of rows that
+    would have to be DELETED for the dependency to hold exactly —
+    g3 = 1 − Σ_groups max-single-rhs-count / n. The schema-discovery
+    audit a pipeline runs before trusting a column as a join key or
+    a slowly-changing attribute.
+
+    Scale shape per FD: one (lhs, rhs) count aggregate (map-side
+    combinable), one lhs-keyed rollup, one global fold — all counts,
+    no row survives past the first aggregate. The FD lanes union into
+    a single frame; each is independent so Spark schedules them as
+    parallel stages."""
+    outs = []
+    for name, table, lhs, rhs in FD_CANDIDATES:
+        pairs = (t[table]
+                 .groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+                 .agg(F.count(F.lit(1)).alias("c")))
+        grp = (pairs.groupBy("k")
+               .agg(F.sum("c").alias("tot"),
+                    F.max("c").alias("keep"),
+                    F.count(F.lit(1)).alias("n_rhs")))
+        outs.append(grp.agg(
+            F.lit(name).alias("fd"),
+            F.sum("tot").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long"))
+            .alias("violating_groups"),
+            (F.lit(1.0) - F.sum("keep").cast("double") / F.sum("tot"))
+            .alias("g3_error")))
+    from functools import reduce
+    return reduce(DataFrame.unionByName, outs)

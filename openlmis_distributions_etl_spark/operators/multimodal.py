@@ -376,6 +376,43 @@ CDC_MOD = 1_000_000_007
 CDC_BW1 = pow(CDC_BASE, CDC_W - 1, CDC_MOD)
 
 
+def _cdc_chunks(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document content-defined chunks: (doc_id, clen, ch) with
+    ch = md5 of the chunk's hex rendering — the shared front half of
+    the CDC family (see payload_cdc_dedup_stats for the boundary
+    recurrence)."""
+    from ..functions import pin, spread
+    p = (spread(t["documents"])
+         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+         .where(F.length("payload") >= CDC_W))
+    p = pin(p, hx=F.hex("payload"))
+    p = pin(p.select("doc_id", "hx"), codes=F.expr(
+        "transform(sequence(1, length(hx) DIV 2), i -> "
+        "CAST(conv(substring(hx, 2*i - 1, 2), 16, 10) AS BIGINT))"))
+    _step = (f"pmod((acc.h - IF(i > {CDC_W}, "
+             f"codes[i - {CDC_W + 1}] * {CDC_BW1}L, 0L)) "
+             f"* {CDC_BASE} + codes[i - 1], {CDC_MOD})")
+    p = pin(p, bnd=F.expr(
+        f"aggregate(sequence(1, size(codes)), "
+        f"struct(CAST(0 AS BIGINT) AS h, "
+        f"CAST(array() AS ARRAY<INT>) AS b), "
+        f"(acc, i) -> struct({_step} AS h, "
+        f"IF(i >= {CDC_W} AND {_step} % {CDC_MASK + 1} = 0, "
+        f"concat(acc.b, array(i)), acc.b) AS b), "
+        f"acc -> acc.b)"))
+    p = pin(p, ends=F.expr(
+        "array_distinct(concat(bnd, array(size(codes))))"))
+    return (p.select("doc_id", "hx", F.expr(
+        "transform(ends, (e, j) -> struct("
+        "IF(j = 0, 0, ends[j - 1]) AS lo, e AS hi))").alias("spans"))
+        .select("doc_id", "hx", F.explode("spans").alias("s"))
+        .select("doc_id",
+                (F.col("s.hi") - F.col("s.lo")).alias("clen"),
+                F.md5(F.expr(
+                    "substring(hx, 2*s.lo + 1, 2*(s.hi - s.lo))"))
+                .alias("ch")))
+
+
 def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Content-defined-chunking dedup audit over the BINARY payload
     lane (the rsync/LBFS/backup-storage technique): a Karp-Rabin
@@ -390,47 +427,17 @@ def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
     winnowing machinery's discipline — exact bigint rolling hash,
     pin()ned arrays so Catalyst evaluates each stage once); the only
     shuffle is the chunk-hash count, k duplicate chunks cost k
-    rows."""
-    from ..functions import pin, spread
-    p = (spread(t["documents"])
-         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-         .where(F.length("payload") >= CDC_W))
-    p = pin(p, hx=F.hex("payload"))
-    p = pin(p.select("doc_id", "hx"), codes=F.expr(
-        "transform(sequence(1, length(hx) DIV 2), i -> "
-        "CAST(conv(substring(hx, 2*i - 1, 2), 16, 10) AS BIGINT))"))
-    # rolling hash at byte i (1-based, i >= W): fold of the last W
-    # bytes; boundary AFTER byte i where h % (MASK+1) == 0. ONE
-    # aggregate pass maintains the window hash incrementally —
-    # sliding right drops codes[i-W] (weight BASE^(W-1), precomputed)
-    # and folds codes[i] in; pmod renormalizes after the subtraction.
-    # O(len) expression work per payload (the old per-position W-byte
-    # refold was O(len*W)); the recurrence reproduces the canonical
-    # per-step-mod fold bit-for-bit, so boundaries are unchanged.
-    _step = (f"pmod((acc.h - IF(i > {CDC_W}, "
-             f"codes[i - {CDC_W + 1}] * {CDC_BW1}L, 0L)) "
-             f"* {CDC_BASE} + codes[i - 1], {CDC_MOD})")
-    p = pin(p, bnd=F.expr(
-        f"aggregate(sequence(1, size(codes)), "
-        f"struct(CAST(0 AS BIGINT) AS h, "
-        f"CAST(array() AS ARRAY<INT>) AS b), "
-        f"(acc, i) -> struct({_step} AS h, "
-        f"IF(i >= {CDC_W} AND {_step} % {CDC_MASK + 1} = 0, "
-        f"concat(acc.b, array(i)), acc.b) AS b), "
-        f"acc -> acc.b)"))
-    # chunk spans: boundaries plus the payload end (dedup'd in case
-    # the last byte is itself a boundary)
-    p = pin(p, ends=F.expr(
-        "array_distinct(concat(bnd, array(size(codes))))"))
-    chunks = (p.select("doc_id", "hx", F.expr(
-        "transform(ends, (e, j) -> struct("
-        "IF(j = 0, 0, ends[j - 1]) AS lo, e AS hi))").alias("spans"))
-        .select("doc_id", "hx", F.explode("spans").alias("s"))
-        .select("doc_id",
-                (F.col("s.hi") - F.col("s.lo")).alias("clen"),
-                F.md5(F.expr(
-                    "substring(hx, 2*s.lo + 1, 2*(s.hi - s.lo))"))
-                .alias("ch")))
+    rows. The boundary recurrence: the rolling hash at byte i
+    (1-based, i >= W) is the fold of the last W bytes; a boundary
+    lands AFTER byte i where h % (MASK+1) == 0. ONE aggregate pass
+    maintains the window hash incrementally — sliding right drops
+    codes[i-W] (weight BASE^(W-1), precomputed) and folds codes[i]
+    in; pmod renormalizes after the subtraction. O(len) expression
+    work per payload; the recurrence reproduces the canonical
+    per-step-mod fold bit-for-bit. Chunk spans are the boundaries
+    plus the payload end (dedup'd in case the last byte is itself a
+    boundary)."""
+    chunks = _cdc_chunks(t)
     g = (chunks.groupBy("ch")
          .agg(F.count(F.lit(1)).alias("n"),
               F.max("clen").alias("clen")))
@@ -441,3 +448,62 @@ def payload_cdc_dedup_stats(t: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.col("clen")).alias("distinct_bytes"),
         (F.lit(1.0) - F.sum(F.col("clen")).cast("double")
          / F.sum(F.col("n") * F.col("clen"))).alias("dedup_ratio"))
+
+
+CDC_PAIR_MIN_COMMON = 2
+CDC_STOP_GROUP = 64     # chunks held by more docs carry no signal
+
+
+def payload_chunk_overlap_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Binary near-dup PAIRS by shared content-defined chunks — the
+    storage-dedup complement to payload_simhash_pairs: two payloads
+    sharing ≥ CDC_PAIR_MIN_COMMON distinct CDC chunks are flagged
+    with byte-level containment each way (a payload embedded inside
+    a larger one scores high containment, low Jaccard — the
+    quote/attachment case hash-distance misses).
+
+    Scale shape: the self-join runs on DISTINCT (doc, chunk) rows
+    keyed by chunk hash — output-driven like the LSH band join; k
+    docs sharing a chunk cost k² pair rows ONLY for that chunk, and
+    stop-chunks (> CDC_STOP_GROUP holders, e.g. a common header
+    block) are dropped BEFORE the join (the winnowing hot-group cap:
+    they cannot distinguish pairs but cost quadratically). Distinct
+    byte totals per doc ride one map-side-combinable aggregate."""
+    from ..functions.cache import retain
+    chunks = retain(_cdc_chunks(t)
+                    .groupBy("doc_id", "ch")
+                    .agg(F.max("clen").alias("clen")))
+    totals = (chunks.groupBy("doc_id")
+              .agg(F.sum("clen").alias("bytes_total"),
+                   F.count(F.lit(1)).alias("n_chunks")))
+    grp = (chunks.groupBy("ch")
+           .agg(F.count(F.lit(1)).alias("holders")))
+    keyed = (chunks.join(
+        grp.where(F.col("holders") <= CDC_STOP_GROUP).select("ch"), "ch"))
+    a = keyed.select(F.col("ch").alias("ch"),
+                     F.col("doc_id").alias("doc_a"),
+                     F.col("clen").alias("clen"))
+    b = keyed.select(F.col("ch").alias("ch"),
+                     F.col("doc_id").alias("doc_b"))
+    pairs = (a.join(b, "ch")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common"),
+                  F.sum("clen").alias("bytes_common"))
+             .where(F.col("n_common") >= CDC_PAIR_MIN_COMMON))
+    ta = totals.select(F.col("doc_id").alias("doc_a"),
+                       F.col("bytes_total").alias("bytes_a"),
+                       F.col("n_chunks").alias("chunks_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"),
+                       F.col("bytes_total").alias("bytes_b"),
+                       F.col("n_chunks").alias("chunks_b"))
+    return (pairs.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b", "n_common", "bytes_common",
+                    (F.col("bytes_common") / F.col("bytes_a"))
+                    .alias("containment_a"),
+                    (F.col("bytes_common") / F.col("bytes_b"))
+                    .alias("containment_b"),
+                    (F.col("n_common")
+                     / (F.col("chunks_a") + F.col("chunks_b")
+                        - F.col("n_common")).cast("double"))
+                    .alias("chunk_jaccard")))

@@ -8301,3 +8301,117 @@ ORACLES.update({
         WHERE i <= len(rows)
     """,
 })
+
+# -- round-7 wave 4: CDC chunk-overlap pairs (binary lane) -------------
+
+_CDC_CHUNK_CTES = """
+        p AS (
+          SELECT doc_id, hex(encode(text)) AS hx FROM documents
+          WHERE octet_length(encode(text)) >= 8),
+        c AS (
+          SELECT doc_id, hx,
+                 list_transform(range(1, length(hx) // 2 + 1), i ->
+                   CAST(('0x' || substring(hx, CAST(2*i - 1 AS INT),
+                                           2))::INT64 AS BIGINT))
+                   AS codes
+          FROM p),
+        b AS (
+          SELECT doc_id, hx, codes,
+                 list_filter(
+                   list_transform(range(8, len(codes) + 1), i ->
+                     CASE WHEN list_reduce(
+                            codes[CAST(i - 8 + 1 AS INT)
+                                  : CAST(i AS INT)],
+                            (acc, x) -> (acc * 257 + x)
+                                        % 1000000007)
+                          % 64 = 0
+                     THEN i ELSE -1 END), x -> x > 0) AS bnd
+          FROM c),
+        e AS (
+          SELECT doc_id, hx,
+                 list_sort(list_distinct(
+                   list_append(bnd, len(codes)))) AS ends
+          FROM b),
+        spans AS (
+          SELECT doc_id, hx,
+                 unnest(list_transform(range(1, len(ends) + 1), j ->
+                   struct_pack(
+                     lo := CASE WHEN j = 1 THEN 0
+                                ELSE ends[CAST(j - 1 AS INT)] END,
+                     hi := ends[CAST(j AS INT)]))) AS s
+          FROM e),
+        chunksd AS (
+          SELECT doc_id, CAST(s.hi - s.lo AS BIGINT) AS clen,
+                 md5(substring(hx, CAST(2*s.lo + 1 AS INT),
+                               CAST(2*(s.hi - s.lo) AS INT))) AS ch
+          FROM spans),
+        chunks AS (
+          SELECT doc_id, ch, CAST(MAX(clen) AS BIGINT) AS clen
+          FROM chunksd GROUP BY doc_id, ch)"""
+
+ORACLES.update({
+    "payload_chunk_overlap_pairs": f"""
+        WITH {_CDC_CHUNK_CTES},
+        totals AS (
+          SELECT doc_id, CAST(SUM(clen) AS BIGINT) AS bytes_total,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks
+          FROM chunks GROUP BY doc_id),
+        ok AS (SELECT ch FROM (
+                 SELECT ch, COUNT(*) AS holders FROM chunks GROUP BY ch)
+               WHERE holders <= 64),
+        keyed AS (SELECT chunks.* FROM chunks JOIN ok USING (ch)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common,
+                 CAST(SUM(a.clen) AS BIGINT) AS bytes_common
+          FROM keyed a JOIN keyed b2 USING (ch)
+          WHERE a.doc_id < b2.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT doc_a, doc_b, n_common, bytes_common,
+               bytes_common / CAST(ta.bytes_total AS DOUBLE)
+                 AS containment_a,
+               bytes_common / CAST(tb.bytes_total AS DOUBLE)
+                 AS containment_b,
+               n_common / CAST(ta.n_chunks + tb.n_chunks - n_common
+                               AS DOUBLE) AS chunk_jaccard
+        FROM pairs
+        JOIN totals ta ON ta.doc_id = pairs.doc_a
+        JOIN totals tb ON tb.doc_id = pairs.doc_b
+    """,
+})
+
+# -- round-7 wave 4: approximate-FD profiling --------------------------
+
+
+def _fd_lane(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+        SELECT '{name}' AS fd,
+               CAST(SUM(tot) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS violating_groups,
+               1.0 - CAST(SUM(keep) AS DOUBLE) / CAST(SUM(tot) AS BIGINT)
+                 AS g3_error
+        FROM (
+          SELECT k, CAST(SUM(c) AS BIGINT) AS tot,
+                 CAST(MAX(c) AS BIGINT) AS keep,
+                 CAST(COUNT(*) AS BIGINT) AS n_rhs
+          FROM (SELECT {lhs} AS k, {rhs} AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM {table} GROUP BY 1, 2)
+          GROUP BY k)"""
+
+
+ORACLES.update({
+    "functional_dependency_audit": " UNION ALL ".join(
+        _fd_lane(*fd) for fd in (
+            ("orders_cust_to_priority", "orders",
+             "o_custkey", "o_orderpriority"),
+            ("lineitem_order_to_status", "lineitem",
+             "l_orderkey", "l_linestatus"),
+            ("lineitem_part_to_supp", "lineitem",
+             "l_partkey", "l_suppkey"),
+            ("customer_nation_to_segment", "customer",
+             "c_nationkey", "c_mktsegment"),
+        )),
+})

@@ -422,6 +422,12 @@ _OPERATORS = {
     "purchase_gap_survival": analytics.purchase_gap_survival,
     # §2.G round-7 wave 3: Efraimidis-Spirakis weighted sampling
     "weighted_sample_docs": text.weighted_sample_docs,
+    # §2.H round-7 wave 4: CDC chunk-overlap near-dup pairs
+    "payload_chunk_overlap_pairs":
+        multimodal.payload_chunk_overlap_pairs,
+    # §2.A round-7 wave 4: approximate-FD (g3) schema profiling
+    "functional_dependency_audit":
+        analytics.functional_dependency_audit,
 }
 
 

@@ -1824,3 +1824,52 @@ def test_weighted_sample_matches_python_replication(spark):
     want = sorted(((i, key(i, 10 + 7 * (i % 13))) for i in range(200)),
                   key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+# -- round-7 wave 4 -----------------------------------------------------
+
+
+def test_cdc_overlap_identical_payloads_full_containment(spark):
+    """Identical payloads share every CDC chunk (content-defined
+    boundaries are a pure function of the bytes), so the pair scores
+    containment 1.0 both ways and jaccard 1.0; an unrelated doc pairs
+    with nothing."""
+    from openlmis_distributions_etl_spark.operators.multimodal import (
+        payload_chunk_overlap_pairs)
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    other = "completely different bytes with no shared runs " * 20
+    rows = [(1, base, "en", "web", len(base)),
+            (2, base, "en", "web", len(base)),
+            (3, other, "en", "web", len(other))]
+    got = payload_chunk_overlap_pairs(
+        {"documents": _docs(spark, rows)}).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0 and r["containment_b"] == 1.0
+    assert r["chunk_jaccard"] == 1.0
+
+
+def test_fd_audit_g3_on_crafted_frame(spark):
+    """customer frame where c_nationkey 1 maps to two segments (3 rows
+    'A', 1 row 'B') and nationkey 2 is clean: g3 = 1 - (3+2)/6."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        functional_dependency_audit)
+    cust = spark.createDataFrame(
+        [(1, 1, "A"), (2, 1, "A"), (3, 1, "A"), (4, 1, "B"),
+         (5, 2, "C"), (6, 2, "C")],
+        "c_custkey long, c_nationkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(1, 1, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string")
+    li = spark.createDataFrame(
+        [(1, 1, 1, "O")],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linestatus string")
+    out = {r["fd"]: r for r in functional_dependency_audit(
+        {"customer": cust, "orders": orders, "lineitem": li}).collect()}
+    r = out["customer_nation_to_segment"]
+    assert r["n_rows"] == 6 and r["n_groups"] == 2
+    assert r["violating_groups"] == 1
+    assert r["g3_error"] == pytest.approx(1 - 5 / 6, abs=1e-15)
+    assert out["orders_cust_to_priority"]["g3_error"] == 0.0
