@@ -22,7 +22,7 @@ def test_bench_emits_one_json_line():
                SPARK_GRAFT_BENCH_WARMUP="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
-        capture_output=True, text=True, env=env, timeout=300, cwd=REPO)
+        capture_output=True, text=True, env=env, timeout=480, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be exactly one line: {lines}"
