@@ -2267,5 +2267,9 @@ def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
                         .alias("mmr_score"))
                 .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
                 .limit(1))
-        chosen = chosen.unionByName(pick)
+        # cut the k-row frame's lineage each step: without it every
+        # step's plan embeds ALL prior steps (the audit showed 106
+        # exchanges / 41 BNLJs of pure plan bloat for k = 5)
+        from .dedup import _truncate_lineage
+        chosen = _truncate_lineage(chosen.unionByName(pick))
     return chosen.select("rank", "vec_id", "label", "rel", "mmr_score")
