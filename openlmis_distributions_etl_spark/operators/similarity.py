@@ -1917,7 +1917,22 @@ def knn_beam(t: dict[str, DataFrame], k: int = TOP_K,
                 cosine(F.col("embedding"), F.col("q")).alias("qs")))
     visited = scored.where(
         F.col("vec_id").isin(*range(1, BEAM_ENTRIES + 1)))
-    for _ in range(hops):
+    # hops EXIT EARLY at the frontier fixpoint (the kcore lesson):
+    # visited only GROWS, so an unchanged count proves an unchanged
+    # set — the beam, its neighbors, and the candidates of every
+    # remaining hop are then identical and the fixed-hop unroll the
+    # oracle replays is bit-equal. The check starts at hop 4: the
+    # frontier cannot plausibly saturate earlier (entries × degree
+    # needs that long to cover ef), so the first hops skip the count
+    # job entirely; from hop 4 on it doubles as the
+    # lineage-checkpoint materialization.
+    prev_n = -1
+    for h in range(hops):
+        if h >= 4:
+            n = visited.count()
+            if n == prev_n:
+                break
+            prev_n = n
         beam = (visited.orderBy(F.desc("qs"), F.asc("vec_id"))
                 .limit(beam_width)
                 .select(F.col("vec_id").alias("src")))
