@@ -65,6 +65,9 @@ FLOAT_SENSITIVE = (
     "welch_ttest_values",
     "weighted_sample_docs",
     "purchase_gap_survival",
+    # round-7 wave 4: containment ratios, g3 error
+    "payload_chunk_overlap_pairs",
+    "functional_dependency_audit",
 )
 
 
