@@ -161,6 +161,9 @@ HEADLINE = [
     # round-7 wave 4
     "payload_chunk_overlap_pairs",
     "functional_dependency_audit",
+    # round-7 wave 5
+    "ushape_attribution",
+    "conformal_value_intervals",
 ]
 
 

@@ -1164,3 +1164,64 @@ def user_active_day_streaks(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.max("len").alias("max_streak_days"),
                  F.count(F.lit(1)).alias("n_streaks"),
                  F.sum("len").alias("n_active_days")))
+
+
+def ushape_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the industry-standard credit curve between last-touch
+    (asof_purchase_attribution) and linear (linear_touch_attribution):
+    the FIRST and LAST click before each purchase earn 40% each, the
+    middle touches split the remaining 20%.
+
+    Integer-exact credit (cents never leak): for n ≥ 3 touches,
+    first = last = cents·2 DIV 5 and the middle pool is the exact
+    remainder cents − first − last, split DIV (n−2) with ITS
+    remainder on the most recent middle; n = 2 → DIV 2 with the
+    remainder on the last touch; n = 1 → everything. Same one
+    user-keyed join + one purchase-keyed window + day rollup shape as
+    the linear op."""
+    ev = t["events"]
+    pur = (ev.where((F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull())
+           .select("user_id", F.col("event_id").alias("p_id"),
+                   ts_us("ts").alias("p_us"),
+                   F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    clk = (ev.where(F.col("event_type") == "click")
+           .select("user_id", F.col("event_id").alias("c_id"),
+                   ts_us("ts").alias("c_us"),
+                   F.date_format("ts", "yyyy-MM-dd").alias("day")))
+    j = (pur.join(clk, "user_id")
+         .where((F.col("c_us") < F.col("p_us"))
+                & (F.col("c_us") >= F.col("p_us") - ATTR_WINDOW_US)))
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.desc("c_us"),
+                                            F.asc("c_id"))
+    r = (j.withColumn("n_touch", F.count(F.lit(1)).over(wn))
+         .withColumn("rk", F.row_number().over(wr)))
+    # rk = 1 is the LAST touch (most recent), rk = n_touch the FIRST
+    end_credit = F.expr("cents * 2 DIV 5")
+    mid_pool = F.col("cents") - 2 * end_credit
+    mid_each = F.expr("(cents - 2 * (cents * 2 DIV 5)) "
+                      "DIV (n_touch - 2)")
+    mid_rem = mid_pool - mid_each * (F.col("n_touch") - 2)
+    credit = (
+        F.when(F.col("n_touch") == 1, F.col("cents"))
+        .when(F.col("n_touch") == 2,
+              F.expr("cents DIV 2")
+              + F.when(F.col("rk") == 1, F.expr("cents % 2"))
+              .otherwise(F.lit(0).cast("long")))
+        .when(F.col("rk") == 1, end_credit)
+        .when(F.col("rk") == F.col("n_touch"), end_credit)
+        .otherwise(mid_each
+                   + F.when(F.col("rk") == 2, mid_rem)
+                   .otherwise(F.lit(0).cast("long")))).cast("long")
+    cred = r.withColumn("credit", credit)
+    return (cred.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_credited_clicks"),
+                 F.count_distinct("p_id").alias("n_purchases"),
+                 F.sum("credit").alias("credited_cents"))
+            .select("day", "n_credited_clicks", "n_purchases",
+                    "credited_cents",
+                    (F.col("credited_cents").cast("double") / 100.0)
+                    .alias("credited_value")))

@@ -8415,3 +8415,88 @@ ORACLES.update({
              "c_nationkey", "c_mktsegment"),
         )),
 })
+
+# -- round-7 wave 5: U-shaped attribution, split-conformal intervals --
+
+ORACLES.update({
+    "ushape_attribution": """
+        WITH pur AS (
+          SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        clk AS (
+          SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+                 strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.p_id, p.cents, c.c_id, c.c_us, c.day
+          FROM pur p JOIN clk c ON c.user_id = p.user_id
+          WHERE c.c_us < p.p_us
+            AND c.c_us >= p.p_us - 604800000000),
+        r AS (
+          SELECT *,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+                 ROW_NUMBER() OVER (PARTITION BY p_id
+                   ORDER BY c_us DESC, c_id ASC) AS rk
+          FROM j),
+        cred AS (
+          SELECT day, p_id,
+            CAST(CASE
+              WHEN n_touch = 1 THEN cents
+              WHEN n_touch = 2 THEN cents // 2
+                   + CASE WHEN rk = 1 THEN cents % 2 ELSE 0 END
+              WHEN rk = 1 OR rk = n_touch THEN cents * 2 // 5
+              ELSE (cents - 2 * (cents * 2 // 5)) // (n_touch - 2)
+                   + CASE WHEN rk = 2 THEN
+                       (cents - 2 * (cents * 2 // 5))
+                       - ((cents - 2 * (cents * 2 // 5))
+                          // (n_touch - 2)) * (n_touch - 2)
+                     ELSE 0 END
+            END AS BIGINT) AS credit
+          FROM r)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+               CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+               CAST(SUM(credit) AS BIGINT) AS credited_cents,
+               CAST(SUM(credit) AS BIGINT) / 100.0 AS credited_value
+        FROM cred GROUP BY day
+    """,
+    "conformal_value_intervals": f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu,
+                 {_HEX8_TO_INT("'conf|' || CAST(event_id AS VARCHAR)")}
+                   % 2 AS split
+          FROM events WHERE value IS NOT NULL),
+        train AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+                 floor(CAST(SUM(vu) AS BIGINT) / 10000.0
+                   / CAST(COUNT(*) AS BIGINT) * 1e9 + 0.5) / 1e9
+                   AS mean_pred
+          FROM ev WHERE split = 0 GROUP BY event_type),
+        calib AS (
+          SELECT ev.event_type,
+                 abs(CAST(vu AS DOUBLE) / 10000.0 - mean_pred) AS resid
+          FROM ev JOIN train USING (event_type)
+          WHERE split = 1),
+        cn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib
+               FROM calib GROUP BY event_type),
+        ranked AS (
+          SELECT event_type, resid,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY resid ASC) AS rn
+          FROM calib),
+        q AS (
+          SELECT r.event_type, MIN(r.resid) AS q_resid
+          FROM ranked r JOIN cn USING (event_type)
+          WHERE r.rn = (9 * (cn.n_calib + 1) + 9) // 10
+          GROUP BY r.event_type)
+        SELECT t.event_type, t.n_train, cn.n_calib, t.mean_pred,
+               q.q_resid,
+               t.mean_pred - q.q_resid AS lo,
+               t.mean_pred + q.q_resid AS hi
+        FROM train t JOIN cn USING (event_type)
+        JOIN q USING (event_type)
+    """,
+})

@@ -428,6 +428,11 @@ _OPERATORS = {
     # §2.A round-7 wave 4: approximate-FD (g3) schema profiling
     "functional_dependency_audit":
         analytics.functional_dependency_audit,
+    # §2.C round-7 wave 5: position-based (40-20-40) attribution
+    "ushape_attribution": windows.ushape_attribution,
+    # §2.A round-7 wave 5: split-conformal prediction intervals
+    "conformal_value_intervals":
+        analytics.conformal_value_intervals,
 }
 
 

@@ -1873,3 +1873,73 @@ def test_fd_audit_g3_on_crafted_frame(spark):
     assert r["violating_groups"] == 1
     assert r["g3_error"] == pytest.approx(1 - 5 / 6, abs=1e-15)
     assert out["orders_cust_to_priority"]["g3_error"] == 0.0
+
+
+# -- round-7 wave 5 -----------------------------------------------------
+
+
+def test_ushape_attribution_40_20_40(spark):
+    """5 clicks then a 100.00 purchase: last and first touch get
+    40.00 each, the three middles split 20.00 (6.67/6.66/6.67 with
+    the integer remainder on the most recent middle)."""
+    from openlmis_distributions_etl_spark.operators.windows import (
+        ushape_attribution)
+    mins = dt.timedelta(minutes=1)
+    rows = [(i, TS + i * mins, 1, "click", 1.0, "{}") for i in range(5)]
+    rows.append((9, TS + 10 * mins, 1, "purchase", 100.0, "{}"))
+    out = ushape_attribution({"events": _events(spark, rows)}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_credited_clicks"] == 5 and r["n_purchases"] == 1
+    assert r["credited_cents"] == 10000          # cents never leak
+    # reconstruct per-touch credits: ends 4000 each, pool 2000 over 3
+    # middles = 666 each + remainder 2 on the most recent middle
+    assert 2 * 4000 + 666 * 3 + 2 == 10000
+
+
+def test_ushape_single_and_double_touch(spark):
+    from openlmis_distributions_etl_spark.operators.windows import (
+        ushape_attribution)
+    mins = dt.timedelta(minutes=1)
+    rows = [
+        (1, TS, 1, "click", 1.0, "{}"),
+        (2, TS + mins, 1, "purchase", 99.99, "{}"),     # 1 touch: all
+        (3, TS, 2, "click", 1.0, "{}"),
+        (4, TS + mins, 2, "click", 1.0, "{}"),
+        (5, TS + 2 * mins, 2, "purchase", 0.03, "{}"),  # 2: 1 + 2 cents
+    ]
+    out = ushape_attribution({"events": _events(spark, rows)}).collect()
+    total = sum(r["credited_cents"] for r in out)
+    assert total == 9999 + 3                    # exact conservation
+
+
+def test_conformal_intervals_match_python(spark):
+    """Full python replication: md5 split, per-type mean (gridded),
+    rank-exact 90% residual quantile, interval endpoints."""
+    import hashlib
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        conformal_value_intervals)
+    rows = [(i, TS, 1, "view", 10.0 + (i % 23) * 0.5, "{}")
+            for i in range(120)]
+    out = {r["event_type"]: r for r in conformal_value_intervals(
+        {"events": _events(spark, rows)}).collect()}
+    tr, ca = [], []
+    for i in range(120):
+        v = int((10.0 + (i % 23) * 0.5) * 10000 + 0.5)
+        b = int(hashlib.md5(f"conf|{i}".encode()).hexdigest()[:8],
+                16) % 2
+        (tr if b == 0 else ca).append(v)
+    mean = math.floor(sum(tr) / 10000.0 / len(tr) * 1e9 + 0.5) / 1e9
+    resid = sorted(abs(v / 10000.0 - mean) for v in ca)
+    k = (9 * (len(ca) + 1) + 9) // 10
+    q = resid[k - 1]
+    r = out["view"]
+    assert r["n_train"] == len(tr) and r["n_calib"] == len(ca)
+    assert r["mean_pred"] == mean
+    assert r["q_resid"] == q
+    assert r["lo"] == mean - q and r["hi"] == mean + q
+    # empirical coverage sanity: >= ~90% of calibration inside
+    inside = sum(mean - q <= v / 10000.0 <= mean + q for v in ca)
+    assert inside / len(ca) >= 0.88

@@ -68,6 +68,8 @@ FLOAT_SENSITIVE = (
     # round-7 wave 4: containment ratios, g3 error
     "payload_chunk_overlap_pairs",
     "functional_dependency_audit",
+    # round-7 wave 5: gridded means, rank-exact conformal quantile
+    "conformal_value_intervals",
 )
 
 
