@@ -2190,3 +2190,34 @@ def dsir_gate_stream(docs: DataFrame, history: DataFrame,
             .select("*", (F.col("liw_units") / F.lit(float(LOGPROB_GRID)))
                     .alias("log_importance_weight"))
             .where(F.col("log_importance_weight") >= threshold))
+
+
+def conformal_gate_stream(events: DataFrame,
+                          history: DataFrame) -> DataFrame:
+    """Streaming DISTRIBUTION-FREE anomaly gate: incoming events pass
+    through only when their value falls OUTSIDE the split-conformal
+    90% interval trained once from the static history (the
+    `conformal_value_intervals` machinery) — the alert stream a team
+    runs when the z-score gate's normality assumption is the thing
+    being doubted.
+
+    Like the z-score gate, the per-type (lo, hi) bounds ship as tiny
+    literal maps (event-type key space is enumeration-bounded), so
+    flagging is a stateless per-row projection: no join, no state
+    store, map-only at any rate. Types whose calibration set was too
+    small for the target rank have no bounds and pass nothing
+    (explicitly absent from the maps)."""
+    from ..operators.analytics import conformal_value_intervals
+    rows = conformal_value_intervals({"events": history}).collect()
+    lo = F.create_map(*[F.lit(x) for r in rows
+                        for x in (r["event_type"], r["lo"])])
+    hi = F.create_map(*[F.lit(x) for r in rows
+                        for x in (r["event_type"], r["hi"])])
+    lo_c, hi_c = lo[F.col("event_type")], hi[F.col("event_type")]
+    return (events
+            .select("event_id", "event_type", "value",
+                    F.unix_micros("ts").alias("ts_us"),
+                    lo_c.alias("lo"), hi_c.alias("hi"))
+            .where(F.col("lo").isNotNull()
+                   & ((F.col("value") < F.col("lo"))
+                      | (F.col("value") > F.col("hi")))))

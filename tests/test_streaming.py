@@ -1265,3 +1265,32 @@ def test_dsir_gate_stream_matches_batch(spark):
     n_all = batch.count()
     assert 0 < len(want) < n_all, "median threshold must split the corpus"
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_conformal_gate_stream_matches_batch(spark):
+    """The streaming conformal anomaly gate flags exactly the events
+    whose value sits outside the batch-computed per-type interval."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        conformal_value_intervals)
+
+    t = load_tables(spark, SF0001, "events")
+    got = _run_available_now(
+        jobs.conformal_gate_stream(jobs.read_events_stream(spark, SF0001),
+                                   t["events"]),
+        "conf_gate", spark, "append")
+    iv = {r["event_type"]: (r["lo"], r["hi"])
+          for r in conformal_value_intervals(t).collect()}
+    ev = t["events"].select("event_id", "event_type", "value",
+                            F.unix_micros("ts").alias("ts_us")).collect()
+    want_rows = []
+    for r in ev:
+        b = iv.get(r["event_type"])
+        if b and r["value"] is not None and not b[0] <= r["value"] <= b[1]:
+            want_rows.append((r["event_id"], r["event_type"], r["value"],
+                              r["ts_us"], b[0], b[1]))
+    import pandas as pd_  # noqa: F401
+    want = pd.DataFrame(want_rows, columns=[
+        "event_id", "event_type", "value", "ts_us", "lo", "hi"])
+    assert 0 < len(want) < len(ev), "gate must flag a strict subset"
+    got2 = got.copy()
+    pd.testing.assert_frame_equal(_sorted(got2), _sorted(want))

@@ -153,6 +153,26 @@ OPS = (
     "monthly_status_mix",
     "audience_bitmap_intersection",
     "payload_cdc_dedup_stats",
+    # round-7: corpus-LM scorers, Gopher battery, trend/stat family,
+    # label cohesion, MMR serving, CDC pairs, FD audit, conformal
+    "unigram_logprob_quality",
+    "gopher_ngram_fractions",
+    "gopher_quality_rules",
+    "hapax_share_by_source",
+    "dsir_importance_weights",
+    "weighted_sample_docs",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "welch_ttest_values",
+    "poisson_bootstrap_ci",
+    "purchase_gap_survival",
+    "intra_inter_cosine_gap",
+    "mmr_diversified_topk",
+    "knn_beam_batch",
+    "payload_chunk_overlap_pairs",
+    "functional_dependency_audit",
+    "ushape_attribution",
+    "conformal_value_intervals",
 )
 
 
