@@ -2887,3 +2887,235 @@ def conformal_value_intervals(t: dict[str, DataFrame]) -> DataFrame:
                     "q_resid",
                     (F.col("mean_pred") - F.col("q_resid")).alias("lo"),
                     (F.col("mean_pred") + F.col("q_resid")).alias("hi")))
+
+
+# round-7 wave 6: k-sample rank ANOVA, multiple-testing control,
+# and categorical-association profiling
+
+KW_VGRID = 10_000               # value quantization (1e-4 units)
+
+
+def kruskal_wallis_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Kruskal–Wallis H test across ALL event types' `value`
+    distributions — the k-sample generalization of
+    `mann_whitney_value_drift` (one omnibus "do any of the k segments
+    differ" gate instead of k·(k−1)/2 pairwise U tests).
+
+    Exactness: values quantize to 1e-4 units; tie-averaged ranks come
+    DOUBLED (2·avgrank = 2·prior + cnt + 1 — integers throughout, the
+    mann_whitney convention), per-group rank sums accumulate in
+    DECIMAL(38,0) (rank sums reach n² at 100 TB), and the tie
+    correction Σ(t³−t) is an exact decimal sum over the distinct-value
+    grid. H folds IN-ROW over the k-group struct array (sorted by
+    event_type — the KM-curve sequential-fold convention, k ≤ |event
+    types| so the array is tiny), then floor-grids to 1e-9 in both
+    engines.
+
+    Scale shape: one (type, value) count shuffle (cardinality =
+    distinct cells, not rows), the global cumulative rides the shared
+    `_rank_buckets` distributed prefix sum over the DISTINCT value
+    grid (value-range-bounded, never a data-sized global sort), and
+    everything after the per-type rollup is a k-row frame."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * KW_VGRID + F.lit(0.5)).cast("long")
+    cell = retain(t["events"]
+                  .where(F.col("value").isNotNull())
+                  .select("event_type", vu.alias("vu"))
+                  .groupBy("event_type", "vu")
+                  .agg(F.count(F.lit(1)).alias("c_gv")))
+    vals = retain(cell.groupBy("vu").agg(F.sum("c_gv").alias("cnt")))
+    n_pts = vals.count()
+    bucketed = (_rank_buckets(
+        vals.withColumn("_k", F.col("vu").cast("double")), n_pts)
+        .select("vu", "cnt", "bkt"))
+    bt = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(
+        "bkt", F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"))
+    win = (Window.partitionBy("bkt").orderBy(F.asc("vu"))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (bucketed.join(F.broadcast(offs), "bkt")
+              .select("vu", "cnt",
+                      (2 * (F.coalesce(F.sum("cnt").over(win),
+                                       F.lit(0)) + F.col("off"))
+                       + F.col("cnt") + 1).alias("avg2")))
+    per = retain(cell.join(ranked.select("vu", "avg2"), "vu")
+                 .groupBy("event_type")
+                 .agg(F.sum("c_gv").alias("n"),
+                      F.sum(F.col("c_gv").cast(d38)
+                            * F.col("avg2").cast(d38)).alias("r2")))
+    ties = vals.agg(
+        F.sum(F.col("cnt").cast(d38) * F.col("cnt") * F.col("cnt")
+              - F.col("cnt")).alias("tsum"))
+    g = (per.agg(F.array_sort(F.collect_list(F.struct(
+            F.col("event_type").alias("et"),
+            F.col("n").alias("gn"),
+            F.col("r2").cast("double").alias("r2d")))).alias("gs"),
+         F.sum("n").alias("n_total"),
+         F.count(F.lit(1)).alias("k_groups"))
+         .crossJoin(F.broadcast(ties)))
+    nd = F.col("n_total").cast("double")
+    s = F.aggregate(
+        "gs", F.lit(0.0),
+        lambda acc, x: acc + x["r2d"] * x["r2d"] / F.lit(4.0)
+        / x["gn"].cast("double"))
+    h = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * s
+         - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = (F.lit(1.0)
+            - F.col("tsum").cast("double") / (nd * nd * nd - nd))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    glob = retain(g.select(
+        "n_total", "k_groups", (F.col("k_groups") - 1).alias("df"),
+        grid(h).alias("h_stat"), grid(h / corr).alias("h_adj")))
+    return (per.crossJoin(F.broadcast(glob))
+            .select("event_type", "n",
+                    grid(F.col("r2").cast("double")
+                         / (F.lit(2.0) * F.col("n").cast("double")))
+                    .alias("mean_rank"),
+                    "n_total", "k_groups", "df", "h_stat", "h_adj"))
+
+
+FDR_ALPHA = 0.05                # BH target false-discovery rate
+FDR_VGRID = 10_000              # value quantization (1e-4 units)
+
+
+def segment_pvalues_fdr(t: dict[str, DataFrame]) -> DataFrame:
+    """Benjamini–Hochberg FDR control over per-event-type mean-shift
+    screens — the multiple-testing discipline every segment dashboard
+    needs once it tests k segments at once (k uncorrected α=.05 tests
+    fire spuriously ~k/20 times).
+
+    Per type: a DISTRIBUTION-FREE Chebyshev p-value for "this type's
+    mean differs from the corpus mean" — z² = (m_g − m)²·n_g/v (v =
+    corpus sample variance), p = min(1, 1/z²), which Chebyshev
+    guarantees is a valid (conservative) two-sided p-value with NO
+    normality assumption. z² floor-grids to integer ppb FIRST, so the
+    BH sort key is an exact bigint (never a float comparison) and p
+    derives from the gridded value identically in both engines.
+
+    BH step-up on the k-row frame: rank ascending by p (type
+    tie-break), k* = max rank with p ≤ α·rank/k, reject rank ≤ k*;
+    q-values are the running min of p·k/rank from the worst rank down,
+    capped at 1. All moments are exact integer/decimal sums; the
+    windows ride a k-row frame (|event types|, bounded)."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * FDR_VGRID + F.lit(0.5)).cast("long")
+    per = retain(t["events"]
+                 .where(F.col("value").isNotNull())
+                 .select("event_type", vu.alias("vu"))
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("vu").cast(d38).alias("s"),
+                      F.sum((F.col("vu").cast(d38) * F.col("vu"))
+                            .cast(d38)).alias("sxx")))
+    tot = per.agg(F.sum("n").alias("nt"),
+                  F.sum("s").alias("st"),
+                  F.sum("sxx").alias("sxxt"),
+                  F.count(F.lit(1)).alias("k"))
+    gg = float(FDR_VGRID)
+    ntd = F.col("nt").cast("double")
+    mu = F.col("st").cast("double") / gg / ntd
+    var = ((F.col("sxxt").cast("double") / (gg * gg) - ntd * mu * mu)
+           / (ntd - F.lit(1.0)))
+    ngd = F.col("n").cast("double")
+    mg = F.col("s").cast("double") / gg / ngd
+    z2 = (mg - mu) * (mg - mu) * ngd / var
+    zu = F.when(var <= 0, F.lit(0)).otherwise(
+        F.floor(z2 * 1e9 + F.lit(0.5))).cast("long")
+    scored = (per.crossJoin(F.broadcast(tot))
+              .select("event_type", "n", "k",
+                      (F.floor(mg * 1e9 + F.lit(0.5)) / 1e9)
+                      .alias("mean_value"),
+                      zu.alias("z2_ppb")))
+    p = F.when(F.col("z2_ppb") <= F.lit(1_000_000_000), F.lit(1.0)) \
+         .otherwise(F.lit(1e9) / F.col("z2_ppb").cast("double"))
+    wr = Window.orderBy(F.desc("z2_ppb"), F.asc("event_type"))
+    ranked = retain(scored
+                    .select("event_type", "n", "k", "mean_value",
+                            "z2_ppb", p.alias("p_cheb"))
+                    .withColumn("bh_rank", F.row_number().over(wr)))
+    kd = F.col("k").cast("double")
+    rd = F.col("bh_rank").cast("double")
+    thr = F.lit(FDR_ALPHA) * rd / kd
+    wq = (Window.orderBy(F.desc("bh_rank"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.orderBy(F.desc("bh_rank"))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    kstar = F.max(F.when(F.col("p_cheb") <= thr, F.col("bh_rank"))) \
+             .over(wall)
+    return (ranked
+            .select("event_type", "n", "mean_value", "bh_rank",
+                    grid(F.col("z2_ppb").cast("double") / 1e9)
+                    .alias("z_sq"),
+                    grid(F.col("p_cheb")).alias("p_cheb"),
+                    grid(thr).alias("bh_threshold"),
+                    grid(F.min(F.least(F.lit(1.0),
+                                       F.col("p_cheb") * kd / rd))
+                         .over(wq)).alias("q_value"),
+                    (F.col("bh_rank") <= F.coalesce(kstar, F.lit(0)))
+                    .cast("int").alias("rejected")))
+
+
+def cramers_v_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Cramér's V association audit over the fact tables' categorical
+    column pairs — the schema-profiling companion to
+    `functional_dependency_audit` (an FD is V = 1; independence is
+    V = 0; the in-between is what a feature-selection pass reads).
+
+    Per pair: the contingency table is one (a, b) count shuffle
+    (cardinality = level product, bounded by the categorical domains,
+    NOT data-sized); row/col marginals broadcast back; χ² folds
+    IN-ROW over the (a, b)-sorted cell array (the KM-curve
+    deterministic-fold convention — cells ≤ ~50, so the array is
+    tiny) and V = sqrt(χ²/(n·(min(r,c)−1))) is one double chain,
+    floor-gridded to 1e-9 in both engines."""
+
+    def pair(df: DataFrame, a: str, b: str, name: str) -> DataFrame:
+        cells = (df.groupBy(F.col(a).alias("ka"), F.col(b).alias("kb"))
+                 .agg(F.count(F.lit(1)).alias("o")))
+        rt = cells.groupBy("ka").agg(F.sum("o").alias("rt"))
+        ct = cells.groupBy("kb").agg(F.sum("o").alias("ct"))
+        j = (cells.join(F.broadcast(rt), "ka")
+             .join(F.broadcast(ct), "kb"))
+        g = j.agg(
+            F.array_sort(F.collect_list(F.struct(
+                "ka", "kb",
+                F.col("o").cast("double").alias("od"),
+                F.col("rt").cast("double").alias("rtd"),
+                F.col("ct").cast("double").alias("ctd"))))
+            .alias("cells"),
+            F.sum("o").alias("n"),
+            F.count_distinct("ka").alias("r_levels"),
+            F.count_distinct("kb").alias("c_levels"))
+        nd = F.col("n").cast("double")
+        chi2 = F.aggregate(
+            "cells", F.lit(0.0),
+            lambda acc, x: acc
+            + (x["od"] - x["rtd"] * x["ctd"] / nd)
+            * (x["od"] - x["rtd"] * x["ctd"] / nd)
+            / (x["rtd"] * x["ctd"] / nd))
+        mind = (F.least("r_levels", "c_levels").cast("double")
+                - F.lit(1.0))
+        grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+        return g.select(
+            F.lit(name).alias("pair"), "n", "r_levels", "c_levels",
+            grid(chi2).alias("chi2"),
+            # a single-level dimension has no association to measure:
+            # V is NULL, never a divide-by-zero (ANSI mode is eager)
+            F.when(mind > 0, grid(F.sqrt(chi2 / (nd * mind))))
+            .alias("cramers_v"))
+
+    ev_hour = t["events"].select(
+        "event_type", F.hour("ts").cast("string").alias("hour"))
+    return (pair(t["orders"], "o_orderpriority", "o_orderstatus",
+                 "orders:priority_x_status")
+            .unionByName(pair(t["lineitem"], "l_returnflag",
+                              "l_linestatus",
+                              "lineitem:returnflag_x_linestatus"))
+            .unionByName(pair(ev_hour, "event_type", "hour",
+                              "events:type_x_hour")))

@@ -8500,3 +8500,189 @@ ORACLES.update({
         JOIN q USING (event_type)
     """,
 })
+
+
+# round-7 wave 6: rank ANOVA, FDR control, categorical association
+
+
+def _cramers_pair_sql(tbl: str, a: str, b: str, name: str) -> str:
+    """One Cramér's-V pair: contingency cells + marginals, χ² folded
+    over the (ka, kb)-sorted cell list (deterministic order — the KM
+    list_reduce convention), V gridded to 1e-9."""
+    return f"""
+        WITH cells AS (
+          SELECT {a} AS ka, {b} AS kb, CAST(COUNT(*) AS BIGINT) AS o
+          FROM {tbl} GROUP BY 1, 2),
+        rt AS (SELECT ka, CAST(SUM(o) AS BIGINT) AS rt
+               FROM cells GROUP BY 1),
+        ct AS (SELECT kb, CAST(SUM(o) AS BIGINT) AS ct
+               FROM cells GROUP BY 1),
+        j AS (SELECT ka, kb, o, rt, ct
+              FROM cells JOIN rt USING (ka) JOIN ct USING (kb)),
+        g AS (
+          SELECT list(struct_pack(
+                   ka := ka, kb := kb,
+                   od := CAST(o AS DOUBLE),
+                   rtd := CAST(rt AS DOUBLE),
+                   ctd := CAST(ct AS DOUBLE)) ORDER BY ka, kb) AS cells,
+                 CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT ka) AS BIGINT) AS r_levels,
+                 CAST(COUNT(DISTINCT kb) AS BIGINT) AS c_levels
+          FROM j),
+        f AS (
+          SELECT n, r_levels, c_levels,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cells, x ->
+                       (x.od - x.rtd * x.ctd / CAST(n AS DOUBLE))
+                       * (x.od - x.rtd * x.ctd / CAST(n AS DOUBLE))
+                       / (x.rtd * x.ctd / CAST(n AS DOUBLE)))),
+                   (acc, v) -> acc + v) AS chi2
+          FROM g)
+        SELECT '{name}' AS pair, n, r_levels, c_levels,
+               floor(chi2 * 1e9 + 0.5) / 1e9 AS chi2,
+               CASE WHEN least(r_levels, c_levels) > 1 THEN
+                 floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                   * (CAST(least(r_levels, c_levels) AS DOUBLE) - 1.0)))
+                   * 1e9 + 0.5) / 1e9 END AS cramers_v
+        FROM f"""
+
+
+ORACLES.update({
+    "kruskal_wallis_values": """
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        cell AS (SELECT event_type, vu, CAST(COUNT(*) AS BIGINT) AS c_gv
+                 FROM ev GROUP BY 1, 2),
+        vals AS (SELECT vu, CAST(SUM(c_gv) AS BIGINT) AS cnt
+                 FROM cell GROUP BY 1),
+        rk AS (
+          SELECT vu, cnt,
+                 2 * COALESCE(SUM(cnt) OVER (ORDER BY vu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS avg2
+          FROM vals),
+        per AS (
+          SELECT event_type, CAST(SUM(c_gv) AS BIGINT) AS n,
+                 SUM(CAST(c_gv AS DECIMAL(38,0)) * avg2) AS r2
+          FROM cell JOIN rk USING (vu) GROUP BY 1),
+        tie AS (
+          SELECT SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+                   AS tsum
+          FROM vals),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(COUNT(*) AS BIGINT) AS k_groups
+                FROM per),
+        fold AS (
+          SELECT list(struct_pack(et := event_type, gn := n,
+                                  r2d := CAST(r2 AS DOUBLE))
+                      ORDER BY event_type) AS gs
+          FROM per),
+        s AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(gs, x ->
+                       x.r2d * x.r2d / 4.0 / CAST(x.gn AS DOUBLE))),
+                   (acc, v) -> acc + v) AS s
+          FROM fold),
+        h AS (
+          SELECT n_total, k_groups,
+                 12.0 / (CAST(n_total AS DOUBLE)
+                         * (CAST(n_total AS DOUBLE) + 1.0)) * s
+                 - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_raw,
+                 1.0 - CAST(tsum AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    * CAST(n_total AS DOUBLE)
+                    - CAST(n_total AS DOUBLE)) AS corr
+          FROM tot, s, tie)
+        SELECT per.event_type, per.n,
+               floor(CAST(per.r2 AS DOUBLE)
+                 / (2.0 * CAST(per.n AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                 AS mean_rank,
+               h.n_total, h.k_groups, h.k_groups - 1 AS df,
+               floor(h.h_raw * 1e9 + 0.5) / 1e9 AS h_stat,
+               floor(h.h_raw / h.corr * 1e9 + 0.5) / 1e9 AS h_adj
+        FROM per, h
+    """,
+    "segment_pvalues_fdr": """
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(vu) AS DECIMAL(38,0)) AS s,
+                 SUM(CAST(vu AS DECIMAL(38,0)) * vu) AS sxx
+          FROM ev GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                       SUM(s) AS st, SUM(sxx) AS sxxt,
+                       CAST(COUNT(*) AS BIGINT) AS k
+                FROM per),
+        z AS (
+          SELECT event_type, n, k,
+                 floor(CAST(s AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mean_value,
+                 CASE WHEN (CAST(sxxt AS DOUBLE) / (10000.0 * 10000.0)
+                            - CAST(nt AS DOUBLE)
+                              * (CAST(st AS DOUBLE) / 10000.0
+                                 / CAST(nt AS DOUBLE))
+                              * (CAST(st AS DOUBLE) / 10000.0
+                                 / CAST(nt AS DOUBLE)))
+                           / (CAST(nt AS DOUBLE) - 1.0) <= 0 THEN 0
+                 ELSE CAST(floor(
+                   (CAST(s AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+                    - CAST(st AS DOUBLE) / 10000.0 / CAST(nt AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+                    - CAST(st AS DOUBLE) / 10000.0 / CAST(nt AS DOUBLE))
+                   * CAST(n AS DOUBLE)
+                   / ((CAST(sxxt AS DOUBLE) / (10000.0 * 10000.0)
+                       - CAST(nt AS DOUBLE)
+                         * (CAST(st AS DOUBLE) / 10000.0
+                            / CAST(nt AS DOUBLE))
+                         * (CAST(st AS DOUBLE) / 10000.0
+                            / CAST(nt AS DOUBLE)))
+                      / (CAST(nt AS DOUBLE) - 1.0))
+                   * 1e9 + 0.5) AS BIGINT) END AS z2_ppb
+          FROM per, tot),
+        ranked AS (
+          SELECT event_type, n, k, mean_value, z2_ppb,
+                 CASE WHEN z2_ppb <= 1000000000 THEN 1.0
+                      ELSE 1e9 / CAST(z2_ppb AS DOUBLE) END AS p_cheb,
+                 ROW_NUMBER() OVER (ORDER BY z2_ppb DESC,
+                                    event_type ASC) AS bh_rank
+          FROM z),
+        kstar AS (
+          SELECT COALESCE(MAX(CASE WHEN p_cheb <=
+                   0.05 * CAST(bh_rank AS DOUBLE) / CAST(k AS DOUBLE)
+                   THEN bh_rank END), 0) AS ks
+          FROM ranked)
+        SELECT event_type, n, mean_value, bh_rank,
+               floor(CAST(z2_ppb AS DOUBLE) / 1e9 * 1e9 + 0.5) / 1e9
+                 AS z_sq,
+               floor(p_cheb * 1e9 + 0.5) / 1e9 AS p_cheb,
+               floor(0.05 * CAST(bh_rank AS DOUBLE)
+                 / CAST(k AS DOUBLE) * 1e9 + 0.5) / 1e9 AS bh_threshold,
+               floor(MIN(least(1.0, p_cheb * CAST(k AS DOUBLE)
+                               / CAST(bh_rank AS DOUBLE)))
+                 OVER (ORDER BY bh_rank DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1e9 + 0.5) / 1e9 AS q_value,
+               CASE WHEN bh_rank <= ks THEN 1 ELSE 0 END AS rejected
+        FROM ranked, kstar
+    """,
+    "cramers_v_audit": (
+        "SELECT * FROM ("
+        + _cramers_pair_sql("orders", "o_orderpriority", "o_orderstatus",
+                            "orders:priority_x_status")
+        + ") UNION ALL SELECT * FROM ("
+        + _cramers_pair_sql("lineitem", "l_returnflag", "l_linestatus",
+                            "lineitem:returnflag_x_linestatus")
+        + ") UNION ALL SELECT * FROM ("
+        + _cramers_pair_sql(
+            "(SELECT event_type, CAST(hour(ts) AS VARCHAR) AS hour"
+            " FROM events) ev",
+            "event_type", "hour", "events:type_x_hour")
+        + ")"),
+})

@@ -433,6 +433,11 @@ _OPERATORS = {
     # §2.A round-7 wave 5: split-conformal prediction intervals
     "conformal_value_intervals":
         analytics.conformal_value_intervals,
+    # §2.A round-7 wave 6: k-sample rank ANOVA, BH-FDR control over
+    # per-segment mean-shift screens, categorical-association audit
+    "kruskal_wallis_values": analytics.kruskal_wallis_values,
+    "segment_pvalues_fdr": analytics.segment_pvalues_fdr,
+    "cramers_v_audit": analytics.cramers_v_audit,
 }
 
 

@@ -833,3 +833,152 @@ def test_gopher_fractions_match_python(spark, token_lists):
                 top_mass(grams(3)) / n_chars,
                 dup_mass(grams(5)) / n_chars)
         assert got[i] == want, (i, got[i], want)
+
+
+# -- round-7 wave 6: rank ANOVA / FDR / association batteries ---------
+
+typed_values_strategy = st.lists(
+    st.tuples(st.integers(0, 3),                # event_type index
+              st.integers(-50, 50)),            # value in 1e-4 units
+    min_size=4, max_size=40).filter(
+        lambda rows: len({g for g, _ in rows}) >= 2
+        and all(sum(1 for g, _ in rows if g == gg) >= 2
+                for gg in {g for g, _ in rows}))
+
+
+def _typed_events_df(spark, rows):
+    data = [(i, BASE + dt.timedelta(seconds=i), i % 3, f"t{g}",
+             v / 10_000.0, "{}")
+            for i, (g, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+@PROP
+@given(typed_values_strategy)
+def test_kruskal_wallis_matches_python(spark, rows):
+    """H / tie-corrected H vs a brute-force python reference: mid-ranks
+    on the shared value grid, per-group rank sums, the same gridded
+    double chain."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        kruskal_wallis_values)
+    out = {r["event_type"]: r for r in kruskal_wallis_values(
+        {"events": _typed_events_df(spark, rows)}).collect()}
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # mid-rank of value v (1-based, tie-averaged)
+    def midrank(v):
+        lo = sum(1 for x in vals if x < v)
+        c = sum(1 for x in vals if x == v)
+        return lo + (c + 1) / 2.0
+
+    groups = sorted({g for g, _ in rows})
+    s = 0.0
+    for g in groups:
+        gv = [midrank(v) for gg, v in rows if gg == g]
+        r = sum(gv)
+        s += r * r / len(gv)
+        got = out[f"t{g}"]
+        assert got["n"] == len(gv)
+        assert got["mean_rank"] == math.floor(
+            sum(gv) / len(gv) * 1e9 + 0.5) / 1e9
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    tie = sum(c ** 3 - c for c in
+              {v: vals.count(v) for v in set(vals)}.values())
+    corr = 1.0 - tie / (float(n) ** 3 - n)
+    any_row = out[f"t{groups[0]}"]
+    assert any_row["n_total"] == n
+    assert any_row["k_groups"] == len(groups)
+    assert abs(any_row["h_stat"]
+               - math.floor(h * 1e9 + 0.5) / 1e9) <= 2e-9
+    if corr > 0:
+        assert abs(any_row["h_adj"]
+                   - math.floor(h / corr * 1e9 + 0.5) / 1e9) <= 2e-9
+
+
+@PROP
+@given(typed_values_strategy)
+def test_segment_fdr_matches_python(spark, rows):
+    """Chebyshev p-values + BH step-up vs a python reference over the
+    same integer moments; rejection set must match exactly."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        segment_pvalues_fdr)
+    out = {r["event_type"]: r for r in segment_pvalues_fdr(
+        {"events": _typed_events_df(spark, rows)}).collect()}
+
+    allv = [v for _, v in rows]
+    n_tot = len(allv)
+    mu = sum(allv) / 10_000.0 / n_tot
+    var = (sum(v * v for v in allv) / 1e8 - n_tot * mu * mu) / (n_tot - 1)
+    groups = sorted({g for g, _ in rows})
+    scored = []
+    for g in groups:
+        gv = [v for gg, v in rows if gg == g]
+        mg = sum(gv) / 10_000.0 / len(gv)
+        if var <= 0:
+            zu = 0
+        else:
+            import math
+            zu = int(math.floor(
+                (mg - mu) * (mg - mu) * len(gv) / var * 1e9 + 0.5))
+        p = 1.0 if zu <= 10 ** 9 else 1e9 / zu
+        scored.append((f"t{g}", len(gv), zu, p))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    k = len(scored)
+    kstar = max((i + 1 for i, (_, _, _, p) in enumerate(scored)
+                 if p <= 0.05 * (i + 1) / k), default=0)
+    for i, (name, ng, zu, p) in enumerate(scored):
+        got = out[name]
+        assert got["n"] == ng
+        assert got["bh_rank"] == i + 1
+        assert abs(got["p_cheb"] - p) <= 2e-9
+        assert got["rejected"] == int(i + 1 <= kstar)
+
+
+@PROP
+@given(typed_values_strategy)
+def test_cramers_v_matches_python(spark, rows):
+    """χ² and V on the events type × hour table vs a python
+    contingency reference (hour is constant in the generated frame,
+    so V must be exactly 0 — plus a two-level case via user parity)."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        cramers_v_audit)
+    ev = _typed_events_df(spark, rows)
+    t = {"events": ev,
+         "orders": ev.selectExpr("event_type AS o_orderpriority",
+                                 "CAST(user_id % 2 AS STRING) "
+                                 "AS o_orderstatus"),
+         "lineitem": ev.selectExpr("event_type AS l_returnflag",
+                                   "CAST(event_id % 3 AS STRING) "
+                                   "AS l_linestatus")}
+    out = {r["pair"]: r for r in cramers_v_audit(t).collect()}
+
+    def ref(cells):
+        n = sum(cells.values())
+        rt, ct = {}, {}
+        for (a, b), o in cells.items():
+            rt[a] = rt.get(a, 0) + o
+            ct[b] = ct.get(b, 0) + o
+        chi2 = sum((o - rt[a] * ct[b] / n) ** 2 / (rt[a] * ct[b] / n)
+                   for (a, b), o in cells.items())
+        mind = min(len(rt), len(ct)) - 1
+        v = math.sqrt(chi2 / (n * mind)) if mind > 0 else None
+        return n, len(rt), len(ct), chi2, v
+
+    cells: dict[tuple, int] = {}
+    for i, (g, _) in enumerate(rows):
+        key = (f"t{g}", str((i % 3) % 2))
+        cells[key] = cells.get(key, 0) + 1
+    # orders pair: event_type x (user_id % 2); user_id = event_id % 3
+    n, r, c, chi2, v = ref(cells)
+    got = out["orders:priority_x_status"]
+    assert (got["n"], got["r_levels"], got["c_levels"]) == (n, r, c)
+    assert abs(got["chi2"] - chi2) <= max(1e-6, chi2 * 1e-9)
+    if v is not None:
+        assert abs(got["cramers_v"] - v) <= 1e-6
