@@ -2288,3 +2288,134 @@ def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
         from .dedup import _truncate_lineage
         chosen = _truncate_lineage(chosen.unionByName(pick))
     return chosen.select("rank", "vec_id", "label", "rel", "mmr_score")
+
+
+# round-7 wave 7: 1-bit binary quantization (the 32x-compression
+# serving tier every vector store now ships: sign bits vs the per-dim
+# mean, Hamming distance over packed words, optional exact rerank)
+
+BQ_QUERIES = 5    # the knn_batch query-set contract (vec_id < 5)
+
+
+BQ_XGRID = 1_000_000      # component quantization (micro-units)
+
+
+def _bq_words(t: dict[str, DataFrame]) -> DataFrame:
+    """Binary-quantize the embedding store: bit i = (x_i > mean_i),
+    centered on the per-dim corpus mean, packed MSB-first into two
+    32-bit words held as BIGINTs (w0 = dims 0-31, w1 = dims 32-63 —
+    two half-words, never a sign-bit-63 hazard in either engine).
+
+    The mean threshold is FLOAT-SUM-FREE: components quantize to
+    integer micro-units, the per-dim Σxu/n mean is never divided —
+    the bit test is xu·n > Σxu, pure bigint comparison (the
+    mann_whitney integer-rank discipline applied to centering), so
+    codes are bit-identical across engines regardless of partition
+    order. One tiny per-dim aggregate broadcasts back as ONE sorted
+    array row; the packing fold is acc·2 + bit over the dim slice.
+    Codes are 256 B/vector of floats → 8 B of words (a 100 TB float
+    corpus scans as ~3 TB of codes)."""
+    e = retain(spread(t["embeddings"])
+               .select("vec_id", "label", "embedding"))
+    xu = F.floor(F.col("x").cast("double") * BQ_XGRID + F.lit(0.5)) \
+          .cast("long")
+    ex = (e.select(F.posexplode("embedding").alias("dim", "x"))
+          .select("dim", xu.alias("xu"))
+          .groupBy("dim")
+          .agg(F.sum("xu").alias("su"), F.count(F.lit(1)).alias("n")))
+    mh = ex.agg(F.array_sort(
+        F.collect_list(F.struct("dim", "su", "n"))).alias("mh"))
+    bits = ("transform({col}, (x, i) -> CASE WHEN "
+            f"CAST(floor(CAST(x AS DOUBLE) * {BQ_XGRID}.0D + 0.5D) "
+            "AS BIGINT) * element_at(mh, i + 1).n "
+            "> element_at(mh, i + 1).su THEN 1L ELSE 0L END)")
+    pack = ("aggregate(slice(bt, {off}, 32), 0L,"
+            " (acc, b) -> acc * 2L + b)")
+    return (e.crossJoin(broadcast(mh))
+            .withColumn("bt", F.expr(bits.format(col="embedding")))
+            .select("vec_id", "label", "embedding",
+                    F.expr(pack.format(off=1)).alias("w0"),
+                    F.expr(pack.format(off=33)).alias("w1")))
+
+
+def _bq_hamming() -> Column:
+    return (F.bit_count(F.expr("w0 ^ qw0"))
+            + F.bit_count(F.expr("w1 ^ qw1"))).cast("int")
+
+
+def knn_bq_hamming(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Batch top-k by BINARY-quantized Hamming distance for the
+    query set (vec_id < BQ_QUERIES, the knn_batch contract): the
+    corpus scans as two packed words per vector, each query costs two
+    XOR+popcounts per candidate — the cheapest serving tier there is
+    (and the first stage of the rerank cascade). Per-query row_number
+    on (hamming asc, vec_id asc); ties are exact-integer, so the
+    cutoff is engine-stable."""
+    w = retain(_bq_words(t))
+    q = (w.where(F.col("vec_id") < BQ_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("w0").alias("qw0"), F.col("w1").alias("qw1")))
+    scored = (w.crossJoin(broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", "label",
+                      _bq_hamming().alias("hamming")))
+    win = Window.partitionBy("qid").orderBy(F.asc("hamming"),
+                                            F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(win))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", "label", "hamming", "rnk"))
+
+
+BQ_CAND = 50      # rerank candidate budget (the INT8_CAND contract)
+
+
+def knn_bq_rerank(t: dict[str, DataFrame], k: int = TOP_K,
+                  cand: int = BQ_CAND) -> DataFrame:
+    """Two-stage BQ cascade for the query set: Hamming shortlists
+    `cand` candidates per query (1-bit codes — the stage that reads
+    8 bytes/vector), exact float cosine reranks the survivors to
+    top-k. The shortlist boundary is integer-tied on (hamming,
+    vec_id), so both engines cut the same candidate set; only
+    cand × queries rows ever touch the full floats."""
+    w = retain(_bq_words(t))
+    q = (w.where(F.col("vec_id") < BQ_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+                 F.col("embedding").alias("qv")))
+    coarse = (w.crossJoin(broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", "label", "embedding", "qv",
+                      _bq_hamming().alias("hamming")))
+    wc = Window.partitionBy("qid").orderBy(F.asc("hamming"),
+                                           F.asc("vec_id"))
+    short = (coarse.withColumn("crk", F.row_number().over(wc))
+             .where(F.col("crk") <= cand))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id"))
+    return (short
+            .select("qid", "vec_id", "label",
+                    cosine(F.col("embedding"), F.col("qv"))
+                    .alias("cos_sim"))
+            .withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", "label", "cos_sim", "rnk"))
+
+
+def knn_bq_recall(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
+    """Per-query recall@k of the BQ rerank cascade against exact
+    brute force (the knn_beam_batch_recall contract) — the harness
+    that prices the 32x compression in recall before serving trusts
+    it. Both sides are queries × k rows; the join is tiny."""
+    approx = knn_bq_rerank(t, k).select("qid", "vec_id")
+    exact = knn_batch(t, n_queries=BQ_QUERIES, k=k) \
+        .select("qid", "vec_id")
+    hits = (exact.join(approx, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_hits")))
+    return (exact.select("qid").distinct()
+            .join(hits, "qid", "left")
+            .select("qid", F.lit(k).alias("k"),
+                    F.coalesce("n_hits", F.lit(0).cast("int"))
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double") / k)
+                    .alias("recall_at_k")))

@@ -8686,3 +8686,104 @@ ORACLES.update({
             "event_type", "hour", "events:type_x_hour")
         + ")"),
 })
+
+
+# round-7 wave 7: binary quantization (sign bits vs per-dim mean,
+# two packed 32-bit words, Hamming serving + exact rerank cascade)
+
+_BQ_WORDS = """
+        ex AS (
+          SELECT i - 1 AS dim, vec_id,
+                 CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT) AS xu
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        sums AS (SELECT dim, CAST(SUM(xu) AS BIGINT) AS su,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM ex GROUP BY dim),
+        words AS (
+          SELECT ex.vec_id, ex.dim // 32 AS wi,
+                 CAST(SUM(CASE WHEN ex.xu * s.n > s.su
+                   THEN (CAST(1 AS BIGINT) << CAST(31 - (ex.dim % 32)
+                                                   AS INT))
+                   ELSE 0 END) AS BIGINT) AS w
+          FROM ex JOIN sums s USING (dim) GROUP BY 1, 2),
+        wv AS (
+          SELECT e.vec_id, e.label, e.embedding,
+                 MAX(CASE WHEN wi = 0 THEN w END) AS w0,
+                 MAX(CASE WHEN wi = 1 THEN w END) AS w1
+          FROM words JOIN embeddings e USING (vec_id)
+          GROUP BY 1, 2, 3),
+        q AS (SELECT vec_id AS qid, embedding AS qv,
+                     w0 AS qw0, w1 AS qw1
+              FROM wv WHERE vec_id < 5),
+        ham AS (
+          SELECT qid, wv.vec_id, wv.label, wv.embedding, q.qv,
+                 CAST(bit_count(xor(wv.w0, q.qw0))
+                      + bit_count(xor(wv.w1, q.qw1)) AS INT) AS hamming
+          FROM wv CROSS JOIN q WHERE wv.vec_id <> qid)"""
+
+ORACLES.update({
+    "knn_bq_hamming": f"""
+        WITH {_BQ_WORDS},
+        rk AS (
+          SELECT qid, vec_id, label, hamming,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, vec_id ASC) AS INT) AS rnk
+          FROM ham)
+        SELECT qid, vec_id, label, hamming, rnk FROM rk WHERE rnk <= 10
+    """,
+    "knn_bq_rerank": f"""
+        WITH {_BQ_WORDS},
+        short AS (
+          SELECT qid, vec_id, label, embedding, qv,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, vec_id ASC) AS crk
+          FROM ham),
+        rr AS (
+          SELECT qid, vec_id, label,
+                 {_cos('embedding', 'qv')} AS cos_sim
+          FROM short WHERE crk <= 50),
+        rk AS (
+          SELECT qid, vec_id, label, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rnk
+          FROM rr)
+        SELECT qid, vec_id, label, cos_sim, rnk FROM rk WHERE rnk <= 10
+    """,
+    "knn_bq_recall": f"""
+        WITH {_BQ_WORDS},
+        short AS (
+          SELECT qid, vec_id, label, embedding, qv,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, vec_id ASC) AS crk
+          FROM ham),
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY {_cos('embedding', 'qv')} DESC,
+                              vec_id ASC) AS rnk
+            FROM short WHERE crk <= 50)
+          WHERE rnk <= 10),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                              e.vec_id ASC) AS rnk
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 5) q
+            WHERE e.vec_id <> q.vec_id)
+          WHERE rnk <= 10),
+        hits AS (
+          SELECT exact.qid, CAST(COUNT(*) AS INT) AS n_hits
+          FROM exact JOIN approx USING (qid, vec_id)
+          GROUP BY 1)
+        SELECT e.qid, 10 AS k,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_k
+        FROM (SELECT DISTINCT qid FROM exact) e
+        LEFT JOIN hits h USING (qid)
+    """,
+})

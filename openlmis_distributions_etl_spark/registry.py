@@ -438,6 +438,11 @@ _OPERATORS = {
     "kruskal_wallis_values": analytics.kruskal_wallis_values,
     "segment_pvalues_fdr": analytics.segment_pvalues_fdr,
     "cramers_v_audit": analytics.cramers_v_audit,
+    # §2.F round-7 wave 7: 1-bit binary quantization tier (sign bits
+    # vs per-dim mean, two packed words, Hamming + rerank + recall)
+    "knn_bq_hamming": similarity.knn_bq_hamming,
+    "knn_bq_rerank": similarity.knn_bq_rerank,
+    "knn_bq_recall": similarity.knn_bq_recall,
 }
 
 

@@ -1943,3 +1943,67 @@ def test_conformal_intervals_match_python(spark):
     # empirical coverage sanity: >= ~90% of calibration inside
     inside = sum(mean - q <= v / 10000.0 <= mean + q for v in ca)
     assert inside / len(ca) >= 0.88
+
+
+# -- round-7 wave 7: binary quantization --------------------------------
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+
+
+def test_bq_words_pack_matches_python(spark):
+    """Packed words vs a python reference: bit i = (x_i > mean_i),
+    MSB-first within each 32-dim half-word."""
+    import random
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)]
+    got = {r["vec_id"]: (r["w0"], r["w1"])
+           for r in similarity._bq_words(
+               {"embeddings": _embs(spark, vecs)}).collect()}
+    # the engine quantizes to micro-units and compares xu*n > sum(xu)
+    q = [[int(__import__("math").floor(float(__import__("numpy")
+          .float32(x)) * 1_000_000 + 0.5)) for x in v] for v in vecs]
+    n = len(q)
+    su = [sum(q[r][d] for r in range(n)) for d in range(64)]
+    for r in range(n):
+        w0 = w1 = 0
+        for d in range(64):
+            bit = 1 if q[r][d] * n > su[d] else 0
+            if d < 32:
+                w0 = w0 * 2 + bit
+            else:
+                w1 = w1 * 2 + bit
+        assert got[r] == (w0, w1), f"vec {r}"
+
+
+def test_bq_hamming_self_is_zero_and_bounded(spark):
+    """A vector's Hamming distance to itself is 0; all distances are
+    in [0, 64]; top-k ranks are dense 1..k per query."""
+    import random
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    out = similarity.knn_bq_hamming(
+        {"embeddings": _embs(spark, vecs)}, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert 0 <= r["hamming"] <= 64
+        assert r["vec_id"] != r["qid"]
+        by_q.setdefault(r["qid"], []).append(r["rnk"])
+    for qid, rnks in by_q.items():
+        assert sorted(rnks) == [1, 2, 3, 4, 5]
+
+
+def test_bq_recall_is_one_when_candidates_cover_corpus(spark):
+    """With the candidate budget >= corpus size the cascade is exact:
+    recall@k must be 1.0 for every query."""
+    import random
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    t = {"embeddings": _embs(spark, vecs)}
+    approx = similarity.knn_bq_rerank(t, k=5, cand=100)
+    exact = similarity.knn_batch(t, n_queries=similarity.BQ_QUERIES, k=5)
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    assert a == e

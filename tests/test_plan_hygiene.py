@@ -104,11 +104,18 @@ BNLJ_ALLOWED = {
     "theil_sen_daily_trend",     # calendar-bounded broadcast pair cloud
     "mann_kendall_trend",        # calendar-bounded broadcast pair cloud
     "intra_inter_cosine_gap",    # broadcast n_total singleton row
-    "mmr_diversified_topk",      # broadcast query row + pool-size set
+    # (mmr_diversified_topk's broadcast joins sit behind the per-step
+    # lineage cut since the round-7 truncation, so they never show)
     "poisson_bootstrap_ci",      # broadcast 1-row CI frame
     "dsir_importance_weights",   # broadcast corpus-totals singleton row
     "welch_ttest_values",        # broadcast 1-row group-B moments
     "purchase_gap_survival",     # broadcast 1-row censoring frontier
+    # round-7 wave 6/7 pinned broadcast singletons
+    "kruskal_wallis_values",     # broadcast tie-sum + H singleton rows
+    "segment_pvalues_fdr",       # broadcast corpus-moments singleton row
+    "knn_bq_hamming",            # broadcast mean-row + 5-row query set
+    "knn_bq_rerank",             # broadcast mean-row + 5-row query set
+    "knn_bq_recall",             # composes two pinned broadcast paths
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
