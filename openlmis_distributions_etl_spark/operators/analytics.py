@@ -3119,3 +3119,39 @@ def cramers_v_audit(t: dict[str, DataFrame]) -> DataFrame:
                               "lineitem:returnflag_x_linestatus"))
             .unionByName(pair(ev_hour, "event_type", "hour",
                               "events:type_x_hour")))
+
+
+def weighted_price_median_by_flag(t: dict[str, DataFrame]) -> DataFrame:
+    """QUANTITY-weighted median of the line-item unit burden: per
+    return flag, the extended price at which half the shipped
+    QUANTITY sits below — the "median dollar" (not median row) every
+    pricing review actually wants once line sizes vary.
+
+    Weights and values both quantize to exact integers (quantity to
+    units, price to cents), the per-(flag, cents) weight rollup feeds
+    the shared `_grouped_rank_min` distributed-prefix selector at
+    target rank (W + 1) DIV 2 over cumulative WEIGHT — the lower
+    weighted median, rank-exact, no per-flag global sort. Also
+    reports the unweighted row median at (n + 1) DIV 2 for contrast
+    via a second selector target on a weight-1 rollup."""
+    li = (t["lineitem"]
+          .select(F.col("l_returnflag").alias("event_type"),
+                  F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                  .cast("long").cast("double").alias("_k"),
+                  F.floor(F.col("l_quantity") + F.lit(0.5))
+                  .cast("long").alias("qty")))
+    from ..functions.cache import retain
+    li = retain(li)
+    wpts = (li.groupBy("event_type", "_k")
+            .agg(F.sum("qty").alias("c")))
+    rpts = (li.groupBy("event_type", "_k")
+            .agg(F.count(F.lit(1)).alias("c")))
+    wmed = _grouped_rank_min(wpts, {"wm": "(n + 1) DIV 2"}) \
+        .select(F.col("event_type").alias("l_returnflag"),
+                F.col("n_rows").alias("total_qty"),
+                (F.col("wm") / 100.0).alias("weighted_median_price"))
+    rmed = _grouped_rank_min(rpts, {"rm": "(n + 1) DIV 2"}) \
+        .select(F.col("event_type").alias("l_returnflag"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("rm") / 100.0).alias("row_median_price"))
+    return wmed.join(rmed, "l_returnflag")

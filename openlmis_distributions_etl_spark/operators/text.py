@@ -2342,3 +2342,109 @@ def weighted_sample_docs(t: dict[str, DataFrame],
                     u_ppm.alias("u_ppm"), key.alias("key_units"))
             .orderBy(F.desc("key_units"), F.asc("doc_id"))
             .limit(k))
+
+
+# round-7 wave 8: CCNet perplexity buckets + distribution drift
+
+JS_GRID = 1_000_000_000_000      # pico-nat term quantization
+
+
+def ccnet_perplexity_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020): per
+    language, docs split into head/middle/tail TERTILES of the corpus
+    bigram-LM fluency score — the bucketing CCNet uses to keep the
+    head, sample the middle, and drop the tail of a crawl.
+
+    The per-doc score is `doc_bigram_lm_score`'s integer rational,
+    collapsed to one bigint (10⁶·Σppm DIV n_bigrams) so ordering
+    never compares floats. Tertile fences are RANK-EXACT order
+    statistics — value at rank ⌈n/3⌉ / ⌈2n/3⌉ per lang — via the
+    shared `_grouped_rank_min` distributed-prefix selector (NO
+    per-lang global sort; ties share a bucket by construction since
+    bucket = how many fences the score exceeds). Per (lang, bucket):
+    population and exact min/max/mean of the score."""
+    from .analytics import _grouped_rank_min
+    lm = doc_bigram_lm_score(t).select(
+        "doc_id", F.expr("CAST(1000000 AS BIGINT) * sum_ppm "
+                         "DIV n_bigrams").alias("score"))
+    d = retain(t["documents"].select("doc_id", "lang")
+               .join(lm, "doc_id")
+               .select("lang", "score"))
+    pts = (d.groupBy(F.col("lang").alias("event_type"),
+                     F.col("score").cast("double").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    fences = _grouped_rank_min(
+        pts, {"f1": "(n + 2) DIV 3", "f2": "(2 * n + 2) DIV 3"}) \
+        .select(F.col("event_type").alias("lang"), "f1", "f2")
+    sd = F.col("score").cast("double")
+    bucketed = (d.join(F.broadcast(fences), "lang")
+                .select("lang", "score",
+                        ((sd > F.col("f1")).cast("int")
+                         + (sd > F.col("f2")).cast("int"))
+                        .alias("b")))
+    return (bucketed.groupBy("lang", "b")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("score").alias("min_score"),
+                 F.max("score").alias("max_score"),
+                 F.sum("score").alias("ssum"))
+            .select("lang",
+                    # ascending score = ascending fluency: bucket 2 is
+                    # the HEAD (most fluent), 0 the tail
+                    F.element_at(F.array(F.lit("tail"), F.lit("middle"),
+                                         F.lit("head")),
+                                 F.col("b") + 1).alias("bucket"),
+                    "n_docs", "min_score", "max_score",
+                    # ONE IEEE division of exact integers (the
+                    # avg_prob convention) — the 1e9 grid would push
+                    # the ~1e10-unit score scale past long floor range
+                    (F.col("ssum").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("avg_score")))
+
+
+def token_js_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between the source's token
+    unigram distribution and the corpus-wide one — the symmetric,
+    bounded ([0, ln 2]) drift score for "is this feed's vocabulary
+    composition shifting" (KL's blowup on unseen tokens makes it the
+    wrong tool at token granularity; JSD is finite by construction).
+
+    The out-of-vocabulary mass needs NO source×vocab expansion: for
+    tokens absent from the source, the q-side term collapses to
+    (ln 2 / 2)·q_t, so JSD = Σ_{t∈S} [p/2·ln(p/m) + q/2·ln(q/m)]
+    + (ln 2 / 2)·(1 − Q_S) with Q_S = Σ_{t∈S} c_t / n_tot — exact
+    integer counts outside the per-term float. Each in-vocab term is
+    quantized to integer pico-nats BEFORE the per-source sum (the
+    source_lang_kl discipline: order-independent bigint adds); the
+    final assembly is one deterministic double chain, floor-gridded
+    to 1e-9 in both engines."""
+    tk = retain(t["documents"]
+                .select("source", F.explode(tokens()).alias("tok")))
+    st = retain(tk.groupBy("source", "tok")
+                .agg(F.count(F.lit(1)).alias("c_st")))
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = ct.agg(F.sum("c_t").alias("n_tot"))
+    j = (st.join(ct, "tok").join(ns, "source")
+         .crossJoin(F.broadcast(tot)))
+    pd = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    qd = F.col("c_t").cast("double") / F.col("n_tot").cast("double")
+    md = (pd + qd) / F.lit(2.0)
+    term = (pd / F.lit(2.0) * F.log(pd / md)
+            + qd / F.lit(2.0) * F.log(qd / md))
+    u = F.floor(term * JS_GRID + F.lit(0.5)).cast("long")
+    per = (j.select("source", "n_s", "c_t", u.alias("u"))
+           .groupBy("source")
+           .agg(F.max("n_s").alias("n_tokens"),
+                F.count(F.lit(1)).alias("vocab_overlap"),
+                F.sum("u").alias("su"),
+                F.sum("c_t").alias("cs"))
+           .crossJoin(F.broadcast(tot)))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    qs = F.col("cs").cast("double") / F.col("n_tot").cast("double")
+    return per.select(
+        "source", "n_tokens", "vocab_overlap",
+        grid(qs).alias("q_mass_overlap"),
+        grid(F.col("su").cast("double") / JS_GRID
+             + F.log(F.lit(2.0)) / F.lit(2.0) * (F.lit(1.0) - qs))
+        .alias("jsd_nats"))

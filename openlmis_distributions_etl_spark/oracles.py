@@ -8787,3 +8787,137 @@ ORACLES.update({
         LEFT JOIN hits h USING (qid)
     """,
 })
+
+
+# round-7 wave 8: CCNet tertile buckets, JS token drift, weighted median
+
+ORACLES.update({
+    "ccnet_perplexity_buckets": f"""
+        WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        bg AS (SELECT doc_id, unnest({_BIGRAMS}) AS b
+               FROM d WHERE len(toks) >= 2),
+        sp AS (SELECT doc_id, string_split(b, ' ')[1] AS w1,
+                      string_split(b, ' ')[2] AS w2 FROM bg),
+        pair_cnt AS (SELECT w1, w2, COUNT(*) AS c12
+                     FROM sp GROUP BY w1, w2),
+        uni_cnt AS (SELECT w1, COUNT(*) AS c1 FROM sp GROUP BY w1),
+        terms AS (
+          SELECT s.doc_id,
+                 (CAST(1000000 AS BIGINT) * p.c12) // u.c1 AS ppm
+          FROM sp s
+          JOIN pair_cnt p ON s.w1 = p.w1 AND s.w2 = p.w2
+          JOIN uni_cnt u ON s.w1 = u.w1),
+        lm AS (
+          SELECT doc_id,
+                 (CAST(1000000 AS BIGINT) * SUM(ppm)) // COUNT(*)
+                   AS score
+          FROM terms GROUP BY doc_id),
+        sc AS (SELECT doc.lang, lm.score
+               FROM lm JOIN documents doc USING (doc_id)),
+        rn AS (
+          SELECT lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY score ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM sc),
+        fences AS (
+          SELECT lang,
+                 MIN(CASE WHEN rn = (n + 2) // 3 THEN score END) AS f1,
+                 MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN score END)
+                   AS f2
+          FROM rn GROUP BY lang),
+        b AS (
+          SELECT sc.lang, sc.score,
+                 (CASE WHEN CAST(sc.score AS DOUBLE)
+                            > CAST(f.f1 AS DOUBLE) THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(sc.score AS DOUBLE)
+                              > CAST(f.f2 AS DOUBLE) THEN 1 ELSE 0 END)
+                   AS b
+          FROM sc JOIN fences f USING (lang))
+        SELECT lang,
+               CASE b WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+                      ELSE 'head' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_score
+        FROM b GROUP BY 1, 2
+    """,
+    "token_js_drift": f"""
+        WITH tk AS (
+          SELECT source, u.tok AS tok
+          FROM (SELECT source, {TOKS} AS toks FROM documents) d,
+               unnest(d.toks) AS u(tok)),
+        st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+               FROM tk GROUP BY 1, 2),
+        ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+               FROM st GROUP BY 1),
+        ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+               FROM st GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM ct),
+        j AS (
+          SELECT st.source, ns.n_s, ct.c_t,
+                 CAST(floor(
+                   (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) / 2.0
+                    * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                         / ((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                             + CAST(c_t AS DOUBLE)
+                               / CAST(n_tot AS DOUBLE)) / 2.0))
+                    + CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE) / 2.0
+                      * ln((CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                           / ((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                               + CAST(c_t AS DOUBLE)
+                                 / CAST(n_tot AS DOUBLE)) / 2.0)))
+                   * 1000000000000 + 0.5) AS BIGINT) AS u
+          FROM st JOIN ct USING (tok) JOIN ns USING (source), tot),
+        per AS (
+          SELECT source, MAX(n_s) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_overlap,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(c_t) AS BIGINT) AS cs
+          FROM j GROUP BY 1)
+        SELECT source, n_tokens, vocab_overlap,
+               floor(CAST(cs AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                 * 1e9 + 0.5) / 1e9 AS q_mass_overlap,
+               floor((CAST(su AS DOUBLE) / 1000000000000
+                 + ln(2.0) / 2.0
+                   * (1.0 - CAST(cs AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS jsd_nats
+        FROM per, tot
+    """,
+    "weighted_price_median_by_flag": """
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+          FROM lineitem),
+        w AS (
+          SELECT l_returnflag, cents, qty,
+                 SUM(qty) OVER (PARTITION BY l_returnflag
+                   ORDER BY cents ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY cents ASC) AS rn,
+                 SUM(qty) OVER (PARTITION BY l_returnflag) AS tw,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM li),
+        wm AS (
+          SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_qty,
+                 CAST(MIN(CASE WHEN cw >= (tw + 1) // 2
+                               THEN cents END) AS DOUBLE) / 100.0
+                   AS weighted_median_price
+          FROM w GROUP BY 1),
+        rm AS (
+          SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+                 CAST(MIN(CASE WHEN rn >= (n + 1) // 2
+                               THEN cents END) AS DOUBLE) / 100.0
+                   AS row_median_price
+          FROM w GROUP BY 1)
+        SELECT wm.l_returnflag, wm.total_qty, wm.weighted_median_price,
+               rm.n_rows, rm.row_median_price
+        FROM wm JOIN rm USING (l_returnflag)
+    """,
+})

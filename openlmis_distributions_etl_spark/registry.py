@@ -443,6 +443,12 @@ _OPERATORS = {
     "knn_bq_hamming": similarity.knn_bq_hamming,
     "knn_bq_rerank": similarity.knn_bq_rerank,
     "knn_bq_recall": similarity.knn_bq_recall,
+    # §2.G round-7 wave 8: CCNet tertile partitioning + JS token drift
+    "ccnet_perplexity_buckets": text.ccnet_perplexity_buckets,
+    "token_js_drift": text.token_js_drift,
+    # §2.A round-7 wave 8: quantity-weighted median price
+    "weighted_price_median_by_flag":
+        analytics.weighted_price_median_by_flag,
 }
 
 

@@ -2007,3 +2007,101 @@ def test_bq_recall_is_one_when_candidates_cover_corpus(spark):
     a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
     e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
     assert a == e
+
+
+# -- round-7 wave 8: CCNet buckets / JS drift / weighted median ----------
+
+def test_token_js_drift_matches_full_python_jsd(spark):
+    """The operator's OOV-collapse identity vs a python reference that
+    computes the FULL JSD sum over the whole vocabulary — proves the
+    shortcut is exact, not an approximation (up to the pico-nat grid
+    + 1e-9 output grid)."""
+    import math
+    docs = [
+        (0, "a a b c", "en", "s0", 7),
+        (1, "a b b d", "en", "s0", 7),
+        (2, "c c d e e", "en", "s1", 9),
+        (3, "a e", "en", "s1", 3),
+    ]
+    out = {r["source"]: r for r in text.token_js_drift(
+        {"documents": _docs(spark, docs)}).collect()}
+    toks = {}
+    for _, txt, _, src, _ in docs:
+        for w in txt.split():
+            toks.setdefault(src, {}).setdefault(w, 0)
+            toks[src][w] += 1
+    corpus: dict[str, int] = {}
+    for d in toks.values():
+        for w, c in d.items():
+            corpus[w] = corpus.get(w, 0) + c
+    n_tot = sum(corpus.values())
+    for src, d in toks.items():
+        n_s = sum(d.values())
+        jsd = 0.0
+        for w, ct in corpus.items():
+            p = d.get(w, 0) / n_s
+            q = ct / n_tot
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += p / 2.0 * math.log(p / m)
+            if q > 0:
+                jsd += q / 2.0 * math.log(q / m)
+        got = out[src]
+        assert got["n_tokens"] == n_s
+        assert got["vocab_overlap"] == len(d)
+        assert abs(got["jsd_nats"] - jsd) < 1e-6
+        assert 0.0 <= got["jsd_nats"] <= math.log(2.0) + 1e-9
+
+
+def test_ccnet_buckets_are_tertiles(spark):
+    """Bucket populations per lang are ⌈n/3⌉-balanced (up to fence
+    ties) and ordered: every head score >= every middle >= every
+    tail."""
+    import random
+    rng = random.Random(5)
+    words = ["w%d" % i for i in range(30)]
+    docs = []
+    for i in range(30):
+        txt = " ".join(rng.choice(words) for _ in range(12))
+        docs.append((i, txt, "en" if i % 2 else "de", "s0", len(txt)))
+    out = text.ccnet_perplexity_buckets(
+        {"documents": _docs(spark, docs)}).collect()
+    by_lang: dict[str, dict[str, tuple]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = (
+            r["n_docs"], r["min_score"], r["max_score"])
+    for lang, b in by_lang.items():
+        n = sum(v[0] for v in b.values())
+        assert n == 15
+        order = [x for x in ("tail", "middle", "head") if x in b]
+        for lo, hi in zip(order, order[1:]):
+            assert b[lo][2] <= b[hi][1], (lang, b)
+
+
+def test_weighted_median_matches_python(spark):
+    rows = [
+        # flag, price, qty
+        ("A", 1.00, 1.0), ("A", 2.00, 10.0), ("A", 3.00, 1.0),
+        ("N", 5.00, 1.0), ("N", 6.00, 1.0), ("N", 7.00, 1.0),
+        ("N", 8.00, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, i, i, i, q, p, 0.0, 0.0, f, "O", TS)
+         for i, (f, p, q) in enumerate(rows)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        weighted_price_median_by_flag)
+    out = {r["l_returnflag"]: r
+           for r in weighted_price_median_by_flag(
+               {"lineitem": df}).collect()}
+    # A: weights 1,10,1 → total 12, target (12+1)//2=6 → cum at 2.00
+    # is 11 >= 6 → weighted median 2.00; row median of 3 rows → 2.00
+    assert out["A"]["total_qty"] == 12
+    assert out["A"]["weighted_median_price"] == 2.00
+    assert out["A"]["row_median_price"] == 2.00
+    # N: uniform weights → both medians the 2nd of 4 = 6.00
+    assert out["N"]["weighted_median_price"] == 6.00
+    assert out["N"]["row_median_price"] == 6.00

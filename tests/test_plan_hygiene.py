@@ -116,6 +116,7 @@ BNLJ_ALLOWED = {
     "knn_bq_hamming",            # broadcast mean-row + 5-row query set
     "knn_bq_rerank",             # broadcast mean-row + 5-row query set
     "knn_bq_recall",             # composes two pinned broadcast paths
+    "token_js_drift",            # broadcast corpus-total singleton row
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
