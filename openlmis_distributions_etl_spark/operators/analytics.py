@@ -3155,3 +3155,114 @@ def weighted_price_median_by_flag(t: dict[str, DataFrame]) -> DataFrame:
                 F.col("n_rows").alias("n_rows"),
                 (F.col("rm") / 100.0).alias("row_median_price"))
     return wmed.join(rmed, "l_returnflag")
+
+
+# round-7 wave 9: parametric trend + fixed-period harmonic scan
+
+PGRAM_PERIODS = (7, 30, 91)     # weekly / monthly / quarterly cycles
+PGRAM_GRID = 1_000_000          # micro-unit term quantization
+TAU = 6.283185307179586         # 2π as ONE literal in both engines
+
+
+def ols_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordinary-least-squares daily-revenue trend — the parametric
+    companion to `theil_sen_daily_trend` (same series, same day-index
+    x-axis; OLS gives slope + intercept + R², Theil–Sen gives the
+    outlier-proof slope; a gap between them IS the outlier alarm).
+
+    x = days since the first order date (exact integer via one
+    broadcast min-date row), y = daily cents. All five regression
+    moments accumulate in DECIMAL(38,0) over the calendar-bounded
+    day frame; slope/intercept/R² are one deterministic double chain
+    over those exact integers, floor-gridded to 1e-9."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = (daily.crossJoin(F.broadcast(d0))
+          .select(F.datediff("d", "d0").cast("long").alias("x"),
+                  F.col("rev").alias("y")))
+    m = xy.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").cast(d38).alias("sx"),
+               F.sum("y").cast(d38).alias("sy"),
+               F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+               .alias("sxx"),
+               F.sum((F.col("x").cast(d38) * F.col("y")).cast(d38))
+               .alias("sxy"),
+               F.sum((F.col("y").cast(d38) * F.col("y")).cast(d38))
+               .alias("syy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / vx
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return m.select(
+        F.col("n").alias("n_days"),
+        grid(slope / F.lit(100.0)).alias("slope_per_day"),
+        grid((sy - slope * sx) / nd / F.lit(100.0)).alias("intercept"),
+        grid(cov * cov / (vx * vy)).alias("r_squared"))
+
+
+def daily_revenue_periodogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Harmonic power of the daily revenue series at the calendar
+    periods that matter (weekly / monthly / quarterly) — the
+    seasonality-strength scan a forecaster runs after
+    `daily_revenue_autocorr` says "something cyclic is here": which
+    cycle, and how much variance it explains.
+
+    Per period P: A = Σ r·cos(2πd/P), B = Σ r·sin(2πd/P) with d =
+    days since the series start. Each per-day trig term quantizes to
+    integer micro-units BEFORE the sum (the PSI/KL discipline — the
+    only cross-row float hazard is gridded away; n_days is calendar-
+    bounded at any corpus scale). Mean-correction is exact algebra:
+    Σ(r−m)cos = Σ r·cos − m·Σcos, all assembled in ONE double chain
+    over the integer sums. Output: per period the harmonic amplitude
+    (in dollars) and the share of the series variance it explains."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    base = retain(
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("d", "d0").cast("double").alias("x"),
+                F.col("rev").alias("y")))
+    mom = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("y").cast(d38).alias("sy"),
+                   F.sum((F.col("y").cast(d38) * F.col("y"))
+                         .cast(d38)).alias("syy"))
+    outs = []
+    for p in PGRAM_PERIODS:
+        ang = F.col("x") * F.lit(TAU) / F.lit(float(p))
+        gu = lambda c: F.floor(c * PGRAM_GRID + F.lit(0.5)) \
+            .cast("long")  # noqa: E731
+        yd = F.col("y").cast("double")
+        s = base.agg(
+            F.sum(gu(yd * F.cos(ang))).alias("ac"),
+            F.sum(gu(yd * F.sin(ang))).alias("bs"),
+            F.sum(gu(F.cos(ang))).alias("cc"),
+            F.sum(gu(F.sin(ang))).alias("ss"))
+        outs.append(s.crossJoin(F.broadcast(mom))
+                    .select(F.lit(p).alias("period"), "n", "sy", "syy",
+                            "ac", "bs", "cc", "ss"))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    g = float(PGRAM_GRID)
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    a = F.col("ac").cast("double") / g - mean * \
+        (F.col("cc").cast("double") / g)
+    b = F.col("bs").cast("double") / g - mean * \
+        (F.col("ss").cast("double") / g)
+    sst = F.col("syy").cast("double") - nd * mean * mean
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return u.select(
+        "period", F.col("n").alias("n_days"),
+        grid(F.sqrt(a * a + b * b) * F.lit(2.0) / nd / F.lit(100.0))
+        .alias("amplitude"),
+        grid((a * a + b * b) * F.lit(2.0) / (nd * sst))
+        .alias("var_share"))

@@ -8921,3 +8921,96 @@ ORACLES.update({
         FROM wm JOIN rm USING (l_returnflag)
     """,
 })
+
+
+# round-7 wave 9: OLS trend + harmonic periodogram
+
+ORACLES.update({
+    "ols_daily_trend": f"""
+        WITH daily AS ({_DAILY_REV}),
+        d0 AS (SELECT MIN(d) AS d0 FROM daily),
+        xy AS (SELECT CAST(date_diff('day', d0.d0, daily.d) AS BIGINT)
+                        AS x, rev AS y
+               FROM daily, d0),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+          FROM xy)
+        SELECT n AS n_days,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0 * 1e9 + 0.5) / 1e9 AS slope_per_day,
+               floor((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0 * 1e9 + 0.5) / 1e9
+                 AS intercept,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS r_squared
+        FROM m
+    """,
+    "daily_revenue_periodogram": f"""
+        WITH daily AS ({_DAILY_REV}),
+        d0 AS (SELECT MIN(d) AS d0 FROM daily),
+        base AS (SELECT CAST(date_diff('day', d0.d0, daily.d)
+                             AS DOUBLE) AS x, rev AS y
+                 FROM daily, d0),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+          FROM base),
+        s AS (
+          SELECT p,
+                 CAST(SUM(CAST(floor(CAST(y AS DOUBLE)
+                   * cos(x * 6.283185307179586 / CAST(p AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ac,
+                 CAST(SUM(CAST(floor(CAST(y AS DOUBLE)
+                   * sin(x * 6.283185307179586 / CAST(p AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS bs,
+                 CAST(SUM(CAST(floor(
+                   cos(x * 6.283185307179586 / CAST(p AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS cc,
+                 CAST(SUM(CAST(floor(
+                   sin(x * 6.283185307179586 / CAST(p AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+          FROM base, (SELECT unnest([7, 30, 91]) AS p)
+          GROUP BY p),
+        asm AS (
+          SELECT p, n,
+                 CAST(ac AS DOUBLE) / 1000000.0
+                   - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (CAST(cc AS DOUBLE) / 1000000.0) AS a,
+                 CAST(bs AS DOUBLE) / 1000000.0
+                   - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (CAST(ss AS DOUBLE) / 1000000.0) AS b,
+                 CAST(syy AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS sst
+          FROM s, mom)
+        SELECT p AS period, n AS n_days,
+               floor(sqrt(a * a + b * b) * 2.0 / CAST(n AS DOUBLE)
+                 / 100.0 * 1e9 + 0.5) / 1e9 AS amplitude,
+               floor((a * a + b * b) * 2.0
+                 / (CAST(n AS DOUBLE) * sst) * 1e9 + 0.5) / 1e9
+                 AS var_share
+        FROM asm
+    """,
+})

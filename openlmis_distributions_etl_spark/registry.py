@@ -449,6 +449,9 @@ _OPERATORS = {
     # §2.A round-7 wave 8: quantity-weighted median price
     "weighted_price_median_by_flag":
         analytics.weighted_price_median_by_flag,
+    # §2.A/C round-7 wave 9: OLS trend + harmonic seasonality scan
+    "ols_daily_trend": analytics.ols_daily_trend,
+    "daily_revenue_periodogram": analytics.daily_revenue_periodogram,
 }
 
 

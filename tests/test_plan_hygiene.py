@@ -117,6 +117,8 @@ BNLJ_ALLOWED = {
     "knn_bq_rerank",             # broadcast mean-row + 5-row query set
     "knn_bq_recall",             # composes two pinned broadcast paths
     "token_js_drift",            # broadcast corpus-total singleton row
+    "ols_daily_trend",           # broadcast min-date anchor row
+    "daily_revenue_periodogram",  # broadcast anchor + moments rows
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

@@ -982,3 +982,73 @@ def test_cramers_v_matches_python(spark, rows):
     assert abs(got["chi2"] - chi2) <= max(1e-6, chi2 * 1e-9)
     if v is not None:
         assert abs(got["cramers_v"] - v) <= 1e-6
+
+
+# -- round-7 wave 9: OLS + periodogram batteries -----------------------
+
+
+@PROP
+@given(daily_series_strategy)
+def test_ols_matches_python(spark, rows):
+    """Slope/intercept/R² vs numpy-free closed-form python on the same
+    integer-cent daily series."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        ols_daily_trend)
+    r = ols_daily_trend(
+        {"orders": _orders_df(spark, rows)}).collect()[0]
+    daily = _daily_cents(rows)
+    n = len(daily)
+    d_min = daily[0][0]
+    xs = [d - d_min for d, _ in daily]
+    ys = [c for _, c in daily]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    assert r["n_days"] == n
+    if vx > 0 and vy > 0:
+        assert abs(r["slope_per_day"] - cov / vx / 100.0) <= 2e-9
+        assert abs(r["r_squared"] - cov * cov / (vx * vy)) <= 2e-9
+        assert -1e-9 <= r["r_squared"] <= 1.0 + 1e-9
+
+
+@PROP
+@given(daily_series_strategy)
+def test_periodogram_matches_python(spark, rows):
+    """A/B harmonic sums with per-term micro-unit gridding vs python;
+    var_share in [0, 1+eps] for a pure series."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        PGRAM_GRID, PGRAM_PERIODS, TAU, daily_revenue_periodogram)
+    out = {r["period"]: r for r in daily_revenue_periodogram(
+        {"orders": _orders_df(spark, rows)}).collect()}
+    daily = _daily_cents(rows)
+    n = len(daily)
+    d_min = daily[0][0]
+    sy = sum(c for _, c in daily)
+    syy = sum(c * c for _, c in daily)
+    mean = sy / n
+    sst = syy - n * mean * mean
+    for p in PGRAM_PERIODS:
+        ac = bs = cc = ss = 0
+        for d, c in daily:
+            x = float(d - d_min)
+            ang = x * TAU / float(p)
+            ac += math.floor(c * math.cos(ang) * PGRAM_GRID + 0.5)
+            bs += math.floor(c * math.sin(ang) * PGRAM_GRID + 0.5)
+            cc += math.floor(math.cos(ang) * PGRAM_GRID + 0.5)
+            ss += math.floor(math.sin(ang) * PGRAM_GRID + 0.5)
+        a = ac / PGRAM_GRID - mean * (cc / PGRAM_GRID)
+        b = bs / PGRAM_GRID - mean * (ss / PGRAM_GRID)
+        got = out[p]
+        assert got["n_days"] == n
+        if sst > 0:
+            want = (a * a + b * b) * 2.0 / (n * sst)
+            assert abs(got["var_share"] - want) <= 1e-6
+            amp = math.sqrt(a * a + b * b) * 2.0 / n / 100.0
+            assert abs(got["amplitude"] - amp) <= 1e-6
