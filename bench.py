@@ -164,6 +164,18 @@ HEADLINE = [
     # round-7 wave 5
     "ushape_attribution",
     "conformal_value_intervals",
+    # round-7 waves 6-9: rank ANOVA / FDR / association, the 1-bit
+    # BQ serving tier, CCNet tertiles + JS drift, OLS + periodogram
+    "kruskal_wallis_values",
+    "segment_pvalues_fdr",
+    "cramers_v_audit",
+    "knn_bq_hamming",
+    "knn_bq_rerank",
+    "ccnet_perplexity_buckets",
+    "token_js_drift",
+    "weighted_price_median_by_flag",
+    "ols_daily_trend",
+    "daily_revenue_periodogram",
 ]
 
 

@@ -2221,3 +2221,109 @@ def conformal_gate_stream(events: DataFrame,
             .where(F.col("lo").isNotNull()
                    & ((F.col("value") < F.col("lo"))
                       | (F.col("value") > F.col("hi")))))
+
+
+# round-7 wave 10: Misra-Gries heavy-hitter summary store
+
+MG_K = 64     # counter budget: the summary never holds more tokens
+
+
+def _merge_heavy_hitters(batch: DataFrame, batch_id: int,
+                         out_dir: str, k: int = MG_K,
+                         lineage: str | None = None) -> None:
+    """One exactly-once Misra-Gries merge commit (Agarwal et al.,
+    "Mergeable Summaries" SIGMOD'12): the batch's exact token counts
+    reduce to an MG_k summary (subtract the (k+1)-th largest count,
+    keep positives), sum-merge with the base summary on the token
+    union (≤ k + batch-vocab rows), and reduce to k again. The
+    accumulated decrement total rides every row as `dec_total`:
+    for any token, cnt ≤ true-count ≤ cnt + dec_total, and every
+    token whose true count exceeds dec_total is PRESENT — the
+    deterministic heavy-hitter guarantee that needs k counters of
+    state where exact counts need the vocabulary.
+
+    Exactly-once by REBASING like the token-count store: batch b
+    merges into the newest snapshot with version < b, so a replayed
+    batch rebuilds the same v{b}; a fresh checkpoint behind the store
+    head fails loudly."""
+    import os
+    from pathlib import Path
+
+    from ..operators.text import tokens
+
+    _check_lineage(out_dir, lineage)
+    spark = batch.sparkSession
+
+    def reduce_to_k(counts: DataFrame, dec_prior) -> DataFrame:
+        # (k+1)-th largest count = the MG decrement (0 when the
+        # summary already fits); TakeOrdered on a ≤ k + vocab frame
+        c = counts.orderBy(F.desc("cnt"), F.asc("token")) \
+                  .limit(k + 1).collect()
+        dec = int(c[k]["cnt"]) if len(c) > k else 0
+        kept = (counts.where(F.col("cnt") > dec)
+                .select("token", (F.col("cnt") - dec).alias("cnt")))
+        return kept.withColumn(
+            "dec_total", (dec_prior + F.lit(dec)).cast("long"))
+
+    cnt = (batch.select(F.explode(tokens()).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    existing = sorted(
+        int(p.name[1:]) for p in Path(out_dir).glob("v*")
+        if p.is_dir() and p.name[1:].isdigit())
+    if existing and max(existing) > batch_id:
+        raise RuntimeError(
+            f"heavy-hitter store {out_dir} already holds version "
+            f"v{max(existing)} > incoming batch {batch_id} (fresh "
+            f"checkpoint against an existing store?) — refusing to "
+            f"reset or double-count; use a new store or keep the "
+            f"original checkpoint")
+    prior = [v for v in existing if v < batch_id]
+    if prior:
+        base = spark.read.parquet(f"{out_dir}/v{prior[-1]:020d}")
+        dec_prior = F.lit(int(
+            base.agg(F.max("dec_total")).collect()[0][0] or 0))
+        summed = (base.select("token", "cnt")
+                  .unionByName(cnt)
+                  .groupBy("token").agg(F.sum("cnt").alias("cnt")))
+    else:
+        dec_prior = F.lit(0)
+        summed = cnt
+    merged = reduce_to_k(summed, dec_prior)
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
+
+
+def stream_maintain_heavy_hitters(docs: DataFrame, out_dir: str,
+                                  checkpoint_dir: str, k: int = MG_K):
+    """foreachBatch maintenance of the Misra-Gries HEAVY-HITTER
+    summary — the bounded-state alternative to
+    `stream_maintain_token_counts` when the vocabulary itself is too
+    big to be state (the 100 TB regime: exact counts need the vocab,
+    MG needs k rows and answers "which tokens exceed N/(k+1)" with a
+    per-token error bound carried in the snapshot).
+
+    Each snapshot is ≤ k rows of (token, cnt, dec_total) with the
+    guarantee cnt ≤ true ≤ cnt + dec_total and every token with
+    true > dec_total present. Same rebasing exactly-once contract as
+    the token-count store (replay rebuilds, fresh-checkpoint restarts
+    refuse)."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _merge_heavy_hitters(batch, batch_id, out_dir, k=k,
+                             lineage=checkpoint_dir)
+
+    return (docs.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_heavy_hitters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest heavy-hitter summary, largest first, with the error
+    bound: true count ∈ [cnt, cnt + dec_total] for every row."""
+    return (read_latest_snapshot(spark, out_dir)
+            .orderBy(F.desc("cnt"), F.asc("token")))

@@ -1294,3 +1294,64 @@ def test_conformal_gate_stream_matches_batch(spark):
     assert 0 < len(want) < len(ev), "gate must flag a strict subset"
     got2 = got.copy()
     pd.testing.assert_frame_equal(_sorted(got2), _sorted(want))
+
+
+# -- round-7 wave 10: Misra-Gries heavy-hitter summary store -----------
+
+
+def test_heavy_hitter_store_guarantees(spark, tmp_path):
+    """The k-counter summary must satisfy the Misra-Gries contract
+    against the exact batch counts of the replayed corpus: for every
+    summary token cnt <= true <= cnt + dec_total, every token with
+    true > dec_total is PRESENT, and the summary never exceeds k
+    rows. k is set low to force compaction on this corpus."""
+    from openlmis_distributions_etl_spark.operators.text import tokens
+
+    k = 16
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "hh")
+    q = jobs.stream_maintain_heavy_hitters(
+        docs, store, str(tmp_path / "ck_hh"), k=k)
+    assert q.awaitTermination(120)
+    got = {r["token"]: (r["cnt"], r["dec_total"])
+           for r in jobs.read_heavy_hitters(spark, store).collect()}
+    assert 0 < len(got) <= k
+    decs = {d for _, d in got.values()}
+    assert len(decs) == 1
+    dec_total = decs.pop()
+    t = load_tables(spark, SF0001, "documents")
+    true = {r["token"]: r["cnt"] for r in (
+        t["documents"].select(F.explode(tokens()).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect())}
+    for tok, (cnt, _) in got.items():
+        assert cnt <= true[tok] <= cnt + dec_total, tok
+    for tok, tc in true.items():
+        if tc > dec_total:
+            assert tok in got, (tok, tc, dec_total)
+
+
+def test_heavy_hitter_store_replay_is_exactly_once(spark, tmp_path):
+    """Replaying the last committed batch rebuilds the same snapshot
+    (rebasing, not double-merge); a fresh-checkpoint restart behind
+    the store head refuses loudly."""
+    import pytest as _pytest
+    from pathlib import Path
+
+    docs = jobs.read_documents_stream(spark, SF0001)
+    store = str(tmp_path / "hh_r")
+    q = jobs.stream_maintain_heavy_hitters(
+        docs, store, str(tmp_path / "ck_hhr"), k=16)
+    assert q.awaitTermination(120)
+    before = sorted(map(tuple, jobs.read_heavy_hitters(
+        spark, store).collect()))
+    last = max(int(p.name[1:]) for p in Path(store).glob("v*")
+               if p.is_dir())
+    t = load_tables(spark, SF0001, "documents")
+    jobs._merge_heavy_hitters(t["documents"], last, store, k=16)
+    after = sorted(map(tuple, jobs.read_heavy_hitters(
+        spark, store).collect()))
+    assert after == before
+    jobs._merge_heavy_hitters(t["documents"], last + 1, store, k=16)
+    with _pytest.raises(RuntimeError, match="refusing"):
+        jobs._merge_heavy_hitters(t["documents"], last, store, k=16)
