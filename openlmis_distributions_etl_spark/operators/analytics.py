@@ -3266,3 +3266,38 @@ def daily_revenue_periodogram(t: dict[str, DataFrame]) -> DataFrame:
         .alias("amplitude"),
         grid((a * a + b * b) * F.lit(2.0) / (nd * sst))
         .alias("var_share"))
+
+
+def join_cardinality_estimate(t: dict[str, DataFrame]) -> DataFrame:
+    """Join-size estimation audit for orders ⋈ lineitem on orderkey:
+    the EXACT join cardinality Σ_k c_R(k)·c_S(k) (per-key count join,
+    DECIMAL(38,0) products) next to the textbook uniform-frequency
+    estimate |R|·|S| / max(V_R, V_S) every cost-based optimizer uses —
+    the measured answer to "how wrong is the planner's estimate on
+    THIS key distribution" (ratio 1 = uniform keys; skew pushes it
+    up). One row out; both sides are exact integers until the final
+    ratio chain, floor-gridded to 1e-9."""
+    d38 = "decimal(38,0)"
+    ro = (t["orders"].groupBy(F.col("o_orderkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("cr")))
+    rl = (t["lineitem"].groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("cs")))
+    j = (ro.join(rl, "k")
+         .agg(F.sum((F.col("cr").cast(d38) * F.col("cs")).cast(d38))
+              .alias("exact_rows")))
+    mo = ro.agg(F.sum("cr").alias("n_left"),
+                F.count(F.lit(1)).alias("v_left"))
+    ml = rl.agg(F.sum("cs").alias("n_right"),
+                F.count(F.lit(1)).alias("v_right"))
+    g = j.crossJoin(F.broadcast(mo)).crossJoin(F.broadcast(ml))
+    est = (F.col("n_left").cast("double")
+           * F.col("n_right").cast("double")
+           / F.greatest(F.col("v_left"), F.col("v_right"))
+           .cast("double"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return g.select(
+        "n_left", "n_right", "v_left", "v_right",
+        F.col("exact_rows").cast("long").alias("exact_join_rows"),
+        F.floor(est + F.lit(0.5)).cast("long").alias("estimate_rows"),
+        grid(est / F.col("exact_rows").cast("double"))
+        .alias("est_over_exact"))

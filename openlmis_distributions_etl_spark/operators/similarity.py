@@ -2419,3 +2419,80 @@ def knn_bq_recall(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
                     .alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)).cast("double") / k)
                     .alias("recall_at_k")))
+
+
+# round-7 wave 11: Johnson-Lindenstrauss projection distortion audit
+
+JL_K = 16          # target dimensionality (64 -> 16)
+JL_SEED_BASE = 100  # sign-plane namespace (disjoint from the LSH set)
+JL_PAIR_IDS = 64   # pair sample: all pairs among vec_id < 64
+
+
+def _jl_signs() -> list[list[float]]:
+    return [_hyperplane_signs(JL_SEED_BASE + j) for j in range(JL_K)]
+
+
+def _jl_proj_sql() -> str:
+    """SQL text for the K-dim ±1 sign projection of the pinned double
+    array `v` — literal planes compiled into the plan (the
+    `_bucket_sql` idiom: one JVM parse, broadcast-free)."""
+    dots = []
+    for signs in _jl_signs():
+        plane = ", ".join(f"{s}D" for s in signs)
+        dots.append(f"aggregate(zip_with(v, array({plane}), "
+                    f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+    return "array(" + ", ".join(dots) + ")"
+
+
+def jl_projection_distortion(t: dict[str, DataFrame]) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit of a 64→16 ±1 sign
+    projection (Achlioptas 2003: database-friendly random
+    projections): for every pair in the deterministic sample
+    (vec_id < 64), the ratio ‖Sx − Sy‖²/K over ‖x − y‖² — the
+    measured answer to "can the ANN tier pre-filter in 16 dims"
+    (E[ratio] = 1; the report is its observed min/mean/max and the
+    share within ±30%).
+
+    The pair cloud is SAMPLE-bounded (64·63/2 pairs at any corpus
+    scale, a broadcast self-join); each pair's ratio floor-grids to
+    integer ppb BEFORE the aggregate, so min/max/mean/share are
+    integer-exact in any order."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = pin(spread(t["embeddings"])
+               .where(F.col("vec_id") < JL_PAIR_IDS)
+               .select("vec_id", "embedding"), v=vec)
+    proj = base.selectExpr("vec_id", "v",
+                           f"{_jl_proj_sql()} AS p")
+    a = proj.select(F.col("vec_id").alias("ida"),
+                    F.col("v").alias("va"), F.col("p").alias("pa"))
+    b = proj.select(F.col("vec_id").alias("idb"),
+                    F.col("v").alias("vb"), F.col("p").alias("pb"))
+
+    def d2(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, w: (u - w) * (u - w)),
+            F.lit(0.0), lambda acc, z: acc + z)
+
+    pairs = (a.join(broadcast(b), F.col("ida") < F.col("idb"))
+             .select(d2(F.col("va"), F.col("vb")).alias("dd"),
+                     d2(F.col("pa"), F.col("pb")).alias("pp"))
+             .where(F.col("dd") > 0)
+             .select(F.floor(F.col("pp") / F.lit(float(JL_K))
+                             / F.col("dd") * 1e9 + F.lit(0.5))
+                     .cast("long").alias("r_ppb")))
+    g = pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.min("r_ppb").alias("mn"),
+                  F.max("r_ppb").alias("mx"),
+                  F.sum("r_ppb").alias("s"),
+                  F.sum(((F.col("r_ppb") >= 700_000_000)
+                         & (F.col("r_ppb") <= 1_300_000_000))
+                        .cast("long")).alias("w"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return g.select(
+        "n_pairs",
+        (F.col("mn").cast("double") / 1e9).alias("min_ratio"),
+        (F.col("mx").cast("double") / 1e9).alias("max_ratio"),
+        grid(F.col("s").cast("double") / F.col("n_pairs").cast("double")
+             / 1e9).alias("mean_ratio"),
+        grid(F.col("w").cast("double") / F.col("n_pairs").cast("double"))
+        .alias("share_within_30pct"))

@@ -9014,3 +9014,90 @@ ORACLES.update({
         FROM asm
     """,
 })
+
+
+# round-7 wave 11: JL distortion audit + join-size estimator audit
+
+
+def _jl_sql_literals() -> str:
+    from .operators.similarity import _jl_signs
+
+    return ", ".join(
+        f"({j}, [{', '.join(str(s) for s in signs)}])"
+        for j, signs in enumerate(_jl_signs()))
+
+
+ORACLES.update({
+    "jl_projection_distortion": f"""
+        WITH hp(j, signs) AS (VALUES {_jl_sql_literals()}),
+        e AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65),
+                   i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 64),
+        proj AS (
+          SELECT vec_id, j,
+                 list_sum(list_transform(range(1, 65),
+                   i -> v[CAST(i AS INT)] * signs[CAST(i AS INT)]))
+                   AS dot
+          FROM e, hp),
+        pv AS (SELECT vec_id, list(dot ORDER BY j) AS p
+               FROM proj GROUP BY vec_id),
+        pairs AS (
+          SELECT
+            list_sum(list_transform(range(1, 65),
+              i -> (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])
+                   * (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])))
+              AS dd,
+            list_sum(list_transform(range(1, 17),
+              i -> (pa.p[CAST(i AS INT)] - pb.p[CAST(i AS INT)])
+                   * (pa.p[CAST(i AS INT)] - pb.p[CAST(i AS INT)])))
+              AS pp
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          JOIN pv pa ON pa.vec_id = a.vec_id
+          JOIN pv pb ON pb.vec_id = b.vec_id),
+        r AS (
+          SELECT CAST(floor(pp / 16.0 / dd * 1e9 + 0.5) AS BIGINT)
+                   AS r_ppb
+          FROM pairs WHERE dd > 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(r_ppb) AS DOUBLE) / 1e9 AS min_ratio,
+               CAST(MAX(r_ppb) AS DOUBLE) / 1e9 AS max_ratio,
+               floor(CAST(SUM(r_ppb) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1e9 * 1e9 + 0.5) / 1e9
+                 AS mean_ratio,
+               floor(CAST(SUM(CASE WHEN r_ppb BETWEEN 700000000
+                                    AND 1300000000 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS share_within_30pct
+        FROM r
+    """,
+    "join_cardinality_estimate": """
+        WITH ro AS (SELECT o_orderkey AS k,
+                           CAST(COUNT(*) AS BIGINT) AS cr
+                    FROM orders GROUP BY 1),
+        rl AS (SELECT l_orderkey AS k,
+                      CAST(COUNT(*) AS BIGINT) AS cs
+               FROM lineitem GROUP BY 1),
+        j AS (SELECT SUM(CAST(cr AS DECIMAL(38,0)) * cs) AS exact_rows
+              FROM ro JOIN rl USING (k)),
+        mo AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_left,
+                      CAST(COUNT(*) AS BIGINT) AS v_left
+               FROM ro),
+        ml AS (SELECT CAST(SUM(cs) AS BIGINT) AS n_right,
+                      CAST(COUNT(*) AS BIGINT) AS v_right
+               FROM rl)
+        SELECT n_left, n_right, v_left, v_right,
+               CAST(exact_rows AS BIGINT) AS exact_join_rows,
+               CAST(floor(CAST(n_left AS DOUBLE)
+                 * CAST(n_right AS DOUBLE)
+                 / CAST(greatest(v_left, v_right) AS DOUBLE) + 0.5)
+                 AS BIGINT) AS estimate_rows,
+               floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                 / CAST(greatest(v_left, v_right) AS DOUBLE)
+                 / CAST(exact_rows AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS est_over_exact
+        FROM j, mo, ml
+    """,
+})

@@ -452,6 +452,10 @@ _OPERATORS = {
     # §2.A/C round-7 wave 9: OLS trend + harmonic seasonality scan
     "ols_daily_trend": analytics.ols_daily_trend,
     "daily_revenue_periodogram": analytics.daily_revenue_periodogram,
+    # §2.F round-7 wave 11: JL projection distortion audit
+    "jl_projection_distortion": similarity.jl_projection_distortion,
+    # §2.A round-7 wave 11: optimizer join-size estimate audit
+    "join_cardinality_estimate": analytics.join_cardinality_estimate,
 }
 
 

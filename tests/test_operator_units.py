@@ -2105,3 +2105,38 @@ def test_weighted_median_matches_python(spark):
     # N: uniform weights → both medians the 2nd of 4 = 6.00
     assert out["N"]["weighted_median_price"] == 6.00
     assert out["N"]["row_median_price"] == 6.00
+
+
+# -- round-7 wave 11: JL distortion / join-size estimate ----------------
+
+def test_jl_distortion_concentrates_near_one(spark):
+    """E[ratio] = 1 for ±1 sign projections: the sampled mean must sit
+    near 1 and every ratio must be positive."""
+    import random
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    r = similarity.jl_projection_distortion(
+        {"embeddings": _embs(spark, vecs)}).collect()[0]
+    assert r["n_pairs"] == 40 * 39 // 2
+    assert 0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"]
+    assert 0.5 < r["mean_ratio"] < 1.5
+    assert r["share_within_30pct"] > 0.5
+
+
+def test_join_cardinality_exact_matches_python(spark):
+    """Exact join rows and the textbook estimate on a hand-built skewed
+    key distribution."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        join_cardinality_estimate)
+    orders = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "o_orderkey long")
+    lineitem = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 4]], "l_orderkey long")
+    r = join_cardinality_estimate(
+        {"orders": orders, "lineitem": lineitem}).collect()[0]
+    # exact: k=1 -> 3*2=6, k=2 -> 1*1=1 => 7
+    assert r["exact_join_rows"] == 7
+    assert (r["n_left"], r["n_right"]) == (5, 4)
+    assert (r["v_left"], r["v_right"]) == (3, 3)
+    # estimate: 5*4/max(3,3) = 6.67 -> 7 rounded
+    assert r["estimate_rows"] == 7

@@ -119,6 +119,8 @@ BNLJ_ALLOWED = {
     "token_js_drift",            # broadcast corpus-total singleton row
     "ols_daily_trend",           # broadcast min-date anchor row
     "daily_revenue_periodogram",  # broadcast anchor + moments rows
+    "jl_projection_distortion",  # sample-bounded broadcast pair cloud
+    "join_cardinality_estimate",  # broadcast 1-row marginals (×2)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
