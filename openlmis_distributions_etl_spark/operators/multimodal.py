@@ -507,3 +507,31 @@ def payload_chunk_overlap_pairs(t: dict[str, DataFrame]) -> DataFrame:
                      / (F.col("chunks_a") + F.col("chunks_b")
                         - F.col("n_common")).cast("double"))
                     .alias("chunk_jaccard")))
+
+
+def payload_dedup_components(t: dict[str, DataFrame]) -> DataFrame:
+    """Storage-dedup CLUSTERS for the binary lane: connected
+    components over the `payload_chunk_overlap_pairs` edge set (two
+    payloads sharing ≥ 2 content-defined chunks are linked) — the
+    grouping step that turns pairwise chunk overlap into "these k
+    attachments are one logical blob", with every payload-free of
+    near-dups its own singleton.
+
+    Same alternating large-star/small-star CC as the text lane
+    (O(log n) rounds regardless of cluster diameter); output one row
+    per doc with its component and the component population — the
+    dedup_components contract plus the size a storage planner bins
+    by. Cites the text twin at operators/dedup.py:451."""
+    from .dedup import connected_components
+    pairs = payload_chunk_overlap_pairs(t).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    nodes = (t["documents"]
+             .select(F.col("doc_id").alias("node")).distinct())
+    cc = connected_components(edges, nodes)
+    comp = cc.select(F.col("node").alias("doc_id"), "component")
+    # component count is corpus-proportional: a plain same-key join
+    # (AQE picks the strategy), never a forced broadcast
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    return comp.join(sizes, "component") \
+        .select("doc_id", "component", "n_members")

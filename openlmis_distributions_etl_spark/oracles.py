@@ -9101,3 +9101,41 @@ ORACLES.update({
         FROM j, mo, ml
     """,
 })
+
+# round-7 wave 12: binary-lane storage-dedup clusters
+
+ORACLES.update({
+    "payload_dedup_components": f"""
+        WITH RECURSIVE {_CDC_CHUNK_CTES},
+        ok AS (SELECT ch FROM (
+                 SELECT ch, COUNT(*) AS holders FROM chunks GROUP BY ch)
+               WHERE holders <= 64),
+        keyed AS (SELECT chunks.* FROM chunks JOIN ok USING (ch)),
+        cpairs AS (
+          SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM keyed a JOIN keyed b2 USING (ch)
+          WHERE a.doc_id < b2.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM cpairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src),
+        asg AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component
+          FROM documents d
+          LEFT JOIN comp c ON d.doc_id = c.node),
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM asg GROUP BY 1)
+        SELECT doc_id, component, n_members
+        FROM asg JOIN sizes USING (component)
+    """,
+})

@@ -456,6 +456,8 @@ _OPERATORS = {
     "jl_projection_distortion": similarity.jl_projection_distortion,
     # §2.A round-7 wave 11: optimizer join-size estimate audit
     "join_cardinality_estimate": analytics.join_cardinality_estimate,
+    # §2.H round-7 wave 12: binary-lane storage-dedup clusters
+    "payload_dedup_components": multimodal.payload_dedup_components,
 }
 
 
