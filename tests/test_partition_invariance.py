@@ -70,6 +70,20 @@ FLOAT_SENSITIVE = (
     "functional_dependency_audit",
     # round-7 wave 5: gridded means, rank-exact conformal quantile
     "conformal_value_intervals",
+    # round-7 waves 6-12: doubled-rank H fold, integer-ppb BH keys,
+    # in-row chi2 folds, BQ cascade cosine, pico-nat JSD terms,
+    # micro-unit trig sums, ppb-gridded JL ratios
+    "kruskal_wallis_values",
+    "segment_pvalues_fdr",
+    "cramers_v_audit",
+    "knn_bq_rerank",
+    "knn_bq_recall",
+    "ccnet_perplexity_buckets",
+    "token_js_drift",
+    "weighted_price_median_by_flag",
+    "ols_daily_trend",
+    "daily_revenue_periodogram",
+    "jl_projection_distortion",
 )
 
 
