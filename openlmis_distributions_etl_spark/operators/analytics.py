@@ -1724,15 +1724,37 @@ def _grouped_rank_min(pts: DataFrame,
     frame is retained so Catalyst never inlines the lambda-bearing
     `_b1` column across the grouping/join branches (the
     INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND hazard SURVEY documents)."""
+    return _grouped_rank_min_multi(pts, {"c": targets}) \
+        .withColumnRenamed("n_c", "n_rows")
+
+
+def _grouped_rank_min_multi(pts: DataFrame,
+                            weights: dict[str, dict[str, str]]) \
+        -> DataFrame:
+    """Multi-weight core of `_grouped_rank_min`: the SAME bucket
+    pipeline (one probe, one fence sketch, one in-bucket window pass)
+    carries ANY number of weight columns at once — so an operator
+    needing order statistics under two weightings (e.g. a
+    quantity-weighted median AND the row median) pays one scan, not
+    one pipeline per weighting.
+
+    ``weights`` maps weight column → {output name → SQL rank
+    expression over ``n``}, where ``n`` inside each expression binds
+    to THAT weight's group total. Returns one row per event_type with
+    ``n_<w>`` per weight plus every requested MIN ``_k``."""
     import math
+    import re
 
     from ..functions.cache import retain
+    wcols = list(weights)
     # retained: the points frame feeds the size probe, the fence
     # sketch, AND the bucket pipeline — uncached it recomputes (and
     # rescans its input) three times per call
     pts = retain(pts)
-    n_max = (pts.groupBy("event_type").agg(F.sum("c").alias("n"))
-             .agg(F.max("n")).collect()[0][0]) or 0
+    probe = F.greatest(*wcols) if len(wcols) > 1 else F.col(wcols[0])
+    n_max = (pts.groupBy("event_type")
+             .agg(*[F.sum(w).alias(w) for w in wcols])
+             .agg(F.max(probe)).collect()[0][0]) or 0
     nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
 
     def fence_pcts(m: int) -> str:
@@ -1767,25 +1789,33 @@ def _grouped_rank_min(pts: DataFrame,
                                     "_fb", lambda x: F.col("_k") > x)))
                     .drop("_fb", "_b1"))
     bt = (bucketed.groupBy("event_type", "bkt")
-          .agg(F.sum("c").alias("bc")))
+          .agg(*[F.sum(w).alias(f"bc_{w}") for w in wcols]))
     wo = (Window.partitionBy("event_type").orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
     wt = Window.partitionBy("event_type")
     offs = bt.select(
         "event_type", "bkt",
-        F.coalesce(F.sum("bc").over(wo), F.lit(0)).alias("off"),
-        F.sum("bc").over(wt).alias("n"))
+        *[F.coalesce(F.sum(f"bc_{w}").over(wo), F.lit(0))
+          .alias(f"off_{w}") for w in wcols],
+        *[F.sum(f"bc_{w}").over(wt).alias(f"n_{w}") for w in wcols])
     win = (Window.partitionBy("event_type", "bkt")
            .orderBy(F.asc("_k"))
            .rowsBetween(Window.unboundedPreceding, 0))
     cum = (bucketed.join(F.broadcast(offs), ["event_type", "bkt"])
-           .select("event_type", "_k", "n",
-                   (F.sum("c").over(win) + F.col("off")).alias("cf")))
+           .select("event_type", "_k",
+                   *[F.col(f"n_{w}") for w in wcols],
+                   *[(F.sum(w).over(win) + F.col(f"off_{w}"))
+                     .alias(f"cf_{w}") for w in wcols]))
+    sels = []
+    for w, targets in weights.items():
+        for name, expr in targets.items():
+            bound = re.sub(r"\bn\b", f"n_{w}", expr)
+            sels.append(F.min(F.when(F.col(f"cf_{w}")
+                                     >= F.expr(bound),
+                                     F.col("_k"))).alias(name))
     return (cum.groupBy("event_type")
-            .agg(F.max("n").alias("n_rows"),
-                 *[F.min(F.when(F.col("cf") >= F.expr(expr),
-                                F.col("_k"))).alias(name)
-                   for name, expr in targets.items()]))
+            .agg(*[F.max(f"n_{w}").alias(f"n_{w}") for w in wcols],
+                 *sels))
 
 
 MAD_K = 4.4478   # 3 · 1.4826 as ONE literal: both engines parse the
@@ -3140,21 +3170,21 @@ def weighted_price_median_by_flag(t: dict[str, DataFrame]) -> DataFrame:
                   .cast("long").cast("double").alias("_k"),
                   F.floor(F.col("l_quantity") + F.lit(0.5))
                   .cast("long").alias("qty")))
-    from ..functions.cache import retain
-    li = retain(li)
-    wpts = (li.groupBy("event_type", "_k")
-            .agg(F.sum("qty").alias("c")))
-    rpts = (li.groupBy("event_type", "_k")
-            .agg(F.count(F.lit(1)).alias("c")))
-    wmed = _grouped_rank_min(wpts, {"wm": "(n + 1) DIV 2"}) \
-        .select(F.col("event_type").alias("l_returnflag"),
-                F.col("n_rows").alias("total_qty"),
-                (F.col("wm") / 100.0).alias("weighted_median_price"))
-    rmed = _grouped_rank_min(rpts, {"rm": "(n + 1) DIV 2"}) \
-        .select(F.col("event_type").alias("l_returnflag"),
-                F.col("n_rows").alias("n_rows"),
-                (F.col("rm") / 100.0).alias("row_median_price"))
-    return wmed.join(rmed, "l_returnflag")
+    pts = (li.groupBy("event_type", "_k")
+           .agg(F.sum("qty").alias("qty"),
+                F.count(F.lit(1)).alias("ones")))
+    # BOTH weightings ride ONE selector pipeline (the multi-weight
+    # core): one probe, one fence sketch, one in-bucket window pass —
+    # the two-call formulation paid the whole pipeline twice
+    sel = _grouped_rank_min_multi(
+        pts, {"qty": {"wm": "(n + 1) DIV 2"},
+              "ones": {"rm": "(n + 1) DIV 2"}})
+    return sel.select(
+        F.col("event_type").alias("l_returnflag"),
+        F.col("n_qty").alias("total_qty"),
+        (F.col("wm") / 100.0).alias("weighted_median_price"),
+        F.col("n_ones").alias("n_rows"),
+        (F.col("rm") / 100.0).alias("row_median_price"))
 
 
 # round-7 wave 9: parametric trend + fixed-period harmonic scan
