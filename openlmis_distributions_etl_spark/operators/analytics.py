@@ -3331,3 +3331,141 @@ def join_cardinality_estimate(t: dict[str, DataFrame]) -> DataFrame:
         F.floor(est + F.lit(0.5)).cast("long").alias("estimate_rows"),
         grid(est / F.col("exact_rows").cast("double"))
         .alias("est_over_exact"))
+
+
+# round-7 wave 13: classical one-way ANOVA + robust variance test
+
+ANOVA_VGRID = 10_000            # value quantization (1e-4 units)
+
+
+def anova_f_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Classical one-way ANOVA F test across ALL event types' values —
+    the parametric omnibus companion to `kruskal_wallis_values` (same
+    question, mean-based instead of rank-based; a big gap between the
+    two verdicts flags heavy tails doing the work).
+
+    Entirely moment-based: per-group n/Σx/Σx² accumulate as exact
+    integer/decimal sums (1e-4 quantization), SSB = Σ n_g·(m_g − m)²
+    and SSW = Σ (Σx²_g − n_g·m_g²) fold IN-ROW over the k-group
+    sorted struct array (the Kruskal/KM deterministic-fold
+    convention), and F = (SSB/(k−1)) / (SSW/(N−k)) is one gridded
+    double chain. One map-side-combinable aggregate — no shuffle
+    pressure at any scale."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * ANOVA_VGRID + F.lit(0.5)).cast("long")
+    per = retain(t["events"]
+                 .where(F.col("value").isNotNull())
+                 .select("event_type", vu.alias("vu"))
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("vu").cast(d38).alias("s"),
+                      F.sum((F.col("vu").cast(d38) * F.col("vu"))
+                            .cast(d38)).alias("sxx")))
+    g = per.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("event_type").alias("et"),
+            F.col("n").alias("gn"),
+            F.col("s").cast("double").alias("sd"),
+            F.col("sxx").cast("double").alias("sxxd")))).alias("gs"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k_groups"))
+    gg = float(ANOVA_VGRID)
+    nd = F.col("n_total").cast("double")
+    mu = F.col("st").cast("double") / gg / nd
+    ssb = F.aggregate(
+        "gs", F.lit(0.0),
+        lambda acc, x: acc + x["gn"].cast("double")
+        * (x["sd"] / gg / x["gn"].cast("double") - mu)
+        * (x["sd"] / gg / x["gn"].cast("double") - mu))
+    ssw = F.aggregate(
+        "gs", F.lit(0.0),
+        lambda acc, x: acc + (x["sxxd"] / (gg * gg)
+                              - x["gn"].cast("double")
+                              * (x["sd"] / gg / x["gn"].cast("double"))
+                              * (x["sd"] / gg
+                                 / x["gn"].cast("double"))))
+    kd = F.col("k_groups").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    glob = g.select(
+        "n_total", "k_groups",
+        (F.col("k_groups") - 1).alias("df_between"),
+        (F.col("n_total") - F.col("k_groups")).alias("df_within"),
+        grid(ssb).alias("ss_between"), grid(ssw).alias("ss_within"),
+        grid(fstat).alias("f_stat"))
+    return (per.select("event_type", "n",
+                       grid(F.col("s").cast("double") / gg
+                            / F.col("n").cast("double"))
+                       .alias("mean_value"))
+            .crossJoin(F.broadcast(glob)))
+
+
+def brown_forsythe_variance_test(t: dict[str, DataFrame]) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across event types:
+    one-way ANOVA on |x − median_g| — the robust Levene variant every
+    ANOVA should run first (the F test's equal-variance assumption,
+    checked with a median center that heavy tails can't drag).
+
+    Per-group medians are rank-exact via the shared grouped-ECDF
+    selector; the deviation re-aggregate reuses the ANOVA in-row fold
+    (integer |x−med| units; medians land on the same 1e-4 grid, so
+    deviations are exact integers too). Two sequential passes —
+    selector, then one moment aggregate."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * ANOVA_VGRID + F.lit(0.5)).cast("long")
+    ev = retain(t["events"]
+                .where(F.col("value").isNotNull())
+                .select("event_type", vu.alias("vu")))
+    pts = (ev.groupBy("event_type",
+                      F.col("vu").cast("double").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    med = _grouped_rank_min(pts, {"med": "(n + 1) DIV 2"}) \
+        .select("event_type", F.col("med").cast("long").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type",
+                   F.abs(F.col("vu") - F.col("med")).alias("du")))
+    per = retain(dev.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("du").cast(d38).alias("s"),
+                      F.sum((F.col("du").cast(d38) * F.col("du"))
+                            .cast(d38)).alias("sxx")))
+    g = per.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("event_type").alias("et"),
+            F.col("n").alias("gn"),
+            F.col("s").cast("double").alias("sd"),
+            F.col("sxx").cast("double").alias("sxxd")))).alias("gs"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k_groups"))
+    gg = float(ANOVA_VGRID)
+    nd = F.col("n_total").cast("double")
+    mu = F.col("st").cast("double") / gg / nd
+    ssb = F.aggregate(
+        "gs", F.lit(0.0),
+        lambda acc, x: acc + x["gn"].cast("double")
+        * (x["sd"] / gg / x["gn"].cast("double") - mu)
+        * (x["sd"] / gg / x["gn"].cast("double") - mu))
+    ssw = F.aggregate(
+        "gs", F.lit(0.0),
+        lambda acc, x: acc + (x["sxxd"] / (gg * gg)
+                              - x["gn"].cast("double")
+                              * (x["sd"] / gg / x["gn"].cast("double"))
+                              * (x["sd"] / gg
+                                 / x["gn"].cast("double"))))
+    kd = F.col("k_groups").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    glob = g.select(
+        "n_total", "k_groups",
+        (F.col("k_groups") - 1).alias("df_between"),
+        (F.col("n_total") - F.col("k_groups")).alias("df_within"),
+        grid(fstat).alias("bf_stat"))
+    return (per.select("event_type", "n",
+                       grid(F.col("s").cast("double") / gg
+                            / F.col("n").cast("double"))
+                       .alias("mean_abs_dev"))
+            .crossJoin(F.broadcast(glob)))

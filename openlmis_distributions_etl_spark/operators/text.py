@@ -2448,3 +2448,68 @@ def token_js_drift(t: dict[str, DataFrame]) -> DataFrame:
         grid(F.col("su").cast("double") / JS_GRID
              + F.log(F.lit(2.0)) / F.lit(2.0) * (F.lit(1.0) - qs))
         .alias("jsd_nats"))
+
+
+# round-7 wave 13: held-out LM perplexity (the overfit audit)
+
+LMHO_GRID = 1_000_000          # micro-nat NLL quantization
+
+
+def lm_heldout_perplexity(t: dict[str, DataFrame]) -> DataFrame:
+    """HELD-OUT bigram-LM perplexity per language: train the corpus
+    bigram model on an md5-keyed half-split, score the other half
+    with add-one smoothing — the generalization audit
+    `doc_bigram_lm_score` can't give (scoring the training corpus
+    with its own LM under-reports perplexity; the held-out number is
+    the one a curation pipeline should threshold on).
+
+    P(w2|w1) = (c12 + 1)/(c1 + V) with train-side counts and V =
+    train successor vocabulary; unseen bigrams/contexts coalesce to
+    0 exactly. Each bigram's NLL quantizes to integer micro-nats
+    BEFORE the per-lang sum (the KL/JSD discipline); outputs per
+    lang: held-out bigram mass, OOV-bigram share, average NLL, and
+    perplexity = e^(avg NLL) as one gridded chain."""
+    from ..functions.cache import retain
+    split = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("lmho|"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 2)
+    toks = tokens()
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")
+    bg = retain(
+        t["documents"]
+        .select("doc_id", "lang", toks.alias("toks"),
+                split.alias("split"))
+        .where(F.size("toks") >= 2)
+        .select("lang", "split", F.explode(bigrams).alias("b"))
+        .select("lang", "split", "b.w1", "b.w2"))
+    train = bg.where(F.col("split") == 0)
+    pair = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (train.groupBy(F.col("w1").alias("u_w1"))
+           .agg(F.count(F.lit(1)).alias("c1")))
+    voc = train.agg(F.count_distinct("w2").alias("v"))
+    held = (bg.where(F.col("split") == 1)
+            .join(pair, ["w1", "w2"], "left")
+            .join(uni, F.col("w1") == F.col("u_w1"), "left")
+            .crossJoin(F.broadcast(voc)))
+    c12d = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    c1d = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+    vd = F.col("v").cast("double")
+    u = F.floor(F.log((c1d + vd) / (c12d + F.lit(1.0)))
+                * LMHO_GRID + F.lit(0.5)).cast("long")
+    g = (held.select("lang", u.alias("u"),
+                     F.col("c12").isNull().cast("long").alias("oov"))
+         .groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n_bigrams"),
+              F.sum("oov").alias("n_oov"),
+              F.sum("u").alias("su")))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    avg = (F.col("su").cast("double") / F.lit(float(LMHO_GRID))
+           / F.col("n_bigrams").cast("double"))
+    return g.select(
+        "lang", "n_bigrams",
+        grid(F.col("n_oov").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("oov_share"),
+        grid(avg).alias("avg_nll_nats"),
+        grid(F.exp(avg)).alias("perplexity"))

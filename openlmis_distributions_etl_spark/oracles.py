@@ -9139,3 +9139,151 @@ ORACLES.update({
         FROM asg JOIN sizes USING (component)
     """,
 })
+
+
+# round-7 wave 13: ANOVA F, Brown-Forsythe, held-out LM perplexity
+
+_ANOVA_FOLD = """
+          SELECT list(struct_pack(et := event_type, gn := n,
+                                  sd := CAST(s AS DOUBLE),
+                                  sxxd := CAST(sxx AS DOUBLE))
+                      ORDER BY event_type) AS gs,
+                 CAST(SUM(n) AS BIGINT) AS n_total,
+                 SUM(s) AS st,
+                 CAST(COUNT(*) AS BIGINT) AS k_groups
+          FROM per"""
+
+_ANOVA_STATS = """
+          SELECT n_total, k_groups,
+                 k_groups - 1 AS df_between,
+                 n_total - k_groups AS df_within,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gs, x ->
+                     CAST(x.gn AS DOUBLE)
+                     * (x.sd / 10000.0 / CAST(x.gn AS DOUBLE)
+                        - CAST(st AS DOUBLE) / 10000.0
+                          / CAST(n_total AS DOUBLE))
+                     * (x.sd / 10000.0 / CAST(x.gn AS DOUBLE)
+                        - CAST(st AS DOUBLE) / 10000.0
+                          / CAST(n_total AS DOUBLE)))),
+                   (a, b) -> a + b) AS ssb,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gs, x ->
+                     x.sxxd / (10000.0 * 10000.0)
+                     - CAST(x.gn AS DOUBLE)
+                       * (x.sd / 10000.0 / CAST(x.gn AS DOUBLE))
+                       * (x.sd / 10000.0 / CAST(x.gn AS DOUBLE)))),
+                   (a, b) -> a + b) AS ssw
+          FROM g"""
+
+
+ORACLES.update({
+    "anova_f_values": f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(vu) AS DECIMAL(38,0)) AS s,
+                 SUM(CAST(vu AS DECIMAL(38,0)) * vu) AS sxx
+          FROM ev GROUP BY 1),
+        g AS ({_ANOVA_FOLD}),
+        st AS ({_ANOVA_STATS})
+        SELECT per.event_type, per.n,
+               floor(CAST(per.s AS DOUBLE) / 10000.0
+                 / CAST(per.n AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS mean_value,
+               st.n_total, st.k_groups, st.df_between, st.df_within,
+               floor(st.ssb * 1e9 + 0.5) / 1e9 AS ss_between,
+               floor(st.ssw * 1e9 + 0.5) / 1e9 AS ss_within,
+               floor((st.ssb / (CAST(st.k_groups AS DOUBLE) - 1.0))
+                 / (st.ssw / (CAST(st.n_total AS DOUBLE)
+                              - CAST(st.k_groups AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS f_stat
+        FROM per, st
+    """,
+    "brown_forsythe_variance_test": f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        rn AS (
+          SELECT event_type, vu,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY vu ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM ev),
+        med AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn = (cnt + 1) // 2 THEN vu END) AS med
+          FROM rn GROUP BY 1),
+        dev AS (
+          SELECT ev.event_type, abs(ev.vu - med.med) AS du
+          FROM ev JOIN med USING (event_type)),
+        per AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(du) AS DECIMAL(38,0)) AS s,
+                 SUM(CAST(du AS DECIMAL(38,0)) * du) AS sxx
+          FROM dev GROUP BY 1),
+        g AS ({_ANOVA_FOLD}),
+        st AS ({_ANOVA_STATS})
+        SELECT per.event_type, per.n,
+               floor(CAST(per.s AS DOUBLE) / 10000.0
+                 / CAST(per.n AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS mean_abs_dev,
+               st.n_total, st.k_groups, st.df_between, st.df_within,
+               floor((st.ssb / (CAST(st.k_groups AS DOUBLE) - 1.0))
+                 / (st.ssw / (CAST(st.n_total AS DOUBLE)
+                              - CAST(st.k_groups AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS bf_stat
+        FROM per, st
+    """,
+    "lm_heldout_perplexity": f"""
+        WITH d AS (
+          SELECT doc_id, lang, {TOKS} AS toks,
+                 {_HEX8_TO_INT("'lmho|' || CAST(doc_id AS VARCHAR)")}
+                   % 2 AS split
+          FROM documents),
+        bg AS (
+          SELECT lang, split, unnest({_BIGRAMS}) AS b
+          FROM d WHERE len(toks) >= 2),
+        sp AS (
+          SELECT lang, split, string_split(b, ' ')[1] AS w1,
+                 string_split(b, ' ')[2] AS w2
+          FROM bg),
+        pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                 FROM sp WHERE split = 0 GROUP BY 1, 2),
+        uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM sp WHERE split = 0 GROUP BY 1),
+        voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+                FROM sp WHERE split = 0),
+        held AS (
+          SELECT h.lang,
+                 CAST(floor(ln((CAST(COALESCE(u.c1, 0) AS DOUBLE)
+                                + CAST(v AS DOUBLE))
+                               / (CAST(COALESCE(p.c12, 0) AS DOUBLE)
+                                  + 1.0))
+                   * 1000000 + 0.5) AS BIGINT) AS u,
+                 CASE WHEN p.c12 IS NULL THEN 1 ELSE 0 END AS oov
+          FROM sp h
+          LEFT JOIN pair p ON h.w1 = p.w1 AND h.w2 = p.w2
+          LEFT JOIN uni u ON h.w1 = u.w1, voc
+          WHERE h.split = 1),
+        g AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(oov) AS BIGINT) AS n_oov,
+                 CAST(SUM(u) AS BIGINT) AS su
+          FROM held GROUP BY 1)
+        SELECT lang, n_bigrams,
+               floor(CAST(n_oov AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 * 1e9 + 0.5) / 1e9 AS oov_share,
+               floor(CAST(su AS DOUBLE) / 1000000.0
+                 / CAST(n_bigrams AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS avg_nll_nats,
+               floor(exp(CAST(su AS DOUBLE) / 1000000.0
+                 / CAST(n_bigrams AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                 AS perplexity
+        FROM g
+    """,
+})

@@ -458,6 +458,12 @@ _OPERATORS = {
     "join_cardinality_estimate": analytics.join_cardinality_estimate,
     # §2.H round-7 wave 12: binary-lane storage-dedup clusters
     "payload_dedup_components": multimodal.payload_dedup_components,
+    # §2.A round-7 wave 13: parametric omnibus + variance homogeneity
+    "anova_f_values": analytics.anova_f_values,
+    "brown_forsythe_variance_test":
+        analytics.brown_forsythe_variance_test,
+    # §2.G round-7 wave 13: held-out LM perplexity (overfit audit)
+    "lm_heldout_perplexity": text.lm_heldout_perplexity,
 }
 
 

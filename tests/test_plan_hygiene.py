@@ -121,6 +121,9 @@ BNLJ_ALLOWED = {
     "daily_revenue_periodogram",  # broadcast anchor + moments rows
     "jl_projection_distortion",  # sample-bounded broadcast pair cloud
     "join_cardinality_estimate",  # broadcast 1-row marginals (×2)
+    "anova_f_values",            # broadcast 1-row global-stats frame
+    "brown_forsythe_variance_test",  # broadcast 1-row global-stats
+    "lm_heldout_perplexity",     # broadcast train-vocab singleton row
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

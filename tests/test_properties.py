@@ -1052,3 +1052,61 @@ def test_periodogram_matches_python(spark, rows):
             assert abs(got["var_share"] - want) <= 1e-6
             amp = math.sqrt(a * a + b * b) * 2.0 / n / 100.0
             assert abs(got["amplitude"] - amp) <= 1e-6
+
+
+# -- round-7 wave 13: ANOVA / Brown-Forsythe batteries -----------------
+
+
+@PROP
+@given(typed_values_strategy)
+def test_anova_f_matches_python(spark, rows):
+    """SSB/SSW/F vs a closed-form python reference on the same
+    quantized values."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        anova_f_values)
+    out = {r["event_type"]: r for r in anova_f_values(
+        {"events": _typed_events_df(spark, rows)}).collect()}
+    groups = sorted({g for g, _ in rows})
+    n = len(rows)
+    mu = sum(v for _, v in rows) / 10_000.0 / n
+    ssb = ssw = 0.0
+    for g in groups:
+        gv = [v for gg, v in rows if gg == g]
+        mg = sum(gv) / 10_000.0 / len(gv)
+        ssb += len(gv) * (mg - mu) * (mg - mu)
+        ssw += sum((v / 10_000.0) ** 2 for v in gv) \
+            - len(gv) * mg * mg
+    k = len(groups)
+    any_row = out[f"t{groups[0]}"]
+    assert any_row["n_total"] == n
+    assert any_row["k_groups"] == k
+    assert abs(any_row["ss_between"] - ssb) <= 1e-6
+    assert abs(any_row["ss_within"] - ssw) <= 1e-6
+    if ssw > 1e-12 and n > k:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(any_row["f_stat"] - f) <= max(1e-6, abs(f) * 1e-6)
+
+
+@PROP
+@given(typed_values_strategy)
+def test_brown_forsythe_matches_python(spark, rows):
+    """Per-group lower-median centering + ANOVA on |x − med| vs
+    python."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        brown_forsythe_variance_test)
+    out = {r["event_type"]: r for r in brown_forsythe_variance_test(
+        {"events": _typed_events_df(spark, rows)}).collect()}
+    groups = sorted({g for g, _ in rows})
+    devs = []
+    for g in groups:
+        gv = sorted(v for gg, v in rows if gg == g)
+        med = gv[(len(gv) + 1) // 2 - 1]
+        for v in gv:
+            devs.append((g, abs(v - med)))
+        got = out[f"t{g}"]
+        assert got["n"] == len(gv)
+        want_mad = sum(abs(v - med) for v in gv) / 10_000.0 / len(gv)
+        import math
+        assert got["mean_abs_dev"] == \
+            math.floor(want_mad * 1e9 + 0.5) / 1e9
+    assert out[f"t{groups[0]}"]["n_total"] == len(rows)
