@@ -1730,3 +1730,48 @@ def dup_graph_degree_hist(t: dict[str, DataFrame]) -> DataFrame:
             .where(F.col("n_nodes") > 0)
             .select(F.col("deg").cast("long").alias("degree"),
                     "n_nodes"))
+
+
+# round-7 wave 14: b-bit minhash compression audit
+
+BBIT_B = 2          # stored bits per slot: 16 slots × 2 bits = 4 B
+                    # (vs 64 B for the full int signature)
+
+
+def bbit_minhash_estimate(t: dict[str, DataFrame]) -> DataFrame:
+    """b-bit MinHash (Li & König, CACM 2011) next to the full-width
+    estimate on the SAME LSH candidate pairs — the storage audit for
+    "keep 2 bits of each slot, not 31": agreement over the lowest
+    b = 2 bits, corrected for the 2^-b base collision rate with the
+    exact integer rational Ĵ_b = (n_agree_b − 16/4)/(16·(1 − 1/4))
+    = (n_agree_b − 4)/12.
+
+    The candidate stream, signatures, and the flat 16-term agreement
+    sums are the `minhash_jaccard_estimate` machinery verbatim (one
+    persisted signature pass, banded join, no join-backs); the b-bit
+    columns just add a pmod before the compare. Output per pair: both
+    estimates and their gap — the number that decides whether the
+    16× smaller sketch is worth its variance."""
+    bands = _bands(retain(minhash_signatures(t)))
+    full = None
+    bbit = None
+    m = 1 << BBIT_B
+    for j in range(N_HASHES):
+        eq = F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        eqb = F.when(F.pmod(F.col(f"a.h{j}"), F.lit(m))
+                     == F.pmod(F.col(f"b.h{j}"), F.lit(m)),
+                     1).otherwise(0)
+        full = eq if full is None else full + eq
+        bbit = eqb if bbit is None else bbit + eqb
+    est_full = full.cast("double") / F.lit(N_HASHES)
+    est_b = ((bbit.cast("double") - F.lit(float(N_HASHES)) / m)
+             / (F.lit(float(N_HASHES))
+                * (F.lit(1.0) - F.lit(1.0) / m)))
+    return (_lsh_candidate_join(bands)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    full.cast("int").alias("n_agree_full"),
+                    bbit.cast("int").alias("n_agree_b2"),
+                    est_full.alias("jaccard_full"),
+                    est_b.alias("jaccard_b2"),
+                    (est_b - est_full).alias("b2_minus_full")))

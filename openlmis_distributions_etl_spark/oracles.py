@@ -9287,3 +9287,36 @@ ORACLES.update({
         FROM g
     """,
 })
+
+
+# round-7 wave 14: b-bit minhash compression audit
+
+_AGREE_SUM_B2 = " + ".join(
+    f"CASE WHEN a.h{j} % 4 = b.h{j} % 4 THEN 1 ELSE 0 END"
+    for j in range(16))
+
+ORACLES.update({
+    "bbit_minhash_estimate": f"""
+        WITH {SIG_CTE},
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST({_AGREE_SUM} AS INT) AS n_agree_full,
+               CAST({_AGREE_SUM_B2} AS INT) AS n_agree_b2,
+               CAST({_AGREE_SUM} AS DOUBLE) / 16 AS jaccard_full,
+               (CAST({_AGREE_SUM_B2} AS DOUBLE) - 16.0 / 4)
+                 / (16.0 * (1.0 - 1.0 / 4)) AS jaccard_b2,
+               (CAST({_AGREE_SUM_B2} AS DOUBLE) - 16.0 / 4)
+                 / (16.0 * (1.0 - 1.0 / 4))
+                 - CAST({_AGREE_SUM} AS DOUBLE) / 16 AS b2_minus_full
+        FROM pairs
+        JOIN sig a ON pairs.doc_a = a.doc_id
+        JOIN sig b ON pairs.doc_b = b.doc_id
+    """,
+})

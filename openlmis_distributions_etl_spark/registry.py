@@ -464,6 +464,8 @@ _OPERATORS = {
         analytics.brown_forsythe_variance_test,
     # §2.G round-7 wave 13: held-out LM perplexity (overfit audit)
     "lm_heldout_perplexity": text.lm_heldout_perplexity,
+    # §2.E round-7 wave 14: b-bit minhash compression audit
+    "bbit_minhash_estimate": dedup.bbit_minhash_estimate,
 }
 
 
