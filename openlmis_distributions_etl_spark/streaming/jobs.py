@@ -2327,3 +2327,97 @@ def read_heavy_hitters(spark: SparkSession, out_dir: str) -> DataFrame:
     bound: true count ∈ [cnt, cnt + dec_total] for every row."""
     return (read_latest_snapshot(spark, out_dir)
             .orderBy(F.desc("cnt"), F.asc("token")))
+
+
+# round-7 wave 15: streaming exact value-histogram store
+
+VH_VGRID = 10_000     # value quantization (1e-4 units)
+
+
+def _merge_value_histogram(batch: DataFrame, batch_id: int,
+                           out_dir: str,
+                           lineage: str | None = None) -> None:
+    """One exactly-once sum-merge of a micro-batch's per-(event_type,
+    quantized value) counts into the histogram store — the
+    token-count rebasing contract on the numeric axis. Module-level
+    so the replay test can invoke it directly."""
+    import os
+    from pathlib import Path
+
+    _check_lineage(out_dir, lineage)
+    spark = batch.sparkSession
+    cnt = (batch.where(F.col("value").isNotNull())
+           .select("event_type",
+                   F.floor(F.col("value") * VH_VGRID + F.lit(0.5))
+                   .cast("long").alias("vu"))
+           .groupBy("event_type", "vu")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    existing = sorted(
+        int(p.name[1:]) for p in Path(out_dir).glob("v*")
+        if p.is_dir() and p.name[1:].isdigit())
+    if existing and max(existing) > batch_id:
+        raise RuntimeError(
+            f"value-histogram store {out_dir} already holds version "
+            f"v{max(existing)} > incoming batch {batch_id} (fresh "
+            f"checkpoint against an existing store?) — refusing to "
+            f"reset or double-count; use a new store or keep the "
+            f"original checkpoint")
+    prior = [v for v in existing if v < batch_id]
+    if prior:
+        base = spark.read.parquet(f"{out_dir}/v{prior[-1]:020d}")
+        merged = (base.unionByName(cnt)
+                  .groupBy("event_type", "vu")
+                  .agg(F.sum("cnt").alias("cnt")))
+    else:
+        merged = cnt
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
+
+
+def stream_maintain_value_histogram(events: DataFrame, out_dir: str,
+                                    checkpoint_dir: str):
+    """foreachBatch maintenance of the EXACT per-type value histogram
+    — the streaming producer behind exact percentile serving: state is
+    the (event_type, distinct quantized value) count table, which is
+    VALUE-RANGE-bounded (never corpus-bounded — a 100 TB event stream
+    still folds onto the same 1e-4 grid), so exact quantiles stay
+    queryable offline at any stream length where a sketch would have
+    locked in its error. Same rebasing exactly-once contract as the
+    token-count store."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        _merge_value_histogram(batch, batch_id, out_dir,
+                               lineage=checkpoint_dir)
+
+    return (events.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_value_quantiles(spark: SparkSession, out_dir: str,
+                         qs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact per-type quantiles from the histogram head: cumulative
+    counts over the value-bounded grid, rank-exact ceil(q·n)
+    selection — the serving query the store exists for."""
+    from pyspark.sql import Window
+    h = read_latest_snapshot(spark, out_dir)
+    w = (Window.partitionBy("event_type").orderBy(F.asc("vu"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    cum = h.select("event_type", "vu",
+                   F.sum("cnt").over(w).alias("cf"),
+                   F.sum("cnt").over(wt).alias("n"))
+    sels = [F.min(F.when(
+        F.col("cf") >= F.expr(f"CAST(ceil({q} * n) AS BIGINT)"),
+        F.col("vu"))).alias(f"q{str(q).replace('.', '_')}")
+        for q in qs]
+    out = cum.groupBy("event_type").agg(F.max("n").alias("n"), *sels)
+    for q in qs:
+        c = f"q{str(q).replace('.', '_')}"
+        out = out.withColumn(c, F.col(c) / float(VH_VGRID))
+    return out

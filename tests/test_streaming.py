@@ -1355,3 +1355,68 @@ def test_heavy_hitter_store_replay_is_exactly_once(spark, tmp_path):
     jobs._merge_heavy_hitters(t["documents"], last + 1, store, k=16)
     with _pytest.raises(RuntimeError, match="refusing"):
         jobs._merge_heavy_hitters(t["documents"], last, store, k=16)
+
+
+# -- round-7 wave 15: streaming exact value-histogram store -------------
+
+
+def test_value_histogram_store_matches_batch(spark, tmp_path):
+    """The incrementally-maintained histogram equals the batch
+    per-(type, quantized value) counts, and the quantile reader's
+    answers equal rank-exact batch quantiles on the same grid."""
+    import math
+
+    events = jobs.read_events_stream(spark, SF0001)
+    store = str(tmp_path / "vh")
+    q = jobs.stream_maintain_value_histogram(
+        events, store, str(tmp_path / "ck_vh"))
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    t = load_tables(spark, SF0001, "events")
+    want = sorted(map(tuple, (
+        t["events"].where(F.col("value").isNotNull())
+        .select("event_type",
+                F.floor(F.col("value") * 10_000 + F.lit(0.5))
+                .cast("long").alias("vu"))
+        .groupBy("event_type", "vu")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect())))
+    assert got == want
+    # quantile reader vs python reference
+    rows = (t["events"].where(F.col("value").isNotNull())
+            .select("event_type",
+                    F.floor(F.col("value") * 10_000 + F.lit(0.5))
+                    .cast("long").alias("vu")).collect())
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["vu"])
+    qr = {r["event_type"]: r for r in jobs.read_value_quantiles(
+        spark, store).collect()}
+    for et, vals in by_type.items():
+        vals.sort()
+        for qq, col in ((0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")):
+            want_v = vals[math.ceil(qq * len(vals)) - 1] / 10_000.0
+            assert qr[et][col] == want_v, (et, col)
+
+
+def test_value_histogram_store_replay_is_exactly_once(spark, tmp_path):
+    import pytest as _pytest
+    from pathlib import Path
+
+    events = jobs.read_events_stream(spark, SF0001)
+    store = str(tmp_path / "vh_r")
+    q = jobs.stream_maintain_value_histogram(
+        events, store, str(tmp_path / "ck_vhr"))
+    assert q.awaitTermination(120)
+    before = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    last = max(int(p.name[1:]) for p in Path(store).glob("v*")
+               if p.is_dir())
+    t = load_tables(spark, SF0001, "events")
+    jobs._merge_value_histogram(t["events"], last, store)
+    after = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    assert after == before
+    jobs._merge_value_histogram(t["events"], last + 1, store)
+    with _pytest.raises(RuntimeError, match="refusing"):
+        jobs._merge_value_histogram(t["events"], last, store)
