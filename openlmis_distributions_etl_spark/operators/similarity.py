@@ -2496,3 +2496,67 @@ def jl_projection_distortion(t: dict[str, DataFrame]) -> DataFrame:
              / 1e9).alias("mean_ratio"),
         grid(F.col("w").cast("double") / F.col("n_pairs").cast("double"))
         .alias("share_within_30pct"))
+
+
+# round-7 wave 16: per-dimension embedding drift (PSI)
+
+PSI_DIM_BUCKETS = 16
+
+
+def embedding_dim_psi(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-DIMENSION Population Stability Index between two halves of
+    the embedding store (vec_id parity as the stand-in for "old model
+    vs new model" / "last week vs this week") — the drift audit run
+    before trusting a re-embedded corpus against a serving index
+    built on the old vectors: a dimension whose PSI spikes moved its
+    distribution, and every centroid/fence derived from it is stale.
+
+    Each dimension's axis splits into 16 equal-width buckets of the
+    GLOBAL per-dim [lo, hi] range (the int8-quantizer range row,
+    broadcast back); bucket counts per half are exact integers, and
+    each bucket's (pa−pb)·ln(pa/pb) term floor-grids to integer ppb
+    BEFORE the per-dim sum (the PSI convention: JVM Math.log and libm
+    can differ an ulp, the grid absorbs it). One-sided buckets are
+    COUNTED rather than folded (the NULL-signal convention) so psi is
+    over both-populated buckets only."""
+    ex = retain(spread(t["embeddings"])
+                .select(F.pmod("vec_id", F.lit(2)).alias("half"),
+                        F.posexplode("embedding").alias("dim", "x"))
+                .select("half", "dim",
+                        F.col("x").cast("double").alias("x")))
+    rng = (ex.groupBy("dim")
+           .agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.lit(PSI_DIM_BUCKETS - 1),
+                F.floor((F.col("x") - F.col("lo"))
+                        * F.lit(float(PSI_DIM_BUCKETS))
+                        / (F.col("hi") - F.col("lo")))
+                .cast("int")))
+    cells = (ex.join(F.broadcast(rng), "dim")
+             .select("dim", b.alias("bucket"), "half")
+             .groupBy("dim", "bucket")
+             .agg(F.sum((F.col("half") == 0).cast("long")).alias("ca"),
+                  F.sum((F.col("half") == 1).cast("long")).alias("cb")))
+    tot = (cells.groupBy("dim")
+           .agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")))
+    j = cells.join(F.broadcast(tot), "dim")
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0),
+        F.floor((pa - pb) * F.log(pa / pb) * 1e9 + F.lit(0.5))
+        .cast("long"))
+    g = (j.select("dim", "na", "nb", term.alias("u"),
+                  ((F.col("ca") > 0) & (F.col("cb") > 0))
+                  .cast("long").alias("both"),
+                  (((F.col("ca") > 0) & (F.col("cb") == 0))
+                   | ((F.col("ca") == 0) & (F.col("cb") > 0)))
+                  .cast("long").alias("oneside"))
+         .groupBy("dim")
+         .agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+              F.sum("both").alias("n_buckets_both"),
+              F.sum("oneside").alias("n_buckets_oneside"),
+              F.sum("u").alias("su")))
+    return g.select(
+        "dim", "n_a", "n_b", "n_buckets_both", "n_buckets_oneside",
+        (F.col("su").cast("double") / 1e9).alias("psi"))

@@ -9320,3 +9320,51 @@ ORACLES.update({
         JOIN sig b ON pairs.doc_b = b.doc_id
     """,
 })
+
+
+# round-7 wave 16: per-dimension embedding drift PSI
+
+ORACLES.update({
+    "embedding_dim_psi": """
+        WITH ex AS (
+          SELECT vec_id % 2 AS half, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi
+                FROM ex GROUP BY dim),
+        cells AS (
+          SELECT ex.dim,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE CAST(least(15, floor((x - lo) * 16.0
+                                                / (hi - lo))) AS INT)
+                 END AS bucket,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM ex JOIN rng USING (dim) GROUP BY 1, 2),
+        tot AS (SELECT dim, CAST(SUM(ca) AS BIGINT) AS na,
+                       CAST(SUM(cb) AS BIGINT) AS nb
+                FROM cells GROUP BY 1),
+        j AS (
+          SELECT cells.dim, na, nb,
+                 CASE WHEN ca > 0 AND cb > 0 THEN
+                   CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                               - CAST(cb AS DOUBLE)
+                                 / CAST(nb AS DOUBLE))
+                     * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                          / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                     * 1e9 + 0.5) AS BIGINT) END AS u,
+                 CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS bb,
+                 CASE WHEN (ca > 0 AND cb = 0)
+                        OR (ca = 0 AND cb > 0) THEN 1 ELSE 0 END
+                   AS oneside
+          FROM cells JOIN tot USING (dim))
+        SELECT dim, CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(SUM(bb) AS BIGINT) AS n_buckets_both,
+               CAST(SUM(oneside) AS BIGINT) AS n_buckets_oneside,
+               CAST(SUM(u) AS DOUBLE) / 1e9 AS psi
+        FROM j GROUP BY dim
+    """,
+})

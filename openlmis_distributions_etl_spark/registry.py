@@ -466,6 +466,8 @@ _OPERATORS = {
     "lm_heldout_perplexity": text.lm_heldout_perplexity,
     # §2.E round-7 wave 14: b-bit minhash compression audit
     "bbit_minhash_estimate": dedup.bbit_minhash_estimate,
+    # §2.F round-7 wave 16: per-dimension embedding drift PSI
+    "embedding_dim_psi": similarity.embedding_dim_psi,
 }
 
 
