@@ -2513,3 +2513,43 @@ def lm_heldout_perplexity(t: dict[str, DataFrame]) -> DataFrame:
              / F.col("n_bigrams").cast("double")).alias("oov_share"),
         grid(avg).alias("avg_nll_nats"),
         grid(F.exp(avg)).alias("perplexity"))
+
+
+def heaps_law_fit(t: dict[str, DataFrame]) -> DataFrame:
+    """Heaps'-law fit over the vocabulary growth curve: OLS of
+    ln(vocab) on ln(tokens) across the 10 corpus checkpoints gives
+    V ≈ k·N^β — the exponent that prices "how much new vocabulary the
+    next 10 TB buys" (β ≈ 0.4-0.6 for natural text; β near 0 means
+    the corpus vocabulary has saturated, near 1 means ID-like churn).
+
+    Rides `vocab_growth_curve` unchanged; the 10-point frame folds
+    IN-ROW over the k-sorted struct array (the KM sequential-fold
+    convention — the only floats are ln of exact integers, combined
+    in a fixed order identical to DuckDB's list_reduce), and the
+    slope/intercept/R² chain floor-grids to 1e-9."""
+    curve = (vocab_growth_curve(t)
+             .where((F.col("tokens") > 0) & (F.col("vocab") > 0)))
+    g = curve.agg(F.array_sort(F.collect_list(F.struct(
+        "k",
+        F.log(F.col("tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y")))).alias("pts"))
+
+    def fold(expr) -> Column:
+        return F.aggregate("pts", F.lit(0.0), expr)
+
+    n = F.size("pts").cast("double")
+    sx = fold(lambda acc, p: acc + p["x"])
+    sy = fold(lambda acc, p: acc + p["y"])
+    sxy = fold(lambda acc, p: acc + p["x"] * p["y"])
+    sxx = fold(lambda acc, p: acc + p["x"] * p["x"])
+    syy = fold(lambda acc, p: acc + p["y"] * p["y"])
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    beta = cov / vx
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return g.select(
+        F.size("pts").alias("n_points"),
+        grid(beta).alias("heaps_beta"),
+        grid(F.exp((sy - beta * sx) / n)).alias("heaps_k"),
+        grid(cov * cov / (vx * vy)).alias("r_squared"))

@@ -9368,3 +9368,47 @@ ORACLES.update({
         FROM j GROUP BY dim
     """,
 })
+
+
+# round-7 wave 17: Heaps-law exponent over the growth curve
+
+ORACLES.update({
+    "heaps_law_fit": f"""
+        WITH curve AS ({ORACLES['vocab_growth_curve']}),
+        pts AS (
+          SELECT list(struct_pack(k := k,
+                                  x := ln(CAST(tokens AS DOUBLE)),
+                                  y := ln(CAST(vocab AS DOUBLE)))
+                      ORDER BY k) AS pts
+          FROM curve WHERE tokens > 0 AND vocab > 0),
+        m AS (
+          SELECT CAST(len(pts) AS DOUBLE) AS n,
+                 len(pts) AS n_points,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(pts, p -> p.x)), (a, b) -> a + b)
+                   AS sx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(pts, p -> p.y)), (a, b) -> a + b)
+                   AS sy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(pts, p -> p.x * p.y)),
+                   (a, b) -> a + b) AS sxy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(pts, p -> p.x * p.x)),
+                   (a, b) -> a + b) AS sxx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(pts, p -> p.y * p.y)),
+                   (a, b) -> a + b) AS syy
+          FROM pts)
+        SELECT CAST(n_points AS INT) AS n_points,
+               floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1e9 + 0.5) / 1e9 AS heaps_beta,
+               floor(exp((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n)
+                 * 1e9 + 0.5) / 1e9 AS heaps_k,
+               floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e9 + 0.5) / 1e9 AS r_squared
+        FROM m
+    """,
+})

@@ -468,6 +468,8 @@ _OPERATORS = {
     "bbit_minhash_estimate": dedup.bbit_minhash_estimate,
     # §2.F round-7 wave 16: per-dimension embedding drift PSI
     "embedding_dim_psi": similarity.embedding_dim_psi,
+    # §2.G round-7 wave 17: Heaps-law exponent fit
+    "heaps_law_fit": text.heaps_law_fit,
 }
 
 

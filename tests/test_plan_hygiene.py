@@ -124,6 +124,8 @@ BNLJ_ALLOWED = {
     "anova_f_values",            # broadcast 1-row global-stats frame
     "brown_forsythe_variance_test",  # broadcast 1-row global-stats
     "lm_heldout_perplexity",     # broadcast train-vocab singleton row
+    "heaps_law_fit",             # broadcast doc-id anchor rows (via
+                                 # vocab_growth_curve)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
