@@ -1225,3 +1225,61 @@ def ushape_attribution(t: dict[str, DataFrame]) -> DataFrame:
                     "credited_cents",
                     (F.col("credited_cents").cast("double") / 100.0)
                     .alias("credited_value")))
+
+
+TDECAY_HALF_US = 86_400 * 1_000_000   # half-life: 1 day
+TDECAY_WGRID = 1_000_000              # weight quantization (ppm)
+
+
+def time_decay_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-decay multi-touch attribution — the fourth classic credit
+    curve (after last-touch, linear, and U-shaped): each click before
+    a purchase earns weight 2^(−Δt/half-life) with a 1-day half-life,
+    so yesterday's touch gets twice the credit of the day before.
+
+    Integer-exact cents: weights quantize to ppm (one pow per touch,
+    floor-gridded — the only float, identical chain in DuckDB),
+    credit_i = cents·w_i DIV Σw over the purchase window, and the
+    DIV-truncation remainder lands on the most recent touch — credit
+    conservation is exact by construction (pinned in units). Same
+    one user-keyed join + purchase-keyed windows + day rollup shape
+    as the linear/U-shaped ops."""
+    ev = t["events"]
+    pur = (ev.where((F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull())
+           .select("user_id", F.col("event_id").alias("p_id"),
+                   ts_us("ts").alias("p_us"),
+                   F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    clk = (ev.where(F.col("event_type") == "click")
+           .select("user_id", F.col("event_id").alias("c_id"),
+                   ts_us("ts").alias("c_us"),
+                   F.date_format("ts", "yyyy-MM-dd").alias("day")))
+    j = (pur.join(clk, "user_id")
+         .where((F.col("c_us") < F.col("p_us"))
+                & (F.col("c_us") >= F.col("p_us") - ATTR_WINDOW_US)))
+    w_ppm = F.floor(
+        F.pow(F.lit(2.0),
+              -((F.col("p_us") - F.col("c_us")).cast("double")
+                / F.lit(float(TDECAY_HALF_US))))
+        * TDECAY_WGRID + F.lit(0.5)).cast("long")
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.desc("c_us"),
+                                            F.asc("c_id"))
+    r = (j.withColumn("w", w_ppm)
+         .withColumn("wsum", F.sum("w").over(wn))
+         .withColumn("rk", F.row_number().over(wr))
+         .withColumn("alloc", F.expr("cents * w DIV wsum")))
+    rem = F.col("cents") - F.sum("alloc").over(wn)
+    cred = r.withColumn(
+        "credit",
+        F.col("alloc") + F.when(F.col("rk") == 1, rem)
+        .otherwise(F.lit(0).cast("long")))
+    return (cred.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_credited_clicks"),
+                 F.count_distinct("p_id").alias("n_purchases"),
+                 F.sum("credit").alias("credited_cents"))
+            .select("day", "n_credited_clicks", "n_purchases",
+                    "credited_cents",
+                    (F.col("credited_cents").cast("double") / 100.0)
+                    .alias("credited_value")))

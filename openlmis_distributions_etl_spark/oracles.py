@@ -9412,3 +9412,49 @@ ORACLES.update({
         FROM m
     """,
 })
+
+
+# round-7 wave 18: time-decay attribution
+
+ORACLES.update({
+    "time_decay_attribution": """
+        WITH pur AS (
+          SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+        clk AS (
+          SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+                 strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.p_id, p.cents, p.p_us, c.c_id, c.c_us, c.day,
+                 CAST(floor(pow(2.0,
+                   -(CAST(p.p_us - c.c_us AS DOUBLE)
+                     / 86400000000.0)) * 1000000 + 0.5) AS BIGINT)
+                   AS w
+          FROM pur p JOIN clk c ON c.user_id = p.user_id
+          WHERE c.c_us < p.p_us
+            AND c.c_us >= p.p_us - 604800000000),
+        r AS (
+          SELECT *,
+                 CAST(SUM(w) OVER (PARTITION BY p_id) AS BIGINT)
+                   AS wsum,
+                 ROW_NUMBER() OVER (PARTITION BY p_id
+                   ORDER BY c_us DESC, c_id ASC) AS rk
+          FROM j),
+        a AS (SELECT *, cents * w // wsum AS alloc FROM r),
+        cred AS (
+          SELECT *,
+                 alloc + CASE WHEN rk = 1 THEN
+                   cents - CAST(SUM(alloc) OVER (PARTITION BY p_id)
+                                AS BIGINT)
+                 ELSE 0 END AS credit
+          FROM a)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+               CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+               CAST(SUM(credit) AS BIGINT) AS credited_cents,
+               CAST(SUM(credit) AS DOUBLE) / 100.0 AS credited_value
+        FROM cred GROUP BY day
+    """,
+})

@@ -470,6 +470,8 @@ _OPERATORS = {
     "embedding_dim_psi": similarity.embedding_dim_psi,
     # §2.G round-7 wave 17: Heaps-law exponent fit
     "heaps_law_fit": text.heaps_law_fit,
+    # §2.C round-7 wave 18: time-decay multi-touch attribution
+    "time_decay_attribution": windows.time_decay_attribution,
 }
 
 

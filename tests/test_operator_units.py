@@ -2140,3 +2140,30 @@ def test_join_cardinality_exact_matches_python(spark):
     assert (r["v_left"], r["v_right"]) == (3, 3)
     # estimate: 5*4/max(3,3) = 6.67 -> 7 rounded
     assert r["estimate_rows"] == 7
+
+
+# -- round-7 wave 18: time-decay attribution -----------------------------
+
+def test_time_decay_attribution_conserves_and_orders(spark):
+    """Credit conservation is exact (sum of day credits = purchase
+    cents) and more recent touches earn strictly more credit when
+    gaps differ."""
+    import datetime as _dt
+    base = _dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # three clicks 3d/2d/1h before one 100.00 purchase
+        (1, base - _dt.timedelta(days=3), 7, "click", 1.0, "{}"),
+        (2, base - _dt.timedelta(days=2), 7, "click", 1.0, "{}"),
+        (3, base - _dt.timedelta(hours=1), 7, "click", 1.0, "{}"),
+        (4, base, 7, "purchase", 100.00, "{}"),
+    ]
+    from openlmis_distributions_etl_spark.operators.windows import (
+        time_decay_attribution)
+    out = time_decay_attribution(
+        {"events": _events(spark, rows)}).collect()
+    assert sum(r["credited_cents"] for r in out) == 10_000
+    by_day = {r["day"]: r["credited_cents"] for r in out}
+    days = sorted(by_day)        # older day first
+    assert by_day[days[0]] < by_day[days[1]] < by_day[days[2]]
+    # half-life sanity: the 3d-out click earns about half the 2d-out
+    assert 0.4 < by_day[days[0]] / by_day[days[1]] < 0.6
