@@ -2553,3 +2553,48 @@ def heaps_law_fit(t: dict[str, DataFrame]) -> DataFrame:
         grid(beta).alias("heaps_beta"),
         grid(F.exp((sy - beta * sx) / n)).alias("heaps_k"),
         grid(cov * cov / (vx * vy)).alias("r_squared"))
+
+
+CCNET_MID_KEEP_PCT = 50      # middle-bucket sampling rate (md5-keyed)
+
+
+def ccnet_sampling_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """The CCNet curation DECISION (Wenzek et al. 2020 §4.4) on top of
+    `ccnet_perplexity_buckets`: KEEP the head tertile, SAMPLE the
+    middle at 50% (content-free md5 coin on doc_id — reproducible,
+    join-free), DROP the tail. Output one row per (lang, decision)
+    with populations and token mass — the before/after table a
+    curation review signs off on.
+
+    Same fences/bucket machinery as the bucket report (rank-exact
+    selector, no per-lang sort); the sampling coin is the
+    deterministic-sample convention (md5 hex → integer % 100)."""
+    from .analytics import _grouped_rank_min
+    lm = doc_bigram_lm_score(t).select(
+        "doc_id", F.expr("CAST(1000000 AS BIGINT) * sum_ppm "
+                         "DIV n_bigrams").alias("score"))
+    d = retain(t["documents"]
+               .select("doc_id", "lang", F.size(tokens()).alias("n_toks"))
+               .join(lm, "doc_id"))
+    pts = (d.groupBy(F.col("lang").alias("event_type"),
+                     F.col("score").cast("double").alias("_k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    fences = _grouped_rank_min(
+        pts, {"f1": "(n + 2) DIV 3", "f2": "(2 * n + 2) DIV 3"}) \
+        .select(F.col("event_type").alias("lang"), "f1", "f2")
+    sd = F.col("score").cast("double")
+    coin = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ccnet|"), F.col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+    b = ((sd > F.col("f1")).cast("int")
+         + (sd > F.col("f2")).cast("int"))
+    decision = (F.when(b == 2, F.lit("keep_head"))
+                .when((b == 1) & (coin < CCNET_MID_KEEP_PCT),
+                      F.lit("sample_middle_kept"))
+                .when(b == 1, F.lit("sample_middle_dropped"))
+                .otherwise(F.lit("drop_tail")))
+    return (d.join(F.broadcast(fences), "lang")
+            .select("lang", decision.alias("decision"), "n_toks")
+            .groupBy("lang", "decision")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").alias("token_mass")))

@@ -9458,3 +9458,66 @@ ORACLES.update({
         FROM cred GROUP BY day
     """,
 })
+
+
+# round-7 wave 19: the CCNet curation decision table
+
+ORACLES.update({
+    "ccnet_sampling_plan": f"""
+        WITH d0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        bg AS (SELECT doc_id, unnest({_BIGRAMS}) AS b
+               FROM d0 WHERE len(toks) >= 2),
+        sp AS (SELECT doc_id, string_split(b, ' ')[1] AS w1,
+                      string_split(b, ' ')[2] AS w2 FROM bg),
+        pair_cnt AS (SELECT w1, w2, COUNT(*) AS c12
+                     FROM sp GROUP BY w1, w2),
+        uni_cnt AS (SELECT w1, COUNT(*) AS c1 FROM sp GROUP BY w1),
+        terms AS (
+          SELECT s.doc_id,
+                 (CAST(1000000 AS BIGINT) * p.c12) // u.c1 AS ppm
+          FROM sp s
+          JOIN pair_cnt p ON s.w1 = p.w1 AND s.w2 = p.w2
+          JOIN uni_cnt u ON s.w1 = u.w1),
+        lm AS (
+          SELECT doc_id,
+                 (CAST(1000000 AS BIGINT) * SUM(ppm)) // COUNT(*)
+                   AS score
+          FROM terms GROUP BY doc_id),
+        sc AS (SELECT doc.doc_id, doc.lang,
+                      len({TOKS.replace('text', 'doc.text')})
+                        AS n_toks,
+                      lm.score
+               FROM lm JOIN documents doc USING (doc_id)),
+        rn AS (
+          SELECT lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY score ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM sc),
+        fences AS (
+          SELECT lang,
+                 MIN(CASE WHEN rn = (n + 2) // 3 THEN score END) AS f1,
+                 MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN score END)
+                   AS f2
+          FROM rn GROUP BY lang),
+        dec AS (
+          SELECT sc.lang, sc.n_toks,
+                 (CASE WHEN CAST(sc.score AS DOUBLE)
+                            > CAST(f.f1 AS DOUBLE) THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(sc.score AS DOUBLE)
+                              > CAST(f.f2 AS DOUBLE) THEN 1 ELSE 0 END)
+                   AS b,
+                 {_HEX8_TO_INT("'ccnet|' || CAST(sc.doc_id AS VARCHAR)")}
+                   % 100 AS coin
+          FROM sc JOIN fences f USING (lang))
+        SELECT lang,
+               CASE WHEN b = 2 THEN 'keep_head'
+                    WHEN b = 1 AND coin < 50
+                      THEN 'sample_middle_kept'
+                    WHEN b = 1 THEN 'sample_middle_dropped'
+                    ELSE 'drop_tail' END AS decision,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS token_mass
+        FROM dec GROUP BY 1, 2
+    """,
+})

@@ -472,6 +472,8 @@ _OPERATORS = {
     "heaps_law_fit": text.heaps_law_fit,
     # §2.C round-7 wave 18: time-decay multi-touch attribution
     "time_decay_attribution": windows.time_decay_attribution,
+    # §2.G round-7 wave 19: the CCNet curation decision table
+    "ccnet_sampling_plan": text.ccnet_sampling_plan,
 }
 
 
