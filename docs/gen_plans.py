@@ -67,6 +67,19 @@ FLAGSHIPS = (
     "theil_sen_daily_trend",
     "purchase_gap_survival",
     "poisson_bootstrap_ci",
+    # round-7 waves 6-19 flagships
+    "kruskal_wallis_values",
+    "knn_bq_rerank",
+    "ccnet_perplexity_buckets",
+    "token_js_drift",
+    "weighted_price_median_by_flag",
+    "daily_revenue_periodogram",
+    "jl_projection_distortion",
+    "payload_dedup_components",
+    "lm_heldout_perplexity",
+    "bbit_minhash_estimate",
+    "embedding_dim_psi",
+    "time_decay_attribution",
 )
 
 
