@@ -176,6 +176,21 @@ HEADLINE = [
     "weighted_price_median_by_flag",
     "ols_daily_trend",
     "daily_revenue_periodogram",
+    # round-7 waves 11-19: JL/join audits, binary-lane clusters,
+    # ANOVA family, held-out LM, b-bit sketch, dim-PSI, attribution
+    # closure, CCNet decision, Heaps fit, BQ recall harness
+    "jl_projection_distortion",
+    "join_cardinality_estimate",
+    "payload_dedup_components",
+    "anova_f_values",
+    "brown_forsythe_variance_test",
+    "lm_heldout_perplexity",
+    "bbit_minhash_estimate",
+    "embedding_dim_psi",
+    "time_decay_attribution",
+    "ccnet_sampling_plan",
+    "heaps_law_fit",
+    "knn_bq_recall",
 ]
 
 
