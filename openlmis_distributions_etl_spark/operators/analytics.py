@@ -2993,12 +2993,21 @@ def kruskal_wallis_values(t: dict[str, DataFrame]) -> DataFrame:
         / x["gn"].cast("double"))
     h = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * s
          - F.lit(3.0) * (nd + F.lit(1.0)))
-    corr = (F.lit(1.0)
-            - F.col("tsum").cast("double") / (nd * nd * nd - nd))
+    # Degenerate-input guards (NULL-on-undefined, the cramers_v_audit
+    # convention): n_total = 1 makes the tie-correction denominator 0
+    # (corr := 0), and a corpus where EVERY value is identical makes
+    # corr exactly 0 — h/corr would be 0/0 = NaN feeding floor(), so
+    # h_adj is NULL there instead.
+    cden = nd * nd * nd - nd
+    corr = F.when(cden > F.lit(0.0),
+                  F.lit(1.0) - F.col("tsum").cast("double") / cden
+                  ).otherwise(F.lit(0.0))
     grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     glob = retain(g.select(
         "n_total", "k_groups", (F.col("k_groups") - 1).alias("df"),
-        grid(h).alias("h_stat"), grid(h / corr).alias("h_adj")))
+        grid(h).alias("h_stat"),
+        F.when(corr > F.lit(0.0), grid(h / corr))
+         .otherwise(F.lit(None).cast("double")).alias("h_adj")))
     return (per.crossJoin(F.broadcast(glob))
             .select("event_type", "n",
                     grid(F.col("r2").cast("double")
@@ -3246,9 +3255,14 @@ def daily_revenue_periodogram(t: dict[str, DataFrame]) -> DataFrame:
 
     Per period P: A = Σ r·cos(2πd/P), B = Σ r·sin(2πd/P) with d =
     days since the series start. Each per-day trig term quantizes to
-    integer micro-units BEFORE the sum (the PSI/KL discipline — the
-    only cross-row float hazard is gridded away; n_days is calendar-
-    bounded at any corpus scale). Mean-correction is exact algebra:
+    integer micro-units BEFORE the sum (the PSI/KL discipline; n_days
+    is calendar-bounded at any corpus scale). Precision note: the
+    pre-sum grid removes ORDER dependence of the accumulation — it
+    does not erase engine ulp divergence in cos/sin themselves; the
+    twin-engine hash parity additionally relies on JVM StrictMath and
+    libm agreeing at these input magnitudes, and a 1-ulp wobble that
+    lands a scaled term exactly on a floor(x+0.5) boundary would flip
+    one micro-unit (not observed at tested SFs). Mean-correction is exact algebra:
     Σ(r−m)cos = Σ r·cos − m·Σcos, all assembled in ONE double chain
     over the integer sums. Output: per period the harmonic amplitude
     (in dollars) and the share of the series variance it explains."""
@@ -3388,13 +3402,20 @@ def anova_f_values(t: dict[str, DataFrame]) -> DataFrame:
                                  / x["gn"].cast("double"))))
     kd = F.col("k_groups").cast("double")
     fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    # NULL-on-undefined (the cramers_v_audit convention): a corpus
+    # where every value is identical gives SSW = 0 -> F = Inf, a
+    # single group gives df_between = 0, and n = k (one row per
+    # group) gives df_within = 0 — all emit NULL, not Inf/NaN.
+    fdef = ((ssw > F.lit(0.0)) & (kd > F.lit(1.0))
+            & (nd > kd))
     grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     glob = g.select(
         "n_total", "k_groups",
         (F.col("k_groups") - 1).alias("df_between"),
         (F.col("n_total") - F.col("k_groups")).alias("df_within"),
         grid(ssb).alias("ss_between"), grid(ssw).alias("ss_within"),
-        grid(fstat).alias("f_stat"))
+        F.when(fdef, grid(fstat))
+         .otherwise(F.lit(None).cast("double")).alias("f_stat"))
     return (per.select("event_type", "n",
                        grid(F.col("s").cast("double") / gg
                             / F.col("n").cast("double"))
@@ -3458,12 +3479,17 @@ def brown_forsythe_variance_test(t: dict[str, DataFrame]) -> DataFrame:
                                  / x["gn"].cast("double"))))
     kd = F.col("k_groups").cast("double")
     fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    # same NULL-on-undefined guard as anova_f_values: identical
+    # deviations (SSW = 0), one group, or n = k -> NULL, not Inf/NaN
+    fdef = ((ssw > F.lit(0.0)) & (kd > F.lit(1.0))
+            & (nd > kd))
     grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     glob = g.select(
         "n_total", "k_groups",
         (F.col("k_groups") - 1).alias("df_between"),
         (F.col("n_total") - F.col("k_groups")).alias("df_within"),
-        grid(fstat).alias("bf_stat"))
+        F.when(fdef, grid(fstat))
+         .otherwise(F.lit(None).cast("double")).alias("bf_stat"))
     return (per.select("event_type", "n",
                        grid(F.col("s").cast("double") / gg
                             / F.col("n").cast("double"))

@@ -2515,8 +2515,11 @@ def embedding_dim_psi(t: dict[str, DataFrame]) -> DataFrame:
     GLOBAL per-dim [lo, hi] range (the int8-quantizer range row,
     broadcast back); bucket counts per half are exact integers, and
     each bucket's (pa−pb)·ln(pa/pb) term floor-grids to integer ppb
-    BEFORE the per-dim sum (the PSI convention: JVM Math.log and libm
-    can differ an ulp, the grid absorbs it). One-sided buckets are
+    BEFORE the per-dim sum (the PSI convention — the grid removes
+    ORDER dependence of the sum; it does NOT erase a JVM-vs-libm ln
+    ulp difference, which could still flip one ppb unit if the scaled
+    term lands exactly on a rounding boundary — not observed at
+    tested SFs). One-sided buckets are
     COUNTED rather than folded (the NULL-signal convention) so psi is
     over both-populated buckets only."""
     ex = retain(spread(t["embeddings"])

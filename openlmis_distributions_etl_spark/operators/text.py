@@ -2415,9 +2415,11 @@ def token_js_drift(t: dict[str, DataFrame]) -> DataFrame:
     + (ln 2 / 2)·(1 − Q_S) with Q_S = Σ_{t∈S} c_t / n_tot — exact
     integer counts outside the per-term float. Each in-vocab term is
     quantized to integer pico-nats BEFORE the per-source sum (the
-    source_lang_kl discipline: order-independent bigint adds); the
-    final assembly is one deterministic double chain, floor-gridded
-    to 1e-9 in both engines."""
+    source_lang_kl discipline: order-independent bigint adds — note
+    the grid removes order dependence, not engine ulp divergence in
+    ln itself; twin parity also relies on JVM/libm ln agreement at
+    these magnitudes); the final assembly is one deterministic double
+    chain, floor-gridded to 1e-9 in both engines."""
     tk = retain(t["documents"]
                 .select("source", F.explode(tokens()).alias("tok")))
     st = retain(tk.groupBy("source", "tok")
@@ -2562,9 +2564,12 @@ def ccnet_sampling_plan(t: dict[str, DataFrame]) -> DataFrame:
     """The CCNet curation DECISION (Wenzek et al. 2020 §4.4) on top of
     `ccnet_perplexity_buckets`: KEEP the head tertile, SAMPLE the
     middle at 50% (content-free md5 coin on doc_id — reproducible,
-    join-free), DROP the tail. Output one row per (lang, decision)
-    with populations and token mass — the before/after table a
-    curation review signs off on.
+    join-free), DROP the tail; documents with NO scored bigram
+    (fewer than 2 tokens) surface under an explicit 'unscored_short'
+    decision instead of silently dropping out. Output one row per
+    (lang, decision) with populations and token mass — the
+    before/after table a curation review signs off on, accounting
+    for EVERY document (token_mass sums to the corpus total).
 
     Same fences/bucket machinery as the bucket report (rank-exact
     selector, no per-lang sort); the sampling coin is the
@@ -2573,11 +2578,16 @@ def ccnet_sampling_plan(t: dict[str, DataFrame]) -> DataFrame:
     lm = doc_bigram_lm_score(t).select(
         "doc_id", F.expr("CAST(1000000 AS BIGINT) * sum_ppm "
                          "DIV n_bigrams").alias("score"))
+    # LEFT join: docs with no scored bigram (fewer than 2 tokens)
+    # must still appear in the decision table — they land in an
+    # explicit 'unscored_short' bucket rather than silently vanishing
+    # from the token-mass totals (ADVICE r7).
     d = retain(t["documents"]
                .select("doc_id", "lang", F.size(tokens()).alias("n_toks"))
-               .join(lm, "doc_id"))
-    pts = (d.groupBy(F.col("lang").alias("event_type"),
-                     F.col("score").cast("double").alias("_k"))
+               .join(lm, "doc_id", "left"))
+    pts = (d.where(F.col("score").isNotNull())
+           .groupBy(F.col("lang").alias("event_type"),
+                    F.col("score").cast("double").alias("_k"))
            .agg(F.count(F.lit(1)).alias("c")))
     fences = _grouped_rank_min(
         pts, {"f1": "(n + 2) DIV 3", "f2": "(2 * n + 2) DIV 3"}) \
@@ -2588,12 +2598,14 @@ def ccnet_sampling_plan(t: dict[str, DataFrame]) -> DataFrame:
               .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
     b = ((sd > F.col("f1")).cast("int")
          + (sd > F.col("f2")).cast("int"))
-    decision = (F.when(b == 2, F.lit("keep_head"))
+    decision = (F.when(F.col("score").isNull(),
+                       F.lit("unscored_short"))
+                .when(b == 2, F.lit("keep_head"))
                 .when((b == 1) & (coin < CCNET_MID_KEEP_PCT),
                       F.lit("sample_middle_kept"))
                 .when(b == 1, F.lit("sample_middle_dropped"))
                 .otherwise(F.lit("drop_tail")))
-    return (d.join(F.broadcast(fences), "lang")
+    return (d.join(F.broadcast(fences), "lang", "left")
             .select("lang", decision.alias("decision"), "n_toks")
             .groupBy("lang", "decision")
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -1238,7 +1238,10 @@ def time_decay_attribution(t: dict[str, DataFrame]) -> DataFrame:
     so yesterday's touch gets twice the credit of the day before.
 
     Integer-exact cents: weights quantize to ppm (one pow per touch,
-    floor-gridded — the only float, identical chain in DuckDB),
+    floor-gridded — the only float, identical chain in DuckDB; the
+    grid removes order dependence, not a JVM-vs-libm pow ulp, so twin
+    parity also relies on both engines' pow agreeing at these
+    magnitudes),
     credit_i = cents·w_i DIV Σw over the purchase window, and the
     DIV-truncation remainder lands on the most recent touch — credit
     conservation is exact by construction (pinned in units). Same

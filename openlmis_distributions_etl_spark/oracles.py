@@ -8592,10 +8592,14 @@ ORACLES.update({
                  12.0 / (CAST(n_total AS DOUBLE)
                          * (CAST(n_total AS DOUBLE) + 1.0)) * s
                  - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_raw,
-                 1.0 - CAST(tsum AS DOUBLE)
+                 CASE WHEN CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE) > 0.0
+                      THEN 1.0 - CAST(tsum AS DOUBLE)
                  / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
                     * CAST(n_total AS DOUBLE)
-                    - CAST(n_total AS DOUBLE)) AS corr
+                    - CAST(n_total AS DOUBLE))
+                      ELSE 0.0 END AS corr
           FROM tot, s, tie)
         SELECT per.event_type, per.n,
                floor(CAST(per.r2 AS DOUBLE)
@@ -8603,7 +8607,9 @@ ORACLES.update({
                  AS mean_rank,
                h.n_total, h.k_groups, h.k_groups - 1 AS df,
                floor(h.h_raw * 1e9 + 0.5) / 1e9 AS h_stat,
-               floor(h.h_raw / h.corr * 1e9 + 0.5) / 1e9 AS h_adj
+               CASE WHEN h.corr > 0.0
+                    THEN floor(h.h_raw / h.corr * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS h_adj
         FROM per, h
     """,
     "segment_pvalues_fdr": """
@@ -9197,10 +9203,14 @@ ORACLES.update({
                st.n_total, st.k_groups, st.df_between, st.df_within,
                floor(st.ssb * 1e9 + 0.5) / 1e9 AS ss_between,
                floor(st.ssw * 1e9 + 0.5) / 1e9 AS ss_within,
-               floor((st.ssb / (CAST(st.k_groups AS DOUBLE) - 1.0))
+               CASE WHEN st.ssw > 0.0 AND st.k_groups > 1
+                         AND st.n_total > st.k_groups
+                    THEN floor((st.ssb
+                      / (CAST(st.k_groups AS DOUBLE) - 1.0))
                  / (st.ssw / (CAST(st.n_total AS DOUBLE)
                               - CAST(st.k_groups AS DOUBLE)))
-                 * 1e9 + 0.5) / 1e9 AS f_stat
+                 * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS f_stat
         FROM per, st
     """,
     "brown_forsythe_variance_test": f"""
@@ -9233,10 +9243,14 @@ ORACLES.update({
                  / CAST(per.n AS DOUBLE) * 1e9 + 0.5) / 1e9
                  AS mean_abs_dev,
                st.n_total, st.k_groups, st.df_between, st.df_within,
-               floor((st.ssb / (CAST(st.k_groups AS DOUBLE) - 1.0))
+               CASE WHEN st.ssw > 0.0 AND st.k_groups > 1
+                         AND st.n_total > st.k_groups
+                    THEN floor((st.ssb
+                      / (CAST(st.k_groups AS DOUBLE) - 1.0))
                  / (st.ssw / (CAST(st.n_total AS DOUBLE)
                               - CAST(st.k_groups AS DOUBLE)))
-                 * 1e9 + 0.5) / 1e9 AS bf_stat
+                 * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS bf_stat
         FROM per, st
     """,
     "lm_heldout_perplexity": f"""
@@ -9487,13 +9501,13 @@ ORACLES.update({
                       len({TOKS.replace('text', 'doc.text')})
                         AS n_toks,
                       lm.score
-               FROM lm JOIN documents doc USING (doc_id)),
+               FROM documents doc LEFT JOIN lm USING (doc_id)),
         rn AS (
           SELECT lang, score,
                  ROW_NUMBER() OVER (PARTITION BY lang
                                     ORDER BY score ASC) AS rn,
                  COUNT(*) OVER (PARTITION BY lang) AS n
-          FROM sc),
+          FROM sc WHERE score IS NOT NULL),
         fences AS (
           SELECT lang,
                  MIN(CASE WHEN rn = (n + 2) // 3 THEN score END) AS f1,
@@ -9501,7 +9515,7 @@ ORACLES.update({
                    AS f2
           FROM rn GROUP BY lang),
         dec AS (
-          SELECT sc.lang, sc.n_toks,
+          SELECT sc.lang, sc.n_toks, sc.score,
                  (CASE WHEN CAST(sc.score AS DOUBLE)
                             > CAST(f.f1 AS DOUBLE) THEN 1 ELSE 0 END
                   + CASE WHEN CAST(sc.score AS DOUBLE)
@@ -9509,9 +9523,10 @@ ORACLES.update({
                    AS b,
                  {_HEX8_TO_INT("'ccnet|' || CAST(sc.doc_id AS VARCHAR)")}
                    % 100 AS coin
-          FROM sc JOIN fences f USING (lang))
+          FROM sc LEFT JOIN fences f USING (lang))
         SELECT lang,
-               CASE WHEN b = 2 THEN 'keep_head'
+               CASE WHEN score IS NULL THEN 'unscored_short'
+                    WHEN b = 2 THEN 'keep_head'
                     WHEN b = 1 AND coin < 50
                       THEN 'sample_middle_kept'
                     WHEN b = 1 THEN 'sample_middle_dropped'

@@ -2254,16 +2254,17 @@ def _merge_heavy_hitters(batch: DataFrame, batch_id: int,
     _check_lineage(out_dir, lineage)
     spark = batch.sparkSession
 
-    def reduce_to_k(counts: DataFrame, dec_prior) -> DataFrame:
+    def reduce_to_k(counts: DataFrame, dec_prior: int):
         # (k+1)-th largest count = the MG decrement (0 when the
         # summary already fits); TakeOrdered on a ≤ k + vocab frame
         c = counts.orderBy(F.desc("cnt"), F.asc("token")) \
                   .limit(k + 1).collect()
         dec = int(c[k]["cnt"]) if len(c) > k else 0
+        dec_total = dec_prior + dec
         kept = (counts.where(F.col("cnt") > dec)
                 .select("token", (F.col("cnt") - dec).alias("cnt")))
-        return kept.withColumn(
-            "dec_total", (dec_prior + F.lit(dec)).cast("long"))
+        return (kept.withColumn(
+            "dec_total", F.lit(dec_total).cast("long")), dec_total)
 
     cnt = (batch.select(F.explode(tokens()).alias("token"))
            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
@@ -2280,17 +2281,32 @@ def _merge_heavy_hitters(batch: DataFrame, batch_id: int,
     prior = [v for v in existing if v < batch_id]
     if prior:
         base = spark.read.parquet(f"{out_dir}/v{prior[-1]:020d}")
-        dec_prior = F.lit(int(
-            base.agg(F.max("dec_total")).collect()[0][0] or 0))
+        # dec_total lives in a sidecar, NOT only in the kept rows: a
+        # snapshot can legally compact to ZERO rows (k+1 tokens tied
+        # at the decrement), and max() over an empty frame would
+        # silently reset the accumulated decrement — voiding the
+        # cnt ≤ true ≤ cnt + dec_total bound for every later
+        # snapshot. Row-carried dec_total remains as a fallback for
+        # stores written before the sidecar existed.
+        dec_path = Path(out_dir) / f"v{prior[-1]:020d}.dec"
+        if dec_path.exists():
+            dec_prior = int(dec_path.read_text())
+        else:
+            dec_prior = int(
+                base.agg(F.max("dec_total")).collect()[0][0] or 0)
         summed = (base.select("token", "cnt")
                   .unionByName(cnt)
                   .groupBy("token").agg(F.sum("cnt").alias("cnt")))
     else:
-        dec_prior = F.lit(0)
+        dec_prior = 0
         summed = cnt
-    merged = reduce_to_k(summed, dec_prior)
+    merged, dec_total = reduce_to_k(summed, dec_prior)
     version = f"v{batch_id:020d}"
     merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    dtmp = f"{out_dir}/{version}.dec.tmp"
+    with open(dtmp, "w", encoding="utf-8") as f:
+        f.write(str(dec_total))
+    os.replace(dtmp, f"{out_dir}/{version}.dec")
     tmp = f"{out_dir}/_CURRENT.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(version)

@@ -2167,3 +2167,32 @@ def test_time_decay_attribution_conserves_and_orders(spark):
     assert by_day[days[0]] < by_day[days[1]] < by_day[days[2]]
     # half-life sanity: the 3d-out click earns about half the 2d-out
     assert 0.4 < by_day[days[0]] / by_day[days[1]] < 0.6
+
+
+def test_ccnet_sampling_plan_accounts_for_unscored_docs(spark):
+    """ADVICE r7: docs with <2 tokens have no scored bigram; the plan
+    must surface them under 'unscored_short' so the decision table
+    accounts for EVERY document and token_mass sums to the corpus
+    total."""
+    from openlmis_distributions_etl_spark.operators.text import (
+        ccnet_sampling_plan)
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "web", 27),
+        (2, "alpha beta alpha beta alpha", "en", "web", 27),
+        (3, "gamma gamma gamma beta alpha", "en", "web", 28),
+        (4, "solo", "en", "web", 4),          # 1 token -> unscored
+        (5, "", "en", "web", 0),              # 0 tokens -> unscored
+    ]
+    out = ccnet_sampling_plan({"documents": _docs(spark, rows)}) \
+        .collect()
+    by_dec = {}
+    for r in out:
+        by_dec.setdefault(r["decision"], [0, 0])
+        by_dec[r["decision"]][0] += r["n_docs"]
+        by_dec[r["decision"]][1] += r["token_mass"]
+    assert by_dec.get("unscored_short", [0, 0])[0] == 2
+    assert by_dec["unscored_short"][1] == 1  # 'solo' only
+    assert sum(v[0] for v in by_dec.values()) == len(rows)
+    total_tokens = sum(len(t.split()) for _, t, *_ in rows)
+    assert sum(v[1] for v in by_dec.values()) == total_tokens

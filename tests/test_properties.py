@@ -1110,3 +1110,32 @@ def test_brown_forsythe_matches_python(spark, rows):
         assert got["mean_abs_dev"] == \
             math.floor(want_mad * 1e9 + 0.5) / 1e9
     assert out[f"t{groups[0]}"]["n_total"] == len(rows)
+
+
+def test_omnibus_tests_degenerate_inputs_yield_null(spark):
+    """ADVICE r7: an all-identical corpus makes the Kruskal-Wallis tie
+    correction exactly 0 (h_adj would be 0/0 = NaN) and ANOVA's SSW
+    exactly 0 (F would be Inf). The house NULL-on-undefined convention
+    (cramers_v_audit) applies: the stat columns are NULL, every other
+    column stays defined."""
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        anova_f_values, brown_forsythe_variance_test,
+        kruskal_wallis_values)
+
+    # two groups, every value identical -> tie corr 0, ssw 0
+    rows = [(0, 7), (0, 7), (1, 7), (1, 7)]
+    t = {"events": _typed_events_df(spark, rows)}
+    kw = kruskal_wallis_values(t).collect()
+    assert all(r["h_adj"] is None for r in kw)
+    assert all(r["h_stat"] is not None for r in kw)
+    an = anova_f_values(t).collect()
+    assert all(r["f_stat"] is None for r in an)
+    assert all(r["ss_within"] == 0.0 for r in an)
+    bf = brown_forsythe_variance_test(t).collect()
+    assert all(r["bf_stat"] is None for r in bf)
+
+    # single group -> df_between 0 -> F undefined even with spread
+    rows1 = [(0, 1), (0, 2), (0, 3)]
+    an1 = anova_f_values(
+        {"events": _typed_events_df(spark, rows1)}).collect()
+    assert all(r["f_stat"] is None for r in an1)

@@ -1357,6 +1357,43 @@ def test_heavy_hitter_store_replay_is_exactly_once(spark, tmp_path):
         jobs._merge_heavy_hitters(t["documents"], last, store, k=16)
 
 
+def test_heavy_hitter_store_empty_snapshot_keeps_dec_total(
+        spark, tmp_path):
+    """An all-compacted snapshot (k+1 tokens tied at the decrement ->
+    ZERO kept rows) must still carry dec_total forward: the sidecar,
+    not the rows, is the authority, so the cnt <= true <= cnt +
+    dec_total bound survives later merges instead of silently
+    resetting to 0."""
+    from pathlib import Path
+
+    k = 3
+    store = str(tmp_path / "hh_e")
+    # batch 1: k+1 = 4 tokens, each appearing twice -> the (k+1)-th
+    # largest count equals every count, all rows compact away,
+    # dec_total = 2
+    b1 = spark.createDataFrame(
+        [("a b c d a b c d",)], "text string")
+    jobs._merge_heavy_hitters(b1, 1, store, k=k,
+                              lineage=str(tmp_path / "ck_e"))
+    snap = spark.read.parquet(str(Path(store) / ("v" + "1".zfill(20))))
+    assert snap.count() == 0
+    assert (Path(store) / ("v" + "1".zfill(20) + ".dec")
+            ).read_text() == "2"
+    # batch 2: one dominant token; dec accumulates on top of the 2
+    b2 = spark.createDataFrame([("x x x x x y z",)], "text string")
+    jobs._merge_heavy_hitters(b2, 2, store, k=k,
+                              lineage=str(tmp_path / "ck_e"))
+    got = {r["token"]: (r["cnt"], r["dec_total"])
+           for r in jobs.read_heavy_hitters(spark, store).collect()}
+    # batch-2 counts alone: x=5 y=1 z=1 over k=3 counters -> dec 0
+    # this merge, but dec_total must still include batch 1's 2
+    assert got["x"][1] >= 2, got
+    # the bound must hold against TRUE totals across both batches
+    true = {"a": 2, "b": 2, "c": 2, "d": 2, "x": 5, "y": 1, "z": 1}
+    for tok, (cnt, dec_total) in got.items():
+        assert cnt <= true[tok] <= cnt + dec_total, (tok, got)
+
+
 # -- round-7 wave 15: streaming exact value-histogram store -------------
 
 
