@@ -8748,7 +8748,7 @@ ORACLES.update({
         rr AS (
           SELECT qid, vec_id, label,
                  {_cos('embedding', 'qv')} AS cos_sim
-          FROM short WHERE crk <= 50),
+          FROM short WHERE crk <= 200),
         rk AS (
           SELECT qid, vec_id, label, cos_sim,
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -8769,7 +8769,7 @@ ORACLES.update({
                    ROW_NUMBER() OVER (PARTITION BY qid
                      ORDER BY {_cos('embedding', 'qv')} DESC,
                               vec_id ASC) AS rnk
-            FROM short WHERE crk <= 50)
+            FROM short WHERE crk <= 200)
           WHERE rnk <= 10),
         exact AS (
           SELECT qid, vec_id FROM (
@@ -8791,6 +8791,61 @@ ORACLES.update({
                CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_k
         FROM (SELECT DISTINCT qid FROM exact) e
         LEFT JOIN hits h USING (qid)
+    """,
+})
+
+
+def _bq_sweep_arm(cand: int) -> str:
+    """One candidate-depth arm of the bq_cand_sweep UNION — the same
+    shortlist-prefix + rerank + per-query recall chain as
+    knn_bq_recall, aggregated to (floor, mean, scan bytes)."""
+    return f"""
+        SELECT CAST({cand} AS INT) AS cand, CAST(10 AS INT) AS k,
+               CAST(COUNT(*) AS INT) AS n_queries,
+               CAST(SUM(n_hits) AS INT) AS total_hits,
+               CAST(MIN(n_hits) AS DOUBLE) / 10 AS min_recall_at_k,
+               CAST(SUM(n_hits) AS DOUBLE) / 50 AS mean_recall_at_k,
+               CAST({cand * 64 * 4} AS INT) AS rerank_scan_bytes,
+               (SELECT code_scan_bytes FROM nv) AS code_scan_bytes
+        FROM (
+          SELECT eq.qid, COALESCE(h.n_hits, 0) AS n_hits
+          FROM (SELECT DISTINCT qid FROM exact) eq
+          LEFT JOIN (
+            SELECT exact.qid, COUNT(*) AS n_hits
+            FROM exact JOIN (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY {_cos('embedding', 'qv')} DESC,
+                                  vec_id ASC) AS rnk
+                FROM short WHERE crk <= {cand})
+              WHERE rnk <= 10) a USING (qid, vec_id)
+            GROUP BY 1) h USING (qid))
+    """
+
+
+ORACLES.update({
+    "bq_cand_sweep": f"""
+        WITH {_BQ_WORDS},
+        short AS (
+          SELECT qid, vec_id, embedding, qv,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, vec_id ASC) AS crk
+          FROM ham),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                              e.vec_id ASC) AS rnk
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 5) q
+            WHERE e.vec_id <> q.vec_id)
+          WHERE rnk <= 10),
+        nv AS (SELECT CAST(COUNT(*) * 8 AS BIGINT) AS code_scan_bytes
+               FROM embeddings)
+        {' UNION ALL '.join(_bq_sweep_arm(c) for c in (50, 100, 200))}
     """,
 })
 

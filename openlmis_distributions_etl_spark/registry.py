@@ -474,6 +474,8 @@ _OPERATORS = {
     "time_decay_attribution": windows.time_decay_attribution,
     # §2.G round-7 wave 19: the CCNet curation decision table
     "ccnet_sampling_plan": text.ccnet_sampling_plan,
+    # §2.F round-8: BQ cascade candidate-depth tuning curve
+    "bq_cand_sweep": similarity.bq_cand_sweep,
 }
 
 

@@ -78,6 +78,8 @@ FLOAT_SENSITIVE = (
     "cramers_v_audit",
     "knn_bq_rerank",
     "knn_bq_recall",
+    # round-8: BQ candidate-depth sweep (same cosine/recall chain)
+    "bq_cand_sweep",
     "ccnet_perplexity_buckets",
     "token_js_drift",
     "weighted_price_median_by_flag",
