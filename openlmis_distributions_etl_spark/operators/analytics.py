@@ -6,7 +6,7 @@ counts, string/date function batteries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec, dsum, ts_us
@@ -2544,6 +2544,30 @@ def _daily_rev_cents(t: dict[str, DataFrame]) -> DataFrame:
             .agg(F.sum(cents).alias("rev")))
 
 
+TS_PAIR_DAY_BOUND = 50_000   # pair-cloud fence for the daily-trend
+                             # pair ops: ~50k distinct days (a 137-
+                             # year daily series) is ~1.25e9 pairs —
+                             # past that the quadratic cloud stops
+                             # being "calendar-bounded small" and the
+                             # op must be re-keyed (coarser buckets
+                             # or a sampled slope cloud), so the
+                             # fence refuses loudly instead
+
+
+def _day_span_fence(n_days: Column, op: str) -> Column:
+    """n_days routed through the pair-cloud bound: past
+    TS_PAIR_DAY_BOUND distinct days the O(n²) pair build would no
+    longer be calendar-bounded small, so the query raises instead of
+    silently scheduling ~n²/2 rows."""
+    from .analytics import TS_PAIR_DAY_BOUND as lim
+    return (F.when(n_days <= F.lit(lim), n_days)
+            .otherwise(F.raise_error(F.format_string(
+                op + ": %s distinct days exceeds the "
+                + str(lim) + "-day pair-cloud bound (~n^2/2 pair "
+                "rows) - aggregate to coarser buckets or sample "
+                "the slope cloud", n_days)).cast("long")))
+
+
 def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
     """Theil–Sen robust trend of daily revenue: the MEDIAN of all
     pairwise slopes (rev_j − rev_i)/(day_j − day_i), i < j — the
@@ -2557,7 +2581,10 @@ def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
     produce bit-identical doubles. The median over the ~n²/2 slope
     points runs through the distributed grouped-ECDF selector
     (`_grouped_rank_min`) — rank-exact lower median, no
-    interpolation, no global sort."""
+    interpolation, no global sort. Day-span bound: past
+    TS_PAIR_DAY_BOUND (~50k) distinct days the quadratic cloud stops
+    being calendar-small, and the `_day_span_fence` guard raises
+    instead of scheduling it."""
     from ..functions.cache import retain
     daily = retain(_daily_rev_cents(t))
     later = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
@@ -2568,7 +2595,9 @@ def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
     pts = (slopes.groupBy("_k").agg(F.count(F.lit(1)).alias("c"))
            .select(F.lit("all").alias("event_type"), "_k", "c"))
     med = _grouped_rank_min(pts, {"ts_slope": "(n + 1) DIV 2"})
-    meta = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    meta = daily.agg(F.count(F.lit(1)).alias("n_days")).select(
+        _day_span_fence(F.col("n_days"), "theil_sen_daily_trend")
+        .alias("n_days"))
     return (med.select(F.col("n_rows").alias("n_pairs"), "ts_slope")
             .crossJoin(F.broadcast(meta))
             .select("n_days", "n_pairs", "ts_slope"))
@@ -2582,7 +2611,8 @@ def mann_kendall_trend(t: dict[str, DataFrame]) -> DataFrame:
     correction would matter) — the nonparametric "is revenue actually
     trending" gate that needs no distribution assumption.
 
-    Same calendar-bounded broadcast pair cloud as Theil–Sen; the
+    Same calendar-bounded broadcast pair cloud as Theil–Sen (and the
+    same TS_PAIR_DAY_BOUND day-span fence); the
     entire statistic is integer counting until the final tau/z
     expression, which is floor-gridded to 1e-9 in BOTH engines (the
     daily_revenue_autocorr convention) so the one sqrt/divide chain
@@ -2598,7 +2628,9 @@ def mann_kendall_trend(t: dict[str, DataFrame]) -> DataFrame:
         F.sum((F.col("sgn") > 0).cast("long")).alias("n_concordant"),
         F.sum((F.col("sgn") < 0).cast("long")).alias("n_discordant"),
         F.sum((F.col("sgn") == 0).cast("long")).alias("n_tied"))
-    meta = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    meta = daily.agg(F.count(F.lit(1)).alias("n_days")).select(
+        _day_span_fence(F.col("n_days"), "mann_kendall_trend")
+        .alias("n_days"))
     g = agg.crossJoin(F.broadcast(meta))
     s = F.col("n_concordant") - F.col("n_discordant")
     n = F.col("n_days").cast("double")

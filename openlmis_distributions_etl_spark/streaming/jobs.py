@@ -2348,15 +2348,33 @@ def read_heavy_hitters(spark: SparkSession, out_dir: str) -> DataFrame:
 # round-7 wave 15: streaming exact value-histogram store
 
 VH_VGRID = 10_000     # value quantization (1e-4 units)
+VH_MAX_CELLS = 2_000_000   # fence: max (event_type, vu) cells a
+                           # snapshot may hold. The store's state
+                           # bound is VALUE-RANGE × type cardinality;
+                           # a heavy-tailed or effectively-continuous
+                           # domain (e.g. values spanning 1e9 distinct
+                           # grid points) silently turns "bounded
+                           # state" into corpus-sized state — the
+                           # fence refuses loudly instead
 
 
 def _merge_value_histogram(batch: DataFrame, batch_id: int,
                            out_dir: str,
-                           lineage: str | None = None) -> None:
+                           lineage: str | None = None,
+                           max_cells: int = VH_MAX_CELLS) -> None:
     """One exactly-once sum-merge of a micro-batch's per-(event_type,
     quantized value) counts into the histogram store — the
     token-count rebasing contract on the numeric axis. Module-level
-    so the replay test can invoke it directly."""
+    so the replay test can invoke it directly.
+
+    Before publishing, a distinct-cell census fences the quantized
+    key space at ``max_cells``: exceeding it means the value domain
+    is too heavy-tailed for an exact grid (state would grow with the
+    data, not the range) and the merge REFUSES — coarsen VH_VGRID or
+    switch to a bounded-error summary (the Misra-Gries store is the
+    vocabulary-sized analogue) rather than let the store degrade into
+    an unbounded table. The refused batch does not advance _CURRENT,
+    so the prior snapshot stays serveable."""
     import os
     from pathlib import Path
 
@@ -2386,6 +2404,17 @@ def _merge_value_histogram(batch: DataFrame, batch_id: int,
                   .agg(F.sum("cnt").alias("cnt")))
     else:
         merged = cnt
+    n_cells = merged.count()
+    if n_cells > max_cells:
+        raise RuntimeError(
+            f"value-histogram store {out_dir}: merged snapshot would "
+            f"hold {n_cells} (event_type, value) cells > the "
+            f"{max_cells}-cell fence — the value domain is too "
+            f"heavy-tailed for an exact 1/{VH_VGRID} grid (state "
+            f"would track the data, not the range). Coarsen "
+            f"VH_VGRID, raise max_cells deliberately, or use a "
+            f"bounded-error summary store; refusing to publish "
+            f"(prior snapshot left as _CURRENT)")
     version = f"v{batch_id:020d}"
     merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
     tmp = f"{out_dir}/_CURRENT.tmp"
@@ -2395,7 +2424,8 @@ def _merge_value_histogram(batch: DataFrame, batch_id: int,
 
 
 def stream_maintain_value_histogram(events: DataFrame, out_dir: str,
-                                    checkpoint_dir: str):
+                                    checkpoint_dir: str,
+                                    max_cells: int = VH_MAX_CELLS):
     """foreachBatch maintenance of the EXACT per-type value histogram
     — the streaming producer behind exact percentile serving: state is
     the (event_type, distinct quantized value) count table, which is
@@ -2407,7 +2437,8 @@ def stream_maintain_value_histogram(events: DataFrame, out_dir: str,
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         _merge_value_histogram(batch, batch_id, out_dir,
-                               lineage=checkpoint_dir)
+                               lineage=checkpoint_dir,
+                               max_cells=max_cells)
 
     return (events.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint_dir)

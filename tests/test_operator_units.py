@@ -2196,3 +2196,31 @@ def test_ccnet_sampling_plan_accounts_for_unscored_docs(spark):
     assert sum(v[0] for v in by_dec.values()) == len(rows)
     total_tokens = sum(len(t.split()) for _, t, *_ in rows)
     assert sum(v[1] for v in by_dec.values()) == total_tokens
+
+
+def test_daily_trend_pair_ops_fence_day_span(spark, monkeypatch):
+    """VERDICT r7 task 9: past TS_PAIR_DAY_BOUND distinct days the
+    O(n^2) slope/sign pair cloud stops being calendar-small — both
+    pair ops must raise loudly instead of scheduling it. Under the
+    bound they run normally."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from openlmis_distributions_etl_spark.operators import analytics
+
+    def orders(n_days):
+        rows = [(i, i % 7, "O", 100.0 + i,
+                 dt.date(2024, 1, 1) + dt.timedelta(days=i), "1-URGENT")
+                for i in range(n_days)]
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderstatus "
+                  "string, o_totalprice double, o_orderdate date, "
+                  "o_orderpriority string")
+
+    monkeypatch.setattr(analytics, "TS_PAIR_DAY_BOUND", 5)
+    ok = analytics.theil_sen_daily_trend({"orders": orders(4)}).collect()
+    assert ok[0]["n_days"] == 4
+    with _pytest.raises(Exception, match="pair-cloud bound"):
+        analytics.theil_sen_daily_trend({"orders": orders(10)}).collect()
+    with _pytest.raises(Exception, match="pair-cloud bound"):
+        analytics.mann_kendall_trend({"orders": orders(10)}).collect()

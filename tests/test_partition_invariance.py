@@ -86,6 +86,21 @@ FLOAT_SENSITIVE = (
     "ols_daily_trend",
     "daily_revenue_periodogram",
     "jl_projection_distortion",
+    # round-8: the remaining round-7 float-bearing tail (VERDICT r7
+    # task 5) — quantized-term sums, in-row folds, ratio chains
+    "heaps_law_fit",
+    "lm_heldout_perplexity",
+    "embedding_dim_psi",
+    "anova_f_values",
+    "brown_forsythe_variance_test",
+    "gopher_quality_rules",
+    "hapax_share_by_source",
+    "zipf_slope_topk",
+    "doc_ttr_profile",
+    "time_decay_attribution",
+    "ushape_attribution",
+    "user_retention_curve",
+    "centroid_drift",
 )
 
 

@@ -1457,3 +1457,35 @@ def test_value_histogram_store_replay_is_exactly_once(spark, tmp_path):
     jobs._merge_value_histogram(t["events"], last + 1, store)
     with _pytest.raises(RuntimeError, match="refusing"):
         jobs._merge_value_histogram(t["events"], last, store)
+
+
+def test_value_histogram_store_refuses_heavy_tail(spark, tmp_path):
+    """ADVICE/VERDICT r7: an effectively-continuous value domain must
+    hit the distinct-cell fence LOUDLY instead of growing the "range-
+    bounded" store with the data. A refused merge leaves the prior
+    snapshot as _CURRENT."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pathlib import Path
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda lo, n: spark.createDataFrame(  # noqa: E731
+        [(i, base + dt.timedelta(seconds=i), i % 3, "view",
+          lo + i * 0.0001, "{}") for i in range(n)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+
+    store = str(tmp_path / "vh_ht")
+    # batch 1: 8 distinct cells, under the 10-cell fence -> publishes
+    jobs._merge_value_histogram(mk(0.0, 8), 1, store, max_cells=10)
+    assert (Path(store) / "_CURRENT").read_text().endswith("1".zfill(20))
+    # batch 2: 30 more distinct values -> 38 cells > 10 -> refused,
+    # _CURRENT still points at v1
+    with _pytest.raises(RuntimeError, match="heavy-tailed"):
+        jobs._merge_value_histogram(mk(1.0, 30), 2, store,
+                                    max_cells=10)
+    assert (Path(store) / "_CURRENT").read_text().endswith("1".zfill(20))
+    got = sorted(map(tuple, jobs.read_latest_snapshot(
+        spark, store).collect()))
+    assert len(got) == 8

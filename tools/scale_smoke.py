@@ -173,6 +173,16 @@ OPS = (
     "functional_dependency_audit",
     "ushape_attribution",
     "conformal_value_intervals",
+    # round-8: the round-7 tail (VERDICT r7 task 4) — binary-lane CC
+    # dedup, CCNet LM scoring + decision table, BQ cascade, harmonic
+    # scan, b-bit minhash
+    "payload_dedup_components",
+    "ccnet_perplexity_buckets",
+    "ccnet_sampling_plan",
+    "knn_bq_rerank",
+    "daily_revenue_periodogram",
+    "bbit_minhash_estimate",
+    "bq_cand_sweep",
 )
 
 
