@@ -9591,3 +9591,100 @@ ORACLES.update({
         FROM dec GROUP BY 1, 2
     """,
 })
+
+
+# round-8: composed store-maintenance + serving queries (§2.D under
+# the driver gate) — each twin computes the store's serving result
+# directly from the batch tables; a hash match proves the rebased
+# merge commits + the serving read equal batch semantics end-to-end
+
+ORACLES.update({
+    "store_value_quantiles": """
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL),
+        h AS (SELECT event_type, vu, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, vu,
+                 SUM(cnt) OVER (PARTITION BY event_type
+                   ORDER BY vu ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cf,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cf >= CAST(ceil(0.5 * n) AS BIGINT)
+                             THEN vu END) AS DOUBLE) / 10000.0 AS q0_5,
+               CAST(MIN(CASE WHEN cf >= CAST(ceil(0.9 * n) AS BIGINT)
+                             THEN vu END) AS DOUBLE) / 10000.0 AS q0_9,
+               CAST(MIN(CASE WHEN cf >= CAST(ceil(0.99 * n) AS BIGINT)
+                             THEN vu END) AS DOUBLE) / 10000.0 AS q0_99
+        FROM cum GROUP BY 1
+    """,
+    "store_token_topk": f"""
+        WITH v AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({TOKS}) AS token FROM documents)
+          GROUP BY 1)
+        SELECT token, cnt FROM v
+        ORDER BY cnt DESC, token ASC LIMIT 100
+    """,
+    "store_audience_overlap": """
+        WITH ev AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        words AS (
+          SELECT event_type, user_id // 62 AS blk,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST(user_id % 62 AS INT)) AS w
+          FROM ev GROUP BY 1, 2),
+        a AS (SELECT blk, w AS wa FROM words
+              WHERE event_type = 'click'),
+        b AS (SELECT blk, w AS wb FROM words
+              WHERE event_type = 'purchase'),
+        j AS (
+          SELECT COALESCE(a.wa, 0) AS wa, COALESCE(b.wb, 0) AS wb
+          FROM a FULL OUTER JOIN b USING (blk))
+        SELECT CAST(SUM(bit_count(wa)) AS BIGINT) AS n_click,
+               CAST(SUM(bit_count(wb)) AS BIGINT) AS n_purchase,
+               CAST(SUM(bit_count(wa & wb)) AS BIGINT) AS n_both,
+               CAST(SUM(bit_count(wa | wb)) AS BIGINT) AS n_either,
+               CAST(SUM(bit_count(wa & wb)) AS DOUBLE)
+                 / SUM(bit_count(wa | wb)) AS jaccard
+        FROM j
+    """,
+    "store_heavy_hitters": f"""
+        WITH c1 AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({TOKS}) AS token FROM documents
+                WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+        d1 AS (
+          SELECT CAST(CASE WHEN COUNT(*) > 64 THEN MIN(cnt)
+                           ELSE 0 END AS BIGINT) AS dec
+          FROM (SELECT cnt FROM c1
+                ORDER BY cnt DESC, token ASC LIMIT 65)),
+        k1 AS (
+          SELECT token, CAST(c1.cnt - d1.dec AS BIGINT) AS cnt
+          FROM c1, d1 WHERE c1.cnt > d1.dec),
+        c2 AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({TOKS}) AS token FROM documents
+                WHERE doc_id % 2 = 1)
+          GROUP BY 1),
+        s2 AS (
+          SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM (SELECT * FROM k1 UNION ALL SELECT * FROM c2)
+          GROUP BY 1),
+        d2 AS (
+          SELECT CAST(CASE WHEN COUNT(*) > 64 THEN MIN(cnt)
+                           ELSE 0 END AS BIGINT) AS dec
+          FROM (SELECT cnt FROM s2
+                ORDER BY cnt DESC, token ASC LIMIT 65))
+        SELECT s2.token, CAST(s2.cnt - d2.dec AS BIGINT) AS cnt,
+               CAST(d1.dec + d2.dec AS BIGINT) AS dec_total
+        FROM s2, d1, d2 WHERE s2.cnt > d2.dec
+    """,
+})

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.cache import release_retained
 from .operators import (analytics, asof, dedup, multimodal, relational,
-                        similarity, suffix, text, windows)
+                        similarity, stores, suffix, text, windows)
 from .plans import curation, expectations, star
 from .sources import load_tables
 
@@ -476,6 +476,13 @@ _OPERATORS = {
     "ccnet_sampling_plan": text.ccnet_sampling_plan,
     # §2.F round-8: BQ cascade candidate-depth tuning curve
     "bq_cand_sweep": similarity.bq_cand_sweep,
+    # §2.D round-8: composed store maintenance+serving under the
+    # driver gate (rebased merge commits -> serving read; twins
+    # compute the same result straight from the tables)
+    "store_value_quantiles": stores.store_value_quantiles,
+    "store_token_topk": stores.store_token_topk,
+    "store_audience_overlap": stores.store_audience_overlap,
+    "store_heavy_hitters": stores.store_heavy_hitters,
 }
 
 

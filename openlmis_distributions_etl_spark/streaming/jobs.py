@@ -2039,53 +2039,63 @@ def stream_maintain_audience_bitmaps(events: DataFrame, out_dir: str,
     a fresh full snapshot every BITMAP_COMPACT_EVERY batches.
     Replays rewrite the same delta (same batch_id) and re-OR the
     same bits; out-of-order batches commute — no rebase ledger."""
-    import os
-
-    from ..operators.analytics import BITMAP_LANE
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        words = (batch
-                 .where(F.col("event_type").isin("click", "purchase"))
-                 .select("event_type",
-                         F.expr(f"user_id DIV {BITMAP_LANE}")
-                         .alias("blk"),
-                         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                                f"int(user_id % {BITMAP_LANE}))")
-                         .alias("bit"))
-                 .groupBy("event_type", "blk")
-                 .agg(F.expr("bit_or(bit)").alias("w")))
-        version = f"v{batch_id:020d}"
-        try:
-            with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
-                parts = f.read().split()
-        except FileNotFoundError:
-            parts = []
-        # a replayed batch_id must not duplicate its manifest entry
-        # (the delta itself is overwritten in place; bit_or would
-        # absorb a duplicate anyway, this keeps the chain honest)
-        parts = [p for p in parts if p != version]
-        if len(parts) >= BITMAP_COMPACT_EVERY:
-            merged = (_read_bitmap_state(spark, out_dir, parts)
-                      .unionByName(words)
-                      .groupBy("event_type", "blk")
-                      .agg(F.expr("bit_or(w)").alias("w")))
-            merged.write.mode("overwrite") \
-                .parquet(f"{out_dir}/{version}")
-            parts = [version]
-        else:
-            words.write.mode("overwrite") \
-                .parquet(f"{out_dir}/{version}")
-            parts = parts + [version]
-        tmp = f"{out_dir}/_CURRENT.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(parts))
-        os.replace(tmp, f"{out_dir}/_CURRENT")
+        _merge_audience_bitmaps(batch, batch_id, out_dir)
 
     return (events.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def _merge_audience_bitmaps(batch: DataFrame, batch_id: int,
+                            out_dir: str) -> None:
+    """One keyed-MERGE delta commit of a micro-batch into the bitmap
+    store (see stream_maintain_audience_bitmaps for the contract).
+    Module-level so replay tests and composed store queries can
+    invoke it directly."""
+    import os
+
+    from ..operators.analytics import BITMAP_LANE
+
+    spark = batch.sparkSession
+    words = (batch
+             .where(F.col("event_type").isin("click", "purchase"))
+             .select("event_type",
+                     F.expr(f"user_id DIV {BITMAP_LANE}")
+                     .alias("blk"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"int(user_id % {BITMAP_LANE}))")
+                     .alias("bit"))
+             .groupBy("event_type", "blk")
+             .agg(F.expr("bit_or(bit)").alias("w")))
+    version = f"v{batch_id:020d}"
+    try:
+        with open(f"{out_dir}/_CURRENT", encoding="utf-8") as f:
+            parts = f.read().split()
+    except FileNotFoundError:
+        parts = []
+    # a replayed batch_id must not duplicate its manifest entry
+    # (the delta itself is overwritten in place; bit_or would
+    # absorb a duplicate anyway, this keeps the chain honest)
+    parts = [p for p in parts if p != version]
+    if len(parts) >= BITMAP_COMPACT_EVERY:
+        merged = (_read_bitmap_state(spark, out_dir, parts)
+                  .unionByName(words)
+                  .groupBy("event_type", "blk")
+                  .agg(F.expr("bit_or(w)").alias("w")))
+        merged.write.mode("overwrite") \
+            .parquet(f"{out_dir}/{version}")
+        parts = [version]
+    else:
+        words.write.mode("overwrite") \
+            .parquet(f"{out_dir}/{version}")
+        parts = parts + [version]
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    os.replace(tmp, f"{out_dir}/_CURRENT")
 
 
 def read_audience_overlap(spark: SparkSession,
