@@ -3527,3 +3527,143 @@ def brown_forsythe_variance_test(t: dict[str, DataFrame]) -> DataFrame:
                             / F.col("n").cast("double"))
                        .alias("mean_abs_dev"))
             .crossJoin(F.broadcast(glob)))
+
+
+# round-8 wave 1: classical forecasting + sequential drift detection
+# over the calendar-bounded daily series — the in-row sequential-fold
+# family (the KM-curve/kruskal convention: the series collects into
+# ONE sorted array row, the recurrence runs as a deterministic
+# left-fold, identical double chain in both engines)
+
+HW_SEASON = 7          # weekly additive season
+
+
+def holt_winters_daily_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960) over daily revenue: level/trend/weekly-seasonal states fold
+    left-to-right through the day-ordered series (alpha=0.2,
+    beta=0.1, gamma=0.3 — written as baked literals 0.8/0.9/0.7 for
+    the complements so both engines run the same constants), then
+    forecast horizons h = 1..7 from the final state — the classical
+    seasonal forecaster `ewma_daily_revenue` graduates into once a
+    weekly cycle matters.
+
+    Determinism: the recurrence is an in-row fold over the ONE
+    collected day-sorted array (calendar-bounded — a 100 TB orders
+    table still rolls to a few thousand days), so the float chain is
+    a fixed left-assoc sequence replayed exactly by the DuckDB
+    list_reduce twin; outputs floor-grid to 1e-9. Cold-start
+    convention: states init to zero and the fold runs from the first
+    day (the burn-in bias is part of the definition, as the
+    docstringed demo estimator; one-step-ahead SSE accumulates over
+    the whole series the same way in both engines and reports as
+    RMSE — sqrt keeps the 1e-9 grid inside F.floor's LONG range,
+    which raw SSE at corpus revenue magnitudes would overflow). Calendar gaps
+    are treated as consecutive observations (the irregular-series
+    convention of the daily family).
+
+    Scale shape: ONE map-side-combinable daily rollup, one
+    single-row fold, a 7-row explode. Nothing after the rollup
+    scales with the fact table."""
+    daily = _daily_rev_cents(t)
+    xs = daily.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("d").alias("d"),
+        (F.col("rev").cast("double") / F.lit(100.0)).alias("x"))))
+        .alias("dx"),
+        F.count(F.lit(1)).alias("n_days"))
+    st = F.expr("""
+        aggregate(
+          transform(dx, p -> p.x),
+          named_struct('lv', 0.0D, 'tr', 0.0D,
+                       'sea', array_repeat(0.0D, 7),
+                       'sse', 0.0D),
+          (acc, x) -> named_struct(
+            'lv', 0.2D * (x - element_at(acc.sea, 1))
+                  + 0.8D * (acc.lv + acc.tr),
+            'tr', 0.1D * ((0.2D * (x - element_at(acc.sea, 1))
+                           + 0.8D * (acc.lv + acc.tr)) - acc.lv)
+                  + 0.9D * acc.tr,
+            'sea', concat(slice(acc.sea, 2, 6),
+                          array(0.3D * (x - (0.2D
+                            * (x - element_at(acc.sea, 1))
+                            + 0.8D * (acc.lv + acc.tr)))
+                            + 0.7D * element_at(acc.sea, 1))),
+            'sse', acc.sse + (acc.lv + acc.tr
+                              + element_at(acc.sea, 1) - x)
+                           * (acc.lv + acc.tr
+                              + element_at(acc.sea, 1) - x)))
+    """)
+    g = xs.select("n_days", st.alias("st"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    h = F.explode(F.sequence(F.lit(1), F.lit(HW_SEASON))).alias("h")
+    fc = (F.col("st.lv")
+          + F.col("h").cast("double") * F.col("st.tr")
+          + F.element_at("st.sea",
+                         ((F.col("h") - 1) % HW_SEASON + 1)
+                         .cast("int")))
+    return (g.select("n_days", "st", h)
+            .select(F.col("h").cast("int").alias("h"),
+                    grid(fc).alias("forecast_revenue"),
+                    "n_days",
+                    grid(F.sqrt(F.col("st.sse")
+                                / F.col("n_days").cast("double")))
+                    .alias("rmse")))
+
+
+PH_DELTA = 0.0        # PH tolerance (dollars) — 0: any upward drift
+PH_LAMBDA = 10000.0   # PH alarm threshold (cumulative dollars)
+
+
+def page_hinkley_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Page-Hinkley upward-drift test over daily revenue (Page 1954
+    Biometrika CUSUM; Hinkley 1971): m_t accumulates (x − running
+    mean − δ), M_t tracks its minimum, and the first day where
+    m_t − M_t exceeds λ is the detected change point — the online
+    mean-shift detector the streaming literature benchmarks against,
+    here as a batch audit of the same statistic.
+
+    Same sequential-fold contract as `holt_winters_daily_forecast`:
+    ONE day-sorted in-row array (calendar-bounded), a deterministic
+    left-fold whose running mean is recomputed as (s+x)/(n+1) at
+    every step in BOTH engines (fixed literal δ = 0, λ = 10000
+    dollars), outputs floor-gridded to 1e-9. Reports the final and
+    maximal PH statistic, whether λ was ever crossed, and the first
+    crossing day (NULL when none)."""
+    daily = _daily_rev_cents(t)
+    xs = daily.agg(F.array_sort(F.collect_list(F.struct(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("ed"),
+        (F.col("rev").cast("double") / F.lit(100.0)).alias("x"))))
+        .alias("dx"),
+        F.count(F.lit(1)).alias("n_days"))
+    mt = (f"acc.mt + e.x - (acc.s + e.x) / (acc.n + 1.0D)"
+          f" - {PH_DELTA:.1f}D")
+    st = F.expr(f"""
+        aggregate(dx,
+          named_struct('n', 0.0D, 's', 0.0D, 'mt', 0.0D,
+                       'mn', 0.0D, 'al', -1.0D, 'mx', 0.0D),
+          (acc, e) -> named_struct(
+            'n', acc.n + 1.0D,
+            's', acc.s + e.x,
+            'mt', {mt},
+            'mn', least(acc.mn, {mt}),
+            'al', CASE WHEN acc.al >= 0.0D THEN acc.al
+                       WHEN ({mt}) - least(acc.mn, {mt})
+                            > {PH_LAMBDA:.1f}D
+                       THEN e.ed ELSE -1.0D END,
+            'mx', greatest(acc.mx,
+                           ({mt}) - least(acc.mn, {mt}))))
+    """)
+    g = xs.select("n_days", st.alias("st"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return g.select(
+        "n_days",
+        grid(F.col("st.mt") - F.col("st.mn")).alias("ph_stat"),
+        grid(F.col("st.mx")).alias("max_deviation"),
+        (F.col("st.al") >= 0).alias("drift_detected"),
+        F.when(F.col("st.al") >= 0,
+               F.date_format(
+                   F.date_add(F.lit("1970-01-01").cast("date"),
+                              F.col("st.al").cast("int")),
+                   "yyyy-MM-dd"))
+        .alias("detect_day"))

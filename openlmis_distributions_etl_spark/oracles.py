@@ -9688,3 +9688,105 @@ ORACLES.update({
         FROM s2, d1, d2 WHERE s2.cnt > d2.dec
     """,
 })
+
+
+# round-8 wave 1: sequential-fold forecasting/drift family — the
+# DuckDB twins replay the exact left-fold recurrence via list_reduce.
+# CRITICAL ENCODING NOTE: the accumulator is a FLAT DOUBLE[] (state
+# slots by index), NOT a struct — DuckDB's list_reduce mutates a
+# struct accumulator IN PLACE field-by-field from the second
+# iteration on (later struct_pack fields see the new lv, breaking
+# any recurrence that reads old state), while a list-valued
+# accumulator evaluates atomically. Layout: [lv, tr, s1..s7, sse];
+# elements carry x in slot 1.
+
+ORACLES.update({
+    "holt_winters_daily_forecast": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        seq AS (
+          SELECT list(CAST(rev AS DOUBLE) / 100.0 ORDER BY d) AS xs,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily),
+        st AS (
+          SELECT n_days, list_reduce(
+            list_prepend(
+              [CAST(0.0 AS DOUBLE), 0, 0, 0, 0, 0, 0, 0, 0, 0],
+              list_transform(xs, v ->
+                [v, CAST(0.0 AS DOUBLE), 0, 0, 0, 0, 0, 0, 0, 0])),
+            (acc, e) -> [
+              CAST(0.2 AS DOUBLE) * (e[1] - acc[3])
+                + CAST(0.8 AS DOUBLE) * (acc[1] + acc[2]),
+              CAST(0.1 AS DOUBLE)
+                * ((CAST(0.2 AS DOUBLE) * (e[1] - acc[3])
+                    + CAST(0.8 AS DOUBLE) * (acc[1] + acc[2]))
+                   - acc[1])
+                + CAST(0.9 AS DOUBLE) * acc[2],
+              acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+              CAST(0.3 AS DOUBLE)
+                * (e[1] - (CAST(0.2 AS DOUBLE) * (e[1] - acc[3])
+                           + CAST(0.8 AS DOUBLE) * (acc[1] + acc[2])))
+                + CAST(0.7 AS DOUBLE) * acc[3],
+              acc[10] + (acc[1] + acc[2] + acc[3] - e[1])
+                      * (acc[1] + acc[2] + acc[3] - e[1])]) AS st
+          FROM seq)
+        SELECT CAST(h AS INT) AS h,
+               floor((st[1] + CAST(h AS DOUBLE) * st[2]
+                      + st[CAST((h - 1) % 7 + 3 AS INT)])
+                     * 1e9 + 0.5) / 1e9 AS forecast_revenue,
+               n_days,
+               floor(sqrt(st[10] / CAST(n_days AS DOUBLE))
+                     * 1e9 + 0.5) / 1e9 AS rmse
+        FROM st, (SELECT unnest(range(1, 8)) AS h)
+    """,
+})
+
+
+ORACLES.update({
+
+    "page_hinkley_drift": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        seq AS (
+          SELECT list([CAST(CAST(d - DATE '1970-01-01' AS BIGINT)
+                            AS DOUBLE),
+                       CAST(rev AS DOUBLE) / 100.0,
+                       0, 0, 0, 0]
+                      ORDER BY d) AS dx,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily),
+        -- flat DOUBLE[] accumulator [n, s, mt, mn, al, mx]; elements
+        -- carry [ed, x, ...] (see the struct-mutation note above)
+        st AS (
+          SELECT n_days, list_reduce(
+            list_prepend(
+              [CAST(0.0 AS DOUBLE), 0, 0, 0, -1, 0], dx),
+            (acc, e) -> [
+              acc[1] + CAST(1.0 AS DOUBLE),
+              acc[2] + e[2],
+              acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0,
+              least(acc[4], acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0),
+              CASE WHEN acc[5] >= CAST(0.0 AS DOUBLE) THEN acc[5]
+                   WHEN (acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0) - least(acc[4], acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0)
+                        > CAST(10000.0 AS DOUBLE)
+                   THEN e[1] ELSE CAST(-1.0 AS DOUBLE) END,
+              greatest(acc[6], (acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0) - least(acc[4], acc[3] + e[2] - (acc[2] + e[2]) / (acc[1] + 1.0) - 0.0))]) AS st
+          FROM seq)
+        SELECT n_days,
+               floor((st[3] - st[4]) * 1e9 + 0.5) / 1e9 AS ph_stat,
+               floor(st[6] * 1e9 + 0.5) / 1e9 AS max_deviation,
+               st[5] >= 0 AS drift_detected,
+               CASE WHEN st[5] >= 0
+                    THEN strftime(DATE '1970-01-01'
+                                  + CAST(st[5] AS INT), '%Y-%m-%d')
+                    ELSE NULL END AS detect_day
+        FROM st
+    """,
+})
+

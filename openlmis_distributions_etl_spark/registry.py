@@ -483,6 +483,9 @@ _OPERATORS = {
     "store_token_topk": stores.store_token_topk,
     "store_audience_overlap": stores.store_audience_overlap,
     "store_heavy_hitters": stores.store_heavy_hitters,
+    # §2.C round-8 wave 1: classical seasonal forecasting
+    "holt_winters_daily_forecast": analytics.holt_winters_daily_forecast,
+    "page_hinkley_drift": analytics.page_hinkley_drift,
 }
 
 

@@ -1139,3 +1139,87 @@ def test_omnibus_tests_degenerate_inputs_yield_null(spark):
     an1 = anova_f_values(
         {"events": _typed_events_df(spark, rows1)}).collect()
     assert all(r["f_stat"] is None for r in an1)
+
+
+def test_holt_winters_matches_python(spark):
+    """The in-row additive Holt-Winters fold vs a brute-force python
+    replay of the same recurrence (alpha .2 / beta .1 / gamma .3,
+    weekly season, zero-init burn-in): bit-identical gridded
+    forecasts and RMSE."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        holt_winters_daily_forecast)
+
+    vals = [100.0, 250.5, 80.25, 300.0, 120.75, 90.0, 410.33,
+            105.5, 260.0, 77.0, 310.1, 118.0, 95.25, 400.0, 222.22]
+    rows = [(i, i % 5, "O", v,
+             dt.date(2024, 3, 1) + dt.timedelta(days=i), "1-URGENT")
+            for i, v in enumerate(vals)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    out = {r["h"]: r for r in holt_winters_daily_forecast(
+        {"orders": orders}).collect()}
+
+    xs = [math.floor(v * 100 + 0.5) / 100.0 for v in vals]
+    lv = tr = sse = 0.0
+    sea = [0.0] * 7
+    for x in xs:
+        lv2 = 0.2 * (x - sea[0]) + 0.8 * (lv + tr)
+        tr2 = (0.1 * ((0.2 * (x - sea[0]) + 0.8 * (lv + tr)) - lv)
+               + 0.9 * tr)
+        snew = (0.3 * (x - (0.2 * (x - sea[0]) + 0.8 * (lv + tr)))
+                + 0.7 * sea[0])
+        sse += (lv + tr + sea[0] - x) ** 2
+        sea = sea[1:] + [snew]
+        lv, tr = lv2, tr2
+    for h in range(1, 8):
+        want = math.floor(
+            (lv + h * tr + sea[(h - 1) % 7]) * 1e9 + 0.5) / 1e9
+        assert out[h]["forecast_revenue"] == want, h
+        assert out[h]["n_days"] == len(vals)
+    want_rmse = math.floor(
+        math.sqrt(sse / len(vals)) * 1e9 + 0.5) / 1e9
+    assert out[1]["rmse"] == want_rmse
+
+
+def test_page_hinkley_matches_python_and_detects_planted_shift(spark):
+    """PH fold vs brute-force python replay on a series with a
+    planted mean shift large enough to cross lambda: identical
+    gridded stats and the SAME first crossing day."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        page_hinkley_drift)
+
+    vals = [100.0] * 10 + [9000.0] * 8     # shift at day 10
+    rows = [(i, i % 5, "O", v,
+             dt.date(2024, 3, 1) + dt.timedelta(days=i), "1-URGENT")
+            for i, v in enumerate(vals)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    got = page_hinkley_drift({"orders": orders}).collect()[0]
+
+    n = s = mt = mn = mx = 0.0
+    al = None
+    for i, v in enumerate(vals):
+        x = math.floor(v * 100 + 0.5) / 100.0
+        n += 1.0
+        s += x
+        mt = mt + x - s / n - 0.0
+        mn = min(mn, mt)
+        if al is None and mt - mn > 10000.0:
+            al = dt.date(2024, 3, 1) + dt.timedelta(days=i)
+        mx = max(mx, mt - mn)
+    assert got["n_days"] == len(vals)
+    assert got["ph_stat"] == math.floor((mt - mn) * 1e9 + 0.5) / 1e9
+    assert got["max_deviation"] == math.floor(mx * 1e9 + 0.5) / 1e9
+    assert got["drift_detected"] is True
+    assert al is not None
+    assert got["detect_day"] == al.strftime("%Y-%m-%d")

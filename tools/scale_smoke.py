@@ -265,8 +265,18 @@ def main() -> None:
     lbig.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
     print(f"lineitem: {n_li * n_copies} rows")
 
+    # dimension tables copy through unreplicated: FKs in the scaled
+    # fact tables still resolve (custkeys/suppkeys unchanged), and
+    # dimension cardinality is not what the smoke stresses
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        (spark.read.parquet(f"/root/testdata/sf0.1/{dim}.parquet")
+         .write.mode("overwrite").parquet(f"{tmp}/{dim}.parquet"))
+    print("dimensions copied")
+
     qs = registry.queries()
-    for name in OPS:
+    start_at = sys.argv[2] if len(sys.argv) > 2 else None
+    todo = OPS[OPS.index(start_at):] if start_at else OPS
+    for name in todo:
         t0 = time.perf_counter()
         out = qs[name](spark, tmp)
         out.write.format("noop").mode("overwrite").save()
