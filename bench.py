@@ -134,6 +134,14 @@ HEADLINE = [
     "knn_beam",
     # round-7: batch beam serving shape
     "knn_beam_batch",
+    # round-8: BQ depth sweep, sequential-fold forecasting/drift,
+    # tail index, composed store maintenance+serving
+    "bq_cand_sweep",
+    "holt_winters_daily_forecast",
+    "page_hinkley_drift",
+    "hill_tail_index",
+    "store_value_quantiles",
+    "store_heavy_hitters",
     # round-6 waves 22-26: skyline, rank stats, curation signals,
     # deciles, PQ health
     "orders_skyline_2d",

@@ -3667,3 +3667,53 @@ def page_hinkley_drift(t: dict[str, DataFrame]) -> DataFrame:
                               F.col("st.al").cast("int")),
                    "yyyy-MM-dd"))
         .alias("detect_day"))
+
+
+HILL_K = 100   # order-statistic budget for the tail-index estimate
+
+
+def hill_tail_index(t: dict[str, DataFrame]) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order values (Hill
+    1975, Ann. Statist. 3): over the k = 100 largest order totals,
+    H = (1/k) Σ ln(x_(i) / x_(k+1)) and alpha = 1/H — the
+    heavy-tail-or-not number that decides whether revenue
+    concentration metrics (Gini, top-N shares) are even stable, and
+    the direct companion to `customer_spend_gini` /
+    `abc_classification`.
+
+    Exactness: prices quantize to cents FIRST, the k+1 largest cents
+    values come from one TakeOrdered (a multiset — boundary ties
+    cannot change it), each ln(x_i) quantizes to integer nano-units
+    BEFORE the sum (the PSI/KL discipline; ln is evaluated per
+    element identically in both engines), and H assembles from the
+    two integer sums in one gridded double chain. NULL-on-undefined:
+    fewer than k+1 orders, or a non-positive x_(k+1), yields NULL
+    alpha rather than a junk estimate.
+
+    Scale shape: ONE TakeOrdered(k+1) over the scan (Spark's
+    sort-limit is a per-partition top-k + driver merge — no global
+    sort), then a single-row in-row fold. Nothing else scales with
+    the table."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    top = (t["orders"].select(cents.alias("c"))
+           .orderBy(F.desc("c")).limit(HILL_K + 1))
+    g = top.agg(F.array_sort(F.collect_list("c")).alias("cs"))
+    # cs ascending: cs[0] = x_(k+1), cs[1..k] = the top k
+    lnu = ("CAST(floor(ln(CAST({x} AS DOUBLE) / 100.0) * 1e9 + 0.5) "
+           "AS BIGINT)")
+    su = F.expr(
+        f"aggregate(slice(cs, 2, {HILL_K}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + {lnu.format(x='x')})")
+    base = F.expr(lnu.format(x="element_at(cs, 1)"))
+    hn = (su - F.lit(HILL_K) * base).cast("double") / F.lit(1e9 * HILL_K)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    ok = ((F.size("cs") == HILL_K + 1)
+          & (F.element_at("cs", 1) > 0))
+    return g.select(
+        F.lit(HILL_K).alias("k"),
+        F.when(ok, (F.element_at("cs", 1).cast("double") / 100.0))
+         .alias("x_k1"),
+        F.when(ok, grid(hn)).alias("hill_h"),
+        F.when(ok & (hn > 0), grid(F.lit(1.0) / hn))
+         .alias("tail_alpha"))

@@ -1832,11 +1832,27 @@ BEAM_REPS = 3      # long-range fan: edges reach the 3 lowest-vec_id
                    # +0.3-0.4 recall at ~2x average degree)
 
 
-_BEAM_INDEX_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+_BEAM_INDEX_MEMO: dict[int, tuple] = {}
 
 
-def _beam_serving_index(t: dict[str, DataFrame]
-                        ) -> tuple[DataFrame, DataFrame]:
+def _beam_adjacency(edges: DataFrame, adj: dict, srcs) -> dict:
+    """Adjacency rows for `srcs`, served from the memoized driver-side
+    cache and fetched from the distributed edge table only for ids no
+    search has touched yet — the page-in pattern of a graph-ANN
+    server. Cache size is bounded by what searches actually visit
+    (hops × ef × degree per query), never the edge table; missing
+    ids are pinned to () so dead-ends aren't re-fetched."""
+    need = [s for s in srcs if s not in adj]
+    if need:
+        for s in need:
+            adj[s] = []
+        for r in (edges.where(F.col("src").isin(*need))
+                  .select("src", "dst").collect()):
+            adj[r["src"]].append(r["dst"])
+    return {s: adj[s] for s in srcs}
+
+
+def _beam_serving_index(t: dict[str, DataFrame]) -> tuple:
     """Memoized (edge table, embedding probe frame) for the beam
     family: an ANN graph index is built ONCE and served by many
     searches, so `knn_beam` / `knn_beam_batch` and their recall/nDCG
@@ -1855,11 +1871,11 @@ def _beam_serving_index(t: dict[str, DataFrame]
         edges.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         probe = t["embeddings"].select("vec_id", "label", "embedding")
         probe.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        hit = (edges, probe)
+        hit = (edges, probe, {})
     _BEAM_INDEX_MEMO[key] = hit
     while len(_BEAM_INDEX_MEMO) > 4:
-        _, (edges_old, probe_old) = next(iter(_BEAM_INDEX_MEMO.items()))
-        del _BEAM_INDEX_MEMO[next(iter(_BEAM_INDEX_MEMO))]
+        evict = next(iter(_BEAM_INDEX_MEMO))
+        edges_old, probe_old, _ = _BEAM_INDEX_MEMO.pop(evict)
         edges_old.unpersist()
         probe_old.unpersist()
     return hit
@@ -1868,7 +1884,7 @@ def _beam_serving_index(t: dict[str, DataFrame]
 def beam_graph_edges(t: dict[str, DataFrame]) -> DataFrame:
     """The navigable beam index, served from the shared memo (see
     `_beam_serving_index`); `_build_beam_edges` documents the build."""
-    edges, _ = _beam_serving_index(t)
+    edges, _, _ = _beam_serving_index(t)
     return edges
 
 
@@ -1957,11 +1973,12 @@ def knn_beam(t: dict[str, DataFrame], k: int = TOP_K,
     lookups; the coordinator state stays O(ef + frontier) rows no
     matter the corpus size — the same bound an HNSW server keeps in
     RAM per query."""
-    # shared memoized serving state: the index and the probe frame
-    # are built once per embedding store and reused by the whole
-    # beam family (at 100 TB the probe frame is the vec_id-bucketed
-    # embedding table and each probe prunes to matching buckets)
-    edges, e = _beam_serving_index(t)
+    # shared memoized serving state: the index, the probe frame and
+    # the touched-adjacency page cache are built once per embedding
+    # store and reused by the whole beam family (at 100 TB the probe
+    # frame is the vec_id-bucketed embedding table and each probe
+    # prunes to matching buckets)
+    edges, e, adj = _beam_serving_index(t)
     # the query vector is O(dim) constant state: collected ONCE and
     # inlined as a literal array, so hop jobs carry no broadcast
     # build. float->double widening via collect is exact, and cosine
@@ -1986,15 +2003,14 @@ def knn_beam(t: dict[str, DataFrame], k: int = TOP_K,
     for _ in range(hops):
         beam = sorted(visited.items(),
                       key=lambda kv: (-kv[1][0], kv[0]))[:beam_width]
-        # two tiny jobs per hop: (1) edge probe for the frontier,
+        # at most two tiny jobs per hop: (1) adjacency page-in for
+        # never-touched beam ids (free once the cache is warm),
         # (2) cosine over ONLY the never-visited ids — and when the
         # frontier adds nothing, the hop exits before scoring
+        a = _beam_adjacency(edges, adj, [i for i, _ in beam])
         fresh = sorted(
-            {r["dst"] for r in
-             (edges.where(F.col("src")
-                          .isin(*[i for i, _ in beam]))
-              .where(F.col("dst") != QUERY_VEC_ID)
-              .select("dst").collect())} - visited.keys())
+            {d for ids in a.values() for d in ids
+             if d != QUERY_VEC_ID} - visited.keys())
         if not fresh:
             # frontier fixpoint: every remaining unrolled hop would
             # re-derive the identical visited set — exit is bit-equal
@@ -2085,7 +2101,7 @@ def knn_beam_batch(t: dict[str, DataFrame],
     navigates to its neighborhood), fixed hop count, (qs DESC,
     vec_id ASC) tie-breaks. Output mirrors knn_batch:
     (qid, vec_id, label, cos_sim, rnk ≤ k)."""
-    edges, e = _beam_serving_index(t)
+    edges, e, adj = _beam_serving_index(t)
     spark = e.sparkSession
     # the query set is O(n_queries × dim) constant state: collected
     # ONCE and inlined as a literal qid -> vector map, so hop jobs
@@ -2123,19 +2139,16 @@ def knn_beam_batch(t: dict[str, DataFrame],
         beams = {qid: [i for i, _ in sorted(
             vs.items(), key=lambda kv: (-kv[1][0], kv[0]))
             [:beam_width]] for qid, vs in visited.items()}
-        # two tiny jobs per hop for the whole batch: (1) ONE pass
-        # over the cached edge table serves every query's frontier
-        # (the batching amortization), (2) cosine over ONLY the
-        # never-visited (qid, vec_id) pairs — and a batch-wide empty
-        # frontier exits before scoring
+        # at most two tiny jobs per hop for the whole batch: (1) ONE
+        # adjacency page-in serves every query's never-touched beam
+        # ids (free once the cache is warm), (2) cosine over ONLY
+        # the never-visited (qid, vec_id) pairs — and a batch-wide
+        # empty frontier exits before scoring
         all_src = sorted({s for ids in beams.values() for s in ids})
-        adj: dict[int, list[int]] = {}
-        for r in (edges.where(F.col("src").isin(*all_src))
-                  .select("src", "dst").collect()):
-            adj.setdefault(r["src"], []).append(r["dst"])
+        a = _beam_adjacency(edges, adj, all_src)
         new = sorted({
             (qid, dst) for qid, ids in beams.items()
-            for src in ids for dst in adj.get(src, ())
+            for src in ids for dst in a.get(src, ())
             if dst != qid and dst not in visited[qid]})
         if not new:
             # batch-wide frontier fixpoint — remaining unrolled hops
@@ -2747,3 +2760,78 @@ def embedding_dim_psi(t: dict[str, DataFrame]) -> DataFrame:
     return g.select(
         "dim", "n_a", "n_b", "n_buckets_both", "n_buckets_oneside",
         (F.col("su").cast("double") / 1e9).alias("psi"))
+
+
+def anisotropic_pq_loss(t: dict[str, DataFrame]) -> DataFrame:
+    """Anisotropic quantization-loss audit of the PQ codebook (Guo et
+    al., "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization", ICML 2020): decompose the per-vector PQ
+    reconstruction residual r = x − x̂ into the component PARALLEL to
+    x (‖r_par‖² = ⟨r,x⟩²/⟨x,x⟩) and the ORTHOGONAL remainder — the
+    ScaNN insight is that parallel error is what corrupts
+    inner-product rankings, so a codebook with high parallel share
+    hurts MIPS recall more than its raw MSE suggests. Reports corpus
+    means of both losses and the parallel share — the number that
+    decides whether score-aware (re-weighted) codebook training is
+    worth shipping.
+
+    Exactness: per-vector ⟨r,x⟩ / ‖r‖² / ⟨x,x⟩ assemble from
+    per-subspace left folds summed in subspace order (the ADC
+    convention — identical chains in both engines), each vector's
+    parallel/orthogonal loss floor-grids to integer nano-units
+    BEFORE the corpus sums (PSI discipline), sums ride DECIMAL(38,0)
+    (1e12 vectors × 1e9 units would overflow bigint), and the final
+    means/share are gridded double chains. Zero-norm vectors are
+    excluded (undefined decomposition) in both engines.
+
+    Scale shape: one broadcast codebook row + a single zero-shuffle
+    encode-and-score scan, then one map-side-combinable aggregate."""
+    d38 = "decimal(38,0)"
+    book = _pq_codebook(t)
+    enc = (spread(t["embeddings"]).select("vec_id", "embedding")
+           .crossJoin(broadcast(book))
+           .withColumn("codes", _pq_code_array()))
+
+    def sub_term(m: int, kind: str) -> Column:
+        cv = F.element_at(
+            F.col("book"),
+            (F.lit(m * PQ_K) + F.col("codes")[m] + 1).cast("int"))["cv"]
+        sub = _dbl(F.slice(F.col("embedding"),
+                           m * PQ_SUBDIM + 1, PQ_SUBDIM))
+        if kind == "rx":
+            z = F.zip_with(sub, cv, lambda x, y: (x - y) * x)
+        elif kind == "rr":
+            z = F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y))
+        else:
+            z = F.transform(sub, lambda x: x * x)
+        return F.aggregate(z, F.lit(0.0), lambda a, x: a + x)
+
+    def total(kind: str) -> Column:
+        c = None
+        for m in range(PQ_M):
+            term = sub_term(m, kind)
+            c = term if c is None else c + term
+        return c
+
+    per = enc.select(total("rx").alias("rx"),
+                     total("rr").alias("rr"),
+                     total("xx").alias("xx"))
+    lpar = F.col("rx") * F.col("rx") / F.col("xx")
+    lorth = F.col("rr") - lpar
+    qp = F.floor(lpar * F.lit(1e9) + F.lit(0.5)).cast("long")
+    qo = F.floor(lorth * F.lit(1e9) + F.lit(0.5)).cast("long")
+    g = (per.where(F.col("xx") > 0)
+         .agg(F.count(F.lit(1)).alias("n_vecs"),
+              F.sum(qp.cast(d38)).alias("sp"),
+              F.sum(qo.cast(d38)).alias("so")))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    nd = F.col("n_vecs").cast("double")
+    tot = F.col("sp").cast("double") + F.col("so").cast("double")
+    return g.select(
+        "n_vecs",
+        grid(F.col("sp").cast("double") / 1e9 / nd)
+        .alias("mean_parallel_loss"),
+        grid(F.col("so").cast("double") / 1e9 / nd)
+        .alias("mean_orth_loss"),
+        F.when(tot > 0, grid(F.col("sp").cast("double") / tot))
+         .alias("parallel_share"))

@@ -104,3 +104,22 @@ def store_heavy_hitters(t: dict[str, DataFrame]) -> DataFrame:
     jobs._merge_heavy_hitters(
         docs.where(F.pmod("doc_id", F.lit(2)) == 1), 2, d)
     return jobs.read_heavy_hitters(docs.sparkSession, d)
+
+
+def store_skyline(t: dict[str, DataFrame]) -> DataFrame:
+    """Skyline store, maintenance + serving: orders split into two
+    half-batches by o_orderkey parity, each folds in through
+    `_merge_skyline` (frontier-merge: the skyline of a union equals
+    the skyline of the union of skylines — the dominance-algebra
+    property the store relies on), and `read_skyline` serves the
+    committed frontier. Equals `orders_skyline_2d` computed directly
+    on the table — the twin IS that query."""
+    from ..streaming import jobs
+
+    o = t["orders"]
+    d = _dir("sky")
+    jobs._merge_skyline(
+        o.where(F.pmod("o_orderkey", F.lit(2)) == 0), 1, d)
+    jobs._merge_skyline(
+        o.where(F.pmod("o_orderkey", F.lit(2)) == 1), 2, d)
+    return jobs.read_skyline(o.sparkSession, d)

@@ -9687,6 +9687,87 @@ ORACLES.update({
                CAST(d1.dec + d2.dec AS BIGINT) AS dec_total
         FROM s2, d1, d2 WHERE s2.cnt > d2.dec
     """,
+    "anisotropic_pq_loss": f"""
+        WITH {_PQ_BOOK},
+        {_PQ_CODES},
+        per AS (
+          SELECT e.vec_id,
+                 list_sum(list(list_sum(list_transform(range(1, 9), i -> (CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE) - b.cv[CAST(i AS INT)]) * CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE))) ORDER BY c.m)) AS rx,
+                 list_sum(list(list_sum(list_transform(range(1, 9), i -> (CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE) - b.cv[CAST(i AS INT)]) * (CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE) - b.cv[CAST(i AS INT)]))) ORDER BY c.m)) AS rr,
+                 list_sum(list(list_sum(list_transform(range(1, 9), i -> CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(c.m * 8 + i AS INT)] AS DOUBLE))) ORDER BY c.m)) AS xx
+          FROM embeddings e
+          JOIN codes c USING (vec_id)
+          JOIN book b ON b.m = c.m AND b.code = c.code
+          GROUP BY e.vec_id),
+        q AS (
+          SELECT CAST(floor(rx * rx / xx * 1e9 + 0.5) AS BIGINT)
+                   AS qp,
+                 CAST(floor((rr - rx * rx / xx) * 1e9 + 0.5)
+                   AS BIGINT) AS qo
+          FROM per WHERE xx > 0),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     CAST(SUM(qp) AS DECIMAL(38,0)) AS sp,
+                     CAST(SUM(qo) AS DECIMAL(38,0)) AS so
+              FROM q)
+        SELECT n_vecs,
+               floor(CAST(sp AS DOUBLE) / 1e9
+                 / CAST(n_vecs AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS mean_parallel_loss,
+               floor(CAST(so AS DOUBLE) / 1e9
+                 / CAST(n_vecs AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS mean_orth_loss,
+               CASE WHEN CAST(sp AS DOUBLE) + CAST(so AS DOUBLE) > 0
+                    THEN floor(CAST(sp AS DOUBLE)
+                      / (CAST(sp AS DOUBLE) + CAST(so AS DOUBLE))
+                      * 1e9 + 0.5) / 1e9 END AS parallel_share
+        FROM g
+    """,
+    "hill_tail_index": """
+        WITH top AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders ORDER BY c DESC LIMIT 101),
+        g AS (SELECT list_sort(list(c)) AS cs,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM top),
+        f AS (
+          SELECT n, cs[1] AS ck1,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(cs[2:],
+                     x -> CAST(floor(ln(CAST(x AS DOUBLE) / 100.0)
+                          * 1e9 + 0.5) AS BIGINT))),
+                   (acc, v) -> acc + v) AS su,
+                 CAST(floor(ln(CAST(cs[1] AS DOUBLE) / 100.0)
+                      * 1e9 + 0.5) AS BIGINT) AS base
+          FROM g)
+        SELECT CAST(100 AS INT) AS k,
+               CASE WHEN n = 101 AND ck1 > 0
+                    THEN CAST(ck1 AS DOUBLE) / 100.0 END AS x_k1,
+               CASE WHEN n = 101 AND ck1 > 0
+                    THEN floor(CAST(su - 100 * base AS DOUBLE) / 1e11
+                         * 1e9 + 0.5) / 1e9 END AS hill_h,
+               CASE WHEN n = 101 AND ck1 > 0
+                         AND CAST(su - 100 * base AS DOUBLE) / 1e11
+                             > 0
+                    THEN floor(1.0 / (CAST(su - 100 * base AS DOUBLE)
+                         / 1e11) * 1e9 + 0.5) / 1e9 END AS tail_alpha
+        FROM f
+    """,
+    "store_skyline": """
+        WITH pd AS (
+          SELECT o_orderdate, MAX(o_totalprice) AS day_max
+          FROM orders GROUP BY o_orderdate),
+        f AS (
+          SELECT o_orderdate, day_max,
+                 MAX(day_max) OVER (ORDER BY o_orderdate DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS later_max
+          FROM pd)
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_totalprice
+        FROM orders o JOIN f USING (o_orderdate)
+        WHERE o.o_totalprice = f.day_max
+          AND (f.later_max IS NULL OR o.o_totalprice > f.later_max)
+    """,
 })
 
 

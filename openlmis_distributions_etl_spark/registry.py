@@ -483,9 +483,13 @@ _OPERATORS = {
     "store_token_topk": stores.store_token_topk,
     "store_audience_overlap": stores.store_audience_overlap,
     "store_heavy_hitters": stores.store_heavy_hitters,
+    "store_skyline": stores.store_skyline,
     # §2.C round-8 wave 1: classical seasonal forecasting
     "holt_winters_daily_forecast": analytics.holt_winters_daily_forecast,
     "page_hinkley_drift": analytics.page_hinkley_drift,
+    "hill_tail_index": analytics.hill_tail_index,
+    # §2.F round-8: score-aware PQ loss decomposition (ScaNN)
+    "anisotropic_pq_loss": similarity.anisotropic_pq_loss,
 }
 
 
