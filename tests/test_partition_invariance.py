@@ -101,6 +101,11 @@ FLOAT_SENSITIVE = (
     "ushape_attribution",
     "user_retention_curve",
     "centroid_drift",
+    # round-8 wave: sequential folds, tail index, PQ loss audit
+    "holt_winters_daily_forecast",
+    "page_hinkley_drift",
+    "hill_tail_index",
+    "anisotropic_pq_loss",
 )
 
 

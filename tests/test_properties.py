@@ -1223,3 +1223,99 @@ def test_page_hinkley_matches_python_and_detects_planted_shift(spark):
     assert got["drift_detected"] is True
     assert al is not None
     assert got["detect_day"] == al.strftime("%Y-%m-%d")
+
+
+def test_hill_tail_index_matches_python(spark):
+    """Hill estimator vs brute-force python on a synthetic Pareto-ish
+    tail (values = c / rank): identical gridded H and alpha."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        HILL_K, hill_tail_index)
+
+    n = 150
+    vals = [10000.0 / (i + 1) for i in range(n)]
+    rows = [(i, i % 5, "O", v,
+             dt.date(2024, 1, 1) + dt.timedelta(days=i % 30), "1")
+            for i, v in enumerate(vals)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    got = hill_tail_index({"orders": orders}).collect()[0]
+
+    cents = sorted((math.floor(v * 100 + 0.5) for v in vals),
+                   reverse=True)
+    top = cents[:HILL_K]
+    xk1 = cents[HILL_K]
+    q = lambda c: math.floor(             # noqa: E731
+        math.log(c / 100.0) * 1e9 + 0.5)
+    su = sum(q(c) for c in top)
+    h = (su - HILL_K * q(xk1)) / (1e9 * HILL_K)
+    assert got["k"] == HILL_K
+    assert got["x_k1"] == xk1 / 100.0
+    assert got["hill_h"] == math.floor(h * 1e9 + 0.5) / 1e9
+    assert got["tail_alpha"] == math.floor(1.0 / h * 1e9 + 0.5) / 1e9
+    # Pareto with alpha ~ 1 by construction: sanity-band the estimate
+    assert 0.5 < got["tail_alpha"] < 2.0
+
+    # NULL-on-undefined: fewer than k+1 orders
+    short = spark.createDataFrame(
+        rows[:50], "o_orderkey long, o_custkey long, o_orderstatus "
+                   "string, o_totalprice double, o_orderdate date, "
+                   "o_orderpriority string")
+    g2 = hill_tail_index({"orders": short}).collect()[0]
+    assert g2["tail_alpha"] is None and g2["hill_h"] is None
+
+
+def test_anisotropic_pq_loss_matches_python(spark):
+    """Parallel/orthogonal residual decomposition vs numpy on the
+    real sf0.001 store: recompute codes + residuals brute-force and
+    pin the gridded corpus means exactly."""
+    import math
+
+    import numpy as np
+
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        PQ_K, PQ_M, PQ_SUBDIM, anisotropic_pq_loss)
+    from openlmis_distributions_etl_spark.registry import load_tables
+    from tests.conftest import SF0001
+
+    t = load_tables(spark, SF0001, "embeddings")
+    got = anisotropic_pq_loss(t).collect()[0]
+
+    rows = sorted(t["embeddings"].collect(),
+                  key=lambda r: r["vec_id"])
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    book = X[:PQ_K]
+    sp = so = n = 0
+    for v in X:
+        rx = rr = xx = 0.0
+        for m in range(PQ_M):
+            sub = v[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            best, bd = None, None
+            for code in range(PQ_K):
+                cv = book[code, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                d = float(sum((a - b) * (a - b)
+                              for a, b in zip(sub, cv)))
+                if bd is None or d < bd:
+                    bd, best = d, code
+            cv = book[best, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            rx += float(sum((a - b) * a for a, b in zip(sub, cv)))
+            rr += float(sum((a - b) * (a - b)
+                            for a, b in zip(sub, cv)))
+            xx += float(sum(a * a for a in sub))
+        if xx <= 0:
+            continue
+        lpar = rx * rx / xx
+        sp += math.floor(lpar * 1e9 + 0.5)
+        so += math.floor((rr - lpar) * 1e9 + 0.5)
+        n += 1
+    assert got["n_vecs"] == n
+    assert got["mean_parallel_loss"] == \
+        math.floor(sp / 1e9 / n * 1e9 + 0.5) / 1e9
+    assert got["mean_orth_loss"] == \
+        math.floor(so / 1e9 / n * 1e9 + 0.5) / 1e9
+    assert got["parallel_share"] == \
+        math.floor(sp / (sp + so) * 1e9 + 0.5) / 1e9
