@@ -123,3 +123,23 @@ def store_skyline(t: dict[str, DataFrame]) -> DataFrame:
     jobs._merge_skyline(
         o.where(F.pmod("o_orderkey", F.lit(2)) == 1), 2, d)
     return jobs.read_skyline(o.sparkSession, d)
+
+
+def store_lifecycle(t: dict[str, DataFrame]) -> DataFrame:
+    """User-lifecycle store, maintenance + serving: events split into
+    two half-batches by event_id parity, each folds in through
+    `_merge_lifecycle` (idempotent min-of-mins / max-of-maxes — the
+    first-seen-store discipline), and `read_lifecycle_stages`
+    finishes the snapshot into the (stage, n_users) report against
+    the store's own frontier. Equals `user_lifecycle_stages` computed
+    directly on the table because per-user min/max over a partition
+    of the corpus is the corpus min/max."""
+    from ..streaming import jobs
+
+    ev = t["events"]
+    d = _dir("life")
+    jobs._merge_lifecycle(
+        ev.where(F.pmod("event_id", F.lit(2)) == 0), 1, d)
+    jobs._merge_lifecycle(
+        ev.where(F.pmod("event_id", F.lit(2)) == 1), 2, d)
+    return jobs.read_lifecycle_stages(ev.sparkSession, d)

@@ -9751,6 +9751,22 @@ ORACLES.update({
                          / 1e11) * 1e9 + 0.5) / 1e9 END AS tail_alpha
         FROM f
     """,
+    "store_lifecycle": """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events),
+        anchor AS (SELECT MAX(us) AS hi FROM ev),
+        per AS (
+          SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us
+          FROM ev GROUP BY user_id)
+        SELECT CASE
+                 WHEN first_us >= hi - 30 * 86400000000 THEN 'new'
+                 WHEN last_us < hi - 60 * 86400000000 THEN 'churned'
+                 WHEN last_us < hi - 30 * 86400000000 THEN 'dormant'
+                 ELSE 'active' END AS stage,
+               COUNT(*) AS n_users
+        FROM per, anchor
+        GROUP BY 1
+    """,
     "store_skyline": """
         WITH pd AS (
           SELECT o_orderdate, MAX(o_totalprice) AS day_max

@@ -484,6 +484,7 @@ _OPERATORS = {
     "store_audience_overlap": stores.store_audience_overlap,
     "store_heavy_hitters": stores.store_heavy_hitters,
     "store_skyline": stores.store_skyline,
+    "store_lifecycle": stores.store_lifecycle,
     # §2.C round-8 wave 1: classical seasonal forecasting
     "holt_winters_daily_forecast": analytics.holt_winters_daily_forecast,
     "page_hinkley_drift": analytics.page_hinkley_drift,

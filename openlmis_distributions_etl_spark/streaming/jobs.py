@@ -1944,39 +1944,48 @@ def stream_maintain_lifecycle(events: DataFrame, out_dir: str,
     store into the batch report shape against the store's own
     frontier. State is one row per distinct user — the exact floor
     for this metric."""
-    import os
-
-    from pyspark.errors import AnalysisException
-
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        seen = (batch.select("user_id", F.unix_micros("ts").alias("us"))
-                .groupBy("user_id")
-                .agg(F.min("us").alias("first_us"),
-                     F.max("us").alias("last_us")))
-        try:
-            current = read_latest_snapshot(spark, out_dir)
-            merged = (current.unionByName(seen)
-                      .groupBy("user_id")
-                      .agg(F.min("first_us").alias("first_us"),
-                           F.max("last_us").alias("last_us")))
-        except FileNotFoundError:
-            merged = seen
-        except AnalysisException as e:
-            raise RuntimeError(
-                f"lifecycle store under {out_dir} unreadable; "
-                f"refusing to reset history") from e
-        version = f"v{batch_id:020d}"
-        merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
-        tmp = f"{out_dir}/_CURRENT.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(version)
-        os.replace(tmp, f"{out_dir}/_CURRENT")
+        _merge_lifecycle(batch, batch_id, out_dir)
 
     return (events.writeStream.foreachBatch(merge)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def _merge_lifecycle(batch: DataFrame, batch_id: int,
+                     out_dir: str) -> None:
+    """One idempotent min/max merge commit of a micro-batch into the
+    lifecycle store (see stream_maintain_lifecycle for the contract).
+    Module-level so replay tests and composed store queries can
+    invoke it directly."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    spark = batch.sparkSession
+    seen = (batch.select("user_id", F.unix_micros("ts").alias("us"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("first_us"),
+                 F.max("us").alias("last_us")))
+    try:
+        current = read_latest_snapshot(spark, out_dir)
+        merged = (current.unionByName(seen)
+                  .groupBy("user_id")
+                  .agg(F.min("first_us").alias("first_us"),
+                       F.max("last_us").alias("last_us")))
+    except FileNotFoundError:
+        merged = seen
+    except AnalysisException as e:
+        raise RuntimeError(
+            f"lifecycle store under {out_dir} unreadable; "
+            f"refusing to reset history") from e
+    version = f"v{batch_id:020d}"
+    merged.write.mode("overwrite").parquet(f"{out_dir}/{version}")
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, f"{out_dir}/_CURRENT")
 
 
 def read_lifecycle_stages(spark: SparkSession,

@@ -126,6 +126,13 @@ BNLJ_ALLOWED = {
     "lm_heldout_perplexity",     # broadcast train-vocab singleton row
     "heaps_law_fit",             # broadcast doc-id anchor rows (via
                                  # vocab_growth_curve)
+    # round-8 pinned broadcast singletons / bounded clouds
+    "bq_cand_sweep",             # broadcast mean-row + query set +
+                                 # code-scan-bytes singleton row
+    "anisotropic_pq_loss",       # broadcast PQ codebook row
+    "store_lifecycle",           # broadcast frontier-anchor singleton
+                                 # row (the user_lifecycle_stages
+                                 # pattern served from the store)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow
