@@ -3717,3 +3717,52 @@ def hill_tail_index(t: dict[str, DataFrame]) -> DataFrame:
         F.when(ok, grid(hn)).alias("hill_h"),
         F.when(ok & (hn > 0), grid(F.lit(1.0) / hn))
          .alias("tail_alpha"))
+
+
+def seasonal_decompose_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (the moving-average method behind R's decompose(); Kendall &
+    Stuart): trend = centered 7-day moving average (defined only
+    where all 7 calendar days exist), seasonal = per-ISO-weekday
+    mean of the detrended series — the weekly-shape table that says
+    HOW MUCH of revenue variation is \"it's Saturday\", and the
+    model-free companion to `holt_winters_daily_forecast` (whose
+    gamma-smoothed seasonal states should track these means).
+
+    Exactness: daily revenue is exact cents; the 7-day trend is ONE
+    integer window sum over the calendar-keyed range (RANGE BETWEEN
+    3 PRECEDING AND 3 FOLLOWING on the epoch-day key — identical in
+    both engines) divided once; each day's detrended value
+    floor-grids to integer micro-units BEFORE the weekday mean (the
+    PSI discipline — order-free sums), and the means are gridded
+    double chains. The un-partitioned range window runs over the
+    calendar-bounded daily frame (a few thousand rows at ANY corpus
+    scale), so the single-task window is a non-issue by
+    construction."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(
+        _daily_rev_cents(t)
+        .select("d", "rev",
+                F.datediff(F.col("d"),
+                           F.lit("1970-01-01").cast("date"))
+                .cast("long").alias("ed")))
+    w = Window.orderBy("ed").rangeBetween(-3, 3)
+    base = daily.select(
+        "d", "rev",
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.sum("rev").over(w).alias("s7"))
+    x = F.col("rev").cast("double") / F.lit(100.0)
+    tr = F.col("s7").cast("double") / F.lit(700.0)
+    det = (base.where(F.col("n7") == 7)
+           .select((F.expr("weekday(d)") + 1).cast("int").alias("dow"),
+                   F.floor((x - tr) * F.lit(1e6) + F.lit(0.5))
+                   .cast("long").alias("du")))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return (det.groupBy("dow")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum(F.col("du").cast(d38)).alias("su"))
+            .select("dow", "n_days",
+                    grid(F.col("su").cast("double") / 1e6
+                         / F.col("n_days").cast("double"))
+                    .alias("seasonal_mean")))

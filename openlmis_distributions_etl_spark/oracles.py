@@ -9722,6 +9722,33 @@ ORACLES.update({
                       * 1e9 + 0.5) / 1e9 END AS parallel_share
         FROM g
     """,
+    "seasonal_decompose_daily": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev,
+                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                      AS BIGINT) AS ed
+          FROM orders GROUP BY 1, 3),
+        base AS (
+          SELECT d, rev,
+                 COUNT(*) OVER (ORDER BY ed
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+                 SUM(rev) OVER (ORDER BY ed
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+          FROM daily),
+        det AS (
+          SELECT CAST(isodow(d) AS INT) AS dow,
+                 CAST(floor((CAST(rev AS DOUBLE) / 100.0
+                             - CAST(s7 AS DOUBLE) / 700.0)
+                      * 1e6 + 0.5) AS BIGINT) AS du
+          FROM base WHERE n7 = 7)
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               floor(CAST(SUM(du) AS DOUBLE) / 1e6
+                 / CAST(COUNT(*) AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS seasonal_mean
+        FROM det GROUP BY 1
+    """,
     "hill_tail_index": """
         WITH top AS (
           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c

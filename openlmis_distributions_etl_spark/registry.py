@@ -489,6 +489,7 @@ _OPERATORS = {
     "holt_winters_daily_forecast": analytics.holt_winters_daily_forecast,
     "page_hinkley_drift": analytics.page_hinkley_drift,
     "hill_tail_index": analytics.hill_tail_index,
+    "seasonal_decompose_daily": analytics.seasonal_decompose_daily,
     # §2.F round-8: score-aware PQ loss decomposition (ScaNN)
     "anisotropic_pq_loss": similarity.anisotropic_pq_loss,
 }

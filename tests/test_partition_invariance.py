@@ -106,6 +106,7 @@ FLOAT_SENSITIVE = (
     "page_hinkley_drift",
     "hill_tail_index",
     "anisotropic_pq_loss",
+    "seasonal_decompose_daily",
 )
 
 

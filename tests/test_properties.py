@@ -1319,3 +1319,45 @@ def test_anisotropic_pq_loss_matches_python(spark):
         math.floor(so / 1e9 / n * 1e9 + 0.5) / 1e9
     assert got["parallel_share"] == \
         math.floor(sp / (sp + so) * 1e9 + 0.5) / 1e9
+
+
+def test_seasonal_decompose_matches_python(spark):
+    """Moving-average decomposition vs brute-force python: centered
+    7-day trend on the calendar key, micro-unit detrended weekday
+    means, gridded bit-for-bit."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        seasonal_decompose_daily)
+
+    base = dt.date(2024, 3, 4)   # a Monday
+    vals = [100.0 + 40.0 * ((i % 7) == 5) + 3.0 * i for i in range(21)]
+    # knock out one day to exercise the full-window requirement
+    days = [i for i in range(21) if i != 9]
+    rows = [(i, i % 5, "O", vals[i], base + dt.timedelta(days=i), "1")
+            for i in days]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    got = {r["dow"]: r for r in seasonal_decompose_daily(
+        {"orders": orders}).collect()}
+
+    cents = {i: math.floor(vals[i] * 100 + 0.5) for i in days}
+    per = {}
+    for i in days:
+        win = [j for j in range(i - 3, i + 4) if j in cents]
+        if len(win) != 7:
+            continue
+        x = cents[i] / 100.0
+        tr = sum(cents[j] for j in win) / 700.0
+        du = math.floor((x - tr) * 1e6 + 0.5)
+        dow = (base + dt.timedelta(days=i)).isoweekday()
+        per.setdefault(dow, []).append(du)
+    assert set(got) == set(per)
+    for dow, dus in per.items():
+        want = math.floor(
+            sum(dus) / 1e6 / len(dus) * 1e9 + 0.5) / 1e9
+        assert got[dow]["n_days"] == len(dus)
+        assert got[dow]["seasonal_mean"] == want, dow
