@@ -3766,3 +3766,80 @@ def seasonal_decompose_daily(t: dict[str, DataFrame]) -> DataFrame:
                     grid(F.col("su").cast("double") / 1e6
                          / F.col("n_days").cast("double"))
                     .alias("seasonal_mean")))
+
+
+EWMA_CC_LAMBDA = 0.2    # EWMA weight (Lucas-Saccucci table value)
+EWMA_CC_L = 3.0         # control-limit width in sigma_z units
+
+
+def ewma_control_chart(t: dict[str, DataFrame]) -> DataFrame:
+    """EWMA control chart on daily revenue (Lucas & Saccucci 1990,
+    Technometrics 32): z_t = λ·x_t + (1−λ)·z_{t−1} with z_0 = μ and
+    TIME-VARYING limits μ ± L·σ·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})) — the
+    SPC chart that catches small sustained mean shifts a Shewhart
+    chart (`daily_revenue_control_chart`, ±2σ on single days) misses,
+    and the monitoring twin of `ewma_daily_revenue`'s smoother.
+
+    Determinism: μ and σ derive from exact DECIMAL(38,0) moments and
+    are floor-gridded to 1e-9 BEFORE entering the recursion (the
+    moments exceed 2^53 where decimal→double conversion is
+    engine-specific; gridding first keeps the whole z chain running
+    on bit-identical constants), the recursion is the standard
+    sequential in-row fold (list accumulator, appended z per step —
+    flat DOUBLE[] in the DuckDB twin), per-day limits use one pow per
+    row (identical chains; the house grid caveat applies), and the
+    out-of-control flag compares GRIDDED values so the flag set is
+    engine-identical off the measure-zero boundary. One calendar-
+    bounded rollup + a single-row fold + a 7-column explode."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    lam = EWMA_CC_LAMBDA
+    daily = retain(_daily_rev_cents(t))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    n38 = F.col("n").cast(d38)
+    mu = grid(F.col("s1").cast("double") / F.col("n") / F.lit(100.0))
+    sd = grid(F.sqrt(
+        (n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+        .cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1)))
+        / F.lit(100.0))
+    gs = stats.select(mu.alias("mu"), sd.alias("sd"))
+    seq = daily.agg(F.array_sort(F.collect_list(
+        F.struct("d", "rev"))).alias("dx"))
+    g = seq.crossJoin(F.broadcast(gs))
+    zs = F.expr(f"""
+        aggregate(transform(dx, p -> CAST(p.rev AS DOUBLE) / 100.0D),
+                  array(mu),
+                  (acc, x) -> array_append(acc,
+                      {lam}D * x
+                      + {1.0 - lam}D * element_at(acc, -1)))
+    """)
+    per = F.expr("""
+        transform(sequence(1, size(dx)), i -> struct(
+            element_at(dx, i).d AS d,
+            element_at(dx, i).rev AS rev,
+            element_at(zs, i + 1) AS z,
+            CAST(i AS INT) AS t))
+    """)
+    hw = (F.lit(EWMA_CC_L) * F.col("sd")
+          * F.sqrt(F.lit(lam / (2.0 - lam))
+                   * (F.lit(1.0)
+                      - F.pow(F.lit(1.0 - lam),
+                              2.0 * F.col("p.t").cast("double")))))
+    zq = grid(F.col("p.z"))
+    ucl = grid(F.col("mu") + hw)
+    lcl = grid(F.col("mu") - hw)
+    return (g.withColumn("zs", zs)
+            .select("mu", "sd", F.explode(per).alias("p"))
+            .select(F.date_format("p.d", "yyyy-MM-dd").alias("day"),
+                    (F.col("p.rev").cast("double") / 100.0)
+                    .alias("revenue"),
+                    zq.alias("ewma"),
+                    ucl.alias("ucl"), lcl.alias("lcl"),
+                    ((zq > ucl) | (zq < lcl)).cast("int")
+                    .alias("out_of_control")))

@@ -9722,6 +9722,69 @@ ORACLES.update({
                       * 1e9 + 0.5) / 1e9 END AS parallel_share
         FROM g
     """,
+    "ewma_control_chart": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        gs AS (
+          SELECT floor(CAST(s1 AS DOUBLE) / n / 100.0 * 1e9 + 0.5)
+                   / 1e9 AS mu,
+                 floor(sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                            - s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1))) / 100.0
+                       * 1e9 + 0.5) / 1e9 AS sd
+          FROM m),
+        seq AS (
+          SELECT list(d ORDER BY d) AS ds,
+                 list(rev ORDER BY d) AS xs
+          FROM daily),
+        z AS (
+          SELECT ds, xs, mu, sd, list_reduce(
+            list_prepend([mu],
+              list_transform(xs,
+                v -> [CAST(v AS DOUBLE) / 100.0])),
+            (acc, e) -> list_append(acc,
+              CAST(0.2 AS DOUBLE) * e[1]
+              + CAST(0.8 AS DOUBLE) * acc[-1])) AS zs
+          FROM seq, gs)
+        SELECT strftime(ds[CAST(t AS INT)], '%Y-%m-%d') AS day,
+               CAST(xs[CAST(t AS INT)] AS DOUBLE) / 100.0 AS revenue,
+               floor(zs[CAST(t + 1 AS INT)] * 1e9 + 0.5) / 1e9
+                 AS ewma,
+               floor((mu + 3.0 * sd
+                 * sqrt(CAST(0.11111111111111112 AS DOUBLE)
+                        * (1.0 - pow(CAST(0.8 AS DOUBLE),
+                                     2.0 * CAST(t AS DOUBLE)))))
+                 * 1e9 + 0.5) / 1e9 AS ucl,
+               floor((mu - 3.0 * sd
+                 * sqrt(CAST(0.11111111111111112 AS DOUBLE)
+                        * (1.0 - pow(CAST(0.8 AS DOUBLE),
+                                     2.0 * CAST(t AS DOUBLE)))))
+                 * 1e9 + 0.5) / 1e9 AS lcl,
+               CAST(floor(zs[CAST(t + 1 AS INT)] * 1e9 + 0.5) / 1e9
+                    > floor((mu + 3.0 * sd
+                      * sqrt(CAST(0.11111111111111112 AS DOUBLE)
+                             * (1.0 - pow(CAST(0.8 AS DOUBLE),
+                                          2.0 * CAST(t AS DOUBLE)))))
+                      * 1e9 + 0.5) / 1e9
+                 OR floor(zs[CAST(t + 1 AS INT)] * 1e9 + 0.5) / 1e9
+                    < floor((mu - 3.0 * sd
+                      * sqrt(CAST(0.11111111111111112 AS DOUBLE)
+                             * (1.0 - pow(CAST(0.8 AS DOUBLE),
+                                          2.0 * CAST(t AS DOUBLE)))))
+                      * 1e9 + 0.5) / 1e9 AS INT) AS out_of_control
+        FROM z, (SELECT unnest(range(1, len((SELECT ds FROM seq)) + 1))
+                 AS t)
+    """,
     "seasonal_decompose_daily": """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,

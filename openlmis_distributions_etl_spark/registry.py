@@ -490,6 +490,7 @@ _OPERATORS = {
     "page_hinkley_drift": analytics.page_hinkley_drift,
     "hill_tail_index": analytics.hill_tail_index,
     "seasonal_decompose_daily": analytics.seasonal_decompose_daily,
+    "ewma_control_chart": analytics.ewma_control_chart,
     # §2.F round-8: score-aware PQ loss decomposition (ScaNN)
     "anisotropic_pq_loss": similarity.anisotropic_pq_loss,
 }

@@ -107,6 +107,7 @@ FLOAT_SENSITIVE = (
     "hill_tail_index",
     "anisotropic_pq_loss",
     "seasonal_decompose_daily",
+    "ewma_control_chart",
 )
 
 

@@ -1361,3 +1361,54 @@ def test_seasonal_decompose_matches_python(spark):
             sum(dus) / 1e6 / len(dus) * 1e9 + 0.5) / 1e9
         assert got[dow]["n_days"] == len(dus)
         assert got[dow]["seasonal_mean"] == want, dow
+
+
+def test_ewma_control_chart_matches_python_and_flags_shift(spark):
+    """EWMA chart vs brute-force python on a series with a small
+    sustained mean shift: identical gridded z/limits, the shift days
+    flag out-of-control, and the pre-shift days don't."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        ewma_control_chart)
+
+    vals = [100.0 + (i % 3) for i in range(30)] + \
+        [112.0 + (i % 3) for i in range(15)]   # small sustained shift
+    base = dt.date(2024, 1, 1)
+    rows = [(i, i % 5, "O", v, base + dt.timedelta(days=i), "1")
+            for i, v in enumerate(vals)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    got = {r["day"]: r for r in ewma_control_chart(
+        {"orders": orders}).collect()}
+    assert len(got) == len(vals)
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n = len(cents)
+    s1, s2 = sum(cents), sum(c * c for c in cents)
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    mu = g9(s1 / n / 100.0)
+    sd = g9(math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / 100.0)
+    z = mu
+    flagged = []
+    for i, c in enumerate(cents):
+        t_ = i + 1
+        z = 0.2 * (c / 100.0) + 0.8 * z
+        hw = 3.0 * sd * math.sqrt(
+            (0.2 / 1.8) * (1.0 - 0.8 ** (2.0 * t_)))
+        day = (base + dt.timedelta(days=i)).strftime("%Y-%m-%d")
+        r = got[day]
+        assert r["ewma"] == g9(z), day
+        assert r["ucl"] == g9(mu + hw), day
+        assert r["lcl"] == g9(mu - hw), day
+        want_flag = int(g9(z) > g9(mu + hw) or g9(z) < g9(mu - hw))
+        assert r["out_of_control"] == want_flag, day
+        if want_flag:
+            flagged.append(day)
+    # the sustained shift must trip the chart, and only after day 30
+    assert flagged
+    assert min(flagged) >= (base + dt.timedelta(days=30)) \
+        .strftime("%Y-%m-%d")
