@@ -142,6 +142,8 @@ HEADLINE = [
     "hill_tail_index",
     "store_value_quantiles",
     "store_heavy_hitters",
+    "seasonal_decompose_daily",
+    "ewma_control_chart",
     # round-6 waves 22-26: skyline, rank stats, curation signals,
     # deciles, PQ health
     "orders_skyline_2d",
