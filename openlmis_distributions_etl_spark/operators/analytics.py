@@ -2558,7 +2558,11 @@ def _day_span_fence(n_days: Column, op: str) -> Column:
     """n_days routed through the pair-cloud bound: past
     TS_PAIR_DAY_BOUND distinct days the O(n²) pair build would no
     longer be calendar-bounded small, so the query raises instead of
-    silently scheduling ~n²/2 rows."""
+    silently scheduling ~n²/2 rows. Defense-in-depth layer: the
+    schedule-free guarantee comes from `_day_span_precheck`, which
+    raises in Python BEFORE the pair cloud is even constructed — this
+    declarative fence remains on the n_days output column so any
+    composition that bypasses the precheck still fails loudly."""
     from .analytics import TS_PAIR_DAY_BOUND as lim
     return (F.when(n_days <= F.lit(lim), n_days)
             .otherwise(F.raise_error(F.format_string(
@@ -2566,6 +2570,21 @@ def _day_span_fence(n_days: Column, op: str) -> Column:
                 + str(lim) + "-day pair-cloud bound (~n^2/2 pair "
                 "rows) - aggregate to coarser buckets or sample "
                 "the slope cloud", n_days)).cast("long")))
+
+
+def _day_span_precheck(daily: DataFrame, op: str) -> None:
+    """Eager pair-cloud fence (ADVICE r8): count the retained daily
+    frame NOW and raise in Python before the quadratic pair cloud is
+    built, so Spark can never schedule the O(n²) stages concurrently
+    with a broadcast-side failure. The count is one tiny job over the
+    already-persisted calendar-bounded rollup — it doubles as the
+    cache materialization the pair build reuses."""
+    n = daily.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    if n > TS_PAIR_DAY_BOUND:
+        raise RuntimeError(
+            f"{op}: {n} distinct days exceeds the {TS_PAIR_DAY_BOUND}"
+            "-day pair-cloud bound (~n^2/2 pair rows) - aggregate to "
+            "coarser buckets or sample the slope cloud")
 
 
 def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
@@ -2587,6 +2606,7 @@ def theil_sen_daily_trend(t: dict[str, DataFrame]) -> DataFrame:
     instead of scheduling it."""
     from ..functions.cache import retain
     daily = retain(_daily_rev_cents(t))
+    _day_span_precheck(daily, "theil_sen_daily_trend")
     later = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
     slopes = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
               .select(((F.col("rev2") - F.col("rev")).cast("double")
@@ -2619,6 +2639,7 @@ def mann_kendall_trend(t: dict[str, DataFrame]) -> DataFrame:
     compares exactly."""
     from ..functions.cache import retain
     daily = retain(_daily_rev_cents(t))
+    _day_span_precheck(daily, "mann_kendall_trend")
     later = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
     sgn = F.signum((F.col("rev2") - F.col("rev")).cast("double"))
     pairs = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))

@@ -1832,7 +1832,13 @@ BEAM_REPS = 3      # long-range fan: edges reach the 3 lowest-vec_id
                    # +0.3-0.4 recall at ~2x average degree)
 
 
-_BEAM_INDEX_MEMO: dict[int, tuple] = {}
+_BEAM_INDEX_MEMO: dict[tuple, tuple] = {}
+
+# Adjacency page-cache bound per store: one search visits ~hops × ef
+# × degree ≈ 4k ids, so 64k pages is ~16 searches of working set —
+# past that the cache resets rather than growing without bound in a
+# long-lived driver (ADVICE r8).
+_BEAM_ADJ_CACHE_MAX = 65_536
 
 
 def _beam_adjacency(edges: DataFrame, adj: dict, srcs) -> dict:
@@ -1840,8 +1846,13 @@ def _beam_adjacency(edges: DataFrame, adj: dict, srcs) -> dict:
     cache and fetched from the distributed edge table only for ids no
     search has touched yet — the page-in pattern of a graph-ANN
     server. Cache size is bounded by what searches actually visit
-    (hops × ef × degree per query), never the edge table; missing
-    ids are pinned to () so dead-ends aren't re-fetched."""
+    (hops × ef × degree per query), never the edge table, and hard-
+    capped at `_BEAM_ADJ_CACHE_MAX` pages (reset on overflow) so a
+    long-lived driver serving many stores can't grow it without
+    bound; missing ids are pinned to () so dead-ends aren't
+    re-fetched."""
+    if len(adj) > _BEAM_ADJ_CACHE_MAX:
+        adj.clear()
     need = [s for s in srcs if s not in adj]
     if need:
         for s in need:
@@ -1858,13 +1869,25 @@ def _beam_serving_index(t: dict[str, DataFrame]) -> tuple:
     searches, so `knn_beam` / `knn_beam_batch` and their recall/nDCG
     harnesses share one persisted index per embedding store instead
     of rebuilding it per query — exactly how a graph-ANN service
-    amortizes its build. Keyed by the store's semantic hash (same
-    source plan => same deterministic index), LRU-bounded at 4
-    stores, evictees unpersisted. Persisted OUTSIDE the per-query
-    retain registry on purpose: the whole point is surviving the
-    between-queries cache release."""
+    amortizes its build. Keyed by (SparkSession, semantic hash): the
+    semantic hash identifies the PLAN (same source plan => same
+    deterministic index), and the session guard keeps a process that
+    stops and recreates its SparkSession from being served persisted
+    frames bound to the dead session (ADVICE r8 — entries from other
+    sessions are dropped on sight, since their persisted blocks died
+    with the session). LRU-bounded at 4 stores, evictees unpersisted.
+    Persisted OUTSIDE the per-query retain registry on purpose: the
+    whole point is surviving the between-queries cache release.
+
+    Known residual (documented, not fixed): same session + same path
+    REWRITTEN with different data keeps the same semantic hash and
+    would serve the stale index — acceptable here because the
+    testdata stores are immutable snapshots by contract."""
     from pyspark.storagelevel import StorageLevel
-    key = t["embeddings"].semanticHash()
+    sess = t["embeddings"].sparkSession
+    for k in [k for k in _BEAM_INDEX_MEMO if k[0] is not sess]:
+        _BEAM_INDEX_MEMO.pop(k, None)  # frames died with their session
+    key = (sess, t["embeddings"].semanticHash())
     hit = _BEAM_INDEX_MEMO.pop(key, None)
     if hit is None:
         edges = _build_beam_edges(t)

@@ -514,6 +514,32 @@ def _wrap(fn) -> QueryFn:
 # rotating driver exposure onto the least-covered waves while every
 # entry stays in the registry either way.
 _DRIVER_SAMPLED = frozenset((
+    # -- CORRECTNESS_r08 (all 50 green) --
+    "approx_value_percentiles", "asof_time_to_purchase",
+    "bm25_scores", "cohort_retention",
+    "curation_pipeline", "daily_active_users",
+    "dedup_ngram_coverage", "deterministic_sample",
+    "deterministic_shuffle", "doc_bpe_token_count",
+    "doc_dup_rate_by_source", "doc_fingerprint",
+    "doc_langid", "doc_oov_rate",
+    "doc_quality_filters", "doc_quality_score",
+    "doc_rolling_hash", "doc_tfidf_top_terms",
+    "doc_token_count", "embedding_norms",
+    "embedding_quantize_int8", "event_transitions",
+    "event_value_outliers", "funnel_three_step",
+    "hashed_classifier_score", "hybrid_search_rrf",
+    "kmeans_centroids", "knn_batch",
+    "knn_bruteforce", "knn_ivf",
+    "knn_ivf_trained", "knn_pq_adc",
+    "label_centroids", "language_mixture_weights",
+    "multimodal_byte_stats_arrow", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_shard_plan",
+    "pii_redaction", "pq_codes",
+    "range_join_value_buckets", "salted_event_type_stats",
+    "semantic_dedup_components", "semantic_dedup_pairs",
+    "sequence_packing", "sliding_window_event_counts",
+    "token_countmin_topk", "token_freq_topk",
+    "user_value_histogram_pandas", "winnowing_fingerprints",
     # -- CORRECTNESS_r07 (all 50 green) --
     "anova_f_values", "bbit_minhash_estimate",
     "brown_forsythe_variance_test", "ccnet_perplexity_buckets",

@@ -133,6 +133,9 @@ BNLJ_ALLOWED = {
     "store_lifecycle",           # broadcast frontier-anchor singleton
                                  # row (the user_lifecycle_stages
                                  # pattern served from the store)
+    "ewma_control_chart",        # broadcast global-stats singleton row
+                                 # (same 1×1 crossJoin(F.broadcast(gs))
+                                 # pattern as daily_revenue_control_chart)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

@@ -46,7 +46,18 @@ def main() -> None:
                 "AQE off.\nRegenerate: `python tools/gen_shuffle_audit.py`"
                 ".\n`bnlj` > 0 only in the broadcast-singleton patterns "
                 "pinned in\n`tests/test_plan_hygiene.py`; `py` > 0 only "
-                "in the declared Arrow lanes.\n\n")
+                "in the declared Arrow lanes.\n\n"
+                "Caveat (ADVICE r8): `knn_beam` / `knn_beam_batch` run "
+                "their search at\nDataFrame-CONSTRUCTION time (the "
+                "coordinator-held beam loop issues the\nbounded per-hop "
+                "probe jobs immediately) and return a LocalRelation, so "
+                "their\nall-zero rows below describe the final serving "
+                "frame, not the per-hop probe\njobs; building either "
+                "query without executing it still pays the full search.\n"
+                "Their correctness is pinned by the oracle-parity gate "
+                "and the partition-\ninvariance battery; the per-hop "
+                "probe cost model is documented at\n"
+                "`operators/similarity.py::knn_beam`.\n\n")
         f.write("| query | exchanges | bcast_join | smj | shj | bnlj "
                 "| py |\n|---|---|---|---|---|---|---|\n")
         for r in rows:
