@@ -3864,3 +3864,408 @@ def ewma_control_chart(t: dict[str, DataFrame]) -> DataFrame:
                     ucl.alias("ucl"), lcl.alias("lcl"),
                     ((zq > ucl) | (zq < lcl)).cast("int")
                     .alias("out_of_control")))
+
+
+# round-9 wave 1: classical SPC / normality / autocorrelation tests
+# over the same calendar-bounded daily rollup and quantized value
+# machinery the round-8 statistics wave established
+
+
+CUSUM_K_SIGMA = 0.5   # slack, in sigma units (Montgomery's k = delta/2)
+CUSUM_H_SIGMA = 4.0   # decision interval, in sigma units (h)
+
+
+def cusum_daily_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sided tabular CUSUM on daily revenue (Page 1954 Biometrika;
+    the tabular form in Montgomery's SPC ch. 9): C+_t = max(0, C+_{t-1}
+    + x_t - mu0 - K) and C-_t = max(0, C-_{t-1} + mu0 - K - x_t) with
+    K = 0.5 sigma and decision interval H = 4 sigma — the mean-shift
+    accumulator that complements `page_hinkley_drift` (self-exciting
+    running-mean form) and `ewma_control_chart` (weighted form) in the
+    classical SPC triple.
+
+    Determinism (the ewma_control_chart contract): mu0 and sigma come
+    from exact DECIMAL(38,0) moments and are floor-gridded to 1e-9
+    BEFORE entering the recursion, as are K and H, so the whole fold
+    runs on bit-identical constants in both engines; the fold itself
+    is one day-sorted in-row array pass (flat DOUBLE[] accumulator in
+    the DuckDB twin). One calendar-bounded rollup + a single-row fold
+    — nothing downstream scales with the fact table."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    n38 = F.col("n").cast(d38)
+    mu = grid(F.col("s1").cast("double") / F.col("n") / F.lit(100.0))
+    sd = grid(F.sqrt(
+        (n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+        .cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1)))
+        / F.lit(100.0))
+    gs = stats.select(
+        F.col("n").alias("n_days"), mu.alias("mu"), sd.alias("sd"),
+        grid(F.lit(CUSUM_K_SIGMA) * sd).alias("kk"),
+        grid(F.lit(CUSUM_H_SIGMA) * sd).alias("hh"))
+    seq = daily.agg(F.array_sort(F.collect_list(F.struct(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("ed"),
+        (F.col("rev").cast("double") / F.lit(100.0)).alias("x"))))
+        .alias("dx"))
+    g = seq.crossJoin(F.broadcast(gs))
+    cp = "greatest(0.0D, acc.cp + e.x - mu - kk)"
+    cm = "greatest(0.0D, acc.cm + mu - kk - e.x)"
+    alarm = f"(({cp}) > hh OR ({cm}) > hh)"
+    st = F.expr(f"""
+        aggregate(dx,
+          named_struct('cp', 0.0D, 'cm', 0.0D, 'mp', 0.0D,
+                       'mm', 0.0D, 'al', 0.0D, 'fd', -1.0D),
+          (acc, e) -> named_struct(
+            'cp', {cp},
+            'cm', {cm},
+            'mp', greatest(acc.mp, {cp}),
+            'mm', greatest(acc.mm, {cm}),
+            'al', acc.al + CASE WHEN {alarm} THEN 1.0D ELSE 0.0D END,
+            'fd', CASE WHEN acc.fd >= 0.0D THEN acc.fd
+                       WHEN {alarm} THEN e.ed ELSE -1.0D END))
+    """)
+    out = g.select("n_days", "mu", "sd", "kk", "hh", st.alias("st"))
+    grid2 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return out.select(
+        "n_days", "mu", "sd",
+        F.col("kk").alias("slack_k"), F.col("hh").alias("limit_h"),
+        grid2(F.col("st.cp")).alias("cusum_pos"),
+        grid2(F.col("st.cm")).alias("cusum_neg"),
+        grid2(F.col("st.mp")).alias("max_pos"),
+        grid2(F.col("st.mm")).alias("max_neg"),
+        F.col("st.al").cast("long").alias("n_alarm_days"),
+        F.when(F.col("st.fd") >= 0,
+               F.date_format(
+                   F.date_add(F.lit("1970-01-01").cast("date"),
+                              F.col("st.fd").cast("int")),
+                   "yyyy-MM-dd"))
+        .alias("first_alarm_day"))
+
+
+def runs_test_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily revenue about
+    its median (Wald & Wolfowitz 1940, Ann. Math. Stat. 11): days
+    above the (lower) median are '+', below are '-', exact-median days
+    drop out (the standard treatment); R counts the maximal runs, and
+    z = (R - mu_R)/sigma_R with mu_R = 2 n1 n2/(n1+n2) + 1 — the
+    distribution-free "is this series actually random" gate that
+    trend tests assume has already been asked.
+
+    Everything through R is INTEGER arithmetic on the day-sorted
+    in-row array (calendar-bounded); the median is the rank-exact
+    lower median of the same array (the house selection convention,
+    no interpolation); only the final z expression is IEEE double,
+    floor-gridded to 1e-9 and evaluated by the identical chain in
+    DuckDB. NULL z when either side is empty or the variance
+    degenerates."""
+    from ..functions.cache import retain
+    daily = retain(_daily_rev_cents(t))
+    agg = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "rev"))).alias("dx"),
+        F.array_sort(F.collect_list("rev")).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"))
+    # explicit floor: Spark's double->int cast truncates but DuckDB's
+    # rounds half-even, so the index expression floors on BOTH sides
+    md = F.element_at(
+        F.col("vs"), F.floor((F.col("n_days") + 1) / 2).cast("int"))
+    g = agg.select("dx", "n_days", md.alias("md"))
+    sgn = ("CASE WHEN e.rev > md THEN 1.0D "
+           "WHEN e.rev < md THEN -1.0D ELSE 0.0D END")
+    st = F.expr(f"""
+        aggregate(dx,
+          named_struct('r', 0.0D, 'pv', 0.0D, 'a', 0.0D, 'b', 0.0D),
+          (acc, e) -> named_struct(
+            'r', acc.r + CASE WHEN ({sgn}) = 0.0D THEN 0.0D
+                              WHEN ({sgn}) = acc.pv THEN 0.0D
+                              ELSE 1.0D END,
+            'pv', CASE WHEN ({sgn}) = 0.0D THEN acc.pv
+                       ELSE ({sgn}) END,
+            'a', acc.a + CASE WHEN ({sgn}) > 0.0D
+                              THEN 1.0D ELSE 0.0D END,
+            'b', acc.b + CASE WHEN ({sgn}) < 0.0D
+                              THEN 1.0D ELSE 0.0D END))
+    """)
+    out = g.select(
+        "n_days",
+        (F.col("md").cast("double") / F.lit(100.0)).alias("median_rev"),
+        st.alias("st"))
+    n1, n2, r = F.col("st.a"), F.col("st.b"), F.col("st.r")
+    mu_r = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var_r = (mu_r - 1) * (mu_r - 2) / (n1 + n2 - 1)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    z = F.when((n1 > 0) & (n2 > 0) & (var_r > 0),
+               grid((r - mu_r) / F.sqrt(var_r)))
+    return out.select(
+        "n_days", "median_rev",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        grid(mu_r).alias("expected_runs"),
+        z.alias("z_runs"))
+
+
+def grubbs_daily_outlier(t: dict[str, DataFrame]) -> DataFrame:
+    """Grubbs' extreme-studentized-deviate statistic on daily revenue
+    (Grubbs 1950, Ann. Math. Stat. 21): G = max |x - mean| / sd, with
+    the day attaining it — the classical single-outlier test a
+    reporting pipeline runs before trusting a daily total, and the
+    argmax twin of `daily_revenue_control_chart`'s banded flags.
+
+    mu and sigma derive from exact DECIMAL(38,0) moments and are
+    floor-gridded to 1e-9 BEFORE the deviation scan (the
+    ewma_control_chart convention), the per-day deviation is gridded
+    before the argmax so the winner (ties -> earliest day) is
+    engine-identical, and the argmax itself is a distributed
+    TakeOrdered over the calendar-bounded daily frame — no global
+    sort."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    n38 = F.col("n_days").cast(d38)
+    mu = grid(F.col("s1").cast("double") / F.col("n_days")
+              / F.lit(100.0))
+    sd = grid(F.sqrt(
+        (n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+        .cast("double")
+        / (F.col("n_days").cast("double") * (F.col("n_days") - 1)))
+        / F.lit(100.0))
+    gs = stats.select("n_days", mu.alias("mu"), sd.alias("sd"))
+    dev = grid(F.abs(F.col("rev").cast("double") / F.lit(100.0)
+                     - F.col("mu")))
+    return (daily.crossJoin(F.broadcast(gs))
+            .select("n_days", "mu", "sd", "d", "rev",
+                    dev.alias("dev"))
+            .orderBy(F.desc("dev"), F.asc("d"))
+            .limit(1)
+            .select(
+                "n_days", "mu", "sd",
+                F.date_format("d", "yyyy-MM-dd").alias("outlier_day"),
+                (F.col("rev").cast("double") / F.lit(100.0))
+                .alias("outlier_revenue"),
+                grid(F.col("dev") / F.col("sd")).alias("g_stat")))
+
+
+LB_MAX_LAG = 7   # Ljung-Box lag budget (one weekly cycle)
+
+
+def ljung_box_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Ljung–Box portmanteau test on daily revenue (Ljung & Box 1978,
+    Biometrika 65): global-mean ACF rho_k at lags 1..7 and the
+    cumulative Q_m = n(n+2) sum_{k<=m} rho_k^2/(n-k) — the "is there
+    ANY autocorrelation left" gate run on forecast residuals, and the
+    portmanteau companion to `daily_revenue_autocorr`'s per-lag
+    Pearson variant (which uses per-window means; Ljung-Box uses the
+    one global mean, the textbook ACF).
+
+    All lag sums (Sxy, Sx, Sy, n_k) and the global moments accumulate
+    in DECIMAL(38,0) — exact, order-independent; rho_k assembles from
+    their double conversions in one fixed chain and grids to 1e-9,
+    and the cumulative Q folds over the GRIDDED rho_k in lag order
+    (in-row array fold), gridded to 1e-6 — coarser on purpose: Q
+    carries an n(n+2) ~ 1e7 amplification of any conversion ulp, and
+    the coarser grid keeps a 1-ulp input wobble well inside half a
+    grid step (the SURVEY §5 grid-magnitude convention). Shape: one
+    calendar-bounded rollup, a 7-way explode + broadcast self-join of
+    the tiny daily frame, one single-row fold."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    gstats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    lags = daily.select(
+        "d", "rev",
+        F.explode(F.array(*[F.lit(k) for k in
+                            range(1, LB_MAX_LAG + 1)])).alias("lag"))
+    prior = daily.select(F.col("d").alias("d0"),
+                         F.col("rev").alias("rev0"))
+    pairs = (lags.withColumn("d0", F.expr("date_sub(d, lag)"))
+             .join(F.broadcast(prior), "d0"))
+    m = (pairs.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n_k"),
+              F.sum(F.col("rev").cast(d38)).alias("sx"),
+              F.sum(F.col("rev0").cast(d38)).alias("sy"),
+              F.sum((F.col("rev").cast(d38)
+                     * F.col("rev0").cast(d38)).cast(d38))
+              .alias("sxy")))
+    g = m.crossJoin(F.broadcast(gstats))
+    xbar = F.col("s1").cast("double") / F.col("n_days")
+    den = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * xbar)
+    num = (F.col("sxy").cast("double")
+           - xbar * (F.col("sx").cast("double")
+                     + F.col("sy").cast("double"))
+           + F.col("n_k").cast("double") * xbar * xbar)
+    rows = g.select("lag", "n_k", "n_days",
+                    grid(num / den).alias("rho"))
+    one = rows.groupBy("n_days").agg(
+        F.array_sort(F.collect_list(F.struct("lag", "n_k", "rho")))
+        .alias("ls"))
+    # cumulative Q in lag order: running sum of rho^2/(n-k), scaled by
+    # n(n+2) — an in-row fold that appends each prefix
+    qs = F.expr("""
+        aggregate(ls, array(0.0D),
+          (acc, e) -> array_append(acc,
+            element_at(acc, -1)
+            + e.rho * e.rho
+              / (CAST(n_days AS DOUBLE) - CAST(e.lag AS DOUBLE))))
+    """)
+    per = F.expr("""
+        transform(sequence(1, size(ls)), i -> struct(
+            element_at(ls, i).lag AS lag,
+            element_at(ls, i).n_k AS n_k,
+            element_at(ls, i).rho AS rho,
+            element_at(qs, i + 1) AS qraw))
+    """)
+    nn = F.col("n_days").cast("double")
+    grid6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (one.withColumn("qs", qs)
+            .select("n_days", F.explode(per).alias("p"))
+            .select("n_days",
+                    F.col("p.lag").alias("lag"),
+                    F.col("p.n_k").alias("n_pairs"),
+                    F.col("p.rho").alias("rho"),
+                    grid6(nn * (nn + 2) * F.col("p.qraw"))
+                    .alias("q_stat"),
+                    F.col("p.lag").cast("long").alias("df")))
+
+
+JB_UNIT_GRID = 10_000       # value quantization for moment sums
+                            # (1e-4 units, the PB_VGRID convention)
+JB_SUM_FENCE = 9e36         # loud ceiling for n * max|vu|^4: past it
+                            # the DECIMAL(38,0) fourth-moment sum
+                            # could overflow (Spark's non-ANSI
+                            # decimal overflow is a silent NULL)
+
+
+def jarque_bera_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Jarque–Bera normality test of event values per event type
+    (Jarque & Bera 1980, Economics Letters 6): sample skewness b1 and
+    kurtosis b2 from the first four moments, JB = n/6 (b1^2 +
+    (b2-3)^2/4) — the moments-only normality gate that needs no
+    sorting, binning, or quantiles, which is exactly what makes it
+    the 100 TB-friendly member of the normality family (one map-side-
+    combinable aggregation, period).
+
+    Exactness: values quantize to integer 1e-4 units BEFORE the
+    moment sums; all four power sums accumulate in DECIMAL(38,0)
+    (order-independent exact integers), and a loud fence raises when
+    n * max|vu|^4 approaches the decimal ceiling instead of letting
+    the sum overflow to NULL. Skew/kurtosis are scale-invariant, so
+    the unit change drops out; their double chains grid to 1e-9 and
+    JB assembles FROM the gridded pair (n/6 amplifies conversion
+    wobble ~n-fold; building on gridded inputs makes the JB chain
+    bit-identical by construction), gridded to 1e-6."""
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * JB_UNIT_GRID + F.lit(0.5)).cast("long")
+    e = t["events"].select("event_type", vu.alias("vu"))
+    v38 = F.col("vu").cast(d38)
+    v2 = (v38 * v38).cast(d38)
+    m = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.max(F.abs(F.col("vu"))).alias("mx"),
+              F.sum(v38).alias("s1"),
+              F.sum(v2).alias("s2"),
+              F.sum((v2 * v38).cast(d38)).alias("s3"),
+              F.sum((v2 * v2).cast(d38)).alias("s4")))
+    fence = (F.when(F.col("n").cast("double")
+                    * F.pow(F.col("mx").cast("double"), 4.0)
+                    < F.lit(JB_SUM_FENCE), F.col("n"))
+             .otherwise(F.raise_error(F.format_string(
+                 "jarque_bera_value: n * max|vu|^4 for type %s nears "
+                 "the DECIMAL(38,0) ceiling - coarsen JB_UNIT_GRID",
+                 F.col("event_type"))).cast("long")))
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m1 = s1d / nd
+    m2 = s2d / nd - m1 * m1
+    m3 = s3d / nd - 3 * m1 * s2d / nd + 2 * m1 * m1 * m1
+    m4 = (s4d / nd - 4 * m1 * s3d / nd
+          + 6 * m1 * m1 * s2d / nd - 3 * m1 * m1 * m1 * m1)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    grid6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    out = m.select("event_type", fence.alias("n_events"),
+                   grid(m3 / F.pow(m2, 1.5)).alias("skewness"),
+                   grid(m4 / (m2 * m2)).alias("kurtosis"))
+    jb = (F.col("n_events").cast("double") / 6.0
+          * (F.col("skewness") * F.col("skewness")
+             + (F.col("kurtosis") - 3.0)
+             * (F.col("kurtosis") - 3.0) / 4.0))
+    return out.select("event_type", "n_events", "skewness", "kurtosis",
+                      grid6(jb).alias("jarque_bera"))
+
+
+def bartlett_variance_test(t: dict[str, DataFrame]) -> DataFrame:
+    """Bartlett's test of variance homogeneity across event types
+    (Bartlett 1937, Proc. R. Soc. A 160): chi2 = [(N-k) ln s_p^2 -
+    sum (n_i-1) ln s_i^2] / C with the standard small-sample
+    correction C — the parametric counterpart of the repo's
+    `brown_forsythe_variance_test` (which is robust to
+    non-normality; Bartlett is the more powerful test WHEN
+    `jarque_bera_value` says normality holds, which is why the pair
+    belongs together).
+
+    Per-group variances come from exact DECIMAL(38,0) moment combos
+    of 1e-4-unit integer values (one map-side-combinable groupBy);
+    the k-group assembly folds over the type-name-sorted in-row array
+    (k <= handful, one row), every ln and divide in one fixed chain
+    mirrored by DuckDB. chi2 grids to 1e-6 (the coarser SPC-family
+    grid: (N-k) ~ corpus-sized amplification of ln-argument
+    conversion wobble). Variances are reported in dollars^2 (exact
+    /1e8 of the unit variance, same op both engines)."""
+    d38 = "decimal(38,0)"
+    vu = F.floor(F.col("value") * JB_UNIT_GRID + F.lit(0.5)).cast("long")
+    e = t["events"].select("event_type", vu.alias("vu"))
+    v38 = F.col("vu").cast(d38)
+    m = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(v38).alias("s1"),
+              F.sum((v38 * v38).cast(d38)).alias("s2")))
+    n38 = F.col("n").cast(d38)
+    vard = ((n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+            .cast("double")
+            / (F.col("n").cast("double")
+               * (F.col("n").cast("double") - 1)))
+    per = m.select("event_type", "n", vard.alias("v"))
+    one = per.agg(
+        F.array_sort(F.collect_list(F.struct(
+            "event_type", F.col("n").cast("double").alias("nd"),
+            "v"))).alias("gs"),
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("k_groups"))
+    fold = lambda expr: F.expr(  # noqa: E731
+        f"aggregate(gs, 0.0D, (acc, e) -> acc + ({expr}))")
+    nk = (F.col("n_total").cast("double")
+          - F.col("k_groups").cast("double"))
+    pooled = fold("(e.nd - 1.0D) * e.v") / nk
+    t1 = fold("(e.nd - 1.0D) * ln(e.v)")
+    cinv = fold("1.0D / (e.nd - 1.0D)")
+    c = (F.lit(1.0) + (cinv - F.lit(1.0) / nk)
+         / (3.0 * (F.col("k_groups").cast("double") - 1)))
+    chi2 = (nk * F.log(pooled) - t1) / c
+    grid = lambda c_: F.floor(c_ * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    grid6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return one.select(
+        "k_groups", "n_total",
+        grid(pooled / F.lit(1e8)).alias("pooled_var"),
+        grid6(chi2).alias("bartlett_chi2"),
+        (F.col("k_groups") - 1).cast("long").alias("df"))

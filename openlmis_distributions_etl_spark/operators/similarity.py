@@ -2384,14 +2384,21 @@ def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
     diversifier that stops near-duplicate neighbors from filling the
     result page.
 
-    Scale shape: the only corpus-sized work is the brute-force pool
-    top-k (map-side score + distributed TakeOrdered); the greedy loop
-    runs entirely on the retained POOL frame (≤ MMR_POOL rows), so
-    each of the K−1 steps is a left-anti + broadcast pairwise-cosine
-    + 1-row TakeOrdered over a constant-size frame. Ties break
-    (score desc, vec_id asc) — deterministic; every cosine is the
-    repo's left-fold dot chain, and the MMR combine is one fixed
-    double expression (0.7·rel − 0.3·max_sim) mirrored in DuckDB."""
+    Scale shape (round-9, the beam-family serving pattern): the only
+    corpus-sized work is the brute-force pool top-k (map-side score +
+    distributed TakeOrdered); ONE more constant-size job computes all
+    pairwise cosines inside the ≤ MMR_POOL-row pool, and the greedy
+    argmax loop itself runs on the COORDINATOR over those
+    already-computed doubles — K−1 selections over ≤ pool²/2 floats is
+    O(1) state, exactly where a serving reranker holds it. The prior
+    shape ran each greedy step as its own localCheckpoint job; at a
+    ~0.25 s/job local floor that was 5 sequential jobs of pure
+    latency for 20 rows of data (solo 1.13 → 2.2 s by round 8).
+    Every cosine (rel and pairwise) comes from the repo's JVM-side
+    left-fold dot chain — the coordinator only combines them with the
+    fixed double expression 0.7·rel − 0.3·max_sim, the identical IEEE
+    ops DuckDB's twin evaluates, so no float divergence is possible.
+    Ties break (score desc, vec_id asc) — deterministic."""
     e = spread(t["embeddings"])
     pool = retain(
         e.crossJoin(broadcast(_query_vector(t)))
@@ -2400,34 +2407,41 @@ def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
                 cosine(F.col("embedding"), F.col("q")).alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL))
-    lam = F.lit(MMR_LAMBDA)
-    chosen = (pool.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
-              .select("vec_id", "label", "embedding", "rel",
-                      F.lit(1).alias("rank"),
-                      F.col("rel").alias("mmr_score")))
-    for step in range(2, MMR_K + 1):
-        sel = chosen.select(F.col("vec_id").alias("svid"),
-                            F.col("embedding").alias("semb"))
-        pick = (pool.join(chosen.select("vec_id"), "vec_id", "left_anti")
-                .crossJoin(broadcast(sel))
-                .select("vec_id", "label", "embedding", "rel",
-                        cosine(F.col("embedding"), F.col("semb"))
-                        .alias("sim"))
-                .groupBy("vec_id", "label", "embedding", "rel")
-                .agg(F.max("sim").alias("max_sim"))
-                .select("vec_id", "label", "embedding", "rel",
-                        F.lit(step).alias("rank"),
-                        (lam * F.col("rel")
-                         - F.lit(MMR_MU) * F.col("max_sim"))
-                        .alias("mmr_score"))
-                .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-                .limit(1))
-        # cut the k-row frame's lineage each step: without it every
-        # step's plan embeds ALL prior steps (the audit showed 106
-        # exchanges / 41 BNLJs of pure plan bloat for k = 5)
-        from .dedup import _truncate_lineage
-        chosen = _truncate_lineage(chosen.unionByName(pick))
-    return chosen.select("rank", "vec_id", "label", "rel", "mmr_score")
+    # one constant-size job: all unordered pairwise cosines within the
+    # pool (≤ pool·(pool−1)/2 rows) + the per-candidate (rel, label)
+    pa = pool.select(F.col("vec_id").alias("ia"),
+                     F.col("embedding").alias("ea"))
+    pb = pool.select(F.col("vec_id").alias("ib"),
+                     F.col("embedding").alias("eb"))
+    sim_rows = (pa.crossJoin(broadcast(pb))
+                .where(F.col("ia") < F.col("ib"))
+                .select("ia", "ib",
+                        cosine(F.col("ea"), F.col("eb")).alias("sim"))
+                .collect())
+    sims = {(r["ia"], r["ib"]): r["sim"] for r in sim_rows}
+    cand = sorted(((r["vec_id"], r["label"], r["rel"])
+                   for r in pool.select("vec_id", "label", "rel")
+                   .collect()),
+                  key=lambda c: (-c[2], c[0]))
+    out, selected = [], []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid, label, rel in cand:
+            if vid in selected:
+                continue
+            if not selected:
+                score = rel
+            else:
+                max_sim = max(sims[(vid, s)] if vid < s
+                              else sims[(s, vid)] for s in selected)
+                score = MMR_LAMBDA * rel - MMR_MU * max_sim
+            if best is None or (-score, vid) < (-best[4], best[1]):
+                best = (rank, vid, label, rel, score)
+        selected.append(best[1])
+        out.append(best)
+    return pool.sparkSession.createDataFrame(
+        out, "rank int, vec_id long, label int, rel double, "
+             "mmr_score double")
 
 
 # round-7 wave 7: 1-bit binary quantization (the 32x-compression

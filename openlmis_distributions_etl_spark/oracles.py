@@ -9977,3 +9977,367 @@ ORACLES.update({
     """,
 })
 
+
+
+# round-9 wave 1: classical SPC / normality / autocorrelation tests.
+# Same twin discipline as the round-8 statistics wave: exact decimal
+# moment sums, constants gridded before recursions, flat DOUBLE[]
+# list_reduce accumulators (the DuckDB struct-mutation workaround),
+# op-for-op identical double chains.
+ORACLES.update({
+    "cusum_daily_revenue": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        gs AS (
+          SELECT n AS n_days,
+                 floor(CAST(s1 AS DOUBLE) / n / 100.0 * 1e9 + 0.5)
+                   / 1e9 AS mu,
+                 floor(sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                            - s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1))) / 100.0
+                       * 1e9 + 0.5) / 1e9 AS sd
+          FROM m),
+        gk AS (
+          SELECT n_days, mu, sd,
+                 floor(0.5 * sd * 1e9 + 0.5) / 1e9 AS kk,
+                 floor(4.0 * sd * 1e9 + 0.5) / 1e9 AS hh
+          FROM gs),
+        seq AS (
+          SELECT list([CAST(CAST(d - DATE '1970-01-01' AS BIGINT)
+                            AS DOUBLE),
+                       CAST(rev AS DOUBLE) / 100.0]
+                      ORDER BY d) AS dx
+          FROM daily),
+        -- flat DOUBLE[] accumulator [cp, cm, mp, mm, al, fd]
+        st AS (
+          SELECT n_days, mu, sd, kk, hh, list_reduce(
+            list_prepend(
+              [CAST(0.0 AS DOUBLE), 0, 0, 0, 0, -1], dx),
+            (acc, e) -> [
+              greatest(CAST(0.0 AS DOUBLE), acc[1] + e[2] - mu - kk),
+              greatest(CAST(0.0 AS DOUBLE), acc[2] + mu - kk - e[2]),
+              greatest(acc[3], greatest(CAST(0.0 AS DOUBLE),
+                                        acc[1] + e[2] - mu - kk)),
+              greatest(acc[4], greatest(CAST(0.0 AS DOUBLE),
+                                        acc[2] + mu - kk - e[2])),
+              acc[5] + CASE WHEN
+                greatest(CAST(0.0 AS DOUBLE),
+                         acc[1] + e[2] - mu - kk) > hh
+                OR greatest(CAST(0.0 AS DOUBLE),
+                            acc[2] + mu - kk - e[2]) > hh
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+              CASE WHEN acc[6] >= CAST(0.0 AS DOUBLE) THEN acc[6]
+                   WHEN greatest(CAST(0.0 AS DOUBLE),
+                                 acc[1] + e[2] - mu - kk) > hh
+                     OR greatest(CAST(0.0 AS DOUBLE),
+                                 acc[2] + mu - kk - e[2]) > hh
+                   THEN e[1] ELSE CAST(-1.0 AS DOUBLE) END]) AS st
+          FROM seq, gk)
+        SELECT n_days, mu, sd, kk AS slack_k, hh AS limit_h,
+               floor(st[1] * 1e9 + 0.5) / 1e9 AS cusum_pos,
+               floor(st[2] * 1e9 + 0.5) / 1e9 AS cusum_neg,
+               floor(st[3] * 1e9 + 0.5) / 1e9 AS max_pos,
+               floor(st[4] * 1e9 + 0.5) / 1e9 AS max_neg,
+               CAST(st[5] AS BIGINT) AS n_alarm_days,
+               CASE WHEN st[6] >= 0
+                    THEN strftime(DATE '1970-01-01'
+                                  + CAST(st[6] AS INT), '%Y-%m-%d')
+                    ELSE NULL END AS first_alarm_day
+        FROM st
+    """,
+    "runs_test_daily": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        agg AS (
+          SELECT list(rev ORDER BY d) AS dx,
+                 list(rev ORDER BY rev) AS vs,
+                 COUNT(*) AS n_days
+          FROM daily),
+        g AS (
+          SELECT dx, n_days,
+                 vs[CAST(floor((n_days + 1) / 2) AS INT)] AS md
+          FROM agg),
+        -- flat DOUBLE[] accumulator [r, pv, a, b]
+        st AS (
+          SELECT n_days, md, list_reduce(
+            list_prepend([CAST(0.0 AS DOUBLE), 0, 0, 0],
+                         list_transform(dx, v -> [CAST(v AS DOUBLE)])),
+            (acc, e) -> [
+              acc[1] + CASE WHEN (CASE WHEN e[1] > md
+                                       THEN CAST(1.0 AS DOUBLE)
+                                       WHEN e[1] < md
+                                       THEN CAST(-1.0 AS DOUBLE)
+                                       ELSE CAST(0.0 AS DOUBLE) END)
+                                 = CAST(0.0 AS DOUBLE)
+                            THEN CAST(0.0 AS DOUBLE)
+                            WHEN (CASE WHEN e[1] > md
+                                       THEN CAST(1.0 AS DOUBLE)
+                                       WHEN e[1] < md
+                                       THEN CAST(-1.0 AS DOUBLE)
+                                       ELSE CAST(0.0 AS DOUBLE) END)
+                                 = acc[2]
+                            THEN CAST(0.0 AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) END,
+              CASE WHEN (CASE WHEN e[1] > md THEN CAST(1.0 AS DOUBLE)
+                              WHEN e[1] < md THEN CAST(-1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                        = CAST(0.0 AS DOUBLE)
+                   THEN acc[2]
+                   ELSE (CASE WHEN e[1] > md THEN CAST(1.0 AS DOUBLE)
+                              WHEN e[1] < md THEN CAST(-1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END) END,
+              acc[3] + CASE WHEN (CASE WHEN e[1] > md
+                                       THEN CAST(1.0 AS DOUBLE)
+                                       WHEN e[1] < md
+                                       THEN CAST(-1.0 AS DOUBLE)
+                                       ELSE CAST(0.0 AS DOUBLE) END)
+                                 > CAST(0.0 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END,
+              acc[4] + CASE WHEN (CASE WHEN e[1] > md
+                                       THEN CAST(1.0 AS DOUBLE)
+                                       WHEN e[1] < md
+                                       THEN CAST(-1.0 AS DOUBLE)
+                                       ELSE CAST(0.0 AS DOUBLE) END)
+                                 < CAST(0.0 AS DOUBLE)
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END]) AS st
+          FROM g)
+        SELECT n_days,
+               CAST(md AS DOUBLE) / 100.0 AS median_rev,
+               CAST(st[3] AS BIGINT) AS n_above,
+               CAST(st[4] AS BIGINT) AS n_below,
+               CAST(st[1] AS BIGINT) AS n_runs,
+               floor((2.0 * st[3] * st[4] / (st[3] + st[4]) + 1.0)
+                     * 1e9 + 0.5) / 1e9 AS expected_runs,
+               CASE WHEN st[3] > 0 AND st[4] > 0
+                     AND (2.0 * st[3] * st[4] / (st[3] + st[4]) + 1.0
+                          - 1)
+                        * (2.0 * st[3] * st[4] / (st[3] + st[4]) + 1.0
+                           - 2)
+                        / (st[3] + st[4] - 1) > 0
+                    THEN floor((st[1]
+                           - (2.0 * st[3] * st[4] / (st[3] + st[4])
+                              + 1.0))
+                         / sqrt((2.0 * st[3] * st[4] / (st[3] + st[4])
+                                 + 1.0 - 1)
+                                * (2.0 * st[3] * st[4]
+                                   / (st[3] + st[4]) + 1.0 - 2)
+                                / (st[3] + st[4] - 1))
+                         * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS z_runs
+        FROM st
+    """,
+    "grubbs_daily_outlier": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        gs AS (
+          SELECT n AS n_days,
+                 floor(CAST(s1 AS DOUBLE) / n / 100.0 * 1e9 + 0.5)
+                   / 1e9 AS mu,
+                 floor(sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                            - s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1))) / 100.0
+                       * 1e9 + 0.5) / 1e9 AS sd
+          FROM m),
+        dev AS (
+          SELECT n_days, mu, sd, d, rev,
+                 floor(abs(CAST(rev AS DOUBLE) / 100.0 - mu)
+                       * 1e9 + 0.5) / 1e9 AS dv
+          FROM daily, gs)
+        SELECT n_days, mu, sd,
+               strftime(d, '%Y-%m-%d') AS outlier_day,
+               CAST(rev AS DOUBLE) / 100.0 AS outlier_revenue,
+               floor(dv / sd * 1e9 + 0.5) / 1e9 AS g_stat
+        FROM dev
+        ORDER BY dv DESC, d ASC
+        LIMIT 1
+    """,
+    "ljung_box_daily": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT COUNT(*) AS n_days,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        m AS (
+          SELECT l.lag, COUNT(*) AS n_k,
+                 SUM(CAST(a.rev AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(b.rev AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(CAST(a.rev AS DECIMAL(38,0))
+                          * CAST(b.rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS sxy
+          FROM daily a
+          CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+          JOIN daily b ON b.d = a.d - CAST(l.lag AS INT)
+          GROUP BY 1),
+        r AS (
+          SELECT m.lag, m.n_k, g.n_days,
+                 floor((CAST(m.sxy AS DOUBLE)
+                        - (CAST(g.s1 AS DOUBLE) / g.n_days)
+                          * (CAST(m.sx AS DOUBLE)
+                             + CAST(m.sy AS DOUBLE))
+                        + CAST(m.n_k AS DOUBLE)
+                          * (CAST(g.s1 AS DOUBLE) / g.n_days)
+                          * (CAST(g.s1 AS DOUBLE) / g.n_days))
+                       / (CAST(g.s2 AS DOUBLE)
+                          - CAST(g.s1 AS DOUBLE)
+                            * (CAST(g.s1 AS DOUBLE) / g.n_days))
+                       * 1e9 + 0.5) / 1e9 AS rho
+          FROM m, g),
+        ls AS (
+          SELECT n_days,
+                 list([CAST(lag AS DOUBLE), CAST(n_k AS DOUBLE), rho]
+                      ORDER BY lag) AS ls
+          FROM r GROUP BY n_days),
+        q AS (
+          SELECT n_days, ls,
+            list_reduce(
+              list_prepend([CAST(0.0 AS DOUBLE)],
+                list_transform(ls, e -> [e[3] * e[3]
+                  / (CAST(n_days AS DOUBLE) - e[1])])),
+              (acc, e) -> list_append(acc, acc[-1] + e[1])) AS qs
+          FROM ls)
+        SELECT n_days,
+               CAST(ls[CAST(t AS INT)][1] AS INT) AS lag,
+               CAST(ls[CAST(t AS INT)][2] AS BIGINT) AS n_pairs,
+               ls[CAST(t AS INT)][3] AS rho,
+               floor(CAST(n_days AS DOUBLE)
+                     * (CAST(n_days AS DOUBLE) + 2)
+                     * qs[CAST(t + 1 AS INT)] * 1e6 + 0.5) / 1e6
+                 AS q_stat,
+               CAST(ls[CAST(t AS INT)][1] AS BIGINT) AS df
+        FROM q, (SELECT unnest(range(1, 8)) AS t)
+    """,
+    "jarque_bera_value": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(vu AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(vu AS DECIMAL(38,0))
+                          * CAST(vu AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2,
+                 SUM(CAST(CAST(CAST(vu AS DECIMAL(38,0))
+                               * CAST(vu AS DECIMAL(38,0))
+                               AS DECIMAL(38,0))
+                          * CAST(vu AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s3,
+                 SUM(CAST(CAST(CAST(vu AS DECIMAL(38,0))
+                               * CAST(vu AS DECIMAL(38,0))
+                               AS DECIMAL(38,0))
+                          * CAST(CAST(vu AS DECIMAL(38,0))
+                                 * CAST(vu AS DECIMAL(38,0))
+                                 AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s4
+          FROM e GROUP BY 1),
+        mo AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) AS s2d,
+                 CAST(s3 AS DOUBLE) AS s3d,
+                 CAST(s4 AS DOUBLE) AS s4d,
+                 CAST(n AS DOUBLE) AS nd
+          FROM m),
+        ce AS (
+          SELECT event_type, n,
+                 s2d / nd - m1 * m1 AS m2,
+                 s3d / nd - 3 * m1 * s2d / nd + 2 * m1 * m1 * m1
+                   AS m3,
+                 s4d / nd - 4 * m1 * s3d / nd
+                   + 6 * m1 * m1 * s2d / nd
+                   - 3 * m1 * m1 * m1 * m1 AS m4
+          FROM mo),
+        sk AS (
+          SELECT event_type, n AS n_events,
+                 floor(m3 / pow(m2, 1.5) * 1e9 + 0.5) / 1e9
+                   AS skewness,
+                 floor(m4 / (m2 * m2) * 1e9 + 0.5) / 1e9 AS kurtosis
+          FROM ce)
+        SELECT event_type, n_events, skewness, kurtosis,
+               floor(CAST(n_events AS DOUBLE) / 6.0
+                     * (skewness * skewness
+                        + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0)
+                     * 1e6 + 0.5) / 1e6 AS jarque_bera
+        FROM sk
+    """,
+    "bartlett_variance_test": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(vu AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(vu AS DECIMAL(38,0))
+                          * CAST(vu AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM e GROUP BY 1),
+        pv AS (
+          SELECT event_type,
+                 CAST(n AS DOUBLE) AS nd, n,
+                 CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1
+                           AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS v
+          FROM m),
+        one AS (
+          SELECT list([nd, v] ORDER BY event_type) AS gs,
+                 CAST(SUM(n) AS BIGINT) AS n_total,
+                 COUNT(*) AS k_groups
+          FROM pv),
+        f AS (
+          SELECT n_total, k_groups,
+                 CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)
+                   AS nk,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gs, e -> (e[1] - 1.0) * e[2])),
+                   (acc, e) -> acc + e) AS pooled_num,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gs, e -> (e[1] - 1.0) * ln(e[2]))),
+                   (acc, e) -> acc + e) AS t1,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gs, e -> 1.0 / (e[1] - 1.0))),
+                   (acc, e) -> acc + e) AS cinv
+          FROM one)
+        SELECT k_groups, n_total,
+               floor(pooled_num / nk / 1e8 * 1e9 + 0.5) / 1e9
+                 AS pooled_var,
+               floor((nk * ln(pooled_num / nk) - t1)
+                     / (1.0 + (cinv - 1.0 / nk)
+                        / (3.0 * (CAST(k_groups AS DOUBLE) - 1)))
+                     * 1e6 + 0.5) / 1e6 AS bartlett_chi2,
+               CAST(k_groups - 1 AS BIGINT) AS df
+        FROM f
+    """,
+})

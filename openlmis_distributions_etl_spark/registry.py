@@ -493,6 +493,13 @@ _OPERATORS = {
     "ewma_control_chart": analytics.ewma_control_chart,
     # §2.F round-8: score-aware PQ loss decomposition (ScaNN)
     "anisotropic_pq_loss": similarity.anisotropic_pq_loss,
+    # §2.C round-9 wave 1: classical SPC / normality / autocorrelation
+    "cusum_daily_revenue": analytics.cusum_daily_revenue,
+    "runs_test_daily": analytics.runs_test_daily,
+    "grubbs_daily_outlier": analytics.grubbs_daily_outlier,
+    "ljung_box_daily": analytics.ljung_box_daily,
+    "jarque_bera_value": analytics.jarque_bera_value,
+    "bartlett_variance_test": analytics.bartlett_variance_test,
 }
 
 

@@ -108,6 +108,13 @@ FLOAT_SENSITIVE = (
     "anisotropic_pq_loss",
     "seasonal_decompose_daily",
     "ewma_control_chart",
+    # round-9 wave 1: SPC / normality / portmanteau statistics
+    "cusum_daily_revenue",
+    "runs_test_daily",
+    "grubbs_daily_outlier",
+    "ljung_box_daily",
+    "jarque_bera_value",
+    "bartlett_variance_test",
 )
 
 

@@ -104,8 +104,8 @@ BNLJ_ALLOWED = {
     "theil_sen_daily_trend",     # calendar-bounded broadcast pair cloud
     "mann_kendall_trend",        # calendar-bounded broadcast pair cloud
     "intra_inter_cosine_gap",    # broadcast n_total singleton row
-    # (mmr_diversified_topk's broadcast joins sit behind the per-step
-    # lineage cut since the round-7 truncation, so they never show)
+    # (mmr_diversified_topk selects on the coordinator since round 9
+    # and returns a LocalRelation, so its pool joins never show)
     "poisson_bootstrap_ci",      # broadcast 1-row CI frame
     "dsir_importance_weights",   # broadcast corpus-totals singleton row
     "welch_ttest_values",        # broadcast 1-row group-B moments
@@ -136,6 +136,12 @@ BNLJ_ALLOWED = {
     "ewma_control_chart",        # broadcast global-stats singleton row
                                  # (same 1×1 crossJoin(F.broadcast(gs))
                                  # pattern as daily_revenue_control_chart)
+    # round-9 wave 1 pinned broadcast singletons
+    "cusum_daily_revenue",       # broadcast gridded mu/sd/k/h row
+    "grubbs_daily_outlier",      # broadcast gridded mu/sd row into the
+                                 # calendar-bounded deviation scan
+    "ljung_box_daily",           # broadcast global-moments singleton
+                                 # row into the 7-lag frame
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

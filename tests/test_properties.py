@@ -1412,3 +1412,271 @@ def test_ewma_control_chart_matches_python_and_flags_shift(spark):
     assert flagged
     assert min(flagged) >= (base + dt.timedelta(days=30)) \
         .strftime("%Y-%m-%d")
+
+
+def _orders_from_vals(spark, vals, base=None):
+    import datetime as dt
+    base = base or dt.date(2024, 1, 1)
+    rows = [(i, i % 5, "O", v, base + dt.timedelta(days=i), "1")
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+
+
+def test_cusum_matches_python_and_alarms_after_shift(spark):
+    """Two-sided tabular CUSUM vs brute-force python replay on a
+    series with a planted upward mean shift: identical gridded
+    accumulators and the first alarm lands AFTER the shift day."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        cusum_daily_revenue)
+
+    vals = [100.0 + (i % 5) for i in range(30)] + \
+        [140.0 + (i % 5) for i in range(15)]   # shift at day 30
+    base = dt.date(2024, 2, 1)
+    got = cusum_daily_revenue(
+        {"orders": _orders_from_vals(spark, vals, base)}).collect()[0]
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n, s1, s2 = len(cents), sum(cents), sum(c * c for c in cents)
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    mu = g9(s1 / n / 100.0)
+    sd = g9(math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / 100.0)
+    kk, hh = g9(0.5 * sd), g9(4.0 * sd)
+    cp = cm = mp = mm = 0.0
+    al, fd = 0, None
+    for i, c in enumerate(cents):
+        x = c / 100.0
+        cp = max(0.0, cp + x - mu - kk)
+        cm = max(0.0, cm + mu - kk - x)
+        mp, mm = max(mp, cp), max(mm, cm)
+        if cp > hh or cm > hh:
+            al += 1
+            fd = fd or (base + dt.timedelta(days=i))
+    assert got["n_days"] == n
+    assert got["mu"] == mu and got["sd"] == sd
+    assert got["slack_k"] == kk and got["limit_h"] == hh
+    assert got["cusum_pos"] == g9(cp)
+    assert got["cusum_neg"] == g9(cm)
+    assert got["max_pos"] == g9(mp)
+    assert got["max_neg"] == g9(mm)
+    assert got["n_alarm_days"] == al
+    # the chart is two-sided with mu estimated over the WHOLE series:
+    # the shifted tail pulls mu up, so pre-shift days can trip the
+    # LOW side first — the planted property is just that the shift
+    # makes the chart alarm at all, on the exact replayed day
+    assert al > 0
+    assert got["first_alarm_day"] == fd.strftime("%Y-%m-%d")
+
+
+def test_runs_test_matches_python_on_alternating_series(spark):
+    """Runs test vs python replay on a strictly alternating series:
+    R = n (every day starts a run), z strongly positive; exact-median
+    days drop out of the +/- classification."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        runs_test_daily)
+
+    vals = [100.0 if i % 2 == 0 else 300.0 for i in range(24)] \
+        + [200.0]   # one exact-median day (median of 25 = 200)
+    got = runs_test_daily(
+        {"orders": _orders_from_vals(spark, vals)}).collect()[0]
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    md = sorted(cents)[(len(cents) + 1) // 2 - 1]
+    r = n1 = n2 = 0
+    pv = 0
+    for c in cents:
+        sgn = 1 if c > md else (-1 if c < md else 0)
+        if sgn == 0:
+            continue
+        if sgn != pv:
+            r += 1
+        pv = sgn
+        n1 += sgn > 0
+        n2 += sgn < 0
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var_r = (mu_r - 1) * (mu_r - 2) / (n1 + n2 - 1)
+    assert got["n_days"] == len(vals)
+    assert got["median_rev"] == md / 100.0
+    assert got["n_above"] == n1 and got["n_below"] == n2
+    assert got["n_runs"] == r == 24          # alternation: all runs
+    assert got["expected_runs"] == g9(mu_r)
+    assert got["z_runs"] == g9((r - mu_r) / math.sqrt(var_r))
+    assert got["z_runs"] > 2.0               # far more runs than chance
+
+
+def test_grubbs_matches_python_and_finds_planted_spike(spark):
+    """Grubbs statistic vs python replay: the planted spike day is the
+    argmax, and the gridded G matches the brute-force value."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        grubbs_daily_outlier)
+
+    vals = [100.0 + (i % 7) for i in range(40)]
+    vals[17] = 900.0                          # planted outlier
+    base = dt.date(2024, 5, 1)
+    got = grubbs_daily_outlier(
+        {"orders": _orders_from_vals(spark, vals, base)}).collect()[0]
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n, s1, s2 = len(cents), sum(cents), sum(c * c for c in cents)
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    mu = g9(s1 / n / 100.0)
+    sd = g9(math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / 100.0)
+    dev = g9(abs(900.0 - mu))
+    assert got["outlier_day"] == (base + dt.timedelta(days=17)) \
+        .strftime("%Y-%m-%d")
+    assert got["outlier_revenue"] == 900.0
+    assert got["mu"] == mu and got["sd"] == sd
+    assert got["g_stat"] == g9(dev / sd)
+    assert got["g_stat"] > 3.0
+
+
+def test_ljung_box_matches_python_on_trending_series(spark):
+    """Ljung-Box Q vs python replay on a strong linear trend: every
+    rho_k near 1, Q blows past any chi2 critical value, and the
+    cumulative fold matches term for term."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        ljung_box_daily)
+
+    vals = [100.0 + 10.0 * i for i in range(60)]
+    got = {r["lag"]: r for r in ljung_box_daily(
+        {"orders": _orders_from_vals(spark, vals)}).collect()}
+    assert len(got) == 7
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n = len(cents)
+    s1, s2 = sum(cents), sum(c * c for c in cents)
+    xbar = s1 / n
+    den = s2 - s1 * xbar
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    q = 0.0
+    for k in range(1, 8):
+        pairs = [(cents[i], cents[i - k]) for i in range(k, n)]
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        nk = len(pairs)
+        rho = g9((sxy - xbar * (sx + sy) + nk * xbar * xbar) / den)
+        q = q + rho * rho / (float(n) - float(k))
+        r = got[k]
+        assert r["n_pairs"] == nk
+        assert r["rho"] == rho
+        assert r["q_stat"] == g6(n * (n + 2.0) * q), k
+        assert r["df"] == k
+        assert rho > 0.5          # strong trend: high ACF at every lag
+    assert got[7]["q_stat"] > 100.0
+
+
+def test_jarque_bera_matches_python(spark):
+    """JB vs python replay per event type: a symmetric two-point group
+    (zero skew, kurtosis 1) vs a spiked group; exact gridded moments."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        jarque_bera_value)
+
+    rows = []
+    sym = [10.0, 20.0] * 20
+    for i, v in enumerate(sym):
+        rows.append((i, dt.datetime(2024, 1, 1, 1), i, "sym", v, "{}"))
+    spike = [15.0] * 39 + [400.0]
+    for i, v in enumerate(spike):
+        rows.append((1000 + i, dt.datetime(2024, 1, 1, 2), i, "spike",
+                     v, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["event_type"]: r
+           for r in jarque_bera_value({"events": events}).collect()}
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for name, vals in (("sym", sym), ("spike", spike)):
+        vu = [math.floor(v * 10000 + 0.5) for v in vals]
+        n = len(vu)
+        nd = float(n)
+        s1d = float(sum(vu))
+        s2d = float(sum(u * u for u in vu))
+        s3d = float(sum(u * u * u for u in vu))
+        s4d = float(sum(u * u * u * u for u in vu))
+        m1 = s1d / nd
+        m2 = s2d / nd - m1 * m1
+        m3 = s3d / nd - 3 * m1 * s2d / nd + 2 * m1 * m1 * m1
+        m4 = (s4d / nd - 4 * m1 * s3d / nd
+              + 6 * m1 * m1 * s2d / nd - 3 * m1 * m1 * m1 * m1)
+        sk = g9(m3 / m2 ** 1.5)
+        ku = g9(m4 / (m2 * m2))
+        jb = g6(nd / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0))
+        r = got[name]
+        assert r["n_events"] == n
+        assert r["skewness"] == sk
+        assert r["kurtosis"] == ku
+        assert r["jarque_bera"] == jb, name
+    assert got["sym"]["skewness"] == 0.0
+    assert got["sym"]["kurtosis"] == 1.0      # two-point distribution
+    assert got["spike"]["jarque_bera"] > got["sym"]["jarque_bera"]
+
+
+def test_bartlett_matches_python_on_unequal_variances(spark):
+    """Bartlett chi2 vs python replay: two equal-variance groups and
+    one wide group — exact fold replay and a decisive statistic."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        bartlett_variance_test)
+
+    groups = {
+        "a": [100.0 + (i % 5) for i in range(50)],
+        "b": [200.0 + (i % 5) for i in range(60)],
+        "c": [300.0 + 40.0 * (i % 5) for i in range(40)],
+    }
+    rows, eid = [], 0
+    for name, vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, dt.datetime(2024, 1, 1, 1), i, name, v,
+                         "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = bartlett_variance_test({"events": events}).collect()[0]
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    per = []
+    for name in sorted(groups):
+        vu = [math.floor(v * 10000 + 0.5) for v in groups[name]]
+        n = len(vu)
+        s1, s2 = sum(vu), sum(u * u for u in vu)
+        per.append((float(n), (n * s2 - s1 * s1) / (n * (n - 1.0))))
+    n_total = int(sum(nd for nd, _ in per))
+    k = len(per)
+    nk = float(n_total) - float(k)
+    pooled_num = t1 = cinv = 0.0
+    for nd, v in per:
+        pooled_num += (nd - 1.0) * v
+        t1 += (nd - 1.0) * math.log(v)
+        cinv += 1.0 / (nd - 1.0)
+    pooled = pooled_num / nk
+    c = 1.0 + (cinv - 1.0 / nk) / (3.0 * (k - 1.0))
+    chi2 = (nk * math.log(pooled) - t1) / c
+    assert got["k_groups"] == k and got["n_total"] == n_total
+    assert got["pooled_var"] == g9(pooled / 1e8)
+    assert got["bartlett_chi2"] == g6(chi2)
+    assert got["df"] == k - 1
+    assert got["bartlett_chi2"] > 50.0        # group c is decisive

@@ -47,13 +47,14 @@ def main() -> None:
                 ".\n`bnlj` > 0 only in the broadcast-singleton patterns "
                 "pinned in\n`tests/test_plan_hygiene.py`; `py` > 0 only "
                 "in the declared Arrow lanes.\n\n"
-                "Caveat (ADVICE r8): `knn_beam` / `knn_beam_batch` run "
-                "their search at\nDataFrame-CONSTRUCTION time (the "
-                "coordinator-held beam loop issues the\nbounded per-hop "
-                "probe jobs immediately) and return a LocalRelation, so "
-                "their\nall-zero rows below describe the final serving "
-                "frame, not the per-hop probe\njobs; building either "
-                "query without executing it still pays the full search.\n"
+                "Caveat (ADVICE r8): `knn_beam` / `knn_beam_batch` / "
+                "`mmr_diversified_topk`\nrun their search at "
+                "DataFrame-CONSTRUCTION time (the coordinator-held\n"
+                "loop issues bounded constant-size probe jobs "
+                "immediately) and return a\nLocalRelation, so their "
+                "all-zero rows below describe the final serving\nframe, "
+                "not the probe jobs; building these queries without "
+                "executing them\nstill pays the full search.\n"
                 "Their correctness is pinned by the oracle-parity gate "
                 "and the partition-\ninvariance battery; the per-hop "
                 "probe cost model is documented at\n"

@@ -183,6 +183,17 @@ OPS = (
     "daily_revenue_periodogram",
     "bbit_minhash_estimate",
     "bq_cand_sweep",
+    # round-9 (VERDICT r8 task 5): the store maintenance queries run
+    # corpus-sized MERGE commits (rebased half-batches over the full
+    # fact table) — the scale-relevant §D shapes; anisotropic PQ loss
+    # is a corpus-sized residual-decomposition scan
+    "store_value_quantiles",
+    "store_token_topk",
+    "store_audience_overlap",
+    "store_heavy_hitters",
+    "store_skyline",
+    "store_lifecycle",
+    "anisotropic_pq_loss",
 )
 
 
