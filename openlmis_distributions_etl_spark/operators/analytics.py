@@ -4269,3 +4269,245 @@ def bartlett_variance_test(t: dict[str, DataFrame]) -> DataFrame:
         grid(pooled / F.lit(1e8)).alias("pooled_var"),
         grid6(chi2).alias("bartlett_chi2"),
         (F.col("k_groups") - 1).cast("long").alias("df"))
+
+
+# round-9 wave 2: robust location (IRLS), intermittent-demand
+# forecasting, survey sampling design, and an information audit
+
+
+HUBER_K = 1.345     # Huber's 95%-efficiency tuning constant
+HUBER_ITERS = 5     # fixed IRLS iterations (SQL-unrollable)
+
+
+def huber_mean_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Huber M-estimator of location for event values per event type
+    (Huber 1964, Ann. Math. Stat. 35), via HUBER_ITERS fixed IRLS
+    steps started at the median and scaled by the normalized MAD —
+    the robust mean a metrics pipeline reports when `jarque_bera_value`
+    says the tails are too heavy to trust the plain average.
+
+    100 TB shape: values quantize to 1e-4 units and collapse onto the
+    per-(type, unit) COUNT GRID first (value-domain-bounded, far
+    smaller than the fact table) — every IRLS iteration is then one
+    broadcast join of the per-type location row + one grouped
+    aggregate over the retained grid, never a corpus rescan. Median
+    and MAD are rank-exact via the grouped prefix-sum ECDF selector
+    (no interpolation, no global sort). Exactness: weights quantize
+    to integer ppb, so each iteration's numerator/denominator are
+    exact DECIMAL(38,0) integer sums (order-independent); the per-
+    iteration location grids to 1e-9 units before the next step, so
+    both engines run the recursion on bit-identical constants. With
+    MADN = 0 the weights degenerate to the indicator of the median
+    cell and the iteration is a fixpoint there — no special case."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    vu = F.floor(F.col("value") * JB_UNIT_GRID + F.lit(0.5)).cast("long")
+    g = retain(t["events"]
+               .select("event_type", vu.alias("_k"))
+               .groupBy("event_type", "_k")
+               .agg(F.count(F.lit(1)).alias("c")))
+    med = _grouped_rank_min(g, {"med": "(n + 1) DIV 2"}) \
+        .select("event_type", F.col("n_rows").alias("n_events"), "med")
+    dev = (g.join(F.broadcast(med), "event_type")
+           .select("event_type", F.abs(F.col("_k") - F.col("med"))
+                   .alias("_k"), "c"))
+    mad = _grouped_rank_min(dev, {"mad": "(n + 1) DIV 2"}) \
+        .select("event_type", "mad")
+    base = (med.join(F.broadcast(mad), "event_type")
+            .select("event_type", "n_events", "med", "mad",
+                    grid(F.lit(1.4826) * F.col("mad")).alias("s"),
+                    grid(F.lit(HUBER_K) * F.lit(1.4826) * F.col("mad"))
+                    .alias("ks"),
+                    F.col("med").cast("double").alias("mu")))
+    cur = base
+    for _ in range(HUBER_ITERS):
+        j = g.join(F.broadcast(cur), "event_type")
+        dv = F.abs(F.col("_k").cast("double") - F.col("mu"))
+        wq = (F.when(dv <= F.col("ks"), F.lit(1_000_000_000).cast("long"))
+              .otherwise(F.floor(F.col("ks") / dv * 1e9 + F.lit(0.5))
+                         .cast("long")))
+        agg = (j.select("event_type", "n_events", "med", "mad", "s",
+                        "ks", "c", "_k", wq.alias("wq"))
+               .groupBy("event_type", "n_events", "med", "mad", "s",
+                        "ks")
+               .agg(F.sum((F.col("c").cast(d38) * F.col("wq").cast(d38)
+                           * F.col("_k").cast(d38)).cast(d38))
+                    .alias("num"),
+                    F.sum((F.col("c").cast(d38)
+                           * F.col("wq").cast(d38)).cast(d38))
+                    .alias("den")))
+        cur = agg.select(
+            "event_type", "n_events", "med", "mad", "s", "ks",
+            grid(F.col("num").cast("double")
+                 / F.col("den").cast("double")).alias("mu"))
+    return cur.select(
+        "event_type", "n_events",
+        (F.col("med").cast("double") / F.lit(10000.0))
+        .alias("median_value"),
+        grid(F.col("s") / F.lit(10000.0)).alias("madn"),
+        grid(F.col("mu") / F.lit(10000.0)).alias("huber_mean"))
+
+
+CROSTON_ALPHA = 0.1   # smoothing weight for both size and interval
+
+
+def croston_part_demand(t: dict[str, DataFrame]) -> DataFrame:
+    """Croston's method for intermittent demand per part brand
+    (Croston 1972, Oper. Res. Q. 23): exponential smoothing of demand
+    SIZE z and demand INTERVAL p updated only on demand occurrences,
+    forecast = z/p — the standard forecaster for sparse spare-parts
+    series, where ordinary smoothing chases zeros. Initialization
+    convention (documented, fixed): z starts at the first demand
+    size, p at 1.0; the first occurrence sets state, updates begin at
+    the second.
+
+    Shape: one broadcast dim join (part -> brand), one map-side-
+    combinable (brand, day) rollup with per-row integer-quantized
+    quantities, then a day-sorted in-row fold per brand — the frame
+    entering the fold is (brands x demand days), calendar-bounded.
+    The recursion multiplies fixed literals by exact integer demand
+    sizes, both engines fold the identical chain; outputs grid to
+    1e-9."""
+    daily = (t["lineitem"]
+             .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+                   t["lineitem"].l_partkey == F.col("p_partkey"))
+             .groupBy(F.col("p_brand").alias("brand"),
+                      F.col("l_shipdate").cast("date").alias("d"))
+             .agg(F.sum(F.floor(F.col("l_quantity") + F.lit(0.5))
+                        .cast("long")).alias("q")))
+    seq = (daily.groupBy("brand")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+               .cast("double").alias("ed"),
+               F.col("q").cast("double").alias("q")))).alias("dx"),
+               F.count(F.lit(1)).alias("n_demand_days")))
+    a = CROSTON_ALPHA
+    st = F.expr(f"""
+        aggregate(dx,
+          named_struct('z', 0.0D, 'p', 0.0D, 'pe', -1.0D),
+          (acc, e) -> CASE WHEN acc.pe < 0.0D THEN named_struct(
+              'z', e.q, 'p', 1.0D, 'pe', e.ed)
+            ELSE named_struct(
+              'z', acc.z + {a}D * (e.q - acc.z),
+              'p', acc.p + {a}D * ((e.ed - acc.pe) - acc.p),
+              'pe', e.ed) END)
+    """)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    out = seq.select("brand", "n_demand_days", st.alias("st"))
+    return out.select(
+        "brand", "n_demand_days",
+        grid(F.col("st.z")).alias("smoothed_size"),
+        grid(F.col("st.p")).alias("smoothed_interval"),
+        grid(F.col("st.z") / F.col("st.p")).alias("demand_per_day"))
+
+
+NEYMAN_BUDGET = 10_000   # total sample budget to allocate
+
+
+def neyman_allocation_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """Neyman optimal allocation of a fixed sample budget across
+    event-type strata (Neyman 1934, JRSS 97): n_h proportional to
+    N_h * S_h — the survey-sampling design that minimizes the
+    variance of the stratified mean, and the principled version of
+    the `training_corpus_plan` quota style for metric sampling.
+
+    Per-stratum S_h comes from exact DECIMAL(38,0) moment combos of
+    1e-4-unit integer values (one groupBy); the total weight folds
+    over the type-name-sorted in-row array (deterministic assembly,
+    k tiny), shares grid to 1e-9, and the allocated counts are floors
+    of the gridded shares — integers both engines agree on exactly."""
+    d38 = "decimal(38,0)"
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    vu = F.floor(F.col("value") * JB_UNIT_GRID + F.lit(0.5)).cast("long")
+    e = t["events"].select("event_type", vu.alias("vu"))
+    v38 = F.col("vu").cast(d38)
+    m = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(v38).alias("s1"),
+              F.sum((v38 * v38).cast(d38)).alias("s2")))
+    n38 = F.col("n").cast(d38)
+    sd = grid(F.sqrt(
+        (n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+        .cast("double")
+        / (F.col("n").cast("double")
+           * (F.col("n").cast("double") - 1))) / F.lit(10000.0))
+    per = m.select("event_type", "n", sd.alias("sd"),
+                   (F.col("n").cast("double") * sd).alias("w"))
+    one = per.agg(F.array_sort(F.collect_list(F.struct(
+        "event_type", F.col("n").alias("nh"), "sd", "w"))).alias("gs"))
+    tot = F.expr("aggregate(gs, 0.0D, (acc, e) -> acc + e.w)")
+    rows = (one.select(tot.alias("w_total"),
+                       F.explode("gs").alias("p"))
+            .select("w_total", F.col("p.event_type").alias("event_type"),
+                    F.col("p.nh").alias("n_events"),
+                    F.col("p.sd").alias("stratum_sd"),
+                    grid(F.col("p.w") / F.col("w_total"))
+                    .alias("neyman_share")))
+    return rows.select(
+        "event_type", "n_events", "stratum_sd", "neyman_share",
+        F.floor(F.col("neyman_share") * NEYMAN_BUDGET).cast("long")
+        .alias("alloc_budget"))
+
+
+MI_GRID = 1_000_000_000_000   # pico-nat quantization of ln terms
+
+
+def type_hour_mutual_info(t: dict[str, DataFrame]) -> DataFrame:
+    """Mutual information (and entropies) between event type and
+    hour-of-day — MI = sum p_xy ln(p_xy N / (n_x n_y)) over the
+    (type x hour) contingency grid, the information-theoretic
+    complement of the repo's `cramers_v_audit` / `chi2_event_segments`
+    association family (MI sees any dependence, not just linear-in-
+    counts deviation).
+
+    Every ln term quantizes to integer PICO-NATS per contingency CELL
+    (the doc_token_entropy convention) and rides exact DECIMAL(38,0)
+    c-weighted sums — order-independent, and the cell grid is bounded
+    (types x 24) at any data scale; marginals ride broadcast joins.
+    Outputs: MI, H(type), H(hour), and the normalized MI / min(H)
+    (all gridded 1e-9)."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    cells = retain(t["events"]
+                   .select("event_type", F.hour("ts").alias("hr"))
+                   .groupBy("event_type", "hr")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    mx = cells.groupBy("event_type").agg(F.sum("c").alias("nx"))
+    my = cells.groupBy("hr").agg(F.sum("c").alias("ny"))
+    tot = cells.agg(F.sum("c").alias("nn"),
+                    F.count(F.lit(1)).alias("n_cells"))
+    q = lambda expr: F.floor(F.log(expr) * MI_GRID + F.lit(0.5)) \
+        .cast("long")  # noqa: E731
+    j = (cells.join(F.broadcast(mx), "event_type")
+         .join(F.broadcast(my), "hr")
+         .crossJoin(F.broadcast(tot)))
+    mi_units = F.sum((F.col("c").cast(d38) * q(
+        F.col("c").cast("double") * F.col("nn").cast("double")
+        / (F.col("nx").cast("double") * F.col("ny").cast("double")))
+        .cast(d38)).cast(d38))
+    hx_units = F.sum((F.col("nx").cast(d38) * q(
+        F.col("nn").cast("double") / F.col("nx").cast("double"))
+        .cast(d38)).cast(d38))
+    hy_units = F.sum((F.col("ny").cast(d38) * q(
+        F.col("nn").cast("double") / F.col("ny").cast("double"))
+        .cast(d38)).cast(d38))
+    gx = (mx.crossJoin(F.broadcast(tot))
+          .agg(hx_units.alias("hxu")))
+    gy = (my.crossJoin(F.broadcast(tot))
+          .agg(hy_units.alias("hyu")))
+    gm = j.agg(mi_units.alias("miu"), F.max("nn").alias("nn"),
+               F.max("n_cells").alias("n_cells"))
+    out = gm.crossJoin(F.broadcast(gx)).crossJoin(F.broadcast(gy))
+    unit = F.lit(float(MI_GRID))
+    nn = F.col("nn").cast("double")
+    mi = F.col("miu").cast("double") / unit / nn
+    hx = F.col("hxu").cast("double") / unit / nn
+    hy = F.col("hyu").cast("double") / unit / nn
+    return out.select(
+        F.col("nn").alias("n_events"), "n_cells",
+        grid(mi).alias("mi_nats"),
+        grid(hx).alias("h_type"),
+        grid(hy).alias("h_hour"),
+        grid(mi / F.least(hx, hy)).alias("normalized_mi"))

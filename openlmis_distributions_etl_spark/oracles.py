@@ -10341,3 +10341,258 @@ ORACLES.update({
         FROM f
     """,
 })
+
+# round-9 wave 2: robust location (IRLS on the value grid — the twin
+# replays the identical ppb-quantized weights over raw rows, which
+# sums to the same exact integers), Croston intermittent demand,
+# Neyman allocation, and the pico-nat MI audit.
+ORACLES.update({
+
+    "huber_mean_value": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events),
+        med AS (
+          SELECT event_type, COUNT(*) AS n_events,
+                 (list(vu ORDER BY vu))[CAST((COUNT(*) + 1) // 2
+                                             AS INT)] AS med
+          FROM e GROUP BY 1),
+        mad AS (
+          SELECT e.event_type,
+                 (list(abs(e.vu - m.med) ORDER BY abs(e.vu - m.med)))
+                   [CAST((COUNT(*) + 1) // 2 AS INT)] AS mad
+          FROM e JOIN med m USING (event_type) GROUP BY 1),
+        base AS (
+          SELECT m.event_type, m.n_events, m.med, d.mad,
+                 floor(CAST(1.4826 AS DOUBLE) * d.mad * 1e9 + 0.5)
+                   / 1e9 AS s,
+                 floor(CAST(1.345 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                       * d.mad * 1e9 + 0.5) / 1e9 AS ks,
+                 CAST(m.med AS DOUBLE) AS mu
+          FROM med m JOIN mad d USING (event_type)),
+        it1 AS (
+          SELECT b.event_type, b.n_events, b.med, b.mad, b.s, b.ks,
+                 floor(CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))
+                      * CAST(e.vu AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mu
+          FROM e JOIN base b USING (event_type)
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        it2 AS (
+          SELECT b.event_type, b.n_events, b.med, b.mad, b.s, b.ks,
+                 floor(CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))
+                      * CAST(e.vu AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mu
+          FROM e JOIN it1 b USING (event_type)
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        it3 AS (
+          SELECT b.event_type, b.n_events, b.med, b.mad, b.s, b.ks,
+                 floor(CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))
+                      * CAST(e.vu AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mu
+          FROM e JOIN it2 b USING (event_type)
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        it4 AS (
+          SELECT b.event_type, b.n_events, b.med, b.mad, b.s, b.ks,
+                 floor(CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))
+                      * CAST(e.vu AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mu
+          FROM e JOIN it3 b USING (event_type)
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        it5 AS (
+          SELECT b.event_type, b.n_events, b.med, b.mad, b.s, b.ks,
+                 floor(CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))
+                      * CAST(e.vu AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(CASE WHEN abs(CAST(e.vu AS DOUBLE)
+                                              - b.mu) <= b.ks
+                             THEN 1000000000
+                             ELSE CAST(floor(b.ks
+                                  / abs(CAST(e.vu AS DOUBLE) - b.mu)
+                                  * 1e9 + 0.5) AS BIGINT) END
+                           AS DECIMAL(38,0))) AS DOUBLE)
+                   * 1e9 + 0.5) / 1e9 AS mu
+          FROM e JOIN it4 b USING (event_type)
+          GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT event_type, n_events,
+               CAST(med AS DOUBLE) / 10000.0 AS median_value,
+               floor(s / 10000.0 * 1e9 + 0.5) / 1e9 AS madn,
+               floor(mu / 10000.0 * 1e9 + 0.5) / 1e9 AS huber_mean
+        FROM it5
+    """,
+    "croston_part_demand": """
+        WITH daily AS (
+          SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+                 SUM(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS q
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2),
+        seq AS (
+          SELECT brand,
+                 list([CAST(CAST(d - DATE '1970-01-01' AS BIGINT)
+                            AS DOUBLE), CAST(q AS DOUBLE)]
+                      ORDER BY d) AS dx,
+                 COUNT(*) AS n_demand_days
+          FROM daily GROUP BY 1),
+        -- flat DOUBLE[] accumulator [z, p, prev_ed]
+        st AS (
+          SELECT brand, n_demand_days, list_reduce(
+            list_prepend([CAST(0.0 AS DOUBLE), 0, -1], dx),
+            (acc, e) -> CASE WHEN acc[3] < CAST(0.0 AS DOUBLE)
+              THEN [e[2], CAST(1.0 AS DOUBLE), e[1]]
+              ELSE [acc[1] + CAST(0.1 AS DOUBLE) * (e[2] - acc[1]),
+                    acc[2] + CAST(0.1 AS DOUBLE)
+                             * ((e[1] - acc[3]) - acc[2]),
+                    e[1]] END) AS st
+          FROM seq)
+        SELECT brand, n_demand_days,
+               floor(st[1] * 1e9 + 0.5) / 1e9 AS smoothed_size,
+               floor(st[2] * 1e9 + 0.5) / 1e9 AS smoothed_interval,
+               floor(st[1] / st[2] * 1e9 + 0.5) / 1e9
+                 AS demand_per_day
+        FROM st
+    """,
+    "neyman_allocation_plan": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu
+          FROM events),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(vu AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(vu AS DECIMAL(38,0))
+                          * CAST(vu AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM e GROUP BY 1),
+        per AS (
+          SELECT event_type, n,
+                 floor(sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                            - s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1))) / 10000.0
+                       * 1e9 + 0.5) / 1e9 AS sd
+          FROM m),
+        w AS (
+          SELECT event_type, n, sd, CAST(n AS DOUBLE) * sd AS w
+          FROM per),
+        tot AS (
+          SELECT list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                         list(w ORDER BY event_type)),
+            (acc, e) -> acc + e) AS w_total
+          FROM w)
+        SELECT p.event_type, p.n AS n_events, p.sd AS stratum_sd,
+               floor(p.w / t.w_total * 1e9 + 0.5) / 1e9
+                 AS neyman_share,
+               CAST(floor(floor(p.w / t.w_total * 1e9 + 0.5) / 1e9
+                          * 10000) AS BIGINT) AS alloc_budget
+        FROM w p, tot t
+    """,
+    "type_hour_mutual_info": """
+        WITH cells AS (
+          SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        mx AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nx
+               FROM cells GROUP BY 1),
+        my AS (SELECT hr, CAST(SUM(c) AS BIGINT) AS ny
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                       COUNT(*) AS n_cells
+                FROM cells),
+        mi AS (
+          SELECT SUM(CAST(c.c AS DECIMAL(38,0))
+                 * CAST(CAST(floor(ln(CAST(c.c AS DOUBLE)
+                       * CAST(t.nn AS DOUBLE)
+                       / (CAST(x.nx AS DOUBLE)
+                          * CAST(y.ny AS DOUBLE))) * 1000000000000
+                       + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS miu
+          FROM cells c
+          JOIN mx x USING (event_type) JOIN my y USING (hr), tot t),
+        hx AS (
+          SELECT SUM(CAST(nx AS DECIMAL(38,0))
+                 * CAST(CAST(floor(ln(CAST(t.nn AS DOUBLE)
+                       / CAST(nx AS DOUBLE)) * 1000000000000 + 0.5)
+                       AS BIGINT) AS DECIMAL(38,0))) AS hxu
+          FROM mx, tot t),
+        hy AS (
+          SELECT SUM(CAST(ny AS DECIMAL(38,0))
+                 * CAST(CAST(floor(ln(CAST(t.nn AS DOUBLE)
+                       / CAST(ny AS DOUBLE)) * 1000000000000 + 0.5)
+                       AS BIGINT) AS DECIMAL(38,0))) AS hyu
+          FROM my, tot t),
+        d AS (
+          SELECT t.nn, t.n_cells,
+                 CAST(mi.miu AS DOUBLE) / 1e12
+                   / CAST(t.nn AS DOUBLE) AS mi_d,
+                 CAST(hx.hxu AS DOUBLE) / 1e12
+                   / CAST(t.nn AS DOUBLE) AS hx_d,
+                 CAST(hy.hyu AS DOUBLE) / 1e12
+                   / CAST(t.nn AS DOUBLE) AS hy_d
+          FROM tot t, mi, hx, hy)
+        SELECT nn AS n_events, n_cells,
+               floor(mi_d * 1e9 + 0.5) / 1e9 AS mi_nats,
+               floor(hx_d * 1e9 + 0.5) / 1e9 AS h_type,
+               floor(hy_d * 1e9 + 0.5) / 1e9 AS h_hour,
+               floor(mi_d / least(hx_d, hy_d) * 1e9 + 0.5) / 1e9
+                 AS normalized_mi
+        FROM d
+    """,
+})

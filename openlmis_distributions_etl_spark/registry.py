@@ -500,6 +500,12 @@ _OPERATORS = {
     "ljung_box_daily": analytics.ljung_box_daily,
     "jarque_bera_value": analytics.jarque_bera_value,
     "bartlett_variance_test": analytics.bartlett_variance_test,
+    # §2.A/C round-9 wave 2: robust location, intermittent demand,
+    # sampling design, information audit
+    "huber_mean_value": analytics.huber_mean_value,
+    "croston_part_demand": analytics.croston_part_demand,
+    "neyman_allocation_plan": analytics.neyman_allocation_plan,
+    "type_hour_mutual_info": analytics.type_hour_mutual_info,
 }
 
 

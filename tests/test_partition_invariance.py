@@ -115,6 +115,11 @@ FLOAT_SENSITIVE = (
     "ljung_box_daily",
     "jarque_bera_value",
     "bartlett_variance_test",
+    # round-9 wave 2: IRLS fixpoint, Croston fold, Neyman shares, MI
+    "huber_mean_value",
+    "croston_part_demand",
+    "neyman_allocation_plan",
+    "type_hour_mutual_info",
 )
 
 

@@ -142,6 +142,8 @@ BNLJ_ALLOWED = {
                                  # calendar-bounded deviation scan
     "ljung_box_daily",           # broadcast global-moments singleton
                                  # row into the 7-lag frame
+    "type_hour_mutual_info",     # broadcast corpus-total singleton row
+                                 # into the bounded contingency grid
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

@@ -1680,3 +1680,205 @@ def test_bartlett_matches_python_on_unequal_variances(spark):
     assert got["bartlett_chi2"] == g6(chi2)
     assert got["df"] == k - 1
     assert got["bartlett_chi2"] > 50.0        # group c is decisive
+
+
+def test_huber_mean_matches_python_and_resists_outlier(spark):
+    """Huber IRLS vs brute-force python replay: with a planted heavy
+    outlier the Huber mean stays near the bulk (between median and
+    plain mean), and every gridded iterate matches."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        HUBER_ITERS, huber_mean_value)
+
+    groups = {
+        "bulk": [100.0 + (i % 9) for i in range(60)] + [5000.0],
+        "tight": [50.0] * 30 + [51.0] * 30,
+    }
+    rows, eid = [], 0
+    for name, vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, dt.datetime(2024, 1, 1, 1), i, name, v,
+                         "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["event_type"]: r
+           for r in huber_mean_value({"events": events}).collect()}
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    for name, vals in groups.items():
+        vu = sorted(math.floor(v * 10000 + 0.5) for v in vals)
+        n = len(vu)
+        med = vu[(n + 1) // 2 - 1]
+        mad = sorted(abs(u - med) for u in vu)[(n + 1) // 2 - 1]
+        s = g9(1.4826 * mad)
+        ks = g9(1.345 * 1.4826 * mad)
+        mu = float(med)
+        for _ in range(HUBER_ITERS):
+            num = den = 0
+            for u in vu:
+                dv = abs(float(u) - mu)
+                wq = (1_000_000_000 if dv <= ks
+                      else math.floor(ks / dv * 1e9 + 0.5))
+                num += wq * u
+                den += wq
+            mu = g9(num / den)
+        r = got[name]
+        assert r["n_events"] == n
+        assert r["median_value"] == med / 10000.0
+        assert r["madn"] == g9(s / 10000.0)
+        assert r["huber_mean"] == g9(mu / 10000.0), name
+    # outlier resistance: huber stays within the bulk (near the
+    # median), far below the outlier-dragged plain mean
+    bulk = groups["bulk"]
+    mean = sum(bulk) / len(bulk)
+    r = got["bulk"]
+    assert abs(r["huber_mean"] - r["median_value"]) < 2.0
+    assert r["huber_mean"] < mean - 50.0
+
+
+def test_croston_matches_python_on_intermittent_series(spark):
+    """Croston fold vs python replay on a planted intermittent demand
+    pattern (size 10 every 4 days): smoothing converges toward
+    z ~ 10, p ~ 4, forecast ~ 2.5."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        croston_part_demand)
+
+    base = dt.date(1995, 3, 1)
+    rows = []
+    demands = [(4 * i, 10.0) for i in range(20)]    # every 4th day
+    for j, (day, q) in enumerate(demands):
+        ts = dt.datetime.combine(base + dt.timedelta(days=day),
+                                 dt.time(12))
+        rows.append((j, 1, 1, j + 1, q, 100.0, 0.0, 0.0, "N", "O", ts))
+    lineitem = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, "
+              "l_tax double, l_returnflag string, l_linestatus "
+              "string, l_shipdate timestamp")
+    part = spark.createDataFrame([(1, "Brand#11")],
+                                 "p_partkey long, p_brand string")
+    got = croston_part_demand(
+        {"lineitem": lineitem, "part": part}).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    z = p = None
+    prev = None
+    for day, q in demands:
+        if prev is None:
+            z, p, prev = q, 1.0, day
+        else:
+            z = z + 0.1 * (q - z)
+            p = p + 0.1 * ((day - prev) - p)
+            prev = day
+    assert r["brand"] == "Brand#11"
+    assert r["n_demand_days"] == len(demands)
+    assert r["smoothed_size"] == g9(z)
+    assert r["smoothed_interval"] == g9(p)
+    assert r["demand_per_day"] == g9(z / p)
+    assert abs(r["smoothed_size"] - 10.0) < 1e-6     # constant sizes
+    assert 3.0 < r["smoothed_interval"] < 4.0        # toward 4
+    assert 2.4 < r["demand_per_day"] < 3.4
+
+
+def test_neyman_allocation_matches_python(spark):
+    """Neyman shares vs python replay: the high-variance stratum gets
+    the dominant share of the budget even with fewer rows."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        neyman_allocation_plan)
+
+    groups = {
+        "flat": [100.0 + (i % 2) for i in range(80)],
+        "wild": [10.0 * (i % 30) for i in range(40)],
+    }
+    rows, eid = [], 0
+    for name, vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, dt.datetime(2024, 1, 1, 1), i, name, v,
+                         "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["event_type"]: r
+           for r in neyman_allocation_plan({"events": events}).collect()}
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    per = {}
+    for name, vals in groups.items():
+        vu = [math.floor(v * 10000 + 0.5) for v in vals]
+        n = len(vu)
+        s1, s2 = sum(vu), sum(u * u for u in vu)
+        sd = g9(math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+                / 10000.0)
+        per[name] = (n, sd, float(n) * sd)
+    w_total = 0.0
+    for name in sorted(per):
+        w_total = w_total + per[name][2]
+    for name, (n, sd, w) in per.items():
+        r = got[name]
+        share = g9(w / w_total)
+        assert r["n_events"] == n
+        assert r["stratum_sd"] == sd
+        assert r["neyman_share"] == share
+        assert r["alloc_budget"] == math.floor(share * 10000)
+    assert got["wild"]["neyman_share"] > 0.6
+    assert (got["wild"]["alloc_budget"]
+            > got["flat"]["alloc_budget"])
+
+
+def test_type_hour_mutual_info_extremes(spark):
+    """MI audit vs python replay on the two boundary designs: type
+    determines hour exactly (MI = H(type), normalized 1) and a fully
+    independent product grid (MI = 0)."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        type_hour_mutual_info)
+
+    def run(rows):
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        return type_hour_mutual_info({"events": events}).collect()[0]
+
+    # dependent: each type pins its own hour
+    dep = []
+    for i in range(90):
+        typ = ["a", "b", "c"][i % 3]
+        hr = {"a": 3, "b": 9, "c": 15}[typ]
+        dep.append((i, dt.datetime(2024, 1, 1, hr), i, typ, 1.0, "{}"))
+    r = run(dep)
+    assert r["n_events"] == 90 and r["n_cells"] == 3
+    want = math.floor(math.log(3.0) * 1e12 + 0.5) / 1e12
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    assert r["mi_nats"] == g9(want)
+    assert r["h_type"] == g9(want) and r["h_hour"] == g9(want)
+    assert r["normalized_mi"] == 1.0
+
+    # independent: every (type, hour) cell has identical count
+    ind = []
+    eid = 0
+    for typ in ["a", "b"]:
+        for hr in [3, 9]:
+            for _ in range(10):
+                ind.append((eid, dt.datetime(2024, 1, 1, hr), eid,
+                            typ, 1.0, "{}"))
+                eid += 1
+    r = run(ind)
+    assert r["n_cells"] == 4
+    assert r["mi_nats"] == 0.0
+    assert r["normalized_mi"] == 0.0
