@@ -2872,3 +2872,53 @@ def anisotropic_pq_loss(t: dict[str, DataFrame]) -> DataFrame:
         .alias("mean_orth_loss"),
         F.when(tot > 0, grid(F.col("sp").cast("double") / tot))
          .alias("parallel_share"))
+
+
+# round-9: greedy k-center coreset selection (data-subset curation)
+
+KCENTER_K = 8   # centers to select (fixed, SQL-unrollable)
+
+
+def kcenter_greedy_coreset(t: dict[str, DataFrame],
+                           k: int = KCENTER_K) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    store (Gonzalez 1985, Theor. Comput. Sci. 38 — the 2-approximation
+    for the k-center cover, and the selection rule behind coreset
+    active learning, Sener & Savarese ICLR 2018): start from the
+    lowest vec_id, then repeatedly take the point FARTHEST (cosine
+    distance, 1 − cos) from everything selected so far. Each selected
+    row reports `sel_dist` — its min-distance at selection time,
+    which IS the coverage radius of the preceding center set, so the
+    output doubles as the k-center coverage curve a curation pipeline
+    reads to pick its coreset size.
+
+    Serving shape (the kmeans literal-centroid hot path, driven to
+    completion like the beam/MMR family): each of the k−1 steps is
+    ONE distributed corpus scan — per-row min over ≤ k−1 broadcast
+    literal centers (in-row `least`, no join) feeding a 1-row
+    TakeOrdered argmax; coordinator state is k center vectors, never
+    data. Per-(row, center) distances floor-grid to 1e-9 BEFORE the
+    min/argmax so the winner (ties → lowest vec_id) is
+    engine-identical; the DuckDB twin unrolls the same k stages with
+    cross-joined singleton center rows. Returns a LocalRelation (the
+    search runs at construction time — see the docs/SHUFFLES.md
+    caveat)."""
+    e = spread(t["embeddings"]).select("vec_id", "label", "embedding")
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    first = (e.orderBy(F.asc("vec_id")).limit(1)
+             .select("vec_id", "label", "embedding").collect()[0])
+    out = [(1, first["vec_id"], first["label"], None)]
+    centers = [first["embedding"]]
+    for rank in range(2, k + 1):
+        lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+        dmin = F.least(*[grid(F.lit(1.0) - cosine(F.col("embedding"), c))
+                         for c in lits]) if len(lits) > 1 else \
+            grid(F.lit(1.0) - cosine(F.col("embedding"), lits[0]))
+        sel = (e.select("vec_id", "label", "embedding",
+                        dmin.alias("dmin"))
+               .orderBy(F.desc("dmin"), F.asc("vec_id"))
+               .limit(1).collect()[0])
+        out.append((rank, sel["vec_id"], sel["label"], sel["dmin"]))
+        centers.append(sel["embedding"])
+    return e.sparkSession.createDataFrame(
+        out, "rank int, vec_id long, label int, sel_dist double")

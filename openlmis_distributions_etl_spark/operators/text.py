@@ -2610,3 +2610,111 @@ def ccnet_sampling_plan(t: dict[str, DataFrame]) -> DataFrame:
             .groupBy("lang", "decision")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_toks").alias("token_mass")))
+
+
+# round-9 wave 3: readability scoring and Dirichlet query likelihood
+
+
+def doc_readability(t: dict[str, DataFrame]) -> DataFrame:
+    """Flesch reading ease and Flesch–Kincaid grade per document
+    (Flesch 1948, J. Appl. Psych. 32; Kincaid et al. 1975) with the
+    deterministic VOWEL-GROUP syllable heuristic (maximal [aeiouy]+
+    runs per lowered token, floor 1) — the classical readability
+    member of the `doc_quality_score` battery, and a standard
+    curation feature for training-data quality buckets.
+
+    Pure per-row projection (the `doc_sentence_stats` shape): one
+    token split, one sentence split on [.!?]+ (non-empty-token
+    sentences count, same convention), one in-row syllable fold —
+    integer-exact until the two final ratio chains, which grid to
+    1e-9. The char-class-only regexes carry identical semantics in
+    Java and RE2. NULL scores when a document has no sentences or no
+    tokens."""
+    toks = tokens()
+    syl = F.expr(
+        "aggregate(transform("
+        "filter(split(text, ' '), x -> x != ''), "
+        "tok -> greatest(1, size(regexp_extract_all(lower(tok), "
+        "'[aeiouy]+', 0)))), 0L, (a, x) -> a + x)")
+    sents = F.expr(
+        "size(filter(transform(split(text, '[.!?]+'), "
+        "s -> size(filter(split(s, ' '), x -> x != ''))), n -> n > 0))")
+    d = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    wps = F.col("n_tokens").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_tokens")
+    ok = (F.col("n_sentences") > 0) & (F.col("n_tokens") > 0)
+    return d.select(
+        "doc_id", "n_tokens", "n_sentences", "n_syllables",
+        F.when(ok, grid(F.lit(206.835) - F.lit(1.015) * wps
+                        - F.lit(84.6) * spw))
+        .alias("flesch_reading_ease"),
+        F.when(ok, grid(F.lit(0.39) * wps + F.lit(11.8) * spw
+                        - F.lit(15.59)))
+        .alias("fk_grade"))
+
+
+QL_MU = 2000.0              # Dirichlet prior mass (Zhai-Lafferty's
+                            # robust default)
+QL_GRID = 1_000_000_000_000  # pico-nat quantization of ln terms
+
+
+def lm_dirichlet_scores(t: dict[str, DataFrame], query_terms:
+                        tuple[str, ...] = ("spark", "query", "join")) \
+        -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval scores (Zhai &
+    Lafferty 2001, SIGIR): score(q, d) = sum_t ln((tf + mu p(t|C)) /
+    (|d| + mu)) — the language-modeling ranker beside `bm25_scores`
+    (same fixed term set, so the two rankings can be compared
+    directly); every document scores, including zero-match ones (the
+    smoothing assigns background mass — the property that
+    distinguishes QL from BM25's matched-terms-only sum).
+
+    Exactness: each per-(doc, term) ln term quantizes to integer
+    pico-nats (the `unigram_logprob_quality` convention) and the
+    per-doc score is their exact integer sum — order-free, so no
+    sorted-term fold is needed. Shape: per-doc term frequencies (one
+    groupBy), corpus term frequencies for the query terms (tiny
+    broadcast), collection-total singleton row (broadcast), one
+    3-way explode of the docs frame."""
+    from ..functions.cache import retain
+    toks = tokens()
+    docs = retain(t["documents"].select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")))
+    tf = (docs.select("doc_id", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*query_terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    cf = (docs.select(F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*query_terms))
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).alias("cf")))
+    total = docs.agg(F.sum("dl").cast("long").alias("total"))
+    pairs = (docs.select("doc_id", "dl",
+                         F.explode(F.array(*[F.lit(q) for q in
+                                             sorted(query_terms)]))
+                         .alias("term"))
+             .join(F.broadcast(cf), "term")
+             .join(tf, ["doc_id", "term"], "left")
+             .crossJoin(F.broadcast(total)))
+    tfd = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    term_units = F.floor(F.log(
+        (tfd + F.lit(QL_MU) * (F.col("cf").cast("double")
+                               / F.col("total").cast("double")))
+        / (F.col("dl").cast("double") + F.lit(QL_MU)))
+        * QL_GRID + F.lit(0.5)).cast("long")
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    g = (pairs.select("doc_id", term_units.alias("u"),
+                      (F.coalesce(F.col("tf"), F.lit(0)) > 0)
+                      .cast("int").alias("m"))
+         .groupBy("doc_id")
+         .agg(F.sum("u").alias("units"),
+              F.sum("m").cast("long").alias("n_match_terms")))
+    return g.select(
+        "doc_id", "n_match_terms",
+        grid(F.col("units").cast("double") / F.lit(float(QL_GRID)))
+        .alias("ql_score"))

@@ -10596,3 +10596,114 @@ ORACLES.update({
         FROM d
     """,
 })
+
+# round-9 wave 3: readability, Dirichlet query likelihood, greedy
+# k-center coreset (unrolled farthest-point stages).
+ORACLES.update({
+    "doc_readability": """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS INT) AS n_tokens,
+                 CAST(len(list_filter(list_transform(
+                        regexp_split_to_array(text, '[.!?]+'),
+                        s -> len(list_filter(string_split(s, ' '),
+                                 x -> x <> ''))), n -> n > 0)) AS INT)
+                   AS n_sentences,
+                 CAST(COALESCE(list_sum(list_transform(
+                        list_filter(string_split(text, ' '),
+                                    x -> x <> ''),
+                        tok -> greatest(1, len(regexp_extract_all(
+                                 lower(tok), '[aeiouy]+'))))), 0)
+                      AS BIGINT) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_tokens, n_sentences, n_syllables,
+               CASE WHEN n_sentences > 0 AND n_tokens > 0
+                    THEN floor((CAST(206.835 AS DOUBLE)
+                          - CAST(1.015 AS DOUBLE)
+                            * (CAST(n_tokens AS DOUBLE) / n_sentences)
+                          - CAST(84.6 AS DOUBLE)
+                            * (CAST(n_syllables AS DOUBLE)
+                               / n_tokens)) * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS flesch_reading_ease,
+               CASE WHEN n_sentences > 0 AND n_tokens > 0
+                    THEN floor((CAST(0.39 AS DOUBLE)
+                          * (CAST(n_tokens AS DOUBLE) / n_sentences)
+                          + CAST(11.8 AS DOUBLE)
+                            * (CAST(n_syllables AS DOUBLE) / n_tokens)
+                          - CAST(15.59 AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS fk_grade
+        FROM d
+    """,
+    "lm_dirichlet_scores": f"""
+        WITH docs AS (
+          SELECT doc_id, {TOKS} AS toks,
+                 CAST(len({TOKS}) AS INT) AS dl
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+          WHERE term IN ('join', 'query', 'spark')
+          GROUP BY 1, 2),
+        cf AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+          FROM (SELECT unnest(toks) AS term FROM docs)
+          WHERE term IN ('join', 'query', 'spark')
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total FROM docs),
+        pairs AS (
+          SELECT d.doc_id, d.dl, q.term
+          FROM docs d CROSS JOIN (VALUES ('join'), ('query'),
+                                         ('spark')) q(term)),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(floor(ln((CAST(COALESCE(t.tf, 0) AS DOUBLE)
+                        + CAST(2000.0 AS DOUBLE)
+                          * (CAST(c.cf AS DOUBLE)
+                             / CAST(tt.total AS DOUBLE)))
+                       / (CAST(p.dl AS DOUBLE)
+                          + CAST(2000.0 AS DOUBLE)))
+                       * 1000000000000 + 0.5) AS BIGINT) AS u,
+                 CASE WHEN COALESCE(t.tf, 0) > 0
+                      THEN 1 ELSE 0 END AS m
+          FROM pairs p
+          JOIN cf c USING (term)
+          LEFT JOIN tf t ON t.doc_id = p.doc_id AND t.term = p.term,
+          tot tt)
+        SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_match_terms,
+               floor(CAST(SUM(u) AS DOUBLE) / 1e12 * 1e9 + 0.5) / 1e9
+                 AS ql_score
+        FROM scored GROUP BY doc_id
+    """,
+})
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center: stage j selects the argmax of the
+    gridded min-distance to the j-1 cross-joined singleton center
+    rows — the same fresh-min-over-all-centers the Spark operator
+    evaluates per scan."""
+    g = lambda expr: f"floor(({expr}) * 1e9 + 0.5) / 1e9  "  # noqa
+    ctes = ["c1 AS (SELECT vec_id AS v1, label AS l1, "
+            "embedding AS emb1, CAST(NULL AS DOUBLE) AS d1 "
+            "FROM embeddings ORDER BY vec_id LIMIT 1)"]
+    for j in range(2, k + 1):
+        prev = ", ".join(f"c{i}" for i in range(1, j))
+        dists = [g(f"CAST(1.0 AS DOUBLE) - "
+                   f"{_cos('e.embedding', f'emb{i}')}")
+                 for i in range(1, j)]
+        dmin = dists[0] if j == 2 else f"least({', '.join(dists)})"
+        ctes.append(
+            f"s{j} AS (SELECT e.vec_id, e.label, e.embedding, "
+            f"{dmin} AS dmin FROM embeddings e, {prev})")
+        ctes.append(
+            f"c{j} AS (SELECT vec_id AS v{j}, label AS l{j}, "
+            f"embedding AS emb{j}, dmin AS d{j} FROM s{j} "
+            f"ORDER BY dmin DESC, vec_id ASC LIMIT 1)")
+    selects = " UNION ALL ".join(
+        f"SELECT {j} AS rank, v{j} AS vec_id, l{j} AS label, "
+        f"d{j} AS sel_dist FROM c{j}" for j in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+ORACLES["kcenter_greedy_coreset"] = _kcenter_sql()

@@ -506,6 +506,10 @@ _OPERATORS = {
     "croston_part_demand": analytics.croston_part_demand,
     "neyman_allocation_plan": analytics.neyman_allocation_plan,
     "type_hour_mutual_info": analytics.type_hour_mutual_info,
+    # §2.G/F round-9 wave 3: readability, LM retrieval, coreset
+    "doc_readability": text.doc_readability,
+    "lm_dirichlet_scores": text.lm_dirichlet_scores,
+    "kcenter_greedy_coreset": similarity.kcenter_greedy_coreset,
 }
 
 

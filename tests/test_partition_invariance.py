@@ -120,6 +120,10 @@ FLOAT_SENSITIVE = (
     "croston_part_demand",
     "neyman_allocation_plan",
     "type_hour_mutual_info",
+    # round-9 wave 3: ratio chains, pico-nat QL sums, greedy k-center
+    "doc_readability",
+    "lm_dirichlet_scores",
+    "kcenter_greedy_coreset",
 )
 
 

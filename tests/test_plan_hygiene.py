@@ -144,6 +144,8 @@ BNLJ_ALLOWED = {
                                  # row into the 7-lag frame
     "type_hour_mutual_info",     # broadcast corpus-total singleton row
                                  # into the bounded contingency grid
+    "lm_dirichlet_scores",       # broadcast collection-total singleton
+                                 # row (the unigram_logprob pattern)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

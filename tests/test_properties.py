@@ -1882,3 +1882,138 @@ def test_type_hour_mutual_info_extremes(spark):
     assert r["n_cells"] == 4
     assert r["mi_nats"] == 0.0
     assert r["normalized_mi"] == 0.0
+
+
+def test_doc_readability_matches_hand_computation(spark):
+    """Flesch / FK vs a hand-computed doc and the python replay of the
+    vowel-group syllable heuristic; empty and sentence-less docs give
+    NULL scores."""
+    import math
+    import re
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        doc_readability)
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran fast!", "en", "s", 30),
+         (2, "no sentence marker here", "en", "s", 23),
+         (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int")
+    got = {r["doc_id"]: r
+           for r in doc_readability({"documents": docs}).collect()}
+
+    def syl(tok):
+        return max(1, len(re.findall(r"[aeiouy]+", tok.lower())))
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    text = "The cat sat. The dog ran fast!"
+    toks = [x for x in text.split(" ") if x]
+    w = len(toks)
+    s = len([p for p in re.split(r"[.!?]+", text)
+             if [x for x in p.split(" ") if x]])
+    y = sum(syl(tk) for tk in toks)
+    r = got[1]
+    assert (r["n_tokens"], r["n_sentences"], r["n_syllables"]) \
+        == (w, s, y) == (7, 2, 7)
+    assert r["flesch_reading_ease"] == g9(
+        206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+    assert r["fk_grade"] == g9(0.39 * (w / s) + 11.8 * (y / w) - 15.59)
+    # a no-punctuation doc still has 1 "sentence" (the whole text)
+    assert got[2]["n_sentences"] == 1
+    assert got[2]["flesch_reading_ease"] is not None
+    # empty doc: no tokens -> NULL scores
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["flesch_reading_ease"] is None
+    assert got[3]["fk_grade"] is None
+
+
+def test_lm_dirichlet_matches_python_and_ranks_matches_higher(spark):
+    """Dirichlet QL vs python replay: every doc scores (including the
+    zero-match one, via background mass), and the term-bearing doc
+    outranks the same-length doc without the terms."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        lm_dirichlet_scores)
+
+    texts = {
+        1: "spark query join spark engine fast",
+        2: "banana apple pear orange grape melon",
+        3: "spark runs the query engine and the join planner today",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int")
+    got = {r["doc_id"]: r
+           for r in lm_dirichlet_scores({"documents": docs}).collect()}
+    assert set(got) == {1, 2, 3}
+
+    toks = {i: [x for x in t.split(" ") if x] for i, t in texts.items()}
+    total = sum(len(v) for v in toks.values())
+    terms = ("join", "query", "spark")
+    cf = {q: sum(tk.count(q) for tk in toks.values()) for q in terms}
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    for i, tk in toks.items():
+        units = 0
+        matches = 0
+        for q in terms:
+            tf = tk.count(q)
+            matches += tf > 0
+            units += math.floor(math.log(
+                (float(tf) + 2000.0 * (cf[q] / total))
+                / (len(tk) + 2000.0)) * 1e12 + 0.5)
+        r = got[i]
+        assert r["n_match_terms"] == matches
+        assert r["ql_score"] == g9(units / 1e12), i
+    assert got[2]["n_match_terms"] == 0
+    assert got[1]["ql_score"] > got[2]["ql_score"]
+    assert got[3]["ql_score"] > got[2]["ql_score"]
+
+
+def test_kcenter_greedy_matches_numpy(spark):
+    """Greedy k-center vs a numpy replay on a small synthetic store:
+    same centers in the same order, and the selection distances (=
+    coverage radii of the growing center set) are non-increasing."""
+    import math
+
+    import numpy as np
+
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        kcenter_greedy_coreset)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3))
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int")
+    got = kcenter_greedy_coreset({"embeddings": emb}, k=5).collect()
+    got = sorted(got, key=lambda r: r["rank"])
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return num / (na * nb)
+
+    pts = [[float(x) for x in vecs[i]] for i in range(40)]
+    centers = [0]
+    sel = [(1, 0, None)]
+    for rank in range(2, 6):
+        best = None
+        for v in range(40):
+            dmin = min(g9(1.0 - cos(pts[v], pts[c])) for c in centers)
+            if best is None or (-dmin, v) < (-best[1], best[0]):
+                best = (v, dmin)
+        centers.append(best[0])
+        sel.append((rank, best[0], best[1]))
+    for want, r in zip(sel, got):
+        assert r["rank"] == want[0]
+        assert r["vec_id"] == want[1]
+        assert r["sel_dist"] == want[2], want
+    dists = [r["sel_dist"] for r in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))

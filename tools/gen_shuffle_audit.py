@@ -48,7 +48,8 @@ def main() -> None:
                 "pinned in\n`tests/test_plan_hygiene.py`; `py` > 0 only "
                 "in the declared Arrow lanes.\n\n"
                 "Caveat (ADVICE r8): `knn_beam` / `knn_beam_batch` / "
-                "`mmr_diversified_topk`\nrun their search at "
+                "`mmr_diversified_topk` /\n`kcenter_greedy_coreset` "
+                "run their search at "
                 "DataFrame-CONSTRUCTION time (the coordinator-held\n"
                 "loop issues bounded constant-size probe jobs "
                 "immediately) and return a\nLocalRelation, so their "
