@@ -2718,3 +2718,78 @@ def lm_dirichlet_scores(t: dict[str, DataFrame], query_terms:
         "doc_id", "n_match_terms",
         grid(F.col("units").cast("double") / F.lit(float(QL_GRID)))
         .alias("ql_score"))
+
+
+ISO_BIN_WIDTH = 256   # w_sum units per isotonic bin (coarser than the
+                      # reliability table's CALIB_BIN_WIDTH: the
+                      # closed-form fit below is O(B^3) in the bin
+                      # count, so B stays ~tens)
+
+
+def isotonic_calibration(t: dict[str, DataFrame]) -> DataFrame:
+    """Isotonic (PAVA) calibration of the hash-trick quality
+    classifier against the C4-style filter battery (Ayer et al. 1955,
+    Ann. Math. Stat. 26 — pool-adjacent-violators; Zadrozny & Elkan
+    KDD'02 for classifier calibration): the monotone-nondecreasing
+    keep-rate curve closest in weighted L2 to the raw per-bin rates —
+    what turns `classifier_score_calibration`'s reliability DIAGRAM
+    into a usable calibrated score map.
+
+    Computed via the minimax CLOSED FORM iso(i) = max_{j<=i}
+    min_{k>=i} mean(y[j..k]) rather than the sequential
+    pool-adjacent-violators stack (whose data-dependent inner merge
+    loop is not expressible as a bounded SQL fold): prefix sums make
+    each mean one subtraction pair, and the triple index range is
+    O(B^3) over the BOUNDED bin axis (B ~ tens — bounded by the
+    classifier's score range over ISO_BIN_WIDTH, not by the corpus),
+    all inside one in-row expression on a single collected row.
+    Exactness: prefix sums are exact integers; each mean is one IEEE
+    division of exact integers (bit-identical in DuckDB); min/max
+    over those doubles needs no grid, and the output grids to 1e-9
+    as usual. The corpus-sized work is the same two zero-shuffle
+    per-row projections the reliability table scans."""
+    score = hashed_classifier_score(t).select("doc_id", "w_sum")
+    keep = doc_quality_filters(t).select("doc_id", "keep")
+    j = score.join(keep, "doc_id")
+    g = (j.groupBy((F.col("w_sum") - F.pmod("w_sum",
+                                            F.lit(ISO_BIN_WIDTH)))
+                   .alias("bin_lo"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("keep").cast("long").alias("y")))
+    one = g.agg(F.array_sort(F.collect_list(
+        F.struct("bin_lo", "n", "y"))).alias("bs"))
+    pw = F.expr("""
+        aggregate(bs, array(0L),
+                  (acc, e) -> array_append(acc,
+                      element_at(acc, -1) + e.n))
+    """)
+    py = F.expr("""
+        aggregate(bs, array(0L),
+                  (acc, e) -> array_append(acc,
+                      element_at(acc, -1) + e.y))
+    """)
+    iso = F.expr("""
+        transform(sequence(1, size(bs)), i ->
+          array_max(transform(sequence(1, i), j ->
+            array_min(transform(sequence(i, size(bs)), k ->
+              CAST(element_at(py, k + 1) - element_at(py, j)
+                   AS DOUBLE)
+              / CAST(element_at(pw, k + 1) - element_at(pw, j)
+                     AS DOUBLE))))))
+    """)
+    per = F.expr("""
+        transform(sequence(1, size(bs)), i -> struct(
+            element_at(bs, i).bin_lo AS bin_lo,
+            element_at(bs, i).n AS n,
+            element_at(bs, i).y AS y,
+            element_at(iso, i) AS iso))
+    """)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return (one.withColumn("pw", pw).withColumn("py", py)
+            .withColumn("iso", iso)
+            .select(F.explode(per).alias("p"))
+            .select(F.col("p.bin_lo").alias("bin_lo"),
+                    F.col("p.n").alias("n_docs"),
+                    (F.col("p.y").cast("double") / F.col("p.n"))
+                    .alias("raw_keep_rate"),
+                    grid(F.col("p.iso")).alias("iso_keep_rate")))

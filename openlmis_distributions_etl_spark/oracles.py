@@ -10707,3 +10707,68 @@ def _kcenter_sql(k: int = 8) -> str:
 
 
 ORACLES["kcenter_greedy_coreset"] = _kcenter_sql()
+
+# round-9: isotonic (PAVA) calibration via the minimax closed form
+# over the bounded bin axis — prefix sums as exact integer folds,
+# each mean one IEEE division, nested list_transform index ranges.
+ORACLES.update({
+    "isotonic_calibration": f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(toks,
+                     x -> {_W_INT})) AS BIGINT) AS w_sum
+          FROM d),
+        q AS (
+          SELECT doc_id,
+                 CAST(len(toks) >= 30
+                  AND list_sum(list_transform(toks, x -> length(x)))
+                        <= 8 * len(toks)
+                  AND len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','to','in'))) > 0
+                  AND 10 * len(list_distinct(toks)) >= len(toks)
+                  AS INT) AS keep
+          FROM d),
+        g AS (
+          SELECT s.w_sum - ((s.w_sum % 256 + 256) % 256) AS bin_lo,
+                 COUNT(*) AS n,
+                 CAST(SUM(q.keep) AS BIGINT) AS y
+          FROM s JOIN q USING (doc_id) GROUP BY 1),
+        one AS (
+          SELECT list(bin_lo ORDER BY bin_lo) AS bls,
+                 list(n ORDER BY bin_lo) AS ns,
+                 list(y ORDER BY bin_lo) AS ys
+          FROM g),
+        pre AS (
+          SELECT bls, ns, ys,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT)],
+                     list_transform(ns, e -> [e])),
+                   (acc, e) -> list_append(acc, acc[-1] + e[1])) AS pw,
+                 list_reduce(
+                   list_prepend([CAST(0 AS BIGINT)],
+                     list_transform(ys, e -> [e])),
+                   (acc, e) -> list_append(acc, acc[-1] + e[1])) AS py
+          FROM one),
+        iso AS (
+          SELECT bls, ns, ys, pw, py,
+                 list_transform(range(1, len(bls) + 1), i ->
+                   list_max(list_transform(range(1, i + 1), j ->
+                     list_min(list_transform(range(i, len(bls) + 1),
+                       k -> CAST(py[CAST(k + 1 AS INT)]
+                                 - py[CAST(j AS INT)] AS DOUBLE)
+                            / CAST(pw[CAST(k + 1 AS INT)]
+                                   - pw[CAST(j AS INT)] AS DOUBLE)))))
+                 ) AS isov
+          FROM pre)
+        SELECT bls[CAST(t AS INT)] AS bin_lo,
+               ns[CAST(t AS INT)] AS n_docs,
+               CAST(ys[CAST(t AS INT)] AS DOUBLE)
+                 / ns[CAST(t AS INT)] AS raw_keep_rate,
+               floor(isov[CAST(t AS INT)] * 1e9 + 0.5) / 1e9
+                 AS iso_keep_rate
+        FROM iso, (SELECT unnest(range(1,
+                     (SELECT len(bls) FROM iso) + 1)) AS t)
+    """,
+})

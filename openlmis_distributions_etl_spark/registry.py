@@ -510,6 +510,7 @@ _OPERATORS = {
     "doc_readability": text.doc_readability,
     "lm_dirichlet_scores": text.lm_dirichlet_scores,
     "kcenter_greedy_coreset": similarity.kcenter_greedy_coreset,
+    "isotonic_calibration": text.isotonic_calibration,
 }
 
 

@@ -124,6 +124,7 @@ FLOAT_SENSITIVE = (
     "doc_readability",
     "lm_dirichlet_scores",
     "kcenter_greedy_coreset",
+    "isotonic_calibration",
 )
 
 

@@ -2017,3 +2017,63 @@ def test_kcenter_greedy_matches_numpy(spark):
         assert r["sel_dist"] == want[2], want
     dists = [r["sel_dist"] for r in got[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_isotonic_calibration_matches_pava_stack(spark):
+    """The minimax closed form must equal the classical sequential
+    PAVA stack algorithm (weighted), and the fitted curve must be
+    monotone nondecreasing in bin order while preserving the weighted
+    mean."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        isotonic_calibration)
+
+    # build docs whose (w_sum bin, keep) pattern forces pooling: the
+    # keep flag comes from the real filter battery, so construct texts
+    # that pass/fail it deterministically
+    passing = ("the data " * 20).strip()          # >=30 toks, stopwords
+    failing = "zz"                                 # too short
+    docs = []
+    did = 0
+    for i in range(120):
+        txt = passing if (did * 7) % 3 != 0 else failing
+        docs.append((did, txt + (" pad" + str(did % 11)), "en", "s",
+                     10))
+        did += 1
+    frame = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    got = sorted(isotonic_calibration({"documents": frame}).collect(),
+                 key=lambda r: r["bin_lo"])
+    assert len(got) >= 2
+
+    # PAVA stack replay on the SAME (n, y) bins the operator produced
+    bins = [(r["bin_lo"], r["n_docs"],
+             round(r["raw_keep_rate"] * r["n_docs"])) for r in got]
+    stack = []
+    for _, n, y in bins:
+        w, v = float(n), y / n
+        stack.append((w, v))
+        while len(stack) > 1 and stack[-1][1] < stack[-2][1] - 1e-15:
+            w2, v2 = stack.pop()
+            w1, v1 = stack.pop()
+            stack.append((w1 + w2, (w1 * v1 + w2 * v2) / (w1 + w2)))
+    fit = []
+    for w, v in stack:
+        cnt = 0
+        total_w = 0.0
+        while total_w < w - 1e-9:
+            total_w += float(bins[len(fit) + cnt][1])
+            cnt += 1
+        fit.extend([v] * cnt)
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    for r, v in zip(got, fit):
+        assert abs(r["iso_keep_rate"] - g9(v)) <= 1e-9, r["bin_lo"]
+    # monotone nondecreasing, and weighted mean preserved
+    rates = [r["iso_keep_rate"] for r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+    want_mean = sum(y for _, _, y in bins) / sum(n for _, n, _ in bins)
+    got_mean = (sum(r["iso_keep_rate"] * r["n_docs"] for r in got)
+                / sum(r["n_docs"] for r in got))
+    assert abs(got_mean - want_mean) < 1e-6

@@ -194,6 +194,14 @@ OPS = (
     "store_skyline",
     "store_lifecycle",
     "anisotropic_pq_loss",
+    # round-9: value-grid IRLS, corpus-explode QL scoring, per-row
+    # readability, k-center scans, brand-day demand fold, moment sums
+    "huber_mean_value",
+    "lm_dirichlet_scores",
+    "doc_readability",
+    "kcenter_greedy_coreset",
+    "croston_part_demand",
+    "jarque_bera_value",
 )
 
 
