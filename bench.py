@@ -201,6 +201,26 @@ HEADLINE = [
     "ccnet_sampling_plan",
     "heaps_law_fit",
     "knn_bq_recall",
+    # round-9 wave: SPC/normality/portmanteau statistics, robust
+    # location, intermittent demand, sampling design, MI audit,
+    # readability, Dirichlet QL, k-center coreset, isotonic fit
+    "cusum_daily_revenue",
+    "runs_test_daily",
+    "grubbs_daily_outlier",
+    "ljung_box_daily",
+    "jarque_bera_value",
+    "bartlett_variance_test",
+    "huber_mean_value",
+    "croston_part_demand",
+    "neyman_allocation_plan",
+    "type_hour_mutual_info",
+    "doc_readability",
+    "lm_dirichlet_scores",
+    "kcenter_greedy_coreset",
+    "isotonic_calibration",
+    "pacf_daily_revenue",
+    "pettitt_changepoint",
+    "turning_point_test",
 ]
 
 

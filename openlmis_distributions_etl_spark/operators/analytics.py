@@ -4511,3 +4511,214 @@ def type_hour_mutual_info(t: dict[str, DataFrame]) -> DataFrame:
         grid(hx).alias("h_type"),
         grid(hy).alias("h_hour"),
         grid(mi / F.least(hx, hy)).alias("normalized_mi"))
+
+
+# round-9 wave 4: PACF, rank-based changepoint, turning-point test
+
+
+def pacf_daily_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1..7 via the
+    Durbin–Levinson recursion (Durbin 1960, Rev. Inst. Int. Stat. 28)
+    on the same global-mean ACF `ljung_box_daily` computes — the AR
+    order-selection table (PACF cuts off at the true AR order) that
+    completes the repo's ACF family.
+
+    The recursion runs as ONE in-row fold over the lag axis: the
+    accumulator carries the previous AR coefficient row phi_{k-1,.}
+    (a ≤7-element array rebuilt per step — bounded by the lag budget,
+    never by data), each step computes phi_kk from the GRIDDED rho
+    values and appends the updated row. Every arithmetic step is a
+    fixed double chain on gridded inputs, mirrored term-for-term by
+    the DuckDB twin's flat nested-list fold; outputs grid to 1e-9.
+    Corpus work is identical to `ljung_box_daily` (one calendar-
+    bounded rollup + the 7-lag broadcast self-join)."""
+    from ..functions.cache import retain
+    d38 = "decimal(38,0)"
+    daily = retain(_daily_rev_cents(t))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    gstats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("rev").cast(d38)).alias("s1"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))
+              .cast(d38)).alias("s2"))
+    lags = daily.select(
+        "d", "rev",
+        F.explode(F.array(*[F.lit(k) for k in
+                            range(1, LB_MAX_LAG + 1)])).alias("lag"))
+    prior = daily.select(F.col("d").alias("d0"),
+                         F.col("rev").alias("rev0"))
+    pairs = (lags.withColumn("d0", F.expr("date_sub(d, lag)"))
+             .join(F.broadcast(prior), "d0"))
+    m = (pairs.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n_k"),
+              F.sum(F.col("rev").cast(d38)).alias("sx"),
+              F.sum(F.col("rev0").cast(d38)).alias("sy"),
+              F.sum((F.col("rev").cast(d38)
+                     * F.col("rev0").cast(d38)).cast(d38))
+              .alias("sxy")))
+    g = m.crossJoin(F.broadcast(gstats))
+    xbar = F.col("s1").cast("double") / F.col("n_days")
+    den = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * xbar)
+    num = (F.col("sxy").cast("double")
+           - xbar * (F.col("sx").cast("double")
+                     + F.col("sy").cast("double"))
+           + F.col("n_k").cast("double") * xbar * xbar)
+    rows = g.select("lag", "n_days", grid(num / den).alias("rho"))
+    one = rows.groupBy("n_days").agg(
+        F.expr("transform(array_sort(collect_list(struct(lag, rho))), "
+               "p -> p.rho)").alias("rhos"))
+    # Durbin-Levinson: acc is the phi row of the previous order; each
+    # step computes phi_kk = (rho_k - sum phi_j * rho_{k-j}) /
+    # (1 - sum phi_j * rho_j) then rebuilds the row. The PACF value at
+    # lag k is phi_kk at step k, so the fold runs once per lag PREFIX
+    # — 7 prefixes x <=7 steps of scalar arithmetic, all in one row.
+    # the size(acc) = 0 guard matters twice over: Spark's
+    # sequence(1, 0) is DESCENDING (not empty), and phi_11 = rho_1
+    # exactly (rho/1.0 is the identity in IEEE, so array(rho_1) is
+    # the same double the general expression would produce)
+    per = F.expr("""
+        transform(sequence(1, size(rhos)), k -> struct(
+            k AS lag,
+            element_at(rhos, k) AS rho,
+            element_at(aggregate(sequence(1, k),
+              CAST(array() AS ARRAY<DOUBLE>),
+              (acc, k2) -> CASE WHEN size(acc) = 0
+                THEN array(element_at(rhos, k2))
+                ELSE concat(
+                transform(sequence(1, size(acc)), j ->
+                  element_at(acc, j)
+                  - ((element_at(rhos, k2)
+                      - aggregate(sequence(1, size(acc)), 0.0D,
+                          (a, j2) -> a + element_at(acc, j2)
+                                     * element_at(rhos, k2 - j2)))
+                     / (1.0D - aggregate(sequence(1, size(acc)), 0.0D,
+                          (a, j2) -> a + element_at(acc, j2)
+                                     * element_at(rhos, j2))))
+                    * element_at(acc, size(acc) + 1 - j)),
+                array((element_at(rhos, k2)
+                       - aggregate(sequence(1, size(acc)), 0.0D,
+                           (a, j2) -> a + element_at(acc, j2)
+                                      * element_at(rhos, k2 - j2)))
+                      / (1.0D - aggregate(sequence(1, size(acc)),
+                           0.0D,
+                           (a, j2) -> a + element_at(acc, j2)
+                                      * element_at(rhos, j2))))) END),
+              -1) AS pacf))
+    """)
+    return (one.select("n_days", F.explode(per).alias("p"))
+            .select("n_days", F.col("p.lag").alias("lag"),
+                    F.col("p.rho").alias("rho"),
+                    grid(F.col("p.pacf")).alias("pacf")))
+
+
+def pettitt_changepoint(t: dict[str, DataFrame]) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue (Pettitt
+    1979, Appl. Stat. 28): U_t = sum_{i<=t, j>t} sign(x_j - x_i), K =
+    max_t |U_t|, with the closed-form significance 2 exp(-6K^2 /
+    (n^3 + n^2)) — the nonparametric single-changepoint locator that
+    complements `revenue_changepoint`'s mean-split formulation (no
+    distribution assumption, robust to outliers).
+
+    Shape: the calendar-bounded broadcast pair cloud (the Theil–Sen
+    machinery, same `_day_span_precheck` fence), then a RANGE-UPDATE
+    decomposition instead of per-t rescans: each pair (i < j)
+    contributes its sign to every t in [i, j) — grouping signs by
+    LEFT day (+) and RIGHT day (−) gives a per-day delta whose
+    running prefix sum IS U_t, one in-row fold. Everything through K
+    is exact integer arithmetic; only the significance expression is
+    IEEE double, gridded 1e-6 (exp of a corpus-amplified argument —
+    the §5 grid-magnitude convention)."""
+    from ..functions.cache import retain
+    daily = retain(_daily_rev_cents(t))
+    _day_span_precheck(daily, "pettitt_changepoint")
+    later = daily.select(F.col("d").alias("d2"),
+                         F.col("rev").alias("rev2"))
+    sgn = F.signum((F.col("rev2") - F.col("rev")).cast("double")) \
+        .cast("long")
+    pairs = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
+             .select("d", "d2", sgn.alias("s")))
+    add = pairs.groupBy("d").agg(F.sum("s").alias("delta"))
+    sub = (pairs.groupBy(F.col("d2").alias("d"))
+           .agg((-F.sum("s")).alias("delta")))
+    deltas = (add.unionByName(sub)
+              .groupBy("d").agg(F.sum("delta").alias("delta")))
+    meta = daily.agg(F.count(F.lit(1)).alias("n_days")).select(
+        _day_span_fence(F.col("n_days"), "pettitt_changepoint")
+        .alias("n_days"))
+    one = (deltas.groupBy()
+           .agg(F.array_sort(F.collect_list(F.struct("d", "delta")))
+                .alias("dx"))
+           .crossJoin(F.broadcast(meta)))
+    us = F.expr("""
+        aggregate(dx, array(0L),
+          (acc, e) -> array_append(acc,
+              element_at(acc, -1) + e.delta))
+    """)
+    per = F.expr("""
+        transform(sequence(1, size(dx)), i -> struct(
+            element_at(dx, i).d AS d,
+            abs(element_at(us, i + 1)) AS absu))
+    """)
+    best = F.expr("""
+        aggregate(per, named_struct('k', -1L, 'ed', CAST(NULL AS DATE)),
+          (acc, e) -> CASE WHEN e.absu > acc.k
+                           THEN named_struct('k', e.absu, 'ed', e.d)
+                           ELSE acc END)
+    """)
+    nn = F.col("n_days").cast("double")
+    k = F.col("b.k").cast("double")
+    grid6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (one.withColumn("us", us).withColumn("per", per)
+            .select("n_days", best.alias("b"))
+            .select("n_days",
+                    F.col("b.k").alias("k_stat"),
+                    F.date_format("b.ed", "yyyy-MM-dd")
+                    .alias("change_day"),
+                    grid6(F.lit(2.0) * F.exp(
+                        F.lit(-6.0) * k * k
+                        / (nn * nn * nn + nn * nn)))
+                    .alias("p_value")))
+
+
+def turning_point_test(t: dict[str, DataFrame]) -> DataFrame:
+    """Turning-point test for randomness of daily revenue (Bienaymé
+    1874; the modern form in Kendall's Time Series §3): count interior
+    days that are strict local maxima or minima; under randomness T ~
+    N(2(n-2)/3, (16n-29)/90) — the cheapest IID check, reading only
+    consecutive triples, run beside `runs_test_daily` (which sees
+    level structure, while turning points see local oscillation).
+
+    One day-sorted in-row integer fold (count strict sign changes of
+    consecutive differences; plateau days break ties conservatively —
+    equal neighbors yield no turning point, the standard strict
+    treatment); one gridded z expression at the end."""
+    from ..functions.cache import retain
+    daily = retain(_daily_rev_cents(t))
+    one = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "rev"))).alias("dx"),
+        F.count(F.lit(1)).alias("n_days"))
+    # the size guard matters: Spark's sequence(2, 1) is DESCENDING,
+    # not empty, so a <3-day series must short-circuit explicitly
+    tp = F.expr("""
+        CASE WHEN size(dx) < 3 THEN 0L ELSE
+        aggregate(sequence(2, size(dx) - 1), 0L,
+          (acc, i) -> acc + CASE
+            WHEN element_at(dx, i).rev > element_at(dx, i - 1).rev
+             AND element_at(dx, i).rev > element_at(dx, i + 1).rev
+            THEN 1L
+            WHEN element_at(dx, i).rev < element_at(dx, i - 1).rev
+             AND element_at(dx, i).rev < element_at(dx, i + 1).rev
+            THEN 1L ELSE 0L END) END
+    """)
+    g = one.select("n_days", tp.alias("n_turning"))
+    nn = F.col("n_days").cast("double")
+    mu = F.lit(2.0) * (nn - 2) / F.lit(3.0)
+    var = (F.lit(16.0) * nn - 29) / F.lit(90.0)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    return g.select(
+        "n_days", "n_turning",
+        grid(mu).alias("expected_turning"),
+        F.when(var > 0,
+               grid((F.col("n_turning").cast("double") - mu)
+                    / F.sqrt(var))).alias("z_turning"))

@@ -10772,3 +10772,172 @@ ORACLES.update({
                      (SELECT len(bls) FROM iso) + 1)) AS t)
     """,
 })
+
+# round-9 wave 4: PACF (Durbin-Levinson prefix folds), Pettitt
+# rank changepoint (range-update decomposition), turning-point test.
+ORACLES.update({
+    "pacf_daily_revenue": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT COUNT(*) AS n_days,
+                 SUM(CAST(rev AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM daily),
+        m AS (
+          SELECT l.lag, COUNT(*) AS n_k,
+                 SUM(CAST(a.rev AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(b.rev AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(CAST(a.rev AS DECIMAL(38,0))
+                          * CAST(b.rev AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS sxy
+          FROM daily a
+          CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+          JOIN daily b ON b.d = a.d - CAST(l.lag AS INT)
+          GROUP BY 1),
+        r AS (
+          SELECT m.lag, g.n_days,
+                 floor((CAST(m.sxy AS DOUBLE)
+                        - (CAST(g.s1 AS DOUBLE) / g.n_days)
+                          * (CAST(m.sx AS DOUBLE)
+                             + CAST(m.sy AS DOUBLE))
+                        + CAST(m.n_k AS DOUBLE)
+                          * (CAST(g.s1 AS DOUBLE) / g.n_days)
+                          * (CAST(g.s1 AS DOUBLE) / g.n_days))
+                       / (CAST(g.s2 AS DOUBLE)
+                          - CAST(g.s1 AS DOUBLE)
+                            * (CAST(g.s1 AS DOUBLE) / g.n_days))
+                       * 1e9 + 0.5) / 1e9 AS rho
+          FROM m, g),
+        one AS (
+          SELECT n_days, list(rho ORDER BY lag) AS rhos
+          FROM r GROUP BY n_days),
+        p AS (
+          SELECT n_days, rhos,
+            list_transform(range(1, len(rhos) + 1), k ->
+              list_reduce(
+                list_prepend(CAST([] AS DOUBLE[]),
+                  list_transform(range(1, k + 1),
+                                 x -> [CAST(x AS DOUBLE)])),
+                (acc, e) -> CASE WHEN len(acc) = 0
+                  THEN [rhos[CAST(e[1] AS INT)]]
+                  ELSE list_append(
+                    list_transform(range(1, len(acc) + 1), j ->
+                      acc[CAST(j AS INT)]
+                      - ((rhos[CAST(e[1] AS INT)]
+                          - list_sum(list_transform(
+                              range(1, len(acc) + 1), j2 ->
+                              acc[CAST(j2 AS INT)]
+                              * rhos[CAST(e[1] - j2 AS INT)])))
+                         / (CAST(1.0 AS DOUBLE)
+                            - list_sum(list_transform(
+                                range(1, len(acc) + 1), j2 ->
+                                acc[CAST(j2 AS INT)]
+                                * rhos[CAST(j2 AS INT)]))))
+                        * acc[CAST(len(acc) + 1 - j AS INT)]),
+                    (rhos[CAST(e[1] AS INT)]
+                     - list_sum(list_transform(
+                         range(1, len(acc) + 1), j2 ->
+                         acc[CAST(j2 AS INT)]
+                         * rhos[CAST(e[1] - j2 AS INT)])))
+                    / (CAST(1.0 AS DOUBLE)
+                       - list_sum(list_transform(
+                           range(1, len(acc) + 1), j2 ->
+                           acc[CAST(j2 AS INT)]
+                           * rhos[CAST(j2 AS INT)])))) END)[-1])
+            AS pacfs
+          FROM one)
+        SELECT n_days,
+               CAST(t AS INT) AS lag,
+               rhos[CAST(t AS INT)] AS rho,
+               floor(pacfs[CAST(t AS INT)] * 1e9 + 0.5) / 1e9 AS pacf
+        FROM p, (SELECT unnest(range(1, 8)) AS t)
+    """,
+    "pettitt_changepoint": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        pairs AS (
+          SELECT a.d AS d, b.d AS d2,
+                 CAST(sign(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT)
+                   AS s
+          FROM daily a JOIN daily b ON b.d > a.d),
+        deltas AS (
+          SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+            SELECT d, CAST(SUM(s) AS BIGINT) AS delta
+            FROM pairs GROUP BY d
+            UNION ALL
+            SELECT d2 AS d, CAST(-SUM(s) AS BIGINT) AS delta
+            FROM pairs GROUP BY d2) GROUP BY d),
+        one AS (
+          SELECT list(d ORDER BY d) AS ds,
+                 list(delta ORDER BY d) AS dl,
+                 (SELECT COUNT(*) FROM daily) AS n_days
+          FROM deltas),
+        us AS (
+          SELECT ds, n_days, list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+                         list_transform(dl, e -> [e])),
+            (acc, e) -> list_append(acc, acc[-1] + e[1])) AS us
+          FROM one),
+        per AS (
+          SELECT n_days, ds[CAST(t AS INT)] AS d,
+                 abs(us[CAST(t + 1 AS INT)]) AS absu
+          FROM us, (SELECT unnest(range(1,
+                      (SELECT len(ds) FROM us) + 1)) AS t))
+        SELECT n_days,
+               CAST(absu AS BIGINT) AS k_stat,
+               strftime(d, '%Y-%m-%d') AS change_day,
+               floor(2.0 * exp(-6.0 * CAST(absu AS DOUBLE)
+                     * CAST(absu AS DOUBLE)
+                     / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                        * CAST(n_days AS DOUBLE)
+                        + CAST(n_days AS DOUBLE)
+                          * CAST(n_days AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS p_value
+        FROM per
+        ORDER BY absu DESC, d ASC
+        LIMIT 1
+    """,
+    "turning_point_test": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        seq AS (
+          SELECT list(rev ORDER BY d) AS xs, COUNT(*) AS n_days
+          FROM daily),
+        g AS (
+          SELECT n_days,
+                 CASE WHEN len(xs) < 3 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(COALESCE(list_sum(list_transform(
+                   range(2, len(xs)), i -> CASE
+                     WHEN xs[CAST(i AS INT)] > xs[CAST(i - 1 AS INT)]
+                      AND xs[CAST(i AS INT)] > xs[CAST(i + 1 AS INT)]
+                     THEN 1
+                     WHEN xs[CAST(i AS INT)] < xs[CAST(i - 1 AS INT)]
+                      AND xs[CAST(i AS INT)] < xs[CAST(i + 1 AS INT)]
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) END
+                   AS n_turning
+          FROM seq)
+        SELECT n_days, n_turning,
+               floor(2.0 * (CAST(n_days AS DOUBLE) - 2) / 3.0
+                     * 1e9 + 0.5) / 1e9 AS expected_turning,
+               CASE WHEN (16.0 * CAST(n_days AS DOUBLE) - 29) / 90.0
+                         > 0
+                    THEN floor((CAST(n_turning AS DOUBLE)
+                          - 2.0 * (CAST(n_days AS DOUBLE) - 2) / 3.0)
+                         / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29)
+                                / 90.0) * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS z_turning
+        FROM g
+    """,
+})

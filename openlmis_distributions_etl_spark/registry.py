@@ -511,6 +511,10 @@ _OPERATORS = {
     "lm_dirichlet_scores": text.lm_dirichlet_scores,
     "kcenter_greedy_coreset": similarity.kcenter_greedy_coreset,
     "isotonic_calibration": text.isotonic_calibration,
+    # §2.C round-9 wave 4: PACF, rank changepoint, turning points
+    "pacf_daily_revenue": analytics.pacf_daily_revenue,
+    "pettitt_changepoint": analytics.pettitt_changepoint,
+    "turning_point_test": analytics.turning_point_test,
 }
 
 

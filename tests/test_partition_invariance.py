@@ -125,6 +125,10 @@ FLOAT_SENSITIVE = (
     "lm_dirichlet_scores",
     "kcenter_greedy_coreset",
     "isotonic_calibration",
+    # round-9 wave 4: DL prefix folds, rank changepoint, turning z
+    "pacf_daily_revenue",
+    "pettitt_changepoint",
+    "turning_point_test",
 )
 
 

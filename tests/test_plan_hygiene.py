@@ -146,6 +146,11 @@ BNLJ_ALLOWED = {
                                  # into the bounded contingency grid
     "lm_dirichlet_scores",       # broadcast collection-total singleton
                                  # row (the unigram_logprob pattern)
+    "pacf_daily_revenue",        # broadcast global-moments singleton
+                                 # row into the 7-lag frame (the
+                                 # ljung_box_daily pattern)
+    "pettitt_changepoint",       # calendar-bounded broadcast pair
+                                 # cloud + fence-anchor singleton row
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

@@ -2077,3 +2077,112 @@ def test_isotonic_calibration_matches_pava_stack(spark):
     got_mean = (sum(r["iso_keep_rate"] * r["n_docs"] for r in got)
                 / sum(r["n_docs"] for r in got))
     assert abs(got_mean - want_mean) < 1e-6
+
+
+def test_pacf_matches_python_durbin_levinson(spark):
+    """PACF vs a python Durbin-Levinson replay ON THE SAME gridded rho
+    values the operator reports; lag-1 PACF equals rho_1 exactly, and
+    an AR(1)-like trend series shows |pacf| dropping after lag 1."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        pacf_daily_revenue)
+
+    # AR(1)-ish positive dependence: x_t = 0.7 x_{t-1} + seasonal kick
+    vals, x = [], 100.0
+    for i in range(80):
+        x = 100.0 + 0.7 * (x - 100.0) + (17.0 if i % 9 == 0 else 1.0)
+        vals.append(x)
+    got = sorted(pacf_daily_revenue(
+        {"orders": _orders_from_vals(spark, vals)}).collect(),
+        key=lambda r: r["lag"])
+    assert [r["lag"] for r in got] == list(range(1, 8))
+
+    rhos = [r["rho"] for r in got]
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    for k in range(1, 8):
+        acc = []
+        for k2 in range(1, k + 1):
+            if not acc:
+                acc = [rhos[k2 - 1]]
+                continue
+            s1 = 0.0
+            s2 = 0.0
+            for j2 in range(1, len(acc) + 1):
+                s1 = s1 + acc[j2 - 1] * rhos[k2 - j2 - 1]
+                s2 = s2 + acc[j2 - 1] * rhos[j2 - 1]
+            pkk = (rhos[k2 - 1] - s1) / (1.0 - s2)
+            acc = [acc[j - 1] - pkk * acc[len(acc) - j]
+                   for j in range(1, len(acc) + 1)] + [pkk]
+        assert got[k - 1]["pacf"] == g9(acc[-1]), k
+    assert got[0]["pacf"] == got[0]["rho"]
+    assert abs(got[0]["pacf"]) > abs(got[2]["pacf"])
+
+
+def test_pettitt_matches_python_and_finds_planted_shift(spark):
+    """Pettitt K/U vs brute-force pair counting on a series with a
+    planted level shift: the change day lands at the shift boundary
+    and the p-value is decisive."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        pettitt_changepoint)
+
+    vals = [100.0 + (i % 3) for i in range(25)] + \
+        [160.0 + (i % 3) for i in range(25)]
+    base = dt.date(2024, 1, 1)
+    got = pettitt_changepoint(
+        {"orders": _orders_from_vals(spark, vals, base)}).collect()[0]
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n = len(cents)
+
+    def sgn(a):
+        return (a > 0) - (a < 0)
+
+    best_k, best_t = -1, None
+    for tt in range(n):          # U_t after day index tt (1-based t)
+        u = sum(sgn(cents[j] - cents[i])
+                for i in range(tt + 1) for j in range(tt + 1, n))
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), tt
+    assert got["n_days"] == n
+    assert got["k_stat"] == best_k
+    assert got["change_day"] == (base + dt.timedelta(days=best_t)) \
+        .strftime("%Y-%m-%d")
+    assert best_t == 24                      # the shift boundary
+    g6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    kk = float(best_k)
+    nn = float(n)
+    assert got["p_value"] == g6(
+        2.0 * math.exp(-6.0 * kk * kk / (nn * nn * nn + nn * nn)))
+    assert got["p_value"] < 0.01
+
+
+def test_turning_point_matches_python(spark):
+    """Turning-point count vs python on an alternating series (every
+    interior day is a turning point, z strongly positive) and a
+    monotone series (zero turning points, z strongly negative)."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        turning_point_test)
+
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+
+    alt = [100.0 if i % 2 == 0 else 200.0 for i in range(30)]
+    got = turning_point_test(
+        {"orders": _orders_from_vals(spark, alt)}).collect()[0]
+    assert got["n_turning"] == 28            # every interior day
+    mu = 2.0 * (30 - 2) / 3.0
+    var = (16.0 * 30 - 29) / 90.0
+    assert got["expected_turning"] == g9(mu)
+    assert got["z_turning"] == g9((28 - mu) / math.sqrt(var))
+    assert got["z_turning"] > 3.0
+
+    mono = [100.0 + i for i in range(30)]
+    got = turning_point_test(
+        {"orders": _orders_from_vals(spark, mono)}).collect()[0]
+    assert got["n_turning"] == 0
+    assert got["z_turning"] < -3.0
