@@ -4636,8 +4636,11 @@ def pettitt_changepoint(t: dict[str, DataFrame]) -> DataFrame:
                          F.col("rev").alias("rev2"))
     sgn = F.signum((F.col("rev2") - F.col("rev")).cast("double")) \
         .cast("long")
-    pairs = (daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
-             .select("d", "d2", sgn.alias("s")))
+    # retained: the +side and −side groupBys both read the pair cloud;
+    # uncached, the broadcast pair join runs twice
+    pairs = retain(
+        daily.join(F.broadcast(later), F.col("d2") > F.col("d"))
+        .select("d", "d2", sgn.alias("s")))
     add = pairs.groupBy("d").agg(F.sum("s").alias("delta"))
     sub = (pairs.groupBy(F.col("d2").alias("d"))
            .agg((-F.sum("s")).alias("delta")))
@@ -4669,8 +4672,13 @@ def pettitt_changepoint(t: dict[str, DataFrame]) -> DataFrame:
     nn = F.col("n_days").cast("double")
     k = F.col("b.k").cast("double")
     grid6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    return (one.withColumn("us", us).withColumn("per", per)
-            .select("n_days", best.alias("b"))
+    # pin() both array columns: CollapseProject would otherwise inline
+    # the O(n) `us` prefix fold into EVERY element_at of `per` and the
+    # whole `per` build into every step of `best` — O(n³) with array
+    # copies (measured 209 s at sf0.1 before the pin, 0.9 s after)
+    from ..functions import pin
+    g = pin(pin(one, us=us), per=per)
+    return (g.select("n_days", best.alias("b"))
             .select("n_days",
                     F.col("b.k").alias("k_stat"),
                     F.date_format("b.ed", "yyyy-MM-dd")
