@@ -32,16 +32,18 @@ from pyspark.sql import functions as F
 # fully consumed: the driver gate collects before re-invoking, bench
 # materializes every run through a noop write). So repeated bench /
 # parity runs leave zero orphan parquet trees in /tmp.
-_ROOT = tempfile.mkdtemp(prefix="storeq_")
-atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
-_LAST: dict[str, str] = {}
+_ROOT: list[str] = []          # created lazily: a process that never
+_LAST: dict[str, str] = {}     # runs a store query leaves no root
 
 
 def _dir(name: str) -> str:
+    if not _ROOT:
+        _ROOT.append(tempfile.mkdtemp(prefix="storeq_"))
+        atexit.register(shutil.rmtree, _ROOT[0], ignore_errors=True)
     prev = _LAST.pop(name, None)
     if prev:
         shutil.rmtree(prev, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=f"{name}_", dir=_ROOT)
+    d = tempfile.mkdtemp(prefix=f"{name}_", dir=_ROOT[0])
     _LAST[name] = d
     return d
 
