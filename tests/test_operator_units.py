@@ -2224,3 +2224,42 @@ def test_daily_trend_pair_ops_fence_day_span(spark, monkeypatch):
         analytics.theil_sen_daily_trend({"orders": orders(10)}).collect()
     with _pytest.raises(Exception, match="pair-cloud bound"):
         analytics.mann_kendall_trend({"orders": orders(10)}).collect()
+
+
+def test_beam_index_memo_drops_dead_session_entries(spark):
+    """ADVICE r8: the beam serving memo is keyed by (SparkSession,
+    semanticHash); entries bound to another (dead) session are dropped
+    on sight instead of serving persisted frames whose blocks died
+    with that session, and the adjacency page cache resets past its
+    bound instead of growing forever."""
+    from openlmis_distributions_etl_spark.operators import similarity
+
+    class _DeadSession:                     # stands in for a stopped
+        pass                                # SparkSession object
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5], i % 2) for i in range(30)],
+        "vec_id long, embedding array<float>, label int")
+    dead = _DeadSession()
+    similarity._BEAM_INDEX_MEMO.clear()
+    similarity._BEAM_INDEX_MEMO[(dead, 12345)] = ("stale", "stale", {})
+    edges, probe, adj = similarity._beam_serving_index(
+        {"embeddings": emb})
+    keys = list(similarity._BEAM_INDEX_MEMO)
+    assert all(k[0] is not dead for k in keys), \
+        "dead-session entry must be evicted"
+    assert len(keys) == 1 and keys[0][0] is spark
+    # same session + same store -> memo hit (identity, not a rebuild)
+    edges2, probe2, adj2 = similarity._beam_serving_index(
+        {"embeddings": emb})
+    assert edges2 is edges and probe2 is probe and adj2 is adj
+    # adjacency page cache resets past the bound
+    adj.clear()
+    adj.update({i: [] for i in
+                range(similarity._BEAM_ADJ_CACHE_MAX + 1)})
+    got = similarity._beam_adjacency(edges, adj, [0])
+    assert set(got) == {0}
+    assert len(adj) <= similarity._BEAM_ADJ_CACHE_MAX
+    edges.unpersist()
+    probe.unpersist()
+    similarity._BEAM_INDEX_MEMO.clear()
