@@ -221,6 +221,9 @@ HEADLINE = [
     "pacf_daily_revenue",
     "pettitt_changepoint",
     "turning_point_test",
+    "classifier_auc",
+    "classifier_pr_table",
+    "langid_kappa",
 ]
 
 

@@ -2437,6 +2437,8 @@ def mmr_diversified_topk(t: dict[str, DataFrame]) -> DataFrame:
                 score = MMR_LAMBDA * rel - MMR_MU * max_sim
             if best is None or (-score, vid) < (-best[4], best[1]):
                 best = (rank, vid, label, rel, score)
+        if best is None:        # pool exhausted before MMR_K picks
+            break
         selected.append(best[1])
         out.append(best)
     return pool.sparkSession.createDataFrame(

@@ -2793,3 +2793,186 @@ def isotonic_calibration(t: dict[str, DataFrame]) -> DataFrame:
                     (F.col("p.y").cast("double") / F.col("p.n"))
                     .alias("raw_keep_rate"),
                     grid(F.col("p.iso")).alias("iso_keep_rate")))
+
+
+# round-9 wave 5: classifier evaluation metrics (the numbers a
+# curation pipeline reads before trusting a quality gate)
+
+
+def classifier_auc(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact ROC AUC of the hash-trick classifier score against the
+    filter-battery label, via the rank-sum identity AUC = (R_pos -
+    n1(n1+1)/2) / (n1 n0) with tie-averaged midranks (Hanley &
+    McNeil 1982; the Mann-Whitney U equivalence) — the threshold-free
+    ranking quality number beside `classifier_score_calibration`'s
+    reliability table and `isotonic_calibration`'s monotone fit.
+
+    Same exactness contract as `mann_whitney_value_drift`: doubled
+    midranks keep every intermediate an integer (2 avgrank = 2 prior
+    + g + 1), rank sums accumulate in DECIMAL(38,0), and the two
+    final divisions are the only floats (bit-identical in DuckDB).
+    Shape: the per-distinct-score count grid (one map-side-combinable
+    shuffle, cardinality = distinct scores), then the `_rank_buckets`
+    distributed prefix sum — no global sort at any scale."""
+    from .analytics import _rank_buckets
+    from ..functions.cache import retain
+    score = hashed_classifier_score(t).select("doc_id", "w_sum")
+    keep = doc_quality_filters(t).select("doc_id", "keep")
+    pts = retain(
+        score.join(keep, "doc_id")
+        .groupBy("w_sum")
+        .agg(F.sum("keep").cast("long").alias("c1"),
+             F.sum(1 - F.col("keep")).cast("long").alias("c0")))
+    n_pts = pts.count()
+    bucketed = (_rank_buckets(
+        pts.withColumn("_k", F.col("w_sum").cast("double")), n_pts)
+        .select("w_sum", "c1", "c0", "bkt"))
+    bt = bucketed.groupBy("bkt").agg(F.sum("c1").alias("b1"),
+                                     F.sum("c0").alias("b0"))
+    wo = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.orderBy(F.asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(wo), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b0").over(wo), F.lit(0)).alias("off0"),
+        F.sum("b1").over(wt).alias("n1"),
+        F.sum("b0").over(wt).alias("n0"))
+    win = (Window.partitionBy("bkt").orderBy(F.asc("w_sum"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bucketed.join(F.broadcast(offs), "bkt")
+           .select("w_sum", "c1", "c0", "n1", "n0",
+                   (F.sum("c1").over(win) + F.col("off1")).alias("f1"),
+                   (F.sum("c0").over(win) + F.col("off0")).alias("f0")))
+    prior = (F.col("f1") - F.col("c1") + F.col("f0") - F.col("c0"))
+    grp = F.col("c1") + F.col("c0")
+    r2 = (F.col("c1").cast("decimal(38,0)")
+          * (2 * prior + grp + 1).cast("decimal(38,0)"))
+    agg = cum.agg(F.sum(r2).alias("r2"),
+                  F.max("n1").alias("n1"), F.max("n0").alias("n0"))
+    u2 = (F.col("r2").cast("double")
+          - (F.col("n1").cast("decimal(38,0)")
+             * (F.col("n1") + 1).cast("decimal(38,0)")).cast("double"))
+    return agg.select(
+        F.col("n1").alias("n_keep"), F.col("n0").alias("n_drop"),
+        (u2 * 0.5).alias("u_keep"),
+        (u2 * 0.5 / (F.col("n1").cast("double")
+                     * F.col("n0").cast("double"))).alias("auc"))
+
+
+def classifier_pr_table(t: dict[str, DataFrame]) -> DataFrame:
+    """Precision / recall / F1 of the hash-trick classifier at every
+    score-bin threshold ("predict keep when w_sum >= bin_lo") — the
+    operating-curve table a curation pipeline reads to pick its gate
+    cutoff, discretized on the same ISO_BIN_WIDTH axis as
+    `isotonic_calibration`.
+
+    Per-bin (keep, drop) counts are one bounded-key aggregate;
+    threshold cumulatives are SUFFIX sums over the bin-sorted in-row
+    array (bounded by the score range, never by the corpus), exact
+    integers until the three final ratio chains (gridded 1e-9; F1
+    assembles from UNgridded precision/recall in the identical order
+    both engines evaluate)."""
+    score = hashed_classifier_score(t).select("doc_id", "w_sum")
+    keep = doc_quality_filters(t).select("doc_id", "keep")
+    g = (score.join(keep, "doc_id")
+         .groupBy((F.col("w_sum") - F.pmod("w_sum",
+                                           F.lit(ISO_BIN_WIDTH)))
+                  .alias("bin_lo"))
+         .agg(F.sum("keep").cast("long").alias("n1"),
+              F.sum(1 - F.col("keep")).cast("long").alias("n0")))
+    one = g.agg(F.array_sort(F.collect_list(
+        F.struct("bin_lo", "n1", "n0"))).alias("bs"))
+    # suffix sums: tp_i = total positives at or above bin i
+    suf1 = F.expr("""
+        aggregate(bs, array(0L),
+                  (acc, e) -> array_append(acc,
+                      element_at(acc, -1) + e.n1))
+    """)
+    suf0 = F.expr("""
+        aggregate(bs, array(0L),
+                  (acc, e) -> array_append(acc,
+                      element_at(acc, -1) + e.n0))
+    """)
+    per = F.expr("""
+        transform(sequence(1, size(bs)), i -> struct(
+            element_at(bs, i).bin_lo AS bin_lo,
+            element_at(p1, -1) - element_at(p1, i) AS tp,
+            element_at(p0, -1) - element_at(p0, i) AS fp,
+            element_at(p1, -1) AS pos,
+            element_at(p0, -1) AS neg))
+    """)
+    from ..functions import pin
+    pinned = pin(pin(one, p1=suf1, p0=suf0), per=per)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    # element_at(p1, i) is the cumulative through bin i-1, so the
+    # prefix difference total - p1[i] counts bins i..end INCLUSIVE:
+    # tp at threshold bin_lo = keeps with w_sum >= bin_lo, exactly
+    rows = (pinned.select(F.explode("per").alias("p"))
+            .select(F.col("p.bin_lo").alias("threshold"),
+                    F.col("p.tp").alias("tp"),
+                    F.col("p.fp").alias("fp"),
+                    (F.col("p.pos") - F.col("p.tp")).alias("fn"),
+                    F.col("p.pos").alias("n_keep_total")))
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / F.col("n_keep_total")
+    f1 = 2 * prec * rec / (prec + rec)
+    return rows.select(
+        "threshold", "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, grid(prec))
+        .alias("precision"),
+        grid(rec).alias("recall"),
+        F.when((F.col("tp") + F.col("fp") > 0) & (F.col("tp") > 0),
+               grid(f1)).alias("f1"))
+
+
+def langid_kappa(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohen's kappa between the stopword-profile language ID and the
+    labeled `lang` column (Cohen 1960, Educ. Psychol. Meas. 20):
+    chance-corrected agreement (po - pe)/(1 - pe) over the bounded
+    (label x prediction) contingency grid — the agreement audit that
+    says whether `doc_langid` beats majority-class guessing, beside
+    `langid_margin_hist`'s confidence view.
+
+    One bounded-key contingency aggregate; marginals and the diagonal
+    fold over the label-sorted in-row array (grid is (langs+1)^2 at
+    most); po/pe are single divisions of exact integers, kappa grids
+    to 1e-9."""
+    pred = doc_langid(t).select("doc_id", "lang", "pred_lang")
+    cells = (pred.groupBy("lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("c")))
+    one = cells.agg(
+        F.array_sort(F.collect_list(F.struct("lang", "pred_lang", "c")))
+        .alias("cs"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c"))
+              .otherwise(F.lit(0))).alias("n_agree"))
+    # pe = sum over labels of row_l * col_l / N^2 — fold the bounded
+    # cell array twice (marginal products from exact integer sums)
+    # marginal PRODUCTS go through DECIMAL(38,0): row_l * col_l
+    # reaches N^2, past bigint at large corpus scale
+    pe_num = F.expr("""
+        aggregate(
+          transform(array_distinct(transform(cs, x -> x.lang)), l ->
+            CAST(CAST(aggregate(cs, 0L, (a, e) ->
+                a + CASE WHEN e.lang = l THEN e.c ELSE 0L END)
+                 AS DECIMAL(38,0))
+            * CAST(aggregate(cs, 0L, (a, e) ->
+                a + CASE WHEN e.pred_lang = l THEN e.c ELSE 0L END)
+                 AS DECIMAL(38,0)) AS DECIMAL(38,0))),
+          CAST(0 AS DECIMAL(38,0)),
+          (acc, x) -> CAST(acc + x AS DECIMAL(38,0)))
+    """)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    nn = F.col("n_docs").cast("double")
+    po = F.col("n_agree").cast("double") / nn
+    pe = F.col("pe_num").cast("double") / (nn * nn)
+    from ..functions import pin
+    g = pin(one, pe_num=pe_num)
+    return g.select(
+        "n_docs", "n_agree",
+        grid(po).alias("observed_agreement"),
+        grid(pe).alias("expected_agreement"),
+        F.when(pe < 1.0, grid((po - pe) / (1.0 - pe))).alias("kappa"))

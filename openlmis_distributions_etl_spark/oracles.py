@@ -10941,3 +10941,148 @@ ORACLES.update({
         FROM g
     """,
 })
+
+# round-9 wave 5: classifier evaluation metrics (exact rank-sum AUC,
+# threshold operating curve, Cohen's kappa over the langid grid).
+_LANGID_PRED = f"""
+        t9 AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+        s9 AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_score(lang)} AS score_{lang}"
+                            for lang in _LANGS)}
+          FROM t9),
+        b9 AS (SELECT *, greatest(score_de, score_en, score_es,
+                                  score_fr, score_zh) AS best
+               FROM s9),
+        pred9 AS (
+          SELECT doc_id, lang,
+                 CASE {" ".join(
+                     f"WHEN best > 0 AND score_{lang} = best "
+                     f"THEN '{lang}'" for lang in _LANGS)}
+                      ELSE 'unk' END AS pred_lang
+          FROM b9)"""
+
+_CLS9 = f"""
+        d9 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        s9 AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(toks,
+                     x -> {_W_INT})) AS BIGINT) AS w_sum
+          FROM d9),
+        q9 AS (
+          SELECT doc_id,
+                 CAST(len(toks) >= 30
+                  AND list_sum(list_transform(toks, x -> length(x)))
+                        <= 8 * len(toks)
+                  AND len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','to','in'))) > 0
+                  AND 10 * len(list_distinct(toks)) >= len(toks)
+                  AS INT) AS keep
+          FROM d9)"""
+
+ORACLES.update({
+    "classifier_auc": f"""
+        WITH {_CLS9},
+        c AS (
+          SELECT s9.w_sum,
+                 CAST(SUM(q9.keep) AS BIGINT) AS c1,
+                 CAST(SUM(1 - q9.keep) AS BIGINT) AS c0
+          FROM s9 JOIN q9 USING (doc_id) GROUP BY 1),
+        cum AS (
+          SELECT c1, c0,
+                 CAST(SUM(c1 + c0) OVER (ORDER BY w_sum
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - (c1 + c0) AS BIGINT) AS prior
+          FROM c),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                       CAST(SUM(c0) AS BIGINT) AS n0 FROM c),
+        r AS (SELECT SUM(CAST(c1 AS DECIMAL(38,0))
+                  * CAST(2 * prior + c1 + c0 + 1
+                         AS DECIMAL(38,0))) AS r2
+              FROM cum)
+        SELECT n1 AS n_keep, n0 AS n_drop,
+               (CAST(r2 AS DOUBLE)
+                - CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                       AS DOUBLE)) * 0.5 AS u_keep,
+               (CAST(r2 AS DOUBLE)
+                - CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                       AS DOUBLE)) * 0.5
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc
+        FROM r, tot
+    """,
+    "classifier_pr_table": f"""
+        WITH {_CLS9},
+        g AS (
+          SELECT s9.w_sum - ((s9.w_sum % 256 + 256) % 256) AS bin_lo,
+                 CAST(SUM(q9.keep) AS BIGINT) AS n1,
+                 CAST(SUM(1 - q9.keep) AS BIGINT) AS n0
+          FROM s9 JOIN q9 USING (doc_id) GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS pos FROM g),
+        suf AS (
+          SELECT bin_lo,
+                 CAST(SUM(n1) OVER (ORDER BY bin_lo DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS tp,
+                 CAST(SUM(n0) OVER (ORDER BY bin_lo DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS fp
+          FROM g)
+        SELECT bin_lo AS threshold, tp, fp,
+               pos - tp AS fn,
+               CASE WHEN tp + fp > 0
+                    THEN floor(CAST(tp AS DOUBLE) / (tp + fp)
+                               * 1e9 + 0.5) / 1e9 END AS precision,
+               floor(CAST(tp AS DOUBLE) / pos * 1e9 + 0.5) / 1e9
+                 AS recall,
+               CASE WHEN tp + fp > 0 AND tp > 0
+                    THEN floor(2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                         * (CAST(tp AS DOUBLE) / pos)
+                         / ((CAST(tp AS DOUBLE) / (tp + fp))
+                            + (CAST(tp AS DOUBLE) / pos))
+                         * 1e9 + 0.5) / 1e9 END AS f1
+        FROM suf, tot
+    """,
+    "langid_kappa": f"""
+        WITH {_LANGID_PRED},
+        cells AS (
+          SELECT lang, pred_lang, COUNT(*) AS c
+          FROM pred9 GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN lang = pred_lang THEN c
+                               ELSE 0 END) AS BIGINT) AS n_agree
+          FROM cells),
+        pe AS (
+          SELECT SUM(CAST(rl AS DECIMAL(38,0))
+                     * CAST(cl AS DECIMAL(38,0))) AS pe_num
+          FROM (
+            SELECT l.lang,
+                   (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+                    FROM cells WHERE cells.lang = l.lang) AS rl,
+                   (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+                    FROM cells
+                    WHERE cells.pred_lang = l.lang) AS cl
+            FROM (SELECT DISTINCT lang FROM cells) l))
+        SELECT n_docs, n_agree,
+               floor(CAST(n_agree AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE) * 1e9 + 0.5) / 1e9
+                 AS observed_agreement,
+               floor(CAST(pe_num AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE)
+                        * CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                 AS expected_agreement,
+               CASE WHEN CAST(pe_num AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE)
+                            * CAST(n_docs AS DOUBLE)) < 1.0
+                    THEN floor((CAST(n_agree AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE)
+                          - CAST(pe_num AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)))
+                         / (1.0 - CAST(pe_num AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)))
+                         * 1e9 + 0.5) / 1e9 END AS kappa
+        FROM tot, pe
+    """,
+})

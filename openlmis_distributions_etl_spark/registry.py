@@ -515,6 +515,10 @@ _OPERATORS = {
     "pacf_daily_revenue": analytics.pacf_daily_revenue,
     "pettitt_changepoint": analytics.pettitt_changepoint,
     "turning_point_test": analytics.turning_point_test,
+    # §2.G round-9 wave 5: classifier evaluation metrics
+    "classifier_auc": text.classifier_auc,
+    "classifier_pr_table": text.classifier_pr_table,
+    "langid_kappa": text.langid_kappa,
 }
 
 

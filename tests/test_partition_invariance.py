@@ -129,6 +129,10 @@ FLOAT_SENSITIVE = (
     "pacf_daily_revenue",
     "pettitt_changepoint",
     "turning_point_test",
+    # round-9 wave 5: rank-sum AUC, threshold curve, kappa
+    "classifier_auc",
+    "classifier_pr_table",
+    "langid_kappa",
 )
 
 

@@ -2186,3 +2186,119 @@ def test_turning_point_matches_python(spark):
         {"orders": _orders_from_vals(spark, mono)}).collect()[0]
     assert got["n_turning"] == 0
     assert got["z_turning"] < -3.0
+
+
+def _quality_docs(spark):
+    """Mixed corpus: long stopword-bearing docs (keep=1) and short or
+    degenerate docs (keep=0), with enough vocabulary spread that the
+    hash-trick scores vary."""
+    texts = []
+    for i in range(40):
+        # >=30 tokens, stopword-bearing, and VARIED vocabulary (the
+        # filter battery requires 10 * distinct >= total tokens)
+        texts.append(" ".join(
+            "the of w%dx%d data" % (i, j) for j in range(12)))
+    for i in range(20):
+        texts.append("zz%d" % i)                           # too short
+    return spark.createDataFrame(
+        [(i, t.strip(), "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int")
+
+
+def test_classifier_auc_matches_bruteforce_pairs(spark):
+    """Rank-sum AUC vs the O(n1*n0) pairwise definition (ties count
+    half) on the mixed corpus."""
+    from openlmis_distributions_etl_spark.operators.text import (
+        classifier_auc, doc_quality_filters, hashed_classifier_score)
+
+    docs = _quality_docs(spark)
+    sc = {r["doc_id"]: r["w_sum"] for r in
+          hashed_classifier_score({"documents": docs}).collect()}
+    kp = {r["doc_id"]: r["keep"] for r in
+          doc_quality_filters({"documents": docs}).collect()}
+    got = classifier_auc({"documents": docs}).collect()[0]
+
+    pos = [sc[d] for d in sc if kp[d] == 1]
+    neg = [sc[d] for d in sc if kp[d] == 0]
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0)
+               for p in pos for n in neg)
+    assert got["n_keep"] == len(pos) and got["n_drop"] == len(neg)
+    assert got["u_keep"] == wins
+    assert got["auc"] == wins / (len(pos) * len(neg))
+
+
+def test_classifier_pr_table_matches_python(spark):
+    """PR/F1 at every bin threshold vs a python replay; recall is
+    monotone nonincreasing in the threshold and reaches 1.0 at the
+    lowest bin."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        ISO_BIN_WIDTH, classifier_pr_table, doc_quality_filters,
+        hashed_classifier_score)
+
+    docs = _quality_docs(spark)
+    sc = {r["doc_id"]: r["w_sum"] for r in
+          hashed_classifier_score({"documents": docs}).collect()}
+    kp = {r["doc_id"]: r["keep"] for r in
+          doc_quality_filters({"documents": docs}).collect()}
+    got = sorted(classifier_pr_table({"documents": docs}).collect(),
+                 key=lambda r: r["threshold"])
+
+    g9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+    pos_total = sum(kp.values())
+    for r in got:
+        t = r["threshold"]
+        tp = sum(1 for d in sc
+                 if sc[d] - sc[d] % ISO_BIN_WIDTH >= t and kp[d] == 1)
+        fp = sum(1 for d in sc
+                 if sc[d] - sc[d] % ISO_BIN_WIDTH >= t and kp[d] == 0)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, pos_total - tp)
+        if tp + fp > 0:
+            assert r["precision"] == g9(tp / (tp + fp))
+        assert r["recall"] == g9(tp / pos_total)
+        if tp > 0:
+            p, q = tp / (tp + fp), tp / pos_total
+            assert r["f1"] == g9(2 * p * q / (p + q))
+    recalls = [r["recall"] for r in got]
+    assert recalls[0] == 1.0
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_langid_kappa_boundaries(spark):
+    """Kappa on a corpus where the labels are the five marker langs
+    with marker-rich text (high agreement) vs label-shuffled text
+    (kappa near zero): exact python replay of po/pe/kappa."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        doc_langid, langid_kappa)
+
+    marker = {"en": "the of and", "de": "der die und",
+              "es": "el la y", "fr": "le la et",
+              "zh": "的 是 了"}
+    rows = []
+    for i in range(100):
+        lang = sorted(marker)[i % 5]
+        rows.append((i, marker[lang] + " filler%d" % i, lang, "s", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    got = langid_kappa({"documents": docs}).collect()[0]
+
+    pred = {r["doc_id"]: (r["lang"], r["pred_lang"])
+            for r in doc_langid({"documents": docs}).collect()}
+    n = len(pred)
+    agree = sum(1 for l, p in pred.values() if l == p)
+    langs = {l for l, _ in pred.values()} | {p for _, p in pred.values()}
+    pe_num = sum(
+        sum(1 for l, _ in pred.values() if l == x)
+        * sum(1 for _, p in pred.values() if p == x) for x in langs)
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    po, pe = agree / n, pe_num / (n * n)
+    assert got["n_docs"] == n and got["n_agree"] == agree
+    assert got["observed_agreement"] == g9(po)
+    assert got["expected_agreement"] == g9(pe)
+    assert got["kappa"] == g9((po - pe) / (1.0 - pe))
+    assert got["kappa"] > 0.9      # marker-rich text: near-perfect
