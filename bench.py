@@ -224,6 +224,10 @@ HEADLINE = [
     "classifier_auc",
     "classifier_pr_table",
     "langid_kappa",
+    "ab_conversion_ztest",
+    "logrank_purchase_gap",
+    "classifier_mcc",
+    "gumbel_block_maxima",
 ]
 
 

@@ -4730,3 +4730,169 @@ def turning_point_test(t: dict[str, DataFrame]) -> DataFrame:
         F.when(var > 0,
                grid((F.col("n_turning").cast("double") - mu)
                     / F.sqrt(var))).alias("z_turning"))
+
+
+# round-9 wave 6: A/B proportions, survival comparison, confusion
+# metrics, extreme-value block maxima
+
+
+def ab_conversion_ztest(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-proportion z-test of PURCHASE SHARE (purchases over all
+    events) between the even/odd user cohorts — the standard
+    pooled-variance A/B proportion test (user-id parity is the repo's
+    deterministic synthetic assignment, as in leakage-safe
+    splitting). Event-level shares, not user-level conversion: this
+    testdata's every user purchases, so the user-level proportion is
+    degenerate by construction — the activity-mix share is the
+    non-trivial cohort metric.
+
+    Counts are two exact map-side-combinable aggregates; the pooled z
+    is one fixed double chain over four integers, gridded 1e-9. NULL
+    z when the pooled variance degenerates. One row out."""
+    e = t["events"].select(
+        F.pmod("user_id", F.lit(2)).cast("int").alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("isp"))
+    per = (e.groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("isp").cast("long").alias("n_conv")))
+    one = per.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_events")))
+        .alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_events")))
+        .alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c1"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    return one.select(
+        "n0", "c0", "n1", "c1",
+        grid(p0).alias("conv_rate_0"),
+        grid(p1).alias("conv_rate_1"),
+        grid(pp).alias("pooled_rate"),
+        F.when(se > 0, grid((p0 - p1) / se)).alias("z_score"))
+
+
+def logrank_purchase_gap(t: dict[str, DataFrame]) -> DataFrame:
+    """Log-rank test (Mantel 1966; Peto & Peto 1972) comparing the
+    repeat-purchase gap survival of the even/odd user cohorts — the
+    standard two-sample censored-survival comparison on top of the
+    `purchase_gap_survival` Kaplan–Meier machinery: at each distinct
+    event time, observed group-0 events vs the hypergeometric
+    expectation d_t n0_t / n_t, variance d_t (n0_t/n_t)(1 − n0_t/n_t)
+    (n_t − d_t)/(n_t − 1), chi2 = (O − E)² / V on 1 df.
+
+    The per-group risk table is the same calendar-bounded suffix-sum
+    grid with two count columns; E and V accumulate by an IN-ROW fold
+    over the time-sorted array (deterministic order — float sums
+    never cross rows), each term a fixed double chain of exact
+    integers; outputs grid 1e-9 (E, z) / 1e-6 (chi2, the squared
+    amplification)."""
+    us = 86_400_000_000
+    p = (t["events"]
+         .where(F.col("event_type") == SURV_EVENT)
+         .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                 F.pmod("user_id", F.lit(2)).cast("int").alias("arm")))
+    frontier = p.agg(F.max("ts_us").alias("fr"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = (p.select("user_id", "arm", "ts_us",
+                     F.lead("ts_us").over(w).alias("nxt"))
+            .crossJoin(F.broadcast(frontier))
+            .select("arm",
+                    (F.coalesce(F.col("nxt"), F.col("fr"))
+                     - F.col("ts_us")).alias("du"),
+                    F.col("nxt").isNotNull().cast("int")
+                    .alias("observed"))
+            .select("arm", F.expr(f"du DIV {us}").alias("gd"),
+                    "observed"))
+    risk = (gaps.groupBy("gd")
+            .agg(F.sum("observed").alias("d"),
+                 F.sum(F.when(F.col("arm") == 0, F.col("observed"))
+                       .otherwise(F.lit(0))).alias("d0"),
+                 F.count(F.lit(1)).alias("c"),
+                 F.sum((F.col("arm") == 0).cast("long")).alias("c0")))
+    wg = Window.orderBy(F.desc("gd")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tbl = (risk.select("gd", "d", "d0",
+                       F.sum("c").over(wg).alias("nr"),
+                       F.sum("c0").over(wg).alias("nr0"))
+           .where(F.col("d") > 0))
+    folded = tbl.agg(
+        F.array_sort(F.collect_list(
+            F.struct("gd", "d", "d0", "nr", "nr0"))).alias("rows"),
+        F.sum("d").alias("n_events"),
+        F.sum("d0").alias("o0"))
+    term_e = ("CAST(x.d AS DOUBLE) * CAST(x.nr0 AS DOUBLE)"
+              " / CAST(x.nr AS DOUBLE)")
+    term_v = ("CASE WHEN x.nr > 1 THEN CAST(x.d AS DOUBLE)"
+              " * (CAST(x.nr0 AS DOUBLE) / CAST(x.nr AS DOUBLE))"
+              " * (1.0D - CAST(x.nr0 AS DOUBLE) / CAST(x.nr AS DOUBLE))"
+              " * (CAST(x.nr AS DOUBLE) - CAST(x.d AS DOUBLE))"
+              " / (CAST(x.nr AS DOUBLE) - 1.0D) ELSE 0.0D END")
+    ev = folded.select(
+        "n_events", "o0",
+        F.expr(f"aggregate(rows, 0.0D, (acc, x) -> acc + {term_e})")
+        .alias("e0"),
+        F.expr(f"aggregate(rows, 0.0D, (acc, x) -> acc + {term_v})")
+        .alias("v0"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    grid6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    o0 = F.col("o0").cast("double")
+    return ev.select(
+        "n_events", "o0",
+        grid(F.col("e0")).alias("expected_0"),
+        grid(F.col("v0")).alias("variance_0"),
+        F.when(F.col("v0") > 0,
+               grid((o0 - F.col("e0")) / F.sqrt(F.col("v0"))))
+        .alias("z_score"),
+        F.when(F.col("v0") > 0,
+               grid6((o0 - F.col("e0")) * (o0 - F.col("e0"))
+                     / F.col("v0"))).alias("logrank_chi2"))
+
+
+GUMBEL_GAMMA = 0.5772156649015329   # Euler-Mascheroni (double literal)
+
+
+def gumbel_block_maxima(t: dict[str, DataFrame]) -> DataFrame:
+    """Gumbel extreme-value fit of MONTHLY block maxima of daily
+    revenue by the method of moments (Gumbel 1958; the EVT-I
+    complement to `hill_tail_index`'s heavy-tail exponent): beta =
+    s sqrt(6)/pi, mu = m − gamma beta, plus the 100-block return
+    level mu − beta ln(−ln(1 − 1/100)) — "what daily revenue should
+    we provision for once per ~8 years of months".
+
+    Shape: daily rollup → per-month integer max (both calendar-
+    bounded), DECIMAL(38,0) moment sums over the block-maxima frame,
+    one fixed double chain with literal constants (gridded 1e-9).
+    One row out; nothing scales with the fact table."""
+    d38 = "decimal(38,0)"
+    daily = _daily_rev_cents(t)
+    blocks = (daily.groupBy(F.date_format("d", "yyyy-MM").alias("m"))
+              .agg(F.max("rev").alias("mx")))
+    stats = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("mx").cast(d38)).alias("s1"),
+        F.sum((F.col("mx").cast(d38) * F.col("mx").cast(d38))
+              .cast(d38)).alias("s2"))
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    n38 = F.col("n_blocks").cast(d38)
+    nd = F.col("n_blocks").cast("double")
+    mean = grid(F.col("s1").cast("double") / nd / F.lit(100.0))
+    sd = grid(F.sqrt(
+        (n38 * F.col("s2") - F.col("s1") * F.col("s1")).cast(d38)
+        .cast("double") / (nd * (nd - 1))) / F.lit(100.0))
+    g = stats.select("n_blocks", mean.alias("block_mean"),
+                     sd.alias("block_sd"))
+    import math
+    beta = (F.col("block_sd") * F.lit(math.sqrt(6.0))
+            / F.lit(math.pi))
+    mu = F.col("block_mean") - F.lit(GUMBEL_GAMMA) * beta
+    rl = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / 100.0)))
+    return g.select(
+        "n_blocks", "block_mean", "block_sd",
+        grid(mu).alias("gumbel_mu"),
+        grid(beta).alias("gumbel_beta"),
+        grid(rl).alias("return_level_100"))

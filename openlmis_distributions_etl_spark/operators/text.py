@@ -2976,3 +2976,49 @@ def langid_kappa(t: dict[str, DataFrame]) -> DataFrame:
         grid(po).alias("observed_agreement"),
         grid(pe).alias("expected_agreement"),
         F.when(pe < 1.0, grid((po - pe) / (1.0 - pe))).alias("kappa"))
+
+
+def classifier_mcc(t: dict[str, DataFrame]) -> DataFrame:
+    """Confusion matrix and Matthews correlation coefficient of the
+    hash-trick classifier at the natural zero threshold (w_sum >= 0 —
+    the weights are centered, so zero is the uninformed cut)
+    against the filter-battery label (Matthews 1975; the balanced
+    single-number summary that, unlike accuracy, survives class
+    imbalance) — completing the evaluation triple with
+    `classifier_auc` (threshold-free) and `classifier_pr_table`
+    (threshold sweep).
+
+    One bounded aggregate for the four cells; the MCC numerator and
+    the four marginal factors multiply in DECIMAL(38,0) (tp·tn and
+    the marginal products reach N², past bigint), one sqrt/divide
+    chain at the end, gridded 1e-9. NULL MCC when any marginal is
+    zero (the standard undefined case)."""
+    score = hashed_classifier_score(t).select("doc_id", "w_sum")
+    keep = doc_quality_filters(t).select("doc_id", "keep")
+    j = score.join(keep, "doc_id").select(
+        (F.col("w_sum") >= 0).cast("int").alias("pred"), "keep")
+    g = j.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("keep") == 1))
+              .cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("keep") == 0))
+              .cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("keep") == 1))
+              .cast("long")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("keep") == 0))
+              .cast("long")).alias("tn"))
+    d38 = "decimal(38,0)"
+    dec = lambda c: F.col(c).cast(d38)  # noqa: E731
+    num = (dec("tp") * dec("tn") - dec("fp") * dec("fn")).cast(d38)
+    m1 = (dec("tp") + dec("fp")).cast(d38)
+    m2 = (dec("tp") + dec("fn")).cast(d38)
+    m3 = (dec("tn") + dec("fp")).cast(d38)
+    m4 = (dec("tn") + dec("fn")).cast(d38)
+    grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    den = (F.sqrt((m1 * m2).cast(d38).cast("double"))
+           * F.sqrt((m3 * m4).cast(d38).cast("double")))
+    acc = ((F.col("tp") + F.col("tn")).cast("double")
+           / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")))
+    return g.select(
+        "tp", "fp", "fn", "tn",
+        grid(acc).alias("accuracy"),
+        F.when(den > 0, grid(num.cast("double") / den)).alias("mcc"))

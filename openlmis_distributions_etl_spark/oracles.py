@@ -11086,3 +11086,231 @@ ORACLES.update({
         FROM tot, pe
     """,
 })
+
+# round-9 wave 6: A/B proportions, log-rank survival comparison,
+# confusion metrics, Gumbel block maxima.
+ORACLES.update({
+    "ab_conversion_ztest": """
+        WITH e AS (
+          SELECT CAST(((user_id % 2) + 2) % 2 AS INT) AS arm,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END AS isp
+          FROM events),
+        per AS (
+          SELECT arm, COUNT(*) AS n_events,
+                 CAST(SUM(isp) AS BIGINT) AS n_conv
+          FROM e GROUP BY 1),
+        one AS (
+          SELECT MAX(CASE WHEN arm = 0 THEN n_events END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+                 MAX(CASE WHEN arm = 1 THEN n_events END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN n_conv END) AS c1
+          FROM per)
+        SELECT n0, c0, n1, c1,
+               floor(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     * 1e9 + 0.5) / 1e9 AS conv_rate_0,
+               floor(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     * 1e9 + 0.5) / 1e9 AS conv_rate_1,
+               floor((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                     * 1e9 + 0.5) / 1e9 AS pooled_rate,
+               CASE WHEN sqrt(
+                      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                      * (1.0 - (CAST(c0 AS DOUBLE)
+                                + CAST(c1 AS DOUBLE))
+                         / (CAST(n0 AS DOUBLE)
+                            + CAST(n1 AS DOUBLE)))
+                      * (1.0 / CAST(n0 AS DOUBLE)
+                         + 1.0 / CAST(n1 AS DOUBLE))) > 0
+                    THEN floor((CAST(c0 AS DOUBLE)
+                                / CAST(n0 AS DOUBLE)
+                          - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         / sqrt(
+                      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                      * (1.0 - (CAST(c0 AS DOUBLE)
+                                + CAST(c1 AS DOUBLE))
+                         / (CAST(n0 AS DOUBLE)
+                            + CAST(n1 AS DOUBLE)))
+                      * (1.0 / CAST(n0 AS DOUBLE)
+                         + 1.0 / CAST(n1 AS DOUBLE)))
+                         * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS z_score
+        FROM one
+    """,
+    "logrank_purchase_gap": """
+        WITH p AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(((user_id % 2) + 2) % 2 AS INT) AS arm
+          FROM events WHERE event_type = 'purchase'),
+        fr AS (SELECT MAX(ts_us) AS fr FROM p),
+        g AS (
+          SELECT user_id, arm, ts_us,
+                 LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   AS nxt
+          FROM p),
+        gaps AS (
+          SELECT arm,
+                 (COALESCE(nxt, fr.fr) - ts_us) // 86400000000 AS gd,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END
+                   AS observed
+          FROM g, fr),
+        risk AS (
+          SELECT gd, CAST(SUM(observed) AS BIGINT) AS d,
+                 CAST(SUM(CASE WHEN arm = 0 THEN observed
+                               ELSE 0 END) AS BIGINT) AS d0,
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c0
+          FROM gaps GROUP BY gd),
+        tbl AS (
+          SELECT gd, d, d0,
+                 CAST(SUM(c) OVER (ORDER BY gd DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nr,
+                 CAST(SUM(c0) OVER (ORDER BY gd DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nr0
+          FROM risk),
+        folded AS (
+          SELECT list(struct_pack(gd := gd, d := d, d0 := d0,
+                                  nr := nr, nr0 := nr0)
+                      ORDER BY gd) AS rows,
+                 CAST(SUM(d) AS BIGINT) AS n_events,
+                 CAST(SUM(d0) AS BIGINT) AS o0
+          FROM tbl WHERE d > 0),
+        ev AS (
+          SELECT n_events, o0,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(rows, x ->
+                     CAST(x.d AS DOUBLE) * CAST(x.nr0 AS DOUBLE)
+                     / CAST(x.nr AS DOUBLE))),
+                   (acc, e) -> acc + e) AS e0,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(rows, x ->
+                     CASE WHEN x.nr > 1 THEN CAST(x.d AS DOUBLE)
+                       * (CAST(x.nr0 AS DOUBLE) / CAST(x.nr AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE)
+                          - CAST(x.nr0 AS DOUBLE)
+                            / CAST(x.nr AS DOUBLE))
+                       * (CAST(x.nr AS DOUBLE) - CAST(x.d AS DOUBLE))
+                       / (CAST(x.nr AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                       ELSE CAST(0.0 AS DOUBLE) END)),
+                   (acc, e) -> acc + e) AS v0
+          FROM folded)
+        SELECT n_events, o0,
+               floor(e0 * 1e9 + 0.5) / 1e9 AS expected_0,
+               floor(v0 * 1e9 + 0.5) / 1e9 AS variance_0,
+               CASE WHEN v0 > 0
+                    THEN floor((CAST(o0 AS DOUBLE) - e0) / sqrt(v0)
+                               * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS z_score,
+               CASE WHEN v0 > 0
+                    THEN floor((CAST(o0 AS DOUBLE) - e0)
+                               * (CAST(o0 AS DOUBLE) - e0) / v0
+                               * 1e6 + 0.5) / 1e6
+                    ELSE NULL END AS logrank_chi2
+        FROM ev
+    """,
+    "gumbel_block_maxima": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+          FROM orders GROUP BY 1),
+        blocks AS (
+          SELECT strftime(d, '%Y-%m') AS m, MAX(rev) AS mx
+          FROM daily GROUP BY 1),
+        stats AS (
+          SELECT COUNT(*) AS n_blocks,
+                 SUM(CAST(mx AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(CAST(mx AS DECIMAL(38,0))
+                          * CAST(mx AS DECIMAL(38,0))
+                          AS DECIMAL(38,0))) AS s2
+          FROM blocks),
+        g AS (
+          SELECT n_blocks,
+                 floor(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                       / 100.0 * 1e9 + 0.5) / 1e9 AS block_mean,
+                 floor(sqrt(CAST(CAST(CAST(n_blocks AS DECIMAL(38,0))
+                            * s2 - s1 * s1 AS DECIMAL(38,0))
+                            AS DOUBLE)
+                       / (CAST(n_blocks AS DOUBLE)
+                          * (CAST(n_blocks AS DOUBLE) - 1))) / 100.0
+                       * 1e9 + 0.5) / 1e9 AS block_sd
+          FROM stats)
+        SELECT n_blocks, block_mean, block_sd,
+               floor((block_mean - CAST(0.5772156649015329 AS DOUBLE)
+                      * (block_sd
+                         * CAST(2.449489742783178 AS DOUBLE)
+                         / CAST(3.141592653589793 AS DOUBLE)))
+                     * 1e9 + 0.5) / 1e9 AS gumbel_mu,
+               floor(block_sd * CAST(2.449489742783178 AS DOUBLE)
+                     / CAST(3.141592653589793 AS DOUBLE)
+                     * 1e9 + 0.5) / 1e9 AS gumbel_beta,
+               floor((block_mean - CAST(0.5772156649015329 AS DOUBLE)
+                      * (block_sd
+                         * CAST(2.449489742783178 AS DOUBLE)
+                         / CAST(3.141592653589793 AS DOUBLE))
+                      - (block_sd * CAST(2.449489742783178 AS DOUBLE)
+                         / CAST(3.141592653589793 AS DOUBLE))
+                        * CAST(-4.600149226776579 AS DOUBLE))
+                     * 1e9 + 0.5) / 1e9 AS return_level_100
+        FROM g
+    """,
+    "classifier_mcc": f"""
+        WITH {_CLS9},
+        j AS (
+          SELECT CASE WHEN s9.w_sum >= 0 THEN 1 ELSE 0 END AS pred,
+                 q9.keep
+          FROM s9 JOIN q9 USING (doc_id)),
+        g AS (
+          SELECT CAST(SUM(CASE WHEN pred = 1 AND keep = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN pred = 1 AND keep = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN pred = 0 AND keep = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN pred = 0 AND keep = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM j)
+        SELECT tp, fp, fn, tn,
+               floor(CAST(tp + tn AS DOUBLE)
+                     / (tp + fp + fn + tn) * 1e9 + 0.5) / 1e9
+                 AS accuracy,
+               CASE WHEN sqrt(CAST(CAST(
+                        (CAST(tp AS DECIMAL(38,0))
+                         + CAST(fp AS DECIMAL(38,0)))
+                        * (CAST(tp AS DECIMAL(38,0))
+                           + CAST(fn AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS DOUBLE))
+                     * sqrt(CAST(CAST(
+                        (CAST(tn AS DECIMAL(38,0))
+                         + CAST(fp AS DECIMAL(38,0)))
+                        * (CAST(tn AS DECIMAL(38,0))
+                           + CAST(fn AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS DOUBLE)) > 0
+                    THEN floor(CAST(CAST(
+                           CAST(tp AS DECIMAL(38,0))
+                           * CAST(tn AS DECIMAL(38,0))
+                           - CAST(fp AS DECIMAL(38,0))
+                             * CAST(fn AS DECIMAL(38,0))
+                           AS DECIMAL(38,0)) AS DOUBLE)
+                         / (sqrt(CAST(CAST(
+                             (CAST(tp AS DECIMAL(38,0))
+                              + CAST(fp AS DECIMAL(38,0)))
+                             * (CAST(tp AS DECIMAL(38,0))
+                                + CAST(fn AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE))
+                            * sqrt(CAST(CAST(
+                               (CAST(tn AS DECIMAL(38,0))
+                                + CAST(fp AS DECIMAL(38,0)))
+                               * (CAST(tn AS DECIMAL(38,0))
+                                  + CAST(fn AS DECIMAL(38,0)))
+                               AS DECIMAL(38,0)) AS DOUBLE)))
+                         * 1e9 + 0.5) / 1e9
+                    ELSE NULL END AS mcc
+        FROM g
+    """,
+})

@@ -519,6 +519,12 @@ _OPERATORS = {
     "classifier_auc": text.classifier_auc,
     "classifier_pr_table": text.classifier_pr_table,
     "langid_kappa": text.langid_kappa,
+    # §2.A/C round-9 wave 6: A/B proportions, log-rank survival,
+    # confusion metrics, EVT block maxima
+    "ab_conversion_ztest": analytics.ab_conversion_ztest,
+    "logrank_purchase_gap": analytics.logrank_purchase_gap,
+    "classifier_mcc": text.classifier_mcc,
+    "gumbel_block_maxima": analytics.gumbel_block_maxima,
 }
 
 

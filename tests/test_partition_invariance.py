@@ -133,6 +133,11 @@ FLOAT_SENSITIVE = (
     "classifier_auc",
     "classifier_pr_table",
     "langid_kappa",
+    # round-9 wave 6: pooled z, log-rank folds, MCC, EVT moments
+    "ab_conversion_ztest",
+    "logrank_purchase_gap",
+    "classifier_mcc",
+    "gumbel_block_maxima",
 )
 
 

@@ -151,6 +151,8 @@ BNLJ_ALLOWED = {
                                  # ljung_box_daily pattern)
     "pettitt_changepoint",       # calendar-bounded broadcast pair
                                  # cloud + fence-anchor singleton row
+    "logrank_purchase_gap",      # broadcast 1-row censoring frontier
+                                 # (the purchase_gap_survival pattern)
 }
 
 # The only operators allowed to leave the JVM: the declared Arrow

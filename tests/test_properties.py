@@ -2302,3 +2302,193 @@ def test_langid_kappa_boundaries(spark):
     assert got["expected_agreement"] == g9(pe)
     assert got["kappa"] == g9((po - pe) / (1.0 - pe))
     assert got["kappa"] > 0.9      # marker-rich text: near-perfect
+
+
+def test_ab_conversion_ztest_matches_python(spark):
+    """Pooled two-proportion z vs python on planted arm shares (arm 0
+    purchases 30%, arm 1 purchases 10%): exact replay, z decisively
+    positive."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        ab_conversion_ztest)
+
+    rows, eid = [], 0
+    for uid in range(20):
+        k = 10 if uid % 2 == 0 else 10
+        conv = 3 if uid % 2 == 0 else 1
+        for j in range(k):
+            et = "purchase" if j < conv else "click"
+            rows.append((eid, dt.datetime(2024, 1, 1 + j % 27), uid,
+                         et, 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = ab_conversion_ztest({"events": events}).collect()[0]
+
+    n0 = n1 = c0 = c1 = 0
+    for _, _, uid, et, _, _ in rows:
+        if uid % 2 == 0:
+            n0 += 1
+            c0 += et == "purchase"
+        else:
+            n1 += 1
+            c1 += et == "purchase"
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert (got["n0"], got["c0"], got["n1"], got["c1"]) \
+        == (n0, c0, n1, c1)
+    assert got["conv_rate_0"] == g9(p0)
+    assert got["conv_rate_1"] == g9(p1)
+    assert got["pooled_rate"] == g9(pp)
+    assert got["z_score"] == g9((p0 - p1) / se)
+    assert got["z_score"] > 2.0
+
+
+def test_logrank_matches_python_on_planted_cohorts(spark):
+    """Log-rank O/E/V vs a python replay on two cohorts with
+    different planted gap scales (even users repurchase every 2 days,
+    odd every 8): the statistic is decisively nonzero."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        logrank_purchase_gap)
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for uid in range(12):
+        step = 2 if uid % 2 == 0 else 8
+        for j in range(6):
+            rows.append((eid, base + dt.timedelta(days=j * step,
+                                                  hours=uid),
+                         uid, "purchase", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = logrank_purchase_gap({"events": events}).collect()[0]
+
+    # python replay: gaps per user, censored at the global frontier
+    by_user = {}
+    for _, ts, uid, _, _, _ in rows:
+        by_user.setdefault(uid, []).append(ts)
+    frontier = max(ts for tss in by_user.values() for ts in tss)
+    obs = []          # (gap_days, observed, arm)
+    us = 86_400_000_000
+    for uid, tss in by_user.items():
+        tss = sorted(tss)
+        for i, ts in enumerate(tss):
+            nxt = tss[i + 1] if i + 1 < len(tss) else None
+            end = nxt if nxt is not None else frontier
+            du = int((end - ts).total_seconds() * 1_000_000)
+            obs.append((du // us, int(nxt is not None), uid % 2))
+    times = sorted({gd for gd, d, _ in obs if d == 1
+                    and sum(x[1] for x in obs if x[0] == gd) > 0})
+    # risk sets and per-time terms in time order
+    e0 = v0 = 0.0
+    o0 = sum(d for gd, d, arm in obs if arm == 0)
+    n_events = sum(d for _, d, _ in obs)
+    for gd in sorted({g for g, d, _ in obs
+                      if sum(x[1] for x in obs if x[0] == g) > 0}):
+        d = sum(x[1] for x in obs if x[0] == gd)
+        if d == 0:
+            continue
+        nr = sum(1 for x in obs if x[0] >= gd)
+        nr0 = sum(1 for x in obs if x[0] >= gd and x[2] == 0)
+        e0 = e0 + d * nr0 / nr
+        if nr > 1:
+            v0 = v0 + d * (nr0 / nr) * (1.0 - nr0 / nr) \
+                * (nr - d) / (nr - 1.0)
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    g6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert got["n_events"] == n_events and got["o0"] == o0
+    assert got["expected_0"] == g9(e0)
+    assert got["variance_0"] == g9(v0)
+    assert got["z_score"] == g9((o0 - e0) / math.sqrt(v0))
+    assert got["logrank_chi2"] == g6((o0 - e0) ** 2 / v0)
+    assert abs(got["z_score"]) > 1.5
+
+
+def test_classifier_mcc_matches_python(spark):
+    """Confusion cells and MCC vs python replay on the mixed corpus;
+    accuracy matches the cell ratio."""
+    import math
+
+    from openlmis_distributions_etl_spark.operators.text import (
+        classifier_mcc, doc_quality_filters, hashed_classifier_score)
+
+    docs = _quality_docs(spark)
+    sc = {r["doc_id"]: r["w_sum"] for r in
+          hashed_classifier_score({"documents": docs}).collect()}
+    kp = {r["doc_id"]: r["keep"] for r in
+          doc_quality_filters({"documents": docs}).collect()}
+    got = classifier_mcc({"documents": docs}).collect()[0]
+
+    tp = sum(1 for d in sc if sc[d] >= 0 and kp[d] == 1)
+    fp = sum(1 for d in sc if sc[d] >= 0 and kp[d] == 0)
+    fn = sum(1 for d in sc if sc[d] < 0 and kp[d] == 1)
+    tn = sum(1 for d in sc if sc[d] < 0 and kp[d] == 0)
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) \
+        == (tp, fp, fn, tn)
+    assert got["accuracy"] == g9((tp + tn) / (tp + fp + fn + tn))
+    den = (math.sqrt(float((tp + fp) * (tp + fn)))
+           * math.sqrt(float((tn + fp) * (tn + fn))))
+    if den > 0:
+        assert got["mcc"] == g9((tp * tn - fp * fn) / den)
+    else:
+        assert got["mcc"] is None
+
+
+def test_gumbel_block_maxima_matches_python(spark):
+    """Moment-fit Gumbel parameters vs python replay on 24 months of
+    synthetic data; the 100-block return level exceeds every observed
+    block max by construction of the fit."""
+    import datetime as dt
+    import math
+
+    from openlmis_distributions_etl_spark.operators.analytics import (
+        gumbel_block_maxima)
+
+    rows, oid = [], 0
+    base = dt.date(2022, 1, 1)
+    for m in range(24):
+        for d in range(20):
+            day = dt.date(2022 + m // 12, m % 12 + 1, d + 1)
+            v = 100.0 + 7.0 * ((m * 31 + d) % 13) + (50.0 if d == 3
+                                                     else 0.0)
+            rows.append((oid, oid % 5, "O", v, day, "1"))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, "
+              "o_orderpriority string")
+    got = gumbel_block_maxima({"orders": orders}).collect()[0]
+
+    daily = {}
+    for _, _, _, v, day, _ in rows:
+        daily[day] = daily.get(day, 0) + math.floor(v * 100 + 0.5)
+    blocks = {}
+    for day, rev in daily.items():
+        key = day.strftime("%Y-%m")
+        blocks[key] = max(blocks.get(key, 0), rev)
+    mx = list(blocks.values())
+    n = len(mx)
+    s1, s2 = sum(mx), sum(x * x for x in mx)
+    g9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    mean = g9(s1 / n / 100.0)
+    sd = g9(math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / 100.0)
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 100.0))
+    assert got["n_blocks"] == n == 24
+    assert got["block_mean"] == mean and got["block_sd"] == sd
+    assert got["gumbel_mu"] == g9(mu)
+    assert got["gumbel_beta"] == g9(beta)
+    assert got["return_level_100"] == g9(rl)
+    assert got["return_level_100"] > max(mx) / 100.0
