@@ -546,6 +546,32 @@ def _wrap(fn) -> QueryFn:
 # rotating driver exposure onto the least-covered waves while every
 # entry stays in the registry either way.
 _DRIVER_SAMPLED = frozenset((
+    # -- CORRECTNESS_r09 (49 green + pagerank rows-only) --
+    "abc_classification", "asof_nearest_click",
+    "bloom_prefilter_dedup", "bpe_apply_doc_tokens",
+    "bpe_merge_pairs", "bpe_vocab_32",
+    "chi2_event_segments", "daily_value_ffill",
+    "date_dim", "dedup_keep_best",
+    "demand_yoy_by_type", "doc_bigram_lm_score",
+    "doc_chunks", "doc_novelty_rate",
+    "doc_simpson_diversity", "dup_span_removal",
+    "dup_span_stats", "edit_distance_pairs",
+    "event_value_zscores", "exact_median_value",
+    "exact_quantiles_value", "grouping_sets_report",
+    "hll_partitioned_union", "join_key_skew_audit",
+    "knn_filtered", "knn_ivf_pq",
+    "knn_pq_refine", "ks_by_source",
+    "ks_drift_value", "ks_windowed",
+    "langid_confusion", "matryoshka_prefix_eval",
+    "minhash_pair_precision", "monthly_revenue_growth",
+    "orders_backlog_aging", "pagerank_dup_graph",
+    "pq_balanced_perm", "pq_codebook_trained",
+    "pq_codes_trained", "psi_value_drift",
+    "psi_windowed", "return_rate_by_brand",
+    "rfm_segments", "rq_codes",
+    "semantic_dup_lang_matrix", "shingle_overlap_pairs",
+    "source_quota_sample", "supplier_lead_time_gaps",
+    "supplier_scorecard", "window_rank_report",
     # -- CORRECTNESS_r08 (all 50 green) --
     "approx_value_percentiles", "asof_time_to_purchase",
     "bm25_scores", "cohort_retention",
