@@ -4383,15 +4383,19 @@ def croston_part_demand(t: dict[str, DataFrame]) -> DataFrame:
                F.col("q").cast("double").alias("q")))).alias("dx"),
                F.count(F.lit(1)).alias("n_demand_days")))
     a = CROSTON_ALPHA
+    # 'init' is an explicit seen-first-demand flag: overloading pe's
+    # sign as the sentinel breaks on pre-epoch dates (ed < 0 would
+    # re-initialize state on every such row).
     st = F.expr(f"""
         aggregate(dx,
-          named_struct('z', 0.0D, 'p', 0.0D, 'pe', -1.0D),
-          (acc, e) -> CASE WHEN acc.pe < 0.0D THEN named_struct(
-              'z', e.q, 'p', 1.0D, 'pe', e.ed)
+          named_struct('z', 0.0D, 'p', 0.0D, 'pe', 0.0D,
+                       'init', 0.0D),
+          (acc, e) -> CASE WHEN acc.init < 0.5D THEN named_struct(
+              'z', e.q, 'p', 1.0D, 'pe', e.ed, 'init', 1.0D)
             ELSE named_struct(
               'z', acc.z + {a}D * (e.q - acc.z),
               'p', acc.p + {a}D * ((e.ed - acc.pe) - acc.p),
-              'pe', e.ed) END)
+              'pe', e.ed, 'init', 1.0D) END)
     """)
     grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     out = seq.select("brand", "n_demand_days", st.alias("st"))
@@ -4432,8 +4436,13 @@ def neyman_allocation_plan(t: dict[str, DataFrame]) -> DataFrame:
         .cast("double")
         / (F.col("n").cast("double")
            * (F.col("n").cast("double") - 1))) / F.lit(10000.0))
-    per = m.select("event_type", "n", sd.alias("sd"),
-                   (F.col("n").cast("double") * sd).alias("w"))
+    # a single-event stratum has no variance estimate (n*(n-1)=0):
+    # its NULL sd would NULL-poison the w_total fold and silently
+    # blank every share, so degenerate strata are excluded up front
+    # (mirrored in the DuckDB twin).
+    per = (m.filter(F.col("n") >= 2)
+           .select("event_type", "n", sd.alias("sd"),
+                   (F.col("n").cast("double") * sd).alias("w")))
     one = per.agg(F.array_sort(F.collect_list(F.struct(
         "event_type", F.col("n").alias("nh"), "sd", "w"))).alias("gs"))
     tot = F.expr("aggregate(gs, 0.0D, (acc, e) -> acc + e.w)")

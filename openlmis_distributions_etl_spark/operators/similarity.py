@@ -2911,16 +2911,27 @@ def kcenter_greedy_coreset(t: dict[str, DataFrame],
              .select("vec_id", "label", "embedding").collect()[0])
     out = [(1, first["vec_id"], first["label"], None)]
     centers = [first["embedding"]]
+    # already-selected ids are anti-filtered from every argmax scan:
+    # without it, a duplicate-saturated store (max dmin = 0) would
+    # re-select an existing center via the lowest-vec_id tie-break
+    # and emit the same vec_id at multiple ranks.  A store smaller
+    # than k simply stops early (the filtered scan comes back empty).
+    selected = [first["vec_id"]]
     for rank in range(2, k + 1):
         lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centers]
         dmin = F.least(*[grid(F.lit(1.0) - cosine(F.col("embedding"), c))
                          for c in lits]) if len(lits) > 1 else \
             grid(F.lit(1.0) - cosine(F.col("embedding"), lits[0]))
-        sel = (e.select("vec_id", "label", "embedding",
-                        dmin.alias("dmin"))
+        hit = (e.filter(~F.col("vec_id").isin(selected))
+               .select("vec_id", "label", "embedding",
+                       dmin.alias("dmin"))
                .orderBy(F.desc("dmin"), F.asc("vec_id"))
-               .limit(1).collect()[0])
+               .limit(1).collect())
+        if not hit:
+            break
+        sel = hit[0]
         out.append((rank, sel["vec_id"], sel["label"], sel["dmin"]))
         centers.append(sel["embedding"])
+        selected.append(sel["vec_id"])
     return e.sparkSession.createDataFrame(
         out, "rank int, vec_id long, label int, sel_dist double")

@@ -10490,16 +10490,18 @@ ORACLES.update({
                       ORDER BY d) AS dx,
                  COUNT(*) AS n_demand_days
           FROM daily GROUP BY 1),
-        -- flat DOUBLE[] accumulator [z, p, prev_ed]
+        -- flat DOUBLE[] accumulator [z, p, prev_ed, init]
+        -- (explicit init flag, epoch-sign-agnostic like the Spark op)
         st AS (
           SELECT brand, n_demand_days, list_reduce(
-            list_prepend([CAST(0.0 AS DOUBLE), 0, -1], dx),
-            (acc, e) -> CASE WHEN acc[3] < CAST(0.0 AS DOUBLE)
-              THEN [e[2], CAST(1.0 AS DOUBLE), e[1]]
+            list_prepend([CAST(0.0 AS DOUBLE), 0, 0, 0], dx),
+            (acc, e) -> CASE WHEN acc[4] < CAST(0.5 AS DOUBLE)
+              THEN [e[2], CAST(1.0 AS DOUBLE), e[1],
+                    CAST(1.0 AS DOUBLE)]
               ELSE [acc[1] + CAST(0.1 AS DOUBLE) * (e[2] - acc[1]),
                     acc[2] + CAST(0.1 AS DOUBLE)
                              * ((e[1] - acc[3]) - acc[2]),
-                    e[1]] END) AS st
+                    e[1], CAST(1.0 AS DOUBLE)] END) AS st
           FROM seq)
         SELECT brand, n_demand_days,
                floor(st[1] * 1e9 + 0.5) / 1e9 AS smoothed_size,
@@ -10527,7 +10529,7 @@ ORACLES.update({
                        / (CAST(n AS DOUBLE)
                           * (CAST(n AS DOUBLE) - 1))) / 10000.0
                        * 1e9 + 0.5) / 1e9 AS sd
-          FROM m),
+          FROM m WHERE n >= 2),
         w AS (
           SELECT event_type, n, sd, CAST(n AS DOUBLE) * sd AS w
           FROM per),
@@ -10693,9 +10695,11 @@ def _kcenter_sql(k: int = 8) -> str:
                    f"{_cos('e.embedding', f'emb{i}')}")
                  for i in range(1, j)]
         dmin = dists[0] if j == 2 else f"least({', '.join(dists)})"
+        notin = ", ".join(f"v{i}" for i in range(1, j))
         ctes.append(
             f"s{j} AS (SELECT e.vec_id, e.label, e.embedding, "
-            f"{dmin} AS dmin FROM embeddings e, {prev})")
+            f"{dmin} AS dmin FROM embeddings e, {prev} "
+            f"WHERE e.vec_id NOT IN ({notin}))")
         ctes.append(
             f"c{j} AS (SELECT vec_id AS v{j}, label AS l{j}, "
             f"embedding AS emb{j}, dmin AS d{j} FROM s{j} "

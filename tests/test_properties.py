@@ -2006,6 +2006,8 @@ def test_kcenter_greedy_matches_numpy(spark):
     for rank in range(2, 6):
         best = None
         for v in range(40):
+            if v in centers:   # selected centers leave the pool
+                continue
             dmin = min(g9(1.0 - cos(pts[v], pts[c])) for c in centers)
             if best is None or (-dmin, v) < (-best[1], best[0]):
                 best = (v, dmin)
@@ -2017,6 +2019,30 @@ def test_kcenter_greedy_matches_numpy(spark):
         assert r["sel_dist"] == want[2], want
     dists = [r["sel_dist"] for r in got[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_kcenter_never_reselects_and_stops_early(spark):
+    """Duplicate-saturated store (2 distinct embeddings, 5 rows) with
+    k=8: selected centers leave the candidate pool, so every emitted
+    vec_id is unique, dmin-0 draws pick fresh duplicates (lowest
+    vec_id first), and the selection stops at the pool size instead
+    of re-emitting a center at multiple ranks."""
+    from openlmis_distributions_etl_spark.operators.similarity import (
+        kcenter_greedy_coreset)
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, a, 0), (1, a, 0), (2, b, 1), (3, b, 1), (4, a, 0)],
+        "vec_id long, embedding array<float>, label int")
+    got = sorted(kcenter_greedy_coreset({"embeddings": emb}, k=8)
+                 .collect(), key=lambda r: r["rank"])
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5              # pool exhausted before k
+    assert len(set(ids)) == 5         # no rank repeats a center
+    assert ids[0] == 0 and ids[1] == 2   # farthest-first, then dups
+    assert got[1]["sel_dist"] == 1.0
+    assert all(r["sel_dist"] == 0.0 for r in got[2:])
 
 
 def test_isotonic_calibration_matches_pava_stack(spark):
