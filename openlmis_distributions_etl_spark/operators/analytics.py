@@ -1747,18 +1747,55 @@ def _grouped_rank_min_multi(pts: DataFrame,
 
     from ..functions.cache import retain
     wcols = list(weights)
-    # retained: the points frame feeds the size probe, the fence
-    # sketch, AND the bucket pipeline — uncached it recomputes (and
-    # rescans its input) three times per call
+    # retained: the points frame feeds the size/fence probe AND the
+    # bucket pipeline — uncached it recomputes (and rescans its
+    # input) twice per call
     pts = retain(pts)
-    probe = F.greatest(*wcols) if len(wcols) > 1 else F.col(wcols[0])
-    n_max = (pts.groupBy("event_type")
-             .agg(*[F.sum(w).alias(w) for w in wcols])
-             .agg(F.max(probe)).collect()[0][0]) or 0
-    nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
-
+    # ONE setup job where there used to be two: the per-type weight
+    # totals (which size the bucket count) and the fence sketch ride
+    # the SAME grouped aggregate and come back in one collect. The
+    # sketch is taken at the fixed PREFIX_MAX_FENCES resolution and
+    # subsampled to the needed bucket count — fences only affect
+    # BALANCE (ties never straddle a bucket and the rank assembly is
+    # exact for ANY monotone fence set), so a finer sketch changes no
+    # result. The collected fences become per-type array literals in
+    # a map lookup, which also removes the per-call broadcast fence
+    # join from the main pass.
     def fence_pcts(m: int) -> str:
         return ",".join(str(i / m) for i in range(1, m))
+
+    acc0 = max(10000, PREFIX_MAX_FENCES * 64)
+    probe_rows = (pts.groupBy("event_type")
+                  .agg(*[F.sum(w).alias(w) for w in wcols],
+                       F.expr(f"approx_percentile(_k, "
+                              f"array({fence_pcts(PREFIX_MAX_FENCES)})"
+                              f", {acc0})").alias("_fa"))
+                  .collect())
+    n_max = max((max(r[w] or 0 for w in wcols) for r in probe_rows),
+                default=0)
+    nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
+
+    def fence_map(m: int) -> F.Column:
+        """Literal map event_type → its m-bucket fence array, the
+        full-resolution sketch subsampled at stride MAX/m (m is
+        rounded up to a power of two ≥ 16 by the callers so the
+        stride divides exactly)."""
+        stride = PREFIX_MAX_FENCES // m
+        entries: list[F.Column] = []
+        for r in probe_rows:
+            if r["event_type"] is None:
+                continue     # inner fence join dropped null types too
+            fa = list(r["_fa"] or [])
+            sub = [float(x) for x in fa[stride - 1::stride]
+                   if x is not None][:m - 1]
+            entries.append(F.lit(r["event_type"]))
+            entries.append(F.array(*[F.lit(x) for x in sub])
+                           if sub else
+                           F.array().cast("array<double>"))
+        return F.create_map(*entries)
+
+    def pow2(m: int) -> int:
+        return 1 << max(4, (m - 1).bit_length())
 
     def grouped_fences(frame: DataFrame, keys: list[str], m: int,
                        out: str) -> DataFrame:
@@ -1768,17 +1805,26 @@ def _grouped_rank_min_multi(pts: DataFrame,
                             f"array({fence_pcts(m)}), {acc})")
                      .alias(out)))
 
-    if nb <= PREFIX_MAX_FENCES:
-        fences = grouped_fences(pts, ["event_type"], nb, "_fa")
-        bucketed = (pts.join(F.broadcast(fences), "event_type")
+    if not any(r["event_type"] is not None for r in probe_rows):
+        # empty input (or only the null-type group, which the fence
+        # join always dropped): degenerate single bucket
+        bucketed = (pts.where(F.col("event_type").isNotNull())
+                    .withColumn("bkt", F.lit(0)))
+    elif nb <= PREFIX_MAX_FENCES:
+        fm = fence_map(pow2(nb))
+        bucketed = (pts.where(F.col("event_type").isNotNull())
+                    .withColumn("_fa", F.element_at(
+                        fm, F.col("event_type")))
                     .withColumn("bkt", F.size(F.filter(
                         "_fa", lambda x: F.col("_k") > x)))
                     .drop("_fa"))
     else:
-        nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
+        nb1 = pow2(min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb))))
         nb2 = math.ceil(nb / nb1)
-        f1 = grouped_fences(pts, ["event_type"], nb1, "_fa")
-        lvl1 = retain(pts.join(F.broadcast(f1), "event_type")
+        fm = fence_map(nb1)
+        lvl1 = retain(pts.where(F.col("event_type").isNotNull())
+                      .withColumn("_fa", F.element_at(
+                          fm, F.col("event_type")))
                       .withColumn("_b1", F.size(F.filter(
                           "_fa", lambda x: F.col("_k") > x)))
                       .drop("_fa"))

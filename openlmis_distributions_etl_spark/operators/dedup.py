@@ -15,6 +15,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import pin, spread
 from ..functions.cache import retain
@@ -370,7 +371,14 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star step: every node attaches its STRICTLY LARGER
     neighbors to the minimum of its closed neighborhood. Input/output
-    edges normalized as (hi, lo), hi > lo."""
+    edges normalized as (hi, lo), hi > lo.
+
+    No terminal ``distinct()``: output volume is bounded by |sym| =
+    2|e| regardless, duplicate (hi, lo) rows change neither
+    small-star's per-group min nor its join fan-out semantics, and
+    the round's single terminal distinct (small-star's) restores the
+    normalized edge SET — so the extra exchange + double
+    HashAggregate this used to pay per round bought nothing."""
     sym = e.union(e.select(F.col("lo").alias("hi"),
                            F.col("hi").alias("lo")))
     m = (sym.groupBy(F.col("hi").alias("ctr"))
@@ -378,8 +386,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     m = m.select("ctr", F.least("nbr_min", "ctr").alias("m"))
     return (sym.join(m, sym["hi"] == m["ctr"])
             .where(F.col("lo") > F.col("hi"))   # strictly larger nbrs
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-            .distinct())
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -428,14 +435,29 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                          "least(src, dst) AS lo")
         .where(F.col("hi") > F.col("lo"))
         .distinct())
+    n_e: int | None = None   # |e|, carried across rounds: the input
+    # frame was counted when IT was the round output, so re-counting
+    # it every round was one redundant job per round
     for _ in range(max_iter):
-        new = _truncate_lineage(_small_star(_large_star(e)))
+        # the large-star output feeds BOTH small-star branches (the
+        # per-center min aggregate and the kid join-back); uncached,
+        # Catalyst inlines the whole large-star subtree twice and the
+        # round pays its shuffles double (11 exchanges / 4 SMJ per
+        # round measured; ~6 / 2 with the cache). Bounded: <= 2|e|
+        # rows, released right after the round materializes.
+        ls = _large_star(e).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        new = _truncate_lineage(_small_star(ls))
         # fixed point iff the normalized edge SET is unchanged: both
         # frames are distinct, so equal counts + empty difference
         # (one anti-join probed to the first row) decide it
-        changed = (new.count() != e.count()
+        n_new = new.count()
+        if n_e is None:
+            n_e = e.count()
+        changed = (n_new != n_e
                    or new.join(e, ["hi", "lo"], "left_anti")
                    .limit(1).count() > 0)
+        ls.unpersist()
+        n_e = n_new
         e = new
         if not changed:
             roots = e.groupBy(F.col("hi").alias("node")) \

@@ -29,6 +29,21 @@ TABLES = (
 # facilities, not in fact volume).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Fact tables whose scans feed per-row-heavy pipelines (tokenization,
+# HOF folds, 64-dim vector math). When the physical layout cannot
+# split — one file with one row group caps the scan at ONE task no
+# matter what maxPartitionBytes says — the whole map side of a query
+# runs on a single core. Per the optimization guide (§2.5: an
+# unsplittable input is input skew; repartition immediately after the
+# read), the loader inserts a round-robin repartition to the session's
+# default parallelism, but ONLY when the scan's split count is below
+# it: at production scale the same tables arrive as many files/row
+# groups, the condition is false at plan-build time, and no shuffle is
+# added. Dimension tables are exempt — they exist to be broadcast and
+# a parallelism floor would only tax the broadcast build.
+PARALLELIZE_FACTS = frozenset(
+    {"orders", "lineitem", "events", "documents", "embeddings"})
+
 
 # Columns that must surface as session-tz TIMESTAMP regardless of the
 # physical parquet layout. A real lake mixes layouts — TIMESTAMP(NANOS)
@@ -140,6 +155,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = normalize_ts(df, c, table=name)
     if name == "embeddings":
         _assert_embedding_dim(df, table=name)
+    if name in PARALLELIZE_FACTS:
+        cores = spark.sparkContext.defaultParallelism
+        # partition count comes from the file-listing metadata — no
+        # job runs here; decided once per (session, path) thanks to
+        # the memo below
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
     cache[key] = df
     return df
 
