@@ -16,11 +16,12 @@ as DataFrame rounds:
   doubling) - where the shifted ranks are per-doc window `lead`s,
   not joins (suffixes never cross document boundaries, so
   everything about a round is doc-partitioned except the rank
-  assignment). Radix 4 because every round pays width-independent
-  fixed costs (a doc-keyed window shuffle, a rank shuffle, a census
-  action, a lineage truncation): ceil(log4 maxlen) rounds instead
-  of ceil(log2 maxlen) nearly halves the wall clock, and the two
-  extra lead() columns ride the same window shuffle.
+  assignment). High radix (RADIX = 16) because every round pays
+  width-independent fixed costs (a doc-keyed window shuffle, a rank
+  shuffle, a census action, a lineage truncation): ceil(log16
+  maxlen) rounds instead of ceil(log2 maxlen) quarters the
+  sequential barrier count, and the extra lead() columns ride the
+  same window shuffle.
 
 Rank assignment is the repo's distributed prefix decomposition
 (`_rank_buckets`, analytics.py): range-bucket a double proxy of the
@@ -76,6 +77,19 @@ LRS_SCHEMA = StructType([
     StructField("n_docs", LongType()),
     StructField("lrs_text", StringType()),
 ])
+
+# Manber–Myers radix: each round ranks the RADIX-tuple
+# (r[p], r[p+w], ..., r[p+(RADIX-1)·w]), multiplying the resolved
+# prefix width by RADIX. Every round pays width-independent fixed
+# costs (one doc-keyed window shuffle, one rank shuffle, one census
+# action, one lineage truncation) — the operator's real cost is the
+# ROUND count, ceil(log_RADIX maxlen), so 16 halves the sequential
+# barrier count again vs the round-6 radix-4 build (4 rounds → 2 on
+# 32k-token docs: 16 → 256 → 4096 ...). The price per round — 15
+# lead() columns riding the same window shuffle and a 16-long rank
+# tuple through the bucketed dense_rank — is bytes, not barriers,
+# and the two-level bucketer still keys on (r1, r2) alone.
+RADIX = 16
 
 
 def _doubling_buckets(df: DataFrame, n: int, dense_max: int,
@@ -171,16 +185,16 @@ def _suffix_levels(t: dict[str, DataFrame]):
     last level is a total suffix order (ties only between IDENTICAL
     full suffixes). Driver actions per round are 1-row aggregates.
 
-    QUADRUPLING, not doubling: each round ranks the 4-tuple
-    (r[p], r[p+w], r[p+2w], r[p+3w]) — the radix-4 variant of
-    Manber–Myers (same exactness argument: equal tuples ⇔ equal
-    length-4w padded prefixes) — so a maxlen-L corpus needs
-    ceil(log4 L) rounds instead of ceil(log2 L). Every round carries
-    fixed costs independent of width (one doc-keyed window shuffle,
-    one rank-assignment shuffle, one census action, one lineage
-    truncation), so halving the round count nearly halves the
-    operator's wall clock; the extra two lead() columns ride the
-    SAME window shuffle for free."""
+    RADIX-tupling, not doubling: each round ranks the RADIX-tuple
+    (r[p], r[p+w], ..., r[p+(RADIX-1)w]) — the radix-RADIX variant
+    of Manber–Myers (same exactness argument: equal tuples ⇔ equal
+    length-RADIX·w padded prefixes) — so a maxlen-L corpus needs
+    ceil(log_RADIX L) rounds instead of ceil(log2 L). Every round
+    carries fixed costs independent of width (one doc-keyed window
+    shuffle, one rank-assignment shuffle, one census action, one
+    lineage truncation), so cutting the round count cuts the
+    operator's wall clock almost proportionally; the extra lead()
+    columns ride the SAME window shuffle for free."""
     d = retain(_all_docs_tokenized(t))
     stats = d.agg(F.sum("n").alias("ns"),
                   F.max("n").alias("ml")).collect()[0]
@@ -244,24 +258,21 @@ def _suffix_levels(t: dict[str, DataFrame]):
         zero = F.lit(0).cast("long")
         pair = prev.select(
             "doc_id", "n", "pos", F.col("r").alias("r1"),
-            F.coalesce(F.lead("r", width).over(wdoc), zero).alias("r2"),
-            F.coalesce(F.lead("r", 2 * width).over(wdoc),
-                       zero).alias("r3"),
-            F.coalesce(F.lead("r", 3 * width).over(wdoc),
-                       zero).alias("r4"))
+            *[F.coalesce(F.lead("r", i * width).over(wdoc), zero)
+              .alias(f"r{i + 1}") for i in range(1, RADIX)])
         # r1 is the PREVIOUS round's dense rank (1..mx), so fences
         # are arithmetic - no percentile sketch job per round. The
         # two-level bucketer still keys on (r1, r2) only: equal
-        # 4-tuples agree on (r1, r2) a fortiori, so equal keys never
-        # straddle buckets - the extra tuple arms refine only the
-        # in-bucket dense_rank order.
+        # RADIX-tuples agree on (r1, r2) a fortiori, so equal keys
+        # never straddle buckets - the extra tuple arms refine only
+        # the in-bucket dense_rank order.
         nxt = _dense_rank_distributed(
             pair, n_suf,
-            [F.col("r1"), F.col("r2"), F.col("r3"), F.col("r4")],
+            [F.col(f"r{i + 1}") for i in range(RADIX)],
             F.col("r1").cast("double"), dense_max=mx, heavy=heavy,
         ).select("doc_id", "n", "pos", "r")
         levels.append(_truncate_lineage(nxt))
-        width *= 4
+        width *= RADIX
     return d, levels, n_suf
 
 
@@ -313,13 +324,14 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
     cur = (a.join(b, "r")
            .select("da", "pa", "na", "db", "pb", "nb",
                    F.lit(0).cast("long").alias("off")))
-    # base-4 descent, skipping the TOP level (adjacent reps hold
+    # base-RADIX descent, skipping the TOP level (adjacent reps hold
     # DISTINCT top ranks by construction, so the top comparison can
-    # never hit). At level j a pair may advance 0..3 consecutive
-    # width-4^j blocks; the three block positions are fixed by the
-    # level-entry offset, so all SIX lookups (3 per side) ride ONE
-    # (doc, pos) equi-join of an exploded request frame + one
-    # regroup - two shuffles per level instead of six join passes.
+    # never hit). At level j a pair may advance 0..RADIX-1
+    # consecutive width-RADIX^j blocks; the RADIX-1 block positions
+    # are fixed by the level-entry offset, so all 2·(RADIX-1)
+    # lookups ride ONE (doc, pos) equi-join of an exploded request
+    # frame + one regroup - two shuffles per level instead of
+    # 2·(RADIX-1) join passes.
     #
     # POTENTIAL PRUNING: only the MAXIMUM lcp is wanted, so a pair
     # whose best reachable value - min(off + remaining level
@@ -335,16 +347,18 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
     cap_len = F.least(F.col("na") - F.col("pa"),
                       F.col("nb") - F.col("pb"))
     best = 0
+    n_arm = RADIX - 1
     if len(levels) >= 2:
-        full_cap = 4 ** (len(levels) - 1) - 1
+        full_cap = RADIX ** (len(levels) - 1) - 1
         cur = cur.where(F.least(F.col("off") + full_cap, cap_len)
                         >= max(best, int(dup_l)))
     for j in range(len(levels) - 2, -1, -1):
-        lv, w = levels[j], 4 ** j
-        side_a = F.col("s") < 3
-        i = (F.col("s") % 3).cast("long")
+        lv, w = levels[j], RADIX ** j
+        side_a = F.col("s") < n_arm
+        i = (F.col("s") % n_arm).cast("long")
         lk = (cur.select(*keys,
-                         F.explode(F.expr("array(0, 1, 2, 3, 4, 5)"))
+                         F.explode(F.sequence(
+                             F.lit(0), F.lit(2 * n_arm - 1)))
                          .alias("s"))
               .select(*keys, "s",
                       F.when(side_a, F.col("da"))
@@ -358,12 +372,15 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
         g = (lk.join(lvk, ["_d", "_p"], "left")
              .groupBy(*keys)
              .agg(*[F.max(F.when(F.col("s") == k, F.col("_r")))
-                    .alias(f"x{k}") for k in range(6)]))
-        m0 = F.col("x0").isNotNull() & (F.col("x0") == F.col("x3"))
-        m1 = F.col("x1").isNotNull() & (F.col("x1") == F.col("x4"))
-        m2 = F.col("x2").isNotNull() & (F.col("x2") == F.col("x5"))
-        adv = (F.when(m0, F.when(m1, F.when(m2, 3).otherwise(2))
-                      .otherwise(1)).otherwise(0)).cast("long")
+                    .alias(f"x{k}") for k in range(2 * n_arm)]))
+        m = [F.col(f"x{k}").isNotNull()
+             & (F.col(f"x{k}") == F.col(f"x{k + n_arm}"))
+             for k in range(n_arm)]
+        # advance = number of LEADING matched blocks (0..RADIX-1)
+        adv_expr: F.Column = F.lit(n_arm)
+        for k in range(n_arm - 1, -1, -1):
+            adv_expr = F.when(m[k], adv_expr).otherwise(F.lit(k))
+        adv = adv_expr.cast("long")
         cur = retain(_truncate_lineage(g.select(
             "da", "pa", "na", "db", "pb", "nb",
             (F.col("off") + adv * w).alias("off"))))
@@ -374,7 +391,7 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
         best = int(cur.agg(F.max(F.least(F.col("off"), cap_len)))
                    .collect()[0][0] or 0)
         if j > 0:
-            rem = 4 ** j - 1   # capacity of the remaining levels
+            rem = RADIX ** j - 1   # capacity of the remaining levels
             cur = cur.where(F.least(F.col("off") + rem, cap_len)
                             >= max(best, int(dup_l)))
     lcp = F.least(F.col("off"), F.col("na") - F.col("pa"),
@@ -386,16 +403,17 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
         return spark.createDataFrame([], LRS_SCHEMA)
 
     # report: key every eligible window of length lmax by the rank
-    # tuple of lmax's base-4 block decomposition (exact identity),
-    # group, keep the repeated ones, rebuild the text from one
-    # representative's token slice
+    # tuple of lmax's base-RADIX block decomposition (exact
+    # identity), group, keep the repeated ones, rebuild the text
+    # from one representative's token slice
     keyed = top.where(F.col("pos") + F.lit(lmax) <= F.col("n")) \
                .select("doc_id", "pos")
     keycols, off = [], 0
-    # base-4 block decomposition: digit d_j in 0..3 consecutive
-    # width-4^j blocks per level, greedy from the widest level
+    # base-RADIX block decomposition: digit d_j in 0..RADIX-1
+    # consecutive width-RADIX^j blocks per level, greedy from the
+    # widest level
     for j in range(len(levels) - 1, -1, -1):
-        digit = (lmax >> (2 * j)) & 3
+        digit = (lmax // (RADIX ** j)) % RADIX
         for rep_i in range(digit):
             kc = f"k{j}_{rep_i}"
             lv = levels[j].select(F.col("doc_id").alias("_d"),
@@ -406,7 +424,7 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
                 & (F.col("_q") == F.col("pos") + off))
                 .drop("_d", "_q"))
             keycols.append(kc)
-            off += 1 << (2 * j)
+            off += RADIX ** j
     grp = (keyed.groupBy(*keycols)
            .agg(F.count(F.lit(1)).alias("n_occurrences"),
                 F.count_distinct("doc_id").alias("n_docs"),
