@@ -120,15 +120,22 @@ def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
 def _bands(sig: DataFrame) -> DataFrame:
     """Explode the 16-hash signature into 4 banded bucket keys; the
     full signature rides along so pair consumers can dedupe by
-    first-matching-band and score slot agreement without join-backs."""
-    parts = []
+    first-matching-band and score slot agreement without join-backs.
+
+    One Generate pass, not a union of per-band branches: a B-branch
+    union re-reads its input B times (B× the map tasks feeding the
+    band-join exchange, B copies of the subtree in the plan); the
+    explode emits the same rows in one pass over one scan."""
     rows = N_HASHES // BANDS
     hs = [f"h{j}" for j in range(N_HASHES)]
-    for b in range(BANDS):
-        val = F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-        parts.append(sig.select(
-            "doc_id", *hs, F.lit(b).alias("band_id"), val.alias("band_val")))
-    return reduce(DataFrame.unionAll, parts)
+    arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}")
+                               for r in range(rows)]).alias("band_val"))
+        for b in range(BANDS)])
+    return (sig.select("doc_id", *hs, F.explode(arr).alias("_bb"))
+            .select("doc_id", *hs, "_bb.band_id", "_bb.band_val"))
 
 
 def _first_matching_band() -> Column:
@@ -1685,14 +1692,17 @@ def lsh_band_sweep(t: dict[str, DataFrame]) -> DataFrame:
     hs = [f"h{j}" for j in range(N_HASHES)]
     out = None
     for bands, rows in LSH_SWEEP_CONFIGS:
-        parts = []
-        for b in range(bands):
-            val = F.concat_ws(
-                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            parts.append(sig.select(
-                "doc_id", *hs, F.lit(b).alias("band_id"),
-                val.alias("band_val")))
-        banded = reduce(DataFrame.unionAll, parts)
+        # one Generate pass per config, not a union of per-band
+        # branches (the _bands() rationale: B× fewer map tasks)
+        arr = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[F.col(f"h{b * rows + r}")
+                                   for r in range(rows)])
+                .alias("band_val"))
+            for b in range(bands)])
+        banded = (sig.select("doc_id", *hs, F.explode(arr).alias("_bb"))
+                  .select("doc_id", *hs, "_bb.band_id", "_bb.band_val"))
         a = banded.select(
             F.col("doc_id").alias("doc_a"),
             *[F.col(h).alias(f"a_{h}") for h in hs],

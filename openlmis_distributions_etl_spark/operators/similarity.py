@@ -200,17 +200,20 @@ def _banded_codes(base: DataFrame) -> DataFrame:
     """Explode the 16-bit code into N_PAIR_BANDS disjoint band keys,
     carrying the normalized vector and full code along so the pair
     join needs no join-back."""
-    from functools import reduce
-
+    # one Generate pass, not a union of per-band branches (a B-way
+    # union re-reads the retained base B times and multiplies the
+    # map tasks feeding the band-join exchange by B)
     mask = (1 << PAIR_BAND_BITS) - 1
-    parts = [
-        base.select(
-            "vec_id", "nv", "bucket", F.lit(b).alias("band_id"),
+    arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
             F.shiftright("bucket", PAIR_BAND_BITS * b)
             .bitwiseAND(F.lit(mask)).alias("band_val"))
-        for b in range(N_PAIR_BANDS)
-    ]
-    return reduce(DataFrame.unionAll, parts)
+        for b in range(N_PAIR_BANDS)])
+    return (base.select("vec_id", "nv", "bucket",
+                        F.explode(arr).alias("_bb"))
+            .select("vec_id", "nv", "bucket",
+                    "_bb.band_id", "_bb.band_val"))
 
 
 def _banded_pairs(base: DataFrame, threshold: float) -> DataFrame:
