@@ -765,6 +765,64 @@ def _rank_buckets(df: DataFrame, n: int) -> DataFrame:
             .drop("_fb", "_b1"))
 
 
+def _rank_buckets_probed(df: DataFrame) -> tuple[DataFrame, int]:
+    """`_rank_buckets` with its TWO setup jobs fused into one: the
+    row count (which sizes the bucket count) and the fence sketch
+    ride a single aggregate/collect. The sketch is always taken at
+    the fixed PREFIX_MAX_FENCES resolution and subsampled to the
+    needed power-of-two bucket count — fence placement only affects
+    balance, never results (equal keys still share a bucket; the
+    bucket test stays monotone). Returns (df + ``bkt``, n).
+
+    ``df`` must be retained/cached by the caller (the probe is its
+    first action; the bucket pipeline re-reads it)."""
+    import math
+
+    acc0 = max(10000, PREFIX_MAX_FENCES * 64)
+    pcts = ",".join(str(i / PREFIX_MAX_FENCES)
+                    for i in range(1, PREFIX_MAX_FENCES))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(_k, array({pcts}), {acc0})")
+        .alias("_fa")).collect()[0]
+    n = int(row["n"] or 0)
+    nb = max(16, math.ceil(n / PREFIX_TARGET_ROWS)) if n else 16
+    nb = 1 << max(4, (nb - 1).bit_length())
+    full = [x for x in (row["_fa"] or []) if x is not None]
+    if nb <= PREFIX_MAX_FENCES:
+        stride = PREFIX_MAX_FENCES // nb
+        fences = [float(x)
+                  for x in (row["_fa"] or [])[stride - 1::stride]
+                  if x is not None][:nb - 1] if full else []
+        # unrolled comparisons, not a size(filter(...)) fold — the
+        # _rank_buckets attribute-binding rationale
+        b = F.lit(0)
+        for p in fences:
+            b = b + (F.col("_k") > F.lit(p)).cast("int")
+        return df.withColumn("bkt", b), n
+    # two-level recursion (> ~4G distinct keys): level-1 fences from
+    # the SAME sketch, level-2 stays the distributed grouped sketch
+    nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
+    nb1 = 1 << max(4, (nb1 - 1).bit_length())
+    nb2 = math.ceil(nb / nb1)
+    stride = PREFIX_MAX_FENCES // nb1
+    f1 = [float(x) for x in (row["_fa"] or [])[stride - 1::stride]
+          if x is not None][:nb1 - 1] if full else []
+    b1 = F.lit(0)
+    for p in f1:
+        b1 = b1 + (F.col("_k") > F.lit(p)).cast("int")
+    lvl1 = df.withColumn("_b1", b1)
+    acc2 = max(10000, nb2 * 64)
+    pcts2 = ",".join(str(i / nb2) for i in range(1, nb2))
+    fences2 = (lvl1.groupBy("_b1")
+               .agg(F.expr(f"approx_percentile(_k, array({pcts2}), "
+                           f"{acc2})").alias("_fb")))
+    return (lvl1.join(F.broadcast(fences2), "_b1")
+            .withColumn("bkt", F.col("_b1") * nb2 + F.size(F.filter(
+                "_fb", lambda x: F.col("_k") > x)))
+            .drop("_fb", "_b1")), n
+
+
 def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
     """Shared distributed-ECDF core for the drift statistics: exact
     cumulative counts of two event-type samples over the `value`
@@ -793,10 +851,9 @@ def _value_ecdf(t: dict[str, DataFrame]) -> DataFrame:
               .otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == KS_GROUP_B, 1)
               .otherwise(0)).alias("cb")))
-    n_pts = pts.count()
-    bucketed = (_rank_buckets(
-        pts.withColumn("_k", F.col("value").cast("double")), n_pts)
-        .select("value", "ca", "cb", "bkt"))
+    bucketed, _ = _rank_buckets_probed(
+        pts.withColumn("_k", F.col("value").cast("double")))
+    bucketed = bucketed.select("value", "ca", "cb", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.sum("ca").alias("bca"),
                                      F.sum("cb").alias("bcb"))
     wo = (Window.orderBy(F.asc("bkt"))
@@ -1859,9 +1916,15 @@ def _grouped_rank_min_multi(pts: DataFrame,
             sels.append(F.min(F.when(F.col(f"cf_{w}")
                                      >= F.expr(bound),
                                      F.col("_k"))).alias(name))
-    return (cum.groupBy("event_type")
-            .agg(*[F.max(f"n_{w}").alias(f"n_{w}") for w in wcols],
-                 *sels))
+    # retained: the result is one tiny row per type, but consumers
+    # reference it several times (a median feeds the deviation pass,
+    # the broadcast stats join, AND the final report), and every
+    # uncached reference re-inlines — and re-executes — the whole
+    # bucket pipeline above it
+    return retain(cum.groupBy("event_type")
+                  .agg(*[F.max(f"n_{w}").alias(f"n_{w}")
+                         for w in wcols],
+                       *sels))
 
 
 MAD_K = 4.4478   # 3 · 1.4826 as ONE literal: both engines parse the

@@ -68,7 +68,7 @@ from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
 from ..functions.cache import retain
-from .analytics import _rank_buckets
+from .analytics import _rank_buckets_probed
 from .dedup import _all_docs_tokenized, _truncate_lineage
 
 LRS_SCHEMA = StructType([
@@ -163,7 +163,9 @@ def _dense_rank_distributed(df: DataFrame, n: int, okey: list,
     if dense_max is not None:
         b = _doubling_buckets(df, n, dense_max, heavy)
     else:
-        b = _rank_buckets(df.withColumn("_k", proxy), n)
+        # fused probe: count + fence sketch in ONE collect (the
+        # caller no longer pays a separate count job for sizing)
+        b, _ = _rank_buckets_probed(df.withColumn("_k", proxy))
     win = Window.partitionBy("bkt").orderBy(*okey)
     per = b.groupBy("bkt").agg(F.count_distinct(*okey).alias("_nd"))
     wo = (Window.orderBy(F.asc("bkt"))
@@ -213,9 +215,8 @@ def _suffix_levels(t: dict[str, DataFrame]):
     # skewed JOIN key, which AQE splits, not a window hot spot).
     vocab = retain(pos.select("tok").distinct()
                    .withColumn("_h", F.xxhash64("tok")))
-    n_vocab = vocab.count()
     vr = _dense_rank_distributed(
-        vocab, n_vocab, [F.col("_h"), F.col("tok")],
+        vocab, 0, [F.col("_h"), F.col("tok")],
         F.col("_h").cast("double"))
     lvl0 = (pos.join(vr.select("tok", "r"), "tok")
             .select("doc_id", "n", "pos", "r"))
