@@ -404,28 +404,42 @@ def longest_repeated_substring(t: dict[str, DataFrame]) -> DataFrame:
         return spark.createDataFrame([], LRS_SCHEMA)
 
     # report: key every eligible window of length lmax by the rank
-    # tuple of lmax's base-RADIX block decomposition (exact
+    # tuple of its OVERLAPPING same-level block cover (exact
     # identity), group, keep the repeated ones, rebuild the text
-    # from one representative's token slice
+    # from one representative's token slice.
+    #
+    # Cover construction: take the widest retained level with
+    # w <= lmax (one always exists: level 0 has w = 1, and lmax
+    # never exceeds the top width — equal lmax-windows wider than it
+    # would have tied top-level ranks, contradicting the early
+    # exit). Blocks at offsets 0, w, ..., (m-2)·w plus the
+    # OVERLAPPING tail block at lmax - w, m = ceil(lmax / w), cover
+    # [0, lmax): two windows are equal iff all m level-j ranks
+    # agree (each rank pins the exact content of its w-token block —
+    # no block crosses the document end because the window fits).
+    # All m lookups ride ONE (doc, pos) equi-join of an exploded
+    # request frame + one regroup — the digit-decomposition this
+    # replaces paid one sequential join PER base-RADIX digit (up to
+    # 15 per level at radix 16).
     keyed = top.where(F.col("pos") + F.lit(lmax) <= F.col("n")) \
                .select("doc_id", "pos")
-    keycols, off = [], 0
-    # base-RADIX block decomposition: digit d_j in 0..RADIX-1
-    # consecutive width-RADIX^j blocks per level, greedy from the
-    # widest level
-    for j in range(len(levels) - 1, -1, -1):
-        digit = (lmax // (RADIX ** j)) % RADIX
-        for rep_i in range(digit):
-            kc = f"k{j}_{rep_i}"
-            lv = levels[j].select(F.col("doc_id").alias("_d"),
-                                  F.col("pos").alias("_q"),
-                                  F.col("r").alias(kc))
-            keyed = (keyed.join(
-                lv, (F.col("doc_id") == F.col("_d"))
-                & (F.col("_q") == F.col("pos") + off))
-                .drop("_d", "_q"))
-            keycols.append(kc)
-            off += RADIX ** j
+    j = max(i for i in range(len(levels)) if RADIX ** i <= lmax)
+    w = RADIX ** j
+    n_blk = -(-lmax // w)
+    offs = [k * w for k in range(n_blk - 1)] + [lmax - w]
+    lk = (keyed.select(
+        "doc_id", "pos",
+        F.explode(F.array(*[F.lit(o) for o in offs])).alias("_o"))
+        .select(F.col("doc_id").alias("_d"), "pos", "_o",
+                (F.col("pos") + F.col("_o")).alias("_q")))
+    lv = levels[j].select(F.col("doc_id").alias("_d"),
+                          F.col("pos").alias("_q"),
+                          F.col("r").alias("_r"))
+    keycols = [f"k{i}" for i in range(n_blk)]
+    keyed = (lk.join(lv, ["_d", "_q"])
+             .groupBy(F.col("_d").alias("doc_id"), "pos")
+             .agg(*[F.max(F.when(F.col("_o") == o, F.col("_r")))
+                    .alias(kc) for kc, o in zip(keycols, offs)]))
     grp = (keyed.groupBy(*keycols)
            .agg(F.count(F.lit(1)).alias("n_occurrences"),
                 F.count_distinct("doc_id").alias("n_docs"),
