@@ -770,9 +770,9 @@ def _rank_buckets_probed(df: DataFrame) -> tuple[DataFrame, int]:
     row count (which sizes the bucket count) and the fence sketch
     ride a single aggregate/collect. The sketch is always taken at
     the fixed PREFIX_MAX_FENCES resolution and subsampled to the
-    needed power-of-two bucket count — fence placement only affects
-    balance, never results (equal keys still share a bucket; the
-    bucket test stays monotone). Returns (df + ``bkt``, n).
+    needed bucket count — fence placement only affects balance,
+    never results (equal keys still share a bucket; the bucket test
+    stays monotone). Returns (df + ``bkt``, n).
 
     ``df`` must be retained/cached by the caller (the probe is its
     first action; the bucket pipeline re-reads it)."""
@@ -787,13 +787,8 @@ def _rank_buckets_probed(df: DataFrame) -> tuple[DataFrame, int]:
         .alias("_fa")).collect()[0]
     n = int(row["n"] or 0)
     nb = max(16, math.ceil(n / PREFIX_TARGET_ROWS)) if n else 16
-    nb = 1 << max(4, (nb - 1).bit_length())
-    full = [x for x in (row["_fa"] or []) if x is not None]
     if nb <= PREFIX_MAX_FENCES:
-        stride = PREFIX_MAX_FENCES // nb
-        fences = [float(x)
-                  for x in (row["_fa"] or [])[stride - 1::stride]
-                  if x is not None][:nb - 1] if full else []
+        fences = _subsample_fences(row["_fa"], nb)
         # unrolled comparisons, not a size(filter(...)) fold — the
         # _rank_buckets attribute-binding rationale
         b = F.lit(0)
@@ -803,11 +798,8 @@ def _rank_buckets_probed(df: DataFrame) -> tuple[DataFrame, int]:
     # two-level recursion (> ~4G distinct keys): level-1 fences from
     # the SAME sketch, level-2 stays the distributed grouped sketch
     nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
-    nb1 = 1 << max(4, (nb1 - 1).bit_length())
     nb2 = math.ceil(nb / nb1)
-    stride = PREFIX_MAX_FENCES // nb1
-    f1 = [float(x) for x in (row["_fa"] or [])[stride - 1::stride]
-          if x is not None][:nb1 - 1] if full else []
+    f1 = _subsample_fences(row["_fa"], nb1)
     b1 = F.lit(0)
     for p in f1:
         b1 = b1 + (F.col("_k") > F.lit(p)).cast("int")
@@ -1785,6 +1777,24 @@ def _grouped_rank_min(pts: DataFrame,
         .withColumnRenamed("n_c", "n_rows")
 
 
+def _subsample_fences(fa, m: int) -> list[float]:
+    """m-1 monotone cut points from a full-resolution percentile
+    sketch (PREFIX_MAX_FENCES-1 entries): index round-down mapping of
+    i/m onto the sketch grid. Any monotone subsample is a VALID fence
+    set (equal keys share a bucket via the > test; placement affects
+    balance only), so no divisibility between m and the sketch
+    resolution is required."""
+    vals = [float(x) for x in (fa or []) if x is not None]
+    if not vals or m <= 1:
+        return []
+    k = len(vals) + 1
+    out = []
+    for i in range(1, m):
+        idx = max(0, min(len(vals) - 1, (i * k) // m - 1))
+        out.append(vals[idx])
+    return out
+
+
 def _grouped_rank_min_multi(pts: DataFrame,
                             weights: dict[str, dict[str, str]]) \
         -> DataFrame:
@@ -1833,26 +1843,19 @@ def _grouped_rank_min_multi(pts: DataFrame,
     nb = max(16, math.ceil(n_max / PREFIX_TARGET_ROWS))
 
     def fence_map(m: int) -> F.Column:
-        """Literal map event_type → its m-bucket fence array, the
-        full-resolution sketch subsampled at stride MAX/m (m is
-        rounded up to a power of two ≥ 16 by the callers so the
-        stride divides exactly)."""
-        stride = PREFIX_MAX_FENCES // m
+        """Literal map event_type → its m-bucket fence array: the
+        full-resolution sketch subsampled to m-1 monotone cut points
+        (any monotone subsample is valid — fences are balance-only)."""
         entries: list[F.Column] = []
         for r in probe_rows:
             if r["event_type"] is None:
                 continue     # inner fence join dropped null types too
-            fa = list(r["_fa"] or [])
-            sub = [float(x) for x in fa[stride - 1::stride]
-                   if x is not None][:m - 1]
+            sub = _subsample_fences(r["_fa"], m)
             entries.append(F.lit(r["event_type"]))
             entries.append(F.array(*[F.lit(x) for x in sub])
                            if sub else
                            F.array().cast("array<double>"))
         return F.create_map(*entries)
-
-    def pow2(m: int) -> int:
-        return 1 << max(4, (m - 1).bit_length())
 
     def grouped_fences(frame: DataFrame, keys: list[str], m: int,
                        out: str) -> DataFrame:
@@ -1868,7 +1871,7 @@ def _grouped_rank_min_multi(pts: DataFrame,
         bucketed = (pts.where(F.col("event_type").isNotNull())
                     .withColumn("bkt", F.lit(0)))
     elif nb <= PREFIX_MAX_FENCES:
-        fm = fence_map(pow2(nb))
+        fm = fence_map(nb)
         bucketed = (pts.where(F.col("event_type").isNotNull())
                     .withColumn("_fa", F.element_at(
                         fm, F.col("event_type")))
@@ -1876,7 +1879,7 @@ def _grouped_rank_min_multi(pts: DataFrame,
                         "_fa", lambda x: F.col("_k") > x)))
                     .drop("_fa"))
     else:
-        nb1 = pow2(min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb))))
+        nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
         nb2 = math.ceil(nb / nb1)
         fm = fence_map(nb1)
         lvl1 = retain(pts.where(F.col("event_type").isNotNull())
