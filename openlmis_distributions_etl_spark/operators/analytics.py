@@ -696,6 +696,10 @@ def abc_classification(t: dict[str, DataFrame]) -> DataFrame:
 
 PREFIX_TARGET_ROWS = 4_000_000   # cap on rows one in-bucket window task sees
 PREFIX_MAX_FENCES = 1024         # per-level fence ceiling (per-row test cost)
+PROBE_FENCES = 64                # fused-probe sketch resolution: covers
+                                 # nb <= 64 (256M rows at the 4M target)
+                                 # in one cheap job; larger inputs pay a
+                                 # second exact-resolution sketch
 KS_GROUP_A = "click"
 KS_GROUP_B = "purchase"
 
@@ -778,30 +782,52 @@ def _rank_buckets_probed(df: DataFrame) -> tuple[DataFrame, int]:
     first action; the bucket pipeline re-reads it)."""
     import math
 
-    acc0 = max(10000, PREFIX_MAX_FENCES * 64)
-    pcts = ",".join(str(i / PREFIX_MAX_FENCES)
-                    for i in range(1, PREFIX_MAX_FENCES))
+    # moderate fixed probe resolution: a 1023-point/65536-accuracy
+    # sketch costs multiples of the whole pass on wide frames (the
+    # first cut of this fusion regressed every ECDF consumer); 63
+    # points at default accuracy covers every nb <= PROBE_FENCES
+    # (n <= 256M rows at the 4M target) in the single probe job, and
+    # bigger inputs pay the old second sketch job at the exact
+    # resolution they need — no worse than the pre-fusion cost.
+    pcts = ",".join(str(i / PROBE_FENCES)
+                    for i in range(1, PROBE_FENCES))
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"approx_percentile(_k, array({pcts}), {acc0})")
+        F.expr(f"approx_percentile(_k, array({pcts}), 10000)")
         .alias("_fa")).collect()[0]
     n = int(row["n"] or 0)
     nb = max(16, math.ceil(n / PREFIX_TARGET_ROWS)) if n else 16
-    if nb <= PREFIX_MAX_FENCES:
-        fences = _subsample_fences(row["_fa"], nb)
+    if nb <= PROBE_FENCES:
+        fences = _subsample_fences(row["_fa"], nb, PROBE_FENCES)
         # unrolled comparisons, not a size(filter(...)) fold — the
         # _rank_buckets attribute-binding rationale
         b = F.lit(0)
         for p in fences:
             b = b + (F.col("_k") > F.lit(p)).cast("int")
         return df.withColumn("bkt", b), n
+    if nb <= PREFIX_MAX_FENCES:
+        # rare big-input path: one more sketch at the needed
+        # resolution (exactly the pre-fusion second job)
+        acc = max(10000, nb * 64)
+        pcts2 = ",".join(str(i / nb) for i in range(1, nb))
+        fa = df.agg(F.expr(
+            f"approx_percentile(_k, array({pcts2}), {acc})")
+            .alias("_fa")).collect()[0]["_fa"]
+        b = F.lit(0)
+        for p in [float(x) for x in (fa or []) if x is not None]:
+            b = b + (F.col("_k") > F.lit(p)).cast("int")
+        return df.withColumn("bkt", b), n
     # two-level recursion (> ~4G distinct keys): level-1 fences from
-    # the SAME sketch, level-2 stays the distributed grouped sketch
+    # a dedicated sketch, level-2 stays the distributed grouped sketch
     nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
     nb2 = math.ceil(nb / nb1)
-    f1 = _subsample_fences(row["_fa"], nb1)
+    acc1 = max(10000, nb1 * 64)
+    pcts1 = ",".join(str(i / nb1) for i in range(1, nb1))
+    fa1 = df.agg(F.expr(
+        f"approx_percentile(_k, array({pcts1}), {acc1})")
+        .alias("_fa")).collect()[0]["_fa"]
     b1 = F.lit(0)
-    for p in f1:
+    for p in [float(x) for x in (fa1 or []) if x is not None]:
         b1 = b1 + (F.col("_k") > F.lit(p)).cast("int")
     lvl1 = df.withColumn("_b1", b1)
     acc2 = max(10000, nb2 * 64)
@@ -1777,13 +1803,12 @@ def _grouped_rank_min(pts: DataFrame,
         .withColumnRenamed("n_c", "n_rows")
 
 
-def _subsample_fences(fa, m: int) -> list[float]:
-    """m-1 monotone cut points from a full-resolution percentile
-    sketch (PREFIX_MAX_FENCES-1 entries): index round-down mapping of
-    i/m onto the sketch grid. Any monotone subsample is a VALID fence
-    set (equal keys share a bucket via the > test; placement affects
-    balance only), so no divisibility between m and the sketch
-    resolution is required."""
+def _subsample_fences(fa, m: int, res: int | None = None) -> list[float]:
+    """m-1 monotone cut points from a fixed-resolution percentile
+    sketch: index round-down mapping of i/m onto the sketch grid.
+    Any monotone subsample is a VALID fence set (equal keys share a
+    bucket via the > test; placement affects balance only), so no
+    divisibility between m and the sketch resolution is required."""
     vals = [float(x) for x in (fa or []) if x is not None]
     if not vals or m <= 1:
         return []
@@ -1831,12 +1856,11 @@ def _grouped_rank_min_multi(pts: DataFrame,
     def fence_pcts(m: int) -> str:
         return ",".join(str(i / m) for i in range(1, m))
 
-    acc0 = max(10000, PREFIX_MAX_FENCES * 64)
     probe_rows = (pts.groupBy("event_type")
                   .agg(*[F.sum(w).alias(w) for w in wcols],
                        F.expr(f"approx_percentile(_k, "
-                              f"array({fence_pcts(PREFIX_MAX_FENCES)})"
-                              f", {acc0})").alias("_fa"))
+                              f"array({fence_pcts(PROBE_FENCES)})"
+                              f", 10000)").alias("_fa"))
                   .collect())
     n_max = max((max(r[w] or 0 for w in wcols) for r in probe_rows),
                 default=0)
@@ -1865,29 +1889,38 @@ def _grouped_rank_min_multi(pts: DataFrame,
                             f"array({fence_pcts(m)}), {acc})")
                      .alias(out)))
 
+    def map_bucketed(frame: DataFrame, m: int, out: str) -> DataFrame:
+        """Bucket via the literal fence map when the probe sketch
+        resolves m buckets; past PROBE_FENCES, fall back to the
+        exact-resolution grouped sketch + broadcast join (one more
+        job — exactly the pre-fusion cost, big inputs only)."""
+        if m <= PROBE_FENCES:
+            fm = fence_map(m)
+            return (frame
+                    .withColumn("_fx", F.element_at(
+                        fm, F.col("event_type")))
+                    .withColumn(out, F.size(F.filter(
+                        "_fx", lambda x: F.col("_k") > x)))
+                    .drop("_fx"))
+        fs = grouped_fences(frame, ["event_type"], m, "_fx")
+        return (frame.join(F.broadcast(fs), "event_type")
+                .withColumn(out, F.size(F.filter(
+                    "_fx", lambda x: F.col("_k") > x)))
+                .drop("_fx"))
+
     if not any(r["event_type"] is not None for r in probe_rows):
         # empty input (or only the null-type group, which the fence
         # join always dropped): degenerate single bucket
         bucketed = (pts.where(F.col("event_type").isNotNull())
                     .withColumn("bkt", F.lit(0)))
     elif nb <= PREFIX_MAX_FENCES:
-        fm = fence_map(nb)
-        bucketed = (pts.where(F.col("event_type").isNotNull())
-                    .withColumn("_fa", F.element_at(
-                        fm, F.col("event_type")))
-                    .withColumn("bkt", F.size(F.filter(
-                        "_fa", lambda x: F.col("_k") > x)))
-                    .drop("_fa"))
+        bucketed = map_bucketed(
+            pts.where(F.col("event_type").isNotNull()), nb, "bkt")
     else:
         nb1 = min(PREFIX_MAX_FENCES, math.ceil(math.sqrt(nb)))
         nb2 = math.ceil(nb / nb1)
-        fm = fence_map(nb1)
-        lvl1 = retain(pts.where(F.col("event_type").isNotNull())
-                      .withColumn("_fa", F.element_at(
-                          fm, F.col("event_type")))
-                      .withColumn("_b1", F.size(F.filter(
-                          "_fa", lambda x: F.col("_k") > x)))
-                      .drop("_fa"))
+        lvl1 = retain(map_bucketed(
+            pts.where(F.col("event_type").isNotNull()), nb1, "_b1"))
         f2 = grouped_fences(lvl1, ["event_type", "_b1"], nb2, "_fb")
         bucketed = (lvl1.join(F.broadcast(f2), ["event_type", "_b1"])
                     .withColumn("bkt", F.col("_b1") * nb2

@@ -41,8 +41,15 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 # groups, the condition is false at plan-build time, and no shuffle is
 # added. Dimension tables are exempt — they exist to be broadcast and
 # a parallelism floor would only tax the broadcast build.
+# embeddings is NOT in the set: every similarity operator that wants
+# scan parallelism already calls functions.spread() at the point of
+# heavy per-row work, while the construction-time search loops
+# (k-center's k-1 argmax scans, the BQ/beam recall harnesses) re-scan
+# the table many times per query and a loader-level repartition would
+# charge each scan a sorted round-robin shuffle it never asked for
+# (measured: kcenter 4.4 -> 7.8 s, knn_bq_recall 1.0 -> 3.0 s).
 PARALLELIZE_FACTS = frozenset(
-    {"orders", "lineitem", "events", "documents", "embeddings"})
+    {"orders", "lineitem", "events", "documents"})
 
 
 # Columns that must surface as session-tz TIMESTAMP regardless of the
