@@ -299,10 +299,18 @@ def main() -> None:
         n for n, rs in raw_runs.items()
         if len(rs) > 1 and max(rs) > 3.0 * max(min(rs), 1e-9))
     # contract/smoke runs point this at a tmp path so a full pytest
-    # pass can never clobber the committed sf0.1 artifact (r8 lesson)
+    # pass can never clobber the committed sf0.1 artifact (r8 lesson).
+    # The driver also re-runs the bench at a LOWER core count to
+    # measure scaling; that run must not clobber the committed 32-core
+    # artifact either (r10 lesson: the repo's committed bench_out.json
+    # ended up holding the 8-core run), so a non-32-core run defaults
+    # to a cpu-suffixed file. stdout names whichever file was written
+    # (queries_full), so the record stays self-describing.
+    default_name = ("bench_out.json" if cpus == 32
+                    else f"bench_out_c{cpus}.json")
     out_path = Path(os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        Path(__file__).resolve().parent / "bench_out.json"))
+        Path(__file__).resolve().parent / default_name))
     out_path.write_text(json.dumps(payload) + "\n")
     budget = 1700
     slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -1384,10 +1384,11 @@ def global_row_index(t: dict[str, DataFrame]) -> DataFrame:
     ascending bucketer negated: bucket 0 holds the LARGEST n_chars."""
     from ..functions.cache import retain
     d = retain(t["documents"].select("doc_id", "n_chars"))
-    n = d.count()
-    bucketed = (_rank_buckets(
-        d.withColumn("_k", -F.col("n_chars").cast("double")), n)
-        .select("doc_id", "n_chars", "bkt"))
+    # count + fence sketch ride one probe job (`_rank_buckets_probed`)
+    # instead of a count action followed by the sketch action
+    bucketed, _ = _rank_buckets_probed(
+        d.withColumn("_k", -F.col("n_chars").cast("double")))
+    bucketed = bucketed.select("doc_id", "n_chars", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -1502,9 +1503,9 @@ def user_activity_gini(t: dict[str, DataFrame]) -> DataFrame:
     counts = retain(t["events"]
                     .groupBy("user_id")
                     .agg(F.count(F.lit(1)).alias("c")))
-    n = counts.count()
-    bucketed = _rank_buckets(
-        counts.withColumn("_k", F.col("c").cast("double")), n)
+    # fused count+sketch probe (one setup job, same buckets-only use)
+    bucketed, _ = _rank_buckets_probed(
+        counts.withColumn("_k", F.col("c").cast("double")))
     bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -1540,10 +1541,9 @@ def _doc_len_ecdf(t: dict[str, DataFrame]) -> DataFrame:
                  .select(F.col("n_chars").cast("double").alias("value"))
                  .groupBy("value")
                  .agg(F.count(F.lit(1)).alias("ca")))
-    n_pts = pts.count()
-    bucketed = (_rank_buckets(pts.withColumn("_k", F.col("value")),
-                              n_pts)
-                .select("value", "ca", "bkt"))
+    bucketed, _ = _rank_buckets_probed(
+        pts.withColumn("_k", F.col("value")))
+    bucketed = bucketed.select("value", "ca", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.sum("ca").alias("bca"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -1636,9 +1636,8 @@ def customer_revenue_lorenz(t: dict[str, DataFrame]) -> DataFrame:
                  .groupBy("o_custkey")
                  .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
                       .cast("decimal(38,6)").alias("rev_d")))
-    n = rev.count()
-    bucketed = _rank_buckets(
-        rev.withColumn("_k", F.col("rev_d").cast("double")), n)
+    bucketed, n = _rank_buckets_probed(
+        rev.withColumn("_k", F.col("rev_d").cast("double")))
     bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -2417,8 +2416,9 @@ def _gini_from_weights(units: DataFrame) -> DataFrame:
     (n_units, total_w, gini); gini is NULL on an all-zero total."""
     from ..functions.cache import retain
     units = retain(units.withColumn("_k", F.col("w").cast("double")))
-    n = units.count()
-    b = _rank_buckets(units, n)
+    # fused count+sketch probe: one setup job (n is buckets-only here —
+    # the final aggregate recounts its own n_units)
+    b, _ = _rank_buckets_probed(units)
     bt = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -2570,10 +2570,11 @@ def customer_spend_decile_profile(t: dict[str, DataFrame]) -> DataFrame:
     cust = retain(t["orders"]
                   .groupBy("o_custkey")
                   .agg(F.sum(dec("o_totalprice")).alias("spend")))
-    n = cust.count()
-    bucketed = (_rank_buckets(
-        cust.withColumn("_k", -F.col("spend").cast("double")), n)
-        .select("o_custkey", "spend", "bkt"))
+    # fused count+sketch probe: one setup job; n is reused below in
+    # the decile cut expression
+    bucketed, n = _rank_buckets_probed(
+        cust.withColumn("_k", -F.col("spend").cast("double")))
+    bucketed = bucketed.select("o_custkey", "spend", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -2839,11 +2840,16 @@ def poisson_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
     each replicate mean is one double expression over exact integers.
     Scale: the explode is a bounded ×PB_REPS map (no shuffle until
     the PB_REPS-key aggregate, which map-side combines to nothing)."""
-    ev = (t["events"]
-          .where(F.col("value").isNotNull())
-          .select("event_id",
-                  F.floor(F.col("value") * PB_VGRID + F.lit(0.5))
-                  .cast("long").alias("vu")))
+    from ..functions import spread
+    # the md5-per-(row, group) explode below is the heaviest map in
+    # the stats family: spread the narrow (event_id, vu) projection so
+    # it runs on every core when the scan cannot split (guide §2.5 at
+    # the point of heavy per-row work, not at the loader)
+    ev = spread(t["events"]
+                .where(F.col("value").isNotNull())
+                .select("event_id",
+                        F.floor(F.col("value") * PB_VGRID + F.lit(0.5))
+                        .cast("long").alias("vu")))
     # ONE md5 feeds FOUR replicates: its 32 hex chars split into four
     # 8-hex uniforms (md5's avalanche makes the segments independent),
     # so the hot path hashes PB_REPS/4 times per row, not PB_REPS
@@ -3153,10 +3159,9 @@ def kruskal_wallis_values(t: dict[str, DataFrame]) -> DataFrame:
                   .groupBy("event_type", "vu")
                   .agg(F.count(F.lit(1)).alias("c_gv")))
     vals = retain(cell.groupBy("vu").agg(F.sum("c_gv").alias("cnt")))
-    n_pts = vals.count()
-    bucketed = (_rank_buckets(
-        vals.withColumn("_k", F.col("vu").cast("double")), n_pts)
-        .select("vu", "cnt", "bkt"))
+    bucketed, _ = _rank_buckets_probed(
+        vals.withColumn("_k", F.col("vu").cast("double")))
+    bucketed = bucketed.select("vu", "cnt", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))

@@ -456,13 +456,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         new = _truncate_lineage(_small_star(ls))
         # fixed point iff the normalized edge SET is unchanged: both
         # frames are distinct, so equal counts + empty difference
-        # (one anti-join probed to the first row) decide it
-        n_new = new.count()
+        # decide it. The count and the difference probe ride ONE
+        # job/aggregate (a left join with a membership marker) instead
+        # of a count action plus a separate anti-join action — one
+        # scheduler round-trip per round, and the join doubles as the
+        # checkpoint materialization of ``new``.
         if n_e is None:
             n_e = e.count()
-        changed = (n_new != n_e
-                   or new.join(e, ["hi", "lo"], "left_anti")
-                   .limit(1).count() > 0)
+        probe = (new.join(e.withColumn("_old", F.lit(1)),
+                          ["hi", "lo"], "left")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.count(F.when(F.col("_old").isNull(), 1))
+                      .alias("fresh"))
+                 .collect()[0])
+        n_new = int(probe["n"])
+        changed = n_new != n_e or int(probe["fresh"]) > 0
         ls.unpersist()
         n_e = n_new
         e = new
@@ -945,7 +953,8 @@ DUP_SPAN_W = 16
 def _all_docs_tokenized(t: dict[str, DataFrame]) -> DataFrame:
     """(doc_id, toks, n) for every document, token array pin()ned so
     the split runs once per doc however many downstream references."""
-    return (pin(t["documents"].select("doc_id", "text"), toks=tokens())
+    return (pin(spread(t["documents"].select("doc_id", "text")),
+                toks=tokens())
             .select("doc_id", "toks", F.size("toks").alias("n")))
 
 
@@ -1490,11 +1499,15 @@ def kcore_dup_graph(t: dict[str, DataFrame]) -> DataFrame:
     alive = symk.select("k", F.col("u").alias("node")).distinct()
     prev: dict[int, int] = {}
     for _ in range(KCORE_ROUNDS):
+        # semi-join filters commute; filtering v FIRST leaves the last
+        # exchange keyed on (k, u), which the degree groupBy reuses —
+        # one fewer exchange per round (guide §2.4) whenever the
+        # semi-joins run as shuffle joins
         deg = (symk
-               .join(alive.selectExpr("k", "node AS u"),
-                     ["k", "u"], "left_semi")
                .join(alive.selectExpr("k", "node AS v"),
                      ["k", "v"], "left_semi")
+               .join(alive.selectExpr("k", "node AS u"),
+                     ["k", "u"], "left_semi")
                .groupBy("k", "u").agg(F.count(F.lit(1)).alias("d")))
         alive = _truncate_lineage(
             deg.where(F.col("d") >= F.col("k"))

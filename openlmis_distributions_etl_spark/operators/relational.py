@@ -13,7 +13,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import charge, davg, dec, disc_price, dsum, dsum_of
+from ..functions import (charge, davg, dec, disc_price, dsum,
+                         dsum_of, spread)
 
 
 def q1_pricing_summary(t: dict[str, DataFrame],
@@ -24,9 +25,16 @@ def q1_pricing_summary(t: dict[str, DataFrame],
     100 TB this is scan-bound; no join, one shuffle on the tiny
     (returnflag, linestatus) key space.
     """
-    li = t["lineitem"]
+    # the decimal-exact partial aggregate is the heavy map here; at an
+    # unsplittable test layout the scan is one task, so spread the
+    # filtered 7-column projection (guide §2.5 point-of-use, §2.3
+    # project-before-exchange) — a no-op at splittable layouts
+    li = spread(t["lineitem"]
+                .where(F.col("l_shipdate") <= cutoff)
+                .select("l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"))
     return (
-        li.where(F.col("l_shipdate") <= cutoff)
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -279,7 +287,9 @@ def q9_profit_by_nation_year(t: dict[str, DataFrame],
               .select("s_suppkey", "supp_nation"))
     cost = (dec("l_quantity", "decimal(8,4)") * dec("p_retailprice")
             * F.lit(cost_rate).cast("decimal(8,4)"))
-    j = (t["lineitem"]
+    j = (spread(t["lineitem"]
+                .select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"))
          .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
          .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
          .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")))

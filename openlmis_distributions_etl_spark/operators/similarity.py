@@ -1534,27 +1534,41 @@ def ivf_probe_sweep(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
                                          F.asc("centroid_id")))
                       .alias("rank")))
     assigned = retain(ivf_assign(t))
-    parts = []
-    for np_ in PROBE_SWEEP:
-        probe = ranked.where(F.col("rank") <= np_).select("centroid_id")
-        approx = (assigned.join(broadcast(probe), "centroid_id")
-                  .crossJoin(broadcast(q))
-                  .where(F.col("vec_id") != QUERY_VEC_ID)
-                  .select("vec_id",
-                          cosine(F.col("embedding"), F.col("q"))
-                          .alias("cos_sim"))
-                  .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-                  .limit(k)
-                  .select("vec_id"))
-        parts.append(
-            exact.join(approx, "vec_id")
-            .agg(F.lit(np_).alias("nprobe"),
-                 F.count(F.lit(1)).cast("int").alias("n_hits"),
-                 (F.count(F.lit(1)) / k).alias("recall_at_k")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # ONE exploded pass instead of a union of per-budget subtrees: the
+    # budgets are nested prefixes of the same centroid ranking, so each
+    # candidate row (scored once) fans out to every budget that covers
+    # its centroid's rank, one window ranks all budgets at once, and the
+    # per-budget top-k is row_number over the identical (cos_sim DESC,
+    # vec_id ASC) total order limit(k) used — bit-identical rows for a
+    # quarter of the jobs (guide §2.3: aggregate once, don't replan
+    # per arm).
+    arms = F.array(*[F.lit(int(np_)) for np_ in PROBE_SWEEP])
+    cand = (assigned.join(broadcast(ranked), "centroid_id")
+            .crossJoin(broadcast(q))
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id",
+                    cosine(F.col("embedding"), F.col("q"))
+                    .alias("cos_sim"),
+                    F.explode(F.filter(
+                        arms, lambda a: a >= F.col("rank")))
+                    .alias("nprobe")))
+    wr = Window.partitionBy("nprobe").orderBy(F.desc("cos_sim"),
+                                              F.asc("vec_id"))
+    topk = (cand.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= k)
+            .select("nprobe", "vec_id"))
+    hits = (topk.join(broadcast(exact), "vec_id")
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).alias("c")))
+    spark = assigned.sparkSession
+    spine = spark.range(1).select(
+        F.explode(arms).alias("nprobe"))
+    return (spine.join(broadcast(hits), "nprobe", "left")
+            .select("nprobe",
+                    F.coalesce("c", F.lit(0)).cast("int")
+                    .alias("n_hits"),
+                    (F.coalesce("c", F.lit(0)) / k)
+                    .alias("recall_at_k")))
 
 
 def _best_sub_d2(m: int) -> Column:
@@ -2624,40 +2638,44 @@ def bq_cand_sweep(t: dict[str, DataFrame], k: int = TOP_K) -> DataFrame:
     exact = retain(knn_batch(t, n_queries=BQ_QUERIES, k=k)
                    .select("qid", "vec_id"))
     scan = w.agg((F.count(F.lit(1)) * 8).alias("code_scan_bytes"))
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
-                                           F.asc("vec_id"))
-    parts = []
-    for cand in BQ_CAND_SWEEP:
-        approx = (coarse.where(F.col("crk") <= cand)
-                  .select("qid", "vec_id",
-                          cosine(F.col("embedding"), F.col("qv"))
-                          .alias("cos_sim"))
-                  .withColumn("rnk", F.row_number().over(wr))
-                  .where(F.col("rnk") <= k)
-                  .select("qid", "vec_id"))
-        hits = (exact.join(approx, ["qid", "vec_id"])
-                .groupBy("qid")
-                .agg(F.count(F.lit(1)).alias("n_hits")))
-        per = (exact.select("qid").distinct()
-               .join(hits, "qid", "left")
-               .select(F.coalesce("n_hits", F.lit(0))
-                       .alias("n_hits")))
-        parts.append(
-            per.agg(
-                F.lit(cand).alias("cand"),
-                F.lit(k).alias("k"),
-                F.count(F.lit(1)).cast("int").alias("n_queries"),
-                F.sum("n_hits").cast("int").alias("total_hits"),
-                (F.min("n_hits").cast("double") / k)
-                .alias("min_recall_at_k"),
-                (F.sum("n_hits").cast("double")
-                 / (k * BQ_QUERIES)).alias("mean_recall_at_k"),
-                F.lit(cand * DIM * 4).alias("rerank_scan_bytes"))
+    # ONE exploded pass over the shared coarse shortlist instead of a
+    # union of per-budget subtrees (guide §2.3): budgets are nested
+    # prefixes of the same Hamming ranking, so each candidate (its
+    # float cosine computed once) fans out to every budget covering
+    # its coarse rank, one (cand, qid) window reproduces each budget's
+    # row_number()<=k rerank over the identical ordering, and a
+    # (cand × qid) spine restores the zero-hit rows the per-budget
+    # left join used to add. Bit-identical rows, ~1/3 the jobs.
+    arms = F.array(*[F.lit(int(c)) for c in BQ_CAND_SWEEP])
+    scored = (coarse.select(
+        "qid", "vec_id",
+        cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        F.explode(F.filter(arms, lambda a: a >= F.col("crk")))
+        .alias("cand")))
+    wr = Window.partitionBy("cand", "qid").orderBy(F.desc("cos_sim"),
+                                                   F.asc("vec_id"))
+    topk = (scored.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= k)
+            .select("cand", "qid", "vec_id"))
+    hits = (topk.join(exact, ["qid", "vec_id"])
+            .groupBy("cand", "qid")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    spark = exact.sparkSession
+    spine = (spark.range(1).select(F.explode(arms).alias("cand"))
+             .crossJoin(exact.select("qid").distinct()))
+    per = (spine.join(broadcast(hits), ["cand", "qid"], "left")
+           .select("cand",
+                   F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+    return (per.groupBy("cand")
+            .agg(F.lit(k).alias("k"),
+                 F.count(F.lit(1)).cast("int").alias("n_queries"),
+                 F.sum("n_hits").cast("int").alias("total_hits"),
+                 (F.min("n_hits").cast("double") / k)
+                 .alias("min_recall_at_k"),
+                 (F.sum("n_hits").cast("double")
+                  / (k * BQ_QUERIES)).alias("mean_recall_at_k"))
+            .withColumn("rerank_scan_bytes", F.col("cand") * DIM * 4)
             .crossJoin(broadcast(scan)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
 
 
 # round-7 wave 11: Johnson-Lindenstrauss projection distortion audit
@@ -2908,7 +2926,14 @@ def kcenter_greedy_coreset(t: dict[str, DataFrame],
     cross-joined singleton center rows. Returns a LocalRelation (the
     search runs at construction time — see the docs/SHUFFLES.md
     caveat)."""
-    e = spread(t["embeddings"]).select("vec_id", "label", "embedding")
+    # retained: the k−1 argmax scans and the seed lookup all re-read
+    # this frame — uncached, every rank re-paid the parquet scan plus
+    # the spread() exchange (measured: the dominant cost of the query,
+    # k−1 scan+shuffle round-trips for a store that never changes
+    # between ranks). Bounded: the projected store, released at the
+    # next query build.
+    e = retain(spread(t["embeddings"])
+               .select("vec_id", "label", "embedding"))
     grid = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
     first = (e.orderBy(F.asc("vec_id")).limit(1)
              .select("vec_id", "label", "embedding").collect()[0])

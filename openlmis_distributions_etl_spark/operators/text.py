@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import spread
 from ..functions.cache import retain
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
@@ -436,7 +437,7 @@ def sequence_packing(t: dict[str, DataFrame],
     occupancy — the packing-efficiency report a training-data job
     emits. One shuffle on lang (the window partition), reused by the
     per-pack aggregate; packing never materializes token arrays."""
-    d = t["documents"].select(
+    d = spread(t["documents"].select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.size(tokens()).alias("n_tokens"))
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -468,7 +469,7 @@ def hashed_classifier_score(t: dict[str, DataFrame],
                 .cast("long") % buckets)
         return (slot * F.lit(2654435761)) % buckets - buckets // 2
     toks = tokens()
-    d = t["documents"].select(
+    d = spread(t["documents"].select("doc_id", "text")).select(
         "doc_id", F.size(toks).alias("n_tokens"),
         F.aggregate(toks, F.lit(0).cast("long"),
                     lambda acc, x: acc + w_int(x)).alias("w_sum"))
@@ -750,7 +751,7 @@ def doc_bigram_lm_score(t: dict[str, DataFrame]) -> DataFrame:
         "transform(sequence(0, size(toks) - 2), "
         "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")
     bg = retain(
-        t["documents"]
+        spread(t["documents"].select("doc_id", "text"))
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
@@ -824,7 +825,7 @@ def doc_simpson_diversity(t: dict[str, DataFrame]) -> DataFrame:
 
     simpson = F.aggregate(F.array_sort(toks), init, step,
                           lambda acc: acc["acc"] + acc["run"] * acc["run"])
-    d = t["documents"].select(
+    d = spread(t["documents"].select("doc_id", "text")).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         simpson.alias("simpson_num"))
@@ -1611,7 +1612,7 @@ def skipgram_pairs(t: dict[str, DataFrame]) -> DataFrame:
     (x, y, gap) count aggregate map-side combines, and the final
     TOP_K is TakeOrderedAndProject on the unique (cnt desc, x, y,
     gap) key — deterministic at the rank boundary, no global sort."""
-    d = (t["documents"]
+    d = (spread(t["documents"].select("text"))
          .select(tokens().alias("tk"))
          .where(F.size("tk") >= 2))
     gap_arrays = [F.expr(
@@ -1692,14 +1693,14 @@ def vocab_coverage_curve(t: dict[str, DataFrame]) -> DataFrame:
     k's covered-token mass is a conditional sum in ONE final
     aggregate; rank·count sums are exact BIGINTs and coverage is a
     single double division."""
-    from ..operators.analytics import _rank_buckets
+    from ..operators.analytics import _rank_buckets_probed
     vocab = retain(
         t["documents"]
         .select(F.explode(tokens()).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("_k", -F.col("cnt").cast("double")))
-    nv = vocab.count()
-    b = _rank_buckets(vocab, nv)
+    # fused count+sketch probe: one setup job
+    b, _ = _rank_buckets_probed(vocab)
     bt = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -1834,7 +1835,8 @@ def doc_sentence_stats(t: dict[str, DataFrame]) -> DataFrame:
     sents = F.expr(
         "filter(transform(split(text, '[.!?]+'), "
         "s -> size(filter(split(s, ' '), x -> x != ''))), n -> n > 0)")
-    d = t["documents"].select("doc_id", sents.alias("sl"))
+    d = spread(t["documents"].select("doc_id", "text")) \
+        .select("doc_id", sents.alias("sl"))
     return d.select(
         "doc_id",
         F.size("sl").alias("n_sentences"),
@@ -1865,14 +1867,14 @@ def token_budget_sample(t: dict[str, DataFrame]) -> DataFrame:
     constant-size bucket frame, the in-bucket running sum is bounded
     per task, and tick-crossing is pure integer arithmetic
     (cum_before DIV T < cum_after DIV T), identical in the oracle."""
-    from ..operators.analytics import _rank_buckets
+    from ..operators.analytics import _rank_buckets_probed
 
     d = retain(t["documents"]
                .select("doc_id", "lang", "source",
                        F.size(tokens()).cast("long").alias("nt"))
                .withColumn("_k", F.col("doc_id").cast("double")))
-    n = d.count()
-    b = _rank_buckets(d, n)
+    # fused count+sketch probe: one setup job
+    b, _ = _rank_buckets_probed(d)
     bt = b.groupBy("bkt").agg(F.sum("nt").alias("bw"))
     wo = (Window.orderBy(F.asc("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1))
@@ -1967,7 +1969,7 @@ def doc_char_entropy(t: dict[str, DataFrame]) -> DataFrame:
     BEFORE the sum (order-free, engine-exact), one deterministic
     double at the end. ZERO exchanges."""
     from ..functions import pin
-    d = (t["documents"]
+    d = (spread(t["documents"].select("doc_id", "text"))
          .select("doc_id", F.split("text", "").alias("cs0"))
          .where(F.size("cs0") > 0))
     pinned = pin(d, cnts=F.expr(
@@ -2062,7 +2064,7 @@ def unigram_logprob_quality(t: dict[str, DataFrame]) -> DataFrame:
     vocab-bounded (≪ corpus), so the pairs→freq join broadcasts."""
     from ..functions import pin
     from ..functions.cache import retain
-    d = (t["documents"]
+    d = (spread(t["documents"].select("doc_id", "text"))
          .select("doc_id", tokens().alias("toks"))
          .where(F.size("toks") > 0))
     pairs = retain(
@@ -2131,7 +2133,7 @@ def gopher_ngram_fractions(t: dict[str, DataFrame]) -> DataFrame:
             f"length(g) AS l)), 0L, (acc, s) -> "
             f"acc + IF(s.c >= 2, CAST(s.c AS BIGINT) * s.l, 0L))")
 
-    d = (t["documents"]
+    d = (spread(t["documents"].select("doc_id", "text"))
          .select("doc_id", F.length("text").alias("n_chars"),
                  tokens().alias("toks"))
          .where(F.size("toks") >= 5))
@@ -2167,7 +2169,7 @@ def gopher_quality_rules(t: dict[str, DataFrame]) -> DataFrame:
     via cross-multiplication — no division, no float threshold
     wobble."""
     toks = tokens()
-    d = t["documents"].select(
+    d = spread(t["documents"].select("source", "text")).select(
         "source",
         F.size(toks).alias("n_tok"),
         F.expr("aggregate(filter(split(text, ' '), x -> x != ''), "
@@ -2268,7 +2270,7 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
     from ..functions import pin
     from ..functions.cache import retain
     bg = DSIR_BG_EXPR
-    d = (t["documents"]
+    d = (spread(t["documents"].select("doc_id", "lang", "text"))
          .select("doc_id", "lang", tokens().alias("toks"))
          .where(F.size("toks") >= 2))
     pairs = retain(
@@ -2639,7 +2641,7 @@ def doc_readability(t: dict[str, DataFrame]) -> DataFrame:
     sents = F.expr(
         "size(filter(transform(split(text, '[.!?]+'), "
         "s -> size(filter(split(s, ' '), x -> x != ''))), n -> n > 0))")
-    d = t["documents"].select(
+    d = spread(t["documents"].select("doc_id", "text")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         sents.alias("n_sentences"),
@@ -2814,7 +2816,7 @@ def classifier_auc(t: dict[str, DataFrame]) -> DataFrame:
     Shape: the per-distinct-score count grid (one map-side-combinable
     shuffle, cardinality = distinct scores), then the `_rank_buckets`
     distributed prefix sum — no global sort at any scale."""
-    from .analytics import _rank_buckets
+    from .analytics import _rank_buckets_probed
     from ..functions.cache import retain
     score = hashed_classifier_score(t).select("doc_id", "w_sum")
     keep = doc_quality_filters(t).select("doc_id", "keep")
@@ -2823,10 +2825,10 @@ def classifier_auc(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("w_sum")
         .agg(F.sum("keep").cast("long").alias("c1"),
              F.sum(1 - F.col("keep")).cast("long").alias("c0")))
-    n_pts = pts.count()
-    bucketed = (_rank_buckets(
-        pts.withColumn("_k", F.col("w_sum").cast("double")), n_pts)
-        .select("w_sum", "c1", "c0", "bkt"))
+    # fused count+sketch probe: one setup job
+    bucketed, _ = _rank_buckets_probed(
+        pts.withColumn("_k", F.col("w_sum").cast("double")))
+    bucketed = bucketed.select("w_sum", "c1", "c0", "bkt")
     bt = bucketed.groupBy("bkt").agg(F.sum("c1").alias("b1"),
                                      F.sum("c0").alias("b0"))
     wo = (Window.orderBy(F.asc("bkt"))

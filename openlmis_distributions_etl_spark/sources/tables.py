@@ -29,27 +29,18 @@ TABLES = (
 # facilities, not in fact volume).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
-# Fact tables whose scans feed per-row-heavy pipelines (tokenization,
-# HOF folds, 64-dim vector math). When the physical layout cannot
-# split — one file with one row group caps the scan at ONE task no
-# matter what maxPartitionBytes says — the whole map side of a query
-# runs on a single core. Per the optimization guide (§2.5: an
-# unsplittable input is input skew; repartition immediately after the
-# read), the loader inserts a round-robin repartition to the session's
-# default parallelism, but ONLY when the scan's split count is below
-# it: at production scale the same tables arrive as many files/row
-# groups, the condition is false at plan-build time, and no shuffle is
-# added. Dimension tables are exempt — they exist to be broadcast and
-# a parallelism floor would only tax the broadcast build.
-# embeddings is NOT in the set: every similarity operator that wants
-# scan parallelism already calls functions.spread() at the point of
-# heavy per-row work, while the construction-time search loops
-# (k-center's k-1 argmax scans, the BQ/beam recall harnesses) re-scan
-# the table many times per query and a loader-level repartition would
-# charge each scan a sorted round-robin shuffle it never asked for
-# (measured: kcenter 4.4 -> 7.8 s, knn_bq_recall 1.0 -> 3.0 s).
-PARALLELIZE_FACTS = frozenset(
-    {"orders", "lineitem", "events", "documents"})
+# NOTE on scan parallelism for unsplittable inputs: when a table is
+# one parquet file with one row group, the scan is ONE task no matter
+# what maxPartitionBytes says. Round 10 compensated with a loader-
+# level round-robin repartition of every fact table; that charged a
+# full-table shuffle (plus its sort-before-repartition) to EVERY
+# consumer — ~0.5-1 s per query at the bench scale, a measured net
+# regression (~100 queries >10% slower). The remedy lives at the
+# point of use instead: per-row-heavy operators call
+# functions.spread() right where the heavy map work happens (after
+# projecting to the columns they need, so the exchange carries fewer
+# bytes), and spread() is a no-op whenever the scan already splits —
+# the 100 TB layout. Light consumers pay nothing.
 
 
 # Columns that must surface as session-tz TIMESTAMP regardless of the
@@ -162,13 +153,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = normalize_ts(df, c, table=name)
     if name == "embeddings":
         _assert_embedding_dim(df, table=name)
-    if name in PARALLELIZE_FACTS:
-        cores = spark.sparkContext.defaultParallelism
-        # partition count comes from the file-listing metadata — no
-        # job runs here; decided once per (session, path) thanks to
-        # the memo below
-        if df.rdd.getNumPartitions() < cores:
-            df = df.repartition(cores)
     cache[key] = df
     return df
 

@@ -19,17 +19,6 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _data_exchanges(plan: str) -> int:
-    """Exchange count EXCLUDING the source layer's round-robin
-    parallelism floor (sources/tables.py PARALLELIZE_FACTS): that
-    exchange exists only when the physical input cannot split to the
-    session's cores (single-row-group test files) and disappears at
-    production layouts, so shape pins count the DATA shuffles the
-    operator itself causes."""
-    return (plan.count("Exchange")
-            - plan.count("Exchange RoundRobinPartitioning"))
-
-
 def _q(spark, name):
     return registry.queries()[name](spark, SF0001)
 
@@ -326,7 +315,7 @@ def test_source_quota_two_phase_shuffle_count(spark):
         plan = _plan(_q(spark, "source_quota_sample"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert _data_exchanges(plan) == 2, plan
+    assert plan.count("Exchange") == 2, plan
 
 
 def test_deterministic_shuffle_single_exchange(spark):
@@ -337,7 +326,7 @@ def test_deterministic_shuffle_single_exchange(spark):
         plan = _plan(_q(spark, "deterministic_shuffle"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert _data_exchanges(plan) == 1, plan
+    assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan.lower()
 
 
@@ -345,7 +334,7 @@ def test_doc_chunks_is_zero_exchange(spark):
     # chunking is a pure narrow plan: tokenize → sequence → explode —
     # any Exchange here would be a scale regression
     plan = _plan(_q(spark, "doc_chunks"))
-    assert _data_exchanges(plan) == 0, plan[:800]
+    assert plan.count("Exchange") == 0, plan[:800]
     assert "Generate" in plan  # the explode
 
 
